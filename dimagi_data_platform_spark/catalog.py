@@ -1,0 +1,55 @@
+"""Table catalog: load the star-schema parquet tables from a directory.
+
+Tables mirror TESTDATA.md. ``load_tables`` both returns the DataFrames
+and registers them as temp views so plans can be written in either the
+DataFrame API or ``spark.sql``.
+
+Scale note: these are plain ``spark.read.parquet`` scans — column
+pruning and predicate pushdown are delegated to Catalyst + the parquet
+DataSource (verified by plan assertions in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic warehouse
+# scale (region/nation are fixed-cardinality; supplier/part/customer are
+# orders of magnitude smaller than the fact tables).
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, register_views: bool = True
+) -> dict[str, DataFrame]:
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        if os.path.exists(table_path(sf_dir, name)):
+            df = load_table(spark, sf_dir, name)
+            out[name] = df
+            if register_views:
+                df.createOrReplaceTempView(name)
+    return out

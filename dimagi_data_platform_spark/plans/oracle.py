@@ -1,0 +1,193 @@
+"""DuckDB oracle SQL — the ANSI twin of every SQL-expressible query in
+plans.queries. The driver runs these side-by-side with the Spark plans
+at sf0.01 and hash-compares values, so:
+
+- every computed column is aliased to the exact Spark-side name;
+- float aggregates use the same decimal-accumulate-then-double shape
+  as functions.num (bitwise-identical results);
+- every LIMIT has a total deterministic ORDER BY.
+"""
+
+from __future__ import annotations
+
+from dimagi_data_platform_spark.functions.num import sql_davg, sql_dsum
+
+_REV = "l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)"
+
+ORACLE: dict[str, str] = {}
+
+ORACLE["q1_pricing_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+  {sql_dsum("l_quantity")} AS sum_qty,
+  {sql_dsum("l_extendedprice")} AS sum_base_price,
+  {sql_dsum(_REV)} AS sum_disc_price,
+  {sql_dsum(f"({_REV}) * (CAST(1 AS DOUBLE) + l_tax)")} AS sum_charge,
+  {sql_davg("l_quantity")} AS avg_qty,
+  {sql_davg("l_extendedprice")} AS avg_price,
+  {sql_davg("l_discount")} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLE["q3_shipping_priority"] = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority, {sql_dsum(_REV)} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+ORACLE["q4_order_priority"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLE["q5_local_supplier"] = f"""
+SELECT n_name, {sql_dsum(_REV)} AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+ORACLE["q6_revenue_delta"] = f"""
+SELECT {sql_dsum("l_extendedprice * l_discount")} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+ORACLE["q10_returned_items"] = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name, {sql_dsum(_REV)} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+ORACLE["customers_without_orders"] = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+ORACLE["repeat_buyers_intersect"] = """
+SELECT o_custkey AS custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+"""
+
+ORACLE["lapsed_buyers_except"] = """
+SELECT o_custkey AS custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+"""
+
+ORACLE["top_customers_per_nation"] = """
+SELECT n_name, c_name, c_acctbal, rk FROM (
+  SELECT n_name, c_name, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer JOIN nation ON n_nationkey = c_nationkey) t
+WHERE rk <= 3
+"""
+
+ORACLE["running_revenue"] = f"""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month, {sql_dsum("o_totalprice")} AS revenue
+  FROM orders GROUP BY 1)
+SELECT month, revenue,
+  CAST(ROUND(SUM(CAST(revenue AS DECIMAL(38,10)))
+       OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+    AS cum_revenue,
+  revenue - LAG(revenue) OVER (ORDER BY month) AS mom_delta
+FROM m
+"""
+
+ORACLE["acctbal_deciles"] = f"""
+SELECT decile, COUNT(*) AS n, {sql_dsum("c_acctbal")} AS total_bal,
+       MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+FROM (
+  SELECT c_acctbal, c_custkey,
+         NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+  FROM customer) t
+GROUP BY decile
+ORDER BY decile
+"""
+
+ORACLE["rollup_sales"] = f"""
+SELECT r_name, n_name, {sql_dsum("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+_PIV = {
+    "urgent": "1-URGENT",
+    "high": "2-HIGH",
+    "medium": "3-MEDIUM",
+    "not_specified": "4-NOT SPECIFIED",
+    "low": "5-LOW",
+}
+_piv_cols = ",\n  ".join(
+    f"CAST(ROUND(SUM(CASE WHEN o_orderpriority = '{raw}' THEN CAST(o_totalprice AS DECIMAL(38,10)) END), 2) AS DOUBLE) AS {clean}"
+    for clean, raw in _PIV.items()
+)
+ORACLE["segment_priority_pivot"] = f"""
+SELECT c_mktsegment,
+  {_piv_cols}
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+ORACLE["order_value_percentiles"] = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders)
+SELECT o_orderpriority,
+  MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN o_totalprice END) AS p50,
+  MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN o_totalprice END) AS p90,
+  MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN o_totalprice END) AS p99,
+  MAX(n) AS n_orders
+FROM ranked
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLE["above_avg_orders"] = f"""
+WITH ca AS (
+  SELECT o_custkey AS ck, {sql_davg("o_totalprice")} AS cust_avg
+  FROM orders GROUP BY o_custkey)
+SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+FROM orders JOIN ca ON o_custkey = ck
+WHERE o_totalprice > CAST(1.5 AS DOUBLE) * cust_avg
+"""

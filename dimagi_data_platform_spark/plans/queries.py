@@ -1,0 +1,374 @@
+"""Named query library — the engine's analytic surface.
+
+Every public query is registered in ``QUERIES`` as
+``name -> (spark, sf_dir) -> DataFrame`` and has a matching DuckDB
+oracle in :mod:`dimagi_data_platform_spark.plans.oracle` unless the
+operator is not SQL-expressible (then it is checked rows-only by the
+driver and covered by unit tests instead).
+
+Parity reference: dimagi/dimagi-data-platform's warehouse queries
+(interactions / visit / monthly_usage indicator builds) generalized to
+the full analytic-SQL operator set; see SURVEY.md §2 for the map.
+
+Scale notes are inline per query. General rules:
+- dimension joins are broadcast (nation/region/supplier always;
+  customer-sized dims left to AQE which sees real sizes);
+- every aggregate uses map-side partial aggregation (plain groupBy);
+- money sums use decimal accumulation (functions.num) — exact,
+  order-independent, still codegen'd.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dimagi_data_platform_spark.catalog import load_table
+from dimagi_data_platform_spark.functions.num import DEC, davg, dsum
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+
+def query(name: str):
+    def deco(fn):
+        QUERIES[name] = fn
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Relational core (R1-R18)
+# --------------------------------------------------------------------------
+
+
+@query("q1_pricing_summary")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation.
+
+    Scale: single shuffle on a 6-value group key; everything before it
+    is map-side (partial agg). Filter + column pruning push to parquet.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query("q3_shipping_priority")
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, group, global top-k.
+
+    Scale: customer filtered to 1 segment then joined to orders (AQE
+    picks broadcast vs shuffle by observed size); lineitem join shuffles
+    on orderkey. Top-k is a TakeOrdered, no global sort materialized.
+    """
+    cutoff = F.lit("1998-03-15")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query("q4_order_priority")
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS semi-join (reference: forms-with-matching-case checks).
+
+    Scale: left-semi join shuffles once on orderkey; the non-equi
+    predicate rides along as a join condition, not a post-filter.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("q5_local_supplier")
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way snowflake join.
+
+    Scale: region/nation/supplier broadcast; customer⋈orders and
+    ⋈lineitem shuffle on their keys. The s_nationkey=c_nationkey
+    equi-condition is part of the supplier join, keeping it broadcastable.
+    """
+    region = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        region.join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(cust, cust.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supplier,
+            (supplier.s_suppkey == li.l_suppkey) & (supplier.s_nationkey == cust.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query("q6_revenue_delta")
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective filter + global aggregate; fully pushed-down scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+
+
+@query("q10_returned_items")
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-items ranking (reference: interactions fact build +
+    per-entity rollup). Joins fact→dims, groups by customer, top 20."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(nation, nation.n_nationkey == cust.c_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query("customers_without_orders")
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS anti-join (reference: users with no submissions)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query("repeat_buyers_intersect")
+def repeat_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers active in both 1996 and 1997."""
+    orders = _t(spark, sf_dir, "orders")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select(F.col("o_custkey").alias("custkey"))
+    return y96.intersect(y97)
+
+
+@query("lapsed_buyers_except")
+def lapsed_buyers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: active in 1996 but not in 1997 (reference: attrition)."""
+    orders = _t(spark, sf_dir, "orders")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select(F.col("o_custkey").alias("custkey"))
+    return y96.subtract(y97)
+
+
+@query("top_customers_per_nation")
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window rank per partition; deterministic tie-break on custkey.
+
+    Scale: one shuffle on n_name; rank is per-partition streaming.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "c_name", "c_acctbal", "rk")
+    )
+
+
+@query("running_revenue")
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue + running total + MoM delta (lag).
+
+    The running SUM accumulates in decimal so the window result is
+    association-order independent (DuckDB uses segment trees; Spark
+    streams the frame — decimal makes both exact).
+    Scale: outer window is over ~100 month rows — single partition is fine.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        dsum("o_totalprice").alias("revenue")
+    )
+    w_cum = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_lag = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.sum(F.col("revenue").cast(DEC)).over(w_cum), 2).cast("double").alias("cum_revenue"),
+        (F.col("revenue") - F.lag("revenue").over(w_lag)).alias("mom_delta"),
+    )
+
+
+@query("acctbal_deciles")
+def acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile analytics with deterministic tie-break."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("c_acctbal").alias("total_bal"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query("rollup_sales")
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation) revenue totals (reference: domain-level
+    rollups over per-user indicators)."""
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .join(nation, nation.n_nationkey == cust.c_nationkey)
+        .join(region, region.r_regionkey == nation.n_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        dsum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+PRIORITY_COLS = {
+    "1-URGENT": "urgent",
+    "2-HIGH": "high",
+    "3-MEDIUM": "medium",
+    "4-NOT SPECIFIED": "not_specified",
+    "5-LOW": "low",
+}
+
+
+@query("segment_priority_pivot")
+def segment_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order revenue: mktsegment x orderpriority.
+
+    Uses the native ``pivot`` (compiles to conditional aggregation —
+    one shuffle, no extra pass). Explicit value list avoids the extra
+    distinct-values job at scale.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    df = (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", list(PRIORITY_COLS))
+        .agg(dsum("o_totalprice"))
+    )
+    for raw, clean in PRIORITY_COLS.items():
+        df = df.withColumnRenamed(raw, clean)
+    return df
+
+
+@query("order_value_percentiles")
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (p50/p90/p99) per priority class.
+
+    Implemented as rank-at-ceil(p*n) — engine-portable, no float
+    interpolation, deterministic under ties (orderkey tie-break).
+    Scale: one shuffle on priority; window is per-partition streaming.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(p: float):
+        pos = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return F.max(F.when(F.col("rn") == pos, F.col("o_totalprice")))
+
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            pick(0.5).alias("p50"),
+            pick(0.9).alias("p90"),
+            pick(0.99).alias("p99"),
+            F.max("n").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("above_avg_orders")
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery semantics (orders 1.5x above their
+    customer's average), decorrelated explicitly into an agg+join —
+    the plan Catalyst would produce, stated declaratively.
+
+    Scale: both sides shuffle on custkey once; AQE may broadcast the
+    aggregated side (one row per customer).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust_avg = orders.groupBy("o_custkey").agg(davg("o_totalprice").alias("cust_avg"))
+    return (
+        orders.join(cust_avg.withColumnRenamed("o_custkey", "ck"), F.col("o_custkey") == F.col("ck"))
+        .filter(F.col("o_totalprice") > F.lit(1.5) * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )

@@ -1,0 +1,40 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Design notes (100 TB posture):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and broadcast-join demotion/promotion based on observed sizes.
+- ``spark.sql.shuffle.partitions`` defaults to a local-friendly value but
+  is env-overridable; on a real cluster AQE coalesces from a high initial
+  number, so the initial value should be ~2-3x total cores there.
+- Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle (naive timestamps) byte-for-byte.
+- Arrow enabled for the few Pandas-UDF paths (multimodal decode).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "dimagi-data-platform-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if not os.environ.get("SPARK_MASTER_URL"):
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()
