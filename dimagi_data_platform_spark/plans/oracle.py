@@ -191,3 +191,105 @@ SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
 FROM orders JOIN ca ON o_custkey = ck
 WHERE o_totalprice > CAST(1.5 AS DOUBLE) * cust_avg
 """
+
+# --------------------------------------------------------------------------
+# Platform / ETL surface (P1-P12)
+# --------------------------------------------------------------------------
+
+ORACLE["latest_event_per_user"] = """
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1
+"""
+
+ORACLE["visits_sessionize"] = f"""
+WITH x AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM x)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS DOUBLE) / 1000000.0 AS duration_s,
+       {sql_dsum("value")} AS total_value
+FROM s
+GROUP BY user_id, session_id
+"""
+
+ORACLE["monthly_usage"] = f"""
+SELECT user_id, date_trunc('month', ts) AS month,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+       COUNT(DISTINCT event_type) AS n_event_types,
+       {sql_dsum("value")} AS total_value,
+       CAST(MIN(ts) AS DATE) AS first_day,
+       CAST(MAX(ts) AS DATE) AS last_day
+FROM events
+GROUP BY user_id, date_trunc('month', ts)
+"""
+
+ORACLE["active_users_daily"] = f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COUNT(DISTINCT user_id) AS dau,
+         {sql_dsum("value")} AS total_value
+  FROM events GROUP BY 1)
+SELECT day, dau, total_value, dau - LAG(dau) OVER (ORDER BY day) AS dau_delta
+FROM d
+"""
+
+ORACLE["retention_cohorts"] = """
+WITH f AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1),
+a AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+       COUNT(*) AS n_users
+FROM f JOIN a USING (user_id)
+GROUP BY 1, 2
+"""
+
+ORACLE["signup_to_purchase_funnel"] = f"""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS first_signup FROM events
+  WHERE event_type = 'signup' GROUP BY 1),
+p AS (
+  SELECT user_id AS p_user, ts AS purchase_ts, value FROM events
+  WHERE event_type = 'purchase')
+SELECT user_id, first_signup,
+       COUNT(purchase_ts) AS n_purchases_after,
+       {sql_dsum("value")} AS purchase_value
+FROM s LEFT JOIN p ON user_id = p_user AND purchase_ts > first_signup
+GROUP BY user_id, first_signup
+"""
+
+ORACLE["props_extract"] = f"""
+WITH e AS (
+  SELECT CAST(FLOOR(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) / 10) * 10 AS INTEGER) AS k_bucket,
+         user_id, value
+  FROM events)
+SELECT k_bucket, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sql_dsum("value")} AS total_value
+FROM e
+GROUP BY k_bucket
+ORDER BY k_bucket
+"""
+
+ORACLE["events_asof_join"] = """
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+  (SELECT MAX(c.ts) FROM events c
+    WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts)
+  AS last_click_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+"""

@@ -372,3 +372,156 @@ def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > F.lit(1.5) * F.col("cust_avg"))
         .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
     )
+
+
+# --------------------------------------------------------------------------
+# Platform / ETL surface (P1-P12) — dimagi indicator-table parity.
+# events ≈ form submissions (user_id ≈ mobile worker, ts ≈ received_on).
+# --------------------------------------------------------------------------
+
+from dimagi_data_platform_spark.operators.asof import asof_join  # noqa: E402
+from dimagi_data_platform_spark.operators.dedup import latest_by_key  # noqa: E402
+from dimagi_data_platform_spark.operators.sessionize import sessionize  # noqa: E402
+
+
+@query("latest_event_per_user")
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: latest-wins dedup (reference: form re-submission dedup on
+    received_on; here the latest event per user, event_id tie-break)."""
+    ev = _t(spark, sf_dir, "events")
+    return latest_by_key(ev, ["user_id"], ["ts", "event_id"]).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+
+
+@query("visits_sessionize")
+def visits_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: the reference's `visit` table — 30-min-gap sessions per user
+    with per-session stats. One shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800, tie_break="event_id")
+    dur = (
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).cast("double")
+        / F.lit(1000000.0)
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dur.alias("duration_s"),
+        dsum("value").alias("total_value"),
+    )
+
+
+@query("monthly_usage")
+def monthly_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: the reference's monthly_usage indicator table — per (user,
+    month): events, active days, distinct event types, value, span."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", F.date_trunc("month", "ts").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.to_date("ts")).alias("active_days"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        dsum("value").alias("total_value"),
+        F.to_date(F.min("ts")).alias("first_day"),
+        F.to_date(F.max("ts")).alias("last_day"),
+    )
+
+
+@query("active_users_daily")
+def active_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: DAU series with day-over-day delta (lag)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau"),
+        dsum("value").alias("total_value"),
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "dau",
+        "total_value",
+        (F.col("dau") - F.lag("dau").over(w)).alias("dau_delta"),
+    )
+
+
+@query("retention_cohorts")
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: first-activity-day cohorts x day-offset retention counts."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cohort_day"))
+    active = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        first.join(active, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").cast("long").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query("signup_to_purchase_funnel")
+def signup_to_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: funnel — per signed-up user, purchases strictly after first
+    signup. Conditional left join + aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("first_signup")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"), "value"
+    )
+    return (
+        s.join(
+            p,
+            (s.user_id == p.p_user) & (p.purchase_ts > s.first_signup),
+            "left",
+        )
+        .groupBy("user_id", "first_signup")
+        .agg(
+            F.count("purchase_ts").alias("n_purchases_after"),
+            dsum("value").alias("purchase_value"),
+        )
+    )
+
+
+@query("props_extract")
+def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R16/P-parity: JSON-ish property extraction (reference: form
+    property parsing) via JVM-side regexp, bucketed rollup."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int")
+    bucket = (F.floor(k / F.lit(10)) * 10).cast("int")
+    return (
+        ev.withColumn("k_bucket", bucket)
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+@query("events_asof_join")
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: as-of join — each purchase enriched with the most recent
+    click at-or-before it by the same user (union-merge, one shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("last_click_ts")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        by=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="ts",
+        carry=["last_click_ts"],
+    ).select("purchase_id", "user_id", "purchase_ts", "last_click_ts")

@@ -31,6 +31,9 @@ def get_spark(app_name: str = "dimagi-data-platform-spark") -> SparkSession:
             os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # TIMESTAMP(NANOS) parquet columns (events.ts) read as long;
+        # catalog.load_table converts them to µs timestamps exactly.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -36,6 +36,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        elif df[c].dtype == object:
+            non_null = df[c].dropna()
+            if len(non_null) and all(
+                hasattr(v, "year") and not hasattr(v, "hour") for v in non_null.head(5)
+            ):
+                # datetime.date (Spark DateType) vs duckdb date → align
+                df[c] = pd.to_datetime(df[c])
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
