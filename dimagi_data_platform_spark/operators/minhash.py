@@ -1,0 +1,117 @@
+"""MinHash + LSH near-duplicate candidate generation.
+
+Pipeline (all DataFrame ops, one pass over shingles):
+  shingle → xxhash64 → k universal hashes ((a*h+b) mod p, fixed seeds)
+  → per-doc min per hash (the MinHash signature)
+  → band the signature (b bands × r rows), hash each band
+  → self-join on (band, band_hash) = candidate pairs
+  → estimated similarity = fraction of equal signature components.
+
+Scale: the only shuffles are the per-doc signature aggregation and the
+band-bucket join — never an O(n²) cross join. Band count/size trade
+recall vs candidate volume exactly as in the MMDS formulation
+(threshold ≈ (1/b)^(1/r)).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dimagi_data_platform_spark.functions.text import shingles
+
+# Mersenne prime 2^31-1: xxhash64 folded below 2^31 keeps a*h+b < 2^62,
+# so the universal-hash arithmetic never overflows a long.
+MINHASH_P = 2_147_483_647
+
+
+def _hash_params(k: int, seed: int) -> list[tuple[int, int]]:
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, MINHASH_P), rnd.randrange(0, MINHASH_P)) for _ in range(k)]
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Return (id, sig: array<long>[num_hashes])."""
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("shingle")
+    )
+    h = F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_P))
+    sh = sh.withColumn("h", h)
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MINHASH_P))).alias(f"s{i}")
+        for i, (a, b) in enumerate(_hash_params(num_hashes, seed))
+    ]
+    sigs = sh.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        id_col, F.array(*[f"s{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing at least one band bucket,
+    with ``est_jaccard`` = fraction of equal signature components."""
+    band_entries = sigs.select(
+        F.col(id_col),
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", *[F.col("sig")[i * rows_per_band + j] for j in range(rows_per_band)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = band_entries.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    b = band_entries.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    eq = F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int"))
+    est = F.aggregate(eq, F.lit(0), lambda acc, x: acc + x).cast("double") / F.size("sig_a")
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    min_est_jaccard: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, seed)
+    rows_per_band = num_hashes // bands
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    return pairs.filter(F.col("est_jaccard") >= min_est_jaccard)

@@ -1,0 +1,91 @@
+"""SimHash fingerprinting + Hamming-distance near-dup pairs.
+
+64-bit SimHash: each token hashes to 64 bits; per bit, sum +1/-1 over
+tokens; the sign vector is the fingerprint. Near-dup candidates use the
+pigeonhole trick: fingerprints within Hamming distance d must agree on
+at least one of d+1 equal-width chunks, so we join on (chunk_idx,
+chunk_value) and verify with bit_count(a XOR b) — never a cross join.
+
+Scale: the 64 per-bit aggregations are one shuffle on doc id (map-side
+partial); the chunk join shuffles candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dimagi_data_platform_spark.functions.text import tokens
+
+N_BITS = 64
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Return (id, fingerprint: long)."""
+    tok = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(N_BITS)
+    ]
+    per_bit = tok.groupBy(id_col).agg(*bit_aggs)
+    fp = None
+    for i in range(N_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << i).cast("long") if i < 63 else F.when(
+            F.col(f"b{i}") > 0, F.lit(-(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return per_bit.select(id_col, fp.alias("fingerprint"))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with Hamming(fp_a, fp_b) <= max_hamming.
+
+    Requires n_chunks >= max_hamming + 1 for exact recall (pigeonhole).
+    """
+    assert n_chunks >= max_hamming + 1, "pigeonhole needs d+1 chunks"
+    fps = simhash_fingerprints(docs, id_col, text_col)
+    width = N_BITS // n_chunks
+    mask = (1 << width) - 1
+    chunks = fps.select(
+        F.col(id_col),
+        "fingerprint",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftrightunsigned("fingerprint", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("cv"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "fingerprint", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("fingerprint").alias("fp_a"), "ci", "cv")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("fingerprint").alias("fp_b"), "ci", "cv")
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -293,3 +293,143 @@ SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
 FROM events p
 WHERE p.event_type = 'purchase'
 """
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline operators (L1-L12). minhash_lsh_dedup / simhash_dedup /
+# knn_lsh are intentionally absent (not SQL-expressible; rows-only gate).
+# --------------------------------------------------------------------------
+
+_BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+_PUNCT_RE = r"[^\w\s]"
+_NWORDS = r"len(regexp_split_to_array(trim(lower(text)), '\s+'))"
+
+ORACLE["token_counts"] = f"""
+SELECT doc_id,
+  CAST({_NWORDS} AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+  CAST(length(text) AS DOUBLE) / {_NWORDS} AS chars_per_token
+FROM documents
+"""
+
+_STOP = r"\b(the|a|of|and|to|in|is)\b"
+ORACLE["doc_quality"] = f"""
+WITH x AS (
+  SELECT doc_id,
+    CAST({_NWORDS} AS BIGINT) AS n_words,
+    CAST(len(regexp_extract_all(text, '{_PUNCT_RE}')) AS DOUBLE) / length(text) AS punct_ratio,
+    CAST(len(regexp_extract_all(lower(text), '{_STOP}')) AS DOUBLE) / {_NWORDS} AS stopword_ratio
+  FROM documents)
+SELECT doc_id, n_words, punct_ratio, stopword_ratio,
+  0.4 * stopword_ratio + 0.3 * (1.0 - punct_ratio)
+    + 0.3 * LEAST(1.0, n_words / 100.0) AS quality_score
+FROM x
+"""
+
+_MARKERS = {
+    "en": "(the|of|and|to|is)",
+    "es": "(el|la|de|los|y)",
+    "de": "(der|die|das|und|ein)",
+    "fr": "(le|les|et|un|une)",
+}
+_score_cols = ",\n    ".join(
+    f"CAST(len(regexp_extract_all(lower(text), '\\b{pat}\\b')) AS BIGINT) AS c_{lg}"
+    for lg, pat in _MARKERS.items()
+)
+ORACLE["lang_id"] = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+    {_score_cols}
+  FROM documents)
+SELECT doc_id, lang,
+  CASE
+    WHEN c_en > 0 AND c_en >= GREATEST(c_es, c_de, c_fr) THEN 'en'
+    WHEN c_es > 0 AND c_es >= GREATEST(c_en, c_de, c_fr) THEN 'es'
+    WHEN c_de > 0 AND c_de >= GREATEST(c_en, c_es, c_fr) THEN 'de'
+    WHEN c_fr > 0 AND c_fr >= GREATEST(c_en, c_es, c_de) THEN 'fr'
+    ELSE 'und'
+  END AS lang_pred,
+  c_en, c_es, c_de, c_fr
+FROM s
+"""
+
+_NORM_TEXT = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+ORACLE["doc_fingerprint"] = f"""
+SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint,
+       COUNT(*) OVER (PARTITION BY md5({_NORM_TEXT})) AS n_same
+FROM documents
+"""
+
+ORACLE["exact_dedup"] = f"""
+SELECT doc_id, content_hash FROM (
+  SELECT doc_id, md5({_NORM_TEXT}) AS content_hash,
+         ROW_NUMBER() OVER (PARTITION BY md5({_NORM_TEXT}) ORDER BY doc_id) AS rn
+  FROM documents) t
+WHERE rn = 1
+"""
+
+ORACLE["ngram_jaccard_pairs"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.1
+"""
+
+
+def _vdot(a: str, b: str, dim: int = 64) -> str:
+    terms = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE)*CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1)
+    )
+    return f"(0.0 + {terms})"
+
+
+_COS_QC = f"{_vdot('q_vec', 'c_vec')} / (sqrt({_vdot('q_vec', 'q_vec')}) * sqrt({_vdot('c_vec', 'c_vec')}))"
+
+ORACLE["knn_bruteforce"] = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+s AS (
+  SELECT q_id, neighbor_id, {_COS_QC} AS cos_sim
+  FROM q, c WHERE q_id <> neighbor_id),
+r AS (
+  SELECT q_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM s)
+SELECT q_id, neighbor_id, cos_sim, "rank" FROM r WHERE "rank" <= 5
+"""
+
+_COS_AB = f"{_vdot('vec_a', 'vec_b')} / (sqrt({_vdot('vec_a', 'vec_a')}) * sqrt({_vdot('vec_b', 'vec_b')}))"
+
+ORACLE["embedding_near_dup"] = f"""
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS vec_a, b.embedding AS vec_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, {_COS_AB} AS cos_sim
+FROM p
+WHERE {_COS_AB} >= 0.35
+"""
+
+ORACLE["multimodal_features"] = """
+WITH x AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CASE WHEN length(text) = 0 THEN -1 ELSE CAST(ascii(text) AS BIGINT) END AS first_byte
+  FROM documents)
+SELECT doc_id, n_bytes, n_bytes % 640 AS width, n_bytes % 480 AS height,
+       n_bytes % 30 + 1 AS n_frames, first_byte
+FROM x
+"""

@@ -525,3 +525,174 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         carry=["last_click_ts"],
     ).select("purchase_id", "user_id", "purchase_ts", "last_click_ts")
+
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline operators (L1-L12) — documents & embeddings tables.
+# --------------------------------------------------------------------------
+
+from dimagi_data_platform_spark.functions.text import (  # noqa: E402
+    bpe_token_count,
+    lang_predict,
+    lang_scores,
+    punct_count,
+    shingles,
+    stopword_count,
+    ws_token_count,
+)
+from dimagi_data_platform_spark.operators.dedup import exact_dedup, normalized_text  # noqa: E402
+from dimagi_data_platform_spark.operators.minhash import minhash_dedup_pairs  # noqa: E402
+from dimagi_data_platform_spark.operators.simhash import simhash_near_dup_pairs  # noqa: E402
+from dimagi_data_platform_spark.operators.similarity import (  # noqa: E402
+    embedding_near_dup_pairs,
+    knn_bruteforce,
+    knn_lsh,
+)
+from dimagi_data_platform_spark.multimodal.binary_ops import (  # noqa: E402
+    attach_binary_payload,
+    extract_features,
+)
+
+NGRAM_JACCARD_THRESHOLD = 0.1
+EMBED_NEAR_DUP_THRESHOLD = 0.35
+
+
+@query("token_counts")
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10: whitespace + BPE-ish regex token counting, JVM-side."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ws_token_count("text").alias("n_ws_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
+        (F.length("text").cast("double") / ws_token_count("text")).alias("chars_per_token"),
+    )
+
+
+@query("doc_quality")
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9: quality scoring from length/punct/stopword signals."""
+    docs = _t(spark, sf_dir, "documents")
+    n_words = ws_token_count("text")
+    punct_ratio = punct_count("text").cast("double") / F.length("text")
+    stop_ratio = stopword_count("text").cast("double") / n_words
+    score = (
+        F.lit(0.4) * stop_ratio
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(F.lit(1.0), n_words / F.lit(100.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+@query("lang_id")
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8: marker-word language heuristic with deterministic argmax."""
+    docs = _t(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        lang_predict(scores).alias("lang_pred"),
+        *[scores[lg].alias(f"c_{lg}") for lg in ("en", "es", "de", "fr")],
+    )
+
+
+@query("doc_fingerprint")
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L11: normalized-content fingerprint + duplicate-group size."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5(normalized_text("text")).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return fp.withColumn("n_same", F.count(F.lit(1)).over(w))
+
+
+@query("exact_dedup")
+def exact_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact content-hash dedup, lowest doc_id kept."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select("doc_id", "content_hash")
+
+
+@query("ngram_jaccard_pairs")
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: exact word-3-gram Jaccard similarity pairs via shingle join.
+
+    Scale: the shuffle key is the shingle — no cross join; hot shingles
+    are the skew risk (AQE skew-split; stopword-shingle filtering is the
+    production mitigation). MinHash (L2) is the approximate scale path.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(shingles("text", 3)).alias("shingle"))
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+@query("knn_bruteforce")
+def knn_bruteforce_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: exact cosine top-5 for query vectors (vec_id < 10)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query("embedding_near_dup")
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: exact cosine near-dup pairs over the embedding column."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, EMBED_NEAR_DUP_THRESHOLD)
+
+
+@query("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L12: binary payload column → Arrow-batched mapInPandas feature
+    extraction (deterministic fake decode; real plumbing)."""
+    docs = _t(spark, sf_dir, "documents")
+    return extract_features(attach_binary_payload(docs), "doc_id")
+
+
+# ---- rows-only operators (not SQL-expressible; unit-tested instead) ----
+
+
+@query("minhash_lsh_dedup")
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: MinHash+LSH near-dup candidates (rows-only check; recall
+    verified against exact Jaccard in tests/test_llm_ops.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, min_est_jaccard=0.2)
+
+
+@query("simhash_dedup")
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: SimHash Hamming<=6 near-dup pairs (rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=6, n_chunks=8)
+
+
+@query("knn_lsh")
+def knn_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: LSH-bucketed approximate KNN (rows-only check; recall vs
+    brute force verified in tests/test_llm_ops.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5)
