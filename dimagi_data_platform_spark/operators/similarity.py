@@ -5,6 +5,11 @@
 - ``knn_lsh``: random-hyperplane LSH buckets both sides, exact cosine
   re-rank within buckets — the 100 TB scale path (candidate volume
   ~ n / 2^planes per query instead of n).
+- ``embedding_near_dup_pairs``: exact all-pairs cosine threshold.
+
+All dot products are fixed-dim unrolled codegen expressions
+(functions.vectors.dot_fixed) and norms are computed ONCE per side
+before the pairwise join — never per pair.
 
 Hyperplanes are generated from a fixed seed (deterministic plans).
 """
@@ -16,7 +21,9 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from dimagi_data_platform_spark.functions.vectors import cosine, dot
+from dimagi_data_platform_spark.functions.vectors import dot_fixed, norm_fixed
+
+DEFAULT_DIM = 64
 
 
 def knn_bruteforce(
@@ -25,20 +32,29 @@ def knn_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
 ) -> DataFrame:
     """Top-k cosine neighbors for every query vector (excluding self).
 
     Returns (q_id, neighbor_id, cos_sim, rank). Deterministic: ties
     break on neighbor_id.
     """
+    par = items.sparkSession.sparkContext.defaultParallelism
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_fixed(vec_col, dim).alias("q_norm"),
     )
-    c = items.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    # repartition the streamed side: a small parquet arrives as one
+    # split, which would serialize the whole pairwise loop in one task
+    c = items.repartition(par).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_fixed(vec_col, dim).alias("c_norm"),
     )
     joined = F.broadcast(q).crossJoin(c).filter(F.col("q_id") != F.col("neighbor_id"))
-    scored = joined.withColumn("cos_sim", cosine("q_vec", "c_vec"))
+    cos = dot_fixed("q_vec", "c_vec", dim) / (F.col("q_norm") * F.col("c_norm"))
+    scored = joined.withColumn("cos_sim", cos)
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -54,10 +70,13 @@ def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 
 def lsh_bucket(vec_col, dim: int, n_planes: int, seed: int = 7):
     """Sign-bit bucket id (0..2^n_planes-1) for a vector column."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bucket = F.lit(0)
     for i, plane in enumerate(_planes(dim, n_planes, seed)):
-        p = F.array(*[F.lit(float(v)) for v in plane])
-        bucket = bucket + F.when(dot(vec_col, p) > 0, F.lit(1 << i)).otherwise(0)
+        d = F.lit(0.0)
+        for j, p in enumerate(plane):
+            d = d + v.getItem(j).cast("double") * F.lit(p)
+        bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(0)
     return bucket
 
 
@@ -67,7 +86,7 @@ def knn_lsh(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int = DEFAULT_DIM,
     n_planes: int = 4,
     seed: int = 7,
 ) -> DataFrame:
@@ -79,15 +98,18 @@ def knn_lsh(
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        norm_fixed(vec_col, dim).alias("q_norm"),
         lsh_bucket(vec_col, dim, n_planes, seed).alias("bucket"),
     )
     c = items.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        norm_fixed(vec_col, dim).alias("c_norm"),
         lsh_bucket(vec_col, dim, n_planes, seed).alias("bucket"),
     )
     joined = F.broadcast(q).join(c, "bucket").filter(F.col("q_id") != F.col("neighbor_id"))
-    scored = joined.withColumn("cos_sim", cosine("q_vec", "c_vec"))
+    cos = dot_fixed("q_vec", "c_vec", dim) / (F.col("q_norm") * F.col("c_norm"))
+    scored = joined.withColumn("cos_sim", cos)
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -101,17 +123,32 @@ def embedding_near_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine >= threshold (exact).
 
-    O(n²/2) compare — correct baseline; the LSH bucketing above is the
-    scale path (bucket first, compare within buckets).
+    O(n²/2) compare with codegen'd unrolled dot — correct baseline; the
+    LSH bucketing above is the scale path (bucket first, compare within
+    buckets).
     """
-    a = items.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = items.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    par = items.sparkSession.sparkContext.defaultParallelism
+    # streamed side must be repartitioned: one parquet split would run
+    # the whole O(n²) loop in a single task
+    a = items.repartition(par).select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        norm_fixed(vec_col, dim).alias("norm_a"),
+    )
+    b = items.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        norm_fixed(vec_col, dim).alias("norm_b"),
+    )
+    # broadcast b so the repartitioned a side streams in parallel
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    cos = dot_fixed("vec_a", "vec_b", dim) / (F.col("norm_a") * F.col("norm_b"))
     return (
-        pairs.withColumn("cos_sim", cosine("vec_a", "vec_b"))
+        pairs.withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

@@ -1,0 +1,95 @@
+"""Property tests for the approximate (rows-only) LLM operators:
+MinHash/LSH recall vs exact Jaccard, SimHash behavior on known
+near-duplicates, LSH-KNN sanity vs brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dimagi_data_platform_spark.catalog import load_table
+from dimagi_data_platform_spark.operators.minhash import minhash_dedup_pairs
+from dimagi_data_platform_spark.operators.simhash import (
+    simhash_fingerprints,
+    simhash_near_dup_pairs,
+)
+from dimagi_data_platform_spark.operators.similarity import knn_bruteforce, knn_lsh
+from tests.conftest import SF_SMALL
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "watches from the warm stone wall near the garden gate today"
+)
+
+
+def _near_dup_corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE.replace("today", "tonight")),          # near-dup of 1
+        (3, BASE),                                      # exact dup of 1
+        (4, "completely different content about spark partitions and shuffles in a cluster"),
+        (5, "another unrelated document mentioning parquet files and columnar storage formats"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_minhash_finds_near_and_exact_dups(spark):
+    docs = _near_dup_corpus(spark)
+    pairs = minhash_dedup_pairs(docs, min_est_jaccard=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 3) in got  # exact dup must be found
+    assert (1, 2) in got  # one-word-change near dup must be found
+    assert (4, 5) not in got  # unrelated docs must not pair at 0.5
+
+
+def test_minhash_est_jaccard_is_one_for_exact_dup(spark):
+    docs = _near_dup_corpus(spark)
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_dedup_pairs(docs, min_est_jaccard=0.1).collect()
+    }
+    assert pairs[(1, 3)] == 1.0
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    docs = _near_dup_corpus(spark)
+    fps = {r.doc_id: r.fingerprint for r in simhash_fingerprints(docs).collect()}
+    assert fps[1] == fps[3]
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             simhash_near_dup_pairs(docs, max_hamming=10, n_chunks=16).collect()}
+    assert pairs[(1, 3)] == 0
+    assert (1, 2) in pairs  # near-dup within hamming 10
+
+
+def test_knn_lsh_subset_of_bruteforce_scores(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    bf = knn_bruteforce(emb, q, k=5).collect()
+    ls = knn_lsh(emb, q, k=5).collect()
+    bf_best = {}
+    for r in bf:
+        bf_best.setdefault(r.q_id, max(bf_best.get(r.q_id, -2), r.cos_sim))
+    # LSH scores can never exceed the exact top score
+    for r in ls:
+        assert r.cos_sim <= bf_best[r.q_id] + 1e-12
+    # every query with a non-empty bucket returns ranked results 1..k
+    by_q = {}
+    for r in ls:
+        by_q.setdefault(r.q_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_lsh_recall_on_planted_near_duplicates(spark):
+    # plant a near-identical copy of each query vector; LSH must find it
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(50)
+    planted = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.000001)).alias("embedding"),
+        F.col("label"),
+    )
+    corpus = emb.unionByName(planted)
+    q = corpus.filter(F.col("vec_id") < 5)
+    out = knn_lsh(corpus, q, k=1)
+    top1 = {r.q_id: r.neighbor_id for r in out.collect()}
+    for qid, nid in top1.items():
+        assert nid == qid + 10000  # scaled copy has cosine 1 and same bucket

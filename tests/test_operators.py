@@ -1,0 +1,88 @@
+"""Unit tests for core operators on constructed edge-case data."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from dimagi_data_platform_spark.operators.asof import asof_join
+from dimagi_data_platform_spark.operators.dedup import exact_dedup, latest_by_key
+from dimagi_data_platform_spark.operators.sessionize import sessionize
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_sessionize_gap_boundary(spark):
+    # gap exactly == threshold stays in-session; gap > threshold splits
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1),
+        (1, _ts("2024-01-01T00:30:00"), 2),          # exactly 1800s → same session
+        (1, _ts("2024-01-01T01:00:00.000001"), 3),   # 1800.000001s → new session
+        (2, _ts("2024-01-01T00:00:00"), 4),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int")
+    out = sessionize(df, "user_id", "ts", 1800, tie_break="event_id")
+    got = {r.event_id: r.session_id for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_sessionize_tie_break_same_timestamp(spark):
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 2),
+        (1, _ts("2024-01-01T00:00:00"), 1),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int")
+    out = sessionize(df, "user_id", "ts", 1800, tie_break="event_id")
+    assert {r.session_id for r in out.collect()} == {1}
+
+
+def test_latest_by_key_tie_on_ts_uses_second_key(spark):
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 10, "a"),
+        (1, _ts("2024-01-01T00:00:00"), 11, "b"),
+        (2, _ts("2024-01-01T00:00:00"), 12, "c"),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, id int, v string")
+    out = latest_by_key(df, ["k"], ["ts", "id"]).collect()
+    assert {(r.k, r.id) for r in out} == {(1, 11), (2, 12)}
+
+
+def test_exact_dedup_normalizes_whitespace_and_case(spark):
+    rows = [(1, "Hello  World"), (2, "hello world"), (3, "other text")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    kept = exact_dedup(df, "text", "doc_id").select("doc_id").collect()
+    assert {r.doc_id for r in kept} == {1, 3}
+
+
+def test_asof_join_basic_and_no_match(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T01:00:00"), 100),
+         (1, _ts("2024-01-01T00:00:30"), 101),
+         (2, _ts("2024-01-01T01:00:00"), 102)],
+        "user_id int, l_ts timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00:00")),
+         (1, _ts("2024-01-01T00:59:00"))],
+        "user_id int, r_ts timestamp",
+    )
+    right = right.withColumn("matched_ts", F.col("r_ts"))
+    out = asof_join(left, right, ["user_id"], "l_ts", "r_ts", ["matched_ts"])
+    got = {r.lid: r.matched_ts for r in out.collect()}
+    assert got[100] == _ts("2024-01-01T00:59:00")
+    assert got[101] == _ts("2024-01-01T00:00:00")
+    assert got[102] is None  # user 2 has no right rows
+
+
+def test_asof_join_inclusive_at_equal_ts(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00:00"), 1)], "user_id int, l_ts timestamp, lid int"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00:00"))], "user_id int, r_ts timestamp"
+    ).withColumn("matched_ts", F.col("r_ts"))
+    out = asof_join(left, right, ["user_id"], "l_ts", "r_ts", ["matched_ts"]).collect()
+    assert out[0].matched_ts == _ts("2024-01-01T00:00:00")

@@ -1,0 +1,71 @@
+"""Physical-plan assertions: the scale posture is enforced, not hoped.
+
+- filters/columns push down to the parquet scan
+- dimension joins broadcast
+- hot relational queries contain no Python UDF (stay in codegen)
+"""
+
+from __future__ import annotations
+
+from dimagi_data_platform_spark.plans.queries import QUERIES
+from tests.conftest import SF_SMALL
+
+
+import contextlib
+import io
+
+
+def plan_str(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_filter_pushdown(spark):
+    plan = plan_str(spark, "q6_revenue_delta")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_column_pruning(spark):
+    plan = plan_str(spark, "q1_pricing_summary")
+    # only the 7 needed columns are read, not all 11
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "l_orderkey" not in read[0] and "l_partkey" not in read[0]
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = plan_str(spark, "q5_local_supplier")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q10_broadcasts_nation(spark):
+    plan = plan_str(spark, "q10_returned_items")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hot_queries_have_no_python_udf(spark):
+    for name in (
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier",
+        "visits_sessionize",
+        "monthly_usage",
+        "knn_bruteforce",
+        "doc_quality",
+        "token_counts",
+        "ngram_jaccard_pairs",
+    ):
+        plan = plan_str(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_q1_whole_stage_codegen(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    assert "WholeStageCodegen subtrees" in buf.getvalue()
