@@ -433,3 +433,23 @@ SELECT doc_id, n_bytes, n_bytes % 640 AS width, n_bytes % 480 AS height,
        n_bytes % 30 + 1 AS n_frames, first_byte
 FROM x
 """
+
+ORACLE["session_windows"] = f"""
+WITH x AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM x)
+SELECT user_id, MIN(ts) AS window_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS window_end,
+       COUNT(*) AS n_events,
+       {sql_dsum("value")} AS total_value
+FROM s
+GROUP BY user_id, session_id
+"""

@@ -696,3 +696,25 @@ def knn_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force verified in tests/test_llm_ops.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     return knn_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query("session_windows")
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 batch twin: native session_window (gap 30 min) — identical
+    semantics to the streaming pipeline in streaming/events_stream.py,
+    SQL-checked against the lag-based sessionization oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("window_start"),
+            F.col("sw.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )

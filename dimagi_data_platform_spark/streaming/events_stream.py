@@ -1,0 +1,110 @@
+"""Structured Streaming over the events stream — the reference's
+real-time visit/indicator path re-expressed as native streaming.
+
+- ``read_event_stream``: schema-enforced file stream (swap for Kafka by
+  changing the format — the transformations below are source-agnostic).
+- ``streaming_session_stats``: native session windows (gap-based visit
+  construction) with a watermark for state eviction.
+- ``streaming_daily_usage``: tumbling daily usage counts per user, the
+  streaming twin of the monthly_usage indicator.
+- ``run_to_sink``: availableNow micro-batch execution into parquet via
+  foreachBatch (exactly-once per sink commit).
+
+Scale: session-window state is per (user, open-session); the watermark
+bounds state size — late events beyond it are dropped deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, fmt: str = "json", max_files: int = 10
+) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .format(fmt)
+        .load(path)
+    )
+
+
+def streaming_session_stats(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based sessions per user on a stream (native session_window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("window_start"),
+            F.col("sw.end").alias("window_end"),
+            "n_events",
+            "session_start",
+            "session_end",
+            "total_value",
+        )
+    )
+
+
+def streaming_daily_usage(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("day_start"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_sink(
+    stream_df: DataFrame, out_path: str, checkpoint: str, mode: str = "append"
+) -> None:
+    """Drain all available input into parquet, then stop (availableNow)."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    (
+        stream_df.writeStream.outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .foreachBatch(_write)
+        .start()
+        .awaitTermination()
+    )

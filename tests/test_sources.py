@@ -1,0 +1,125 @@
+"""Sources layer: schema-enforced file reads, corrupt-record handling,
+incremental watermark protocol, JDBC option/SQL construction."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from dimagi_data_platform_spark.sources.files import (
+    CORRUPT_COL,
+    read_csv,
+    read_json,
+    split_corrupt,
+    write_partitioned_parquet,
+)
+from dimagi_data_platform_spark.sources.incremental import (
+    WatermarkStore,
+    advance_watermark,
+    incremental_read,
+)
+from dimagi_data_platform_spark.sources.jdbc import (
+    JdbcConfig,
+    merge_sql,
+    reader_options,
+    writer_options,
+)
+
+SCHEMA = StructType(
+    [StructField("id", IntegerType()), StructField("name", StringType())]
+)
+
+
+def test_read_json_splits_corrupt_records(spark, tmp_path):
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "a.json").write_text('{"id": 1, "name": "ok"}\n{"id": "notanint"}\nnot json at all\n')
+    df = read_json(spark, str(p), SCHEMA)
+    clean, bad = split_corrupt(df)
+    assert [r.id for r in clean.collect()] == [1]
+    assert bad.count() == 2
+    assert CORRUPT_COL in bad.columns
+
+
+def test_read_csv_with_header(spark, tmp_path):
+    p = tmp_path / "csv"
+    p.mkdir()
+    (p / "a.csv").write_text("id,name\n1,alpha\n2,beta\n")
+    clean, bad = split_corrupt(read_csv(spark, str(p), SCHEMA))
+    assert sorted((r.id, r.name) for r in clean.collect()) == [(1, "alpha"), (2, "beta")]
+    assert bad.count() == 0
+
+
+def test_write_partitioned_parquet_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01"), (2, "b", "2024-02")], "id int, v string, month string"
+    )
+    out = str(tmp_path / "part")
+    write_partitioned_parquet(df, out, ["month"])
+    assert os.path.isdir(os.path.join(out, "month=2024-01"))
+    back = spark.read.parquet(out).filter(F.col("month") == "2024-01")
+    assert back.count() == 1
+
+
+def test_incremental_watermark_protocol(spark, tmp_path):
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    df1 = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 01:00:00")], "id int, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    first = incremental_read(df1, "ts", store, "events")
+    assert first.count() == 2  # no watermark yet → everything
+    advance_watermark(first, "ts", store, "events")
+
+    df2 = df1.union(
+        spark.createDataFrame([(3, "2024-01-01 02:00:00")], "id int, ts string")
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    second = incremental_read(df2, "ts", store, "events")
+    assert [r.id for r in second.collect()] == [3]  # only strictly-new rows
+
+    # empty batch must not regress the watermark
+    wm_before = store.get("events")
+    advance_watermark(second.filter(F.lit(False)), "ts", store, "events")
+    assert store.get("events") == wm_before
+
+
+def test_jdbc_partitioned_reader_options():
+    cfg = JdbcConfig(
+        url="jdbc:postgresql://db/warehouse",
+        table="forms",
+        user="u",
+        password="p",
+        num_partitions=16,
+        partition_column="form_id",
+        lower_bound="0",
+        upper_bound="1000000",
+    )
+    opts = reader_options(cfg, predicate="received_on > '2024-01-01'")
+    assert opts["numPartitions"] == "16"
+    assert opts["partitionColumn"] == "form_id"
+    assert "received_on > '2024-01-01'" in opts["dbtable"]
+    assert opts["fetchsize"] == "10000"
+
+
+def test_jdbc_partition_options_all_or_nothing():
+    cfg = JdbcConfig(url="jdbc:x", table="t", num_partitions=4)
+    with pytest.raises(ValueError):
+        reader_options(cfg)
+
+
+def test_jdbc_writer_options():
+    cfg = JdbcConfig(url="jdbc:x", table="t", batch_size=500)
+    assert writer_options(cfg)["batchsize"] == "500"
+
+
+def test_merge_sql_upsert_shape():
+    sql = merge_sql("monthly_usage", "monthly_usage_staging", ["user_id", "month"],
+                    ["user_id", "month", "n_events", "total_value"])
+    assert "MERGE INTO monthly_usage t USING monthly_usage_staging s" in sql
+    assert "t.user_id = s.user_id AND t.month = s.month" in sql
+    assert "UPDATE SET n_events = s.n_events, total_value = s.total_value" in sql
+    assert "INSERT (user_id, month, n_events, total_value)" in sql

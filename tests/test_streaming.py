@@ -1,0 +1,108 @@
+"""Structured Streaming: the streaming session/usage pipelines must
+produce exactly the batch results when drained with availableNow."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from dimagi_data_platform_spark.catalog import load_table
+from dimagi_data_platform_spark.streaming.events_stream import (
+    read_event_stream,
+    run_to_sink,
+    streaming_daily_usage,
+    streaming_session_stats,
+)
+from tests.conftest import SF_SMALL
+
+
+def _dump_events_as_json(spark, tmp_path, n_files=3):
+    ev = load_table(spark, SF_SMALL, "events")
+    rows = ev.orderBy("event_id").collect()
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    per = len(rows) // n_files + 1
+    for i in range(n_files):
+        chunk = rows[i * per : (i + 1) * per]
+        with open(d / f"part{i}.json", "w") as f:
+            for r in chunk:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": r.event_id,
+                            "ts": r.ts.strftime("%Y-%m-%dT%H:%M:%S.%f"),
+                            "user_id": r.user_id,
+                            "event_type": r.event_type,
+                            "value": r.value,
+                            "props": r.props,
+                        }
+                    )
+                    + "\n"
+                )
+    return str(d), ev
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    in_dir, ev = _dump_events_as_json(spark, tmp_path)
+    stream = read_event_stream(spark, in_dir, fmt="json", max_files=1)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_to_sink(streaming_session_stats(stream), out, ckpt)
+
+    got = spark.read.parquet(out)
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("window_start"),
+            F.col("sw.end").alias("window_end"),
+            "n_events",
+        )
+    )
+    g = {(r.user_id, r.window_start): r.n_events for r in got.collect()}
+    b = {(r.user_id, r.window_start): (r.n_events, r.window_end) for r in batch.collect()}
+    # append mode: emitted sessions must exactly match their batch twin...
+    for key, n in g.items():
+        assert b[key][0] == n
+    # ...and every session closed before the final watermark must have
+    # been emitted (sessions still open at stream end legitimately stay
+    # in state — that is append-mode semantics, not data loss)
+    max_ts = max(r.ts for r in ev.select("ts").collect())
+    import datetime as dt
+
+    final_wm = max_ts - dt.timedelta(hours=2)
+    for key, (n, end) in b.items():
+        if end <= final_wm:
+            assert key in g and g[key] == n
+
+
+def test_streaming_daily_usage_match_batch(spark, tmp_path):
+    in_dir, ev = _dump_events_as_json(spark, tmp_path, n_files=2)
+    stream = read_event_stream(spark, in_dir, fmt="json", max_files=1)
+    out = str(tmp_path / "out2")
+    run_to_sink(streaming_daily_usage(stream), out, str(tmp_path / "ckpt2"))
+
+    got = spark.read.parquet(out)
+    batch = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("day_start"),
+            F.col("w.end").alias("day_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    g = {(r.user_id, r.day_start): r.n_events for r in got.collect()}
+    b = {(r.user_id, r.day_start): (r.n_events, r.day_end) for r in batch.collect()}
+    for key, n in g.items():
+        assert b[key][0] == n
+    max_ts = max(r.ts for r in ev.select("ts").collect())
+    import datetime as dt
+
+    final_wm = max_ts - dt.timedelta(days=1)
+    for key, (n, end) in b.items():
+        if end <= final_wm:
+            assert key in g and g[key] == n
