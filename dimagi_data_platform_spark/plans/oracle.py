@@ -230,15 +230,15 @@ SELECT user_id, date_trunc('month', ts) AS month,
        COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
        COUNT(DISTINCT event_type) AS n_event_types,
        {sql_dsum("value")} AS total_value,
-       CAST(MIN(ts) AS DATE) AS first_day,
-       CAST(MAX(ts) AS DATE) AS last_day
+       date_trunc('day', MIN(ts)) AS first_day,
+       date_trunc('day', MAX(ts)) AS last_day
 FROM events
 GROUP BY user_id, date_trunc('month', ts)
 """
 
 ORACLE["active_users_daily"] = f"""
 WITH d AS (
-  SELECT CAST(ts AS DATE) AS day,
+  SELECT date_trunc('day', ts) AS day,
          COUNT(DISTINCT user_id) AS dau,
          {sql_dsum("value")} AS total_value
   FROM events GROUP BY 1)
@@ -248,9 +248,9 @@ FROM d
 
 ORACLE["retention_cohorts"] = """
 WITH f AS (
-  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1),
+  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day FROM events GROUP BY 1),
 a AS (
-  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
 SELECT cohort_day,
        CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
        COUNT(*) AS n_users
@@ -452,4 +452,148 @@ SELECT user_id, MIN(ts) AS window_start,
        {sql_dsum("value")} AS total_value
 FROM s
 GROUP BY user_id, session_id
+"""
+
+# --------------------------------------------------------------------------
+# Extended relational coverage
+# --------------------------------------------------------------------------
+
+ORACLE["min_price_supplier_per_part"] = """
+WITH priced AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY l_extendedprice / l_quantity, l_suppkey) AS rn
+  FROM lineitem)
+SELECT p_partkey, p_name, s_name, unit_price
+FROM priced
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE rn = 1 AND p_size <= 10
+"""
+
+ORACLE["q7_volume_shipping"] = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       EXTRACT(year FROM l_shipdate) AS l_year, {sql_dsum(_REV)} AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+   OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+GROUP BY 1, 2, 3
+"""
+
+_BRAZIL_REV = (
+    "CASE WHEN n2.n_name = 'BRAZIL' THEN l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) "
+    "ELSE CAST(0.0 AS DOUBLE) END"
+)
+ORACLE["q8_market_share"] = f"""
+SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+       {sql_dsum(_BRAZIL_REV)} / {sql_dsum(_REV)} AS mkt_share
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n1.n_regionkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n2 ON n2.n_nationkey = s_nationkey
+WHERE r_name = 'AMERICA'
+GROUP BY 1
+ORDER BY 1
+"""
+
+_AMOUNT = (
+    "l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) "
+    "- (p_retailprice * CAST(0.6 AS DOUBLE)) * l_quantity"
+)
+ORACLE["q9_product_profit"] = f"""
+SELECT n_name AS nation, EXTRACT(year FROM l_shipdate) AS o_year,
+       {sql_dsum(_AMOUNT)} AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+ORACLE["priority_line_counts"] = """
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+    AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+    AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+_PROMO_REV = (
+    "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) "
+    "ELSE CAST(0.0 AS DOUBLE) END"
+)
+ORACLE["q14_promo_share"] = f"""
+SELECT (CAST(100.0 AS DOUBLE) * {sql_dsum(_PROMO_REV)}) / {sql_dsum(_REV)}
+  AS promo_revenue_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+"""
+
+ORACLE["q16_supplier_part_counts"] = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+GROUP BY p_brand, p_type, p_size
+"""
+
+ORACLE["q18_large_orders"] = f"""
+WITH big AS (
+  SELECT l_orderkey, {sql_dsum("l_quantity")} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {sql_dsum("l_quantity")} > 250.0)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+ORACLE["q19_disjunctive_revenue"] = f"""
+SELECT {sql_dsum(_REV)} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)
+"""
+
+ORACLE["sole_supplier_orders"] = """
+SELECT s_name, COUNT(DISTINCT l_orderkey) AS numwait
+FROM (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem l1
+  WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)) sole
+JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+ORACLE["wealthy_inactive_customers"] = f"""
+WITH ab AS (
+  SELECT {sql_davg("c_acctbal")} AS avg_bal FROM customer WHERE c_acctbal > 0.0)
+SELECT n_name, COUNT(*) AS numcust, {sql_dsum("c_acctbal")} AS totacctbal
+FROM customer, ab
+JOIN nation ON n_nationkey = c_nationkey
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY n_name
+ORDER BY n_name
 """

@@ -425,8 +425,8 @@ def monthly_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.to_date("ts")).alias("active_days"),
         F.countDistinct("event_type").alias("n_event_types"),
         dsum("value").alias("total_value"),
-        F.to_date(F.min("ts")).alias("first_day"),
-        F.to_date(F.max("ts")).alias("last_day"),
+        F.date_trunc("day", F.min("ts")).alias("first_day"),
+        F.date_trunc("day", F.max("ts")).alias("last_day"),
     )
 
 
@@ -434,7 +434,7 @@ def monthly_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def active_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4: DAU series with day-over-day delta (lag)."""
     ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.countDistinct("user_id").alias("dau"),
         dsum("value").alias("total_value"),
     )
@@ -451,8 +451,8 @@ def active_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: first-activity-day cohorts x day-offset retention counts."""
     ev = _t(spark, sf_dir, "events")
-    first = ev.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cohort_day"))
-    active = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = ev.groupBy("user_id").agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    active = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
     return (
         first.join(active, "user_id")
         .groupBy("cohort_day", F.datediff("day", "cohort_day").cast("long").alias("day_offset"))
@@ -717,4 +717,237 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Extended relational coverage (TPC-H shapes adapted to available columns)
+# --------------------------------------------------------------------------
+
+
+@query("min_price_supplier_per_part")
+def min_price_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: per-part minimum unit price with join-back to the
+    winning supplier (window min + rank, no re-aggregation join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    priced = li.withColumn("unit_price", F.col("l_extendedprice") / F.col("l_quantity"))
+    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    best = priced.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(part, part.p_partkey == best.l_partkey)
+        .join(supplier, supplier.s_suppkey == best.l_suppkey)
+        .select("p_partkey", "p_name", "s_name", "unit_price")
+    )
+
+
+@query("q7_volume_shipping")
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: bilateral trade volume between two nations by ship year."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n1 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")))
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
+    ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(supplier, supplier.s_suppkey == li.l_suppkey)
+        .join(n1, F.col("s_nkey") == supplier.s_nationkey)
+        .join(n2, F.col("c_nkey") == cust.c_nationkey)
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(dsum(rev).alias("revenue"))
+    )
+
+
+@query("q8_market_share")
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: BRAZIL's share of AMERICA-customer revenue per order year.
+    Ratio of two exact decimal sums, divided in double."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nat_c = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("c_rkey")))
+    nat_s = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")))
+    region = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA"))
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    df = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(nat_c, F.col("cn_key") == cust.c_nationkey)
+        .join(region, region.r_regionkey == F.col("c_rkey"))
+        .join(supplier, supplier.s_suppkey == li.l_suppkey)
+        .join(nat_s, F.col("sn_key") == supplier.s_nationkey)
+    )
+    brazil_rev = dsum(F.when(F.col("supp_nation") == "BRAZIL", rev).otherwise(F.lit(0.0)))
+    return (
+        df.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg((brazil_rev / dsum(rev)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query("q9_product_profit")
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit on red parts by supplier nation and year
+    (retailprice*0.6*qty as the cost proxy — no partsupp table)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    amount = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) - (
+        F.col("p_retailprice") * F.lit(0.6)
+    ) * F.col("l_quantity")
+    return (
+        li.join(part, part.p_partkey == li.l_partkey)
+        .join(supplier, supplier.s_suppkey == li.l_suppkey)
+        .join(nation, nation.n_nationkey == supplier.s_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").cast("long").alias("o_year"))
+        .agg(dsum(amount).alias("sum_profit"))
+    )
+
+
+@query("priority_line_counts")
+def priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: high/low-priority line counts per line status."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query("q14_promo_share")
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: promo revenue share (percent) for one ship-month."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01")) & (F.col("l_shipdate") < F.lit("1997-07-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+    return li.join(part, part.p_partkey == li.l_partkey).agg(
+        ((F.lit(100.0) * promo) / dsum(rev)).alias("promo_revenue_pct")
+    )
+
+
+@query("q16_supplier_part_counts")
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct suppliers per (brand, type, size-bucket),
+    excluding one brand. Two-level exact distinct aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    return (
+        li.join(part, part.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query("q18_large_orders")
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: large-volume orders (HAVING on an exact decimal sum)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250.0)
+    )
+    return (
+        big.join(orders, orders.o_orderkey == big.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query("q19_disjunctive_revenue")
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: disjunctive multi-predicate join filter (brand x qty bands)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30))
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(part, part.p_partkey == li.l_partkey)
+        .filter(cond)
+        .agg(dsum(rev).alias("revenue"))
+    )
+
+
+@query("sole_supplier_orders")
+def sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: per supplier, orders where it is the only supplier
+    (self anti-join on the fact table)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    other = li.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    sole = li.join(
+        other,
+        (li.l_orderkey == other.o_key) & (li.l_suppkey != other.o_supp),
+        "left_anti",
+    )
+    return (
+        sole.select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(supplier, supplier.s_suppkey == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+@query("wealthy_inactive_customers")
+def wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: above-average-balance customers with no recent orders
+    (global scalar aggregate + anti join), grouped by nation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("1999-01-01"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, recent.o_custkey == cust.c_custkey, "left_anti")
+        .join(nation, nation.n_nationkey == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("n_name")
     )
