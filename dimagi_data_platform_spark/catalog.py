@@ -55,6 +55,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on its join key.
+
+    Two tables bucketed the same way join with ZERO shuffle — the
+    pattern for repeatedly-joined 100 TB facts (bucket once at ingest,
+    every downstream join is exchange-free). Verified by plan assertion
+    in tests/test_bucketing.py.
+    """
+    w = df.write.bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.mode("overwrite").format("parquet").saveAsTable(table_name)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, register_views: bool = True
 ) -> dict[str, DataFrame]:

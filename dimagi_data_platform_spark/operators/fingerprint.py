@@ -1,0 +1,68 @@
+"""Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+MOSS rolling-hash scheme) — local-similarity-preserving fingerprints.
+
+Per document: word k-grams → 64-bit hashes → sliding windows of w
+consecutive hashes → keep the min of each window → distinct selected
+hashes. Two documents sharing any sufficiently long run of text share
+fingerprints, which exact/content-hash dedup cannot see.
+
+All array expressions (sequence/transform/array_min) — no UDF; one row
+per selected fingerprint after explode. Engine-specific hash (xxhash64)
+→ rows-only in the driver gate; properties tested in
+tests/test_sketches.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """(id, fingerprint) rows: winnowed min-hash selections."""
+    # ordered (non-distinct) k-gram hash sequence — order matters for
+    # the sliding windows, so functions.text.shingles (distinct) is not
+    # reused here
+    t = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(t) - k)
+
+    def gram_at(i):
+        return F.concat_ws(
+            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]
+        )
+    hashes = F.when(F.size(t) >= k, F.transform(idx, lambda i: F.xxhash64(gram_at(i)))).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    win_idx = F.sequence(F.lit(0), F.size("h") - window)
+    mins = F.when(
+        F.size("h") >= window,
+        F.transform(
+            win_idx, lambda i: F.array_min(F.slice(F.col("h"), (i + 1).cast("int"), window))
+        ),
+    ).otherwise(F.when(F.size("h") > 0, F.array(F.array_min("h"))).otherwise(F.array().cast("array<bigint>")))
+    return (
+        docs.select(F.col(id_col), hashes.alias("h"))
+        .select(id_col, F.explode(F.array_distinct(mins)).alias("fingerprint"))
+    )
+
+
+def shared_fingerprint_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_shared: int = 2
+) -> DataFrame:
+    """Candidate pairs sharing >= min_shared winnowed fingerprints.
+    Shuffle key is the fingerprint — no cross join."""
+    fp = winnow_fingerprints(docs, id_col, text_col)
+    a = fp.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = fp.select(F.col(id_col).alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -597,3 +597,52 @@ WHERE c_acctbal > avg_bal
 GROUP BY n_name
 ORDER BY n_name
 """
+
+_QUALITY = (
+    "0.4 * (CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is)\\b')) AS DOUBLE)"
+    f" / len(regexp_split_to_array(trim(lower(text)), '\\s+')))"
+    " + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text))"
+    " + 0.3 * LEAST(1.0, len(regexp_split_to_array(trim(lower(text)), '\\s+')) / 100.0)"
+)
+
+ORACLE["corpus_prep"] = f"""
+WITH scored AS (
+  SELECT doc_id, text, {_QUALITY} AS quality FROM documents),
+q AS (SELECT * FROM scored WHERE quality >= 0.5),
+dedup AS (
+  SELECT doc_id, quality, content_hash FROM (
+    SELECT doc_id, quality, md5({_NORM_TEXT}) AS content_hash,
+           ROW_NUMBER() OVER (PARTITION BY md5({_NORM_TEXT}) ORDER BY doc_id) AS rn
+    FROM q) t
+  WHERE rn = 1),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+losers AS (
+  SELECT DISTINCT doc_b FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5)
+SELECT doc_id, quality, content_hash
+FROM dedup
+WHERE NOT EXISTS (SELECT 1 FROM losers WHERE doc_b = doc_id)
+"""
+
+ORACLE["cube_sales"] = f"""
+SELECT r_name, o_orderpriority, {sql_dsum("o_totalprice")} AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY CUBE(r_name, o_orderpriority)
+"""

@@ -965,3 +965,67 @@ def wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+from dimagi_data_platform_spark.operators.corpus import prepare_corpus  # noqa: E402
+
+
+@query("corpus_prep")
+def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-corpus pipeline: quality filter -> exact
+    dedup -> greedy near-dup removal (exact Jaccard >= 0.5). Fully
+    SQL-checked end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    return prepare_corpus(docs, pairs, min_quality=0.5)
+
+
+@query("cube_sales")
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(region, priority): all grouping-set combinations."""
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .join(nation, nation.n_nationkey == cust.c_nationkey)
+        .join(region, region.r_regionkey == nation.n_regionkey)
+    )
+    return joined.cube("r_name", "o_orderpriority").agg(
+        dsum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+from dimagi_data_platform_spark.operators.fingerprint import shared_fingerprint_pairs  # noqa: E402
+from dimagi_data_platform_spark.operators.sketches import (  # noqa: E402
+    approx_distinct_by,
+    approx_percentiles_by,
+)
+
+
+@query("approx_monthly_distinct_buyers")
+def approx_monthly_distinct_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct buyers per month (rows-only; error bound vs exact
+    asserted in tests/test_sketches.py). One pass, mergeable, fixed
+    memory — the 100 TB path for count-distinct."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "month", F.date_trunc("month", "o_orderdate")
+    )
+    return approx_distinct_by(orders, ["month"], "o_custkey")
+
+
+@query("approx_order_percentiles")
+def approx_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch percentiles per priority (rows-only; tolerance-tested)."""
+    orders = _t(spark, sf_dir, "orders")
+    return approx_percentiles_by(orders, ["o_orderpriority"], "o_totalprice")
+
+
+@query("winnow_shared_fingerprints")
+def winnow_shared_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprint pairs (rows-only;
+    properties tested in tests/test_sketches.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return shared_fingerprint_pairs(docs, min_shared=2)

@@ -1,0 +1,89 @@
+"""Error-bound / property tests for the approximate operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dimagi_data_platform_spark.catalog import load_table
+from dimagi_data_platform_spark.operators.fingerprint import (
+    shared_fingerprint_pairs,
+    winnow_fingerprints,
+)
+from dimagi_data_platform_spark.operators.sketches import (
+    approx_distinct_by,
+    approx_percentiles_by,
+)
+from tests.conftest import SF_MED
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    orders = load_table(spark, SF_MED, "orders").withColumn(
+        "month", F.date_trunc("month", "o_orderdate")
+    )
+    approx = {
+        r.month: r.approx_distinct_o_custkey
+        for r in approx_distinct_by(orders, ["month"], "o_custkey").collect()
+    }
+    exact = {
+        r.month: r.n
+        for r in orders.groupBy("month")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for m, n in exact.items():
+        assert abs(approx[m] - n) <= max(3, 0.1 * n), (m, approx[m], n)
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    orders = load_table(spark, SF_MED, "orders")
+    approx = {
+        r.o_orderpriority: (r.p50, r.p90, r.p99)
+        for r in approx_percentiles_by(orders, ["o_orderpriority"], "o_totalprice").collect()
+    }
+    exact = {
+        r.o_orderpriority: (r.p50, r.p90, r.p99)
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    for k, (a50, a90, a99) in approx.items():
+        e50, e90, e99 = exact[k]
+        assert abs(a50 - e50) / e50 < 0.05
+        assert abs(a90 - e90) / e90 < 0.05
+        assert abs(a99 - e99) / e99 < 0.05
+
+
+def test_winnow_identical_docs_share_all_fingerprints(spark):
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    fps = winnow_fingerprints(docs)
+    a = {r.fingerprint for r in fps.filter(F.col("doc_id") == 1).collect()}
+    b = {r.fingerprint for r in fps.filter(F.col("doc_id") == 2).collect()}
+    assert a and a == b
+
+
+def test_winnow_detects_shared_run(spark):
+    shared_run = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix unique words here {shared_run} and a tail"),
+            (2, f"{shared_run} totally different ending content words"),
+            (3, "no overlap with anything else at all in this document body"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b) for r in shared_fingerprint_pairs(docs, min_shared=2).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_short_doc_single_fingerprint(spark):
+    docs = spark.createDataFrame([(1, "just four words here")], "doc_id long, text string")
+    fps = winnow_fingerprints(docs).collect()
+    assert len(fps) >= 1  # shorter than window → one min fingerprint
