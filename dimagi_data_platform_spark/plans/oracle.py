@@ -646,3 +646,65 @@ JOIN nation ON n_nationkey = c_nationkey
 JOIN region ON r_regionkey = n_regionkey
 GROUP BY CUBE(r_name, o_orderpriority)
 """
+
+# --------------------------------------------------------------------------
+# Window-frame / SQL-surface coverage
+# --------------------------------------------------------------------------
+
+ORACLE["rolling_7day_revenue"] = f"""
+WITH d AS (
+  SELECT date_trunc('day', o_orderdate) AS day, {sql_dsum("o_totalprice")} AS revenue
+  FROM orders GROUP BY 1),
+d2 AS (
+  SELECT day, revenue, CAST(epoch_us(day) / 86400000000 AS BIGINT) AS day_num FROM d)
+SELECT day, revenue,
+  CAST(ROUND(SUM(CAST(revenue AS DECIMAL(38,10)))
+       OVER (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+    AS rev_7d
+FROM d2
+"""
+
+ORACLE["customer_percent_rank"] = """
+SELECT n_name, c_custkey, c_acctbal,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal, c_custkey)
+"""
+
+ORACLE["user_first_last_event"] = """
+SELECT DISTINCT user_id,
+       FIRST_VALUE(event_type) OVER w AS first_type,
+       LAST_VALUE(event_type) OVER w AS last_type,
+       FIRST_VALUE(ts) OVER w AS first_ts,
+       LAST_VALUE(ts) OVER w AS last_ts
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+ORACLE["user_event_type_list"] = """
+SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+       CAST(len(list(DISTINCT event_type)) AS BIGINT) AS n_types
+FROM events
+GROUP BY user_id
+"""
+
+ORACLE["grouping_sets_activity"] = """
+SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS n_events
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id % 10), (event_type, user_id % 10))
+"""
+
+_HOURLY_TYPES = ("click", "view", "purchase", "signup", "error")
+_hour_cols = ",\n  ".join(
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS n_{t}"
+    for t in _HOURLY_TYPES
+)
+ORACLE["hourly_event_pivot"] = f"""
+SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+  {_hour_cols}
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""

@@ -1029,3 +1029,110 @@ def winnow_shared_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     properties tested in tests/test_sketches.py)."""
     docs = _t(spark, sf_dir, "documents")
     return shared_fingerprint_pairs(docs, min_shared=2)
+
+
+# --------------------------------------------------------------------------
+# Window-frame / SQL-surface coverage
+# --------------------------------------------------------------------------
+
+
+@query("rolling_7day_revenue")
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: 7-day trailing revenue per day (frame spans
+    value range, not row count — days can be missing)."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        dsum("o_totalprice").alias("revenue")
+    )
+    daily = daily.withColumn("day_num", (F.unix_micros("day") / F.lit(86_400_000_000)).cast("long"))
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        "revenue",
+        F.round(F.sum(F.col("revenue").cast(DEC)).over(w), 2)
+        .cast("double")
+        .alias("rev_7d"),
+    )
+
+
+@query("customer_percent_rank")
+def customer_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist over a per-nation partition."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    w = Window.partitionBy("n_name").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.join(nation, nation.n_nationkey == cust.c_nationkey)
+        .select(
+            "n_name",
+            "c_custkey",
+            "c_acctbal",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+    )
+
+
+@query("user_first_last_event")
+def user_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over full-partition frames per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w).alias("last_type"),
+            F.first("ts").over(w).alias("first_ts"),
+            F.last("ts").over(w).alias("last_ts"),
+        )
+        .distinct()
+    )
+
+
+@query("user_event_type_list")
+def user_event_type_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: sorted distinct event types per user (nested
+    result type through the gate)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.size(F.collect_set("event_type")).cast("long").alias("n_types"),
+    )
+
+
+@query("grouping_sets_activity")
+def grouping_sets_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the spark.sql surface (views
+    registered by catalog.load_tables)."""
+    from dimagi_data_platform_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(
+        """
+        SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS n_events
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), (event_type, user_id % 10))
+        """
+    )
+
+
+@query("hourly_event_pivot")
+def hourly_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x event-type count matrix (pivot on a derived key)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    df = (
+        ev.withColumn("hour", F.hour("ts").cast("long"))
+        .groupBy("hour")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .orderBy("hour")
+    )
+    for t in types:
+        df = df.withColumnRenamed(t, f"n_{t}")
+    return df

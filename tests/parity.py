@@ -43,12 +43,27 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             ):
                 # datetime.date (Spark DateType) vs duckdb date → align
                 df[c] = pd.to_datetime(df[c])
+            elif len(non_null) and (
+                isinstance(non_null.iloc[0], (list, tuple))
+                or hasattr(non_null.iloc[0], "tolist")
+            ):
+                # list cells (Spark list vs duckdb ndarray) → tuples so
+                # rows sort and compare deterministically
+                df[c] = df[c].map(
+                    lambda v: tuple(v.tolist() if hasattr(v, "tolist") else v)
+                    if v is not None
+                    else None
+                )
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
 
 def _cell_eq(a, b) -> bool:
+    if isinstance(a, (list, tuple)) or hasattr(a, "tolist"):
+        a = list(a.tolist() if hasattr(a, "tolist") else a)
+        b = list(b.tolist() if hasattr(b, "tolist") else b)
+        return len(a) == len(b) and all(_cell_eq(x, y) for x, y in zip(a, b))
     a_null = a is None or (isinstance(a, float) and math.isnan(a)) or a is pd.NaT
     b_null = b is None or (isinstance(b, float) and math.isnan(b)) or b is pd.NaT
     try:
