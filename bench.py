@@ -47,11 +47,13 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warm-up on the smallest SF so per-query numbers
-    # measure the plan, not first-call JIT cost.
+    # Warm-up on the smallest SF so per-query numbers measure the plan,
+    # not first-call cost: q1 warms JVM codegen, knn warms the Python
+    # UDF workers + Arrow serde used by the mapInPandas kernels.
     warm = "/root/testdata/sf0.001"
     if os.path.isdir(warm):
         run(QUERIES["q1_pricing_summary"](spark, warm))
+        run(QUERIES["knn_bruteforce"](spark, warm))
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -75,9 +75,13 @@ def lang_predict(scores: dict[str, Column]) -> Column:
     return result
 
 
-def shingles(col, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined), [] for short docs."""
-    t = tokens(col)
+def shingles_from_tokens(tok_col, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED token-array
+    column. Callers must `.withColumn("toks", tokens(text))` first:
+    higher-order-function lambdas re-evaluate their inputs per element
+    (no CSE), so passing `tokens(text)` inline here re-runs the regex
+    split ~3n times per shingle (~10x slowdown measured at sf0.1)."""
+    t = _c(tok_col)
     idx = F.sequence(F.lit(0), F.size(t) - n)
     grams = F.transform(
         idx,
@@ -86,3 +90,10 @@ def shingles(col, n: int = 3) -> Column:
         ),
     )
     return F.array_distinct(F.when(F.size(t) >= n, grams).otherwise(F.array()))
+
+
+def shingles(col, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined), [] for short docs.
+    Convenience form; hot paths should materialize tokens first and use
+    ``shingles_from_tokens`` (see its docstring)."""
+    return shingles_from_tokens(tokens(col), n)

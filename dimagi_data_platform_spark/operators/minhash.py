@@ -20,7 +20,7 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from dimagi_data_platform_spark.functions.text import shingles
+from dimagi_data_platform_spark.functions.text import shingles_from_tokens, tokens
 
 # Mersenne prime 2^31-1: xxhash64 folded below 2^31 keeps a*h+b < 2^62,
 # so the universal-hash arithmetic never overflows a long.
@@ -41,8 +41,18 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """Return (id, sig: array<long>[num_hashes])."""
-    sh = docs.select(
-        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("shingle")
+    # repartition first: small corpora arrive as one parquet split and
+    # the shingle/hash map-side work would otherwise run in ONE task
+    # (8x measured at sf0.1); at real scale the scan is already split
+    # and this round-robin shuffle of raw text is noise vs the explode
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(par)
+        .withColumn("_toks", tokens(text_col))
+        .select(
+            F.col(id_col),
+            F.explode(shingles_from_tokens("_toks", shingle_n)).alias("shingle"),
+        )
     )
     h = F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_P))
     sh = sh.withColumn("h", h)

@@ -18,12 +18,51 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dimagi_data_platform_spark.functions.vectors import dot_fixed, norm_fixed
 
 DEFAULT_DIM = 64
+
+
+# --------------------------------------------------------------------------
+# Arrow-batched numpy kernels (the pairwise hot path)
+#
+# Semantics contract: bitwise-identical to the codegen left-fold
+# ``dot_fixed`` / ``norm_fixed`` (and the oracle SQL's term chain).
+# We accumulate one dimension at a time — acc += outer(A[:,i], B[:,i]) —
+# so every output cell sees fl(fl(acc + fl(a_i*b_i))) in index order,
+# exactly the sequential fold. Do NOT replace with A @ B.T: BLAS blocks
+# and reorders the sum, which flips last-ulp bits and breaks the
+# hash-checked oracle gate.
+# --------------------------------------------------------------------------
+
+
+def _matrix(series: pd.Series) -> np.ndarray:
+    """Stack an Arrow list<float> column into an (n, dim) float64 matrix
+    (cast-to-double first, matching ``.getItem(i).cast("double")``)."""
+    return np.stack([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def _fold_cosine(A: np.ndarray, B: np.ndarray, nb: np.ndarray) -> np.ndarray:
+    """Cosine of every (row of A) x (row of B) via per-dimension
+    outer-product accumulation (left-fold order; see module note)."""
+    acc = np.zeros((A.shape[0], B.shape[0]))
+    na_acc = np.zeros(A.shape[0])
+    for i in range(A.shape[1]):
+        acc += np.multiply.outer(A[:, i], B[:, i])
+        na_acc += A[:, i] * A[:, i]
+    return acc / np.multiply.outer(np.sqrt(na_acc), nb)
+
+
+def _fold_norms(M: np.ndarray) -> np.ndarray:
+    acc = np.zeros(M.shape[0])
+    for i in range(M.shape[1]):
+        acc += M[:, i] * M[:, i]
+    return np.sqrt(acc)
 
 
 def knn_bruteforce(
@@ -39,22 +78,42 @@ def knn_bruteforce(
     Returns (q_id, neighbor_id, cos_sim, rank). Deterministic: ties
     break on neighbor_id.
     """
-    par = items.sparkSession.sparkContext.defaultParallelism
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm_fixed(vec_col, dim).alias("q_norm"),
-    )
+    spark = items.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    # queries are the SMALL side: ship ids + vectors + norms to every
+    # task (same posture as a broadcast join side)
+    q_pdf = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")).toPandas()
+    Q = _matrix(q_pdf["q_vec"])
+    bc = spark.sparkContext.broadcast((q_pdf["q_id"].to_numpy(), Q, _fold_norms(Q)))
+
+    def score(batches):
+        q_ids, Qm, q_norms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = _matrix(pdf[vec_col])
+            ids = pdf[id_col].to_numpy()
+            # cos[q, c] for every candidate in the batch
+            cos = _fold_cosine(Qm, C, _fold_norms(C))
+            not_self = q_ids[:, None] != ids[None, :]
+            # per-batch top-k prune per query: global winner must win
+            # its batch, so emitting k per (query, batch) is lossless
+            kk = min(k, cos.shape[1])
+            for qi in range(len(q_ids)):
+                mask = not_self[qi]
+                sims, cands = cos[qi][mask], ids[mask]
+                if not len(sims):
+                    continue
+                top = np.lexsort((cands, -sims))[:kk]
+                yield pd.DataFrame(
+                    {"q_id": q_ids[qi], "neighbor_id": cands[top], "cos_sim": sims[top]}
+                )
+
     # repartition the streamed side: a small parquet arrives as one
     # split, which would serialize the whole pairwise loop in one task
-    c = items.repartition(par).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm_fixed(vec_col, dim).alias("c_norm"),
+    scored = items.repartition(par).mapInPandas(
+        score, schema="q_id long, neighbor_id long, cos_sim double"
     )
-    joined = F.broadcast(q).crossJoin(c).filter(F.col("q_id") != F.col("neighbor_id"))
-    cos = dot_fixed("q_vec", "c_vec", dim) / (F.col("q_norm") * F.col("c_norm"))
-    scored = joined.withColumn("cos_sim", cos)
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -127,28 +186,33 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine >= threshold (exact).
 
-    O(n²/2) compare with codegen'd unrolled dot — correct baseline; the
-    LSH bucketing above is the scale path (bucket first, compare within
-    buckets).
+    O(n²/2) blocked compare: one side is broadcast as a dense matrix,
+    the other streams through an Arrow-batched numpy kernel (same
+    broadcast-one-side posture as the BNLJ it replaces, ~10x faster).
+    Correct baseline only — the LSH bucketing above is the 100 TB path
+    (bucket first, compare within buckets; no full-table broadcast).
     """
-    par = items.sparkSession.sparkContext.defaultParallelism
+    spark = items.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    b_pdf = items.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")).toPandas()
+    B = _matrix(b_pdf["vec_b"])
+    bc = spark.sparkContext.broadcast((b_pdf["id_b"].to_numpy(), B, _fold_norms(B)))
+
+    def score(batches):
+        b_ids, Bm, b_norms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _matrix(pdf[vec_col])
+            a_ids = pdf[id_col].to_numpy()
+            cos = _fold_cosine(A, Bm, b_norms)
+            ai, bi = np.nonzero((a_ids[:, None] < b_ids[None, :]) & (cos >= threshold))
+            yield pd.DataFrame(
+                {"id_a": a_ids[ai], "id_b": b_ids[bi], "cos_sim": cos[ai, bi]}
+            )
+
     # streamed side must be repartitioned: one parquet split would run
     # the whole O(n²) loop in a single task
-    a = items.repartition(par).select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
-        norm_fixed(vec_col, dim).alias("norm_a"),
-    )
-    b = items.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
-        norm_fixed(vec_col, dim).alias("norm_b"),
-    )
-    # broadcast b so the repartitioned a side streams in parallel
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    cos = dot_fixed("vec_a", "vec_b", dim) / (F.col("norm_a") * F.col("norm_b"))
-    return (
-        pairs.withColumn("cos_sim", cos)
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
+    return items.repartition(par).mapInPandas(
+        score, schema="id_a long, id_b long, cos_sim double"
     )

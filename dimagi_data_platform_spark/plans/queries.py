@@ -536,7 +536,8 @@ from dimagi_data_platform_spark.functions.text import (  # noqa: E402
     lang_predict,
     lang_scores,
     punct_count,
-    shingles,
+    shingles_from_tokens,
+    tokens,
     stopword_count,
     ws_token_count,
 )
@@ -628,7 +629,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     production mitigation). MinHash (L2) is the approximate scale path.
     """
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(shingles("text", 3)).alias("shingle"))
+    # repartition + materialized tokens: see minhash_signatures — one
+    # parquet split would run all shingle extraction in a single task
+    par = spark.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(par)
+        .withColumn("_toks", tokens("text"))
+        .select("doc_id", F.explode(shingles_from_tokens("_toks", 3)).alias("shingle"))
+    )
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # one shuffle on shingle, then pair generation inside each group —
     # equivalent to (but cheaper than) the sh⋈sh self-join, which would
