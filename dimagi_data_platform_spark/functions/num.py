@@ -45,6 +45,34 @@ def davg(col: Column | str) -> Column:
     return dsum(c) / F.count(c)
 
 
+def qsum(col: Column | str, digits: int = 1) -> Column:
+    """Order-independent sum of QUANTIZED values, for full-mantissa
+    doubles (e.g. products x*y feeding moment statistics).
+
+    ``dsum`` is only bitwise-portable when the double's shortest decimal
+    repr equals its exact decimal value (true for 2-dp money, false for
+    arbitrary products: Spark's double→decimal cast takes the shortest
+    repr, DuckDB expands the exact binary value, and they disagree past
+    ~17 significant digits). Here we floor(value * 10^digits) first —
+    multiply and floor are single IEEE ops, and the result is an
+    integral double (keep |value|*10^digits < 2^53) that BOTH engines
+    cast to decimal exactly — then sum exactly and divide once.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    factor = float(10**digits)
+    f = F.floor(c * F.lit(factor)).cast("decimal(38,0)")
+    return F.sum(f).cast("double") / F.lit(factor)
+
+
+def sql_qsum(expr: str, digits: int = 1) -> str:
+    """DuckDB-side twin of :func:`qsum`."""
+    factor = float(10**digits)
+    return (
+        f"CAST(SUM(CAST(floor(({expr}) * {factor}) AS DECIMAL(38,0))) AS DOUBLE)"
+        f" / {factor}"
+    )
+
+
 def sql_dsum(expr: str) -> str:
     """DuckDB-side twin of :func:`dsum`."""
     return f"CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(38,10))), 2) AS DOUBLE)"

@@ -75,6 +75,25 @@ def lang_predict(scores: dict[str, Column]) -> Column:
     return result
 
 
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_NUM_RE = r"[0-9][0-9 ()+.-]{5,}[0-9]"
+
+
+def redact_pii(col) -> Column:
+    """Mask emails then long digit runs (phone/id-shaped). Pattern order
+    matters: emails first so their digits aren't half-masked."""
+    no_email = F.regexp_replace(_c(col), EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(no_email, LONG_NUM_RE, "[NUM]")
+
+
+def clean_text(col) -> Column:
+    """Normalization pipeline: lowercase → strip non-word/space chars →
+    collapse whitespace → trim. The canonical pre-dedup form."""
+    lowered = F.lower(_c(col))
+    stripped = F.regexp_replace(lowered, r"[^\w\s]", " ")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
 def shingles_from_tokens(tok_col, n: int = 3) -> Column:
     """Distinct word n-gram shingles from a MATERIALIZED token-array
     column. Callers must `.withColumn("toks", tokens(text))` first:

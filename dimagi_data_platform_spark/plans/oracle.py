@@ -10,7 +10,7 @@ at sf0.01 and hash-compares values, so:
 
 from __future__ import annotations
 
-from dimagi_data_platform_spark.functions.num import sql_davg, sql_dsum
+from dimagi_data_platform_spark.functions.num import sql_davg, sql_dsum, sql_qsum
 
 _REV = "l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)"
 
@@ -368,8 +368,10 @@ SELECT doc_id, content_hash FROM (
 WHERE rn = 1
 """
 
-ORACLE["ngram_jaccard_pairs"] = r"""
-WITH toks AS (
+# shared CTE block: word-3-gram Jaccard pairs ≥ 0.1 (also the edge set
+# of the near_dup_components transitive closure)
+_NGRAM_PAIR_CTES = r"""
+toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
@@ -380,13 +382,19 @@ inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
   FROM sh a JOIN sh b USING (shingle)
   WHERE a.doc_id < b.doc_id
-  GROUP BY 1, 2)
-SELECT doc_a, doc_b, n_common,
-       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
-FROM inter
-JOIN sz sa ON sa.doc_id = doc_a
-JOIN sz sb ON sb.doc_id = doc_b
-WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.1
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b, n_common,
+         CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+  FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.1)
+"""
+
+ORACLE["ngram_jaccard_pairs"] = f"""
+WITH {_NGRAM_PAIR_CTES}
+SELECT doc_a, doc_b, n_common, jaccard FROM pairs
 """
 
 
@@ -707,4 +715,130 @@ SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
 FROM events
 GROUP BY 1
 ORDER BY 1
+"""
+
+# --------------------------------------------------------------------------
+# Graph / interval / corpus-prep extensions
+# --------------------------------------------------------------------------
+
+ORACLE["near_dup_components"] = f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTES},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs),
+reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.id = e.b),
+comp AS (SELECT id AS doc_id, MIN(label) AS component FROM reach GROUP BY id)
+SELECT doc_id, component,
+       COUNT(*) OVER (PARTITION BY component) AS cluster_size
+FROM comp
+"""
+
+ORACLE["event_session_assign"] = """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE event_type IN ('click', 'view')
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM x),
+sess AS (
+  SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM s GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, e.event_type,
+       sess.session_id, sess.session_start, sess.session_end
+FROM events e
+JOIN sess ON e.user_id = sess.user_id
+         AND e.ts >= sess.session_start AND e.ts <= sess.session_end
+WHERE e.event_type IN ('purchase', 'error')
+"""
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_LONG_NUM_RE = r"[0-9][0-9 ()+.-]{5,}[0-9]"
+
+ORACLE["pii_redaction"] = f"""
+WITH r AS (
+  SELECT doc_id, text,
+    regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{_LONG_NUM_RE}', '[NUM]', 'g') AS redacted,
+    trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'),
+                        '\\s+', ' ', 'g')) AS cleaned
+  FROM documents)
+SELECT doc_id, redacted, cleaned, redacted <> text AS had_pii FROM r
+"""
+
+ORACLE["doc_chunks"] = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n
+  FROM documents),
+st AS (
+  SELECT doc_id, toks, n, UNNEST(range(0, ((n - 1) // 16) * 16 + 1, 16)) AS s
+  FROM t WHERE n >= 1)
+SELECT doc_id, CAST(s // 16 AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(toks, s + 1, least(s + 32, n)), ' ') AS chunk_text,
+       CAST(least(s + 32, n) - s AS BIGINT) AS n_tokens
+FROM st
+"""
+
+ORACLE["nation_acctbal_stats"] = f"""
+WITH spend AS (
+  SELECT o_custkey, {sql_dsum("o_totalprice")} AS spend FROM orders GROUP BY 1),
+base AS (
+  SELECT n_name, c_acctbal AS x, COALESCE(spend, 0.0) AS y
+  FROM customer
+  LEFT JOIN spend ON c_custkey = o_custkey
+  JOIN nation ON c_nationkey = n_nationkey),
+agg AS (
+  SELECT n_name, COUNT(*) AS n,
+         {sql_dsum("x")} AS sx, {sql_dsum("y")} AS sy,
+         {sql_qsum("x*x")} AS sxx, {sql_qsum("y*y")} AS syy,
+         {sql_qsum("x*y")} AS sxy
+  FROM base GROUP BY 1)
+SELECT n_name, n,
+  sx / CAST(n AS DOUBLE) AS mean_acctbal,
+  sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS stddev_acctbal,
+  ((sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+    / (sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+       * sqrt((syy - sy * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)))
+    AS corr_acctbal_spend
+FROM agg
+"""
+
+ORACLE["priority_except_all"] = """
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+"""
+
+ORACLE["priority_intersect_all"] = """
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+"""
+
+ORACLE["hourly_event_windows"] = f"""
+SELECT date_trunc('hour', ts) AS win_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+       COUNT(*) AS n_events, {sql_dsum("value")} AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+ORACLE["sliding_event_windows"] = f"""
+WITH asn AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS tb, value FROM events),
+two AS (
+  SELECT tb AS win_start, value FROM asn
+  UNION ALL
+  SELECT tb - INTERVAL 30 MINUTE, value FROM asn)
+SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end,
+       COUNT(*) AS n_events, {sql_dsum("value")} AS total_value
+FROM two GROUP BY 1, 2
 """

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dimagi_data_platform_spark.catalog import load_table
-from dimagi_data_platform_spark.functions.num import DEC, davg, dsum
+from dimagi_data_platform_spark.functions.num import DEC, davg, dsum, qsum
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -1144,3 +1144,197 @@ def hourly_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in types:
         df = df.withColumnRenamed(t, f"n_{t}")
     return df
+
+
+# --------------------------------------------------------------------------
+# Graph / interval / corpus-prep extensions
+# --------------------------------------------------------------------------
+
+from dimagi_data_platform_spark.functions.text import clean_text, redact_pii  # noqa: E402
+from dimagi_data_platform_spark.operators.components import (  # noqa: E402
+    component_clusters,
+    connected_components,
+)
+from dimagi_data_platform_spark.operators.intervals import point_in_interval_join  # noqa: E402
+
+CHUNK_W, CHUNK_S = 32, 16
+
+
+@query("near_dup_components")
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: ngram-Jaccard pairs as edges → connected
+    components (iterative min-label propagation) → cluster id + size
+    per document. The pairs→clusters stage every production dedup
+    pipeline needs; oracle is a recursive-CTE transitive closure."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    labels = connected_components(
+        docs.select("doc_id"),
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        id_col="doc_id",
+    )
+    return component_clusters(labels).select(
+        F.col("id").alias("doc_id"), "component", "cluster_size"
+    )
+
+
+@query("event_session_assign")
+def event_session_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: click/view anchor events build session
+    windows; purchase/error events are assigned to the same-user window
+    containing their ts via the time-bucketed equi-join operator
+    (operators/intervals.py) — never a per-key cross join."""
+    ev = _t(spark, sf_dir, "events")
+    anchors = sessionize(
+        ev.filter(F.col("event_type").isin("click", "view")),
+        "user_id",
+        "ts",
+        gap_seconds=1800,
+        tie_break="event_id",
+    )
+    sessions = anchors.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"), F.max("ts").alias("session_end")
+    )
+    others = ev.filter(F.col("event_type").isin("purchase", "error")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    return point_in_interval_join(
+        others, sessions, key="user_id", ts_col="ts",
+        lo_col="session_start", hi_col="session_end",
+    ).select("event_id", "user_id", "event_type", "session_id", "session_start", "session_end")
+
+
+@query("pii_redaction")
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning for corpus prep: email/number redaction + the
+    canonical lowercase/strip/collapse normalization, all JVM-side
+    regex (no UDFs on the scan path)."""
+    docs = _t(spark, sf_dir, "documents")
+    red = redact_pii("text")
+    return docs.select(
+        "doc_id",
+        red.alias("redacted"),
+        clean_text("text").alias("cleaned"),
+        (red != F.col("text")).alias("had_pii"),
+    )
+
+
+@query("doc_chunks")
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (w=32, stride=16) — the
+    context-window split step of a training-data pipeline. Row-local:
+    sequence → slice → posexplode, no shuffle at all."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.withColumn("_toks", tokens("text")).withColumn(
+        "_n", F.size("_toks")
+    )
+    starts = F.sequence(
+        F.lit(0), ((F.col("_n") - 1) / CHUNK_S).cast("long") * CHUNK_S, F.lit(CHUNK_S)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / CHUNK_S).cast("long").alias("chunk_id"),
+            F.concat_ws(" ", F.slice("_toks", (s + 1).cast("int"), CHUNK_W)).alias(
+                "chunk_text"
+            ),
+            F.size(F.slice("_toks", (s + 1).cast("int"), CHUNK_W)).cast("long").alias(
+                "n_tokens"
+            ),
+        ),
+    )
+    return (
+        t.filter(F.col("_n") >= 1)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_id", "c.chunk_text", "c.n_tokens")
+    )
+
+
+@query("nation_acctbal_stats")
+def nation_acctbal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass moment statistics per nation: stddev of acctbal and
+    corr(acctbal, lifetime order spend) computed from exact decimal
+    sums (order-independent) with the closed-form double formula —
+    bitwise-reproducible where native stddev/corr are not."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    spend = orders.groupBy("o_custkey").agg(dsum("o_totalprice").alias("spend"))
+    x = F.col("c_acctbal")
+    y = F.coalesce(F.col("spend"), F.lit(0.0))
+    base = (
+        cust.join(spend, cust.c_custkey == spend.o_custkey, "left")
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", x.alias("x"), y.alias("y"))
+    )
+    agg = base.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        qsum(F.col("x") * F.col("x")).alias("sxx"),
+        qsum(F.col("y") * F.col("y")).alias("syy"),
+        qsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    vx = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - F.lit(1.0))
+    vy = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - F.lit(1.0))
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - F.lit(1.0))
+    return agg.select(
+        "n_name",
+        "n",
+        (F.col("sx") / n).alias("mean_acctbal"),
+        F.sqrt(vx).alias("stddev_acctbal"),
+        (cov / (F.sqrt(vx) * F.sqrt(vy))).alias("corr_acctbal_spend"),
+    )
+
+
+@query("priority_except_all")
+def priority_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL multiset semantics (R8 covered distinct set ops)."""
+    orders = _t(spark, sf_dir, "orders")
+    open_p = orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    done_p = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return open_p.exceptAll(done_p)
+
+
+@query("priority_intersect_all")
+def priority_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL multiset semantics."""
+    orders = _t(spark, sf_dir, "orders")
+    open_p = orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    done_p = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return open_p.intersectAll(done_p)
+
+
+@query("hourly_event_windows")
+def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows via F.window — the batch twin of the
+    streaming windowed aggregation (same API on readStream)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query("sliding_event_windows")
+def sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h width, 30 min slide): each event lands in
+    two overlapping windows — F.window emits both assignments."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_events",
+            "total_value",
+        )
+    )

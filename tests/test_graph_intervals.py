@@ -1,0 +1,87 @@
+"""Unit tests for connected components and the banded range join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from dimagi_data_platform_spark.operators.components import (
+    component_clusters,
+    connected_components,
+)
+from dimagi_data_platform_spark.operators.intervals import point_in_interval_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _cc(spark, n_vertices, edges):
+    v = spark.createDataFrame([(i,) for i in range(n_vertices)], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(v, e)
+    return {r.id: r.component for r in out.collect()}
+
+
+def test_cc_chain_converges_past_one_hop(spark):
+    # 0-1-2-3-4 chain: labels must propagate the full diameter
+    got = _cc(spark, 5, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    assert got == {i: 0 for i in range(5)}
+
+
+def test_cc_singletons_and_two_clusters(spark):
+    got = _cc(spark, 6, [(1, 2), (4, 3)])
+    assert got == {0: 0, 1: 1, 2: 1, 3: 3, 4: 3, 5: 5}
+
+
+def test_cc_edge_direction_irrelevant(spark):
+    # min label reachable even when edges point "away" from the min
+    assert _cc(spark, 3, [(2, 0), (2, 1)]) == {0: 0, 1: 0, 2: 0}
+
+
+def test_component_clusters_sizes(spark):
+    v = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    out = component_clusters(connected_components(v, e))
+    got = {r.id: (r.component, r.cluster_size) for r in out.collect()}
+    assert got == {0: (0, 3), 1: (0, 3), 2: (0, 3), 3: (3, 1)}
+
+
+def test_interval_join_bucket_spanning(spark):
+    # interval spans 3 hourly buckets; points in each bucket match once
+    pts = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T00:10:00")),  # bucket 0, inside
+            (2, 10, _ts("2024-01-01T01:30:00")),  # bucket 1, inside
+            (3, 10, _ts("2024-01-01T02:20:00")),  # bucket 2, inside
+            (4, 10, _ts("2024-01-01T02:40:00")),  # bucket 2, after hi
+            (5, 11, _ts("2024-01-01T00:10:00")),  # other key, no interval
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    ivals = spark.createDataFrame(
+        [(10, 7, _ts("2024-01-01T00:05:00"), _ts("2024-01-01T02:30:00"))],
+        "user_id long, session_id long, lo timestamp, hi timestamp",
+    )
+    out = point_in_interval_join(pts, ivals, key="user_id")
+    got = sorted((r.event_id, r.session_id) for r in out.collect())
+    assert got == [(1, 7), (2, 7), (3, 7)]
+
+
+def test_interval_join_inclusive_bounds_no_duplicates(spark):
+    pts = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T00:00:00")),  # == lo
+            (2, 10, _ts("2024-01-01T01:00:00")),  # == hi, on bucket edge
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    ivals = spark.createDataFrame(
+        [(10, 1, _ts("2024-01-01T00:00:00"), _ts("2024-01-01T01:00:00"))],
+        "user_id long, session_id long, lo timestamp, hi timestamp",
+    )
+    out = point_in_interval_join(pts, ivals, key="user_id").collect()
+    # both bounds inclusive, and the bucketed join must not emit a
+    # (point, interval) pair more than once
+    assert sorted(r.event_id for r in out) == [1, 2]
