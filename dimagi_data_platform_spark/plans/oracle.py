@@ -842,3 +842,67 @@ SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end,
        COUNT(*) AS n_events, {sql_dsum("value")} AS total_value
 FROM two GROUP BY 1, 2
 """
+
+# --------------------------------------------------------------------------
+# Remaining TPC-H shapes (q11/q13/q15/q17/q20 analogs)
+# --------------------------------------------------------------------------
+
+ORACLE["q13_customer_distribution"] = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+ORACLE["q15_top_supplier"] = f"""
+WITH rev AS (
+  SELECT l_suppkey, {sql_dsum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")}
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+ORACLE["q17_small_quantity_revenue"] = f"""
+WITH per_part AS (
+  SELECT l_partkey AS ap_partkey, {sql_davg("l_quantity")} AS avg_qty
+  FROM lineitem GROUP BY l_partkey)
+SELECT {sql_dsum("l_extendedprice")} / CAST(7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
+JOIN per_part ON l_partkey = ap_partkey
+WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_qty
+"""
+
+ORACLE["q20_excess_suppliers"] = f"""
+WITH heavy AS (
+  SELECT DISTINCT l_suppkey
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING {sql_dsum("l_quantity")} > 300.0)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+ORDER BY s_suppkey
+"""
+
+ORACLE["q11_important_parts"] = f"""
+WITH per_part AS (
+  SELECT l_partkey, {sql_dsum("l_extendedprice")} AS part_value
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT {sql_dsum("part_value")} AS tot FROM per_part)
+SELECT l_partkey, part_value
+FROM per_part, tot
+WHERE part_value > CAST(0.001 AS DOUBLE) * tot
+ORDER BY part_value DESC, l_partkey
+"""
