@@ -547,6 +547,7 @@ from dimagi_data_platform_spark.operators.simhash import simhash_near_dup_pairs 
 from dimagi_data_platform_spark.operators.similarity import (  # noqa: E402
     embedding_near_dup_pairs,
     knn_bruteforce,
+    knn_ivf,
     knn_lsh,
 )
 from dimagi_data_platform_spark.multimodal.binary_ops import (  # noqa: E402
@@ -710,6 +711,14 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3: SimHash Hamming<=6 near-dup pairs (rows-only check)."""
     docs = _t(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs, max_hamming=6, n_chunks=8)
+
+
+@query("knn_ivf")
+def knn_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7b: IVF ANN (rows-only check; recall vs L6 in tests) — k-means
+    coarse lists + nprobe probing, the partition-pruning scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_ivf(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
 @query("knn_lsh")

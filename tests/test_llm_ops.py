@@ -93,3 +93,24 @@ def test_lsh_recall_on_planted_near_duplicates(spark):
     top1 = {r.q_id: r.neighbor_id for r in out.collect()}
     for qid, nid in top1.items():
         assert nid == qid + 10000  # scaled copy has cosine 1 and same bucket
+
+
+def test_knn_ivf_recall_vs_bruteforce(spark):
+    from dimagi_data_platform_spark.operators.similarity import knn_ivf
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    bf = knn_bruteforce(emb, q, k=5).collect()
+    iv = knn_ivf(emb, q, k=5, nlist=8, nprobe=4).collect()
+    bf_set = {(r.q_id, r.neighbor_id) for r in bf}
+    iv_set = {(r.q_id, r.neighbor_id) for r in iv}
+    # probing half the lists must recover a solid majority of the
+    # exact top-5 sets (deterministic seed -> stable assertion)
+    recall = len(bf_set & iv_set) / len(bf_set)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    # scores are exact cosines, so they can never beat brute force
+    bf_best = {}
+    for r in bf:
+        bf_best.setdefault(r.q_id, max(bf_best.get(r.q_id, -2), r.cos_sim))
+    for r in iv:
+        assert r.cos_sim <= bf_best[r.q_id] + 1e-12
