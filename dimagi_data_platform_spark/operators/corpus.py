@@ -59,3 +59,17 @@ def prepare_corpus(
     return deduped.join(losers, id_col, "left_anti").select(
         id_col, "quality", "content_hash"
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (e.g. downweight over-represented
+    languages/sources when mixing a training corpus). ``sampleBy`` is a
+    scan-local filter — no shuffle, each row keeps/drops itself — so it
+    scales linearly and composes with pushdown. Seeded → reproducible
+    splits, but the hash is engine-specific (rows-only in the gate)."""
+    return docs.sampleBy(strata_col, fractions, seed)

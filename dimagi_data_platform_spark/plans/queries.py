@@ -984,7 +984,7 @@ def wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from dimagi_data_platform_spark.operators.corpus import prepare_corpus  # noqa: E402
+from dimagi_data_platform_spark.operators.corpus import prepare_corpus, stratified_sample  # noqa: E402
 
 
 @query("corpus_prep")
@@ -1046,6 +1046,16 @@ def winnow_shared_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     properties tested in tests/test_sketches.py)."""
     docs = _t(spark, sf_dir, "documents")
     return shared_fingerprint_pairs(docs, min_shared=2)
+
+
+@query("corpus_stratified_sample")
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded per-language stratified sample of the corpus (rows-only:
+    the Bernoulli hash is engine-specific; fraction bounds are unit-
+    tested in tests/test_llm_ops.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "es": 1.0, "de": 1.0, "fr": 1.0}
+    return stratified_sample(docs, "lang", fractions).select("doc_id", "lang")
 
 
 # --------------------------------------------------------------------------

