@@ -92,6 +92,18 @@ def streaming_daily_usage(events: DataFrame, watermark: str = "1 day") -> DataFr
     )
 
 
+def streaming_dedup(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Drop re-submitted records on the stream (the reference deduped
+    re-submitted forms at ingestion). State holds only keys newer than
+    the watermark — bounded, unlike an unwatermarked distinct — and a
+    duplicate arriving within the watermark window is dropped even if
+    its event time differs (id-based resubmission semantics)."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_to_sink(
     stream_df: DataFrame, out_path: str, checkpoint: str, mode: str = "append"
 ) -> None:

@@ -106,3 +106,43 @@ def test_streaming_daily_usage_match_batch(spark, tmp_path):
     for key, (n, end) in b.items():
         if end <= final_wm:
             assert key in g and g[key] == n
+
+
+def test_streaming_dedup_drops_resubmissions(spark, tmp_path):
+    from dimagi_data_platform_spark.streaming.events_stream import streaming_dedup
+
+    # two files: the second re-submits every event of the first (same
+    # event_id, later arrival) plus genuinely new events
+    ev = load_table(spark, SF_SMALL, "events")
+    rows = ev.orderBy("event_id").limit(200).collect()
+    d = tmp_path / "dedup_in"
+    d.mkdir()
+
+    def dump(path, chunk):
+        with open(path, "w") as f:
+            for r in chunk:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": r.event_id,
+                            "ts": r.ts.strftime("%Y-%m-%dT%H:%M:%S.%f"),
+                            "user_id": r.user_id,
+                            "event_type": r.event_type,
+                            "value": r.value,
+                            "props": r.props,
+                        }
+                    )
+                    + "\n"
+                )
+
+    dump(d / "part0.json", rows[:100])
+    dump(d / "part1.json", rows[:100] + rows[100:200])  # resubmits first 100
+
+    stream = read_event_stream(spark, str(d), fmt="json", max_files=1)
+    out = str(tmp_path / "dedup_out")
+    run_to_sink(streaming_dedup(stream), out, str(tmp_path / "dedup_ckpt"))
+
+    got = spark.read.parquet(out)
+    ids = [r.event_id for r in got.select("event_id").collect()]
+    assert len(ids) == len(set(ids)), "resubmitted ids must be dropped"
+    assert set(ids) == {r.event_id for r in rows}, "every unique event kept"
