@@ -69,3 +69,33 @@ def test_q1_whole_stage_codegen(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("codegen")
     assert "WholeStageCodegen subtrees" in buf.getvalue()
+
+
+def test_q17_broadcasts_part_and_avg(spark):
+    plan = plan_str(spark, "q17_small_quantity_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_event_session_assign_pushes_type_filter(spark):
+    plan = plan_str(spark, "event_session_assign")
+    assert "In(event_type" in plan  # reaches the events scan
+
+
+def test_doc_chunks_is_shuffle_free(spark):
+    # chunking is row-local: no Exchange anywhere in the plan
+    plan = plan_str(spark, "doc_chunks")
+    assert "Exchange" not in plan
+
+
+def test_pii_redaction_prunes_columns(spark):
+    plan = plan_str(spark, "pii_redaction")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "lang" not in read[0] and "source" not in read[0]
+
+
+def test_interval_join_is_equi_join(spark):
+    # the banded range join must plan as a hash join on (key, bucket),
+    # never a nested-loop over all intervals of the key
+    plan = plan_str(spark, "event_session_assign")
+    assert "HashJoin" in plan
+    assert "NestedLoop" not in plan
