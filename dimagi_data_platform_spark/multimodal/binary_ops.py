@@ -57,3 +57,37 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield feats
 
     return df.select(id_col, "payload").mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_off long, frame_sig long"
+
+
+def sample_frames(
+    df: DataFrame, every: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame sampling: one output row per sampled frame of each payload
+    (the video → frames explode pattern). Frame count comes from the
+    fake decoder; the per-frame "signature" is a stable byte slice
+    checksum so the whole pipeline stays SQL-checkable. Swap the body
+    for real frame extraction (ffmpeg) without touching the contract.
+
+    Scale: output fan-out is rows x frames/every — the explode happens
+    executor-side inside the Arrow batch, never on the driver.
+    """
+
+    def _frames(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_off": [], "frame_sig": []}
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                meta = _fake_decode_bytes(payload)
+                n = len(payload)
+                for idx in range(0, meta["n_frames"], every):
+                    off = (idx * 997) % n if n else 0
+                    sig = sum(payload[off : off + 16]) if n else -1
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(idx)
+                    out["frame_off"].append(off)
+                    out["frame_sig"].append(sig)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(_frames, FRAME_SCHEMA)

@@ -906,3 +906,18 @@ FROM per_part, tot
 WHERE part_value > CAST(0.001 AS DOUBLE) * tot
 ORDER BY part_value DESC, l_partkey
 """
+
+ORACLE["multimodal_frame_sample"] = """
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n, (length(text) % 30) + 1 AS n_frames
+  FROM documents),
+fr AS (
+  SELECT doc_id, text, n, UNNEST(range(0, n_frames, 8)) AS frame_idx FROM base)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+  CAST(CASE WHEN n > 0 THEN (frame_idx * 997) % n ELSE 0 END AS BIGINT) AS frame_off,
+  CAST(CASE WHEN n = 0 THEN -1 ELSE COALESCE(list_aggregate(
+      list_transform(range((frame_idx * 997) % n, least((frame_idx * 997) % n + 16, n)),
+                     j -> ord(substring(text, CAST(j + 1 AS INT), 1))),
+      'sum'), 0) END AS BIGINT) AS frame_sig
+FROM fr
+"""

@@ -695,6 +695,17 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_binary_payload(docs), "doc_id")
 
 
+@query("multimodal_frame_sample")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L12b: video-style frame sampling — one row per sampled frame via
+    executor-side Arrow explode (deterministic fake decode; the oracle
+    recomputes the byte-slice signatures in SQL)."""
+    docs = _t(spark, sf_dir, "documents")
+    from dimagi_data_platform_spark.multimodal.binary_ops import sample_frames
+
+    return sample_frames(attach_binary_payload(docs))
+
+
 # ---- rows-only operators (not SQL-expressible; unit-tested instead) ----
 
 
