@@ -34,6 +34,9 @@ def get_spark(app_name: str = "dimagi-data-platform-spark") -> SparkSession:
         # TIMESTAMP(NANOS) parquet columns (events.ts) read as long;
         # catalog.load_table converts them to µs timestamps exactly.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # write INT64 micros, not legacy INT96: stats-capable (min/max
+        # pruning works on ts sort keys) and standard across engines
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

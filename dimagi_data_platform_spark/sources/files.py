@@ -76,3 +76,23 @@ def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    range_col: str,
+    n_files: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Range-partition rows across files and sort within each file so
+    parquet row-group min/max stats line up with the sort key — scans
+    filtered on ``range_col`` then prune most files/row-groups entirely.
+    The standard layout optimization for a 100 TB fact table's
+    dominant filter column (e.g. received_on / event ts)."""
+    (
+        df.repartitionByRange(n_files, F.col(range_col))
+        .sortWithinPartitions(*(sort_cols or [range_col]))
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -139,3 +139,34 @@ def test_orc_roundtrip_with_partitioning(spark, tmp_path):
     # partition pruning: a pt filter must not scan the other partition
     pruned = back.filter(back.pt == "y")
     assert "pt=y" in pruned._jdf.queryExecution().executedPlan().toString() or pruned.count() == 1
+
+
+def test_write_sorted_parquet_layout_prunes(spark, tmp_path):
+    from dimagi_data_platform_spark.sources.files import write_sorted_parquet
+
+    from dimagi_data_platform_spark.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    out = str(tmp_path / "sorted_events")
+    write_sorted_parquet(ev, out, "ts", n_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    # each file covers a disjoint ts range (range partitioning), so the
+    # per-file min/max from parquet stats must not overlap
+    import pyarrow.parquet as pq
+    import glob
+
+    spans = []
+    for f in sorted(glob.glob(out + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        cols = {md.row_group(0).column(c).path_in_schema: c for c in range(md.row_group(0).num_columns)}
+        ci = cols["ts"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            mins.append(st.min); maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "file ts ranges must be disjoint for pruning"
