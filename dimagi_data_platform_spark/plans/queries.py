@@ -1083,6 +1083,9 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice").alias("revenue")
     )
     daily = daily.withColumn("day_num", (F.unix_micros("day") / F.lit(86_400_000_000)).cast("long"))
+    # unpartitioned window is safe here: it runs over the per-day
+    # aggregate (≤ #distinct days rows at any SF), not the fact table;
+    # partition by year + boundary-stitch if the day domain ever grows
     w = Window.orderBy("day_num").rangeBetween(-6, 0)
     return daily.select(
         "day",

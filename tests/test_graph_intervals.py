@@ -85,3 +85,34 @@ def test_interval_join_inclusive_bounds_no_duplicates(spark):
     # both bounds inclusive, and the bucketed join must not emit a
     # (point, interval) pair more than once
     assert sorted(r.event_id for r in out) == [1, 2]
+
+
+def test_interval_join_equals_naive_join_on_random_data(spark):
+    # property check: bucketed equi-join == naive non-equi join, on
+    # data randomized across bucket boundaries (seeded, 200 points x
+    # 40 intervals, interval widths from sub-bucket to multi-bucket)
+    import random
+
+    rnd = random.Random(1234)
+    base = dt.datetime(2024, 1, 1)
+    pts = [
+        (i, rnd.randrange(5), base + dt.timedelta(seconds=rnd.randrange(0, 200_000)))
+        for i in range(200)
+    ]
+    ivals = []
+    for j in range(40):
+        lo = base + dt.timedelta(seconds=rnd.randrange(0, 180_000))
+        hi = lo + dt.timedelta(seconds=rnd.randrange(0, 20_000))
+        ivals.append((rnd.randrange(5), j, lo, hi))
+    pdf = spark.createDataFrame(pts, "event_id long, user_id long, ts timestamp")
+    idf = spark.createDataFrame(
+        ivals, "user_id long, session_id long, lo timestamp, hi timestamp"
+    )
+    bucketed = point_in_interval_join(pdf, idf, key="user_id")
+    got = sorted((r.event_id, r.session_id) for r in bucketed.collect())
+    naive = (
+        pdf.join(idf, "user_id")
+        .filter((F.col("ts") >= F.col("lo")) & (F.col("ts") <= F.col("hi")))
+    )
+    want = sorted((r.event_id, r.session_id) for r in naive.collect())
+    assert got == want

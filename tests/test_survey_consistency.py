@@ -1,0 +1,46 @@
+"""SURVEY.md §2 is the coverage contract: every query key named there
+must exist in QUERIES, and every registered query must be claimed in
+SURVEY — no phantom claims, no undocumented surface."""
+
+from __future__ import annotations
+
+import os
+import re
+
+from dimagi_data_platform_spark.plans.oracle import ORACLE
+from dimagi_data_platform_spark.plans.queries import QUERIES
+
+SURVEY = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SURVEY.md")
+
+# §2 tokens that are prose (reference table names / module citations),
+# not queries() entries
+NON_QUERY_KEYS = {"all", "visit"}
+
+
+def survey_query_keys() -> set[str]:
+    text = open(SURVEY).read()
+    sec2 = text.split("## §2")[1].split("## §3")[0]
+    keys = set()
+    for m in re.finditer(r"`([a-z0-9_]+)`", sec2):
+        keys.add(m.group(1))
+    return keys - NON_QUERY_KEYS
+
+
+def test_every_survey_claim_is_registered():
+    claimed = {k for k in survey_query_keys() if not k.endswith(".py")}
+    missing = {k for k in claimed if "/" not in k} - set(QUERIES)
+    # module-path citations (sources/jdbc.py etc.) are checked below
+    missing = {k for k in missing if not k.startswith(("sources", "streaming"))}
+    missing -= {"streaming_dedup"}  # streaming op: tested, not a batch query
+    assert not missing, f"SURVEY claims without queries(): {sorted(missing)}"
+
+
+def test_every_query_is_claimed_in_survey():
+    claimed = survey_query_keys()
+    unclaimed = set(QUERIES) - claimed
+    assert not unclaimed, f"queries() entries missing from SURVEY §2: {sorted(unclaimed)}"
+
+
+def test_oracle_keys_subset_of_queries():
+    extra = set(ORACLE) - set(QUERIES)
+    assert not extra, f"oracle entries without a query: {sorted(extra)}"
