@@ -73,10 +73,17 @@ def lsh_candidate_pairs(
     rows_per_band: int = 4,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) sharing at least one band bucket,
-    with ``est_jaccard`` = fraction of equal signature components."""
+    with ``est_jaccard`` = fraction of equal signature components.
+
+    Shuffle discipline: only (id, band, bucket) triples — 24 bytes/row
+    — travel through the candidate-generation shuffle; the signature
+    arrays (64 longs) are joined back onto the (much smaller) distinct
+    pair set afterwards. Pair generation happens inside each bucket
+    group (sorted collect_list + triangular transform), the same
+    single-shuffle shape as the exact n-gram path.
+    """
     band_entries = sigs.select(
         F.col(id_col),
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -92,23 +99,36 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = band_entries.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    grouped = (
+        band_entries.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("docs"))
+        .filter(F.size("docs") > 1)
     )
-    b = band_entries.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    pair_structs = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), (i + 2).cast("int"), F.size("docs")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
     pairs = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
     )
+    sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    # sigs are small relative to the corpus (num_hashes longs per doc);
+    # broadcast so the pair set never re-shuffles. If signatures ever
+    # outgrow broadcast, swap to shuffle joins keyed on the pair ids.
+    joined = pairs.join(F.broadcast(sig_a), "id_a").join(F.broadcast(sig_b), "id_b")
     eq = F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int"))
     est = F.aggregate(eq, F.lit(0), lambda acc, x: acc + x).cast("double") / F.size("sig_a")
-    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+    return joined.select("id_a", "id_b", est.alias("est_jaccard"))
 
 
 def minhash_dedup_pairs(
