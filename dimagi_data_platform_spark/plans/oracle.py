@@ -799,8 +799,8 @@ base AS (
 agg AS (
   SELECT n_name, COUNT(*) AS n,
          {sql_dsum("x")} AS sx, {sql_dsum("y")} AS sy,
-         {sql_qsum("x*x")} AS sxx, {sql_qsum("y*y")} AS syy,
-         {sql_qsum("x*y")} AS sxy
+         {sql_qsum("x*x", 0)} AS sxx, {sql_qsum("y*y", 0)} AS syy,
+         {sql_qsum("x*y", 0)} AS sxy
   FROM base GROUP BY 1)
 SELECT n_name, n,
   sx / CAST(n AS DOUBLE) AS mean_acctbal,

@@ -1304,9 +1304,11 @@ def nation_acctbal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum("x").alias("sx"),
         dsum("y").alias("sy"),
-        qsum(F.col("x") * F.col("x")).alias("sxx"),
-        qsum(F.col("y") * F.col("y")).alias("syy"),
-        qsum(F.col("x") * F.col("y")).alias("sxy"),
+        # digits=0: squared spend reaches ~1e14; unit quantization keeps
+        # the floored product an exact integer double at any warehouse SF
+        qsum(F.col("x") * F.col("x"), digits=0).alias("sxx"),
+        qsum(F.col("y") * F.col("y"), digits=0).alias("syy"),
+        qsum(F.col("x") * F.col("y"), digits=0).alias("sxy"),
     )
     n = F.col("n").cast("double")
     vx = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - F.lit(1.0))
