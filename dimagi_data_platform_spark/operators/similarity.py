@@ -320,3 +320,73 @@ def knn_ivf(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def embedding_near_dup_lsh(
+    items: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-dup pairs via multi-table LSH blocking — the 100 TB path:
+    candidates must share a bucket in at least one of ``n_tables``
+    hyperplane tables (recall grows with tables, candidate volume
+    ~ n²/2^planes per table instead of n²). Exact fold-ordered cosine
+    re-ranks candidates, so reported similarities are exact; only
+    recall is approximate (contained-in-exact tested)."""
+    sides = []
+    for t in range(n_tables):
+        b = lsh_bucket(vec_col, dim, n_planes, seed + 101 * t)
+        sides.append(
+            items.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("vec"),
+                F.lit(t).alias("table"),
+                b.alias("bucket"),
+            )
+        )
+    entries = sides[0]
+    for s in sides[1:]:
+        entries = entries.union(s)
+    a = entries.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "table", "bucket"
+    )
+    bside = entries.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "table", "bucket"
+    )
+    cand = (
+        a.join(bside, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "vec_a", "vec_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _matrix(pdf["vec_a"])
+            B = _matrix(pdf["vec_b"])
+            # pairwise rows (not all-pairs): fold per dimension in order
+            acc = np.zeros(len(A))
+            na = np.zeros(len(A))
+            nb = np.zeros(len(A))
+            for i in range(A.shape[1]):
+                acc += A[:, i] * B[:, i]
+                na += A[:, i] * A[:, i]
+                nb += B[:, i] * B[:, i]
+            cos = acc / (np.sqrt(na) * np.sqrt(nb))
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cos_sim": cos[keep],
+                }
+            )
+
+    return cand.mapInPandas(score, schema="id_a long, id_b long, cos_sim double")

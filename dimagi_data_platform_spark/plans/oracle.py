@@ -921,3 +921,23 @@ SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
       'sum'), 0) END AS BIGINT) AS frame_sig
 FROM fr
 """
+
+ORACLE["corpus_dedup_canonical"] = f"""
+SELECT doc_id, cluster_size
+FROM ({ORACLE["near_dup_components"]}) t
+WHERE doc_id = component
+"""
+
+ORACLE["user_lifetime"] = """
+WITH g AS (
+  SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+         COUNT(*) AS n_events,
+         COUNT(DISTINCT CAST(ts AS DATE)) AS active_days
+  FROM events GROUP BY 1),
+mx AS (SELECT MAX(ts) AS gm FROM events)
+SELECT user_id, first_ts, last_ts, n_events, active_days,
+  CAST(FLOOR(CAST(date_diff('microsecond', first_ts, last_ts) AS DOUBLE)
+       / 86400000000.0) AS BIGINT) AS lifetime_days,
+  date_diff('microsecond', last_ts, gm) > 604800000000 AS churned
+FROM g, mx
+"""

@@ -545,6 +545,7 @@ from dimagi_data_platform_spark.operators.dedup import exact_dedup, normalized_t
 from dimagi_data_platform_spark.operators.minhash import minhash_dedup_pairs  # noqa: E402
 from dimagi_data_platform_spark.operators.simhash import simhash_near_dup_pairs  # noqa: E402
 from dimagi_data_platform_spark.operators.similarity import (  # noqa: E402
+    embedding_near_dup_lsh,
     embedding_near_dup_pairs,
     knn_bruteforce,
     knn_ivf,
@@ -1373,6 +1374,51 @@ def sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query("corpus_dedup_canonical")
+def corpus_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final dedup output: one canonical doc (min id) per near-dup
+    cluster, singletons kept — what actually ships to training."""
+    clusters = near_dup_components(spark, sf_dir)
+    return clusters.filter(F.col("doc_id") == F.col("component")).select(
+        "doc_id", "cluster_size"
+    )
+
+
+@query("user_lifetime")
+def user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime/attrition indicator table (the reference's lifetime
+    rollup): first/last activity, active days, churn flag vs the
+    global horizon. Gap arithmetic in integer microseconds (exact)."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.to_date("ts")).alias("active_days"),
+    )
+    mx = ev.agg(F.max("ts").alias("gm"))
+    life_us = F.unix_micros("last_ts") - F.unix_micros("first_ts")
+    idle_us = F.unix_micros("gm") - F.unix_micros("last_ts")
+    return g.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        "first_ts",
+        "last_ts",
+        "n_events",
+        "active_days",
+        F.floor(life_us.cast("double") / F.lit(86_400_000_000.0)).cast("long").alias("lifetime_days"),
+        (idle_us > F.lit(7 * 86_400_000_000)).alias("churned"),
+    )
+
+
+@query("embedding_near_dup_lsh")
+def embedding_near_dup_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5b: LSH-blocked near-dup pairs (rows-only; containment vs the
+    exact pairs tested in tests/test_llm_ops.py) — the 100 TB path
+    that never broadcasts the full table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_lsh(emb, EMBED_NEAR_DUP_THRESHOLD)
 
 
 # --------------------------------------------------------------------------

@@ -131,3 +131,30 @@ def test_stratified_sample_fraction_bounds(spark):
     # determinism: same seed, same rows
     again = stratified_sample(docs, "lang", frac)
     assert sorted(r.doc_id for r in out.collect()) == sorted(r.doc_id for r in again.collect())
+
+
+def test_embedding_near_dup_lsh_contained_in_exact(spark):
+    from dimagi_data_platform_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    exact = {(r.id_a, r.id_b): r.cos_sim for r in embedding_near_dup_pairs(emb, 0.3).collect()}
+    approx = {(r.id_a, r.id_b): r.cos_sim for r in embedding_near_dup_lsh(emb, 0.3).collect()}
+    # every LSH pair must be a true near-dup with the EXACT same score
+    # (blocking only prunes candidates; the re-rank is the exact kernel)
+    for k, v in approx.items():
+        assert k in exact and exact[k] == v
+
+    # recall guarantee is for HIGH-similarity pairs (actual near-dups):
+    # plant scaled copies (cosine exactly 1) — they share every bucket
+    planted = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.000001)).alias("embedding"),
+        F.col("label"),
+    )
+    corpus = emb.unionByName(planted)
+    got = {(r.id_a, r.id_b) for r in embedding_near_dup_lsh(corpus, 0.99).collect()}
+    for qid in range(5):
+        assert (qid, qid + 10000) in got
