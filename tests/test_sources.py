@@ -170,3 +170,80 @@ def test_write_sorted_parquet_layout_prunes(spark, tmp_path):
     spans.sort()
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, "file ts ranges must be disjoint for pruning"
+
+
+def _derby_cfg(tmp_path, table):
+    from dimagi_data_platform_spark.sources.jdbc import JdbcConfig
+
+    return JdbcConfig(
+        url=f"jdbc:derby:{tmp_path}/derbydb;create=true",
+        table=table,
+        driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",
+    )
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """Real JDBC integration: Spark -> embedded Derby -> Spark."""
+    from dimagi_data_platform_spark.sources.jdbc import read_jdbc, write_jdbc
+
+    # uppercase identifiers: Spark quotes them on CREATE, and quoted
+    # uppercase equals Derby's resolution of unquoted references, so
+    # predicates/partition columns can be written naturally
+    df = spark.createDataFrame(
+        [(i, f"u{i}", float(i) * 1.5) for i in range(100)],
+        "ID bigint, NAME string, SCORE double",
+    )
+    cfg = _derby_cfg(tmp_path, "USERS")
+    write_jdbc(df, cfg, mode="overwrite")
+
+    back = read_jdbc(spark, cfg)
+    assert back.count() == 100
+    assert {f.name for f in back.schema.fields} == {"ID", "NAME", "SCORE"}
+
+    # partitioned parallel read: 4 connections, disjoint id ranges
+    cfg_p = _derby_cfg(tmp_path, "USERS")
+    cfg_p.num_partitions = 4
+    cfg_p.partition_column = "ID"
+    cfg_p.lower_bound = "0"
+    cfg_p.upper_bound = "100"
+    part = read_jdbc(spark, cfg_p)
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == 100
+
+    # server-side predicate pushdown via dbtable subquery
+    filt = read_jdbc(spark, _derby_cfg(tmp_path, "USERS"), predicate="ID < 10")
+    assert filt.count() == 10
+
+
+def test_jdbc_merge_upsert_executes_on_derby(spark, tmp_path):
+    """merge_sql must be real executable SQL: run it on Derby and
+    verify upsert semantics (update matched, insert new)."""
+    from dimagi_data_platform_spark.sources.jdbc import merge_sql, write_jdbc
+
+    # Spark's JDBC writer quotes identifiers as given; use uppercase so
+    # the generated (unquoted) MERGE references resolve in Derby
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "ID bigint, V double")
+    stage = spark.createDataFrame([(2, 99.0), (3, 30.0)], "ID bigint, V double")
+    cfg_t = _derby_cfg(tmp_path, "TGT")
+    cfg_s = _derby_cfg(tmp_path, "STG")
+    write_jdbc(base, cfg_t, mode="overwrite")
+    write_jdbc(stage, cfg_s, mode="overwrite")
+
+    sql = merge_sql("TGT", "STG", keys=["ID"], columns=["ID", "V"])
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(cfg_t.url)
+    try:
+        st = conn.createStatement()
+        st.executeUpdate(sql)
+        st.close()
+    finally:
+        conn.close()
+
+    got = {
+        r.ID: r.V
+        for r in spark.read.format("jdbc")
+        .options(url=cfg_t.url, dbtable="TGT", driver=cfg_t.driver)
+        .load()
+        .collect()
+    }
+    assert got == {1: 10.0, 2: 99.0, 3: 30.0}
