@@ -941,3 +941,11 @@ SELECT user_id, first_ts, last_ts, n_events, active_days,
   date_diff('microsecond', last_ts, gm) > 604800000000 AS churned
 FROM g, mx
 """
+
+ORACLE["salted_join_enrich"] = """
+WITH u AS (SELECT user_id, COUNT(*) AS n_user_events FROM events GROUP BY 1)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(n_user_events) AS BIGINT) AS sum_user_events
+FROM events JOIN u USING (user_id)
+GROUP BY event_type
+"""

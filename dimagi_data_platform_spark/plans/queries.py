@@ -1421,6 +1421,22 @@ def embedding_near_dup_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_lsh(emb, EMBED_NEAR_DUP_THRESHOLD)
 
 
+@query("salted_join_enrich")
+def salted_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew-join: events (big, hot-user skew) x per-user dim,
+    salt spreads each hot key over 16 reducers. The oracle is the PLAIN
+    join aggregate — proving salting is row-identical, not just fast."""
+    from dimagi_data_platform_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_user_events"))
+    joined = salted_join(ev.select("event_id", "user_id", "event_type"), per_user, "user_id")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("n_user_events").cast("long").alias("sum_user_events"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Remaining TPC-H shapes (q11/q13/q15/q17/q20 analogs on the star schema)
 # --------------------------------------------------------------------------
