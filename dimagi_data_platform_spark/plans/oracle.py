@@ -949,3 +949,10 @@ SELECT event_type, COUNT(*) AS n_events,
 FROM events JOIN u USING (user_id)
 GROUP BY event_type
 """
+
+ORACLE["event_counts_unpivot"] = """
+SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, event_type,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+"""

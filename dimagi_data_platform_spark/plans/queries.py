@@ -1180,6 +1180,21 @@ def hourly_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+@query("event_counts_unpivot")
+def event_counts_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: the hourly pivot matrix back to long form (wide →
+    tall is the other half of the reshaping surface)."""
+    wide = hourly_event_pivot(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        wide.unpivot(
+            "hour", [f"n_{t}" for t in types], "event_type", "n"
+        )
+        .withColumn("event_type", F.expr("substring(event_type, 3)"))
+        .filter(F.col("n").isNotNull())
+    )
+
+
 # --------------------------------------------------------------------------
 # Graph / interval / corpus-prep extensions
 # --------------------------------------------------------------------------
