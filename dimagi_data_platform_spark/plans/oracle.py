@@ -956,3 +956,19 @@ SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, event_type,
 FROM events
 GROUP BY 1, 2
 """
+
+ORACLE["daily_value_gapfill"] = f"""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, {sql_dsum("value")} AS day_value
+  FROM events GROUP BY 1, 2),
+span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+spine AS (
+  SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM span)
+SELECT s.user_id, s.day,
+       d.day_value IS NOT NULL AS observed,
+       LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""

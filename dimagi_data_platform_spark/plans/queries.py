@@ -1195,6 +1195,42 @@ def event_counts_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("daily_value_gapfill")
+def daily_value_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine densify + LOCF: per user, one row for EVERY day in
+    their active span — missing days get the last observed daily total
+    carried forward. sequence+explode builds the spine row-locally per
+    user; the fill is one window pass (last ignoreNulls), so the whole
+    op is a single shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(dsum("value").alias("day_value"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.col("day_value").isNotNull().alias("observed"),
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Graph / interval / corpus-prep extensions
 # --------------------------------------------------------------------------
