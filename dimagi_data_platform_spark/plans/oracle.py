@@ -972,3 +972,24 @@ SELECT s.user_id, s.day,
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
 FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
 """
+
+ORACLE["user_value_trend"] = f"""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, {sql_dsum("value")} AS y
+  FROM events GROUP BY 1, 2),
+d2 AS (
+  SELECT user_id, y,
+         CAST(CAST(epoch_us(day) / 86400000000 AS BIGINT) AS DOUBLE) AS x
+  FROM daily),
+g AS (
+  SELECT user_id, COUNT(*) AS n, {sql_dsum("x")} AS sx, {sql_dsum("y")} AS sy,
+         {sql_qsum("x*x", 0)} AS sxx, {sql_qsum("x*y", 0)} AS sxy
+  FROM d2 GROUP BY 1)
+SELECT user_id, n,
+  (CAST(n AS DOUBLE) * sxy - sx * sy)
+    / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+  (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+         / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE)
+    AS intercept
+FROM g WHERE n >= 2
+"""

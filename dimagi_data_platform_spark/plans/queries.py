@@ -1231,6 +1231,34 @@ def daily_value_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("user_value_trend")
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS per user: slope/intercept of daily value over
+    day index, from exact decimal/quantized sums (same determinism
+    machinery as R37) — distributed regression without MLlib."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(dsum("value").alias("y"))
+    daily = daily.withColumn(
+        "x", (F.unix_micros("day") / F.lit(86_400_000_000)).cast("long").cast("double")
+    )
+    g = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        qsum(F.col("x") * F.col("x"), digits=0).alias("sxx"),
+        qsum(F.col("x") * F.col("y"), digits=0).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return g.filter(F.col("n") >= 2).select(
+        "user_id", "n", slope.alias("slope"), intercept.alias("intercept")
+    )
+
+
 # --------------------------------------------------------------------------
 # Graph / interval / corpus-prep extensions
 # --------------------------------------------------------------------------
