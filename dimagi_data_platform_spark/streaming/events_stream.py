@@ -120,3 +120,11 @@ def run_to_sink(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_enrich(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static join: enrich the event stream with a (slowly
+    changing) dimension. The static side is broadcast per micro-batch —
+    Spark re-resolves it each batch, so a refreshed dim table is picked
+    up without restarting the query."""
+    return events.join(F.broadcast(dim), on, "left")

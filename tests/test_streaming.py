@@ -146,3 +146,23 @@ def test_streaming_dedup_drops_resubmissions(spark, tmp_path):
     ids = [r.event_id for r in got.select("event_id").collect()]
     assert len(ids) == len(set(ids)), "resubmitted ids must be dropped"
     assert set(ids) == {r.event_id for r in rows}, "every unique event kept"
+
+
+def test_streaming_enrich_matches_batch_join(spark, tmp_path):
+    from dimagi_data_platform_spark.streaming.events_stream import streaming_enrich
+
+    in_dir, ev = _dump_events_as_json(spark, tmp_path, n_files=2)
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_total"))
+    stream = read_event_stream(spark, in_dir, fmt="json", max_files=1)
+    out = str(tmp_path / "enrich_out")
+    run_to_sink(
+        streaming_enrich(stream, dim).select("event_id", "user_id", "user_total"),
+        out,
+        str(tmp_path / "enrich_ckpt"),
+    )
+    got = {r.event_id: r.user_total for r in spark.read.parquet(out).collect()}
+    want = {
+        r.event_id: r.user_total
+        for r in ev.join(dim, "user_id").select("event_id", "user_total").collect()
+    }
+    assert got == want
