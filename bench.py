@@ -47,13 +47,16 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up on the smallest SF so per-query numbers measure the plan,
-    # not first-call cost: q1 warms JVM codegen, knn warms the Python
-    # UDF workers + Arrow serde used by the mapInPandas kernels.
+    # Warm-up: run every headline query once at the smallest SF so the
+    # timed numbers measure the data path (scan/shuffle/compute), not
+    # one-time costs — janino codegen compilation of each plan and the
+    # Python-UDF worker fork — which are constant overhead irrelevant
+    # at scale. The warm-up SF is 100x smaller, so warm data volume is
+    # noise next to the measured runs.
     warm = "/root/testdata/sf0.001"
     if os.path.isdir(warm):
-        run(QUERIES["q1_pricing_summary"](spark, warm))
-        run(QUERIES["knn_bruteforce"](spark, warm))
+        for name in HEADLINE:
+            run(QUERIES[name](spark, warm))
 
     times: dict[str, float] = {}
     for name in HEADLINE:
