@@ -3,6 +3,7 @@ incremental watermark protocol, JDBC option/SQL construction."""
 
 from __future__ import annotations
 
+import datetime as dt
 import os
 
 import pytest
@@ -247,3 +248,58 @@ def test_jdbc_merge_upsert_executes_on_derby(spark, tmp_path):
         .collect()
     }
     assert got == {1: 10.0, 2: 99.0, 3: 30.0}
+
+
+def test_incremental_etl_pipeline_end_to_end(spark, tmp_path):
+    """The reference's core loop: incremental pull on a received_on
+    watermark -> latest-wins merge into the warehouse -> re-pull only
+    new data -> warehouse converges to the true latest state."""
+    from dimagi_data_platform_spark.operators.dedup import latest_by_key
+    from dimagi_data_platform_spark.sources.incremental import (
+        WatermarkStore,
+        advance_watermark,
+        incremental_read,
+    )
+
+    src = str(tmp_path / "landing")
+    wh = str(tmp_path / "warehouse")
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+
+    def land(rows):
+        spark.createDataFrame(
+            rows, "form_id long, case_id long, received_on timestamp, v string"
+        ).write.mode("append").parquet(src)
+
+    def pull_and_merge():
+        batch = incremental_read(
+            spark.read.parquet(src), "received_on", store, "forms"
+        )
+        merged = batch
+        if os.path.isdir(wh) and any(f.endswith(".parquet") for f in os.listdir(wh)):
+            merged = spark.read.parquet(wh).unionByName(batch)
+        latest = latest_by_key(merged, ["form_id"], ["received_on", "v"])
+        latest.write.mode("overwrite").parquet(wh + "_next")
+        import shutil
+
+        if os.path.isdir(wh):
+            shutil.rmtree(wh)
+        shutil.move(wh + "_next", wh)
+        advance_watermark(batch, "received_on", store, "forms")
+        return batch.count()
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    land([(1, 10, t0, "a"), (2, 10, t0 + dt.timedelta(hours=1), "b")])
+    assert pull_and_merge() == 2
+
+    # batch 2: resubmission of form 1 (later received_on wins) + new form
+    land([(1, 10, t0 + dt.timedelta(hours=2), "a2"),
+          (3, 11, t0 + dt.timedelta(hours=3), "c")])
+    n2 = pull_and_merge()
+    assert n2 == 2, "watermark must exclude already-pulled rows"
+
+    final = {r.form_id: r.v for r in spark.read.parquet(wh).collect()}
+    assert final == {1: "a2", 2: "b", 3: "c"}
+
+    # idle pull: nothing new
+    assert pull_and_merge() == 0
