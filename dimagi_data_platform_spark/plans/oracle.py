@@ -993,3 +993,25 @@ SELECT user_id, n,
     AS intercept
 FROM g WHERE n >= 2
 """
+
+ORACLE["case_visits"] = f"""
+WITH e AS (
+  SELECT *, CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS case_id
+  FROM events),
+x AS (
+  SELECT user_id, case_id, ts, event_id, value,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id, case_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id, case_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS visit_id
+  FROM x)
+SELECT user_id, case_id, visit_id, COUNT(*) AS n_forms,
+       MIN(ts) AS visit_start, MAX(ts) AS visit_end,
+       {sql_dsum("value")} AS total_value
+FROM s GROUP BY 1, 2, 3
+"""

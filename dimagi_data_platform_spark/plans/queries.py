@@ -1259,6 +1259,28 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("case_visits")
+def case_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-exact visit semantics: sessionize per (user, CASE) —
+    forms against the same case cluster — not just per user. The case
+    id is the extracted form property; one shuffle on the composite
+    key."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "case_id", F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    )
+    w = Window.partitionBy("user_id", "case_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    is_new = (F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000)).cast("int")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = ev.withColumn("visit_id", F.sum(is_new).over(w_run).cast("long"))
+    return s.groupBy("user_id", "case_id", "visit_id").agg(
+        F.count(F.lit(1)).alias("n_forms"),
+        F.min("ts").alias("visit_start"),
+        F.max("ts").alias("visit_end"),
+        dsum("value").alias("total_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Graph / interval / corpus-prep extensions
 # --------------------------------------------------------------------------
