@@ -1015,3 +1015,17 @@ SELECT user_id, case_id, visit_id, COUNT(*) AS n_forms,
        {sql_dsum("value")} AS total_value
 FROM s GROUP BY 1, 2, 3
 """
+
+ORACLE["daily_click_purchase_reconcile"] = """
+WITH c AS (
+  SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT user_id) AS click_users
+  FROM events WHERE event_type = 'click' GROUP BY 1),
+p AS (
+  SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT user_id) AS purchase_users
+  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT COALESCE(c.day, p.day) AS day,
+       COALESCE(click_users, 0) AS click_users,
+       COALESCE(purchase_users, 0) AS purchase_users,
+       c.day IS NULL OR p.day IS NULL AS one_sided
+FROM c FULL OUTER JOIN p ON c.day = p.day
+"""

@@ -1281,6 +1281,31 @@ def case_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("daily_click_purchase_reconcile")
+def daily_click_purchase_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join reconciliation: daily click users vs purchase
+    users — days present on either side survive with null-safe counts
+    (the missing-feed detection shape)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("click_users"))
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("purchase_users"))
+    )
+    j = clicks.join(buys, "day", "full_outer")
+    return j.select(
+        "day",
+        F.coalesce("click_users", F.lit(0)).alias("click_users"),
+        F.coalesce("purchase_users", F.lit(0)).alias("purchase_users"),
+        (F.col("click_users").isNull() | F.col("purchase_users").isNull()).alias("one_sided"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Graph / interval / corpus-prep extensions
 # --------------------------------------------------------------------------
