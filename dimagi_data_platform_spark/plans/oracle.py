@@ -1029,3 +1029,14 @@ SELECT COALESCE(c.day, p.day) AS day,
        c.day IS NULL OR p.day IS NULL AS one_sided
 FROM c FULL OUTER JOIN p ON c.day = p.day
 """
+
+ORACLE["corpus_top_terms"] = r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents)
+SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS doc_freq
+FROM toks
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 25
+"""

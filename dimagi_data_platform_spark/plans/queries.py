@@ -1306,6 +1306,25 @@ def daily_click_purchase_reconcile(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query("corpus_top_terms")
+def corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: top-25 tokens by document frequency and raw
+    count (explode → two-level aggregate; the shuffle key is the token,
+    map-side partial agg absorbs the Zipf head before it moves)."""
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(par)
+        .withColumn("_toks", tokens("text"))
+        .select("doc_id", F.explode("_toks").alias("token"))
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    return counts.orderBy(F.desc("n_occurrences"), "token").limit(25)
+
+
 # --------------------------------------------------------------------------
 # Graph / interval / corpus-prep extensions
 # --------------------------------------------------------------------------
