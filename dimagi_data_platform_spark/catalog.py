@@ -48,6 +48,10 @@ NANO_TS_COLS = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Set at read time (idempotent, runtime-settable) so externally-built
+    # sessions — e.g. the correctness driver's vanilla SparkSession — can
+    # read TIMESTAMP(NANOS) parquet too, not just session.get_spark().
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in NANO_TS_COLS.get(name, ()):
         if c in df.columns and isinstance(df.schema[c].dataType, LongType):

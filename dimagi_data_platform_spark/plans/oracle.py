@@ -94,7 +94,8 @@ LIMIT 20
 ORACLE["customers_without_orders"] = """
 SELECT c_custkey, c_name, c_acctbal
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 """
 
 ORACLE["repeat_buyers_intersect"] = """
@@ -488,13 +489,13 @@ JOIN customer ON c_custkey = o_custkey
 JOIN supplier ON s_suppkey = l_suppkey
 JOIN nation n1 ON n1.n_nationkey = s_nationkey
 JOIN nation n2 ON n2.n_nationkey = c_nationkey
-WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-   OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+WHERE (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+   OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9')
 GROUP BY 1, 2, 3
 """
 
 _BRAZIL_REV = (
-    "CASE WHEN n2.n_name = 'BRAZIL' THEN l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) "
+    "CASE WHEN n2.n_name = 'NATION_6' THEN l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) "
     "ELSE CAST(0.0 AS DOUBLE) END"
 )
 ORACLE["q8_market_share"] = f"""
