@@ -188,38 +188,78 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = DEFAULT_DIM,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine >= threshold (exact).
 
-    O(n²/2) blocked compare: one side is broadcast as a dense matrix,
-    the other streams through an Arrow-batched numpy kernel (same
-    broadcast-one-side posture as the BNLJ it replaces, ~10x faster).
-    Correct baseline only — the LSH bucketing above is the 100 TB path
-    (bucket first, compare within buckets; no full-table broadcast).
+    Distributed block-pair compare — no driver-side collect anywhere:
+    rows hash into ``n_blocks`` blocks; each row is replicated to the
+    B block-pair groups containing its block (shuffle volume n*B); each
+    group compares block-i rows against block-j rows with the
+    fold-ordered Arrow kernel. Every unordered pair lands in exactly
+    one group, so the result is exact and duplicate-free while total
+    compare work stays O(n²/2) spread over B(B+1)/2 independent tasks.
+
+    Sizing at scale: max group holds ~2n/B rows, so pick
+    B ≈ 2n·dim·8 / executor_budget_bytes to bound per-task memory
+    (B=8 suits the test SFs; a 10⁹-row table wants B in the thousands
+    — or the LSH path below, which prunes candidates instead of
+    partitioning the full O(n²) work).
     """
     spark = items.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    b_pdf = items.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")).toPandas()
-    B = _matrix(b_pdf["vec_b"])
-    bc = spark.sparkContext.broadcast((b_pdf["id_b"].to_numpy(), B, _fold_norms(B)))
+    pair_rows = [
+        (i * n_blocks + j, i, j)
+        for i in range(n_blocks)
+        for j in range(n_blocks)
+        if i <= j
+    ]
+    pairs = F.broadcast(
+        spark.createDataFrame(pair_rows, "pair_id int, bi int, bj int")
+    )
+    t = items.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        (F.crc32(F.col(id_col).cast("string")) % n_blocks).cast("int").alias("blk"),
+    )
+    rep = t.join(pairs, (t.blk == pairs.bi) | (t.blk == pairs.bj))
 
-    def score(batches):
-        b_ids, Bm, b_norms = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = _matrix(pdf[vec_col])
-            a_ids = pdf[id_col].to_numpy()
-            cos = _fold_cosine(A, Bm, b_norms)
-            ai, bi = np.nonzero((a_ids[:, None] < b_ids[None, :]) & (cos >= threshold))
-            yield pd.DataFrame(
-                {"id_a": a_ids[ai], "id_b": b_ids[bi], "cos_sim": cos[ai, bi]}
-            )
+    def compare(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        left = pdf[pdf["blk"] == bi]
+        A = _matrix(left["vec"])
+        a_ids = left["id"].to_numpy()
+        if bi == bj:
+            B, b_ids = A, a_ids
+        else:
+            right = pdf[pdf["blk"] == bj]
+            if not len(right):
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+            B = _matrix(right["vec"])
+            b_ids = right["id"].to_numpy()
+        # cell values are independent of grouping and a*b == b*a exactly
+        # in IEEE754, so scores are bitwise-equal to the single-matrix
+        # kernel regardless of which side of the pair lands in A
+        cos = _fold_cosine(A, B, _fold_norms(B))
+        if bi == bj:
+            # same block on both sides: triangular mask, else every
+            # unordered pair appears at cells [x,y] AND [y,x]
+            valid = a_ids[:, None] < b_ids[None, :]
+        else:
+            valid = np.ones_like(cos, dtype=bool)  # blocks are disjoint
+        lo = np.minimum(a_ids[:, None], b_ids[None, :])
+        hi = np.maximum(a_ids[:, None], b_ids[None, :])
+        ai, bix = np.nonzero(valid & (cos >= threshold))
+        return pd.DataFrame(
+            {"id_a": lo[ai, bix], "id_b": hi[ai, bix], "cos_sim": cos[ai, bix]}
+        )
 
-    # streamed side must be repartitioned: one parquet split would run
-    # the whole O(n²) loop in a single task
-    return items.repartition(par).mapInPandas(
-        score, schema="id_a long, id_b long, cos_sim double"
+    return (
+        rep.groupBy("pair_id")
+        .applyInPandas(
+            lambda _, pdf: compare(pdf), schema="id_a long, id_b long, cos_sim double"
+        )
     )
 
 
@@ -282,7 +322,22 @@ def knn_ivf(
 
     schema = f"{id_col} long, {vec_col} array<float>, list_id long"
     assigned = items.repartition(par).mapInPandas(assign, schema=schema)
+    return _ivf_score(assigned, C, queries, k, id_col, vec_col, nprobe)
 
+
+def _ivf_score(
+    assigned: DataFrame,
+    C: np.ndarray,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+) -> DataFrame:
+    """Probe + exact re-rank against a list-assigned item table (shared
+    by the inline index in :func:`knn_ivf` and the persisted index in
+    :func:`knn_ivf_from_index`)."""
+    spark = assigned.sparkSession
     q_pdf = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     ).toPandas()
@@ -293,6 +348,13 @@ def knn_ivf(
         (q_pdf["q_id"].to_numpy(), Q, _fold_norms(Q), probes)
     )
 
+    # Plan-level prune FIRST: only lists probed by some query reach the
+    # kernel at all (with a partitioned-by-list_id stored index this is
+    # partition pruning; here it's a codegen'd filter before the Arrow
+    # exchange). This is where IVF's n*nprobe/nlist saving comes from.
+    probe_union = sorted({int(p) for p in probes.ravel()})
+    pruned = assigned.filter(F.col("list_id").isin(probe_union))
+
     def score(batches):
         q_ids, Qm, q_norms, probe_lists = bc_q.value
         for pdf in batches:
@@ -301,25 +363,96 @@ def knn_ivf(
             X = _matrix(pdf[vec_col])
             ids = pdf[id_col].to_numpy()
             lists = pdf["list_id"].to_numpy()
-            cos = _fold_cosine(Qm, X, _fold_norms(X))
-            kk = min(k, cos.shape[1])
+            norms = _fold_norms(X)
             for qi in range(len(q_ids)):
+                # per-query prune BEFORE the cosine kernel: only this
+                # query's probed lists are scored (cell values are
+                # row-independent, so subsetting is bitwise-identical)
                 mask = np.isin(lists, probe_lists[qi]) & (ids != q_ids[qi])
-                sims, cands = cos[qi][mask], ids[mask]
-                if not len(sims):
+                if not mask.any():
                     continue
-                top = np.lexsort((cands, -sims))[:kk]
+                cos = _fold_cosine(Qm[qi : qi + 1], X[mask], norms[mask])[0]
+                cands = ids[mask]
+                top = np.lexsort((cands, -cos))[: min(k, len(cands))]
                 yield pd.DataFrame(
-                    {"q_id": q_ids[qi], "neighbor_id": cands[top], "cos_sim": sims[top]}
+                    {"q_id": q_ids[qi], "neighbor_id": cands[top], "cos_sim": cos[top]}
                 )
 
-    scored = assigned.mapInPandas(score, schema="q_id long, neighbor_id long, cos_sim double")
+    scored = pruned.mapInPandas(score, schema="q_id long, neighbor_id long, cos_sim double")
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def build_ivf_index(
+    items: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    sample_rows: int = 4096,
+    seed: int = 7,
+) -> None:
+    """Train + assign ONCE, persist partitioned by list id.
+
+    Writes ``<path>/items`` (parquet, ``partitionBy(list_id)``) and
+    ``<path>/centroids``. Queries served from the index skip the
+    assignment pass entirely, and the probe filter becomes real
+    partition pruning — the scan only opens the ~nprobe/nlist fraction
+    of files it needs. This is the write-once/query-many posture for a
+    100 TB corpus (index build is one full pass; every query batch
+    after that touches only probed partitions).
+    """
+    spark = items.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    sample = items.select(vec_col).limit(sample_rows).toPandas()
+    C = _kmeans_centroids(_matrix(sample[vec_col]), nlist, seed=seed)
+    bc_c = spark.sparkContext.broadcast(C)
+
+    def assign(batches):
+        Cm = bc_c.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _matrix(pdf[vec_col])
+            d2 = ((X[:, None, :] - Cm[None, :, :]) ** 2).sum(axis=2)
+            out = pdf[[id_col, vec_col]].copy()
+            out["list_id"] = d2.argmin(axis=1).astype("int64")
+            yield out
+
+    schema = f"{id_col} long, {vec_col} array<float>, list_id long"
+    assigned = items.repartition(par).mapInPandas(assign, schema=schema)
+    assigned.write.partitionBy("list_id").mode("overwrite").parquet(f"{path}/items")
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(C)],
+        "list_id long, centroid array<double>",
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def knn_ivf_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Serve ANN queries from a persisted :func:`build_ivf_index`.
+
+    The ``list_id`` probe filter lands on the partition column, so
+    Spark prunes unprobed partitions at planning time (verify with
+    ``.explain``: the scan's partitionFilters carry the IN list)."""
+    cent = (
+        spark.read.parquet(f"{path}/centroids").orderBy("list_id").toPandas()
+    )
+    C = np.stack([np.asarray(v, dtype=np.float64) for v in cent["centroid"]])
+    assigned = spark.read.parquet(f"{path}/items")
+    return _ivf_score(assigned, C, queries, k, id_col, vec_col, nprobe)
 
 
 def embedding_near_dup_lsh(

@@ -158,3 +158,24 @@ def test_embedding_near_dup_lsh_contained_in_exact(spark):
     got = {(r.id_a, r.id_b) for r in embedding_near_dup_lsh(corpus, 0.99).collect()}
     for qid in range(5):
         assert (qid, qid + 10000) in got
+
+
+def test_ivf_index_roundtrip(spark, tmp_path):
+    """Persisted IVF index serves the same results as the inline path,
+    and the probe filter lands on the partition column (pruned scan)."""
+    from dimagi_data_platform_spark.operators.similarity import (
+        build_ivf_index,
+        knn_ivf,
+        knn_ivf_from_index,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, path, nlist=16)
+
+    inline = knn_ivf(emb, queries, k=5, nlist=16, nprobe=4).collect()
+    served = knn_ivf_from_index(spark, path, queries, k=5, nprobe=4)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "list_id" in plan and "PartitionFilters" in plan
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, inline))
