@@ -116,3 +116,37 @@ def test_interval_join_equals_naive_join_on_random_data(spark):
     )
     want = sorted((r.event_id, r.session_id) for r in naive.collect())
     assert got == want
+
+
+def test_cc_star_long_chain_logarithmic_rounds(spark):
+    """large-star/small-star converges in O(log n) rounds on a 10^4-node
+    chain — the adversarial case where label propagation needs O(n)."""
+    import math
+
+    from dimagi_data_platform_spark.operators.components import _star_components
+
+    n = 10_000
+    edges = spark.range(n).select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    verts = spark.range(n + 1).select("id")
+    labels, rounds = _star_components(verts, edges, "id", "src", "dst", 60)
+    assert rounds <= 2 * math.log2(n)
+    comps = [r[0] for r in labels.select("component").distinct().collect()]
+    assert comps == [0]
+
+
+def test_cc_star_matches_propagate_on_random_graph(spark):
+    import random
+
+    random.seed(7)
+    n, m = 400, 300
+    edges = spark.createDataFrame(
+        [(random.randrange(n), random.randrange(n)) for _ in range(m)],
+        "src long, dst long",
+    )
+    verts = spark.range(n)
+    a = {(r.id, r.component) for r in connected_components(verts, edges).collect()}
+    b = {
+        (r.id, r.component)
+        for r in connected_components(verts, edges, algorithm="star").collect()
+    }
+    assert a == b
