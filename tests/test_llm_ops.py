@@ -179,3 +179,22 @@ def test_ivf_index_roundtrip(spark, tmp_path):
     plan = served._jdf.queryExecution().executedPlan().toString()
     assert "list_id" in plan and "PartitionFilters" in plan
     assert sorted(map(tuple, served.collect())) == sorted(map(tuple, inline))
+
+
+def test_ngram_shingle_df_cap_bounds_group_size(spark):
+    """A stopword-shingle shared by every doc must not generate O(n²)
+    pairs: docs whose only overlap is a hot (df > MAX_SHINGLE_DF)
+    shingle don't pair at all."""
+    from dimagi_data_platform_spark.plans.queries import MAX_SHINGLE_DF
+
+    hot = "the common header line"  # 4 tokens -> 2 shared 3-gram shingles
+    n = MAX_SHINGLE_DF + 25
+    rows = [(i, f"{hot} unique tail {i} alpha beta gamma delta") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        from dimagi_data_platform_spark.plans.queries import ngram_jaccard_pairs
+
+        assert ngram_jaccard_pairs(spark, d).count() == 0
