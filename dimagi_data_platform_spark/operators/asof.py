@@ -23,23 +23,35 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     carry: list[str],
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """Enrich ``left`` with the most recent earlier ``right`` row.
 
     ``carry`` columns must not collide with left's columns; carried
     values are NULL when no earlier right row exists.
+
+    ``right_tiebreak`` names a right-side column that totally orders
+    right rows sharing (by, ts) — without it, which duplicate-timestamp
+    row is carried depends on partition order. The greatest tiebreak
+    value wins (it sorts last under the carry-forward window).
     """
     lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
-    rt = (
-        right.select(*by, F.col(right_ts).alias("__ts"), *carry)
-        .withColumn("__side", F.lit(0))
-    )
+    rt_cols = [*by, F.col(right_ts).alias("__ts"), *carry]
+    if right_tiebreak is not None:
+        rt_cols.append(F.col(right_tiebreak).alias("__tie"))
+    rt = right.select(*rt_cols).withColumn("__side", F.lit(0))
     merged = lt.unionByName(rt, allowMissingColumns=True)
+    order = ["__ts", "__side"]
+    if right_tiebreak is not None:
+        # left rows carry NULL __tie; they only tie among themselves
+        # (same __side), where __tie is constant-NULL, so the ordering
+        # of right rows is total and left rows are unaffected
+        order.append("__tie")
     w = (
         Window.partitionBy(*by)
-        .orderBy("__ts", "__side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     for c in carry:
         merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return merged.filter(F.col("__side") == 1).drop("__ts", "__side")
+    return merged.filter(F.col("__side") == 1).drop("__ts", "__side", "__tie")

@@ -16,6 +16,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+SALTED_JOIN_HOWS = ("inner", "left", "left_outer", "left_semi", "left_anti")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -27,7 +30,16 @@ def salted_join(
 
     The salt is derived from a deterministic hash of the big side's
     full row (stable across retries — no rand()).
+
+    ``how`` is restricted to big-side-preserving variants
+    (inner/left/left_semi/left_anti): with ``right`` or ``full``, every
+    unmatched small-side row would surface once per salt replica.
     """
+    if how not in SALTED_JOIN_HOWS:
+        raise ValueError(
+            f"salted_join supports {SALTED_JOIN_HOWS}, got {how!r}: "
+            "right/full would emit unmatched small-side rows n_salts times"
+        )
     big_cols = [c for c in big.columns]
     salted_big = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big_cols]), F.lit(n_salts))

@@ -521,7 +521,7 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("purchase_ts"),
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("ts").alias("last_click_ts")
+        "user_id", "ts", F.col("ts").alias("last_click_ts"), "event_id"
     )
     return asof_join(
         purchases,
@@ -530,6 +530,7 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="purchase_ts",
         right_ts="ts",
         carry=["last_click_ts"],
+        right_tiebreak="event_id",
     ).select("purchase_id", "user_id", "purchase_ts", "last_click_ts")
 
 

@@ -18,9 +18,23 @@ option/SQL-construction unit tests; the call surface is standard
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Identifiers (tables, columns) are interpolated into SQL; restrict to
+# plain [schema.]name form so a crafted value can't smuggle SQL in. The
+# ``predicate`` string remains free-form by design (that's the pushdown
+# surface) — it is the CALLER's obligation that predicates come from
+# trusted code, never from end-user input.
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?$")
+
+
+def _check_ident(name: str, what: str) -> str:
+    if not _IDENT_RE.match(name):
+        raise ValueError(f"unsafe SQL {what}: {name!r}")
+    return name
 
 
 @dataclass
@@ -47,6 +61,7 @@ def reader_options(cfg: JdbcConfig, predicate: str | None = None) -> dict[str, s
     """
     table = cfg.table
     if predicate:
+        _check_ident(cfg.table, "table name")
         table = f"(SELECT * FROM {cfg.table} WHERE {predicate}) AS src"
     opts = {
         "url": cfg.url,
@@ -111,9 +126,15 @@ def merge_sql(
     target: str, staging: str, keys: list[str], columns: list[str]
 ) -> str:
     """ANSI MERGE upsert from a staging table (write_jdbc the staging
-    table first, then execute this server-side)."""
+    table first, then execute this server-side). Table and column
+    identifiers are validated against a safe pattern before
+    interpolation."""
     if not keys:
         raise ValueError("upsert needs at least one key column")
+    _check_ident(target, "table name")
+    _check_ident(staging, "table name")
+    for c in [*keys, *columns]:
+        _check_ident(c, "column name")
     on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
     non_keys = [c for c in columns if c not in keys]
     set_clause = ", ".join(f"{c} = s.{c}" for c in non_keys)

@@ -107,10 +107,18 @@ def streaming_dedup(
 def run_to_sink(
     stream_df: DataFrame, out_path: str, checkpoint: str, mode: str = "append"
 ) -> None:
-    """Drain all available input into parquet, then stop (availableNow)."""
+    """Drain all available input into parquet, then stop (availableNow).
+
+    Exactly-once to the sink: each micro-batch overwrites its own
+    ``batch_id=<n>`` subdirectory, so a batch that retries after writing
+    but before the checkpoint commit replaces its earlier partial
+    output instead of appending a duplicate. Read the sink with
+    ``spark.read.parquet(out_path)`` — ``batch_id`` surfaces as a
+    partition column and is droppable.
+    """
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_path)
+        batch_df.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
 
     (
         stream_df.writeStream.outputMode(mode)

@@ -99,3 +99,18 @@ def test_interval_join_is_equi_join(spark):
     plan = plan_str(spark, "event_session_assign")
     assert "HashJoin" in plan
     assert "NestedLoop" not in plan
+
+
+def test_salted_join_rejects_small_side_preserving_how(spark):
+    import pytest
+
+    from dimagi_data_platform_spark.operators.skew import salted_join
+
+    from pyspark.sql import functions as F
+
+    big = spark.range(10).select(F.col("id").alias("k"))
+    small = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="right/full"):
+        salted_join(big, small, "k", how="right")
+    with pytest.raises(ValueError, match="right/full"):
+        salted_join(big, small, "k", how="full")

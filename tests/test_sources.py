@@ -303,3 +303,12 @@ def test_incremental_etl_pipeline_end_to_end(spark, tmp_path):
 
     # idle pull: nothing new
     assert pull_and_merge() == 0
+
+
+def test_merge_sql_rejects_unsafe_identifiers():
+    import pytest
+
+    with pytest.raises(ValueError, match="unsafe"):
+        merge_sql("tgt; DROP TABLE x", "stg", ["id"], ["id", "v"])
+    with pytest.raises(ValueError, match="unsafe"):
+        merge_sql("tgt", "stg", ["id"], ["id", "v = 0 WHERE 1=1 --"])

@@ -166,3 +166,14 @@ def test_streaming_enrich_matches_batch_join(spark, tmp_path):
         for r in ev.join(dim, "user_id").select("event_id", "user_total").collect()
     }
     assert got == want
+
+
+def test_run_to_sink_batch_replay_is_idempotent(spark, tmp_path):
+    """Re-writing a batch id overwrites its own output instead of
+    appending a duplicate (the foreachBatch retry contract)."""
+    df = spark.range(5).select(F.col("id").cast("long").alias("id"))
+    out = str(tmp_path / "sink_out")
+    # simulate the foreachBatch body running twice for the same batch
+    df.write.mode("overwrite").parquet(f"{out}/batch_id=0")
+    df.write.mode("overwrite").parquet(f"{out}/batch_id=0")
+    assert spark.read.parquet(out).count() == 5
