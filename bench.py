@@ -34,11 +34,25 @@ HEADLINE = [
     "minhash_lsh_dedup",
     "knn_bruteforce",
     "embedding_near_dup",
+    # per-family breadth: dedup variants, composite pipeline, ANN index
+    # path, pairs->clusters graph stage
+    "simhash_dedup",
+    "corpus_prep",
+    "knn_ivf",
+    "near_dup_components",
 ]
 
 
 def run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def release_checkpoints(spark) -> None:
+    """Free localCheckpoint blocks left by materializing queries —
+    each timed query should pay its own memory, not inherit block-
+    manager pressure from earlier ones."""
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
 
 
 def main() -> None:
@@ -57,12 +71,14 @@ def main() -> None:
     if os.path.isdir(warm):
         for name in HEADLINE:
             run(QUERIES[name](spark, warm))
+            release_checkpoints(spark)
 
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         run(QUERIES[name](spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 3)
+        release_checkpoints(spark)
 
     out = {
         "metric": "headline_queries_total",

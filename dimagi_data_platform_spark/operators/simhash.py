@@ -58,8 +58,14 @@ def simhash_near_dup_pairs(
     """
     assert n_chunks >= max_hamming + 1, "pigeonhole needs d+1 chunks"
     fps = simhash_fingerprints(docs, id_col, text_col)
-    width = N_BITS // n_chunks
-    mask = (1 << width) - 1
+    # Use ALL 64 bits across n_chunks (uneven widths when 64 % n_chunks
+    # != 0): wider chunks mean 2^w fewer random collisions per chunk
+    # index, so the caller should pass n_chunks = max_hamming + 1
+    # exactly — recall is already guaranteed at d+1 chunks and every
+    # extra chunk only adds candidate volume.
+    base, rem = divmod(N_BITS, n_chunks)
+    widths = [base + 1 if i < rem else base for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     chunks = fps.select(
         F.col(id_col),
         "fingerprint",
@@ -68,8 +74,8 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("ci"),
-                        F.shiftrightunsigned("fingerprint", i * width)
-                        .bitwiseAND(F.lit(mask))
+                        F.shiftrightunsigned("fingerprint", offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
                         .alias("cv"),
                     )
                     for i in range(n_chunks)
@@ -81,11 +87,16 @@ def simhash_near_dup_pairs(
     a = chunks.select(F.col(id_col).alias("id_a"), F.col("fingerprint").alias("fp_a"), "ci", "cv")
     b = chunks.select(F.col(id_col).alias("id_b"), F.col("fingerprint").alias("fp_b"), "ci", "cv")
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    # Order matters at scale: the hamming check is codegen'd bit math,
+    # so it runs DURING the chunk join's probe — candidates that fail
+    # it never reach the dropDuplicates shuffle. (With w-bit chunks,
+    # random fingerprints collide on ~n²·2^-w pairs per chunk index;
+    # deduping before filtering would shuffle all of them.)
     return (
         a.join(b, ["ci", "cv"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )

@@ -357,6 +357,14 @@ def _ivf_score(
 
     def score(batches):
         q_ids, Qm, q_norms, probe_lists = bc_q.value
+        # invert probes: list id -> indices of queries probing it, so
+        # each batch runs at most nlist kernel calls (queries probing
+        # the same list share one vectorized call) — per-query calls
+        # would pay numpy dispatch per query instead
+        probing: dict[int, list[int]] = {}
+        for qi, pl in enumerate(probe_lists):
+            for li in pl:
+                probing.setdefault(int(li), []).append(qi)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -364,19 +372,30 @@ def _ivf_score(
             ids = pdf[id_col].to_numpy()
             lists = pdf["list_id"].to_numpy()
             norms = _fold_norms(X)
-            for qi in range(len(q_ids)):
-                # per-query prune BEFORE the cosine kernel: only this
-                # query's probed lists are scored (cell values are
-                # row-independent, so subsetting is bitwise-identical)
-                mask = np.isin(lists, probe_lists[qi]) & (ids != q_ids[qi])
-                if not mask.any():
+            for li in np.unique(lists):
+                qis = probing.get(int(li))
+                if not qis:
                     continue
-                cos = _fold_cosine(Qm[qi : qi + 1], X[mask], norms[mask])[0]
-                cands = ids[mask]
-                top = np.lexsort((cands, -cos))[: min(k, len(cands))]
-                yield pd.DataFrame(
-                    {"q_id": q_ids[qi], "neighbor_id": cands[top], "cos_sim": cos[top]}
-                )
+                rmask = lists == li
+                Xs, ids_s, norms_s = X[rmask], ids[rmask], norms[rmask]
+                # cell values are row-independent: scoring a list's
+                # rows alone is bitwise-identical to the full kernel
+                cos = _fold_cosine(Qm[qis], Xs, norms_s)
+                for row_i, qi in enumerate(qis):
+                    not_self = ids_s != q_ids[qi]
+                    sims, cands = cos[row_i][not_self], ids_s[not_self]
+                    if not len(sims):
+                        continue
+                    # top-k per (query, list, batch) is lossless: the
+                    # global winner must win its own list slice
+                    top = np.lexsort((cands, -sims))[: min(k, len(sims))]
+                    yield pd.DataFrame(
+                        {
+                            "q_id": q_ids[qi],
+                            "neighbor_id": cands[top],
+                            "cos_sim": sims[top],
+                        }
+                    )
 
     scored = pruned.mapInPandas(score, schema="q_id long, neighbor_id long, cos_sim double")
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))

@@ -744,9 +744,11 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("simhash_dedup")
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3: SimHash Hamming<=6 near-dup pairs (rows-only check)."""
+    """L3: SimHash Hamming<=6 near-dup pairs (rows-only check).
+    n_chunks = d+1 exactly: minimum chunks for exact recall, widest
+    chunks (9-10 bits) for fewest random-collision candidates."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, max_hamming=6, n_chunks=8)
+    return simhash_near_dup_pairs(docs, max_hamming=6, n_chunks=7)
 
 
 @query("knn_ivf")
@@ -1144,22 +1146,18 @@ def customer_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("user_first_last_event")
 def user_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """first_value/last_value over full-partition frames per user."""
+    """First/last event per user (oracle states it as first_value/
+    last_value over full-partition frames; here it's min_by/max_by over
+    a (ts, event_id) ordering struct — one shuffle WITH map-side
+    partial aggregation, vs four window functions + distinct over the
+    whole fact, same answer)."""
     ev = _t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return (
-        ev.select(
-            "user_id",
-            F.first("event_type").over(w).alias("first_type"),
-            F.last("event_type").over(w).alias("last_type"),
-            F.first("ts").over(w).alias("first_ts"),
-            F.last("ts").over(w).alias("last_ts"),
-        )
-        .distinct()
+    key = F.struct("ts", "event_id")
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", key).alias("first_type"),
+        F.max_by("event_type", key).alias("last_type"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
     )
 
 
