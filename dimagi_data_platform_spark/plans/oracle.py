@@ -745,6 +745,75 @@ SELECT doc_id, component,
 FROM comp
 """
 
+ORACLE["tfidf_top_terms"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+tok AS (SELECT doc_id, u.term FROM toks, UNNEST(t) AS u(term)),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         CAST(tf AS DOUBLE) *
+           ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+            / (CAST(df AS DOUBLE) + 0.5)) AS tfidf
+  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term)
+            AS BIGINT) AS rk
+  FROM scored)
+SELECT doc_id, term, tf, df, tfidf, rk FROM r WHERE rk <= 3
+"""
+
+ORACLE["doc_decontaminate"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+sh5 AS (
+  SELECT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+  WHERE len(t) >= 5),
+bench AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id % 97 = 0),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM sh5
+  WHERE doc_id % 97 <> 0 AND shingle IN (SELECT shingle FROM bench))
+SELECT doc_id FROM documents
+WHERE doc_id % 97 <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+ORACLE["doc_repetition"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+g AS (SELECT doc_id, CAST(GREATEST(len(t) - 2, 0) AS BIGINT) AS n_grams FROM toks),
+d AS (
+  SELECT doc_id,
+         CAST(COUNT(DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS BIGINT) AS n_distinct
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+  GROUP BY 1)
+SELECT g.doc_id, n_grams, n_distinct,
+       1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE) AS rep_ratio
+FROM g JOIN d USING (doc_id)
+WHERE n_grams > 0
+"""
+
+ORACLE["near_dup_train_test_split"] = f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTES},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs),
+reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.id = e.b),
+comp AS (SELECT id AS doc_id, MIN(label) AS component FROM reach GROUP BY id)
+SELECT doc_id, component,
+       CASE WHEN component % 10 < 8 THEN 'train' ELSE 'holdout' END AS split
+FROM comp
+"""
+
 ORACLE["event_session_assign"] = """
 WITH x AS (
   SELECT user_id, ts, event_id,

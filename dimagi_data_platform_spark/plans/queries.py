@@ -1726,6 +1726,120 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Training-corpus analytics (L20-L23): salience, decontamination,
+# repetition signals, leakage-safe splits
+# --------------------------------------------------------------------------
+
+
+@query("tfidf_top_terms")
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L20: per-doc top-3 salient terms by tf-idf.
+
+    idf is the rational BM25 form (N - df + 0.5)/(df + 0.5) — only
+    IEEE-exact +,-,*,/ on integer-derived doubles, no ln/log, so the
+    scores are bitwise-reproducible across engines (the oracle gate
+    compares floats exactly).
+
+    Scale: tf is one shuffle on (doc_id, term) with map-side combine;
+    df one shuffle on term over the already-aggregated tf table; the
+    corpus size N is a broadcast single-row join, not a collect.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    tok = (
+        docs.repartition(par)
+        .withColumn("_toks", tokens("text"))
+        .select("doc_id", F.explode("_toks").alias("term"))
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (
+        F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .withColumn("tfidf", F.col("tf").cast("double") * idf)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )
+
+
+@query("doc_decontaminate")
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L21: benchmark decontamination — drop training docs sharing any
+    word 5-gram with the eval set (deterministic stand-in:
+    doc_id % 97 == 0). The eval shingle set is tiny relative to the
+    corpus, so it broadcasts; the training side is a scan + left_semi
+    probe + anti join — no all-pairs work anywhere.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    is_bench = F.col("doc_id") % 97 == 0
+    bench_sh = (
+        docs.filter(is_bench)
+        .withColumn("_toks", tokens("text"))
+        .select(F.explode(shingles_from_tokens("_toks", 5)).alias("shingle"))
+        .distinct()
+    )
+    train = docs.filter(~is_bench)
+    tr_sh = (
+        train.repartition(par)
+        .withColumn("_toks", tokens("text"))
+        .select("doc_id", F.explode(shingles_from_tokens("_toks", 5)).alias("shingle"))
+    )
+    contaminated = (
+        tr_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return train.join(contaminated, "doc_id", "left_anti").select("doc_id")
+
+
+@query("doc_repetition")
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L22: repetition signal (Gopher-style quality filter) — fraction
+    of repeated word 3-grams per doc. Entirely scan-local array math
+    (no explode, no shuffle): total grams from the token count,
+    distinct grams from the deduped shingle array."""
+    docs = _t(spark, sf_dir, "documents").withColumn("_toks", tokens("text"))
+    n_grams = F.greatest(F.size("_toks") - F.lit(2), F.lit(0)).cast("long")
+    n_distinct = F.size(shingles_from_tokens("_toks", 3)).cast("long")
+    return (
+        docs.select(
+            "doc_id", n_grams.alias("n_grams"), n_distinct.alias("n_distinct")
+        )
+        .filter(F.col("n_grams") > 0)
+        .withColumn(
+            "rep_ratio",
+            F.lit(1.0)
+            - F.col("n_distinct").cast("double") / F.col("n_grams").cast("double"),
+        )
+    )
+
+
+@query("near_dup_train_test_split")
+def near_dup_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L23: leakage-safe train/holdout split — the fold is a function
+    of the near-dup COMPONENT label, not the doc id, so an eval doc can
+    never be a near-duplicate of a training doc. ~80/20 via
+    component % 10 (deterministic, engine-agnostic)."""
+    labels = near_dup_components(spark, sf_dir)
+    return labels.select(
+        "doc_id",
+        "component",
+        F.when(F.col("component") % 10 < 8, F.lit("train"))
+        .otherwise(F.lit("holdout"))
+        .alias("split"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 registered queries. Round 1
