@@ -437,6 +437,61 @@ FROM p
 WHERE {_COS_AB} >= 0.35
 """
 
+# -- LSH oracles: the hyperplanes are deterministic (seeded), so their
+# -- literals interpolate straight into SQL and the bucket assignment +
+# -- exact cosine re-rank reproduce bitwise (the plane dot product and
+# -- the cosine use the same left-folded term chains as the Spark side).
+
+
+def _sql_bucket(col: str, n_planes: int, seed: int, dim: int = 64) -> str:
+    from dimagi_data_platform_spark.operators.similarity import _planes
+
+    parts = []
+    for i, plane in enumerate(_planes(dim, n_planes, seed)):
+        dot = "0.0 + " + " + ".join(
+            f"CAST({col}[{j + 1}] AS DOUBLE)*({p!r})" for j, p in enumerate(plane)
+        )
+        parts.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+_B4 = _sql_bucket("embedding", 4, 7)
+
+ORACLE["knn_lsh"] = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, {_B4} AS bucket
+  FROM embeddings WHERE vec_id < 10),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_vec, {_B4} AS bucket
+  FROM embeddings),
+s AS (
+  SELECT q_id, neighbor_id, {_COS_QC} AS cos_sim
+  FROM q JOIN c USING (bucket) WHERE q_id <> neighbor_id),
+r AS (
+  SELECT q_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id)
+         AS BIGINT) AS "rank"
+  FROM s)
+SELECT q_id, neighbor_id, cos_sim, "rank" FROM r WHERE "rank" <= 5
+"""
+
+_TBL = [_sql_bucket("embedding", 6, 7 + 101 * t) for t in range(4)]
+
+# threshold mirrors queries.EMBED_NEAR_DUP_THRESHOLD
+ORACLE["embedding_near_dup_lsh"] = f"""
+WITH e AS (
+  SELECT vec_id AS id, embedding AS vec,
+         {_TBL[0]} AS b0, {_TBL[1]} AS b1, {_TBL[2]} AS b2, {_TBL[3]} AS b3
+  FROM embeddings),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.vec AS vec_a, b.vec AS vec_b
+  FROM e a JOIN e b
+    ON a.id < b.id
+   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+s AS (SELECT id_a, id_b, {_COS_AB} AS cos_sim FROM cand)
+SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.35
+"""
+
 ORACLE["multimodal_features"] = """
 WITH x AS (
   SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
