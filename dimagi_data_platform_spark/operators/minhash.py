@@ -1,11 +1,18 @@
 """MinHash + LSH near-duplicate candidate generation.
 
 Pipeline (all DataFrame ops, one pass over shingles):
-  shingle → xxhash64 → k universal hashes ((a*h+b) mod p, fixed seeds)
-  → per-doc min per hash (the MinHash signature)
-  → band the signature (b bands × r rows), hash each band
+  shingle → md5-derived 60-bit base hash → k universal hashes
+  ((a*h+b) mod p, fixed seeds) → per-doc min per hash (the MinHash
+  signature) → band the signature (b bands × r rows), hash each band
   → self-join on (band, band_hash) = candidate pairs
   → estimated similarity = fraction of equal signature components.
+
+The base hash is md5 (identical in every engine) rather than
+xxhash64, so signatures — and therefore pairs and est_jaccard — are
+engine-reproducible and the whole operator sits behind the SQL-oracle
+hash gate. Band bucket ids stay xxhash64: they are internal grouping
+keys that never surface, so only the grouping (not the id value) must
+agree.
 
 Scale: the only shuffles are the per-doc signature aggregation and the
 band-bucket join — never an O(n²) cross join. Band count/size trade
@@ -54,7 +61,12 @@ def minhash_signatures(
             F.explode(shingles_from_tokens("_toks", shingle_n)).alias("shingle"),
         )
     )
-    h = F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_P))
+    # 15 hex chars = 60 bits → fits signed 64 exactly; pmod folds below
+    # P so a*h+b stays under 2^62 (no ANSI overflow)
+    h = F.pmod(
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long"),
+        F.lit(MINHASH_P),
+    )
     sh = sh.withColumn("h", h)
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MINHASH_P))).alias(f"s{i}")

@@ -23,14 +23,28 @@ N_BITS = 64
 def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Return (id, fingerprint: long)."""
-    tok = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    """Return (id, fingerprint: long).
+
+    Token bits come from md5 (identical in every engine — two 60-bit
+    hex slices cover the 64 fingerprint bits without touching the sign
+    bit), so fingerprints are engine-reproducible and the operator sits
+    behind the SQL-oracle hash gate.
+    """
+    tok = (
+        docs.select(
+            F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+        )
+        .withColumn("_m", F.md5("tok"))
+        .withColumn("h1", F.conv(F.substring("_m", 1, 15), 16, 10).cast("long"))
+        .withColumn("h2", F.conv(F.substring("_m", 16, 15), 16, 10).cast("long"))
+    )
+
+    def _bit(i: int):
+        src, off = ("h1", i) if i < 60 else ("h2", i - 60)
+        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+
     bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.sum(F.when(_bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
         for i in range(N_BITS)
     ]
     per_bit = tok.groupBy(id_col).agg(*bit_aggs)

@@ -437,6 +437,95 @@ FROM p
 WHERE {_COS_AB} >= 0.35
 """
 
+def _minhash_oracle() -> str:
+    """MinHash+LSH twin: the base hash is md5 (identical in DuckDB and
+    Spark), the universal-hash (a,b) literals come from the same seeded
+    generator, and band membership is expressed as per-band AND-equality
+    (the Spark side's xxhash64 band-bucket id is an internal grouping
+    key that never surfaces, so only the grouping must agree)."""
+    from dimagi_data_platform_spark.operators.minhash import MINHASH_P, _hash_params
+
+    params = _hash_params(64, 42)
+    sig_cols = ",\n  ".join(
+        f"MIN(({a}*h + {b}) % {MINHASH_P}) AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_or = "\n    OR ".join(
+        "(" + " AND ".join(f"a.s{b * 4 + j} = b.s{b * 4 + j}" for j in range(4)) + ")"
+        for b in range(16)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(64)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3),
+hs AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {MINHASH_P} AS h
+  FROM sh),
+sig AS (SELECT doc_id,
+  {sig_cols}
+  FROM hs GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST({eq_sum} AS DOUBLE) / 64 AS est_jaccard
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_or}))
+SELECT id_a, id_b, est_jaccard FROM cand WHERE est_jaccard >= 0.2
+"""
+
+
+ORACLE["minhash_lsh_dedup"] = _minhash_oracle()
+
+
+def _simhash_oracle() -> str:
+    """SimHash twin: token bits from the same md5 slices as the Spark
+    side. The pigeonhole chunk-blocking needs NO mirroring — it has
+    exact recall by construction, so the oracle is the semantic
+    definition itself: every pair with bit_count(xor(fp)) <= 6."""
+    bit_aggs = ",\n  ".join(
+        (
+            f"SUM(CASE WHEN (h1 >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+            if i < 60
+            else f"SUM(CASE WHEN (h2 >> {i - 60}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        )
+        for i in range(64)
+    )
+    fp_terms = " + ".join(
+        (
+            f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)"
+            if i < 63
+            else f"(CASE WHEN b{i} > 0 THEN -9223372036854775808 ELSE 0 END)"
+        )
+        for i in range(64)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, u.term FROM toks, UNNEST(t) AS u(term)),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(term), 16, 15)) AS BIGINT) AS h2
+  FROM tok),
+bits AS (SELECT doc_id,
+  {bit_aggs}
+  FROM h GROUP BY doc_id),
+fp AS (SELECT doc_id, {fp_terms} AS fingerprint FROM bits)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 6
+"""
+
+
+ORACLE["simhash_dedup"] = _simhash_oracle()
+
+
 # -- LSH oracles: the hyperplanes are deterministic (seeded), so their
 # -- literals interpolate straight into SQL and the bucket assignment +
 # -- exact cosine re-rank reproduce bitwise (the plane dot product and

@@ -1901,7 +1901,7 @@ _SAMPLE_FIRST = [
     "q7_volume_shipping",
     "ngram_jaccard_pairs",
     "embedding_near_dup",
-    "knn_ivf",
+    "minhash_lsh_dedup",  # newly oracle-checked (md5-based signatures)
 ]
 
 
