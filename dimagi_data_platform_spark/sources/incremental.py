@@ -70,3 +70,51 @@ def advance_watermark(
     if row.wm is not None:
         store.set(name, int(row.wm))
     return row.wm
+
+
+def upsert_partitioned(
+    spark,
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str,
+    partition_col: str,
+) -> None:
+    """Latest-wins MERGE of an update batch into a partitioned parquet
+    table, rewriting ONLY the partitions the batch touches.
+
+    Shape (the scalable file-level upsert):
+      1. dynamic partition-overwrite mode — partitions absent from the
+         written frame are left untouched on disk;
+      2. existing rows are read back only for the touched partitions
+         (partition-pruned scan via the IN filter);
+      3. union + one (keys)-shuffled window keeps the newest row per
+         key — ordering is on ``order_col`` alone, so pass a strictly
+         monotonic version/ts column for deterministic winners;
+      4. the merged frame is materialized (localCheckpoint) before the
+         overwrite because Spark refuses to overwrite a path it is
+         concurrently reading.
+
+    At 100 TB this touches |batch partitions| / |all partitions| of the
+    table — the standard warehouse upsert posture without a table
+    format; swap for MERGE INTO when Delta/Iceberg is available.
+    """
+    import os as _os
+
+    from pyspark.sql import Window as _W
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if not _os.path.exists(path):
+        updates.write.partitionBy(partition_col).mode("overwrite").parquet(path)
+        return
+    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    old = spark.read.parquet(path).filter(F.col(partition_col).isin(touched))
+    merged = old.unionByName(updates)
+    w = _W.partitionBy(*keys).orderBy(F.desc(order_col))
+    latest = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint()
+    )
+    latest.write.partitionBy(partition_col).mode("overwrite").parquet(path)

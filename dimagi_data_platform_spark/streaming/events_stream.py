@@ -130,6 +130,55 @@ def run_to_sink(
     )
 
 
+def streaming_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream join: attribute each purchase to same-user clicks
+    in the preceding ``max_gap`` (click attribution on two live
+    streams).
+
+    Both sides carry watermarks and the join condition bounds the event
+    time range, so Spark's state store evicts rows once they can no
+    longer match — state stays proportional to the gap window, not the
+    stream history. The inner join emits only when both sides arrive;
+    the time-interval condition is the documented Spark pattern for
+    stream-stream state cleanup.
+    """
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}"))
+    )
+    return c.join(p, cond).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )
+
+
 def streaming_enrich(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
     """Stream-static join: enrich the event stream with a (slowly
     changing) dimension. The static side is broadcast per micro-batch —

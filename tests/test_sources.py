@@ -312,3 +312,27 @@ def test_merge_sql_rejects_unsafe_identifiers():
         merge_sql("tgt; DROP TABLE x", "stg", ["id"], ["id", "v"])
     with pytest.raises(ValueError, match="unsafe"):
         merge_sql("tgt", "stg", ["id"], ["id", "v = 0 WHERE 1=1 --"])
+
+
+def test_upsert_partitioned_latest_wins_and_preserves_untouched(spark, tmp_path):
+    from dimagi_data_platform_spark.sources.incremental import upsert_partitioned
+
+    path = str(tmp_path / "upsert_tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 1, "p1"), (2, "b", 1, "p1"), (3, "c", 1, "p2"), (4, "d", 1, "p3")],
+        "id long, v string, version long, part string",
+    )
+    upsert_partitioned(spark, base, path, ["id"], "version", "part")
+    upd = spark.createDataFrame(
+        [(2, "b2", 2, "p1"), (5, "e", 2, "p2")],
+        "id long, v string, version long, part string",
+    )
+    upsert_partitioned(spark, upd, path, ["id"], "version", "part")
+    got = {(r.id, r.v, r.version, r.part) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        (1, "a", 1, "p1"),
+        (2, "b2", 2, "p1"),   # updated in place
+        (3, "c", 1, "p2"),
+        (5, "e", 2, "p2"),    # inserted
+        (4, "d", 1, "p3"),    # untouched partition preserved
+    }

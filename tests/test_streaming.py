@@ -177,3 +177,48 @@ def test_run_to_sink_batch_replay_is_idempotent(spark, tmp_path):
     df.write.mode("overwrite").parquet(f"{out}/batch_id=0")
     df.write.mode("overwrite").parquet(f"{out}/batch_id=0")
     assert spark.read.parquet(out).count() == 5
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream click-attribution join drained with availableNow
+    must equal the equivalent batch join."""
+    from dimagi_data_platform_spark.streaming.events_stream import (
+        streaming_interval_join,
+    )
+
+    in_dir, ev = _dump_events_as_json(spark, tmp_path, n_files=3)
+    clicks_s = read_event_stream(spark, in_dir, fmt="json", max_files=1).filter(
+        F.col("event_type") == "click"
+    )
+    purch_s = read_event_stream(spark, in_dir, fmt="json", max_files=1).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = str(tmp_path / "ssj_out")
+    run_to_sink(
+        streaming_interval_join(clicks_s, purch_s),
+        out,
+        str(tmp_path / "ssj_ckpt"),
+    )
+    got = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in spark.read.parquet(out).collect()
+    }
+
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+    )
+    want = {(r.p_user, r.purchase_id, r.click_id) for r in batch.collect()}
+    assert got == want and len(want) > 0
