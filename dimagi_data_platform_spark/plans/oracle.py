@@ -958,6 +958,42 @@ SELECT doc_id, component,
 FROM comp
 """
 
+ORACLE["dq_checks"] = """
+SELECT check_name, n_violations FROM (
+  SELECT 'orders_custkey_fk' AS check_name,
+         (SELECT COUNT(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+         AS n_violations
+  UNION ALL
+  SELECT 'lineitem_quantity_range',
+         (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0 OR l_quantity > 100)
+  UNION ALL
+  SELECT 'customer_custkey_unique',
+         (SELECT COUNT(*) FROM
+            (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1) t)
+  UNION ALL
+  SELECT 'events_ts_not_null',
+         (SELECT COUNT(*) FROM events WHERE ts IS NULL)
+  UNION ALL
+  SELECT 'orders_totalprice_positive',
+         (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+) ORDER BY check_name
+"""
+
+ORACLE["key_skew_profile"] = """
+WITH per_key AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+totals AS (
+  SELECT SUM(n_events) AS total, COUNT(*) AS n_keys FROM per_key)
+SELECT user_id, n_events,
+       CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       CAST(n_events AS DOUBLE) / (CAST(total AS DOUBLE) / CAST(n_keys AS DOUBLE))
+         AS ratio_to_mean
+FROM per_key CROSS JOIN totals
+ORDER BY n_events DESC, user_id
+LIMIT 20
+"""
+
 ORACLE["event_session_assign"] = """
 WITH x AS (
   SELECT user_id, ts, event_id,

@@ -1840,6 +1840,95 @@ def near_dup_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Data-quality / diagnostics surface (P19-P20)
+# --------------------------------------------------------------------------
+
+
+@query("dq_checks")
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P19: expectations-style data-quality report — one row per check
+    with its violation count (the ingestion-QA pass every warehouse
+    load runs). Each check is an independent aggregate; the union is a
+    constant-size frame. Anti-join checks broadcast the key side they
+    probe when small (referential check leaves that to AQE: both sides
+    are fact-scale)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events")
+
+    def one(name: str, cnt_df: DataFrame) -> DataFrame:
+        return cnt_df.select(
+            F.lit(name).alias("check_name"), F.col("n").cast("long").alias("n_violations")
+        )
+
+    orphan_orders = one(
+        "orders_custkey_fk",
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    qty_range = one(
+        "lineitem_quantity_range",
+        li.filter((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 100)).agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    dup_cust = one(
+        "customer_custkey_unique",
+        cust.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+    null_ts = one(
+        "events_ts_not_null",
+        ev.filter(F.col("ts").isNull()).agg(F.count(F.lit(1)).alias("n")),
+    )
+    neg_price = one(
+        "orders_totalprice_positive",
+        orders.filter(F.col("o_totalprice") <= 0).agg(F.count(F.lit(1)).alias("n")),
+    )
+    return (
+        orphan_orders.union(qty_range)
+        .union(dup_cust)
+        .union(null_ts)
+        .union(neg_price)
+        .orderBy("check_name")
+    )
+
+
+@query("key_skew_profile")
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P20: shuffle-key skew diagnosis — top-20 hottest keys with their
+    share of rows and ratio to the mean key load. This is the profile
+    you run BEFORE choosing salting / AQE-skew settings for a join on
+    that key. One shuffle (groupBy key) + a broadcast single-row join
+    for the totals; top-k via TakeOrdered, no global sort."""
+    ev = _t(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    totals = per_key.agg(
+        F.sum("n_events").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    share = F.col("n_events").cast("double") / F.col("total").cast("double")
+    ratio = F.col("n_events").cast("double") / (
+        F.col("total").cast("double") / F.col("n_keys").cast("double")
+    )
+    return (
+        per_key.join(F.broadcast(totals))
+        .select(
+            "user_id",
+            "n_events",
+            share.alias("share"),
+            ratio.alias("ratio_to_mean"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 registered queries. Round 1
