@@ -61,15 +61,41 @@ def prepare_corpus(
     )
 
 
+#: resolution of the keep/drop threshold — fractions quantize to 1e-6.
+SAMPLE_BUCKETS = 1_000_000
+
+
+def sample_bucket(id_col, seed: int):
+    """Deterministic uniform bucket in [0, SAMPLE_BUCKETS) from an id.
+
+    md5 → first 15 hex chars → 60-bit integer, identical in every
+    engine (DuckDB twin: ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``),
+    so hash-based sampling decisions are portable and the sampled set
+    is hash-checkable — unlike ``sampleBy``, whose Bernoulli hash is
+    engine-private. Still a scan-local projection: no shuffle, no state.
+    """
+    tagged = F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))
+    h = F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long")
+    return h % SAMPLE_BUCKETS
+
+
 def stratified_sample(
     docs: DataFrame,
     strata_col: str,
     fractions: dict,
     seed: int = 42,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-stratum Bernoulli sampling (e.g. downweight over-represented
-    languages/sources when mixing a training corpus). ``sampleBy`` is a
-    scan-local filter — no shuffle, each row keeps/drops itself — so it
-    scales linearly and composes with pushdown. Seeded → reproducible
-    splits, but the hash is engine-specific (rows-only in the gate)."""
-    return docs.sampleBy(strata_col, fractions, seed)
+    languages/sources when mixing a training corpus). A scan-local
+    filter — no shuffle, each row keeps/drops itself off its own id
+    hash — so it scales linearly and composes with pushdown. Seeded and
+    engine-portable (see :func:`sample_bucket`): the same (id, seed)
+    keeps or drops in any engine, so resamples are stable even as the
+    corpus grows (a row's fate never depends on other rows, unlike
+    reservoir or sort-based sampling)."""
+    threshold = F.lit(None).cast("long")
+    for value, frac in sorted(fractions.items()):
+        bound = int(round(frac * SAMPLE_BUCKETS))
+        threshold = F.when(F.col(strata_col) == value, F.lit(bound)).otherwise(threshold)
+    return docs.filter(sample_bucket(id_col, seed) < threshold)

@@ -7,8 +7,10 @@ hashes. Two documents sharing any sufficiently long run of text share
 fingerprints, which exact/content-hash dedup cannot see.
 
 All array expressions (sequence/transform/array_min) — no UDF; one row
-per selected fingerprint after explode. Engine-specific hash (xxhash64)
-→ rows-only in the driver gate; properties tested in
+per selected fingerprint after explode. The k-gram hash is the
+md5-derived 60-bit integer (identical in every engine), so the selected
+fingerprints — and the shared-pair output — are fully hash-checked
+against the DuckDB oracle; structural properties additionally tested in
 tests/test_sketches.py.
 """
 
@@ -35,7 +37,12 @@ def winnow_fingerprints(
         return F.concat_ws(
             " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]
         )
-    hashes = F.when(F.size(t) >= k, F.transform(idx, lambda i: F.xxhash64(gram_at(i)))).otherwise(
+    def gram_hash(i):
+        # 60-bit md5 prefix — portable across engines (DuckDB twin:
+        # CAST('0x'||substr(md5(g),1,15) AS BIGINT)), unlike xxhash64
+        return F.conv(F.substring(F.md5(gram_at(i)), 1, 15), 16, 10).cast("long")
+
+    hashes = F.when(F.size(t) >= k, F.transform(idx, gram_hash)).otherwise(
         F.array().cast("array<bigint>")
     )
     win_idx = F.sequence(F.lit(0), F.size("h") - window)

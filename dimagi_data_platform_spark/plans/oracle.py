@@ -1287,6 +1287,49 @@ SELECT COALESCE(c.day, p.day) AS day,
 FROM c FULL OUTER JOIN p ON c.day = p.day
 """
 
+# Winnowing twin (operators/fingerprint.py): k=3 word-grams hashed via
+# the portable md5 60-bit prefix, sliding windows of w=4 consecutive
+# hashes keep each window's min, pairs share >= 2 distinct selections.
+# 1-based window starts run 1..n_grams-w+1; docs with 0 < n_grams < w
+# contribute the single min of all their hashes.
+ORACLE["winnow_shared_fingerprints"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, gs.i AS i, len(t) - 2 AS n_grams,
+         CAST(('0x' || substr(md5(t[gs.i] || ' ' || t[gs.i+1] || ' ' || t[gs.i+2]),
+                              1, 15)) AS BIGINT) AS h
+  FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(t) - 2)) AS i) gs
+  WHERE len(t) >= 3),
+winmins AS (
+  SELECT doc_id, i, n_grams,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min,
+         MIN(h) OVER (PARTITION BY doc_id) AS doc_min
+  FROM grams),
+fps AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN n_grams >= 4 THEN win_min ELSE doc_min END AS fingerprint
+  FROM winmins
+  WHERE (n_grams >= 4 AND i <= n_grams - 3) OR (n_grams < 4 AND i = 1))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM fps a JOIN fps b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+# Same md5→60-bit bucket as operators/corpus.py::sample_bucket; the
+# CASE mirrors the fractions literal in queries.py (×1e6, sorted keys).
+ORACLE["corpus_stratified_sample"] = """
+SELECT doc_id, lang
+FROM documents
+WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 15)) AS BIGINT)
+       % 1000000)
+    < CASE lang WHEN 'de' THEN 1000000 WHEN 'en' THEN 500000
+                WHEN 'es' THEN 1000000 WHEN 'fr' THEN 1000000 END
+"""
+
 ORACLE["corpus_top_terms"] = r"""
 WITH toks AS (
   SELECT doc_id, UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
