@@ -1340,3 +1340,90 @@ GROUP BY token
 ORDER BY n_occurrences DESC, token
 LIMIT 25
 """
+
+# --- Training-batch assembly twins (operators/packing.py) -----------------
+# The per-row hash is the portable md5 60-bit prefix tagged '#shard42'
+# (n_shards=8, seed=42 — mirrors the literals in queries.py).
+
+_SHARD_H = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#shard42'), 1, 15))"
+    " AS BIGINT)"
+)
+
+ORACLE["train_shard_assign"] = f"""
+WITH h AS (SELECT doc_id, {_SHARD_H} AS h FROM documents)
+SELECT doc_id, h % 8 AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT)
+         AS pos
+FROM h
+"""
+
+# Greedy first-fit packing as an iterative recurrence: iteration k of
+# the recursive CTE assigns the k-th document (in shard-hash order) of
+# every shard, carrying (pack_id, running token count) forward.
+ORACLE["pack_training_sequences"] = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, {_SHARD_H} AS h, CAST({_NWORDS} AS BIGINT) AS n_tokens
+  FROM documents),
+ordered AS (
+  SELECT doc_id, h % 8 AS shard, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS rn
+  FROM base),
+packed AS (
+  SELECT doc_id, shard, rn, n_tokens, CAST(1 AS BIGINT) AS pack_id,
+         n_tokens AS acc
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.shard, o.rn, o.n_tokens,
+         CASE WHEN p.acc + o.n_tokens > 256 THEN p.pack_id + 1
+              ELSE p.pack_id END,
+         CASE WHEN p.acc + o.n_tokens > 256 THEN o.n_tokens
+              ELSE p.acc + o.n_tokens END
+  FROM packed p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1)
+SELECT doc_id, shard, pack_id, n_tokens FROM packed
+"""
+
+ORACLE["span_dedup_clean"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+spans AS (
+  SELECT doc_id, gs.i AS idx,
+         array_to_string(t[(gs.i*8+1):(gs.i*8+8)], ' ') AS span_text
+  FROM toks, LATERAL (SELECT UNNEST(generate_series(0,
+         CAST(ceil(len(t) / 8.0) AS BIGINT) - 1)) AS i) gs),
+marked AS (
+  SELECT doc_id, idx, span_text,
+         ROW_NUMBER() OVER (PARTITION BY span_text ORDER BY doc_id, idx) = 1
+           AS keep
+  FROM spans)
+SELECT doc_id,
+       COUNT(*) AS n_spans,
+       COUNT(*) FILTER (WHERE keep) AS n_kept,
+       COALESCE(string_agg(span_text, ' ' ORDER BY idx) FILTER (WHERE keep), '')
+         AS clean_text
+FROM marked
+GROUP BY doc_id
+"""
+
+ORACLE["source_cap_sample"] = f"""
+WITH x AS (
+  SELECT doc_id, source,
+    CAST({_NWORDS} AS BIGINT) AS n_words,
+    CAST(len(regexp_extract_all(text, '{_PUNCT_RE}')) AS DOUBLE) / length(text)
+      AS punct_ratio,
+    CAST(len(regexp_extract_all(lower(text), '{_STOP}')) AS DOUBLE) / {_NWORDS}
+      AS stopword_ratio
+  FROM documents),
+q AS (
+  SELECT doc_id, source,
+         0.4 * stopword_ratio + 0.3 * (1.0 - punct_ratio)
+           + 0.3 * LEAST(1.0, n_words / 100.0) AS quality
+  FROM x),
+rk AS (
+  SELECT doc_id, source, quality,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY quality DESC, doc_id) AS BIGINT) AS rk
+  FROM q)
+SELECT doc_id, source, quality, rk FROM rk WHERE rk <= 15
+"""

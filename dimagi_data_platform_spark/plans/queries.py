@@ -1931,6 +1931,64 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Training-batch assembly (L24-L27)
+# --------------------------------------------------------------------------
+
+from dimagi_data_platform_spark.operators.corpus import quality_score  # noqa: E402
+from dimagi_data_platform_spark.operators.packing import (  # noqa: E402
+    pack_documents,
+    shard_assign,
+    span_dedup,
+)
+
+
+@query("train_shard_assign")
+def train_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L24: deterministic corpus shuffle into training shards — every
+    doc gets a reproducible (shard, pos); see operators/packing.py for
+    the scale posture (one row_number shuffle keyed by shard)."""
+    docs = _t(spark, sf_dir, "documents")
+    return shard_assign(docs, n_shards=8, seed=42)
+
+
+@query("pack_training_sequences")
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L25: greedy first-fit packing of documents into 256-token
+    context budgets per shard. The sequential scan runs per-shard over
+    a narrow Arrow batch (applyInPandas is the right tool here: pack
+    boundaries are order-dependent, but only the (id, hash, n_tokens)
+    projection travels). Oracle: the same recurrence as a DuckDB
+    recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    return pack_documents(docs, budget=256, n_shards=8, seed=42)
+
+
+@query("span_dedup_clean")
+def span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L26: CCNet-style cross-corpus span dedup — only the globally
+    first occurrence of each 8-token span survives; docs reassemble
+    from surviving spans in order."""
+    docs = _t(spark, sf_dir, "documents")
+    return span_dedup(docs, span_width=8)
+
+
+@query("source_cap_sample")
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L27: per-source document cap — keep the top-15 docs per source
+    by quality score (domain-cap step of corpus mixing: no single
+    domain may dominate the mix). One row_number window keyed by
+    source; ties break on doc_id so the cut is deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), "doc_id")
+    return (
+        docs.withColumn("quality", quality_score("text"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 15)
+        .select("doc_id", "source", "quality", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 registered queries. Round 1
