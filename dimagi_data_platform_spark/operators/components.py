@@ -61,9 +61,21 @@ def connected_components(
         F.col(src_col).alias("id"), F.col(dst_col).alias("nbr")
     ).union(edges.select(F.col(dst_col).alias("id"), F.col(src_col).alias("nbr")))
 
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("component")
-    ).localCheckpoint()
+    # Only edge-incident vertices can ever change label; iterate over
+    # that (usually far smaller) subgraph and union the untouched
+    # singletons back at the end as a zero-shuffle projection. At scale
+    # this bounds every round by the near-dup population, not the
+    # corpus.
+    base = vertices.select(F.col(id_col).alias("id"))
+    edge_ids = sym.select("id").distinct()
+    labels = (
+        base.join(edge_ids, "id", "left_semi")
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint()
+    )
+    singletons = base.join(edge_ids, "id", "left_anti").select(
+        "id", F.col("id").alias("component")
+    )
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
 
     for _ in range(max_iter):
@@ -87,7 +99,7 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels
+    return labels.union(singletons)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:

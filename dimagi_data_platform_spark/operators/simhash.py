@@ -37,26 +37,51 @@ def simhash_fingerprints(
         .withColumn("_m", F.md5("tok"))
         .withColumn("h1", F.conv(F.substring("_m", 1, 15), 16, 10).cast("long"))
         .withColumn("h2", F.conv(F.substring("_m", 16, 15), 16, 10).cast("long"))
+        # all 64 fingerprint bits in one long: 0-59 from h1, 60-63 from h2
+        .withColumn(
+            "h",
+            F.col("h1").bitwiseOR(
+                F.shiftleft(F.col("h2").bitwiseAND(F.lit(15)), 60)
+            ),
+        )
     )
 
-    def _bit(i: int):
-        src, off = ("h1", i) if i < 60 else ("h2", i - 60)
-        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+    # Lane-packed bit counting: (h >>> k) & 0x0001000100010001 spreads
+    # bits {k, k+16, k+32, k+48} into four 16-bit lanes, so 16 packed
+    # sums replace 64 per-bit sums — 4x fewer aggregate buffers and
+    # per-row expressions on the exploded token stream (the hot side;
+    # the unpack below runs on one row per doc). Lanes hold counts, so
+    # this is exact while docs have <= 65535 distinct tokens — beyond
+    # that, SimHash inputs should be feature-hashed buckets anyway.
+    lane_mask = 0x0001_0001_0001_0001
+    per_doc = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        *[
+            F.sum(
+                F.shiftrightunsigned("h", k).bitwiseAND(F.lit(lane_mask))
+            ).alias(f"s{k}")
+            for k in range(16)
+        ],
+    )
 
-    bit_aggs = [
-        F.sum(F.when(_bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
-        for i in range(N_BITS)
-    ]
-    per_bit = tok.groupBy(id_col).agg(*bit_aggs)
+    def _count(i: int):
+        j, k = divmod(i, 16)
+        return F.shiftrightunsigned(f"s{k}", 16 * j).bitwiseAND(F.lit(0xFFFF))
+
     fp = None
     for i in range(N_BITS):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ) * F.lit(1 << i).cast("long") if i < 63 else F.when(
-            F.col(f"b{i}") > 0, F.lit(-(1 << 63)).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+        # sign of the +/-1 sum: positive iff 2*count > n_tok
+        positive = (F.lit(2) * _count(i)) > F.col("n_tok")
+        term = (
+            F.when(positive, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            * F.lit(1 << i).cast("long")
+            if i < 63
+            else F.when(positive, F.lit(-(1 << 63)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
         fp = term if fp is None else fp + term
-    return per_bit.select(id_col, fp.alias("fingerprint"))
+    return per_doc.select(id_col, fp.alias("fingerprint"))
 
 
 def simhash_near_dup_pairs(

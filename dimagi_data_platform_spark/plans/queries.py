@@ -744,9 +744,10 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("simhash_dedup")
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3: SimHash Hamming<=6 near-dup pairs (rows-only check).
-    n_chunks = d+1 exactly: minimum chunks for exact recall, widest
-    chunks (9-10 bits) for fewest random-collision candidates."""
+    """L3: SimHash Hamming<=6 near-dup pairs (md5-based fingerprints →
+    full SQL-oracle hash check). n_chunks = d+1 exactly: minimum chunks
+    for exact recall, widest chunks (9-10 bits) for fewest
+    random-collision candidates."""
     docs = _t(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs, max_hamming=6, n_chunks=7)
 
