@@ -1427,3 +1427,26 @@ rk AS (
   FROM q)
 SELECT doc_id, source, quality, rk FROM rk WHERE rk <= 15
 """
+
+# SCD2 twin (operators/scd.py): change rows via null-safe lag compare,
+# closing timestamps via lead OVER the change rows only.
+ORACLE["user_tier_scd2"] = r"""
+WITH obs AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER)
+                    / 25) AS INTEGER) AS tier
+  FROM events),
+lagged AS (
+  SELECT user_id, ts, event_id, tier,
+         LAG(tier) OVER w AS prev_tier,
+         LAG(1) OVER w AS has_prev
+  FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+changes AS (
+  SELECT user_id, ts, event_id, tier FROM lagged
+  WHERE has_prev IS NULL OR tier IS DISTINCT FROM prev_tier)
+SELECT user_id, tier, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM changes
+"""

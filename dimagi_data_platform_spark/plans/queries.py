@@ -1931,11 +1931,27 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("user_tier_scd2")
+def user_tier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P21: type-2 slowly-changing dimension build — collapse each
+    user's observed property tier (props.k quartile) into validity
+    intervals [valid_from, valid_to) with an is_current flag; the
+    standard "dimension as of time T" shape the reference platform
+    rebuilds per load. See operators/scd.py for the two-window plan."""
+    ev = _t(spark, sf_dir, "events")
+    tier = F.floor(
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int") / F.lit(25)
+    ).cast("int")
+    obs = ev.select("user_id", "ts", "event_id", tier.alias("tier"))
+    return scd2_history(obs, "user_id", "ts", "tier", "event_id")
+
+
 # --------------------------------------------------------------------------
 # Training-batch assembly (L24-L27)
 # --------------------------------------------------------------------------
 
 from dimagi_data_platform_spark.operators.corpus import quality_score  # noqa: E402
+from dimagi_data_platform_spark.operators.scd import scd2_history  # noqa: E402
 from dimagi_data_platform_spark.operators.packing import (  # noqa: E402
     pack_documents,
     shard_assign,

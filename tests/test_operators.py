@@ -86,3 +86,34 @@ def test_asof_join_inclusive_at_equal_ts(spark):
     ).withColumn("matched_ts", F.col("r_ts"))
     out = asof_join(left, right, ["user_id"], "l_ts", "r_ts", ["matched_ts"]).collect()
     assert out[0].matched_ts == _ts("2024-01-01T00:00:00")
+
+
+def test_scd2_history_collapses_runs_and_tiles_timeline(spark):
+    from dimagi_data_platform_spark.operators.scd import scd2_history
+
+    obs = spark.createDataFrame(
+        [
+            # user 1: A A B B A  -> intervals A, B, A
+            (1, _ts("2024-01-01T00:00:00"), 1, "A"),
+            (1, _ts("2024-01-01T01:00:00"), 2, "A"),
+            (1, _ts("2024-01-01T02:00:00"), 3, "B"),
+            (1, _ts("2024-01-01T03:00:00"), 4, "B"),
+            (1, _ts("2024-01-01T04:00:00"), 5, "A"),
+            # user 2: NULL NULL A -> intervals NULL, A (null run collapses)
+            (2, _ts("2024-01-01T00:00:00"), 6, None),
+            (2, _ts("2024-01-01T01:00:00"), 7, None),
+            (2, _ts("2024-01-01T02:00:00"), 8, "A"),
+        ],
+        "user_id int, ts timestamp, event_id int, attr string",
+    )
+    out = scd2_history(obs, "user_id", "ts", "attr", "event_id").collect()
+    u1 = sorted([r for r in out if r.user_id == 1], key=lambda r: r.valid_from)
+    u2 = sorted([r for r in out if r.user_id == 2], key=lambda r: r.valid_from)
+    assert [r.attr for r in u1] == ["A", "B", "A"]
+    assert [r.attr for r in u2] == [None, "A"]
+    for runs in (u1, u2):
+        # half-open tiling: each interval closes exactly where the next opens
+        for a, b in zip(runs, runs[1:]):
+            assert a.valid_to == b.valid_from
+        assert runs[-1].valid_to is None
+        assert [r.is_current for r in runs] == [False] * (len(runs) - 1) + [True]
