@@ -39,3 +39,61 @@ def approx_percentiles_by(
     for i, p in enumerate(percentiles):
         out = out.withColumn(f"p{int(p * 100)}", F.col("approx_pcts")[i])
     return out.drop("approx_pcts")
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key: str,
+    capacity: int = 64,
+    top_k: int = 20,
+) -> DataFrame:
+    """Misra-Gries heavy hitters over ``key`` — (key, est_count) for
+    the ``top_k`` most frequent values, without a full groupBy of every
+    distinct key.
+
+    Each partition keeps a capped summary of ``capacity`` counters
+    (classic Misra-Gries: overflow decrements all counters, evicting
+    zeros), so per-partition state is O(capacity) and the shuffle
+    carries at most ``capacity`` rows per partition — vs the exact
+    groupBy whose shuffle is every distinct key in the dataset. After
+    summing per-partition summaries, any value with true frequency
+    > N/capacity is guaranteed present, and every estimate e satisfies
+    true - N/capacity <= e <= true (per-partition bounds add under
+    merge). The estimate is a LOWER bound, so ordering by it never
+    promotes a rare key above a frequent one by more than the bound.
+
+    Batches update via vectorized value_counts; the decrement loop
+    touches only the O(capacity) summary dict.
+    """
+    import pandas as pd
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for val, cnt in pdf[key].value_counts().items():
+                counters[val] = counters.get(val, 0) + int(cnt)
+            excess = len(counters) - capacity
+            if excess > 0:
+                # evict the smallest `excess` counters, decrementing
+                # the rest by the largest evicted count (one batched
+                # Misra-Gries decrement step)
+                by_count = sorted(counters.items(), key=lambda kv: kv[1])
+                dec = by_count[excess - 1][1]
+                counters = {
+                    v: c - dec for v, c in by_count[excess:] if c > dec
+                }
+        if counters:
+            yield pd.DataFrame(
+                {key: list(counters), "partial_count": list(counters.values())}
+            )
+
+    field = df.schema[key].dataType.simpleString()
+    partials = df.select(key).mapInPandas(
+        summarize, schema=f"{key} {field}, partial_count long"
+    )
+    return (
+        partials.groupBy(key)
+        .agg(F.sum("partial_count").alias("est_count"))
+        .orderBy(F.desc("est_count"), key)
+        .limit(top_k)
+    )

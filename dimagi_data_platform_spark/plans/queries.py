@@ -1931,6 +1931,18 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("approx_heavy_hitter_terms")
+def approx_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L17b: Misra-Gries heavy-hitter terms — the one-pass bounded-
+    memory path to `corpus_top_terms`: per-partition capped summaries,
+    shuffle of at most `capacity` rows per partition instead of every
+    distinct term (rows-only check; under-estimate + containment
+    bounds vs the exact counts in tests/test_sketches.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(tokens("text")).alias("term"))
+    return heavy_hitters(terms, "term", capacity=64, top_k=20)
+
+
 @query("user_tier_scd2")
 def user_tier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P21: type-2 slowly-changing dimension build — collapse each
@@ -1952,6 +1964,7 @@ def user_tier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from dimagi_data_platform_spark.operators.corpus import quality_score  # noqa: E402
 from dimagi_data_platform_spark.operators.scd import scd2_history  # noqa: E402
+from dimagi_data_platform_spark.operators.sketches import heavy_hitters  # noqa: E402
 from dimagi_data_platform_spark.operators.packing import (  # noqa: E402
     pack_documents,
     shard_assign,

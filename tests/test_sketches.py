@@ -13,7 +13,8 @@ from dimagi_data_platform_spark.operators.sketches import (
     approx_distinct_by,
     approx_percentiles_by,
 )
-from tests.conftest import SF_MED
+from dimagi_data_platform_spark.functions.text import tokens
+from tests.conftest import SF_MED, SF_SMALL
 
 
 def test_approx_count_distinct_within_rsd(spark):
@@ -87,3 +88,30 @@ def test_winnow_short_doc_single_fingerprint(spark):
     docs = spark.createDataFrame([(1, "just four words here")], "doc_id long, text string")
     fps = winnow_fingerprints(docs).collect()
     assert len(fps) >= 1  # shorter than window → one min fingerprint
+
+
+def test_heavy_hitters_underestimates_within_bound(spark):
+    from dimagi_data_platform_spark.operators.sketches import heavy_hitters
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    terms = docs.select(F.explode(tokens("text")).alias("term"))
+    n_total = terms.count()
+    capacity = 64
+    exact = {
+        r.term: r.n
+        for r in terms.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    est = {
+        r.term: r.est_count
+        for r in heavy_hitters(terms, "term", capacity, capacity).collect()
+    }
+    assert est, "summary is empty"
+    n_parts = terms.rdd.getNumPartitions()
+    bound = (n_total // capacity) + n_parts  # merged per-partition error
+    for term, e in est.items():
+        assert e <= exact[term], f"{term}: estimate {e} above true {exact[term]}"
+        assert exact[term] - e <= bound, f"{term}: error above bound"
+    # every term well above the error bound must be present
+    for term, true_n in exact.items():
+        if true_n > 2 * bound:
+            assert term in est, f"hot term {term} missing from summary"
