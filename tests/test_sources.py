@@ -8,8 +8,11 @@ import os
 
 import pytest
 from pyspark.sql import functions as F
+
+from tests.conftest import SF_MED
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
+from dimagi_data_platform_spark.catalog import load_table
 from dimagi_data_platform_spark.sources.files import (
     CORRUPT_COL,
     read_csv,
@@ -336,3 +339,49 @@ def test_upsert_partitioned_latest_wins_and_preserves_untouched(spark, tmp_path)
         (5, "e", 2, "p2"),    # inserted
         (4, "d", 1, "p3"),    # untouched partition preserved
     }
+
+
+def test_zorder_layout_bounds_both_columns_per_file(spark, tmp_path):
+    """Z-ordered files must be tight on BOTH interleaved columns, where
+    a single-column sort is tight on one and spans the full domain on
+    the other — the multi-column data-skipping property."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dimagi_data_platform_spark.operators.layout import write_zordered
+
+    orders = load_table(spark, SF_MED, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zpath, lpath = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    write_zordered(orders, zpath, ["o_custkey", "o_totalprice"], n_files=8)
+    (
+        orders.repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def per_file_span_fraction(path, col):
+        lo = min_v = None
+        spans, glo, ghi = [], None, None
+        files = [f for f in glob.glob(path + "/*.parquet")]
+        for f in files:
+            t = pq.read_table(f, columns=[col])[col].to_pylist()
+            if not t:
+                continue
+            spans.append((min(t), max(t)))
+            glo = min(t) if glo is None else min(glo, min(t))
+            ghi = max(t) if ghi is None else max(ghi, max(t))
+        domain = float(ghi - glo)
+        return sum((hi - lo) / domain for lo, hi in spans) / len(spans)
+
+    # linear layout: first sort column tight, second spans ~everything
+    assert per_file_span_fraction(lpath, "o_custkey") < 0.5
+    assert per_file_span_fraction(lpath, "o_totalprice") > 0.9
+    # z-order: BOTH columns materially tighter than the full domain
+    z_cust = per_file_span_fraction(zpath, "o_custkey")
+    z_price = per_file_span_fraction(zpath, "o_totalprice")
+    assert z_cust < 0.75, z_cust
+    assert z_price < 0.75, z_price
