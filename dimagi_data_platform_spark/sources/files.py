@@ -96,3 +96,38 @@ def write_sorted_parquet(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_mb: int = 128,
+    rebalance: bool = False,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_mb`` files and
+    return the output file count.
+
+    Streaming ingestion and per-batch upserts leave lakes full of tiny
+    files; every downstream scan then pays one task + one footer read
+    per file. Compaction sizes output files to the scan's sweet spot
+    (~row-group multiples of 128 MB).
+
+    ``rebalance=False`` uses coalesce — NO shuffle, existing splits are
+    concatenated into fewer tasks; right when files are uniformly tiny.
+    ``rebalance=True`` pays one round-robin shuffle to also even out
+    skewed file sizes. File count comes from the actual on-disk byte
+    size (driver-side listing — metadata-scale, not data-scale).
+    """
+    import glob as _glob
+    import os as _os
+
+    total_bytes = sum(
+        _os.path.getsize(f)
+        for f in _glob.glob(_os.path.join(src, "**", "*.parquet"), recursive=True)
+    )
+    n_files = max(1, -(-total_bytes // (target_file_mb << 20)))
+    df = spark.read.parquet(src)
+    df = df.repartition(n_files) if rebalance else df.coalesce(n_files)
+    df.write.mode("overwrite").parquet(dst)
+    return n_files

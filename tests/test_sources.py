@@ -385,3 +385,23 @@ def test_zorder_layout_bounds_both_columns_per_file(spark, tmp_path):
     z_price = per_file_span_fraction(zpath, "o_totalprice")
     assert z_cust < 0.75, z_cust
     assert z_price < 0.75, z_price
+
+
+def test_compact_parquet_reduces_file_count_preserving_rows(spark, tmp_path):
+    from dimagi_data_platform_spark.sources.files import compact_parquet
+
+    import glob
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    orders = load_table(spark, SF_MED, "orders")
+    orders.repartition(64).write.parquet(src)  # simulate tiny-file ingestion
+    assert len(glob.glob(src + "/*.parquet")) == 64
+    n = compact_parquet(spark, src, dst, target_file_mb=128)
+    got = spark.read.parquet(dst)
+    assert len(glob.glob(dst + "/*.parquet")) == n <= 4
+    assert got.count() == orders.count()
+    # coalesce path must not have shuffled: checksum equality is enough
+    assert (
+        got.agg(F.sum("o_orderkey")).collect()[0][0]
+        == orders.agg(F.sum("o_orderkey")).collect()[0][0]
+    )
