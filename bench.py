@@ -40,6 +40,10 @@ HEADLINE = [
     "corpus_prep",
     "knn_ivf",
     "near_dup_components",
+    # training-batch assembly + warehouse history families
+    "pack_training_sequences",
+    "span_dedup_clean",
+    "user_tier_scd2",
 ]
 
 

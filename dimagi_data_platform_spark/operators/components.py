@@ -57,9 +57,14 @@ def connected_components(
         return labels
     if algorithm != "propagate":
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    sym = edges.select(
-        F.col(src_col).alias("id"), F.col(dst_col).alias("nbr")
-    ).union(edges.select(F.col(dst_col).alias("id"), F.col(src_col).alias("nbr")))
+    # Materialize the (possibly expensive) upstream edge plan ONCE —
+    # every round joins sym, and without truncation the similarity-pair
+    # computation that produced the edges would re-execute per round.
+    sym = (
+        edges.select(F.col(src_col).alias("id"), F.col(dst_col).alias("nbr"))
+        .union(edges.select(F.col(dst_col).alias("id"), F.col(src_col).alias("nbr")))
+        .localCheckpoint()
+    )
 
     # Only edge-incident vertices can ever change label; iterate over
     # that (usually far smaller) subgraph and union the untouched

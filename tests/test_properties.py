@@ -1,0 +1,118 @@
+"""Randomized cross-checks of operator semantics against independent
+pure-Python reference implementations (seeded; many generated cases
+batched into ONE Spark job per property so the suite stays fast)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import random
+
+from pyspark.sql import functions as F
+
+
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_scd2_matches_python_reference_on_random_streams(spark):
+    from dimagi_data_platform_spark.operators.scd import scd2_history
+
+    rnd = random.Random(99)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(30):
+        for _ in range(rnd.randrange(1, 12)):
+            # coarse timestamps force collisions; None attrs exercised
+            ts = base + dt.timedelta(hours=rnd.randrange(6))
+            attr = rnd.choice(["A", "B", "C", None])
+            rows.append((user, ts, eid, attr))
+            eid += 1
+    obs = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int, attr string")
+    got = {
+        (r.user_id, r.valid_from, r.attr, r.valid_to, r.is_current)
+        for r in scd2_history(obs, "user_id", "ts", "attr", "event_id").collect()
+    }
+
+    want = set()
+    by_user: dict = {}
+    for user, ts, e, attr in rows:
+        by_user.setdefault(user, []).append((ts, e, attr))
+    for user, stream in by_user.items():
+        stream.sort(key=lambda x: (x[0], x[1]))
+        runs = []
+        for ts, _, attr in stream:
+            if not runs or runs[-1][1] != attr:
+                runs.append([ts, attr])
+        for i, (ts, attr) in enumerate(runs):
+            nxt = runs[i + 1][0] if i + 1 < len(runs) else None
+            want.add((user, ts, attr, nxt, nxt is None))
+    assert got == want
+
+
+def test_pack_documents_matches_python_reference(spark):
+    from dimagi_data_platform_spark.operators.packing import pack_documents
+
+    rnd = random.Random(5)
+    docs = [(i, "w " * rnd.randrange(1, 300)) for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.shard, r.pack_id, r.n_tokens)
+        for r in pack_documents(df, budget=256, n_shards=4, seed=42).collect()
+    }
+
+    want = set()
+    enriched = []
+    for i, text in docs:
+        h = _md5_60(f"{i}#shard42")
+        n_tokens = len(text.strip().split())
+        enriched.append((h % 4, h, i, n_tokens))
+    for shard in range(4):
+        members = sorted([e for e in enriched if e[0] == shard], key=lambda e: (e[1], e[2]))
+        pack_id, acc = 0, 0
+        for _, _, doc_id, n_tokens in members:
+            if pack_id == 0 or acc + n_tokens > 256:
+                pack_id += 1
+                acc = n_tokens
+            else:
+                acc += n_tokens
+            want.add((doc_id, shard, pack_id, n_tokens))
+    assert got == want
+
+
+def test_winnow_fingerprints_match_python_reference(spark):
+    from dimagi_data_platform_spark.operators.fingerprint import winnow_fingerprints
+
+    rnd = random.Random(11)
+    vocab = ["aa", "bb", "cc", "dd"]  # tiny vocab → repeated grams
+    docs = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randrange(1, 30))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got: dict = {}
+    for r in winnow_fingerprints(df, k=3, window=4).collect():
+        got.setdefault(r.doc_id, set()).add(r.fingerprint)
+
+    for i, text in docs:
+        toks = text.split()
+        hashes = [
+            _md5_60(" ".join(toks[j : j + 3])) for j in range(len(toks) - 2)
+        ]
+        if not hashes:
+            want: set = set()
+        elif len(hashes) < 4:
+            want = {min(hashes)}
+        else:
+            want = {min(hashes[j : j + 4]) for j in range(len(hashes) - 3)}
+        assert got.get(i, set()) == want, f"doc {i}"
+
+
+def test_shard_assign_matches_python_hash(spark):
+    from dimagi_data_platform_spark.operators.packing import shard_assign
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    got = {(r.doc_id, r.shard) for r in shard_assign(df, n_shards=8, seed=42).collect()}
+    want = {(i, _md5_60(f"{i}#shard42") % 8) for i in range(500)}
+    assert got == want
