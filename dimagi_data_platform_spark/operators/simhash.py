@@ -96,7 +96,13 @@ def simhash_near_dup_pairs(
     Requires n_chunks >= max_hamming + 1 for exact recall (pigeonhole).
     """
     assert n_chunks >= max_hamming + 1, "pigeonhole needs d+1 chunks"
-    fps = simhash_fingerprints(docs, id_col, text_col)
+    # Self-similar corpora collapse many docs onto one fingerprint; the
+    # chunk join runs over DISTINCT fingerprints (candidate volume
+    # shrinks quadratically with the dup ratio), and doc pairs expand
+    # back afterward: same-fp groups pair directly at hamming 0, and
+    # each qualifying (fp_a != fp_b) pair fans out via two hash joins
+    # on the fp->doc mapping — that fan-out is output, not probe work.
+    fps = simhash_fingerprints(docs, id_col, text_col).localCheckpoint()
     # Use ALL 64 bits across n_chunks (uneven widths when 64 % n_chunks
     # != 0): wider chunks mean 2^w fewer random collisions per chunk
     # index, so the caller should pass n_chunks = max_hamming + 1
@@ -105,8 +111,8 @@ def simhash_near_dup_pairs(
     base, rem = divmod(N_BITS, n_chunks)
     widths = [base + 1 if i < rem else base for i in range(n_chunks)]
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
-    chunks = fps.select(
-        F.col(id_col),
+    dfp = fps.select("fingerprint").distinct()
+    chunks = dfp.select(
         "fingerprint",
         F.explode(
             F.array(
@@ -121,21 +127,43 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("c"),
-    ).select(id_col, "fingerprint", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    ).select("fingerprint", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
 
-    a = chunks.select(F.col(id_col).alias("id_a"), F.col("fingerprint").alias("fp_a"), "ci", "cv")
-    b = chunks.select(F.col(id_col).alias("id_b"), F.col("fingerprint").alias("fp_b"), "ci", "cv")
+    a = chunks.select(F.col("fingerprint").alias("fp_a"), "ci", "cv")
+    b = chunks.select(F.col("fingerprint").alias("fp_b"), "ci", "cv")
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     # Order matters at scale: the hamming check is codegen'd bit math,
     # so it runs DURING the chunk join's probe — candidates that fail
     # it never reach the dropDuplicates shuffle. (With w-bit chunks,
     # random fingerprints collide on ~n²·2^-w pairs per chunk index;
     # deduping before filtering would shuffle all of them.)
-    return (
+    fp_pairs = (
         a.join(b, ["ci", "cv"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("fp_a") < F.col("fp_b"))
         .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["fp_a", "fp_b"])
+        .select("fp_a", "fp_b", "hamming")
     )
+
+    # expand fingerprint pairs back to document pairs
+    da = fps.select(F.col(id_col).alias("_ida"), F.col("fingerprint").alias("fp_a"))
+    db = fps.select(F.col(id_col).alias("_idb"), F.col("fingerprint").alias("fp_b"))
+    cross_fp = (
+        fp_pairs.join(da, "fp_a")
+        .join(db, "fp_b")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    same_fp = (
+        fps.select(F.col(id_col).alias("id_a"), "fingerprint")
+        .join(
+            fps.select(F.col(id_col).alias("id_b"), "fingerprint"), "fingerprint"
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).alias("hamming"))
+    )
+    return cross_fp.union(same_fp)
