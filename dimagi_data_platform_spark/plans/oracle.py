@@ -1450,3 +1450,17 @@ SELECT user_id, tier, ts AS valid_from,
          AS is_current
 FROM changes
 """
+
+ORACLE["per_lang_fixed_sample"] = """
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#langsample42'),
+                              1, 15)) AS BIGINT) AS h
+  FROM documents),
+rk AS (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id)
+              AS BIGINT) AS rk
+  FROM h)
+SELECT doc_id, lang, rk FROM rk WHERE rk <= 10
+"""

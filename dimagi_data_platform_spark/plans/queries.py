@@ -1931,6 +1931,25 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("per_lang_fixed_sample")
+def per_lang_fixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L16c: exact-k per-stratum sample — exactly 10 docs per language
+    chosen in portable-hash order (the complement to Bernoulli
+    `corpus_stratified_sample`, whose output SIZE is random). One
+    row_number window per stratum over the 60-bit md5 hash; no global
+    sort, fully hash-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    tagged = F.concat(F.col("doc_id").cast("string"), F.lit("#langsample42"))
+    h = F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy("lang").orderBy("_h", "doc_id")
+    return (
+        docs.withColumn("_h", h)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "lang", "rk")
+    )
+
+
 @query("approx_heavy_hitter_terms")
 def approx_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L17b: Misra-Gries heavy-hitter terms — the one-pass bounded-

@@ -222,3 +222,82 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
     )
     want = {(r.p_user, r.purchase_id, r.click_id) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def _tier_obs(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    tier = F.floor(
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int") / F.lit(25)
+    ).cast("int")
+    return ev.select("user_id", "ts", "event_id", tier.alias("attr"))
+
+
+def test_scd2_incremental_batches_match_batch_history(spark, tmp_path):
+    """Three in-order micro-batches merged incrementally must produce
+    exactly the history the one-shot batch collapse produces."""
+    from dimagi_data_platform_spark.operators.scd import scd2_history
+    from dimagi_data_platform_spark.streaming.scd2_stream import scd2_apply_batch
+
+    obs = _tier_obs(spark, SF_SMALL).orderBy("ts", "event_id").localCheckpoint()
+    bounds = [r[0] for r in obs.selectExpr(
+        "percentile_approx(unix_micros(ts), array(0.34, 0.67), 10000) AS p"
+    ).select(F.explode("p")).collect()]
+    chunks = [
+        obs.filter(F.unix_micros("ts") <= bounds[0]),
+        obs.filter(
+            (F.unix_micros("ts") > bounds[0]) & (F.unix_micros("ts") <= bounds[1])
+        ),
+        obs.filter(F.unix_micros("ts") > bounds[1]),
+    ]
+    hist = str(tmp_path / "scd2_history")
+    for i, chunk in enumerate(chunks):
+        scd2_apply_batch(spark, chunk, hist, batch_id=i)
+
+    got = {
+        (r.user_id, r.valid_from, r.attr, r.valid_to, r.is_current)
+        for r in spark.read.parquet(hist).collect()
+    }
+    want = {
+        (r.user_id, r.valid_from, r.attr, r.valid_to, r.is_current)
+        for r in scd2_history(obs, "user_id", "ts", "attr", "event_id").collect()
+    }
+    assert got == want
+
+
+def test_scd2_stream_availablenow_matches_batch(spark, tmp_path):
+    """Drive the same merge through a real file-source stream, one file
+    per micro-batch."""
+    from dimagi_data_platform_spark.operators.scd import scd2_history
+    from dimagi_data_platform_spark.streaming.scd2_stream import run_scd2_stream
+
+    obs = _tier_obs(spark, SF_SMALL).orderBy("ts", "event_id").localCheckpoint()
+    src = str(tmp_path / "obs_files")
+    bounds = [r[0] for r in obs.selectExpr(
+        "percentile_approx(unix_micros(ts), array(0.5), 10000) AS p"
+    ).select(F.explode("p")).collect()]
+    # two files written in time order; maxFilesPerTrigger=1 -> 2 batches
+    obs.filter(F.unix_micros("ts") <= bounds[0]).coalesce(1).write.parquet(
+        src + "/f0"
+    )
+    obs.filter(F.unix_micros("ts") > bounds[0]).coalesce(1).write.parquet(
+        src + "/f1"
+    )
+    stream = (
+        spark.readStream.schema(obs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src + "/f*")
+    )
+    hist = str(tmp_path / "hist")
+    q = run_scd2_stream(stream, hist, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.valid_from, r.attr, r.valid_to, r.is_current)
+        for r in spark.read.parquet(hist).collect()
+    }
+    want = {
+        (r.user_id, r.valid_from, r.attr, r.valid_to, r.is_current)
+        for r in scd2_history(obs, "user_id", "ts", "attr", "event_id").collect()
+    }
+    assert got == want
