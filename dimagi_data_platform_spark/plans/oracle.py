@@ -1464,3 +1464,60 @@ rk AS (
   FROM h)
 SELECT doc_id, lang, rk FROM rk WHERE rk <= 10
 """
+
+ORACLE["inverted_index_postings"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+tok AS (
+  SELECT doc_id, t[gs.i] AS term, CAST(gs.i - 1 AS BIGINT) AS pos
+  FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(t))) AS i) gs),
+postings AS (
+  SELECT term, doc_id, list_sort(list(pos)) AS positions, COUNT(*) AS tf
+  FROM tok GROUP BY term, doc_id),
+with_df AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY term) AS doc_freq FROM postings)
+SELECT term, doc_id, positions, tf, doc_freq
+FROM with_df WHERE doc_freq >= 40
+"""
+
+# BM25 twin: every float derives from exact integers through the same
+# fixed-order expression as the Spark plan (rational idf, no ln;
+# avgdl = exact bigint sum / exact count; per-term scores fold in
+# literal order spark+data+table), so scores hash-match bitwise.
+ORACLE["bm25_search"] = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM base),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+tok AS (
+  SELECT doc_id, dl, t[gs.i] AS term
+  FROM dl, LATERAL (SELECT UNNEST(generate_series(1, len(t))) AS i) gs
+  WHERE t[gs.i] IN ('spark', 'data', 'table')),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+  FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         * (CAST(tf AS DOUBLE) * 2.2)
+         / (CAST(tf AS DOUBLE)
+            + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                                    / (CAST(sum_dl AS DOUBLE) / n_docs))))
+           AS s
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+per AS (
+  SELECT doc_id,
+         MAX(CASE WHEN term = 'spark' THEN s END) AS s_spark,
+         MAX(CASE WHEN term = 'data'  THEN s END) AS s_data,
+         MAX(CASE WHEN term = 'table' THEN s END) AS s_table
+  FROM scored GROUP BY doc_id)
+SELECT doc_id,
+       COALESCE(s_spark, 0.0) + COALESCE(s_data, 0.0) + COALESCE(s_table, 0.0)
+         AS score
+FROM per
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""

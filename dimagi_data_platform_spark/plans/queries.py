@@ -1931,6 +1931,98 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("inverted_index_postings")
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L28: inverted-index build — (term, doc_id, positions, tf), the
+    search-engine artifact over the corpus. One shuffle on
+    (term, doc_id) with map-side combine; postings stay sorted arrays
+    so phrase queries can difference positions. Restricted to terms
+    with document frequency >= 40 to keep the checked result focused
+    (the build itself is identical without the filter)."""
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    tok = (
+        docs.repartition(par)
+        .withColumn("_toks", tokens("text"))
+        .select("doc_id", F.posexplode("_toks").alias("pos", "term"))
+    )
+    postings = tok.groupBy("term", "doc_id").agg(
+        F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias("positions"),
+        F.count(F.lit(1)).alias("tf"),
+    )
+    w = Window.partitionBy("term")
+    return (
+        postings.withColumn("doc_freq", F.count(F.lit(1)).over(w).cast("long"))
+        .filter(F.col("doc_freq") >= 40)
+        .select("term", "doc_id", "positions", "tf", "doc_freq")
+    )
+
+
+@query("bm25_search")
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L29: BM25 ranking of the corpus for a fixed conjunctive query
+    (terms 'spark', 'data', 'table'), k1=1.2, b=0.75.
+
+    Bitwise-reproducible across engines: tf/df/dl are exact integers,
+    idf is the rational BM25 form (no ln), avgdl = exact integer sum /
+    exact count, and the three per-term scores fold in fixed literal
+    order — so the gate hash-checks float scores exactly.
+
+    Scale: tf is one shuffle on (doc_id, term) pre-filtered to the
+    query terms (scan-local filter), df/avgdl are broadcast single-row
+    aggregates; no full-vocabulary work."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["spark", "data", "table"]
+    k1, b = 1.2, 0.75
+    base = docs.withColumn("_toks", tokens("text")).withColumn(
+        "dl", F.size("_toks").cast("long")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tok = base.select("doc_id", "dl", F.explode("_toks").alias("term")).filter(
+        F.col("term").isin(terms)
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("n_docs"))
+        .withColumn(
+            "idf",
+            (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5)),
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (F.col("tf").cast("double") * (k1 + 1))
+            / (
+                F.col("tf").cast("double")
+                + k1 * (1 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+            ),
+        )
+    )
+    per_term = (
+        scored.groupBy("doc_id")
+        .pivot("term", terms)
+        .agg(F.first("s"))
+    )
+    score = None
+    for t in terms:  # fixed literal fold order — reproducible float sum
+        c = F.coalesce(F.col(t), F.lit(0.0))
+        score = c if score is None else score + c
+    return (
+        per_term.withColumn("score", score)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
 @query("per_lang_fixed_sample")
 def per_lang_fixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L16c: exact-k per-stratum sample — exactly 10 docs per language
