@@ -1521,3 +1521,36 @@ FROM per
 ORDER BY score DESC, doc_id
 LIMIT 20
 """
+
+ORACLE["table_fingerprint"] = """
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(CAST(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus),
+             1, 15)) AS BIGINT) AS HUGEINT)) AS DECIMAL(38,0)) AS checksum
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+ORACLE["orders_snapshot_diff"] = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus AS old_status
+  FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01'),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_totalprice > 200000 THEN 'F' ELSE o_orderstatus END
+           AS new_status
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '2001-01-01' OR o_orderpriority = '1-URGENT')
+SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       old_status, new_status,
+       CASE WHEN old_status IS NULL THEN 'added'
+            WHEN new_status IS NULL THEN 'removed'
+            WHEN old_status IS DISTINCT FROM new_status THEN 'changed'
+            ELSE 'unchanged' END AS change_kind
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+WHERE (CASE WHEN old_status IS NULL THEN 'added'
+            WHEN new_status IS NULL THEN 'removed'
+            WHEN old_status IS DISTINCT FROM new_status THEN 'changed'
+            ELSE 'unchanged' END) != 'unchanged'
+"""

@@ -1931,6 +1931,63 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("table_fingerprint")
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P24: anti-entropy table checksum — an order-independent exact
+    fingerprint (count + decimal sum of per-row 60-bit md5 hashes) per
+    order status, for cross-system reconciliation without moving rows.
+    Commutative aggregation ⇒ partition/ordering immune; md5 ⇒ the
+    remote system (any engine) computes the identical value. One
+    map-side-combined shuffle on the (tiny) status key."""
+    orders = _t(spark, sf_dir, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+    )
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("decimal(38,0)")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h).cast("decimal(38,0)").alias("checksum"),
+    )
+
+
+@query("orders_snapshot_diff")
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P25: CDC snapshot diff — classify every key as added / removed /
+    changed between two table versions (here: orders before vs
+    including the final month, with shipped statuses as the change).
+    One full-outer join on the key with null-safe column compare; at
+    scale both snapshots shuffle once on the key and AQE handles
+    drift."""
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("2001-01-01").cast("timestamp")
+    old = orders.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", F.col("o_orderstatus").alias("old_status")
+    )
+    new = orders.filter(
+        (F.col("o_orderdate") < cutoff) | (F.col("o_orderpriority") == "1-URGENT")
+    ).select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, F.lit("F"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("new_status"),
+    )
+    joined = old.join(new, "o_orderkey", "full_outer")
+    kind = (
+        F.when(F.col("old_status").isNull(), F.lit("added"))
+        .when(F.col("new_status").isNull(), F.lit("removed"))
+        .when(~F.col("old_status").eqNullSafe(F.col("new_status")), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.withColumn("change_kind", kind)
+        .filter(F.col("change_kind") != "unchanged")
+        .select("o_orderkey", "old_status", "new_status", "change_kind")
+    )
+
+
 @query("inverted_index_postings")
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L28: inverted-index build — (term, doc_id, positions, tf), the
