@@ -44,6 +44,8 @@ HEADLINE = [
     "pack_training_sequences",
     "span_dedup_clean",
     "user_tier_scd2",
+    # end-to-end composite (quality -> dedup -> decontaminate -> pack)
+    "training_data_manifest",
 ]
 
 

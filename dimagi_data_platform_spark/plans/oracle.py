@@ -1554,3 +1554,56 @@ WHERE (CASE WHEN old_status IS NULL THEN 'added'
             WHEN old_status IS DISTINCT FROM new_status THEN 'changed'
             ELSE 'unchanged' END) != 'unchanged'
 """
+
+# L30 composite: the same stage chain as queries.py, ending in the
+# packing recursion over SURVIVORS (filters reuse the proven _QUALITY /
+# _NORM_TEXT / 5-gram / _SHARD_H / _NWORDS building blocks).
+ORACLE["training_data_manifest"] = rf"""
+WITH RECURSIVE scored AS (
+  SELECT doc_id, text, {{q}} AS quality
+  FROM documents WHERE doc_id % 97 <> 0),
+q AS (SELECT doc_id, text FROM scored WHERE quality >= 0.5),
+dedup AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY md5({{norm}}) ORDER BY doc_id) AS rn
+    FROM q) t
+  WHERE rn = 1),
+toks_all AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+bench AS (
+  SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+         || ' ' || t[i+4] AS shingle
+  FROM toks_all, UNNEST(range(1, len(t) - 3)) AS u(i)
+  WHERE doc_id % 97 = 0 AND len(t) >= 5),
+contaminated AS (
+  SELECT DISTINCT d.doc_id
+  FROM dedup d JOIN toks_all ta ON ta.doc_id = d.doc_id,
+       UNNEST(range(1, len(ta.t) - 3)) AS u(i)
+  WHERE len(ta.t) >= 5
+    AND (ta.t[i] || ' ' || ta.t[i+1] || ' ' || ta.t[i+2] || ' ' || ta.t[i+3]
+         || ' ' || ta.t[i+4]) IN (SELECT shingle FROM bench)),
+survivors AS (
+  SELECT d.doc_id FROM dedup d
+  WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)),
+base AS (
+  SELECT doc_id, {{h}} AS h, CAST({{nw}} AS BIGINT) AS n_tokens
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM survivors)),
+ordered AS (
+  SELECT doc_id, h % 8 AS shard, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS rn
+  FROM base),
+packed AS (
+  SELECT doc_id, shard, rn, n_tokens, CAST(1 AS BIGINT) AS pack_id,
+         n_tokens AS acc
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.shard, o.rn, o.n_tokens,
+         CASE WHEN p.acc + o.n_tokens > 256 THEN p.pack_id + 1
+              ELSE p.pack_id END,
+         CASE WHEN p.acc + o.n_tokens > 256 THEN o.n_tokens
+              ELSE p.acc + o.n_tokens END
+  FROM packed p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1)
+SELECT doc_id, shard, pack_id, n_tokens FROM packed
+""".format(q=_QUALITY, norm=_NORM_TEXT, h=_SHARD_H, nw=_NWORDS)

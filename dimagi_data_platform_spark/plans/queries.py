@@ -1931,6 +1931,51 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("training_data_manifest")
+def training_data_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L30: the end-to-end training-data pipeline as ONE lazy plan —
+    eval-set exclusion → quality filter → exact dedup → benchmark
+    decontamination → deterministic sharding → greedy sequence packing;
+    output is the manifest a training loader reads (doc_id, shard,
+    pack_id, n_tokens). Every stage reuses a hash-checked operator, so
+    the COMPOSITION is hash-checked too (the oracle chains the same
+    stages as CTEs ending in the packing recursion).
+
+    Scale: stages 1-3 are scan + two shingle-keyed semi/anti joins
+    (bench shingle set broadcasts); sharding/packing touch only the
+    narrow survivor projection. Nothing quadratic, nothing driver-side.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    is_bench = F.col("doc_id") % 97 == 0
+    bench_sh = (
+        docs.filter(is_bench)
+        .withColumn("_toks", tokens("text"))
+        .select(F.explode(shingles_from_tokens("_toks", 5)).alias("shingle"))
+        .distinct()
+    )
+    cand = (
+        docs.filter(~is_bench)
+        .withColumn("quality", quality_score("text"))
+        .filter(F.col("quality") >= 0.5)
+    )
+    deduped = exact_dedup(cand, "text", "doc_id")
+    tr_sh = (
+        deduped.repartition(par)
+        .withColumn("_toks", tokens("text"))
+        .select("doc_id", F.explode(shingles_from_tokens("_toks", 5)).alias("shingle"))
+    )
+    contaminated = (
+        tr_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    survivors = deduped.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "text"
+    )
+    return pack_documents(survivors, budget=256, n_shards=8, seed=42)
+
+
 @query("table_fingerprint")
 def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P24: anti-entropy table checksum — an order-independent exact
