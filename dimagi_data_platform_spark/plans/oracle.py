@@ -1504,8 +1504,8 @@ scored AS (
          ((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
          * (CAST(tf AS DOUBLE) * 2.2)
          / (CAST(tf AS DOUBLE)
-            + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
-                                    / (CAST(sum_dl AS DOUBLE) / n_docs))))
+            + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                                  / (CAST(sum_dl AS DOUBLE) / n_docs)))
            AS s
   FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
 per AS (
