@@ -60,11 +60,15 @@ def connected_components(
     # Materialize the (possibly expensive) upstream edge plan ONCE —
     # every round joins sym, and without truncation the similarity-pair
     # computation that produced the edges would re-execute per round.
-    sym = (
-        edges.select(F.col(src_col).alias("id"), F.col(dst_col).alias("nbr"))
-        .union(edges.select(F.col(dst_col).alias("id"), F.col(src_col).alias("nbr")))
-        .localCheckpoint()
-    )
+    # Checkpoint BEFORE the symmetric union: union's two branches are
+    # separate plan subtrees, so uniting the raw edge plan with itself
+    # would execute the upstream similarity computation twice.
+    one_way = edges.select(
+        F.col(src_col).alias("id"), F.col(dst_col).alias("nbr")
+    ).localCheckpoint()
+    sym = one_way.union(
+        one_way.select(F.col("nbr").alias("id"), F.col("id").alias("nbr"))
+    ).localCheckpoint()
 
     # Only edge-incident vertices can ever change label; iterate over
     # that (usually far smaller) subgraph and union the untouched
