@@ -78,23 +78,12 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame,
-    id_col: str = "doc_id",
-    bands: int = 16,
-    rows_per_band: int = 4,
+def _band_entries(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """Candidate pairs (id_a < id_b) sharing at least one band bucket,
-    with ``est_jaccard`` = fraction of equal signature components.
-
-    Shuffle discipline: only (id, band, bucket) triples — 24 bytes/row
-    — travel through the candidate-generation shuffle; the signature
-    arrays (64 longs) are joined back onto the (much smaller) distinct
-    pair set afterwards. Pair generation happens inside each bucket
-    group (sorted collect_list + triangular transform), the same
-    single-shuffle shape as the exact n-gram path.
-    """
-    band_entries = sigs.select(
+    """(id, band, bucket) triples: one row per signature band, bucket =
+    xxhash64 of the band's signature slice (internal grouping key)."""
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -112,6 +101,32 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def _est_jaccard(sig_a, sig_b):
+    eq = F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int"))
+    return F.aggregate(eq, F.lit(0), lambda acc, x: acc + x).cast("double") / F.size(
+        sig_a
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing at least one band bucket,
+    with ``est_jaccard`` = fraction of equal signature components.
+
+    Shuffle discipline: only (id, band, bucket) triples — 24 bytes/row
+    — travel through the candidate-generation shuffle; the signature
+    arrays (64 longs) are joined back onto the (much smaller) distinct
+    pair set afterwards. Pair generation happens inside each bucket
+    group (sorted collect_list + triangular transform), the same
+    single-shuffle shape as the exact n-gram path.
+    """
+    band_entries = _band_entries(sigs, id_col, bands, rows_per_band)
 
     grouped = (
         band_entries.groupBy("band", "bucket")
@@ -138,9 +153,44 @@ def lsh_candidate_pairs(
     # broadcast so the pair set never re-shuffles. If signatures ever
     # outgrow broadcast, swap to shuffle joins keyed on the pair ids.
     joined = pairs.join(F.broadcast(sig_a), "id_a").join(F.broadcast(sig_b), "id_b")
-    eq = F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int"))
-    est = F.aggregate(eq, F.lit(0), lambda acc, x: acc + x).cast("double") / F.size("sig_a")
+    est = _est_jaccard(F.col("sig_a"), F.col("sig_b"))
     return joined.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def incremental_lsh_matches(
+    corpus_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-dup matches of an INCOMING batch against the EXISTING
+    corpus — the ingest-time dedup shape for a growing corpus: nothing
+    intra-batch or intra-corpus is compared, so probe work scales with
+    the batch's band entries, never O(corpus²). ``corpus_sigs`` is the
+    signature table production persists at ingest (num_hashes longs per
+    doc); each new batch signs itself and probes the corpus buckets.
+
+    Returns (batch_id, corpus_id, est_jaccard) for every candidate pair
+    sharing >= 1 band bucket with est_jaccard >= the threshold.
+    """
+    be_c = _band_entries(corpus_sigs, id_col, bands, rows_per_band).select(
+        F.col(id_col).alias("corpus_id"), "band", "bucket"
+    )
+    be_b = _band_entries(batch_sigs, id_col, bands, rows_per_band).select(
+        F.col(id_col).alias("batch_id"), "band", "bucket"
+    )
+    cand = be_b.join(be_c, ["band", "bucket"]).select("batch_id", "corpus_id").distinct()
+    sig_b = batch_sigs.select(F.col(id_col).alias("batch_id"), F.col("sig").alias("sig_a"))
+    sig_c = corpus_sigs.select(F.col(id_col).alias("corpus_id"), F.col("sig").alias("sig_b"))
+    joined = cand.join(F.broadcast(sig_b), "batch_id").join(
+        F.broadcast(sig_c), "corpus_id"
+    )
+    est = _est_jaccard(F.col("sig_a"), F.col("sig_b"))
+    return joined.select("batch_id", "corpus_id", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= min_est_jaccard
+    )
 
 
 def minhash_dedup_pairs(

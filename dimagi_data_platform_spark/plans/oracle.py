@@ -1607,3 +1607,79 @@ packed AS (
   FROM packed p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1)
 SELECT doc_id, shard, pack_id, n_tokens FROM packed
 """.format(q=_QUALITY, norm=_NORM_TEXT, h=_SHARD_H, nw=_NWORDS)
+
+
+# L31: mixture reweighting. Double divisions mirror the Spark plan's
+# association exactly: share = CAST(tokens AS DOUBLE) / window-sum,
+# demand = target/share, rate = demand / window-max.
+ORACLE["corpus_mixture_weights"] = f"""
+WITH per AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         SUM(CAST({_NWORDS} AS BIGINT)) AS n_tokens
+  FROM documents GROUP BY lang),
+shares AS (
+  SELECT lang, n_docs, n_tokens,
+         CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS token_share,
+         CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.125
+                   WHEN 'es' THEN 0.125 WHEN 'fr' THEN 0.125
+                   WHEN 'zh' THEN 0.125 ELSE 0.0 END AS target_share
+  FROM per),
+d AS (
+  SELECT lang, n_docs, n_tokens, token_share, target_share,
+         target_share / token_share AS demand
+  FROM shares)
+SELECT lang, n_docs, n_tokens, token_share, target_share,
+       demand / MAX(demand) OVER () AS accept_rate,
+       CAST(n_tokens AS DOUBLE) * (demand / MAX(demand) OVER ()) AS kept_tokens
+FROM d ORDER BY lang
+"""
+
+
+def _incremental_minhash_oracle() -> str:
+    """L32 twin: same signature construction as _minhash_oracle, but
+    candidates pair the incoming batch (doc_id % 5 = 0) against the
+    existing corpus (doc_id % 5 <> 0) and each batch doc keeps only its
+    best corpus match (max est_jaccard, ties to the lowest corpus id)."""
+    from dimagi_data_platform_spark.operators.minhash import MINHASH_P, _hash_params
+
+    params = _hash_params(64, 42)
+    sig_cols = ",\n  ".join(
+        f"MIN(({a}*h + {b}) % {MINHASH_P}) AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_or = "\n    OR ".join(
+        "(" + " AND ".join(f"a.s{b * 4 + j} = b.s{b * 4 + j}" for j in range(4)) + ")"
+        for b in range(16)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(64)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3),
+hs AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {MINHASH_P} AS h
+  FROM sh),
+sig AS (SELECT doc_id,
+  {sig_cols}
+  FROM hs GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS matched_doc_id,
+         CAST({eq_sum} AS DOUBLE) / 64 AS est_jaccard
+  FROM sig a JOIN sig b
+    ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0 AND ({band_or})),
+best AS (
+  SELECT doc_id, matched_doc_id, est_jaccard,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY est_jaccard DESC, matched_doc_id) AS rk
+  FROM cand WHERE est_jaccard >= 0.2)
+SELECT doc_id, matched_doc_id, est_jaccard FROM best WHERE rk = 1
+"""
+
+
+ORACLE["incremental_minhash_dedup"] = _incremental_minhash_oracle()

@@ -2231,6 +2231,100 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from dimagi_data_platform_spark.operators.minhash import (  # noqa: E402
+    incremental_lsh_matches,
+    minhash_signatures,
+)
+
+# Target language mixture for corpus_mixture_weights: the shares a
+# training run wants, independent of what the raw corpus contains.
+_LANG_TARGET = {"en": 0.5, "de": 0.125, "es": 0.125, "fr": 0.125, "zh": 0.125}
+
+
+@query("corpus_mixture_weights")
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L31: corpus mixture reweighting — given a target language mix,
+    compute each stratum's acceptance rate so sampling hits the target
+    proportions while keeping the maximum possible data (the most
+    over-demanded stratum caps at rate 1.0 and every other stratum
+    scales down proportionally). The static-reweighting step of corpus
+    mixing (cf. DoReMi-style domain weights, applied per language).
+
+    Scale: one map-side-partial aggregate over the corpus to exact
+    integer token counts, then all derivation happens on ONE ROW PER
+    STRATUM — the global-max window is over a handful of rows. Token
+    shares/rates are double divisions of exact integers in a fixed
+    association, mirrored literally in the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws_token_count("text")).alias("n_tokens"),
+    )
+    target = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _LANG_TARGET.items()],
+        F.lit(0.0),
+    )
+    w = Window.partitionBy()
+    per = (
+        per.withColumn(
+            "token_share",
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w),
+        )
+        .withColumn("target_share", target)
+        .withColumn("demand", F.col("target_share") / F.col("token_share"))
+    )
+    return (
+        per.withColumn("accept_rate", F.col("demand") / F.max("demand").over(w))
+        .withColumn(
+            "kept_tokens", F.col("n_tokens").cast("double") * F.col("accept_rate")
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "token_share",
+            "target_share",
+            "accept_rate",
+            "kept_tokens",
+        )
+        .orderBy("lang")
+    )
+
+
+@query("incremental_minhash_dedup")
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L32: ingest-time near-dup dedup — docs with doc_id % 5 == 0 play
+    the incoming batch; the rest are the already-ingested corpus. Each
+    batch doc that near-dup-matches the corpus (MinHash est_jaccard >=
+    0.2 via shared LSH band buckets) is emitted with its best match
+    (highest est_jaccard, ties to the lowest corpus id) — the rows an
+    ingest job would DROP instead of re-deduplicating the whole corpus.
+
+    Scale posture (operators/minhash.py:incremental_lsh_matches): probe
+    work scales with the BATCH's band entries; the corpus contributes
+    its persisted signature table only. Here both sides derive from one
+    signature pass over `documents` split by the doc_id predicate."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs).localCheckpoint()
+    matches = incremental_lsh_matches(
+        sigs.filter(F.col("doc_id") % 5 != 0),
+        sigs.filter(F.col("doc_id") % 5 == 0),
+        min_est_jaccard=0.2,
+    )
+    w = Window.partitionBy("batch_id").orderBy(
+        F.desc("est_jaccard"), F.col("corpus_id")
+    )
+    return (
+        matches.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("batch_id").alias("doc_id"),
+            F.col("corpus_id").alias("matched_doc_id"),
+            "est_jaccard",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------

@@ -50,6 +50,39 @@ def test_minhash_est_jaccard_is_one_for_exact_dup(spark):
     assert pairs[(1, 3)] == 1.0
 
 
+def test_incremental_lsh_matches_cross_side_only(spark):
+    """incremental matches = the full LSH pair set restricted to
+    (batch, corpus) pairs: no intra-batch or intra-corpus pairs, and
+    every cross-side pair the full run finds is found incrementally."""
+    from dimagi_data_platform_spark.operators.minhash import (
+        incremental_lsh_matches,
+        minhash_signatures,
+    )
+
+    docs = _near_dup_corpus(spark)
+    sigs = minhash_signatures(docs)
+    batch_ids = {2, 4}
+    batch = sigs.filter(F.col("doc_id").isin(*batch_ids))
+    corpus = sigs.filter(~F.col("doc_id").isin(*batch_ids))
+    got = {
+        (r.batch_id, r.corpus_id): r.est_jaccard
+        for r in incremental_lsh_matches(
+            corpus, batch, min_est_jaccard=0.1
+        ).collect()
+    }
+    assert all(b in batch_ids and c not in batch_ids for b, c in got)
+    full = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_dedup_pairs(docs, min_est_jaccard=0.1).collect()
+    }
+    cross = {
+        (a if a in batch_ids else b, b if a in batch_ids else a): est
+        for (a, b), est in full.items()
+        if (a in batch_ids) != (b in batch_ids)
+    }
+    assert got == cross
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     docs = _near_dup_corpus(spark)
     fps = {r.doc_id: r.fingerprint for r in simhash_fingerprints(docs).collect()}
