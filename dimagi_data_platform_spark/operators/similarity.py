@@ -542,3 +542,88 @@ def embedding_near_dup_lsh(
             )
 
     return cand.mapInPandas(score, schema="id_a long, id_b long, cos_sim double")
+
+
+def semantic_dedup(
+    items: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    sample_rows: int = 4096,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means-partition the
+    embedding space into ``nlist`` clusters, then within each cluster
+    drop every item whose cosine similarity to a LOWER-id cluster
+    member reaches ``threshold`` (the min-id representative of each
+    semantic near-dup group survives).
+
+    Returns one row per item: (id, list_id, is_kept, matched_id,
+    cos_sim) — dropped rows carry their highest-similarity lower-id
+    match (ties to the lowest id), kept rows carry nulls.
+
+    Scale posture: centroids train on a bounded driver-side sample
+    (like the IVF coarse quantizer); assignment is one scan-local
+    mapInPandas pass; the pairwise compare is confined to each cluster
+    — the SemDeDup trade: O(sum of cluster²) instead of O(n²), with
+    ``nlist`` sized so clusters fit a task (~sqrt-ish of corpus). A
+    pathologically hot cluster should be sub-blocked exactly like
+    ``embedding_near_dup_pairs`` blocks the full table; deterministic
+    given the seed. Rows-only vs the oracle gate (k-means is not
+    SQL-expressible); semantics unit-tested against the exact
+    within-cluster pair set.
+    """
+    spark = items.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    sample = items.select(vec_col).limit(sample_rows).toPandas()
+    C = _kmeans_centroids(_matrix(sample[vec_col]), nlist, seed=seed)
+    bc_c = spark.sparkContext.broadcast(C)
+
+    def assign(batches):
+        Cm = bc_c.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _matrix(pdf[vec_col])
+            d2 = ((X[:, None, :] - Cm[None, :, :]) ** 2).sum(axis=2)
+            out = pdf[[id_col, vec_col]].copy()
+            out["list_id"] = d2.argmin(axis=1).astype("int64")
+            yield out
+
+    assigned = items.repartition(par).mapInPandas(
+        assign, schema=f"{id_col} long, {vec_col} array<float>, list_id long"
+    )
+
+    def dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = _matrix(pdf[vec_col])[order]
+        cos = _fold_cosine(X, X, _fold_norms(X))
+        # dup[i, j]: j is a lower-id member similar enough to absorb i
+        dup = (cos >= threshold) & (ids[:, None] > ids[None, :])
+        has = dup.any(axis=1)
+        masked = np.where(dup, cos, -np.inf)
+        best = masked.argmax(axis=1)  # ties -> first index = lowest id
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "list_id": pdf["list_id"].iloc[0],
+                "is_kept": ~has,
+                "matched_id": np.where(has, ids[best], 0),
+                "cos_sim": np.where(has, cos[np.arange(len(ids)), best], 0.0),
+            }
+        ).astype({"matched_id": "int64"})
+
+    out = assigned.groupBy("list_id").applyInPandas(
+        lambda _, pdf: dedup(pdf),
+        schema="id long, list_id long, is_kept boolean, matched_id long, cos_sim double",
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        "list_id",
+        "is_kept",
+        F.when(~F.col("is_kept"), F.col("matched_id")).alias("matched_id"),
+        F.when(~F.col("is_kept"), F.col("cos_sim")).alias("cos_sim"),
+    )

@@ -557,6 +557,7 @@ from dimagi_data_platform_spark.operators.similarity import (  # noqa: E402
     knn_bruteforce,
     knn_ivf,
     knn_lsh,
+    semantic_dedup,
 )
 from dimagi_data_platform_spark.multimodal.binary_ops import (  # noqa: E402
     attach_binary_payload,
@@ -758,6 +759,17 @@ def knn_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse lists + nprobe probing, the partition-pruning scale path."""
     emb = _t(spark, sf_dir, "embeddings")
     return knn_ivf(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query("semantic_dedup")
+def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L33: SemDeDup-style semantic dedup — k-means clusters over the
+    embedding space, then per-cluster cosine pruning keeps the min-id
+    representative of each near-dup group (rows-only check: k-means is
+    not SQL-expressible; within-cluster semantics verified against the
+    exact pair set in tests/test_llm_ops.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=EMBED_NEAR_DUP_THRESHOLD)
 
 
 @query("knn_lsh")

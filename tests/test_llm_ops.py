@@ -83,6 +83,40 @@ def test_incremental_lsh_matches_cross_side_only(spark):
     assert got == cross
 
 
+def test_semantic_dedup_matches_exact_within_cluster_semantics(spark):
+    """Every dropped row must have cosine >= threshold to some lower-id
+    row in its own cluster (the reported match), every kept row must
+    have none, and exactly one representative per near-dup group
+    survives. Verified against a brute-force recomputation per cluster."""
+    import numpy as np
+
+    from dimagi_data_platform_spark.operators.similarity import (
+        _fold_cosine,
+        _fold_norms,
+        _matrix,
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    out = semantic_dedup(emb, threshold=0.35).toPandas()
+    assert len(out) == emb.count()
+    assert out["is_kept"].any() and (~out["is_kept"]).any()
+    src = emb.toPandas().set_index("vec_id")
+    import pandas as pd
+
+    for _, grp in out.groupby("list_id"):
+        grp = grp.sort_values("vec_id").reset_index(drop=True)
+        X = _matrix(pd.Series([src.loc[i, "embedding"] for i in grp["vec_id"]]))
+        cos = _fold_cosine(X, X, _fold_norms(X))
+        ids = grp["vec_id"].to_numpy()
+        dup = (cos >= 0.35) & (ids[:, None] > ids[None, :])
+        np.testing.assert_array_equal(~grp["is_kept"].to_numpy(), dup.any(axis=1))
+        for i in np.nonzero(dup.any(axis=1))[0]:
+            j = np.where(dup[i], cos[i], -np.inf).argmax()
+            assert grp.loc[i, "matched_id"] == ids[j]
+            assert grp.loc[i, "cos_sim"] == cos[i, j]
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     docs = _near_dup_corpus(spark)
     fps = {r.doc_id: r.fingerprint for r in simhash_fingerprints(docs).collect()}
