@@ -46,6 +46,9 @@ HEADLINE = [
     "user_tier_scd2",
     # end-to-end composite (quality -> dedup -> decontaminate -> pack)
     "training_data_manifest",
+    # round-2 additions: ingest-time near-dup dedup + semantic dedup
+    "incremental_minhash_dedup",
+    "semantic_dedup",
 ]
 
 

@@ -108,6 +108,74 @@ def test_streaming_daily_usage_match_batch(spark, tmp_path):
             assert key in g and g[key] == n
 
 
+def test_late_rows_beyond_watermark_are_dropped(spark, tmp_path):
+    """Two availableNow drains against one checkpoint: a row arriving
+    in drain 2 with event time OLDER than the checkpointed watermark
+    must not resurrect its already-emitted window — the late-data
+    eviction contract the watermark claims."""
+
+    def write_file(path, rows):
+        with open(path, "w") as f:
+            for eid, ts, uid, v in rows:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": eid,
+                            "ts": ts,
+                            "user_id": uid,
+                            "event_type": "click",
+                            "value": v,
+                            "props": "{}",
+                        }
+                    )
+                    + "\n"
+                )
+
+    in_dir = tmp_path / "late_in"
+    in_dir.mkdir()
+    out, ckpt = str(tmp_path / "late_out"), str(tmp_path / "late_ckpt")
+    # drain 1: one event on Jan 1, one on Jan 3 -> watermark = Jan 2
+    # 12:00, so the [Jan 1, Jan 2) window closes and is emitted
+    write_file(
+        in_dir / "f1.json",
+        [
+            (1, "2024-01-01T10:00:00.000000", 7, 1.0),
+            (2, "2024-01-03T12:00:00.000000", 7, 1.0),
+        ],
+    )
+    stream = read_event_stream(spark, str(in_dir), fmt="json", max_files=1)
+    run_to_sink(streaming_daily_usage(stream), out, ckpt)
+    first = {
+        (r.user_id, r.day_start): (r.n_events, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    import datetime as dt
+
+    jan1 = (7, dt.datetime(2024, 1, 1))
+    assert first[jan1] == (1, 1.0)
+
+    # drain 2: a LATE Jan 1 row (before the checkpointed watermark) and
+    # a Jan 6 row that advances the watermark past the Jan 3 window
+    write_file(
+        in_dir / "f2.json",
+        [
+            (3, "2024-01-01T11:00:00.000000", 7, 100.0),
+            (4, "2024-01-06T00:30:00.000000", 7, 1.0),
+        ],
+    )
+    stream2 = read_event_stream(spark, str(in_dir), fmt="json", max_files=1)
+    run_to_sink(streaming_daily_usage(stream2), out, ckpt)
+    final = {}
+    for r in spark.read.parquet(out).collect():
+        key = (r.user_id, r.day_start)
+        assert key not in final, f"window {key} emitted twice"
+        final[key] = (r.n_events, r.total_value)
+    # late row dropped: Jan 1 window unchanged, emitted exactly once
+    assert final[jan1] == (1, 1.0)
+    # watermark advanced -> the Jan 3 window closed with its one row
+    assert final[(7, dt.datetime(2024, 1, 3))] == (1, 1.0)
+
+
 def test_streaming_dedup_drops_resubmissions(spark, tmp_path):
     from dimagi_data_platform_spark.streaming.events_stream import streaming_dedup
 
