@@ -213,3 +213,52 @@ def minhash_dedup_pairs(
     rows_per_band = num_hashes // bands
     pairs = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     return pairs.filter(F.col("est_jaccard") >= min_est_jaccard)
+
+
+def build_signature_table(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> None:
+    """Persist the corpus MinHash signature table — the artifact
+    ingest-time dedup probes (`incremental_lsh_matches`) so arriving
+    batches never re-sign the corpus. num_hashes longs per doc: at
+    10^10 docs x 64 hashes that is ~5 TB, scanned (not shuffled) once
+    per ingest batch; the band explode happens batch-side and the join
+    shuffles only (id, band, bucket) triples."""
+    minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, seed).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def incremental_dedup_from_index(
+    spark,
+    index_path: str,
+    batch_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    min_est_jaccard: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Sign an incoming batch and probe the persisted corpus signature
+    table. Returns (batch_id, corpus_id, est_jaccard) like
+    `incremental_lsh_matches`."""
+    corpus_sigs = spark.read.parquet(index_path)
+    batch_sigs = minhash_signatures(
+        batch_docs, id_col, text_col, num_hashes, shingle_n, seed
+    )
+    return incremental_lsh_matches(
+        corpus_sigs,
+        batch_sigs,
+        id_col,
+        bands,
+        num_hashes // bands,
+        min_est_jaccard,
+    )

@@ -83,6 +83,38 @@ def test_incremental_lsh_matches_cross_side_only(spark):
     assert got == cross
 
 
+def test_signature_table_roundtrip_matches_direct_probe(spark, tmp_path):
+    """Persist the corpus signature table, probe it with a batch, and
+    get exactly the matches the in-memory path produces."""
+    from dimagi_data_platform_spark.operators.minhash import (
+        build_signature_table,
+        incremental_dedup_from_index,
+        incremental_lsh_matches,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "sig_index")
+    build_signature_table(corpus, path)
+    got = {
+        (r.batch_id, r.corpus_id): r.est_jaccard
+        for r in incremental_dedup_from_index(
+            spark, path, batch, min_est_jaccard=0.2
+        ).collect()
+    }
+    want = {
+        (r.batch_id, r.corpus_id): r.est_jaccard
+        for r in incremental_lsh_matches(
+            minhash_signatures(corpus),
+            minhash_signatures(batch),
+            min_est_jaccard=0.2,
+        ).collect()
+    }
+    assert got == want and got
+
+
 def test_semantic_dedup_matches_exact_within_cluster_semantics(spark):
     """Every dropped row must have cosine >= threshold to some lower-id
     row in its own cluster (the reported match), every kept row must

@@ -114,3 +114,18 @@ def test_salted_join_rejects_small_side_preserving_how(spark):
         salted_join(big, small, "k", how="right")
     with pytest.raises(ValueError, match="right/full"):
         salted_join(big, small, "k", how="full")
+
+
+def test_incremental_dedup_broadcasts_signatures(spark):
+    # the sig join-back onto the candidate pair set must broadcast —
+    # pairs never re-shuffle on signature size
+    plan = plan_str(spark, "incremental_minhash_dedup")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_mixture_weights_stays_jvm_side(spark):
+    plan = plan_str(spark, "corpus_mixture_weights")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    # only lang + text are read from the 5-column table
+    assert read and "doc_id" not in read[0] and "source" not in read[0]
