@@ -1683,3 +1683,27 @@ SELECT doc_id, matched_doc_id, est_jaccard FROM best WHERE rk = 1
 
 
 ORACLE["incremental_minhash_dedup"] = _incremental_minhash_oracle()
+
+
+# L34: linear quality classifier. Feature and weight fold order match
+# the Spark projection literally.
+ORACLE["quality_classifier_filter"] = f"""
+WITH x AS (
+  SELECT doc_id,
+    LEAST(1.0, CAST({_NWORDS} AS BIGINT) / 100.0) AS f_len,
+    CAST(len(regexp_extract_all(text, '{_PUNCT_RE}')) AS DOUBLE)
+      / length(text) AS f_punct,
+    CAST(len(regexp_extract_all(lower(text), '{_STOP}')) AS DOUBLE)
+      / CAST({_NWORDS} AS BIGINT) AS f_stop,
+    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+      / length(text) AS f_digit,
+    CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS DOUBLE)
+      / len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS f_uniq
+  FROM documents)
+SELECT doc_id, f_len, f_punct, f_stop, f_digit, f_uniq,
+       -0.78 + 0.8 * f_len + -1.2 * f_punct + 1.0 * f_stop
+            + -0.7 * f_digit + 0.6 * f_uniq AS score,
+       (-0.78 + 0.8 * f_len + -1.2 * f_punct + 1.0 * f_stop
+            + -0.7 * f_digit + 0.6 * f_uniq) >= 0.0 AS keep
+FROM x
+"""

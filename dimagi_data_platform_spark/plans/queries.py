@@ -2253,6 +2253,48 @@ from dimagi_data_platform_spark.operators.minhash import (  # noqa: E402
 _LANG_TARGET = {"en": 0.5, "de": 0.125, "es": 0.125, "fr": 0.125, "zh": 0.125}
 
 
+@query("quality_classifier_filter")
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L34: model-based quality filtering — a linear classifier over
+    scan-local text features (length, punctuation, stopwords, digits,
+    token diversity) with fixed literal weights; keep = margin >= 0.
+    The fasttext-style quality-filter shape with the model inlined as
+    literals: at scale the real learned weights interpolate in exactly
+    the same way, and scoring stays whole-stage-codegen JVM work — one
+    projection, no shuffle, no UDF.
+
+    The margin folds left-to-right in the literal weight order,
+    mirrored identically in the oracle SQL, so floats hash-match."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_words = F.size(toks).cast("long")
+    f_len = F.least(F.lit(1.0), n_words / F.lit(100.0))
+    f_punct = punct_count("text").cast("double") / F.length("text")
+    f_stop = stopword_count("text").cast("double") / n_words
+    f_digit = F.size(
+        F.regexp_extract_all("text", F.lit(r"[0-9]"), 0)
+    ).cast("double") / F.length("text")
+    f_uniq = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    score = (
+        F.lit(-0.78)
+        + F.lit(0.8) * f_len
+        + F.lit(-1.2) * f_punct
+        + F.lit(1.0) * f_stop
+        + F.lit(-0.7) * f_digit
+        + F.lit(0.6) * f_uniq
+    )
+    return docs.select(
+        "doc_id",
+        f_len.alias("f_len"),
+        f_punct.alias("f_punct"),
+        f_stop.alias("f_stop"),
+        f_digit.alias("f_digit"),
+        f_uniq.alias("f_uniq"),
+        score.alias("score"),
+        (score >= F.lit(0.0)).alias("keep"),
+    )
+
+
 @query("corpus_mixture_weights")
 def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L31: corpus mixture reweighting — given a target language mix,

@@ -116,3 +116,21 @@ def test_shard_assign_matches_python_hash(spark):
     got = {(r.doc_id, r.shard) for r in shard_assign(df, n_shards=8, seed=42).collect()}
     want = {(i, _md5_60(f"{i}#shard42") % 8) for i in range(500)}
     assert got == want
+
+
+def test_mixture_weights_invariants(spark):
+    """The reweighting contract: the most over-demanded stratum caps at
+    rate exactly 1.0, every rate is in (0, 1], and kept tokens are
+    proportional to the target shares (that IS hitting the target mix
+    with maximal data retention)."""
+    from dimagi_data_platform_spark.plans.queries import QUERIES, _LANG_TARGET
+    from tests.conftest import SF_SMALL
+
+    rows = QUERIES["corpus_mixture_weights"](spark, SF_SMALL).collect()
+    rates = {r.lang: r.accept_rate for r in rows}
+    assert max(rates.values()) == 1.0
+    assert all(0.0 < v <= 1.0 for v in rates.values())
+    kept = {r.lang: r.kept_tokens for r in rows}
+    total_kept = sum(kept.values())
+    for lang, k in kept.items():
+        assert abs(k / total_kept - _LANG_TARGET[lang]) < 1e-9
