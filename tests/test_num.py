@@ -70,3 +70,28 @@ def test_dsum_partition_order_independent(spark):
     a = df1.agg(dsum("x")).collect()[0][0]
     b = df32.agg(dsum("x")).collect()[0][0]
     assert a == b
+
+
+def test_query_results_independent_of_shuffle_partitions(spark):
+    """End-to-end determinism: float-bearing aggregate queries must
+    return bitwise-identical rows when the shuffle layout changes —
+    the property the decimal/quantized accumulators exist to provide
+    (a cluster reshuffling 100 TB differently than local[32] must not
+    change a single bit)."""
+    from dimagi_data_platform_spark.plans.queries import QUERIES
+    from tests.conftest import SF_SMALL
+
+    names = ["q1_pricing_summary", "nation_acctbal_stats", "running_revenue"]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def snap(name):
+        df = QUERIES[name](spark, SF_SMALL)
+        return sorted(tuple(r) for r in df.collect())
+
+    try:
+        base = {n: snap(n) for n in names}
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        for n in names:
+            assert snap(n) == base[n], f"{n} changed under 7 shuffle partitions"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
