@@ -97,3 +97,33 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_promotes_shuffle_join_to_broadcast(spark):
+    """The other adaptive re-plan SURVEY §6 relies on: a join statically
+    planned as shuffle (static broadcast disabled) must finalize as a
+    BroadcastHashJoin once AQE observes the small side's true size."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "10MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(100_000).select(
+            (F.col("id") % 100).alias("k"), F.col("id").alias("payload")
+        )
+        dim = spark.range(100).select(F.col("id").alias("k"), F.lit("d").alias("d"))
+        joined = big.join(dim, "k")
+        assert len(joined.collect()) == 100_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
