@@ -127,3 +127,37 @@ def test_aqe_promotes_shuffle_join_to_broadcast(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime row-level pruning: when one side of a shuffle join is
+    made selective by a filter, Spark injects a bloom filter built from
+    that side into the probe side's scan — at 100 TB this is the
+    difference between shuffling the full fact table and shuffling only
+    rows that can possibly match."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(500_000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+        )
+        joined = big.join(dim.filter(F.col("grp") == 3), "k")
+        assert len(joined.collect()) == 71_500
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
