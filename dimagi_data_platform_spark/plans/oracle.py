@@ -1707,3 +1707,14 @@ SELECT doc_id, f_len, f_punct, f_stop, f_digit, f_uniq,
             + -0.7 * f_digit + 0.6 * f_uniq) >= 0.0 AS keep
 FROM x
 """
+
+
+# P11b: forward as-of — the semantic definition as a scalar subquery.
+ORACLE["events_asof_join_forward"] = """
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+  (SELECT MIN(c.ts) FROM events c
+    WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts >= p.ts)
+  AS next_click_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+"""

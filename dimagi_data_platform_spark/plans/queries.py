@@ -510,6 +510,32 @@ def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_asof_join_forward")
+def events_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11b: forward as-of join — each purchase enriched with the
+    EARLIEST click at-or-after it by the same user (the reverse
+    traversal of the same single-shuffle union-merge plan)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("next_click_ts"), "event_id"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        by=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="ts",
+        carry=["next_click_ts"],
+        right_tiebreak="event_id",
+        direction="forward",
+    ).select("purchase_id", "user_id", "purchase_ts", "next_click_ts")
+
+
 @query("events_asof_join")
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P11: as-of join — each purchase enriched with the most recent

@@ -88,6 +88,42 @@ def test_asof_join_inclusive_at_equal_ts(spark):
     assert out[0].matched_ts == _ts("2024-01-01T00:00:00")
 
 
+def test_asof_join_forward_nearest_later_and_ties(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T01:00:00"), 100),
+         (1, _ts("2024-01-01T02:30:00"), 101),
+         (2, _ts("2024-01-01T01:00:00"), 102)],
+        "user_id int, l_ts timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T01:00:00"), 7),   # equal ts -> inclusive
+         (1, _ts("2024-01-01T02:00:00"), 8),
+         (1, _ts("2024-01-01T03:00:00"), 9)],
+        "user_id int, r_ts timestamp, rid int",
+    ).withColumn("matched_rid", F.col("rid"))
+    out = asof_join(
+        left, right, ["user_id"], "l_ts", "r_ts", ["matched_rid"],
+        right_tiebreak="rid", direction="forward",
+    )
+    got = {r.lid: r.matched_rid for r in out.collect()}
+    assert got[100] == 7     # equal timestamp matches (inclusive)
+    assert got[101] == 9     # nearest LATER, not the earlier 8
+    assert got[102] is None  # user 2 has no right rows
+
+    # duplicate-timestamp right rows: greatest tiebreak wins, same as
+    # the backward direction
+    right2 = spark.createDataFrame(
+        [(1, _ts("2024-01-01T02:00:00"), 5), (1, _ts("2024-01-01T02:00:00"), 6)],
+        "user_id int, r_ts timestamp, rid int",
+    ).withColumn("matched_rid", F.col("rid"))
+    one = asof_join(
+        left.filter(F.col("lid") == 100), right2, ["user_id"],
+        "l_ts", "r_ts", ["matched_rid"], right_tiebreak="rid",
+        direction="forward",
+    ).collect()
+    assert one[0].matched_rid == 6
+
+
 def test_scd2_history_collapses_runs_and_tiles_timeline(spark):
     from dimagi_data_platform_spark.operators.scd import scd2_history
 
