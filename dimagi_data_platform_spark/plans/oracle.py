@@ -1718,3 +1718,13 @@ SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
 FROM events p
 WHERE p.event_type = 'purchase'
 """
+
+
+# P26: blocked fuzzy record linkage.
+ORACLE["customer_fuzzy_match"] = """
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""

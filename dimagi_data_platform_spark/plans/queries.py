@@ -2279,6 +2279,42 @@ from dimagi_data_platform_spark.operators.minhash import (  # noqa: E402
 _LANG_TARGET = {"en": 0.5, "de": 0.125, "es": 0.125, "fr": 0.125, "zh": 0.125}
 
 
+@query("customer_fuzzy_match")
+def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P26: fuzzy record linkage — candidate duplicate customers as
+    blocked edit-distance pairs (same nation block, levenshtein <= 2,
+    key_a < key_b). The entity-resolution step a warehouse runs before
+    merging records from multiple sources.
+
+    Scale: the self-join is confined to the blocking key (candidates
+    per block = block_size², never corpus²) and levenshtein runs
+    codegen'd JVM-side during the join probe. At larger blocks swap
+    the blocking key for sorted-neighborhood windows or the q-gram
+    LSH machinery (operators/minhash.py) — same pair-generation shape."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    return (
+        a.join(b, "nk")
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        .withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .filter(F.col("edit_dist") <= 2)
+        .select("custkey_a", "custkey_b", "edit_dist")
+    )
+
+
 @query("quality_classifier_filter")
 def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L34: model-based quality filtering — a linear classifier over
