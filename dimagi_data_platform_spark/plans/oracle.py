@@ -1728,3 +1728,30 @@ FROM customer a JOIN customer b
   ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 2
 """
+
+
+# R49: equi-width histogram with exact decimal bucket sums.
+ORACLE["order_value_histogram"] = f"""
+SELECT LEAST(19, CAST(FLOOR(o_totalprice / 30000.0) AS BIGINT)) AS bucket,
+       CAST(LEAST(19, CAST(FLOOR(o_totalprice / 30000.0) AS BIGINT)) * 30000
+            AS DOUBLE) AS bucket_lo,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice")} AS sum_value
+FROM orders
+GROUP BY 1, 2
+ORDER BY bucket
+"""
+
+
+# P26b: sorted-neighborhood pairs; the oracle uses the plain global
+# window the Spark side deliberately avoids (same rank by totality of
+# the (name, key) order).
+ORACLE["customer_sorted_neighborhood"] = """
+WITH ranked AS (
+  SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rn
+  FROM customer)
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       CAST(b.rn - a.rn AS BIGINT) AS rank_dist
+FROM ranked a JOIN ranked b
+  ON b.rn > a.rn AND b.rn <= a.rn + 3
+"""

@@ -2279,6 +2279,28 @@ from dimagi_data_platform_spark.operators.minhash import (  # noqa: E402
 _LANG_TARGET = {"en": 0.5, "de": 0.125, "es": 0.125, "fr": 0.125, "zh": 0.125}
 
 
+@query("order_value_histogram")
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R49: equi-width histogram of order values — 20 fixed 30k-wide
+    buckets with exact decimal sums per bucket. The one-pass
+    distribution profile (bucketing is scan-local arithmetic, then a
+    single map-side-partial aggregate on 20 keys)."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.lit(19), F.floor(F.col("o_totalprice") / F.lit(30000.0))
+    ).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_value"),
+        )
+        .withColumn("bucket_lo", (F.col("bucket") * 30000).cast("double"))
+        .select("bucket", "bucket_lo", "n_orders", "sum_value")
+        .orderBy("bucket")
+    )
+
+
 @query("customer_fuzzy_match")
 def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P26: fuzzy record linkage — candidate duplicate customers as
@@ -2312,6 +2334,29 @@ def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 2)
         .select("custkey_a", "custkey_b", "edit_dist")
+    )
+
+
+@query("customer_sorted_neighborhood")
+def customer_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P26b: sorted-neighborhood record linkage — each customer paired
+    with its 3 nearest neighbors in global (name, key) order. The
+    candidate generator when no clean blocking key exists; the global
+    rank is computed DISTRIBUTEDLY (operators/linkage.py: range
+    partition + in-partition rank + broadcast offsets), never as a
+    single-task global window."""
+    from dimagi_data_platform_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pairs = sorted_neighborhood_pairs(
+        cust, order_cols=["c_name", "c_custkey"], id_col="c_custkey", window=3
+    )
+    return pairs.select(
+        F.col("id_a").alias("custkey_a"),
+        F.col("id_b").alias("custkey_b"),
+        "rank_dist",
     )
 
 

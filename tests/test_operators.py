@@ -153,3 +153,24 @@ def test_scd2_history_collapses_runs_and_tiles_timeline(spark):
             assert a.valid_to == b.valid_from
         assert runs[-1].valid_to is None
         assert [r.is_current for r in runs] == [False] * (len(runs) - 1) + [True]
+
+
+def test_global_row_number_matches_single_task_window(spark):
+    from pyspark.sql import Window
+
+    from dimagi_data_platform_spark.catalog import load_table
+    from dimagi_data_platform_spark.operators.linkage import global_row_number
+    from tests.conftest import SF_SMALL
+
+    cust = load_table(spark, SF_SMALL, "customer").select("c_custkey", "c_name")
+    got = {
+        r.c_custkey: r.rn
+        for r in global_row_number(cust, ["c_name", "c_custkey"]).collect()
+    }
+    want = {
+        r.c_custkey: r.rn
+        for r in cust.withColumn(
+            "rn", F.row_number().over(Window.orderBy("c_name", "c_custkey"))
+        ).collect()
+    }
+    assert got == want
