@@ -1755,3 +1755,12 @@ SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
 FROM ranked a JOIN ranked b
   ON b.rn > a.rn AND b.rn <= a.rn + 3
 """
+
+
+# R16b: typed JSON extraction (DuckDB's built-in JSON functions).
+ORACLE["props_typed_extract"] = """
+SELECT event_id, user_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50 AS k_is_high
+FROM events
+"""

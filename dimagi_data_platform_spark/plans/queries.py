@@ -510,6 +510,23 @@ def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("props_typed_extract")
+def props_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R16b: schema-declared JSON parsing — ``from_json`` with an
+    explicit struct schema (the idiomatic Spark path for the
+    reference's form-property parsing; the regexp variant is
+    `props_extract`). Malformed documents yield NULL fields instead of
+    failing the scan; extraction stays JVM-side."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        "user_id",
+        parsed.getField("k").alias("k"),
+        (parsed.getField("k") >= F.lit(50)).alias("k_is_high"),
+    )
+
+
 @query("events_asof_join_forward")
 def events_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P11b: forward as-of join — each purchase enriched with the
