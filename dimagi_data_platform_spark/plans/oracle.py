@@ -1764,3 +1764,42 @@ SELECT event_id, user_id,
        CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50 AS k_is_high
 FROM events
 """
+
+
+# R50: exact median + MAD + 3-MAD outlier counts (discrete rank-at-ceil
+# medians, no interpolation).
+ORACLE["order_value_mad_outliers"] = """
+WITH r1 AS (
+  SELECT o_orderpriority, o_totalprice, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders),
+med AS (
+  SELECT o_orderpriority,
+         MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                  THEN o_totalprice END) AS med
+  FROM r1 GROUP BY o_orderpriority),
+dev AS (
+  SELECT o.o_orderpriority, o.o_totalprice, o.o_orderkey, med.med,
+         ABS(o.o_totalprice - med.med) AS dev
+  FROM orders o JOIN med USING (o_orderpriority)),
+r2 AS (
+  SELECT o_orderpriority, dev,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY dev, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM dev),
+mad AS (
+  SELECT o_orderpriority,
+         MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN dev END) AS mad
+  FROM r2 GROUP BY o_orderpriority)
+SELECT d.o_orderpriority,
+       MAX(d.med) AS med, MAX(mad.mad) AS mad,
+       CAST(SUM(CASE WHEN d.dev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       COUNT(*) AS n_orders
+FROM dev d JOIN mad USING (o_orderpriority)
+GROUP BY d.o_orderpriority
+ORDER BY d.o_orderpriority
+"""

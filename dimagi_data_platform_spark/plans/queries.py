@@ -2318,6 +2318,52 @@ def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("order_value_mad_outliers")
+def order_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R50: robust outlier detection — per-priority exact median, exact
+    MAD (median absolute deviation, the discrete rank-at-ceil idiom
+    both times, so no float interpolation), and the count of orders
+    beyond 3*MAD. Three shuffles on the group key — the honest exact
+    cost; the one-pass approximate path is the KLL sketch
+    (approx_order_percentiles)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+
+    def discrete_median(df, val_col, tie_col, out_name):
+        w = Window.partitionBy("o_orderpriority").orderBy(val_col, tie_col)
+        wn = Window.partitionBy("o_orderpriority")
+        ranked = df.select(
+            "o_orderpriority",
+            F.col(val_col),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        pos = F.ceil(F.lit(0.5) * F.col("n")).cast("long")
+        return ranked.groupBy("o_orderpriority").agg(
+            F.max(F.when(F.col("rn") == pos, F.col(val_col))).alias(out_name)
+        )
+
+    med = discrete_median(orders, "o_totalprice", "o_orderkey", "med")
+    with_dev = orders.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "dev", F.abs(F.col("o_totalprice") - F.col("med"))
+    )
+    mad = discrete_median(with_dev, "dev", "o_orderkey", "mad")
+    return (
+        with_dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > F.lit(3.0) * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 @query("customer_fuzzy_match")
 def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P26: fuzzy record linkage — candidate duplicate customers as
