@@ -134,3 +134,81 @@ def test_mixture_weights_invariants(spark):
     total_kept = sum(kept.values())
     for lang, k in kept.items():
         assert abs(k / total_kept - _LANG_TARGET[lang]) < 1e-9
+
+
+def test_asof_join_directions_match_python_reference(spark):
+    """Randomized streams with duplicate timestamps: both directions
+    must match the brute-force definition (nearest right row on the
+    inclusive side; among equal-ts right rows the greatest tiebreak)."""
+    from dimagi_data_platform_spark.operators.asof import asof_join
+
+    rnd = random.Random(77)
+    base = dt.datetime(2024, 1, 1)
+    lrows, rrows = [], []
+    for user in range(20):
+        for i in range(rnd.randrange(1, 8)):
+            lrows.append(
+                (user, base + dt.timedelta(minutes=rnd.randrange(60)),
+                 user * 100 + i)
+            )
+        for j in range(rnd.randrange(0, 8)):
+            rrows.append(
+                (user, base + dt.timedelta(minutes=rnd.randrange(60)),
+                 user * 1000 + j)
+            )
+    left = spark.createDataFrame(lrows, "user_id int, l_ts timestamp, lid int")
+    right = spark.createDataFrame(
+        rrows, "user_id int, r_ts timestamp, rid int"
+    ).withColumn("matched_rid", F.col("rid"))
+
+    for direction in ("backward", "forward"):
+        got = {
+            r.lid: r.matched_rid
+            for r in asof_join(
+                left, right, ["user_id"], "l_ts", "r_ts", ["matched_rid"],
+                right_tiebreak="rid", direction=direction,
+            ).collect()
+        }
+        want = {}
+        for user, lts, lid in lrows:
+            if direction == "backward":
+                cand = [(ts, rid) for (u, ts, rid) in rrows
+                        if u == user and ts <= lts]
+                best = max(cand, key=lambda x: (x[0], x[1]), default=None)
+            else:
+                cand = [(ts, rid) for (u, ts, rid) in rrows
+                        if u == user and ts >= lts]
+                # nearest later ts; among ties the greatest tiebreak
+                best = min(cand, key=lambda x: (x[0], -x[1]), default=None)
+            want[lid] = best[1] if best else None
+        assert got == want, direction
+
+
+def test_operators_accept_empty_inputs(spark):
+    """Empty relations must flow through the operator surface without
+    errors — the degenerate partition every 100 TB run contains."""
+    from dimagi_data_platform_spark.operators.asof import asof_join
+    from dimagi_data_platform_spark.operators.components import (
+        connected_components,
+    )
+    from dimagi_data_platform_spark.operators.minhash import minhash_dedup_pairs
+    from dimagi_data_platform_spark.operators.sessionize import sessionize
+
+    empty_ev = spark.createDataFrame(
+        [], "user_id int, ts timestamp, event_id int"
+    )
+    assert sessionize(empty_ev, "user_id", "ts", 1800, tie_break="event_id").count() == 0
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_dedup_pairs(empty_docs).count() == 0
+    left = spark.createDataFrame([(1, dt.datetime(2024, 1, 1), 1)],
+                                 "user_id int, l_ts timestamp, lid int")
+    empty_right = spark.createDataFrame(
+        [], "user_id int, r_ts timestamp, matched_ts timestamp"
+    )
+    out = asof_join(left, empty_right, ["user_id"], "l_ts", "r_ts", ["matched_ts"])
+    assert [r.matched_ts for r in out.collect()] == [None]
+    verts = spark.createDataFrame([(1,), (2,)], "id long")
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    labels = {r.id: r.component for r in
+              connected_components(verts, empty_edges).collect()}
+    assert labels == {1: 1, 2: 2}
