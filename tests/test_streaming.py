@@ -369,3 +369,52 @@ def test_scd2_stream_availablenow_matches_batch(spark, tmp_path):
         for r in scd2_history(obs, "user_id", "ts", "attr", "event_id").collect()
     }
     assert got == want
+
+
+def test_streaming_ingest_dedup_grows_index_across_batches(spark, tmp_path):
+    """Dedup-at-ingest: batch 1 drops its in-batch near-dup; batch 2's
+    near-dup of a batch-1 SURVIVOR is dropped by the index probe; fresh
+    docs pass. The index then contains exactly the survivors."""
+    from dimagi_data_platform_spark.streaming.ingest_dedup import run_ingest_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm stone wall near the garden gate today"
+    )
+    other = (
+        "completely different content about spark partitions and "
+        "shuffles executed across a very large analytics cluster"
+    )
+    third = (
+        "another unrelated document mentioning parquet files and "
+        "columnar storage formats with page level statistics"
+    )
+    in_dir = tmp_path / "ingest_in"
+    in_dir.mkdir()
+
+    def write_file(name, rows):
+        with open(in_dir / name, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    # batch 1: 1 and 2 are near-dups of each other (2 dropped in-batch)
+    write_file("b1.json", [(1, base), (2, base.replace("today", "tonight")), (3, other)])
+    # batch 2: 4 near-dups survivor 1 (dropped via index), 5 is fresh
+    write_file("b2.json", [(4, base.replace("dog", "hound")), (5, third)])
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    index, out, ckpt = (
+        str(tmp_path / "sig_idx"),
+        str(tmp_path / "docs_out"),
+        str(tmp_path / "ingest_ckpt"),
+    )
+    run_ingest_dedup(stream, index, out, ckpt, min_est_jaccard=0.4)
+
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3, 5}
+    indexed = {r.doc_id for r in spark.read.parquet(index).collect()}
+    assert indexed == {1, 3, 5}
