@@ -1803,3 +1803,27 @@ FROM dev d JOIN mad USING (o_orderpriority)
 GROUP BY d.o_orderpriority
 ORDER BY d.o_orderpriority
 """
+
+
+# L31b: mixture weights applied as a portable Bernoulli resample.
+ORACLE["corpus_mixture_sample"] = f"""
+WITH per AS (
+  SELECT lang, SUM(CAST({_NWORDS} AS BIGINT)) AS n_tokens
+  FROM documents GROUP BY lang),
+shares AS (
+  SELECT lang,
+         CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS token_share,
+         CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.125
+                   WHEN 'es' THEN 0.125 WHEN 'fr' THEN 0.125
+                   WHEN 'zh' THEN 0.125 ELSE 0.0 END AS target_share
+  FROM per),
+d AS (
+  SELECT lang, target_share / token_share AS demand FROM shares),
+w AS (
+  SELECT lang, demand / MAX(demand) OVER () AS accept_rate FROM d)
+SELECT doc_id, documents.lang, accept_rate
+FROM documents JOIN w ON documents.lang = w.lang
+WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix42'), 1, 15))
+            AS BIGINT) % 1000000)
+    < CAST(FLOOR(accept_rate * 1000000.0) AS BIGINT)
+"""

@@ -2423,6 +2423,30 @@ def customer_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("corpus_mixture_sample")
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L31b: apply the computed mixture weights — the end-to-end
+    resample that `corpus_mixture_weights` plans: each doc keeps with
+    probability accept_rate via the portable md5-Bernoulli (hash mod
+    1e6 < floor(rate*1e6): floor-then-compare is engine-identical,
+    unlike double→int casts). One broadcast join of the 5-row weights
+    table onto the scan; the output corpus hits the target language
+    mix in expectation with maximal retention."""
+    docs = _t(spark, sf_dir, "documents")
+    weights = corpus_mixture_weights(spark, sf_dir).select("lang", "accept_rate")
+    tagged = F.concat(F.col("doc_id").cast("string"), F.lit("#mix42"))
+    h = F.pmod(
+        F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long"),
+        F.lit(1_000_000),
+    )
+    thresh = F.floor(F.col("accept_rate") * F.lit(1_000_000.0)).cast("long")
+    return (
+        docs.join(F.broadcast(weights), "lang")
+        .filter(h < thresh)
+        .select("doc_id", "lang", "accept_rate")
+    )
+
+
 @query("quality_classifier_filter")
 def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L34: model-based quality filtering — a linear classifier over
