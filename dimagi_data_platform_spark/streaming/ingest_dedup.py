@@ -45,6 +45,8 @@ def ingest_batch_dedup(
     drop intra-batch near-dups (lowest id survives), then append the
     survivors to ``out_path`` and their signatures to ``index_path``
     (both under overwrite-by-batch_id subdirs)."""
+    from pyspark.errors import AnalysisException
+
     sigs = minhash_signatures(batch_df, id_col, text_col).localCheckpoint()
     try:
         corpus_sigs = spark.read.parquet(index_path)
@@ -52,7 +54,7 @@ def ingest_batch_dedup(
             corpus_sigs, sigs, id_col, min_est_jaccard=min_est_jaccard
         )
         dup_ids = matches.select(F.col("batch_id").alias(id_col)).distinct()
-    except Exception:  # first batch: no index yet
+    except AnalysisException:  # first batch: index path doesn't exist yet
         dup_ids = None
 
     survivors = sigs
