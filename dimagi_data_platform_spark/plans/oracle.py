@@ -1827,3 +1827,28 @@ WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix42'), 1, 15))
             AS BIGINT) % 1000000)
     < CAST(FLOOR(accept_rate * 1000000.0) AS BIGINT)
 """
+
+
+# R51: hierarchical share-of-parent. Integer revenue units flow through
+# the window subtotals; every division is one IEEE op on exact operands.
+ORACLE["nation_revenue_share"] = """
+WITH per_nation AS (
+  SELECT r_name, n_name,
+         SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10.0)
+                  AS DECIMAL(38,0))) AS units
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name)
+SELECT r_name, n_name,
+       CAST(units AS DOUBLE) / 10.0 AS revenue,
+       CAST(units AS DOUBLE)
+         / CAST(SUM(units) OVER (PARTITION BY r_name) AS DOUBLE)
+         AS region_share,
+       CAST(units AS DOUBLE) / CAST(SUM(units) OVER () AS DOUBLE)
+         AS total_share
+FROM per_nation
+ORDER BY r_name, n_name
+"""

@@ -2318,6 +2318,49 @@ def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("nation_revenue_share")
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R51: hierarchical share-of-parent — per-nation revenue with its
+    share of the region subtotal and of the grand total. One aggregate
+    to nation grain (exact decimal sums), then two window shares over
+    the 25-row result; broadcast dimension joins feed the grain."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    # carry EXACT integer revenue units (qsum's quantization) through
+    # the window subtotals — window-summing already-divided doubles
+    # would reorder float adds and break the hash gate
+    units = F.sum(F.floor(rev * F.lit(10.0)).cast("decimal(38,0)")).alias("units")
+    per_nation = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(units)
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    u = F.col("units").cast("double")
+    return (
+        per_nation.withColumn(
+            "region_share", u / F.sum("units").over(w_region).cast("double")
+        )
+        .withColumn("total_share", u / F.sum("units").over(w_all).cast("double"))
+        .select(
+            "r_name",
+            "n_name",
+            (u / F.lit(10.0)).alias("revenue"),
+            "region_share",
+            "total_share",
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
 @query("order_value_mad_outliers")
 def order_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R50: robust outlier detection — per-priority exact median, exact
