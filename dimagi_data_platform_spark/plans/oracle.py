@@ -1852,3 +1852,20 @@ SELECT r_name, n_name,
 FROM per_nation
 ORDER BY r_name, n_name
 """
+
+
+# L35: BPE first-iteration pair statistics.
+ORACLE["bpe_pair_counts"] = r"""
+WITH words AS (
+  SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents),
+wf AS (SELECT w, COUNT(*) AS freq FROM words GROUP BY w),
+fw AS (SELECT w, freq FROM wf WHERE length(w) >= 2),
+pairs AS (
+  SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, freq
+  FROM fw, UNNEST(range(1, length(w))) AS u(i))
+SELECT a, b, SUM(freq) AS pair_count
+FROM pairs GROUP BY a, b
+ORDER BY pair_count DESC, a, b
+LIMIT 50
+"""

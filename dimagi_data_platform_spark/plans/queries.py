@@ -2466,6 +2466,44 @@ def customer_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("bpe_pair_counts")
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L35: tokenizer-training support — adjacent-character pair
+    frequencies over the word-frequency table, the statistic the first
+    BPE merge iteration maximizes. Top-50 pairs, ties broken on the
+    pair itself.
+
+    Scale: one vocab-sized shuffle to word frequencies (map-side
+    partial agg), then pair extraction is row-local on the (much
+    smaller) vocab and the final shuffle has at most |alphabet|² keys.
+    Iterating full BPE training = re-running this over a re-segmented
+    vocab per merge (driver-coordinated loop, same per-round shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens("text")).alias("w"))
+    wf = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("w") >= 2)
+    )
+    idx = F.sequence(F.lit(1), F.length("w") - F.lit(1))
+    pair = F.explode(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.col("w").substr(i, F.lit(1)).alias("a"),
+                F.col("w").substr(i + F.lit(1), F.lit(1)).alias("b"),
+            ),
+        )
+    )
+    return (
+        wf.select("freq", pair.alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "a", "b")
+        .limit(50)
+    )
+
+
 @query("corpus_mixture_sample")
 def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L31b: apply the computed mixture weights — the end-to-end
