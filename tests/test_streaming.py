@@ -418,3 +418,53 @@ def test_streaming_ingest_dedup_grows_index_across_batches(spark, tmp_path):
     assert kept == {1, 3, 5}
     indexed = {r.doc_id for r in spark.read.parquet(index).collect()}
     assert indexed == {1, 3, 5}
+
+
+def test_streaming_scd2_enrich_matches_batch_asof_semantics(spark, tmp_path):
+    """Each streamed event must pick the dimension version valid AT ITS
+    EVENT TIME — identical to the batch join on the same history, and
+    exactly one version per event (SCD2 tiling)."""
+    import datetime as dt
+
+    from dimagi_data_platform_spark.operators.scd import scd2_history
+    from dimagi_data_platform_spark.streaming.events_stream import (
+        streaming_scd2_enrich,
+    )
+
+    obs = spark.createDataFrame(
+        [
+            (7, dt.datetime(2024, 1, 1), 1, "bronze"),
+            (7, dt.datetime(2024, 1, 3), 2, "gold"),
+            (8, dt.datetime(2024, 1, 2), 3, "silver"),
+        ],
+        "user_id int, ts timestamp, event_id int, attr string",
+    )
+    hist = scd2_history(obs, "user_id", "ts", "attr", "event_id")
+
+    in_dir = tmp_path / "scd2_enrich_in"
+    in_dir.mkdir()
+    events = [
+        (1, "2024-01-02T00:00:00.000000", 7),   # bronze era
+        (2, "2024-01-03T00:00:00.000000", 7),   # gold from its valid_from on
+        (3, "2024-01-04T00:00:00.000000", 8),   # silver (open interval)
+        (4, "2024-01-01T00:00:00.000000", 8),   # before any version -> null
+    ]
+    with open(in_dir / "ev.json", "w") as f:
+        for eid, ts, uid in events:
+            f.write(json.dumps({"event_id": eid, "ts": ts, "user_id": uid,
+                                "event_type": "click", "value": 1.0,
+                                "props": "{}"}) + "\n")
+    stream = read_event_stream(spark, str(in_dir), fmt="json", max_files=1)
+    out, ckpt = str(tmp_path / "scd2_enrich_out"), str(tmp_path / "scd2_enrich_ckpt")
+    run_to_sink(streaming_scd2_enrich(stream, hist), out, ckpt)
+
+    got = {r.event_id: r.attr for r in spark.read.parquet(out).collect()}
+    assert got == {1: "bronze", 2: "gold", 3: "silver", 4: None}
+    # batch twin: same join, same answer, one row per event
+    batch_ev = spark.read.json(
+        str(in_dir), schema="event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    batch = streaming_scd2_enrich(batch_ev, hist)
+    assert batch.count() == len(events)
+    assert {r.event_id: r.attr for r in batch.collect()} == got
