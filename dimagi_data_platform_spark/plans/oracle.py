@@ -1869,3 +1869,30 @@ FROM pairs GROUP BY a, b
 ORDER BY pair_count DESC, a, b
 LIMIT 50
 """
+
+
+# P29: 3-step behavioral sequences.
+ORACLE["event_type_trigrams"] = """
+WITH seq AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS t2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS t3
+  FROM events)
+SELECT t1, t2, t3, COUNT(*) AS n_sequences
+FROM seq WHERE t3 IS NOT NULL
+GROUP BY t1, t2, t3
+ORDER BY n_sequences DESC, t1, t2, t3
+LIMIT 20
+"""
+
+# R52: same-order part pair counts.
+ORACLE["co_purchased_parts"] = """
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 25
+"""

@@ -2318,6 +2318,47 @@ def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("event_type_trigrams")
+def event_type_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P29: behavioral sequence mining — the 20 most common
+    3-step event-type sequences across user timelines (lead() twice
+    over the per-user time order, then a tiny-alphabet count). One
+    shuffle on user_id; the aggregate shuffles at most |types|³ keys."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        seq.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n_sequences"))
+        .orderBy(F.desc("n_sequences"), "t1", "t2", "t3")
+        .limit(20)
+    )
+
+
+@query("co_purchased_parts")
+def co_purchased_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R52: market-basket co-occurrence — the 25 part pairs most often
+    appearing in the same order. The self-join fans out per order as
+    items², which real orders bound (TPC-H ≤ 7 lines/order), so the
+    pair volume is linear in orders; the count aggregate gets map-side
+    partial combining."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(25)
+    )
+
+
 @query("nation_revenue_share")
 def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R51: hierarchical share-of-parent — per-nation revenue with its
