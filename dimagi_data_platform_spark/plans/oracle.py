@@ -1896,3 +1896,13 @@ GROUP BY a.l_partkey, b.l_partkey
 ORDER BY n_orders DESC, part_a, part_b
 LIMIT 25
 """
+
+
+# L36: duplication profile over the recursive-CTE component closure.
+ORACLE["near_dup_cluster_sizes"] = f"""
+WITH base AS ({ORACLE["near_dup_components"]})
+SELECT cluster_size,
+       COUNT(DISTINCT component) AS n_clusters,
+       COUNT(*) AS n_docs
+FROM base GROUP BY cluster_size ORDER BY cluster_size
+"""

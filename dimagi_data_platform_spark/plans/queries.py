@@ -2318,6 +2318,47 @@ def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("near_dup_cluster_sizes")
+def near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L36: duplication profile — the cluster-size distribution of the
+    near-dup graph (how much of the corpus is singleton vs small-group
+    vs mass-duplicated). Composes the pairs→components stage, then a
+    25-key aggregate; the report every dedup run should emit."""
+    clusters = near_dup_components(spark, sf_dir)
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(
+            F.count_distinct("component").alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@query("segment_distinct_union")
+def segment_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L37/P-parity: mergeable-sketch rollup — per-nation HLL sketches
+    of active customers, merged to market-segment level WITHOUT
+    rescanning (hll_union_agg over the stored per-nation sketches).
+    The production 100 TB distinct-count pattern: persist small
+    sketches at fine grain once, answer any coarser-grain distinct
+    query by merging them. Rows-only check (sketch binaries are
+    engine-specific); estimates error-bound-tested vs exact counts."""
+    cust = _t(spark, sf_dir, "customer")
+    per_nation = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sketch")
+    )
+    return (
+        per_nation.groupBy("c_mktsegment")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "approx_customers"
+            )
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 @query("event_type_trigrams")
 def event_type_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P29: behavioral sequence mining — the 20 most common

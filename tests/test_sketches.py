@@ -115,3 +115,27 @@ def test_heavy_hitters_underestimates_within_bound(spark):
     for term, true_n in exact.items():
         if true_n > 2 * bound:
             assert term in est, f"hot term {term} missing from summary"
+
+
+def test_segment_distinct_union_estimates_within_hll_error(spark):
+    """Merged per-nation sketches must estimate segment-level distinct
+    customers within HLL error of the exact count — merging sketches
+    must not degrade the estimate beyond the sketch's own guarantee."""
+    from dimagi_data_platform_spark.catalog import load_table
+    from dimagi_data_platform_spark.plans.queries import QUERIES
+    from tests.conftest import SF_MED
+
+    got = {
+        r.c_mktsegment: r.approx_customers
+        for r in QUERIES["segment_distinct_union"](spark, SF_MED).collect()
+    }
+    cust = load_table(spark, SF_MED, "customer")
+    exact = {
+        r.c_mktsegment: r.n
+        for r in cust.groupBy("c_mktsegment")
+        .agg(F.count_distinct("c_custkey").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for seg, est in got.items():
+        assert abs(est - exact[seg]) / exact[seg] < 0.05, (seg, est, exact[seg])
