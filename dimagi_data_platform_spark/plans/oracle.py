@@ -1906,3 +1906,18 @@ SELECT cluster_size,
        COUNT(*) AS n_docs
 FROM base GROUP BY cluster_size ORDER BY cluster_size
 """
+
+
+# P26c: sorted-neighborhood candidates verified by edit distance.
+ORACLE["sorted_neighborhood_fuzzy"] = """
+WITH ranked AS (
+  SELECT c_custkey, c_name,
+         ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rn
+  FROM customer)
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       CAST(b.rn - a.rn AS BIGINT) AS rank_dist,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+FROM ranked a JOIN ranked b
+  ON b.rn > a.rn AND b.rn <= a.rn + 3
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""

@@ -2610,6 +2610,37 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sorted_neighborhood_fuzzy")
+def sorted_neighborhood_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P26c: the full sorted-neighborhood pipeline — window candidates
+    (n*w pairs from the distributed global rank) verified by edit
+    distance <= 2. Candidate generation never touches block sizes;
+    verification is codegen levenshtein on the n*w pair stream — the
+    linkage shape for keys too dirty to block on."""
+    from dimagi_data_platform_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pairs = sorted_neighborhood_pairs(
+        cust, order_cols=["c_name", "c_custkey"], id_col="c_custkey", window=3
+    )
+    na = cust.select(F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"))
+    nb = cust.select(F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"))
+    return (
+        pairs.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_dist") <= 2)
+        .select(
+            F.col("id_a").alias("custkey_a"),
+            F.col("id_b").alias("custkey_b"),
+            "rank_dist",
+            "edit_dist",
+        )
+    )
+
+
 @query("quality_classifier_filter")
 def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L34: model-based quality filtering — a linear classifier over
