@@ -1921,3 +1921,29 @@ FROM ranked a JOIN ranked b
   ON b.rn > a.rn AND b.rn <= a.rn + 3
 WHERE levenshtein(a.c_name, b.c_name) <= 2
 """
+
+
+# R53: rolling correlation from exact integer moment sums.
+ORACLE["rolling_click_purchase_corr"] = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY 1),
+m AS (
+  SELECT day, x, y,
+         COUNT(*) OVER w AS n,
+         SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+         SUM(x*x) OVER w AS sxx, SUM(y*y) OVER w AS syy,
+         SUM(x*y) OVER w AS sxy
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT day, x, y,
+       CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
+         CAST(n*sxy - sx*sy AS DOUBLE)
+           / SQRT(CAST(n*sxx - sx*sx AS DOUBLE)
+                  * CAST(n*syy - sy*sy AS DOUBLE))
+       END AS corr_7d,
+       n AS n_days
+FROM m ORDER BY day
+"""

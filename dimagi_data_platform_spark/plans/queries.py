@@ -2400,6 +2400,50 @@ def co_purchased_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("rolling_click_purchase_corr")
+def rolling_click_purchase_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R53: rolling 7-row windowed correlation between daily click and
+    purchase counts — all five moment sums accumulate EXACT integers
+    inside the frame (counts and their products stay far below 2^53),
+    so the only float ops are the final closed-form division and sqrt,
+    identical single IEEE ops in both engines. One shuffle to the
+    daily grain; the unpartitioned window then runs over one row per
+    day — metadata scale, not data scale."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    num = (n * sxy - sx * sy).cast("double")
+    denx = (n * sxx - sx * sx).cast("double")
+    deny = (n * syy - sy * sy).cast("double")
+    corr = num / F.sqrt(denx * deny)
+    return (
+        daily.select(
+            "day",
+            "x",
+            "y",
+            F.when((denx > 0) & (deny > 0), corr).alias("corr_7d"),
+            n.alias("n_days"),
+        )
+        .orderBy("day")
+    )
+
+
 @query("nation_revenue_share")
 def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R51: hierarchical share-of-parent — per-nation revenue with its
