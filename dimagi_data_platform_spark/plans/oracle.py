@@ -1947,3 +1947,31 @@ SELECT day, x, y,
        n AS n_days
 FROM m ORDER BY day
 """
+
+
+# P30: two-proportion z-test, float chain mirrored literally.
+ORACLE["segment_conversion_ztest"] = """
+WITH buyers AS (
+  SELECT c_custkey, c_mktsegment FROM customer
+  WHERE c_custkey IN (SELECT o_custkey FROM orders)),
+per AS (
+  SELECT c.c_mktsegment,
+         COUNT(*) AS n,
+         (SELECT COUNT(*) FROM buyers b
+           WHERE b.c_mktsegment = c.c_mktsegment) AS k
+  FROM customer c GROUP BY c.c_mktsegment),
+tot AS (
+  SELECT c_mktsegment, n, k,
+         SUM(n) OVER () AS "N", SUM(k) OVER () AS "K"
+  FROM per)
+SELECT c_mktsegment, n, k AS conversions,
+       CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS conv_rate,
+       CASE WHEN "N" > n AND "K" > 0 AND "K" < "N" THEN
+         (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+          - CAST("K" - k AS DOUBLE) / CAST("N" - n AS DOUBLE))
+         / SQRT((CAST("K" AS DOUBLE) / CAST("N" AS DOUBLE))
+                * (1.0 - CAST("K" AS DOUBLE) / CAST("N" AS DOUBLE))
+                * (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST("N" - n AS DOUBLE)))
+       END AS z_score
+FROM tot ORDER BY c_mktsegment
+"""

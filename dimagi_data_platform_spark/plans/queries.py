@@ -2400,6 +2400,61 @@ def co_purchased_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("segment_conversion_ztest")
+def segment_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P30: experiment-analysis statistics — each market segment's
+    customer→order conversion rate tested against the rest of the
+    population with a two-proportion z-test. Counts are exact integers
+    (semi-join + aggregates); the z statistic is a fixed chain of IEEE
+    ops mirrored literally in the oracle. One segment-keyed aggregate
+    plus a broadcast of the single global-totals row."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    buyers = cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_semi",
+    ).select("c_custkey", "c_mktsegment")
+    per = (
+        cust.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(
+            buyers.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("k")),
+            "c_mktsegment",
+            "left",
+        )
+        .withColumn("k", F.coalesce("k", F.lit(0)))
+    )
+    w = Window.partitionBy()
+    # NB: Spark resolves column names case-insensitively, so the totals
+    # must not be spelled "N"/"K" (they would overwrite n/k)
+    per = per.withColumn("tot_n", F.sum("n").over(w)).withColumn(
+        "tot_k", F.sum("k").over(w)
+    )
+    n1 = F.col("n").cast("double")
+    k1 = F.col("k").cast("double")
+    n2 = (F.col("tot_n") - F.col("n")).cast("double")
+    k2 = (F.col("tot_k") - F.col("k")).cast("double")
+    p1 = k1 / n1
+    pooled = F.col("tot_k").cast("double") / F.col("tot_n").cast("double")
+    z = F.when(
+        (F.col("tot_n") > F.col("n"))
+        & (F.col("tot_k") > 0)
+        & (F.col("tot_k") < F.col("tot_n")),
+        (p1 - k2 / n2)
+        / F.sqrt(
+            pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / n1 + F.lit(1.0) / n2)
+        ),
+    )
+    return per.select(
+        "c_mktsegment",
+        "n",
+        F.col("k").alias("conversions"),
+        p1.alias("conv_rate"),
+        z.alias("z_score"),
+    ).orderBy("c_mktsegment")
+
+
 @query("rolling_click_purchase_corr")
 def rolling_click_purchase_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R53: rolling 7-row windowed correlation between daily click and
