@@ -15,7 +15,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -40,11 +40,16 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
-# reader rejects; with spark.sql.legacy.parquet.nanosAsLong they arrive
-# as epoch-nanos longs and are converted here with exact integer
-# division (ns values in the test data are µs-precision, so lossless).
-NANO_TS_COLS = {"events": ("ts",)}
+# Timestamp columns whose parquet encoding varies across data
+# generations: TIMESTAMP(NANOS) (arrives as epoch-nanos long under
+# nanosAsLong) or TIMESTAMP(MICROS, isAdjustedToUTC=false) (arrives as
+# TIMESTAMP_NTZ). Downstream plans assume plain TimestampType — e.g.
+# unix_micros and RANGE-frame windows reject NTZ — so both encodings are
+# normalized here. NTZ→LTZ via cast is wall-clock round-trip safe: the
+# cast interprets the naive value in the session timezone and collect()
+# renders it back in the same timezone, so hashed values match the
+# DuckDB oracle's naive timestamps regardless of the session tz.
+NORMALIZE_TS_COLS = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -53,9 +58,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # read TIMESTAMP(NANOS) parquet too, not just session.get_spark().
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    for c in NANO_TS_COLS.get(name, ()):
-        if c in df.columns and isinstance(df.schema[c].dataType, LongType):
+    for c in NORMALIZE_TS_COLS.get(name, ()):
+        if c not in df.columns:
+            continue
+        dt = df.schema[c].dataType
+        if isinstance(dt, LongType):
+            # epoch-nanos long; test data is µs-precision so exact
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -1170,7 +1170,9 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
         dsum("o_totalprice").alias("revenue")
     )
-    daily = daily.withColumn("day_num", (F.unix_micros("day") / F.lit(86_400_000_000)).cast("long"))
+    # unix_date(to_date(...)) not unix_micros: works for both LTZ and
+    # NTZ day columns (o_orderdate's parquet encoding varies by datagen)
+    daily = daily.withColumn("day_num", F.unix_date(F.to_date("day")))
     # unpartitioned window is safe here: it runs over the per-day
     # aggregate (≤ #distinct days rows at any SF), not the fact table;
     # partition by year + boundary-stitch if the day domain ever grows
