@@ -844,7 +844,8 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 ORACLE["user_event_type_list"] = """
-SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
        CAST(len(list(DISTINCT event_type)) AS BIGINT) AS n_types
 FROM events
 GROUP BY user_id
@@ -1473,7 +1474,9 @@ tok AS (
   SELECT doc_id, t[gs.i] AS term, CAST(gs.i - 1 AS BIGINT) AS pos
   FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(t))) AS i) gs),
 postings AS (
-  SELECT term, doc_id, list_sort(list(pos)) AS positions, COUNT(*) AS tf
+  SELECT term, doc_id,
+         array_to_string(list_sort(list(pos)), ',') AS positions,
+         COUNT(*) AS tf
   FROM tok GROUP BY term, doc_id),
 with_df AS (
   SELECT *, COUNT(*) OVER (PARTITION BY term) AS doc_freq FROM postings)

@@ -1223,11 +1223,14 @@ def user_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("user_event_type_list")
 def user_event_type_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array aggregation: sorted distinct event types per user (nested
-    result type through the gate)."""
+    """Array aggregation: sorted distinct event types per user. The
+    array is serialized to a comma-joined string — the driver's
+    canonicalizer (pandas sort/factorize) cannot hash array cells, so
+    the gate-facing shape is scalar while the aggregation itself is
+    still collect_set."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("types"),
         F.size(F.collect_set("event_type")).cast("long").alias("n_types"),
     )
 
@@ -2094,8 +2097,10 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L28: inverted-index build — (term, doc_id, positions, tf), the
     search-engine artifact over the corpus. One shuffle on
-    (term, doc_id) with map-side combine; postings stay sorted arrays
-    so phrase queries can difference positions. Restricted to terms
+    (term, doc_id) with map-side combine; postings are built as sorted
+    position arrays (so phrase queries can difference positions) and
+    serialized to a comma-joined string for the gate — the driver's
+    canonicalizer cannot hash array cells. Restricted to terms
     with document frequency >= 40 to keep the checked result focused
     (the build itself is identical without the filter)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2106,7 +2111,13 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode("_toks").alias("pos", "term"))
     )
     postings = tok.groupBy("term", "doc_id").agg(
-        F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias("positions"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.col("pos").cast("long"))),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("positions"),
         F.count(F.lit(1)).alias("tf"),
     )
     w = Window.partitionBy("term")
