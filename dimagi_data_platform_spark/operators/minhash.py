@@ -149,10 +149,13 @@ def lsh_candidate_pairs(
     )
     sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    # sigs are small relative to the corpus (num_hashes longs per doc);
-    # broadcast so the pair set never re-shuffles. If signatures ever
-    # outgrow broadcast, swap to shuffle joins keyed on the pair ids.
-    joined = pairs.join(F.broadcast(sig_a), "id_a").join(F.broadcast(sig_b), "id_b")
+    # The signature table is O(corpus) (num_hashes longs per doc — the
+    # module docstring sizes it at ~5 TB for 10^10 docs), so it must
+    # NEVER be broadcast: these join-backs are plain shuffle joins keyed
+    # on the pair ids. The candidate pair set is the small side here
+    # (post-LSH, far below the corpus), so the two shuffles move mostly
+    # pair rows; AQE is free to broadcast the PAIR side if it is tiny.
+    joined = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
     est = _est_jaccard(F.col("sig_a"), F.col("sig_b"))
     return joined.select("id_a", "id_b", est.alias("est_jaccard"))
 
@@ -184,9 +187,12 @@ def incremental_lsh_matches(
     cand = be_b.join(be_c, ["band", "bucket"]).select("batch_id", "corpus_id").distinct()
     sig_b = batch_sigs.select(F.col(id_col).alias("batch_id"), F.col("sig").alias("sig_a"))
     sig_c = corpus_sigs.select(F.col(id_col).alias("corpus_id"), F.col("sig").alias("sig_b"))
-    joined = cand.join(F.broadcast(sig_b), "batch_id").join(
-        F.broadcast(sig_c), "corpus_id"
-    )
+    # Batch side: bounded (one ingest batch) → broadcast is safe and
+    # keeps the candidate set in place. Corpus side: O(corpus) — the
+    # exact ~5 TB artifact build_signature_table documents — so it is a
+    # plain shuffle join on corpus_id; the candidate set (not the
+    # corpus) is what moves.
+    joined = cand.join(F.broadcast(sig_b), "batch_id").join(sig_c, "corpus_id")
     est = _est_jaccard(F.col("sig_a"), F.col("sig_b"))
     return joined.select("batch_id", "corpus_id", est.alias("est_jaccard")).filter(
         F.col("est_jaccard") >= min_est_jaccard

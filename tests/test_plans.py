@@ -116,11 +116,52 @@ def test_salted_join_rejects_small_side_preserving_how(spark):
         salted_join(big, small, "k", how="full")
 
 
-def test_incremental_dedup_broadcasts_signatures(spark):
-    # the sig join-back onto the candidate pair set must broadcast —
-    # pairs never re-shuffle on signature size
-    plan = plan_str(spark, "incremental_minhash_dedup")
-    assert "BroadcastHashJoin" in plan
+def test_incremental_dedup_corpus_side_never_broadcast(spark):
+    # The corpus signature table is O(corpus) (~5 TB at 10^10 docs) and
+    # must never ride a BroadcastExchange; only the bounded BATCH side
+    # carries an explicit broadcast hint. With the auto-broadcast
+    # threshold disabled, the hint is the only possible broadcast, so
+    # exactly one exchange proves: batch broadcast, corpus shuffled.
+    from dimagi_data_platform_spark.operators.minhash import (
+        incremental_lsh_matches,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta "), F.col("id")).alias(
+            "text"
+        ),
+    )
+    sigs = minhash_signatures(docs)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        inc = incremental_lsh_matches(
+            sigs.filter(F.col("doc_id") % 5 != 0),
+            sigs.filter(F.col("doc_id") % 5 == 0),
+        )
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            inc.explain("formatted")
+        plan = buf.getvalue()
+        # HashedRelationBroadcastMode appears once per broadcast node
+        # (node names repeat in the formatted tree + detail sections)
+        assert plan.count("HashedRelationBroadcastMode") == 1, plan
+        assert "SortMergeJoin" in plan  # corpus join-back shuffles
+
+        # the all-pairs path has no bounded side at all → zero broadcasts
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            lsh_candidate_pairs(sigs).explain("formatted")
+        assert "BroadcastExchange" not in buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_corpus_mixture_weights_stays_jvm_side(spark):
