@@ -30,8 +30,14 @@ def simhash_fingerprints(
     bit), so fingerprints are engine-reproducible and the operator sits
     behind the SQL-oracle hash gate.
     """
+    # repartition first — same reasoning as minhash_signatures: a small
+    # corpus arrives as one parquet split and the tokenize/md5 explode
+    # (the hot map-side work) would otherwise run in a single task; at
+    # real scale the scan is already split and this is noise.
+    par = docs.sparkSession.sparkContext.defaultParallelism
     tok = (
-        docs.select(
+        docs.repartition(par)
+        .select(
             F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
         )
         .withColumn("_m", F.md5("tok"))
