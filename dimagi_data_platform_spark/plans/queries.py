@@ -595,10 +595,11 @@ from dimagi_data_platform_spark.operators.dedup import exact_dedup, normalized_t
 from dimagi_data_platform_spark.operators.minhash import minhash_dedup_pairs  # noqa: E402
 from dimagi_data_platform_spark.operators.simhash import simhash_near_dup_pairs  # noqa: E402
 from dimagi_data_platform_spark.operators.similarity import (  # noqa: E402
+    build_ivf_index,
     embedding_near_dup_lsh,
     embedding_near_dup_pairs,
     knn_bruteforce,
-    knn_ivf,
+    knn_ivf_from_index,
     knn_lsh,
     semantic_dedup,
 )
@@ -796,12 +797,47 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(docs, max_hamming=6, n_chunks=7)
 
 
+def _ivf_index_path(sf_dir: str, nlist: int) -> str:
+    """Repo-local cache dir for the per-sf persisted IVF index. The
+    source table's mtime is part of the key so a regenerated testdata
+    dir never serves a stale index."""
+    import os
+
+    from dimagi_data_platform_spark.catalog import table_path
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    src = table_path(sf_dir, "embeddings")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    return os.path.join(
+        repo_root, ".artifacts", f"ivf_{tag}_nlist{nlist}_{mtime}"
+    )
+
+
 @query("knn_ivf")
 def knn_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L7b: IVF ANN (rows-only check; recall vs L6 in tests) — k-means
-    coarse lists + nprobe probing, the partition-pruning scale path."""
+    """L7b: IVF ANN served from the persisted index (rows-only check;
+    recall vs L6 in tests) — the write-once/query-many posture: the
+    k-means train + full-table list assignment runs ONCE per sf_dir
+    (lazily, cached under .artifacts/), and every query after that is
+    a partition-pruned scan of only the probed lists. nlist=64 with
+    nprobe=4 makes the pruning non-vacuous (a 10-query batch probes at
+    most 40 of 64 partitions; overlapping probes far fewer)."""
+    import os
+
     emb = _t(spark, sf_dir, "embeddings")
-    return knn_ivf(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    nlist = 64
+    path = _ivf_index_path(sf_dir, nlist)
+    if not (
+        os.path.exists(os.path.join(path, "items", "_SUCCESS"))
+        and os.path.exists(os.path.join(path, "centroids", "_SUCCESS"))
+    ):
+        build_ivf_index(emb, path, nlist=nlist)
+    return knn_ivf_from_index(
+        spark, path, emb.filter(F.col("vec_id") < 10), k=5, nprobe=4
+    )
 
 
 @query("semantic_dedup")
