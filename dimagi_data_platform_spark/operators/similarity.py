@@ -544,6 +544,47 @@ def embedding_near_dup_lsh(
     return cand.mapInPandas(score, schema="id_a long, id_b long, cos_sim double")
 
 
+def _block_pair_replicate(
+    assigned: DataFrame, id_col: str, vec_col: str, block_target: int
+) -> DataFrame:
+    """Per-cluster block-pair replication for bounded pairwise compare.
+
+    Each cluster of c rows splits into B = ceil(c / block_target)
+    blocks; every row is replicated into the B block-pair groups
+    (bi <= bj) containing its block — one explode, all JVM-side, so an
+    unbounded hot cluster costs extra tasks, never executor memory.
+    Every unordered within-cluster pair lands in exactly one
+    (list_id, bi, bj) group. Cluster counts are one tiny aggregate
+    (<= nlist rows) broadcast back on.
+    """
+    counts = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("_cnt"))
+    t = assigned.join(F.broadcast(counts), "list_id")
+    n_blocks = F.greatest(
+        F.lit(1), F.ceil(F.col("_cnt") / F.lit(block_target))
+    ).cast("int")
+    blk = F.pmod(F.crc32(F.col(id_col).cast("string")), n_blocks).cast("int")
+    t = t.withColumn("_blk", blk).withColumn(
+        "_g",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_blocks - 1),
+                lambda o: F.struct(
+                    F.least(o, F.col("_blk")).alias("bi"),
+                    F.greatest(o, F.col("_blk")).alias("bj"),
+                ),
+            )
+        ),
+    )
+    return t.select(
+        id_col,
+        vec_col,
+        "list_id",
+        "_blk",
+        F.col("_g.bi").alias("bi"),
+        F.col("_g.bj").alias("bj"),
+    )
+
+
 def semantic_dedup(
     items: DataFrame,
     threshold: float,
@@ -552,6 +593,7 @@ def semantic_dedup(
     nlist: int = 16,
     sample_rows: int = 4096,
     seed: int = 7,
+    block_target: int = 2048,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: k-means-partition the
     embedding space into ``nlist`` clusters, then within each cluster
@@ -566,13 +608,18 @@ def semantic_dedup(
     Scale posture: centroids train on a bounded driver-side sample
     (like the IVF coarse quantizer); assignment is one scan-local
     mapInPandas pass; the pairwise compare is confined to each cluster
-    — the SemDeDup trade: O(sum of cluster²) instead of O(n²), with
-    ``nlist`` sized so clusters fit a task (~sqrt-ish of corpus). A
-    pathologically hot cluster should be sub-blocked exactly like
-    ``embedding_near_dup_pairs`` blocks the full table; deterministic
-    given the seed. Rows-only vs the oracle gate (k-means is not
-    SQL-expressible); semantics unit-tested against the exact
-    within-cluster pair set.
+    — the SemDeDup trade: O(sum of cluster²) instead of O(n²). Hot
+    clusters are SUB-BLOCKED with the same block-pair decomposition as
+    ``embedding_near_dup_pairs``: a cluster of c rows splits into
+    B = ceil(c / block_target) blocks, every row replicates into the B
+    block-pair groups containing its block, and no task ever holds more
+    than ~2·block_target rows — an unbounded hot cluster costs extra
+    tasks, never executor memory. Per-group best-matches are reduced to
+    the global best per id (max cos, ties to the lowest matched id),
+    which is bitwise-identical to the single-group kernel because cell
+    values are grouping-independent. Rows-only vs the oracle gate
+    (k-means is not SQL-expressible); semantics unit-tested against the
+    exact within-cluster pair set.
     """
     spark = items.sparkSession
     par = spark.sparkContext.defaultParallelism
@@ -595,35 +642,88 @@ def semantic_dedup(
         assign, schema=f"{id_col} long, {vec_col} array<float>, list_id long"
     )
 
-    def dedup(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf[id_col].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        X = _matrix(pdf[vec_col])[order]
-        cos = _fold_cosine(X, X, _fold_norms(X))
-        # dup[i, j]: j is a lower-id member similar enough to absorb i
-        dup = (cos >= threshold) & (ids[:, None] > ids[None, :])
-        has = dup.any(axis=1)
-        masked = np.where(dup, cos, -np.inf)
-        best = masked.argmax(axis=1)  # ties -> first index = lowest id
+    assigned = assigned.localCheckpoint()
+    rep = _block_pair_replicate(assigned, id_col, vec_col, block_target)
+
+    def best_matches(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        """Per (cluster, block-pair) group: every row's best lower-id
+        match >= threshold among group members, considering each
+        unordered pair exactly once (within-block pairs only in the
+        bi == bj group)."""
+        empty = pd.DataFrame({"id": [], "matched_id": [], "cos_sim": []}).astype(
+            {"id": "int64", "matched_id": "int64", "cos_sim": "float64"}
+        )
+        bi, bj = int(key[1]), int(key[2])
+        left = pdf[pdf["_blk"] == bi]
+        if bi == bj:
+            ids = left[id_col].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            X = _matrix(left[vec_col])[order]
+            cos = _fold_cosine(X, X, _fold_norms(X))
+            dup = (cos >= threshold) & (ids[:, None] > ids[None, :])
+            has = dup.any(axis=1)
+            if not has.any():
+                return empty
+            masked = np.where(dup, cos, -np.inf)
+            best = masked.argmax(axis=1)  # ties -> first index = lowest id
+            return pd.DataFrame(
+                {
+                    "id": ids[has],
+                    "matched_id": ids[best][has],
+                    "cos_sim": cos[np.arange(len(ids)), best][has],
+                }
+            ).astype({"id": "int64", "matched_id": "int64"})
+        right = pdf[pdf["_blk"] == bj]
+        if not len(left) or not len(right):
+            return empty
+        a_ids = left[id_col].to_numpy()
+        b_ids = right[id_col].to_numpy()
+        A = _matrix(left[vec_col])
+        B = _matrix(right[vec_col])
+        # cell values are grouping-independent (see embedding_near_dup
+        # kernel note), so per-group bests reduce exactly
+        cos = _fold_cosine(A, B, _fold_norms(B))
+        out_ids, out_match, out_cos = [], [], []
+        for rows, cols, mat in ((a_ids, b_ids, cos), (b_ids, a_ids, cos.T)):
+            # candidates must be LOWER-id and >= threshold; ties among
+            # equal cos -> lowest candidate id, so sort candidate axis
+            order = np.argsort(cols)
+            cols_s = cols[order]
+            m = (mat[:, order] >= threshold) & (cols_s[None, :] < rows[:, None])
+            has = m.any(axis=1)
+            if not has.any():
+                continue
+            masked = np.where(m, mat[:, order], -np.inf)
+            best = masked.argmax(axis=1)
+            out_ids.append(rows[has])
+            out_match.append(cols_s[best][has])
+            out_cos.append(masked[np.arange(len(rows)), best][has])
+        if not out_ids:
+            return empty
         return pd.DataFrame(
             {
-                "id": ids,
-                "list_id": pdf["list_id"].iloc[0],
-                "is_kept": ~has,
-                "matched_id": np.where(has, ids[best], 0),
-                "cos_sim": np.where(has, cos[np.arange(len(ids)), best], 0.0),
+                "id": np.concatenate(out_ids),
+                "matched_id": np.concatenate(out_match),
+                "cos_sim": np.concatenate(out_cos),
             }
-        ).astype({"matched_id": "int64"})
+        ).astype({"id": "int64", "matched_id": "int64"})
 
-    out = assigned.groupBy("list_id").applyInPandas(
-        lambda _, pdf: dedup(pdf),
-        schema="id long, list_id long, is_kept boolean, matched_id long, cos_sim double",
+    partial = rep.groupBy("list_id", "bi", "bj").applyInPandas(
+        best_matches, schema="id long, matched_id long, cos_sim double"
     )
-    return out.select(
-        F.col("id").alias(id_col),
+    w = Window.partitionBy("id").orderBy(F.desc("cos_sim"), F.col("matched_id"))
+    best = (
+        partial.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("id", "matched_id", "cos_sim")
+    )
+    return assigned.join(
+        best, assigned[id_col] == best["id"], "left"
+    ).select(
+        F.col(id_col),
         "list_id",
-        "is_kept",
-        F.when(~F.col("is_kept"), F.col("matched_id")).alias("matched_id"),
-        F.when(~F.col("is_kept"), F.col("cos_sim")).alias("cos_sim"),
+        F.col("id").isNull().alias("is_kept"),
+        "matched_id",
+        "cos_sim",
     )

@@ -115,6 +115,80 @@ def test_signature_table_roundtrip_matches_direct_probe(spark, tmp_path):
     assert got == want and got
 
 
+def test_semantic_dedup_hot_cluster_sub_blocking(spark):
+    """A hot cluster must be sub-blocked: per-task group sizes stay
+    bounded by ~2*block_target, and the sub-blocked result is identical
+    to the single-group kernel (planted sparse near-dup pairs would
+    expose any missed block pair)."""
+    import numpy as np
+
+    from dimagi_data_platform_spark.operators.similarity import (
+        _block_pair_replicate,
+        semantic_dedup,
+    )
+
+    rnd = np.random.RandomState(11)
+    n, dim = 600, 16
+    X = rnd.randn(n, dim).astype("float32")
+    # planted near-dups: rows 500..509 copy rows 0..9 (cross-block at
+    # any B), everything else is random (cos ~ 0 at dim 16 is unlikely
+    # to cross 0.95)
+    for i in range(10):
+        X[500 + i] = X[i]
+    rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    kw = dict(threshold=0.95, nlist=2, seed=7)
+    blocked = semantic_dedup(emb, block_target=64, **kw).toPandas()
+    single = semantic_dedup(emb, block_target=10**9, **kw).toPandas()
+    for df in (blocked, single):
+        df.sort_values("vec_id", inplace=True)
+        df.reset_index(drop=True, inplace=True)
+    assert blocked.equals(single)
+    dropped = blocked[~blocked["is_kept"]]
+    assert set(dropped["vec_id"]) == {500 + i for i in range(10)}
+    assert list(dropped.sort_values("vec_id")["matched_id"]) == list(range(10))
+
+    # per-task cap: no (list_id, bi, bj) group exceeds 2*block_target
+    # (+ slack for crc32 imbalance at this n)
+    assigned = emb.withColumn("list_id", (F.col("vec_id") % 2).cast("long"))
+    rep = _block_pair_replicate(assigned, "vec_id", "embedding", 64)
+    sizes = rep.groupBy("list_id", "bi", "bj").count().toPandas()["count"]
+    assert sizes.max() <= int(2.5 * 64)
+    # exact pair coverage: every unordered within-cluster pair in
+    # exactly one group
+    import pandas as pd
+
+    pdf = rep.toPandas()
+    seen: dict[tuple, int] = {}
+    for (_, _, _), grp in pdf.groupby(["list_id", "bi", "bj"]):
+        bi = grp["bi"].iloc[0]
+        bj = grp["bj"].iloc[0]
+        left = grp[grp["_blk"] == bi]["vec_id"]
+        right = grp[grp["_blk"] == bj]["vec_id"]
+        if bi == bj:
+            ids = sorted(left)
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    seen[(ids[x], ids[y])] = seen.get((ids[x], ids[y]), 0) + 1
+        else:
+            for a in left:
+                for b in right:
+                    p = (min(a, b), max(a, b))
+                    seen[p] = seen.get(p, 0) + 1
+    clusters = pd.Series(
+        {i: i % 2 for i in range(n)}
+    )
+    expect = {
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, n)
+        if clusters[a] == clusters[b]
+    }
+    assert set(seen) == expect
+    assert all(v == 1 for v in seen.values())
+
+
 def test_semantic_dedup_matches_exact_within_cluster_semantics(spark):
     """Every dropped row must have cosine >= threshold to some lower-id
     row in its own cluster (the reported match), every kept row must
