@@ -1146,7 +1146,7 @@ WITH heavy AS (
   JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   GROUP BY l_suppkey, l_partkey
-  HAVING {sql_dsum("l_quantity")} > 300.0)
+  HAVING {sql_dsum("l_quantity")} > 45.0)
 SELECT s_suppkey, s_name, n_name
 FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
@@ -1158,10 +1158,10 @@ ORACLE["q11_important_parts"] = f"""
 WITH per_part AS (
   SELECT l_partkey, {sql_dsum("l_extendedprice")} AS part_value
   FROM lineitem GROUP BY l_partkey),
-tot AS (SELECT {sql_dsum("part_value")} AS tot FROM per_part)
+tot AS (SELECT {sql_dsum("part_value")} AS tot, COUNT(*) AS n_parts FROM per_part)
 SELECT l_partkey, part_value
 FROM per_part, tot
-WHERE part_value > CAST(0.001 AS DOUBLE) * tot
+WHERE part_value > CAST(1.4 AS DOUBLE) * tot / n_parts
 ORDER BY part_value DESC, l_partkey
 """
 

@@ -1777,8 +1777,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q20_excess_suppliers")
 def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q20 shape (partsupp-free analog): suppliers that shipped
-    > 300 units of any 'red …' part in 1996 — nested semi-join over a
-    grouped HAVING subquery."""
+    > 45 units of any 'red …' part in 1996 — nested semi-join over a
+    grouped HAVING subquery. (45 sits just under the per-group p99 at
+    the checked SFs, so the result is non-trivial at every SF.)"""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-01-01"))
@@ -1790,7 +1791,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(dsum("l_quantity").alias("qty"))
-        .filter(F.col("qty") > 300.0)
+        .filter(F.col("qty") > 45.0)
         .select("l_suppkey")
         .distinct()
     )
@@ -1807,18 +1808,24 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q11_important_parts")
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q11 shape (partsupp-free analog): parts whose revenue
-    exceeds a fraction of the global total — grouped agg filtered by a
-    broadcast scalar subquery."""
+    exceeds 1.4x the mean per-part revenue — grouped agg filtered by a
+    broadcast scalar subquery. The threshold is relative to the mean
+    (not a fixed share of total) so it is scale-invariant: a fixed
+    share shrinks like 1/|part| and goes empty as SF grows."""
     li = _t(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         dsum("l_extendedprice").alias("part_value")
     )
     total = per_part.agg(
-        dsum("part_value").alias("tot")
+        dsum("part_value").alias("tot"),
+        F.count(F.lit(1)).alias("n_parts"),
     )
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("part_value") > F.lit(0.001) * F.col("tot"))
+        .filter(
+            F.col("part_value")
+            > F.lit(1.4) * F.col("tot") / F.col("n_parts")
+        )
         .select("l_partkey", "part_value")
         .orderBy(F.desc("part_value"), "l_partkey")
     )
