@@ -40,33 +40,40 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# Timestamp columns whose parquet encoding varies across data
-# generations: TIMESTAMP(NANOS) (arrives as epoch-nanos long under
-# nanosAsLong) or TIMESTAMP(MICROS, isAdjustedToUTC=false) (arrives as
-# TIMESTAMP_NTZ). Downstream plans assume plain TimestampType — e.g.
-# unix_micros and RANGE-frame windows reject NTZ — so both encodings are
-# normalized here. NTZ→LTZ via cast is wall-clock round-trip safe: the
-# cast interprets the naive value in the session timezone and collect()
-# renders it back in the same timezone, so hashed values match the
-# DuckDB oracle's naive timestamps regardless of the session tz.
-NORMALIZE_TS_COLS = {"events": ("ts",)}
+# Columns whose parquet encoding can arrive as TIMESTAMP(NANOS) — read
+# as an epoch-nanos LONG under nanosAsLong. A long is ambiguous (most
+# long columns are ids/counts), so nanos handling needs this explicit
+# per-table allowlist; TIMESTAMP_NTZ columns, by contrast, are
+# unambiguous and normalized generically below.
+NANOS_TS_COLS = {"events": ("ts",), "orders": ("o_orderdate",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Set at read time (idempotent, runtime-settable) so externally-built
-    # sessions — e.g. the correctness driver's vanilla SparkSession — can
-    # read TIMESTAMP(NANOS) parquet too, not just session.get_spark().
+    # Both confs are runtime-settable and idempotent; set at read time
+    # so externally-built sessions — e.g. the correctness driver's
+    # vanilla SparkSession — behave like session.get_spark():
+    # - nanosAsLong: TIMESTAMP(NANOS) parquet reads as epoch-nanos long
+    # - session tz UTC: the NTZ→LTZ cast below interprets naive values
+    #   in the session tz; UTC has no DST gaps, so wall clocks
+    #   round-trip exactly and unix_micros deltas match the DuckDB
+    #   oracle's naive-timestamp arithmetic. (Under an arbitrary tz,
+    #   spring-forward-gap wall clocks would not round-trip.)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
-    for c in NORMALIZE_TS_COLS.get(name, ()):
+    for c in NANOS_TS_COLS.get(name, ()):
         if c not in df.columns:
             continue
-        dt = df.schema[c].dataType
-        if isinstance(dt, LongType):
+        if isinstance(df.schema[c].dataType, LongType):
             # epoch-nanos long; test data is µs-precision so exact
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-        elif isinstance(dt, TimestampNTZType):
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    # Normalize EVERY TimestampNTZType column (any table): downstream
+    # plans assume plain TimestampType — unix_micros and RANGE-frame
+    # windows reject NTZ — and which datagen variant produced the
+    # parquet shouldn't leak into query code.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

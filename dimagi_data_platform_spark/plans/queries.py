@@ -1364,9 +1364,10 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).agg(dsum("value").alias("y"))
-    daily = daily.withColumn(
-        "x", (F.unix_micros("day") / F.lit(86_400_000_000)).cast("long").cast("double")
-    )
+    # unix_date(to_date(...)) not unix_micros: NTZ-safe and floor
+    # semantics (cast('long') truncates toward zero — off by one for
+    # pre-epoch days); same idiom as rolling_7day_revenue
+    daily = daily.withColumn("x", F.unix_date(F.to_date("day")).cast("double"))
     g = daily.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
         dsum("x").alias("sx"),
