@@ -2926,74 +2926,75 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
-# The correctness driver samples the FIRST 50 registered queries. Round 1
-# verified registrations 0-49; this reorders so every query with no green
-# driver signal yet is sampled in round 2: the 36 round-1-unsampled, the 9
-# fixed by the nanos-read change (catalog.py), the 4 new LLM-pipeline
-# queries, and the 3 judge-gated queries whose results change this round
-# (de-trivialized predicates, shingle df-cap). Rotated to the tail until
-# round 3: the approx sketches (rows-only by design), the two diagnostics
-# (dq_checks, key_skew_profile), and round-1-signalled queries whose
-# upgrades are code-level (embedding_near_dup block-pair rewrite,
-# minhash/simhash/knn_lsh oracle upgrades). Round-1-green queries keep
-# regression coverage via the local mirror (tests/test_oracle_parity.py),
-# which checks ALL queries.
+# The correctness driver samples the FIRST 50 registered queries.
+# Rounds 1+2 together verified 88 of the registry; this round-3 order
+# leads with the 36 queries that have never had a driver signal (the
+# whole round-2 wave: search, training-batch assembly, linkage, mixture,
+# SCD2, robust stats, diagnostics, sketches), then the 4 queries whose
+# round-1 rows were rows-only before their oracles landed
+# (minhash/simhash/knn_lsh; knn_ivf stays rows-only by design), then the
+# queries whose results or shapes changed this round (array→string
+# serialization, de-trivialized predicates, block-pair rewrite), with
+# the tail slots spent on round-1-green regression picks. Everything
+# else keeps regression coverage via the local mirror
+# (tests/test_oracle_parity.py), which checks ALL queries.
 _SAMPLE_FIRST = [
-    # 34 queries with no driver signal in round 1 (36 minus the two
-    # approx sketches, which can only ever earn a rows-only row)
-    "corpus_prep",
-    "cube_sales",
-    "winnow_shared_fingerprints",
-    "corpus_stratified_sample",
-    "rolling_7day_revenue",
-    "customer_percent_rank",
-    "user_first_last_event",
+    # 36 queries with no driver signal in rounds 1-2
+    "props_typed_extract",
+    "order_value_histogram",
+    "order_value_mad_outliers",
+    "nation_revenue_share",
+    "co_purchased_parts",
+    "rolling_click_purchase_corr",
+    "events_asof_join_forward",
+    "dq_checks",
+    "key_skew_profile",
+    "user_tier_scd2",
+    "table_fingerprint",
+    "orders_snapshot_diff",
+    "customer_fuzzy_match",
+    "customer_sorted_neighborhood",
+    "sorted_neighborhood_fuzzy",
+    "event_type_trigrams",
+    "segment_conversion_ztest",
+    "per_lang_fixed_sample",
+    "approx_monthly_distinct_buyers",
+    "approx_order_percentiles",
+    "approx_heavy_hitter_terms",
+    "train_shard_assign",
+    "pack_training_sequences",
+    "span_dedup_clean",
+    "source_cap_sample",
+    "inverted_index_postings",
+    "bm25_search",
+    "training_data_manifest",
+    "corpus_mixture_weights",
+    "corpus_mixture_sample",
+    "incremental_minhash_dedup",
+    "semantic_dedup",
+    "quality_classifier_filter",
+    "bpe_pair_counts",
+    "near_dup_cluster_sizes",
+    "segment_distinct_union",
+    # rows-only in round 1; oracles landed in round 2, never resampled
+    "minhash_lsh_dedup",
+    "simhash_dedup",
+    "knn_lsh",
+    "knn_ivf",
+    # round-2 FAIL fixed this round (array -> string serialization)
     "user_event_type_list",
-    "grouping_sets_activity",
-    "hourly_event_pivot",
-    "event_counts_unpivot",
-    "daily_value_gapfill",
-    "user_value_trend",
-    "case_visits",
-    "daily_click_purchase_reconcile",
-    "corpus_top_terms",
-    "near_dup_components",
-    "event_session_assign",
-    "pii_redaction",
-    "doc_chunks",
-    "nation_acctbal_stats",
-    "priority_except_all",
-    "priority_intersect_all",
-    "hourly_event_windows",
-    "sliding_event_windows",
-    "corpus_dedup_canonical",
-    "user_lifetime",
-    "embedding_near_dup_lsh",
-    "salted_join_enrich",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
+    # results changed this round (de-trivialized predicates) or code
+    # rewritten since last driver row (block-pair embedding near-dup)
     "q20_excess_suppliers",
     "q11_important_parts",
-    # 4 LLM-pipeline queries added in round 2 (never sampled)
-    "tfidf_top_terms",
-    "doc_decontaminate",
-    "doc_repetition",
-    "near_dup_train_test_split",
-    # 9 queries that failed round 1 on the TIMESTAMP(NANOS) read
-    "latest_event_per_user",
-    "visits_sessionize",
-    "monthly_usage",
-    "active_users_daily",
-    "retention_cohorts",
-    "signup_to_purchase_funnel",
-    "props_extract",
-    "events_asof_join",
-    "session_windows",
-    # judge-gated queries whose results change this round
-    "customers_without_orders",
-    "q7_volume_shipping",
-    "ngram_jaccard_pairs",
+    "embedding_near_dup",
+    "user_value_trend",
+    # round-1-green regression picks for the remaining slots
+    "q1_pricing_summary",
+    "q5_local_supplier",
+    "knn_bruteforce",
+    "exact_dedup",
+    "lang_id",
 ]
 
 def _reorder_for_sampling() -> None:
