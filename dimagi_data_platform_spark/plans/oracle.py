@@ -402,6 +402,43 @@ WITH {_NGRAM_PAIR_CTES}
 SELECT doc_a, doc_b, n_common, jaccard FROM pairs
 """
 
+# Containment twin: same shingle representation + df cap as the Jaccard
+# CTEs, but DIRECTED pairs normalized by the source doc's set size.
+ORACLE["ngram_containment_pairs"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+sh_all AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3),
+sh AS (
+  SELECT doc_id, shingle FROM sh_all
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+FROM inter JOIN sz sa ON sa.doc_id = doc_a
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.25
+"""
+
+ORACLE["phrase_search"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+tok AS (
+  SELECT doc_id, t[gs.i] AS term, CAST(gs.i - 1 AS BIGINT) AS pos
+  FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(t))) AS i) gs),
+t0 AS (SELECT doc_id, pos AS p0 FROM tok WHERE term = 'table'),
+t1 AS (SELECT doc_id, pos - 1 AS p0 FROM tok WHERE term = 'hash')
+SELECT doc_id, COUNT(*) AS n_matches, MIN(p0) AS first_pos
+FROM t0 JOIN t1 USING (doc_id, p0)
+GROUP BY doc_id
+"""
+
 
 def _vdot(a: str, b: str, dim: int = 64) -> str:
     terms = " + ".join(

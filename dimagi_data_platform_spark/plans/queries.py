@@ -609,6 +609,10 @@ from dimagi_data_platform_spark.multimodal.binary_ops import (  # noqa: E402
 )
 
 NGRAM_JACCARD_THRESHOLD = 0.1
+# Asymmetric containment (|A∩B| / |A|) threshold: catches doc-in-doc
+# near-supersets that symmetric Jaccard misses (a short doc fully
+# embedded in a long one has tiny Jaccard but containment ~1).
+NGRAM_CONTAINMENT_THRESHOLD = 0.25
 # Shingles appearing in more docs than this are stopword-shingles: they
 # generate O(df²) candidate pairs while carrying ~no similarity signal.
 # Dropping them from the shingle representation (sizes AND intersection,
@@ -740,6 +744,71 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+@query("ngram_containment_pairs")
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4b: asymmetric 3-gram containment pairs — |A∩B| / |A| >=
+    threshold emits the DIRECTED pair (doc_a contained-in doc_b). The
+    doc-in-doc dedup signal symmetric Jaccard (L4) misses: a short doc
+    fully embedded in a long one has tiny Jaccard but containment ~1.
+
+    Scale: identical shuffle discipline to ngram_jaccard_pairs (shingle
+    key, MAX_SHINGLE_DF skew cap, in-group triangular pair generation);
+    the direction explode doubles only the intersected pair rows, which
+    are already threshold-bounded output, not probe work."""
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(par)
+        .withColumn("_toks", tokens("text"))
+        .select("doc_id", F.explode(shingles_from_tokens("_toks", 3)).alias("shingle"))
+    )
+    by_shingle = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= MAX_SHINGLE_DF)
+        .localCheckpoint()
+    )
+    sz = (
+        by_shingle.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    grouped = by_shingle.filter(F.size("docs") > 1)
+    pair_structs = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), (i + 2).cast("int"), F.size("docs")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    inter = (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    directed = inter.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+            )
+        ).alias("p"),
+        "n_common",
+    ).select(
+        F.col("p.src").alias("doc_a"), F.col("p.dst").alias("doc_b"), "n_common"
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cont = F.col("n_common").cast("double") / F.col("n_a").cast("double")
+    return (
+        directed.join(sa, "doc_a")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= NGRAM_CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "containment")
     )
 
 
@@ -2234,6 +2303,42 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "score")
         .orderBy(F.desc("score"), "doc_id")
         .limit(20)
+    )
+
+
+@query("phrase_search")
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L28b: positional phrase query ('table hash') — the lookup a
+    positional inverted index (L28) serves, expressed as the
+    consecutive-position join on the token stream so the result is
+    fully SQL-checkable. Returns matching docs with occurrence count
+    and first match position.
+
+    Scale: the token stream is filtered to the phrase's terms before
+    any shuffle (tokenize is scan-local), so join input scales with
+    the terms' posting sizes, not corpus size; one shuffle on
+    (doc_id, pos) joins adjacent positions."""
+    docs = _t(spark, sf_dir, "documents")
+    phrase = ("table", "hash")
+    par = spark.sparkContext.defaultParallelism
+    tok = (
+        docs.repartition(par)
+        .withColumn("_toks", tokens("text"))
+        .select("doc_id", F.posexplode("_toks").alias("pos", "term"))
+    )
+    t0 = tok.filter(F.col("term") == phrase[0]).select(
+        "doc_id", F.col("pos").alias("p0")
+    )
+    t1 = tok.filter(F.col("term") == phrase[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("p0")
+    )
+    return (
+        t0.join(t1, ["doc_id", "p0"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("p0").cast("long").alias("first_pos"),
+        )
     )
 
 
