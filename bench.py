@@ -49,6 +49,9 @@ HEADLINE = [
     # round-2 additions: ingest-time near-dup dedup + semantic dedup
     "incremental_minhash_dedup",
     "semantic_dedup",
+    # round-3 additions: positional search + asymmetric containment
+    "phrase_search",
+    "ngram_containment_pairs",
 ]
 
 
