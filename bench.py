@@ -49,9 +49,11 @@ HEADLINE = [
     # round-2 additions: ingest-time near-dup dedup + semantic dedup
     "incremental_minhash_dedup",
     "semantic_dedup",
-    # round-3 additions: positional search + asymmetric containment
+    # round-3 additions: positional search + asymmetric containment +
+    # int8-quantized ANN rerank
     "phrase_search",
     "ngram_containment_pairs",
+    "knn_sq_rerank",
 ]
 
 

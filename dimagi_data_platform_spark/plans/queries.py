@@ -601,6 +601,7 @@ from dimagi_data_platform_spark.operators.similarity import (  # noqa: E402
     knn_bruteforce,
     knn_ivf_from_index,
     knn_lsh,
+    knn_sq_rerank,
     semantic_dedup,
 )
 from dimagi_data_platform_spark.multimodal.binary_ops import (  # noqa: E402
@@ -926,6 +927,16 @@ def knn_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force verified in tests/test_llm_ops.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     return knn_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query("knn_sq_rerank")
+def knn_sq_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7d: int8 scalar-quantized ANN + exact rerank (rows-only check;
+    recall + bitwise-exact rerank scores vs brute force verified in
+    tests/test_llm_ops.py) — the memory-bandwidth scale path, fully
+    whole-stage-codegen on both passes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_sq_rerank(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
 @query("session_windows")

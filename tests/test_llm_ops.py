@@ -268,6 +268,32 @@ def test_lsh_recall_on_planted_near_duplicates(spark):
         assert nid == qid + 10000  # scaled copy has cosine 1 and same bucket
 
 
+def test_knn_sq_rerank_recall_and_exact_scores(spark):
+    """SQ8 + rerank must (a) reach high recall vs brute force and
+    (b) report EXACT scores for every returned pair — the rerank uses
+    the same codegen fold chain, so any returned (q, n) pair's cos_sim
+    must equal brute force's bitwise."""
+    from dimagi_data_platform_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_sq_rerank,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    bf = {(r.q_id, r.neighbor_id): r.cos_sim for r in knn_bruteforce(emb, q, k=5).collect()}
+    sq = {(r.q_id, r.neighbor_id): r.cos_sim for r in knn_sq_rerank(emb, q, k=5).collect()}
+    recall = len(set(bf) & set(sq)) / len(bf)
+    assert recall >= 0.8, f"SQ rerank recall too low: {recall}"
+    # exact full-corpus scores for every pair both agree on
+    full = {
+        (r.q_id, r.neighbor_id): r.cos_sim
+        for r in knn_bruteforce(emb, q, k=50).collect()
+    }
+    for pair, sim in sq.items():
+        if pair in full:
+            assert sim == full[pair], f"rerank score not exact for {pair}"
+
+
 def test_knn_ivf_recall_vs_bruteforce(spark):
     from dimagi_data_platform_spark.operators.similarity import knn_ivf
 
