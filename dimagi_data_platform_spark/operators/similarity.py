@@ -228,6 +228,119 @@ def knn_sq_rerank(
     )
 
 
+def build_sq_codes(
+    items: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+) -> None:
+    """Quantize ONCE, persist the int8 code table + per-dim scales.
+
+    Writes ``<path>/codes`` (parquet: id, code array<int>, plus the
+    full-precision vector for the rerank join) and ``<path>/scales``.
+    Query batches served from the codes skip the training sample and
+    re-quantization entirely — the write-once/query-many posture for
+    the scan-bandwidth path (codes are ~4x smaller than the float32
+    column; at 100 TB you'd store codes and vectors in separate
+    column families and let column pruning keep rerank-only access to
+    the wide one)."""
+    spark = items.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    sample = items.select(vec_col).limit(sample_rows).toPandas()
+    S = _matrix(sample[vec_col])
+    scales = np.maximum(np.abs(S).max(axis=0) / 127.0, 1e-12)
+    scales_col = F.array(*[F.lit(float(s)) for s in scales])
+    code = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.round(x.cast("double") / F.element_at(scales_col, i + 1)).cast("int"),
+            ),
+        ),
+    )
+    items.repartition(par).select(
+        F.col(id_col), F.col(vec_col), code.alias("code")
+    ).write.mode("overwrite").parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(int(i), float(s)) for i, s in enumerate(scales)], "dim int, scale double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/scales")
+
+
+def knn_sq_from_codes(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Serve SQ-ANN from a persisted :func:`build_sq_codes` table:
+    quantize only the (small) query batch with the stored scales, scan
+    the code column for the integer top-``rerank_factor * k``, then
+    exact-rerank against the stored full-precision vectors. Same
+    result contract as :func:`knn_sq_rerank` (exact cos_sim, ties to
+    neighbor_id)."""
+    sc = spark.read.parquet(f"{path}/scales").orderBy("dim").toPandas()
+    scales_col = F.array(*[F.lit(float(s)) for s in sc["scale"]])
+    codes = spark.read.parquet(f"{path}/codes")
+    qq = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.transform(
+            F.col(vec_col),
+            lambda x, i: F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.round(
+                        x.cast("double") / F.element_at(scales_col, i + 1)
+                    ).cast("int"),
+                ),
+            ),
+        ).alias("q_code"),
+    )
+    int_dot = F.aggregate(
+        F.zip_with("q_code", "code", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.select(F.col(id_col).alias("neighbor_id"), "code")
+        .join(F.broadcast(qq.select("q_id", "q_code")))
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .withColumn("int_score", int_dot)
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("int_score"), F.col("neighbor_id"))
+    cands = (
+        scored.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= rerank_factor * k)
+        .select("q_id", "neighbor_id")
+    )
+    full = codes.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    exact = (
+        cands.join(full, "neighbor_id")
+        .join(F.broadcast(qq.select("q_id", "q_vec")), "q_id")
+        .withColumn(
+            "cos_sim",
+            dot_fixed("q_vec", "c_vec", dim)
+            / (norm_fixed("q_vec", dim) * norm_fixed("c_vec", dim)),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rnd = random.Random(seed)
     return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]

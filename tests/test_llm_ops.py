@@ -294,6 +294,25 @@ def test_knn_sq_rerank_recall_and_exact_scores(spark):
             assert sim == full[pair], f"rerank score not exact for {pair}"
 
 
+def test_sq_codes_roundtrip(spark, tmp_path):
+    """Persisted SQ codes serve identical results to the inline path
+    (same sample -> same scales -> same candidates -> same exact
+    rerank)."""
+    from dimagi_data_platform_spark.operators.similarity import (
+        build_sq_codes,
+        knn_sq_from_codes,
+        knn_sq_rerank,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "sq_codes")
+    build_sq_codes(emb, path)
+    inline = sorted(map(tuple, knn_sq_rerank(emb, q, k=5).collect()))
+    served = sorted(map(tuple, knn_sq_from_codes(spark, path, q, k=5).collect()))
+    assert served == inline and served
+
+
 def test_knn_ivf_recall_vs_bruteforce(spark):
     from dimagi_data_platform_spark.operators.similarity import knn_ivf
 
