@@ -1840,8 +1840,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q17_small_quantity_revenue")
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q17 shape: per-part avg-quantity correlated subquery;
-    single-row ratio output. The per-part avg join is a broadcast (part
-    dimension scale)."""
+    single-row ratio output.
+
+    Broadcast sizing: per_part is O(|part|) — a dimension-scale
+    aggregate (~200k rows/16B each at SF100, comfortably under any
+    broadcast threshold), NOT O(lineitem). If the part dimension ever
+    outgrew broadcast, drop both hints and let the planner shuffle;
+    the filter + final agg are unchanged."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
