@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from dimagi_data_platform_spark.functions.vectors import dot_fixed, norm_fixed
+from dimagi_data_platform_spark.functions.vectors import cosine, dot_fixed, norm_fixed
 
 DEFAULT_DIM = 64
 
@@ -207,18 +207,17 @@ def knn_sq_rerank(
         .filter(F.col("_rk") <= rerank_factor * k)
         .select("q_id", "neighbor_id")
     )
-    # exact rerank: candidate-sized joins back to full precision; the
-    # cosine is the same codegen fold chain as the oracle-checked exact
-    # kernels, so reported scores match knn_bruteforce bitwise
+    # exact rerank: candidate-sized joins back to full precision. The
+    # HOF cosine folds left in double — the SAME chain as dot_fixed and
+    # the oracle SQL — so reported scores match knn_bruteforce bitwise
+    # (asserted in tests); on a candidate-sized side the interpreted
+    # HOF beats the unrolled form, whose 64-term janino compile
+    # dominates (measured ~1.5s/run at sf0.1 vs ~0 for the HOF).
     full = items.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     exact = (
         cands.join(full, "neighbor_id")
         .join(F.broadcast(qq.select("q_id", "q_vec")), "q_id")
-        .withColumn(
-            "cos_sim",
-            dot_fixed("q_vec", "c_vec", dim)
-            / (norm_fixed("q_vec", dim) * norm_fixed("c_vec", dim)),
-        )
+        .withColumn("cos_sim", cosine("q_vec", "c_vec"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
@@ -327,11 +326,7 @@ def knn_sq_from_codes(
     exact = (
         cands.join(full, "neighbor_id")
         .join(F.broadcast(qq.select("q_id", "q_vec")), "q_id")
-        .withColumn(
-            "cos_sim",
-            dot_fixed("q_vec", "c_vec", dim)
-            / (norm_fixed("q_vec", dim) * norm_fixed("c_vec", dim)),
-        )
+        .withColumn("cos_sim", cosine("q_vec", "c_vec"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (

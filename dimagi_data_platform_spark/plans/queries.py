@@ -596,12 +596,13 @@ from dimagi_data_platform_spark.operators.minhash import minhash_dedup_pairs  # 
 from dimagi_data_platform_spark.operators.simhash import simhash_near_dup_pairs  # noqa: E402
 from dimagi_data_platform_spark.operators.similarity import (  # noqa: E402
     build_ivf_index,
+    build_sq_codes,
     embedding_near_dup_lsh,
     embedding_near_dup_pairs,
     knn_bruteforce,
     knn_ivf_from_index,
     knn_lsh,
-    knn_sq_rerank,
+    knn_sq_from_codes,
     semantic_dedup,
 )
 from dimagi_data_platform_spark.multimodal.binary_ops import (  # noqa: E402
@@ -886,6 +887,22 @@ def _ivf_index_path(sf_dir: str, nlist: int) -> str:
     )
 
 
+def _sq_codes_path(sf_dir: str) -> str:
+    """Repo-local cache dir for the per-sf persisted SQ code table
+    (same mtime-keyed scheme as the IVF index)."""
+    import os
+
+    from dimagi_data_platform_spark.catalog import table_path
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    src = table_path(sf_dir, "embeddings")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    return os.path.join(repo_root, ".artifacts", f"sq_{tag}_{mtime}")
+
+
 @query("knn_ivf")
 def knn_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L7b: IVF ANN served from the persisted index (rows-only check;
@@ -934,9 +951,22 @@ def knn_sq_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L7d: int8 scalar-quantized ANN + exact rerank (rows-only check;
     recall + bitwise-exact rerank scores vs brute force verified in
     tests/test_llm_ops.py) — the memory-bandwidth scale path, fully
-    whole-stage-codegen on both passes."""
+    whole-stage-codegen on both passes. Served from the persisted
+    code table (L7e), built lazily once per sf_dir like the IVF
+    index: query batches quantize only themselves with the stored
+    scales (write-once/query-many)."""
+    import os
+
     emb = _t(spark, sf_dir, "embeddings")
-    return knn_sq_rerank(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    path = _sq_codes_path(sf_dir)
+    if not (
+        os.path.exists(os.path.join(path, "codes", "_SUCCESS"))
+        and os.path.exists(os.path.join(path, "scales", "_SUCCESS"))
+    ):
+        build_sq_codes(emb, path)
+    return knn_sq_from_codes(
+        spark, path, emb.filter(F.col("vec_id") < 10), k=5
+    )
 
 
 @query("session_windows")
