@@ -119,16 +119,52 @@ def lsh_candidate_pairs(
     """Candidate pairs (id_a < id_b) sharing at least one band bucket,
     with ``est_jaccard`` = fraction of equal signature components.
 
-    Shuffle discipline: only (id, band, bucket) triples — 24 bytes/row
+    Self-similar corpora collapse many docs onto ONE signature; those
+    docs share every band bucket, so banding raw ids would put whole
+    duplicate classes into each bucket group and the in-group pair
+    expand would be O(class²) probe work in one task. Banding therefore
+    runs over DISTINCT signatures only (the same trick as simhash's
+    distinct-fingerprint chunk join): same-signature doc pairs emit
+    directly with est = 1.0, and qualifying representative pairs fan
+    back out to doc pairs through two membership joins — that fan-out
+    is output, not probe work.
+
+    Shuffle discipline: only (rep, band, bucket) triples — 24 bytes/row
     — travel through the candidate-generation shuffle; the signature
     arrays (64 longs) are joined back onto the (much smaller) distinct
-    pair set afterwards. Pair generation happens inside each bucket
-    group (sorted collect_list + triangular transform), the same
-    single-shuffle shape as the exact n-gram path.
+    representative-pair set afterwards, as plain shuffle joins (the
+    signature table is O(corpus) and must never be broadcast; AQE may
+    broadcast the PAIR side if it is tiny).
     """
-    band_entries = _band_entries(sigs, id_col, bands, rows_per_band)
-
     grouped = (
+        sigs.groupBy("sig")
+        .agg(
+            F.min(id_col).alias("rep"),
+            F.sort_array(F.collect_list(id_col)).alias("members"),
+        )
+        .localCheckpoint()  # three consumers: reps, same-sig, membership
+    )
+
+    # 1) same-signature pairs: every component equal -> est exactly 1.0
+    same_structs = F.flatten(
+        F.transform(
+            "members",
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), (i + 2).cast("int"), F.size("members")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    same = (
+        grouped.filter(F.size("members") > 1)
+        .select(F.explode(same_structs).alias("p"))
+        .select("p.id_a", "p.id_b", F.lit(1.0).alias("est_jaccard"))
+    )
+
+    # 2) banding over one representative per distinct signature
+    rep_sigs = grouped.select(F.col("rep").alias(id_col), "sig")
+    band_entries = _band_entries(rep_sigs, id_col, bands, rows_per_band)
+    bucket_groups = (
         band_entries.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list(id_col)).alias("docs"))
         .filter(F.size("docs") > 1)
@@ -138,26 +174,36 @@ def lsh_candidate_pairs(
             "docs",
             lambda x, i: F.transform(
                 F.slice(F.col("docs"), (i + 2).cast("int"), F.size("docs")),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                lambda y: F.struct(x.alias("rep_a"), y.alias("rep_b")),
             ),
         )
     )
-    pairs = (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
+    rep_pairs = (
+        bucket_groups.select(F.explode(pair_structs).alias("p"))
+        .select("p.rep_a", "p.rep_b")
         .distinct()
     )
-    sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-    sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    # The signature table is O(corpus) (num_hashes longs per doc — the
-    # module docstring sizes it at ~5 TB for 10^10 docs), so it must
-    # NEVER be broadcast: these join-backs are plain shuffle joins keyed
-    # on the pair ids. The candidate pair set is the small side here
-    # (post-LSH, far below the corpus), so the two shuffles move mostly
-    # pair rows; AQE is free to broadcast the PAIR side if it is tiny.
-    joined = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
+    sig_a = rep_sigs.select(F.col(id_col).alias("rep_a"), F.col("sig").alias("sig_a"))
+    sig_b = rep_sigs.select(F.col(id_col).alias("rep_b"), F.col("sig").alias("sig_b"))
+    joined = rep_pairs.join(sig_a, "rep_a").join(sig_b, "rep_b")
     est = _est_jaccard(F.col("sig_a"), F.col("sig_b"))
-    return joined.select("id_a", "id_b", est.alias("est_jaccard"))
+    scored_reps = joined.select("rep_a", "rep_b", est.alias("est_jaccard"))
+
+    # 3) fan representative pairs out to member pairs (classes are
+    # disjoint, so no duplicates; order normalized with least/greatest)
+    mem = grouped.select("rep", F.explode("members").alias("m"))
+    ma = mem.select(F.col("rep").alias("rep_a"), F.col("m").alias("m_a"))
+    mb = mem.select(F.col("rep").alias("rep_b"), F.col("m").alias("m_b"))
+    cross = (
+        scored_reps.join(ma, "rep_a")
+        .join(mb, "rep_b")
+        .select(
+            F.least("m_a", "m_b").alias("id_a"),
+            F.greatest("m_a", "m_b").alias("id_b"),
+            "est_jaccard",
+        )
+    )
+    return same.unionByName(cross)
 
 
 def incremental_lsh_matches(

@@ -252,6 +252,36 @@ def test_knn_lsh_subset_of_bruteforce_scores(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_lsh_duplicate_class_banding_is_distinct_sig(spark):
+    """A duplicate class (many docs, one signature) must band as ONE
+    representative — bucket-group probe work scales with distinct
+    signatures — while the emitted pair set still covers every
+    same-class pair at est exactly 1.0."""
+    from dimagi_data_platform_spark.operators.minhash import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    n_dup = 40
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(n_dup)]
+    rows += [
+        (1000 + i, f"unique text number {i} foo bar baz qux quux corge")
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs)
+    n_distinct = sigs.select("sig").distinct().count()
+    assert n_distinct == 6  # 1 dup-class sig + 5 unique
+    got = {
+        (r.id_a, r.id_b): r.est_jaccard for r in lsh_candidate_pairs(sigs).collect()
+    }
+    for a in range(n_dup):
+        for b in range(a + 1, n_dup):
+            assert got[(a, b)] == 1.0
+    # no candidate may pair a doc with itself or invert order
+    assert all(a < b for a, b in got)
+
+
 def test_lsh_recall_on_planted_near_duplicates(spark):
     # plant a near-identical copy of each query vector; LSH must find it
     emb = load_table(spark, SF_SMALL, "embeddings").limit(50)
