@@ -223,6 +223,16 @@ def incremental_lsh_matches(
 
     Returns (batch_id, corpus_id, est_jaccard) for every candidate pair
     sharing >= 1 band bucket with est_jaccard >= the threshold.
+
+    Hot-bucket note: corpus band entries here are per raw doc, so a
+    corpus with huge EXACT-duplicate classes concentrates those classes
+    in every bucket they touch. Re-grouping to distinct signatures per
+    batch (as lsh_candidate_pairs does) would cost a corpus-wide
+    shuffle per ingest batch — the right production posture is instead
+    to collapse exact-dup classes once, when building the persisted
+    signature table (exact_dedup upstream, or store one representative
+    per distinct signature + a membership table), so every batch probe
+    inherits bounded buckets for free.
     """
     be_c = _band_entries(corpus_sigs, id_col, bands, rows_per_band).select(
         F.col(id_col).alias("corpus_id"), "band", "bucket"
