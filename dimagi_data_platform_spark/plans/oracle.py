@@ -1055,6 +1055,22 @@ JOIN sess ON e.user_id = sess.user_id
 WHERE e.event_type IN ('purchase', 'error')
 """
 
+ORACLE["purchase_click_attribution"] = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.purchase_id, COUNT(*) AS n_clicks, MAX(c.ts) AS last_click_ts
+  FROM p JOIN c ON p.user_id = c.user_id
+              AND c.ts >= p.p_ts - INTERVAL 30 MINUTE
+              AND c.ts <= p.p_ts
+  GROUP BY 1)
+SELECT p.purchase_id, p.user_id, p.p_ts,
+       COALESCE(j.n_clicks, 0) AS n_clicks, j.last_click_ts
+FROM p LEFT JOIN j USING (purchase_id)
+"""
+
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _LONG_NUM_RE = r"[0-9][0-9 ()+.-]{5,}[0-9]"
 

@@ -1618,6 +1618,48 @@ def event_session_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "event_type", "session_id", "session_start", "session_end")
 
 
+@query("purchase_click_attribution")
+def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P17b: attribution-window interval join — for every purchase,
+    the same user's clicks within the trailing 30 minutes (count +
+    last click ts; purchases with no attributable click keep a null).
+    The batch twin of the stream-stream interval join
+    (streaming/events_stream.py), expressed through the time-bucketed
+    equi-join operator so hot users never cross-join.
+
+    Scale: clicks carry one bucket each, purchase windows explode to
+    O(1) buckets (window width ~= bucket width); the join is a plain
+    shuffle-hash on (user_id, bucket); the left join back to purchases
+    is purchase-grain."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    windows = purchases.withColumn(
+        "lo", F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")
+    ).withColumn("hi", F.col("p_ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    hits = point_in_interval_join(
+        clicks, windows, key="user_id", ts_col="ts", bucket_micros=1_800_000_000
+    )
+    agg = hits.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.max("ts").alias("last_click_ts"),
+    )
+    return (
+        purchases.join(agg, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            "p_ts",
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+            "last_click_ts",
+        )
+    )
+
+
 @query("pii_redaction")
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text cleaning for corpus prep: email/number redaction + the
