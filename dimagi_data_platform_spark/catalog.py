@@ -43,9 +43,15 @@ def table_path(sf_dir: str, name: str) -> str:
 # Columns whose parquet encoding can arrive as TIMESTAMP(NANOS) — read
 # as an epoch-nanos LONG under nanosAsLong. A long is ambiguous (most
 # long columns are ids/counts), so nanos handling needs this explicit
-# per-table allowlist; TIMESTAMP_NTZ columns, by contrast, are
+# per-table allowlist covering EVERY timestamp column of the star
+# schema (a datagen that writes one table's timestamps as nanos writes
+# them all that way); TIMESTAMP_NTZ columns, by contrast, are
 # unambiguous and normalized generically below.
-NANOS_TS_COLS = {"events": ("ts",), "orders": ("o_orderdate",)}
+NANOS_TS_COLS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

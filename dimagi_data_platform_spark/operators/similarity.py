@@ -127,13 +127,96 @@ def knn_bruteforce(
     )
 
 
+def _sq_quantize(scales_col, col):
+    """int8 symmetric quantization: round(x / s_d) clipped to
+    [-127, 127] per dimension (shared by the inline path, the code
+    builder, and the serve path — one definition, no drift)."""
+    v = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        v,
+        lambda x, i: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.round(x.cast("double") / F.element_at(scales_col, i + 1)).cast(
+                    "int"
+                ),
+            ),
+        ),
+    )
+
+
+def _sq_score_and_rerank(
+    code_side: DataFrame,
+    full_side: DataFrame,
+    qq: DataFrame,
+    k: int,
+    rerank_factor: int,
+) -> DataFrame:
+    """Shared SQ pipeline: integer-dot scoring of (neighbor_id, c_code)
+    rows against broadcast quantized queries, two-level top-R
+    candidate selection, exact HOF-cosine rerank against
+    (neighbor_id, c_vec).
+
+    Candidate selection is two-level so parallelism never collapses to
+    the query count: each scan partition keeps its own top-R per query
+    first (partition-local window over (q_id, partition) — lossless: a
+    global top-R row has < R rows above it anywhere, so it is within
+    the top R of its own slice), and only R*num_partitions survivors
+    reach the tiny global window. Slice membership is whatever the scan
+    produced, but any superset of the global top-R yields the same
+    final set, so results stay deterministic.
+
+    The HOF cosine folds left in double — the SAME chain as dot_fixed
+    and the oracle SQL — so reported scores match knn_bruteforce
+    bitwise (asserted in tests); on a candidate-sized side the
+    interpreted HOF beats the unrolled form, whose 64-term janino
+    compile dominates (measured ~1.5s/run at sf0.1 vs ~0 for the HOF).
+    """
+    r = rerank_factor * k
+    int_dot = F.aggregate(
+        F.zip_with("q_code", "c_code", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        code_side.join(F.broadcast(qq.select("q_id", "q_code")))
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .withColumn("int_score", int_dot)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    wp = Window.partitionBy("q_id", "_pid").orderBy(
+        F.desc("int_score"), F.col("neighbor_id")
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.desc("int_score"), F.col("neighbor_id")
+    )
+    cands = (
+        scored.withColumn("_prk", F.row_number().over(wp))
+        .filter(F.col("_prk") <= r)
+        .withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= r)
+        .select("q_id", "neighbor_id")
+    )
+    exact = (
+        cands.join(full_side, "neighbor_id")
+        .join(F.broadcast(qq.select("q_id", "q_vec")), "q_id")
+        .withColumn("cos_sim", cosine("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def knn_sq_rerank(
     items: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = DEFAULT_DIM,
     rerank_factor: int = 4,
     sample_rows: int = 4096,
 ) -> DataFrame:
@@ -146,17 +229,16 @@ def knn_sq_rerank(
     are whole-stage-codegen expressions.
 
     Train: per-dimension symmetric scale s_d = max|x_d| / 127 over a
-    bounded sample (same posture as the IVF coarse quantizer);
-    quantize q_d = round(x_d / s_d) clipped to [-127, 127]. Integer
+    bounded sample (same posture as the IVF coarse quantizer). Integer
     scores are rank-faithful enough that the exact rerank recovers
     near-full recall (tested vs brute force); reported cos_sim is
     EXACT (bitwise-equal to knn_bruteforce) because the final scoring
-    uses the same codegen fold chain.
+    uses the same fold chain.
 
     At 100 TB the quantized codes are the artifact you persist
     (write-once like the IVF index); the full-precision column is only
     touched for the candidate-sized rerank join. Toy-SF wall time is
-    stage-count-dominated (3 joins + 2 windows of fixed overhead) —
+    stage-count-dominated (3 joins + 3 windows of fixed overhead) —
     the technique's win is scan bandwidth, which a local[32] bench at
     sf0.1 cannot exhibit.
     """
@@ -166,65 +248,19 @@ def knn_sq_rerank(
     S = _matrix(sample[vec_col])
     scales = np.maximum(np.abs(S).max(axis=0) / 127.0, 1e-12)
     scales_col = F.array(*[F.lit(float(s)) for s in scales])
-
-    def quantize(col):
-        v = F.col(col) if isinstance(col, str) else col
-        return F.transform(
-            v,
-            lambda x, i: F.greatest(
-                F.lit(-127),
-                F.least(
-                    F.lit(127),
-                    F.round(x.cast("double") / F.element_at(scales_col, i + 1)).cast(
-                        "int"
-                    ),
-                ),
-            ),
-        )
-
     qq = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        quantize(vec_col).alias("q_code"),
+        _sq_quantize(scales_col, vec_col).alias("q_code"),
     )
-    cand_codes = items.repartition(par).select(
+    code_side = items.repartition(par).select(
         F.col(id_col).alias("neighbor_id"),
-        quantize(vec_col).alias("c_code"),
+        _sq_quantize(scales_col, vec_col).alias("c_code"),
     )
-    int_dot = F.aggregate(
-        F.zip_with("q_code", "c_code", lambda a, b: (a * b).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    full_side = items.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    scored = (
-        cand_codes.join(F.broadcast(qq.select("q_id", "q_code")))
-        .filter(F.col("q_id") != F.col("neighbor_id"))
-        .withColumn("int_score", int_dot)
-    )
-    wq = Window.partitionBy("q_id").orderBy(F.desc("int_score"), F.col("neighbor_id"))
-    cands = (
-        scored.withColumn("_rk", F.row_number().over(wq))
-        .filter(F.col("_rk") <= rerank_factor * k)
-        .select("q_id", "neighbor_id")
-    )
-    # exact rerank: candidate-sized joins back to full precision. The
-    # HOF cosine folds left in double — the SAME chain as dot_fixed and
-    # the oracle SQL — so reported scores match knn_bruteforce bitwise
-    # (asserted in tests); on a candidate-sized side the interpreted
-    # HOF beats the unrolled form, whose 64-term janino compile
-    # dominates (measured ~1.5s/run at sf0.1 vs ~0 for the HOF).
-    full = items.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    exact = (
-        cands.join(full, "neighbor_id")
-        .join(F.broadcast(qq.select("q_id", "q_vec")), "q_id")
-        .withColumn("cos_sim", cosine("q_vec", "c_vec"))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
-    return (
-        exact.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _sq_score_and_rerank(code_side, full_side, qq, k, rerank_factor)
 
 
 def build_sq_codes(
@@ -250,18 +286,10 @@ def build_sq_codes(
     S = _matrix(sample[vec_col])
     scales = np.maximum(np.abs(S).max(axis=0) / 127.0, 1e-12)
     scales_col = F.array(*[F.lit(float(s)) for s in scales])
-    code = F.transform(
-        F.col(vec_col),
-        lambda x, i: F.greatest(
-            F.lit(-127),
-            F.least(
-                F.lit(127),
-                F.round(x.cast("double") / F.element_at(scales_col, i + 1)).cast("int"),
-            ),
-        ),
-    )
     items.repartition(par).select(
-        F.col(id_col), F.col(vec_col), code.alias("code")
+        F.col(id_col),
+        F.col(vec_col),
+        _sq_quantize(scales_col, vec_col).alias("code"),
     ).write.mode("overwrite").parquet(f"{path}/codes")
     spark.createDataFrame(
         [(int(i), float(s)) for i, s in enumerate(scales)], "dim int, scale double"
@@ -275,7 +303,6 @@ def knn_sq_from_codes(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = DEFAULT_DIM,
     rerank_factor: int = 4,
 ) -> DataFrame:
     """Serve SQ-ANN from a persisted :func:`build_sq_codes` table:
@@ -290,50 +317,15 @@ def knn_sq_from_codes(
     qq = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        F.transform(
-            F.col(vec_col),
-            lambda x, i: F.greatest(
-                F.lit(-127),
-                F.least(
-                    F.lit(127),
-                    F.round(
-                        x.cast("double") / F.element_at(scales_col, i + 1)
-                    ).cast("int"),
-                ),
-            ),
-        ).alias("q_code"),
+        _sq_quantize(scales_col, vec_col).alias("q_code"),
     )
-    int_dot = F.aggregate(
-        F.zip_with("q_code", "code", lambda a, b: (a * b).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    code_side = codes.select(
+        F.col(id_col).alias("neighbor_id"), F.col("code").alias("c_code")
     )
-    scored = (
-        codes.select(F.col(id_col).alias("neighbor_id"), "code")
-        .join(F.broadcast(qq.select("q_id", "q_code")))
-        .filter(F.col("q_id") != F.col("neighbor_id"))
-        .withColumn("int_score", int_dot)
-    )
-    wq = Window.partitionBy("q_id").orderBy(F.desc("int_score"), F.col("neighbor_id"))
-    cands = (
-        scored.withColumn("_rk", F.row_number().over(wq))
-        .filter(F.col("_rk") <= rerank_factor * k)
-        .select("q_id", "neighbor_id")
-    )
-    full = codes.select(
+    full_side = codes.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    exact = (
-        cands.join(full, "neighbor_id")
-        .join(F.broadcast(qq.select("q_id", "q_vec")), "q_id")
-        .withColumn("cos_sim", cosine("q_vec", "c_vec"))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
-    return (
-        exact.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _sq_score_and_rerank(code_side, full_side, qq, k, rerank_factor)
 
 
 def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:

@@ -687,13 +687,23 @@ def exact_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, "text", "doc_id").select("doc_id", "content_hash")
 
 
-@query("ngram_jaccard_pairs")
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L4: exact word-3-gram Jaccard similarity pairs via shingle join.
+def _shingle_intersections(spark: SparkSession, sf_dir: str):
+    """Shared word-3-gram shingle-intersection pipeline for the
+    pairwise text-similarity queries (L4 Jaccard, L4b containment):
+    returns ``(inter, sz)`` where ``inter`` holds (doc_a < doc_b,
+    n_common) over the df-capped shingle sets and ``sz`` each doc's
+    shingle-set size. One definition so the df cap, tokenization, and
+    pair generation can never drift between the two queries (their
+    oracles share the mirrored CTEs the same way).
 
-    Scale: the shuffle key is the shingle — no cross join; hot shingles
-    are the skew risk (AQE skew-split; stopword-shingle filtering is the
-    production mitigation). MinHash (L2) is the approximate scale path.
+    Scale: the shuffle key is the shingle — no cross join; hot
+    shingles are the skew risk, so stopword-shingles
+    (df > MAX_SHINGLE_DF) are dropped from the representation BEFORE
+    both the size count and pair generation, bounding every group at
+    MAX_SHINGLE_DF docs. Pair generation happens inside each group
+    (sorted collect_list + triangular transform) — equivalent to, but
+    cheaper than, the sh⋈sh self-join, which would shuffle the set
+    twice. MinHash (L2) is the approximate scale path.
     """
     docs = _t(spark, sf_dir, "documents")
     # repartition + materialized tokens: see minhash_signatures — one
@@ -704,11 +714,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_toks", tokens("text"))
         .select("doc_id", F.explode(shingles_from_tokens("_toks", 3)).alias("shingle"))
     )
-    # one shuffle on shingle; stopword-shingles (df > MAX_SHINGLE_DF)
-    # are dropped from the representation BEFORE both the size count
-    # and pair generation, so no group ever pairs more than
-    # MAX_SHINGLE_DF docs (skew cap — see the constant's note).
-    # Materialized once for its two consumers (sizes + pairs).
+    # materialized once for its two consumers (sizes + pairs)
     by_shingle = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
@@ -720,8 +726,6 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_sh"))
     )
-    # pair generation inside each group — equivalent to (but cheaper
-    # than) the sh⋈sh self-join, which would shuffle the set twice
     grouped = by_shingle.filter(F.size("docs") > 1)
     pair_structs = F.flatten(
         F.transform(
@@ -737,6 +741,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    return inter, sz
+
+
+@query("ngram_jaccard_pairs")
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: exact word-3-gram Jaccard similarity pairs via shingle join
+    (pipeline + scale notes: :func:`_shingle_intersections`)."""
+    inter, sz = _shingle_intersections(spark, sf_dir)
     sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
@@ -756,43 +768,11 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-in-doc dedup signal symmetric Jaccard (L4) misses: a short doc
     fully embedded in a long one has tiny Jaccard but containment ~1.
 
-    Scale: identical shuffle discipline to ngram_jaccard_pairs (shingle
-    key, MAX_SHINGLE_DF skew cap, in-group triangular pair generation);
-    the direction explode doubles only the intersected pair rows, which
+    Scale: shares :func:`_shingle_intersections` with L4 (shingle key,
+    MAX_SHINGLE_DF skew cap, in-group triangular pair generation); the
+    direction explode doubles only the intersected pair rows, which
     are already threshold-bounded output, not probe work."""
-    docs = _t(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    sh = (
-        docs.repartition(par)
-        .withColumn("_toks", tokens("text"))
-        .select("doc_id", F.explode(shingles_from_tokens("_toks", 3)).alias("shingle"))
-    )
-    by_shingle = (
-        sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
-        .filter(F.size("docs") <= MAX_SHINGLE_DF)
-        .localCheckpoint()
-    )
-    sz = (
-        by_shingle.select(F.explode("docs").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-    )
-    grouped = by_shingle.filter(F.size("docs") > 1)
-    pair_structs = F.flatten(
-        F.transform(
-            "docs",
-            lambda x, i: F.transform(
-                F.slice(F.col("docs"), (i + 2).cast("int"), F.size("docs")),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    inter = (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    inter, sz = _shingle_intersections(spark, sf_dir)
     directed = inter.select(
         F.explode(
             F.array(
@@ -868,10 +848,11 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(docs, max_hamming=6, n_chunks=7)
 
 
-def _ivf_index_path(sf_dir: str, nlist: int) -> str:
-    """Repo-local cache dir for the per-sf persisted IVF index. The
-    source table's mtime is part of the key so a regenerated testdata
-    dir never serves a stale index."""
+def _artifact_path(sf_dir: str, prefix: str, source_table: str = "embeddings") -> str:
+    """Repo-local cache dir for a per-sf persisted index artifact
+    (IVF index, SQ code table, ...). The source table's mtime is part
+    of the key so a regenerated testdata dir never serves a stale
+    artifact."""
     import os
 
     from dimagi_data_platform_spark.catalog import table_path
@@ -880,27 +861,9 @@ def _ivf_index_path(sf_dir: str, nlist: int) -> str:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    src = table_path(sf_dir, "embeddings")
+    src = table_path(sf_dir, source_table)
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    return os.path.join(
-        repo_root, ".artifacts", f"ivf_{tag}_nlist{nlist}_{mtime}"
-    )
-
-
-def _sq_codes_path(sf_dir: str) -> str:
-    """Repo-local cache dir for the per-sf persisted SQ code table
-    (same mtime-keyed scheme as the IVF index)."""
-    import os
-
-    from dimagi_data_platform_spark.catalog import table_path
-
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    src = table_path(sf_dir, "embeddings")
-    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    return os.path.join(repo_root, ".artifacts", f"sq_{tag}_{mtime}")
+    return os.path.join(repo_root, ".artifacts", f"{prefix}_{tag}_{mtime}")
 
 
 @query("knn_ivf")
@@ -916,7 +879,7 @@ def knn_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     nlist = 64
-    path = _ivf_index_path(sf_dir, nlist)
+    path = _artifact_path(sf_dir, f"ivf_nlist{nlist}")
     if not (
         os.path.exists(os.path.join(path, "items", "_SUCCESS"))
         and os.path.exists(os.path.join(path, "centroids", "_SUCCESS"))
@@ -958,7 +921,7 @@ def knn_sq_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     emb = _t(spark, sf_dir, "embeddings")
-    path = _sq_codes_path(sf_dir)
+    path = _artifact_path(sf_dir, "sq")
     if not (
         os.path.exists(os.path.join(path, "codes", "_SUCCESS"))
         and os.path.exists(os.path.join(path, "scales", "_SUCCESS"))
