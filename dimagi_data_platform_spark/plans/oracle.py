@@ -1580,12 +1580,14 @@ LIMIT 20
 
 ORACLE["table_fingerprint"] = """
 SELECT o_orderstatus, COUNT(*) AS n_rows,
-       CAST(SUM(CAST(CAST(('0x' || substr(md5(
+       CAST(CAST(SUM(CAST(CAST(('0x' || substr(md5(
                CAST(o_orderkey AS VARCHAR) || '|' ||
                CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus),
-             1, 15)) AS BIGINT) AS HUGEINT)) AS DECIMAL(38,0)) AS checksum
+             1, 15)) AS BIGINT) AS HUGEINT)) AS DECIMAL(38,0)) AS VARCHAR)
+         AS checksum
 FROM orders
 GROUP BY o_orderstatus
+ORDER BY o_orderstatus
 """
 
 ORACLE["orders_snapshot_diff"] = """
@@ -1671,7 +1673,7 @@ SELECT doc_id, shard, pack_id, n_tokens FROM packed
 ORACLE["corpus_mixture_weights"] = f"""
 WITH per AS (
   SELECT lang, COUNT(*) AS n_docs,
-         SUM(CAST({_NWORDS} AS BIGINT)) AS n_tokens
+         CAST(SUM(CAST({_NWORDS} AS BIGINT)) AS BIGINT) AS n_tokens
   FROM documents GROUP BY lang),
 shares AS (
   SELECT lang, n_docs, n_tokens,
@@ -1920,7 +1922,7 @@ fw AS (SELECT w, freq FROM wf WHERE length(w) >= 2),
 pairs AS (
   SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, freq
   FROM fw, UNNEST(range(1, length(w))) AS u(i))
-SELECT a, b, SUM(freq) AS pair_count
+SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pair_count
 FROM pairs GROUP BY a, b
 ORDER BY pair_count DESC, a, b
 LIMIT 50
@@ -1994,7 +1996,7 @@ m AS (
          SUM(x*y) OVER w AS sxy
   FROM daily
   WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
-SELECT day, x, y,
+SELECT day, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
        CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
          CAST(n*sxy - sx*sy AS DOUBLE)
            / SQRT(CAST(n*sxx - sx*sx AS DOUBLE)

@@ -2207,7 +2207,12 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     order status, for cross-system reconciliation without moving rows.
     Commutative aggregation ⇒ partition/ordering immune; md5 ⇒ the
     remote system (any engine) computes the identical value. One
-    map-side-combined shuffle on the (tiny) status key."""
+    map-side-combined shuffle on the (tiny) status key.
+
+    The checksum is emitted as a STRING: a 22-digit exact decimal
+    survives any client that would otherwise materialize it as a lossy
+    float64 (e.g. pandas), which is the whole point of an exact
+    reconciliation fingerprint."""
     orders = _t(spark, sf_dir, "orders")
     row = F.concat_ws(
         "|",
@@ -2216,9 +2221,13 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus"),
     )
     h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("decimal(38,0)")
-    return orders.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(h).cast("decimal(38,0)").alias("checksum"),
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(h).cast("decimal(38,0)").cast("string").alias("checksum"),
+        )
+        .orderBy("o_orderstatus")
     )
 
 

@@ -13,8 +13,10 @@ from __future__ import annotations
 import math
 import os
 import sys
+from decimal import Decimal
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -59,6 +61,21 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _num_class(v) -> str:
+    """Coarse numeric type class of one cell, mirroring what the
+    driver's canonical renderer distinguishes: int64 renders 123,
+    float64 renders 123.0, Decimal renders its exact digits."""
+    if isinstance(v, (bool, np.bool_)):
+        return "bool"
+    if isinstance(v, Decimal):
+        return "decimal"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (float, np.floating)):
+        return "float"
+    return "other"
+
+
 def _cell_eq(a, b) -> bool:
     if isinstance(a, (list, tuple)) or hasattr(a, "tolist"):
         a = list(a.tolist() if hasattr(a, "tolist") else a)
@@ -73,7 +90,15 @@ def _cell_eq(a, b) -> bool:
         pass
     if a_null or b_null:
         return bool(a_null) and bool(b_null)
-    if isinstance(a, float) or isinstance(b, float):
+    ca, cb = _num_class(a), _num_class(b)
+    if ca != cb and "float" in (ca, cb) and {ca, cb} & {"int", "decimal"}:
+        # int64/Decimal on one side vs float64 on the other is exactly
+        # the divergence the driver's rendered-value hash detects
+        # (123 vs 123.0, or a 22-digit Decimal squeezed through a lossy
+        # float64) — FAIL instead of coercing it away. This class of
+        # bug hid 4 driver hash mismatches in round 3.
+        return False
+    if ca == "float" and cb == "float":
         return float(a) == float(b)
     return a == b
 
