@@ -3092,74 +3092,71 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 registered queries.
-# Rounds 1+2 together verified 88 of the registry; this round-3 order
-# leads with the 36 queries that have never had a driver signal (the
-# whole round-2 wave: search, training-batch assembly, linkage, mixture,
-# SCD2, robust stats, diagnostics, sketches), then the 4 queries whose
-# round-1 rows were rows-only before their oracles landed
-# (minhash/simhash/knn_lsh; knn_ivf stays rows-only by design), then the
-# queries whose results or shapes changed this round (array→string
-# serialization, de-trivialized predicates, block-pair rewrite), with
-# the tail slots spent on round-1-green regression picks. Everything
-# else keeps regression coverage via the local mirror
-# (tests/test_oracle_parity.py), which checks ALL queries.
+# Round-4 order: (1) the 4 queries that have NEVER been in a driver
+# sample, (2) the 4 round-3 hash FAILs whose oracle output typing was
+# fixed this round (DuckDB HUGEINT→float64 artifact; values were always
+# right), (3) the rows-only-by-design entries, kept in rotation so
+# their runs+err=None signal stays fresh, (4) new round-4 queries, and
+# (5) regression picks across the oldest green signals (r1 greens not
+# sampled since round 1). Everything else keeps regression coverage via
+# the local mirror (tests/test_oracle_parity.py), which checks ALL
+# queries every test run.
 _SAMPLE_FIRST = [
-    # 36 queries with no driver signal in rounds 1-2
-    "props_typed_extract",
-    "order_value_histogram",
-    "order_value_mad_outliers",
-    "nation_revenue_share",
-    "co_purchased_parts",
+    # (1) never sampled by the driver before round 4
+    "phrase_search",
+    "ngram_containment_pairs",
+    "knn_sq_rerank",
+    "purchase_click_attribution",
+    # (2) round-3 hash FAILs, oracle typing fixed this round
     "rolling_click_purchase_corr",
-    "events_asof_join_forward",
-    "dq_checks",
-    "key_skew_profile",
-    "user_tier_scd2",
     "table_fingerprint",
-    "orders_snapshot_diff",
-    "customer_fuzzy_match",
-    "customer_sorted_neighborhood",
-    "sorted_neighborhood_fuzzy",
-    "event_type_trigrams",
-    "segment_conversion_ztest",
-    "per_lang_fixed_sample",
+    "corpus_mixture_weights",
+    "bpe_pair_counts",
+    # (3) rows-only by design: keep runs+err=None exercised
     "approx_monthly_distinct_buyers",
     "approx_order_percentiles",
     "approx_heavy_hitter_terms",
-    "train_shard_assign",
-    "pack_training_sequences",
-    "span_dedup_clean",
-    "source_cap_sample",
-    "inverted_index_postings",
-    "bm25_search",
-    "training_data_manifest",
-    "corpus_mixture_weights",
-    "corpus_mixture_sample",
-    "incremental_minhash_dedup",
-    "semantic_dedup",
-    "quality_classifier_filter",
-    "bpe_pair_counts",
-    "near_dup_cluster_sizes",
     "segment_distinct_union",
-    # rows-only in round 1; oracles landed in round 2, never resampled
-    "minhash_lsh_dedup",
-    "simhash_dedup",
-    "knn_lsh",
+    "semantic_dedup",
     "knn_ivf",
-    # round-2 FAIL fixed this round (array -> string serialization)
-    "user_event_type_list",
-    # results changed this round (de-trivialized predicates) or code
-    # rewritten since last driver row (block-pair embedding near-dup)
-    "q20_excess_suppliers",
-    "q11_important_parts",
-    "embedding_near_dup",
-    "user_value_trend",
-    # round-1-green regression picks for the remaining slots
-    "q1_pricing_summary",
-    "q5_local_supplier",
-    "knn_bruteforce",
-    "exact_dedup",
-    "lang_id",
+    # (4) new round-4 queries
+    # (5) regression picks: r1 greens with the oldest driver signal
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q6_revenue_delta",
+    "q10_returned_items",
+    "repeat_buyers_intersect",
+    "lapsed_buyers_except",
+    "top_customers_per_nation",
+    "running_revenue",
+    "acctbal_deciles",
+    "rollup_sales",
+    "segment_priority_pivot",
+    "order_value_percentiles",
+    "above_avg_orders",
+    "min_price_supplier_per_part",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "priority_line_counts",
+    "q14_promo_share",
+    "q16_supplier_part_counts",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "sole_supplier_orders",
+    "wealthy_inactive_customers",
+    "doc_quality",
+    "token_counts",
+    "doc_fingerprint",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "near_dup_components",
+    "corpus_prep",
+    "pii_redaction",
+    "doc_chunks",
 ]
 
 def _reorder_for_sampling() -> None:
