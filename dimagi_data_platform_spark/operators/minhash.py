@@ -213,6 +213,7 @@ def incremental_lsh_matches(
     bands: int = 16,
     rows_per_band: int = 4,
     min_est_jaccard: float = 0.5,
+    corpus_members: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup matches of an INCOMING batch against the EXISTING
     corpus — the ingest-time dedup shape for a growing corpus: nothing
@@ -224,15 +225,17 @@ def incremental_lsh_matches(
     Returns (batch_id, corpus_id, est_jaccard) for every candidate pair
     sharing >= 1 band bucket with est_jaccard >= the threshold.
 
-    Hot-bucket note: corpus band entries here are per raw doc, so a
-    corpus with huge EXACT-duplicate classes concentrates those classes
-    in every bucket they touch. Re-grouping to distinct signatures per
-    batch (as lsh_candidate_pairs does) would cost a corpus-wide
-    shuffle per ingest batch — the right production posture is instead
-    to collapse exact-dup classes once, when building the persisted
-    signature table (exact_dedup upstream, or store one representative
-    per distinct signature + a membership table), so every batch probe
-    inherits bounded buckets for free.
+    Hot-bucket discipline: a corpus with huge EXACT-duplicate classes
+    would concentrate those classes in every bucket they touch if band
+    entries were per raw doc. Pass a ``corpus_sigs`` table already
+    collapsed to one representative per DISTINCT signature (what
+    `build_signature_table` persists) plus its ``corpus_members``
+    (rep → member) table: the probe then does per-distinct-signature
+    work, and matches fan back out to member ids AFTER the threshold
+    filter — output fan-out, not probe fan-out. Equal signatures share
+    every band bucket and score identically, so the fanned-out result
+    is row-identical to probing raw per-doc signatures. With
+    ``corpus_members=None`` the corpus is probed as-is.
     """
     be_c = _band_entries(corpus_sigs, id_col, bands, rows_per_band).select(
         F.col(id_col).alias("corpus_id"), "band", "bucket"
@@ -250,9 +253,48 @@ def incremental_lsh_matches(
     # corpus) is what moves.
     joined = cand.join(F.broadcast(sig_b), "batch_id").join(sig_c, "corpus_id")
     est = _est_jaccard(F.col("sig_a"), F.col("sig_b"))
-    return joined.select("batch_id", "corpus_id", est.alias("est_jaccard")).filter(
+    matches = joined.select("batch_id", "corpus_id", est.alias("est_jaccard")).filter(
         F.col("est_jaccard") >= min_est_jaccard
     )
+    if corpus_members is not None:
+        # rep → member fan-out on the (small, post-threshold) match set;
+        # the membership table is O(corpus) so this is a shuffle join on
+        # rep — AQE may broadcast the match side.
+        matches = (
+            matches.withColumnRenamed("corpus_id", "rep")
+            .join(corpus_members, "rep")
+            .select("batch_id", F.col("member").alias("corpus_id"), "est_jaccard")
+        )
+    return matches
+
+
+def collapse_signatures(
+    sigs: DataFrame, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse a per-doc signature table to one representative row per
+    DISTINCT signature. Returns ``(reps, members)``: reps has
+    (id_col = min member id, sig); members has (rep, member) for every
+    raw doc.
+
+    The group key is a 128-bit md5 of the rendered signature, not the
+    64-long array itself, so the shuffle key is 32 bytes instead of
+    ~512 and no per-group list is ever materialized — a 10^8-doc
+    exact-dup class costs one counter in the partial agg, not an 800 MB
+    collect_list row."""
+    keyed = sigs.withColumn(
+        "_sk", F.md5(F.concat_ws(",", F.col("sig").cast("array<string>")))
+    )
+    grouped = keyed.groupBy("_sk").agg(
+        F.min(id_col).alias("rep"),
+        F.first("sig").alias("sig"),  # all sigs in a _sk group are equal
+    )
+    reps = grouped.select(F.col("rep").alias(id_col), "sig")
+    members = (
+        keyed.select("_sk", F.col(id_col).alias("member"))
+        .join(grouped.select("_sk", "rep"), "_sk")
+        .select("rep", "member")
+    )
+    return reps, members
 
 
 def minhash_dedup_pairs(
@@ -291,10 +333,18 @@ def build_signature_table(
     batches never re-sign the corpus. num_hashes longs per doc: at
     10^10 docs x 64 hashes that is ~5 TB, scanned (not shuffled) once
     per ingest batch; the band explode happens batch-side and the join
-    shuffles only (id, band, bucket) triples."""
-    minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, seed).write.mode(
-        "overwrite"
-    ).parquet(path)
+    shuffles only (id, band, bucket) triples.
+
+    Layout: ``{path}/sigs`` holds ONE row per distinct signature (rep
+    id + sig) and ``{path}/members`` the (rep, member) fan-out. Exact-
+    duplicate classes therefore collapse at build time: every later
+    batch probe does per-distinct-signature bucket work no matter how
+    duplicated the raw corpus is, and match fan-out to raw doc ids
+    happens after the threshold filter."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, seed)
+    reps, members = collapse_signatures(sigs, id_col)
+    reps.write.mode("overwrite").parquet(f"{path}/sigs")
+    members.write.mode("overwrite").parquet(f"{path}/members")
 
 
 def incremental_dedup_from_index(
@@ -310,9 +360,12 @@ def incremental_dedup_from_index(
     seed: int = 42,
 ) -> DataFrame:
     """Sign an incoming batch and probe the persisted corpus signature
-    table. Returns (batch_id, corpus_id, est_jaccard) like
-    `incremental_lsh_matches`."""
-    corpus_sigs = spark.read.parquet(index_path)
+    table (distinct-signature reps + membership — the
+    `build_signature_table` layout). Returns (batch_id, corpus_id,
+    est_jaccard) for every RAW corpus doc, identical to probing per-doc
+    signatures directly."""
+    corpus_sigs = spark.read.parquet(f"{index_path}/sigs")
+    corpus_members = spark.read.parquet(f"{index_path}/members")
     batch_sigs = minhash_signatures(
         batch_docs, id_col, text_col, num_hashes, shingle_n, seed
     )
@@ -323,4 +376,5 @@ def incremental_dedup_from_index(
         bands,
         num_hashes // bands,
         min_est_jaccard,
+        corpus_members=corpus_members,
     )

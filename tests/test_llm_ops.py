@@ -115,6 +115,105 @@ def test_signature_table_roundtrip_matches_direct_probe(spark, tmp_path):
     assert got == want and got
 
 
+def test_signature_table_collapses_exact_dup_classes(spark, tmp_path):
+    """A corpus dominated by one giant exact-dup class must persist to
+    a rep table bounded by DISTINCT signatures: per-(band,bucket) entry
+    counts stay O(distinct sigs) no matter how duplicated the raw
+    corpus is, and a batch probe still reaches every raw member through
+    the membership fan-out."""
+    from dimagi_data_platform_spark.operators.minhash import (
+        _band_entries,
+        build_signature_table,
+        incremental_dedup_from_index,
+    )
+
+    n_dups = 200
+    rows = [(i, BASE) for i in range(n_dups)] + [
+        (1000, "totally different text about columnar shuffle services"),
+        (1001, "yet another unrelated string mentioning adaptive query execution"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id int, text string")
+    path = str(tmp_path / "hot_index")
+    build_signature_table(corpus, path)
+
+    reps = spark.read.parquet(f"{path}/sigs")
+    n_reps = reps.count()
+    assert n_reps == 3  # 1 distinct sig for the class + 2 singletons
+    max_bucket = (
+        _band_entries(reps, "doc_id", 16, 4)
+        .groupBy("band", "bucket")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_bucket <= n_reps  # probe work bounded by distinct sigs
+    members = spark.read.parquet(f"{path}/members")
+    assert members.count() == len(rows)
+
+    batch = spark.createDataFrame([(5000, BASE)], "doc_id int, text string")
+    got = {
+        r.corpus_id
+        for r in incremental_dedup_from_index(
+            spark, path, batch, min_est_jaccard=0.9
+        ).collect()
+    }
+    assert got == set(range(n_dups))  # fan-out reaches every raw member
+
+
+def test_incremental_matches_equal_full_pairs_randomized(spark):
+    """Property (seeded-random corpora): incremental_lsh_matches over a
+    collapsed rep+membership index == lsh_candidate_pairs restricted to
+    (batch, corpus) pairs, for corpora with planted near-dups, exact-dup
+    classes, and unrelated noise."""
+    import random as _random
+
+    from dimagi_data_platform_spark.operators.minhash import (
+        collapse_signatures,
+        incremental_lsh_matches,
+        minhash_dedup_pairs,
+        minhash_signatures,
+    )
+
+    words = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    ).split()
+    for seed in (7, 23):
+        rnd = _random.Random(seed)
+        rows = []
+        doc_id = 0
+        for base in range(6):
+            text = " ".join(rnd.choices(words, k=30))
+            n_copies = rnd.choice([1, 1, 2, 4])
+            for c in range(n_copies):
+                t = text
+                if c and rnd.random() < 0.5:  # near (not exact) copy
+                    t = t.replace(rnd.choice(words), rnd.choice(words))
+                rows.append((doc_id, t))
+                doc_id += 1
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        batch_ids = {r[0] for r in rows if r[0] % 3 == 0}
+        sigs = minhash_signatures(docs).localCheckpoint()
+        batch = sigs.filter(F.col("doc_id").isin(*batch_ids))
+        reps, members = collapse_signatures(
+            sigs.filter(~F.col("doc_id").isin(*batch_ids))
+        )
+        got = {
+            (r.batch_id, r.corpus_id): round(r.est_jaccard, 9)
+            for r in incremental_lsh_matches(
+                reps, batch, min_est_jaccard=0.2, corpus_members=members
+            ).collect()
+        }
+        full = minhash_dedup_pairs(docs, min_est_jaccard=0.2)
+        want = {}
+        for r in full.collect():
+            a_in, b_in = r.id_a in batch_ids, r.id_b in batch_ids
+            if a_in != b_in:
+                key = (r.id_a, r.id_b) if a_in else (r.id_b, r.id_a)
+                want[key] = round(r.est_jaccard, 9)
+        assert got == want, f"seed {seed}: {got.keys() ^ want.keys()}"
+
+
 def test_semantic_dedup_hot_cluster_sub_blocking(spark):
     """A hot cluster must be sub-blocked: per-task group sizes stay
     bounded by ~2*block_target, and the sub-blocked result is identical
