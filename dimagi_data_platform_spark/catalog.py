@@ -55,6 +55,15 @@ NANOS_TS_COLS = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one star-schema table with engine-portable timestamp
+    normalization.
+
+    SESSION-WIDE SIDE EFFECT: sets ``spark.sql.legacy.parquet
+    .nanosAsLong=true`` and ``spark.sql.session.timeZone=UTC`` on the
+    given session (not just for this read). All timestamp rendering and
+    parsing in the session happens in UTC afterwards; a caller that
+    needs a different session tz must restore it after loading (the
+    engine's own query semantics require UTC — see the inline notes)."""
     # Both confs are runtime-settable and idempotent; set at read time
     # so externally-built sessions — e.g. the correctness driver's
     # vanilla SparkSession — behave like session.get_spark():

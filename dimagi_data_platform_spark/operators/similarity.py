@@ -52,6 +52,19 @@ def _matrix(series: pd.Series) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in series])
 
 
+def _train_sample(
+    items: DataFrame, id_col: str, vec_col: str, sample_rows: int
+) -> pd.Series:
+    """Deterministic quantizer/centroid training sample. orderBy+limit
+    compiles to TakeOrderedAndProject (per-partition top-k, no full
+    sort); a bare LIMIT's row choice is partition-order dependent, so
+    scales/centroids — and therefore candidate sets and recall — would
+    differ across sessions and partitionings of the same data."""
+    return (
+        items.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).toPandas()
+    )[vec_col]
+
+
 def _fold_cosine(A: np.ndarray, B: np.ndarray, nb: np.ndarray) -> np.ndarray:
     """Cosine of every (row of A) x (row of B) via per-dimension
     outer-product accumulation (left-fold order; see module note)."""
@@ -244,8 +257,8 @@ def knn_sq_rerank(
     """
     spark = items.sparkSession
     par = spark.sparkContext.defaultParallelism
-    sample = items.select(vec_col).limit(sample_rows).toPandas()
-    S = _matrix(sample[vec_col])
+    sample = _train_sample(items, id_col, vec_col, sample_rows)
+    S = _matrix(sample)
     scales = np.maximum(np.abs(S).max(axis=0) / 127.0, 1e-12)
     scales_col = F.array(*[F.lit(float(s)) for s in scales])
     qq = queries.select(
@@ -282,8 +295,8 @@ def build_sq_codes(
     the wide one)."""
     spark = items.sparkSession
     par = spark.sparkContext.defaultParallelism
-    sample = items.select(vec_col).limit(sample_rows).toPandas()
-    S = _matrix(sample[vec_col])
+    sample = _train_sample(items, id_col, vec_col, sample_rows)
+    S = _matrix(sample)
     scales = np.maximum(np.abs(S).max(axis=0) / 127.0, 1e-12)
     scales_col = F.array(*[F.lit(float(s)) for s in scales])
     items.repartition(par).select(
@@ -506,8 +519,8 @@ def knn_ivf(
     """
     spark = items.sparkSession
     par = spark.sparkContext.defaultParallelism
-    sample = items.select(vec_col).limit(sample_rows).toPandas()
-    C = _kmeans_centroids(_matrix(sample[vec_col]), nlist, seed=seed)
+    sample = _train_sample(items, id_col, vec_col, sample_rows)
+    C = _kmeans_centroids(_matrix(sample), nlist, seed=seed)
     bc_c = spark.sparkContext.broadcast(C)
 
     def assign(batches):
@@ -628,8 +641,8 @@ def build_ivf_index(
     """
     spark = items.sparkSession
     par = spark.sparkContext.defaultParallelism
-    sample = items.select(vec_col).limit(sample_rows).toPandas()
-    C = _kmeans_centroids(_matrix(sample[vec_col]), nlist, seed=seed)
+    sample = _train_sample(items, id_col, vec_col, sample_rows)
+    C = _kmeans_centroids(_matrix(sample), nlist, seed=seed)
     bc_c = spark.sparkContext.broadcast(C)
 
     def assign(batches):
@@ -824,8 +837,8 @@ def semantic_dedup(
     """
     spark = items.sparkSession
     par = spark.sparkContext.defaultParallelism
-    sample = items.select(vec_col).limit(sample_rows).toPandas()
-    C = _kmeans_centroids(_matrix(sample[vec_col]), nlist, seed=seed)
+    sample = _train_sample(items, id_col, vec_col, sample_rows)
+    C = _kmeans_centroids(_matrix(sample), nlist, seed=seed)
     bc_c = spark.sparkContext.broadcast(C)
 
     def assign(batches):
@@ -914,17 +927,19 @@ def semantic_dedup(
         best_matches, schema="id long, matched_id long, cos_sim double"
     )
     w = Window.partitionBy("id").orderBy(F.desc("cos_sim"), F.col("matched_id"))
+    # internal name: the kernel's "id" column would collide with a
+    # caller-passed id_col="id" in the join below
     best = (
         partial.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
-        .select("id", "matched_id", "cos_sim")
+        .select(F.col("id").alias("_match_src"), "matched_id", "cos_sim")
     )
     return assigned.join(
-        best, assigned[id_col] == best["id"], "left"
+        best, assigned[id_col] == best["_match_src"], "left"
     ).select(
         F.col(id_col),
         "list_id",
-        F.col("id").isNull().alias("is_kept"),
+        F.col("_match_src").isNull().alias("is_kept"),
         "matched_id",
         "cos_sim",
     )

@@ -850,10 +850,12 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _artifact_path(sf_dir: str, prefix: str, source_table: str = "embeddings") -> str:
     """Repo-local cache dir for a per-sf persisted index artifact
-    (IVF index, SQ code table, ...). The source table's mtime is part
-    of the key so a regenerated testdata dir never serves a stale
-    artifact."""
+    (IVF index, SQ code table, ...). The key is (size, mtime_ns) of the
+    source parquet, so a source regenerated even within the same second
+    never serves a stale artifact; stale sibling dirs for the same
+    prefix/tag are pruned on the way through."""
     import os
+    import shutil
 
     from dimagi_data_platform_spark.catalog import table_path
 
@@ -862,8 +864,37 @@ def _artifact_path(sf_dir: str, prefix: str, source_table: str = "embeddings") -
     )
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     src = table_path(sf_dir, source_table)
-    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    return os.path.join(repo_root, ".artifacts", f"{prefix}_{tag}_{mtime}")
+    key = "0"
+    if os.path.exists(src):
+        st = os.stat(src)
+        key = f"{st.st_size}_{st.st_mtime_ns}"
+    base = os.path.join(repo_root, ".artifacts")
+    name = f"{prefix}_{tag}_{key}"
+    if os.path.isdir(base):
+        for old in os.listdir(base):
+            if old.startswith(f"{prefix}_{tag}_") and old != name:
+                shutil.rmtree(os.path.join(base, old), ignore_errors=True)
+    return os.path.join(base, name)
+
+
+def _ensure_artifact(path: str, subdirs: tuple[str, ...], build_fn) -> None:
+    """Lazily build a persisted artifact exactly once, atomically:
+    build into a tmp sibling, then rename into place. A concurrent
+    builder that loses the rename race just discards its tmp dir — the
+    winner's artifact is complete (rename is atomic) so readers never
+    see a partial index."""
+    import os
+    import shutil
+
+    if all(os.path.exists(os.path.join(path, s, "_SUCCESS")) for s in subdirs):
+        return
+    tmp = f"{path}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build_fn(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:  # another process renamed first; its artifact wins
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @query("knn_ivf")
@@ -875,16 +906,12 @@ def knn_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     a partition-pruned scan of only the probed lists. nlist=64 with
     nprobe=4 makes the pruning non-vacuous (a 10-query batch probes at
     most 40 of 64 partitions; overlapping probes far fewer)."""
-    import os
-
     emb = _t(spark, sf_dir, "embeddings")
     nlist = 64
     path = _artifact_path(sf_dir, f"ivf_nlist{nlist}")
-    if not (
-        os.path.exists(os.path.join(path, "items", "_SUCCESS"))
-        and os.path.exists(os.path.join(path, "centroids", "_SUCCESS"))
-    ):
-        build_ivf_index(emb, path, nlist=nlist)
+    _ensure_artifact(
+        path, ("items", "centroids"), lambda p: build_ivf_index(emb, p, nlist=nlist)
+    )
     return knn_ivf_from_index(
         spark, path, emb.filter(F.col("vec_id") < 10), k=5, nprobe=4
     )
@@ -918,15 +945,9 @@ def knn_sq_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     code table (L7e), built lazily once per sf_dir like the IVF
     index: query batches quantize only themselves with the stored
     scales (write-once/query-many)."""
-    import os
-
     emb = _t(spark, sf_dir, "embeddings")
     path = _artifact_path(sf_dir, "sq")
-    if not (
-        os.path.exists(os.path.join(path, "codes", "_SUCCESS"))
-        and os.path.exists(os.path.join(path, "scales", "_SUCCESS"))
-    ):
-        build_sq_codes(emb, path)
+    _ensure_artifact(path, ("codes", "scales"), lambda p: build_sq_codes(emb, p))
     return knn_sq_from_codes(
         spark, path, emb.filter(F.col("vec_id") < 10), k=5
     )
@@ -2374,15 +2395,20 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully SQL-checkable. Returns matching docs with occurrence count
     and first match position.
 
-    Scale: the token stream is filtered to the phrase's terms before
-    any shuffle (tokenize is scan-local), so join input scales with
-    the terms' posting sizes, not corpus size; one shuffle on
+    Scale: a scan-local substring prefilter (doc must contain BOTH
+    terms — a conservative superset of the token-level match, since a
+    phrase hit needs both) runs before any exchange, so the repartition
+    that spreads the explode shuffles only candidate docs — work scales
+    with the terms' posting sizes, not corpus size; then one shuffle on
     (doc_id, pos) joins adjacent positions."""
     docs = _t(spark, sf_dir, "documents")
     phrase = ("table", "hash")
     par = spark.sparkContext.defaultParallelism
     tok = (
-        docs.repartition(par)
+        docs.filter(
+            F.col("text").contains(phrase[0]) & F.col("text").contains(phrase[1])
+        )
+        .repartition(par)
         .withColumn("_toks", tokens("text"))
         .select("doc_id", F.posexplode("_toks").alias("pos", "term"))
     )
