@@ -176,9 +176,20 @@ def test_write_sorted_parquet_layout_prunes(spark, tmp_path):
         assert hi1 <= lo2, "file ts ranges must be disjoint for pruning"
 
 
-def _derby_cfg(tmp_path, table):
+# Dialect parameterization: the same JDBC suite runs against a real
+# Postgres warehouse when SPARK_GRAFT_PG_URL is set (e.g.
+# "jdbc:postgresql://host/db?user=u&password=p"); embedded Derby is the
+# in-container default. Everything exercised — round-trip, partitioned
+# parallel read, predicate pushdown, MERGE upsert — is dialect-portable
+# SQL, so the suite itself is unchanged.
+_PG_URL = os.environ.get("SPARK_GRAFT_PG_URL")
+
+
+def _db_cfg(tmp_path, table):
     from dimagi_data_platform_spark.sources.jdbc import JdbcConfig
 
+    if _PG_URL:
+        return JdbcConfig(url=_PG_URL, table=table, driver="org.postgresql.Driver")
     return JdbcConfig(
         url=f"jdbc:derby:{tmp_path}/derbydb;create=true",
         table=table,
@@ -197,7 +208,7 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
         [(i, f"u{i}", float(i) * 1.5) for i in range(100)],
         "ID bigint, NAME string, SCORE double",
     )
-    cfg = _derby_cfg(tmp_path, "USERS")
+    cfg = _db_cfg(tmp_path, "USERS")
     write_jdbc(df, cfg, mode="overwrite")
 
     back = read_jdbc(spark, cfg)
@@ -205,7 +216,7 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     assert {f.name for f in back.schema.fields} == {"ID", "NAME", "SCORE"}
 
     # partitioned parallel read: 4 connections, disjoint id ranges
-    cfg_p = _derby_cfg(tmp_path, "USERS")
+    cfg_p = _db_cfg(tmp_path, "USERS")
     cfg_p.num_partitions = 4
     cfg_p.partition_column = "ID"
     cfg_p.lower_bound = "0"
@@ -215,7 +226,7 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     assert part.count() == 100
 
     # server-side predicate pushdown via dbtable subquery
-    filt = read_jdbc(spark, _derby_cfg(tmp_path, "USERS"), predicate="ID < 10")
+    filt = read_jdbc(spark, _db_cfg(tmp_path, "USERS"), predicate="ID < 10")
     assert filt.count() == 10
 
 
@@ -228,8 +239,8 @@ def test_jdbc_merge_upsert_executes_on_derby(spark, tmp_path):
     # the generated (unquoted) MERGE references resolve in Derby
     base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "ID bigint, V double")
     stage = spark.createDataFrame([(2, 99.0), (3, 30.0)], "ID bigint, V double")
-    cfg_t = _derby_cfg(tmp_path, "TGT")
-    cfg_s = _derby_cfg(tmp_path, "STG")
+    cfg_t = _db_cfg(tmp_path, "TGT")
+    cfg_s = _db_cfg(tmp_path, "STG")
     write_jdbc(base, cfg_t, mode="overwrite")
     write_jdbc(stage, cfg_s, mode="overwrite")
 
