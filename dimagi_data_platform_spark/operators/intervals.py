@@ -20,7 +20,7 @@ O(1) buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MICROS_PER_HOUR = 3_600_000_000
@@ -61,4 +61,76 @@ def point_in_interval_join(
             (F.col(ts_col) >= F.col(lo_col)) & (F.col(ts_col) <= F.col(hi_col))
         )
         .drop("_bucket")
+    )
+
+
+def interval_concurrency(
+    intervals: DataFrame,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    out_col: str = "concurrency",
+) -> DataFrame:
+    """Sweep-line concurrency: one row per interval BOUNDARY with the
+    number of intervals open at (and including) that instant.
+
+    Classic overlap counting (max concurrent sessions / room
+    occupancy): each interval emits a +1 at ``lo`` and a -1 just after
+    ``hi`` (closed intervals: an interval ending exactly when another
+    starts still overlaps it), and the concurrency at a boundary is the
+    running sum of deltas in (ts, delta DESC) order.
+
+    Scale strategy: a naive ``SUM() OVER (ORDER BY ts)`` is a
+    single-task global window. Here the prefix sum is distributed the
+    same way :func:`~dimagi_data_platform_spark.operators.linkage.global_row_number`
+    distributes the global rank: bucket the boundary stream on the sort
+    key with FROZEN sampled range boundaries
+    (:func:`~dimagi_data_platform_spark.operators.linkage.frozen_range_pid`
+    — boundaries are plan literals, so the offsets branch and the main
+    branch can never observe different bucketings the way
+    ``repartitionByRange``'s per-recomputation sampling allows), run
+    the running sum WITHIN each bucket, then add each bucket's
+    cumulative delta offset (a bucket-count-sized aggregate,
+    broadcast).
+
+    Output columns: ts, delta (+1/-1 net at that instant), ``out_col``.
+    """
+    from dimagi_data_platform_spark.operators.linkage import frozen_range_pid
+
+    spark = intervals.sparkSession
+    deltas = intervals.select(
+        F.col(lo_col).alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(
+        intervals.select(F.col(hi_col).alias("ts"), F.lit(-1).alias("delta"))
+    )
+    # collapse to boundary grain first: the prefix-sum stream then holds
+    # distinct (ts, sign) rows, not one row per interval end
+    grain = deltas.groupBy("ts", F.signum("delta").cast("int").alias("sign")).agg(
+        F.sum("delta").alias("delta")
+    )
+    par = spark.sparkContext.defaultParallelism
+    parted = frozen_range_pid(
+        grain.withColumn("neg_sign", -F.col("sign")), ["ts", "neg_sign"], par
+    )
+    in_part = Window.partitionBy("__pid").orderBy("ts", F.desc("sign"))
+    local = parted.withColumn("__run", F.sum("delta").over(in_part))
+    offsets = (
+        local.groupBy("__pid")
+        .agg(F.sum("delta").alias("__tot"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__tot").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__run") + F.col("__off")).cast("long"))
+        .select("ts", F.col("delta").cast("long").alias("delta"), out_col)
     )

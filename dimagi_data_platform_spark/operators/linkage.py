@@ -19,8 +19,58 @@ block_size².
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def frozen_range_pid(
+    df: DataFrame,
+    order_cols: list[str],
+    npart: int,
+    sample_n: int | None = None,
+    pid_col: str = "__pid",
+) -> DataFrame:
+    """Append a deterministic range-bucket id ``pid_col`` that is
+    monotone in (order_cols) order: every row in bucket p sorts before
+    every row in bucket p+1.
+
+    Why not ``repartitionByRange``: its boundary SAMPLING reruns on
+    every recomputation of the lineage, so two branches of the same
+    plan (e.g. the ranked stream and the per-partition offset
+    aggregate it joins back to) can observe DIFFERENT partition
+    assignments — silent rank/prefix corruption whenever the upstream
+    is not perfectly order-stable (any groupBy/distinct is not). Here
+    the sampled boundaries are collected ONCE (bounded: ``sample_n``
+    rows, default 20/partition) and FROZEN into the plan as literals,
+    so every branch buckets identically no matter how often the input
+    recomputes. Boundary quality only affects balance, never
+    correctness — the offsets join repairs any skew of counts.
+
+    Rows whose key is NULL-leading compare NULL against every boundary
+    and land in bucket 0, matching Spark's NULLS FIRST ascending sort.
+    """
+    names = [f"__f{i}" for i in range(len(order_cols))]
+
+    def _key(vals: list[Column]) -> Column:
+        return F.struct(*[v.alias(n) for v, n in zip(vals, names)])
+
+    sample = df.select(*order_cols).rdd.takeSample(
+        False, sample_n or max(npart * 20, 200), seed=42
+    )
+    keys = sorted(tuple(r) for r in sample if None not in tuple(r))
+    bounds: list[tuple] = []
+    for i in range(1, npart):
+        if not keys:
+            break
+        b = keys[min(len(keys) - 1, (i * len(keys)) // npart)]
+        if not bounds or b != bounds[-1]:
+            bounds.append(b)
+    key = _key([F.col(c) for c in order_cols])
+    pid: Column = F.lit(0)
+    for b in bounds:
+        lit = _key([F.lit(v) for v in b])
+        pid = pid + F.coalesce((key > lit).cast("int"), F.lit(0))
+    return df.withColumn(pid_col, pid)
 
 
 def global_row_number(
@@ -30,9 +80,7 @@ def global_row_number(
     range partitioning instead of a single-task window. ``order_cols``
     must be a total order (include a unique key) for determinism."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(par, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    parted = frozen_range_pid(df, order_cols, par)
     in_part = Window.partitionBy("__pid").orderBy(*order_cols)
     ranked = parted.withColumn("__prn", F.row_number().over(in_part))
     # cumulative rows BEFORE each partition: tiny (one row per

@@ -2033,3 +2033,145 @@ SELECT c_mktsegment, n, k AS conversions,
        END AS z_score
 FROM tot ORDER BY c_mktsegment
 """
+
+# --------------------------------------------------------------------------
+# Round 4: interval analytics, sequence audits, funnels, anomalies,
+# equi-depth histograms, inter-arrival stats
+# --------------------------------------------------------------------------
+
+ORACLE["max_concurrent_visits"] = """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM x),
+v AS (
+  SELECT user_id, session_id, MIN(ts) AS lo, MAX(ts) AS hi
+  FROM s GROUP BY user_id, session_id),
+d AS (
+  SELECT lo AS ts, 1 AS delta FROM v
+  UNION ALL
+  SELECT hi AS ts, -1 AS delta FROM v),
+g AS (
+  SELECT ts, CASE WHEN delta > 0 THEN 1 ELSE -1 END AS sign,
+         CAST(SUM(delta) AS BIGINT) AS delta
+  FROM d GROUP BY ts, CASE WHEN delta > 0 THEN 1 ELSE -1 END),
+r AS (
+  SELECT ts, delta,
+         CAST(SUM(delta) OVER (ORDER BY ts, sign DESC) AS BIGINT) AS concurrency
+  FROM g)
+SELECT date_trunc('day', ts) AS day,
+       MAX(concurrency) AS peak_concurrency,
+       CAST(SUM(CASE WHEN delta > 0 THEN delta ELSE 0 END) AS BIGINT) AS n_starts
+FROM r GROUP BY date_trunc('day', ts) ORDER BY day
+"""
+
+ORACLE["orderkey_islands"] = """
+WITH r AS (
+  SELECT o_orderkey,
+         ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+  FROM (SELECT DISTINCT o_orderkey FROM orders))
+SELECT MIN(o_orderkey) AS start_key, MAX(o_orderkey) AS end_key,
+       COUNT(*) AS n_keys
+FROM r GROUP BY o_orderkey - rn
+ORDER BY n_keys DESC, start_key LIMIT 20
+"""
+
+ORACLE["funnel_3step_windowed"] = """
+WITH signup AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+c1 AS (
+  SELECT s.user_id, MIN(e.ts) AS first_click_ts
+  FROM signup s JOIN events e ON e.user_id = s.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts > s.signup_ts AND e.ts <= s.signup_ts + INTERVAL 7 DAY
+  GROUP BY s.user_id),
+p1 AS (
+  SELECT c.user_id, MIN(e.ts) AS first_purchase_ts
+  FROM c1 c JOIN events e ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > c.first_click_ts AND e.ts <= c.first_click_ts + INTERVAL 7 DAY
+  GROUP BY c.user_id)
+SELECT date_trunc('month', s.signup_ts) AS cohort_month,
+       COUNT(*) AS n_signup,
+       COUNT(c.first_click_ts) AS n_click,
+       COUNT(p.first_purchase_ts) AS n_purchase,
+       CAST(COUNT(c.first_click_ts) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS click_rate,
+       CAST(COUNT(p.first_purchase_ts) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS purchase_rate
+FROM signup s
+LEFT JOIN c1 c ON c.user_id = s.user_id
+LEFT JOIN p1 p ON p.user_id = s.user_id
+GROUP BY date_trunc('month', s.signup_ts)
+ORDER BY cohort_month
+"""
+
+ORACLE["daily_event_anomalies"] = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY date_trunc('day', ts)),
+w AS (
+  SELECT day, n_events,
+         COUNT(*) OVER win AS n,
+         CAST(COALESCE(SUM(n_events) OVER win, 0) AS BIGINT) AS sx,
+         CAST(COALESCE(SUM(n_events * n_events) OVER win, 0) AS BIGINT) AS sxx
+  FROM d
+  WINDOW win AS (ORDER BY day ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)),
+z AS (
+  SELECT day, n_events, n AS n_baseline_days,
+         CASE WHEN n >= 14 AND (n * sxx - sx * sx) > 0 THEN
+           CAST(n * n_events - sx AS DOUBLE)
+           / SQRT(CAST(n * (n * sxx - sx * sx) AS DOUBLE)
+                  / CAST(n - 1 AS DOUBLE))
+         END AS z_score
+  FROM w)
+SELECT day, n_events, n_baseline_days, z_score,
+       COALESCE(ABS(z_score) > 3.0, FALSE) AS is_anomaly
+FROM z ORDER BY day
+"""
+
+ORACLE["order_value_equidepth_histogram"] = f"""
+WITH r AS (
+  SELECT o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+  FROM orders),
+t AS (SELECT COUNT(*) AS n_total FROM orders)
+SELECT CAST(1 + ((rn - 1) * 10) // n_total AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       {sql_dsum("o_totalprice")} AS sum_price
+FROM r, t
+GROUP BY CAST(1 + ((rn - 1) * 10) // n_total AS BIGINT)
+ORDER BY bucket
+"""
+
+ORACLE["interorder_gap_stats"] = """
+WITH g AS (
+  SELECT o_custkey,
+         CAST(CAST(o_orderdate AS DATE)
+              - CAST(LAG(o_orderdate) OVER w AS DATE) AS BIGINT) AS gap_days
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+b AS (
+  SELECT o_custkey, gap_days,
+         CASE WHEN gap_days <= 7 THEN '0-7d'
+              WHEN gap_days <= 30 THEN '8-30d'
+              WHEN gap_days <= 90 THEN '31-90d'
+              ELSE '90d+' END AS gap_bucket
+  FROM g WHERE gap_days IS NOT NULL)
+SELECT gap_bucket,
+       COUNT(*) AS n_gaps,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       CAST(SUM(gap_days) AS BIGINT) AS total_gap_days,
+       CAST(SUM(gap_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_gap_days
+FROM b GROUP BY gap_bucket ORDER BY gap_bucket
+"""

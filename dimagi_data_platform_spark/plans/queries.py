@@ -3115,6 +3115,473 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round 4: interval analytics, sequence audits, multi-step funnels,
+# anomaly detection, equi-depth histograms, inter-arrival stats
+# --------------------------------------------------------------------------
+
+
+@query("max_concurrent_visits")
+def max_concurrent_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P31: peak interval concurrency — per day, the maximum number of
+    30-min-gap visits simultaneously open (closed intervals: a visit
+    ending the instant another starts still overlaps it). The
+    room-occupancy / concurrent-sessions staple the reference's visit
+    table feeds into capacity dashboards.
+
+    Scale: visit construction shuffles once on user_id; the sweep-line
+    prefix sum is DISTRIBUTED (operators/intervals.py:
+    interval_concurrency — range partition + in-partition running sum
+    + broadcast per-partition offsets), never a single-task global
+    window; the per-day max is an ordinary grouped aggregate.
+    """
+    from dimagi_data_platform_spark.operators.intervals import (
+        interval_concurrency,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800, tie_break="event_id")
+    visits = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    )
+    conc = interval_concurrency(visits, "lo", "hi")
+    return (
+        conc.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.max("concurrency").alias("peak_concurrency"),
+            F.sum(
+                F.when(F.col("delta") > 0, F.col("delta")).otherwise(0)
+            ).cast("long").alias("n_starts"),
+        )
+        .orderBy("day")
+    )
+
+
+@query("orderkey_islands")
+def orderkey_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R54: gaps-and-islands — maximal runs of consecutive o_orderkey
+    values (the sequence-integrity audit: which id ranges are
+    contiguous, where the holes are). Island id = key - rank(key),
+    constant exactly within a run of consecutive keys.
+
+    Scale: the global rank is computed distributedly
+    (operators/linkage.py: global_row_number — range partition +
+    in-partition rank + broadcast offsets), never a single-task
+    window; the island aggregate then shuffles on the island id.
+    Top-20 longest islands, ties broken on start_key.
+    """
+    from dimagi_data_platform_spark.operators.linkage import global_row_number
+
+    keys = _t(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    ranked = global_row_number(keys, ["o_orderkey"], out_col="rn")
+    return (
+        ranked.select(
+            "o_orderkey", (F.col("o_orderkey") - F.col("rn")).alias("island")
+        )
+        .groupBy("island")
+        .agg(
+            F.min("o_orderkey").alias("start_key"),
+            F.max("o_orderkey").alias("end_key"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+        .orderBy(F.desc("n_keys"), "start_key")
+        .limit(20)
+        .select("start_key", "end_key", "n_keys")
+    )
+
+
+@query("funnel_3step_windowed")
+def funnel_3step_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P34: multi-step windowed funnel — signup → first click within 7
+    days → first purchase within 7 days of that click, reported per
+    signup-month cohort with exact conversion ratios (integer counts,
+    one final IEEE division each).
+
+    Scale: three user-keyed aggregates/joins (one shuffle on user_id
+    each; AQE broadcasts the shrinking funnel sides); no global
+    windows anywhere. Extending to k steps is k of the same join.
+    """
+    ev = _t(spark, sf_dir, "events")
+    seven_days = F.expr("INTERVAL 7 DAYS")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    c1 = (
+        signup.join(clicks, "user_id")
+        .filter(
+            (F.col("click_ts") > F.col("signup_ts"))
+            & (F.col("click_ts") <= F.col("signup_ts") + seven_days)
+        )
+        .groupBy("user_id")
+        .agg(F.min("click_ts").alias("first_click_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    p1 = (
+        c1.join(purchases, "user_id")
+        .filter(
+            (F.col("purchase_ts") > F.col("first_click_ts"))
+            & (F.col("purchase_ts") <= F.col("first_click_ts") + seven_days)
+        )
+        .groupBy("user_id")
+        .agg(F.min("purchase_ts").alias("first_purchase_ts"))
+    )
+    fun = signup.join(c1, "user_id", "left").join(p1, "user_id", "left")
+    return (
+        fun.groupBy(F.date_trunc("month", "signup_ts").alias("cohort_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signup"),
+            F.count("first_click_ts").alias("n_click"),
+            F.count("first_purchase_ts").alias("n_purchase"),
+        )
+        .withColumn(
+            "click_rate",
+            F.col("n_click").cast("double") / F.col("n_signup").cast("double"),
+        )
+        .withColumn(
+            "purchase_rate",
+            F.col("n_purchase").cast("double")
+            / F.col("n_signup").cast("double"),
+        )
+        .orderBy("cohort_month")
+    )
+
+
+@query("daily_event_anomalies")
+def daily_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P35: anomaly detection — each day's event count z-scored against
+    the TRAILING 28 days (exclusive, so the tested day never pollutes
+    its own baseline). Moment sums are exact integers inside the ROWS
+    frame; the z-score is the closed form
+    (n*x - sx) / sqrt(n*(n*sxx - sx²)/(n-1)) evaluated as single IEEE
+    ops on identical operands in both engines. Flags |z| > 3.
+
+    Scale: one shuffle to the daily grain; the trailing window then
+    runs over one row per day — metadata scale, not data scale.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.orderBy("day").rowsBetween(-28, -1)
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("n_events").over(w)
+    sxx = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    var_num = n * sxx - sx * sx  # = n*(n-1)*sample_variance, exact int
+    num = (n * F.col("n_events") - sx).cast("double")
+    den = F.sqrt((n * var_num).cast("double") / (n - F.lit(1)).cast("double"))
+    z = F.when((n >= 14) & (var_num > 0), num / den)
+    return (
+        daily.select(
+            "day",
+            "n_events",
+            n.alias("n_baseline_days"),
+            z.alias("z_score"),
+        )
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("z_score")) > F.lit(3.0), F.lit(False)),
+        )
+        .orderBy("day")
+    )
+
+
+@query("order_value_equidepth_histogram")
+def order_value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R55: equi-depth (quantile-binned) value histogram — 10 buckets
+    of (near-)equal row count over o_totalprice. Complements the
+    equi-width histogram (order_value_histogram): here the bucket
+    BOUNDARIES come from the data, which needs a global rank, not a
+    scan-local width formula.
+
+    Scale: the rank is distributed (range partition + broadcast
+    offsets, operators/linkage.py); bucket assignment is the pure
+    integer formula 1 + (rank-1)*k DIV n — NTILE's remainder-to-front
+    allocation differs, so the formula is mirrored verbatim in the
+    oracle. One broadcast scalar row count; the final aggregate has 10
+    keys.
+    """
+    from dimagi_data_platform_spark.operators.linkage import global_row_number
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_row_number(
+        orders, ["o_totalprice", "o_orderkey"], out_col="rn"
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(
+            "bucket",
+            (
+                F.lit(1)
+                + F.expr("((rn - 1) * 10) DIV n_total").cast("long")
+            ).cast("long"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query("interorder_gap_stats")
+def interorder_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P36: customer inter-arrival analytics — the distribution of
+    day-gaps between a customer's consecutive orders, bucketed into
+    lifecycle bands (the repeat-purchase cadence metric behind churn
+    horizons). Exact integer day sums; the mean is one final IEEE
+    division.
+
+    Scale: the lag window is partitioned per customer (never global),
+    then a 4-key aggregate; countDistinct adds one extra partial pass.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn(
+            "gap_days",
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast(
+                "long"
+            ),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    bucket = (
+        F.when(F.col("gap_days") <= 7, "0-7d")
+        .when(F.col("gap_days") <= 30, "8-30d")
+        .when(F.col("gap_days") <= 90, "31-90d")
+        .otherwise("90d+")
+    )
+    return (
+        gaps.groupBy(bucket.alias("gap_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum("gap_days").cast("long").alias("total_gap_days"),
+        )
+        .withColumn(
+            "avg_gap_days",
+            F.col("total_gap_days").cast("double")
+            / F.col("n_gaps").cast("double"),
+        )
+        .orderBy("gap_bucket")
+    )
+
+
+@query("char_entropy")
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L38: character-distribution quality signals — per doc, the
+    Shannon entropy and Gini–Simpson (1 - collision probability) of
+    the character histogram. Low-entropy docs are boilerplate/garbage;
+    the standard cheap complement to the word-level quality score.
+
+    Determinism: all histogram math is exact integers; ln enters only
+    through the fixed-point table floor(1e6*ln(c)) (integral double →
+    exact long, cross-engine safe: the closest any 1e6*ln(c) for
+    c ≤ 1e5 comes to an integer is 2.7e-6, >> 1 ulp), so the Shannon
+    sum N*lnq(N) - Σ c·lnq(c) is exact integer arithmetic with ONE
+    final IEEE division. Gini–Simpson is 1 - Σc²/N², also one
+    division.
+
+    Scale: 100%% scan-local — the histogram is built with
+    higher-order array functions (array_distinct + per-char filter
+    counts, O(distinct·len) per doc), so there is NO corpus-character
+    shuffle at all; the alternative explode+groupBy(doc, char) would
+    shuffle one row per character of the corpus.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    cs = F.filter(F.split(F.lower(F.col("text")), ""), lambda c: c != F.lit(""))
+    docs = docs.withColumn("_cs", cs)
+    ds = F.array_sort(F.array_distinct(F.col("_cs")))
+    counts = F.transform(
+        ds,
+        lambda c: F.size(F.filter(F.col("_cs"), lambda x: x == c)).cast("long"),
+    )
+    docs = docs.withColumn("_counts", counts).withColumn(
+        "n_chars", F.size("_cs").cast("long")
+    )
+
+    def lnq(c):
+        return F.floor(F.log(c.cast("double")) * F.lit(1000000.0)).cast("long")
+
+    zero = F.lit(0).cast("long")
+    sum_c2 = F.aggregate(F.col("_counts"), zero, lambda a, c: a + c * c)
+    hterm = F.aggregate(F.col("_counts"), zero, lambda a, c: a + c * lnq(c))
+    h_fixed = F.col("n_chars") * lnq(F.col("n_chars")) - hterm
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.size("_counts").cast("long").alias("distinct_chars"),
+            (
+                F.lit(1.0)
+                - sum_c2.cast("double")
+                / (F.col("n_chars") * F.col("n_chars")).cast("double")
+            ).alias("gini_simpson"),
+            (
+                h_fixed.cast("double")
+                / (F.col("n_chars") * F.lit(1000000)).cast("double")
+            ).alias("entropy_nats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("ngram_diversity")
+def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L39: corpus n-gram diversity — per language, distinct word
+    trigrams over total trigram instances (a corpus-level
+    type/token-style diversity statistic: low ratios flag templated or
+    over-duplicated slices before they reach training). Exact integer
+    counts; the ratio is one final IEEE division.
+
+    Scale: total counts are scan-local per doc (array length math, no
+    explode); only the DISTINCT count shuffles, keyed (lang, gram)
+    with map-side partial dedup — the classic count-distinct shape.
+    The final join is 5 rows.
+    """
+    docs = _t(spark, sf_dir, "documents").withColumn("_toks", tokens("text"))
+    tt = (
+        docs.select(
+            "lang",
+            F.greatest(F.size("_toks") - F.lit(2), F.lit(0))
+            .cast("long")
+            .alias("ng"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ng").cast("long").alias("total_trigrams"),
+        )
+    )
+    t = F.col("_toks")
+    idx = F.sequence(F.lit(0), F.size(t) - F.lit(3))
+    grams = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, (i + 1).cast("int")),
+                F.element_at(t, (i + 2).cast("int")),
+                F.element_at(t, (i + 3).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array())
+    dg = (
+        docs.select("lang", F.explode(grams).alias("g"))
+        .groupBy("lang")
+        .agg(F.countDistinct("g").alias("distinct_trigrams"))
+    )
+    return (
+        tt.join(dg, "lang")
+        .withColumn(
+            "distinct_ratio",
+            F.col("distinct_trigrams").cast("double")
+            / F.col("total_trigrams").cast("double"),
+        )
+        .orderBy("lang")
+    )
+
+
+DSIR_BUCKETS = 512
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+@query("dsir_importance_weights")
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L40: DSIR data-selection weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling") — each
+    doc scored by the log importance ratio between a TARGET slice
+    (curated sources src0-src3 here) and the RAW corpus, over hashed
+    bigram features with Laplace smoothing. Docs that look like the
+    target get positive log-weights; resampling by these weights
+    shifts the corpus mixture toward the target distribution.
+
+    Determinism: the 512-entry log-ratio table is fixed-point
+    floor(1e6·ln((n_t+1)(N_r+K) / ((n_r+1)(N_t+K)))) — the ln argument
+    is built with an identical IEEE op sequence on both engines and
+    the quantization margin dwarfs any last-ulp ln difference; per-doc
+    scores are then exact integer dot products with ONE final division
+    by the literal 1e6.
+
+    Scale: feature hashing is md5 mod K (engine-portable, no vocab
+    table); the two corpus-wide bucket aggregates are K-key shuffles
+    after map-side combine; the log-ratio table (K rows) broadcasts
+    onto the per-doc bucket counts, whose groupBy(doc_id) is the only
+    corpus-sized shuffle.
+    """
+    docs = _t(spark, sf_dir, "documents").withColumn("_toks", tokens("text"))
+    t = F.col("_toks")
+    idx = F.sequence(F.lit(0), F.size(t) - F.lit(2))
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, (i + 1).cast("int")),
+                F.element_at(t, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array())
+    k = F.lit(DSIR_BUCKETS)
+    feats = docs.select(
+        "doc_id", "source", F.explode(bigrams).alias("bg")
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            F.conv(F.substring(F.md5("bg"), 1, 15), 16, 10).cast("long"), k
+        ),
+    )
+    is_tgt = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    per_bucket = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(is_tgt.cast("long")).alias("n_tgt"),
+    )
+    totals = per_bucket.agg(
+        F.sum("n_raw").alias("big_n_raw"), F.sum("n_tgt").alias("big_n_tgt")
+    )
+    num = (F.col("n_tgt") + F.lit(1)).cast("double") * (
+        F.col("big_n_raw") + k
+    ).cast("double")
+    den = (F.col("n_raw") + F.lit(1)).cast("double") * (
+        F.col("big_n_tgt") + k
+    ).cast("double")
+    lr = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.floor(F.log(num / den) * F.lit(1000000.0)).cast("long").alias("lr"),
+    )
+    doc_buckets = feats.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        doc_buckets.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("lr")).cast("long").alias("score_fixed"),
+        )
+        .withColumn(
+            "dsir_logweight",
+            F.col("score_fixed").cast("double") / F.lit(1000000.0),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 registered queries.
@@ -3146,6 +3613,12 @@ _SAMPLE_FIRST = [
     "semantic_dedup",
     "knn_ivf",
     # (4) new round-4 queries
+    "max_concurrent_visits",
+    "orderkey_islands",
+    "funnel_3step_windowed",
+    "daily_event_anomalies",
+    "order_value_equidepth_histogram",
+    "interorder_gap_stats",
     # (5) regression picks: r1 greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",

@@ -150,3 +150,78 @@ def test_cc_star_matches_propagate_on_random_graph(spark):
         for r in connected_components(verts, edges, algorithm="star").collect()
     }
     assert a == b
+
+
+def test_interval_concurrency_matches_pandas_sweep(spark):
+    import numpy as np
+    import pandas as pd
+
+    from dimagi_data_platform_spark.operators.intervals import (
+        interval_concurrency,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    lo = rng.randint(0, 100_000, n)
+    hi = lo + rng.randint(0, 50, n)  # includes zero-length intervals
+    pdf = pd.DataFrame(
+        {"lo": pd.to_datetime(lo, unit="s"), "hi": pd.to_datetime(hi, unit="s")}
+    )
+    out = (
+        interval_concurrency(spark.createDataFrame(pdf), "lo", "hi")
+        .toPandas()
+        .sort_values(["ts", "delta"])
+        .reset_index(drop=True)
+    )
+    d = pd.concat(
+        [
+            pd.DataFrame({"ts": pdf.lo, "delta": 1}),
+            pd.DataFrame({"ts": pdf.hi, "delta": -1}),
+        ]
+    )
+    d["sign"] = np.where(d.delta > 0, 1, -1)
+    ref = d.groupby(["ts", "sign"], as_index=False).delta.sum()
+    ref = ref.sort_values(["ts", "sign"], ascending=[True, False]).reset_index(
+        drop=True
+    )
+    ref["concurrency"] = ref.delta.cumsum()
+    m = out.merge(
+        ref[["ts", "delta", "concurrency"]],
+        on=["ts", "delta"],
+        suffixes=("_got", "_want"),
+    )
+    assert len(m) == len(out) == len(ref)
+    assert (m.concurrency_got == m.concurrency_want).all()
+    assert out.concurrency.min() >= 0  # a valid sweep never goes negative
+
+
+def test_frozen_range_pid_stable_after_aggregate_upstream(spark):
+    """repartitionByRange re-samples boundaries per recomputation, so an
+    order-unstable upstream (any groupBy) can give two branches of the
+    same plan different partition assignments. frozen_range_pid bakes
+    the boundaries into literals — the bucket totals must be identical
+    across independent recomputations, and buckets must be monotone in
+    key order."""
+    import numpy as np
+    import pandas as pd
+
+    from dimagi_data_platform_spark.operators.linkage import frozen_range_pid
+
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame({"k": rng.randint(0, 10_000, 20_000)})
+    # aggregate upstream -> row order depends on hash-agg emission order
+    agg = spark.createDataFrame(pdf).groupBy("k").count()
+    parted = frozen_range_pid(agg, ["k"], 8)
+    t1 = parted.groupBy("__pid").count().orderBy("__pid").collect()
+    t2 = parted.groupBy("__pid").count().orderBy("__pid").collect()
+    assert [tuple(r) for r in t1] == [tuple(r) for r in t2]
+    # monotone: max key of bucket p < min key of bucket p+1
+    span = (
+        parted.groupBy("__pid")
+        .agg(F.min("k").alias("mn"), F.max("k").alias("mx"))
+        .orderBy("__pid")
+        .collect()
+    )
+    assert len(span) > 1  # sampling actually split the data
+    for a, b in zip(span, span[1:]):
+        assert a.mx < b.mn
