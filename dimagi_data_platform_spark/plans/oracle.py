@@ -2175,3 +2175,82 @@ SELECT gap_bucket,
        CAST(SUM(gap_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_gap_days
 FROM b GROUP BY gap_bucket ORDER BY gap_bucket
 """
+
+ORACLE["char_entropy"] = """
+WITH ch AS (
+  SELECT doc_id, substr(lower(text), CAST(i AS INT), 1) AS ch
+  FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) u),
+cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_chars,
+         COUNT(*) AS distinct_chars,
+         CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+         CAST(SUM(c * CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT))
+              AS BIGINT) AS hterm
+  FROM cnt GROUP BY doc_id)
+SELECT doc_id, n_chars, distinct_chars,
+       1.0 - CAST(sum_c2 AS DOUBLE) / CAST(n_chars * n_chars AS DOUBLE)
+         AS gini_simpson,
+       CAST(n_chars * CAST(FLOOR(LN(CAST(n_chars AS DOUBLE)) * 1000000.0) AS BIGINT)
+            - hterm AS DOUBLE)
+         / CAST(n_chars * 1000000 AS DOUBLE) AS entropy_nats
+FROM agg WHERE n_chars > 0 ORDER BY doc_id
+"""
+
+ORACLE["ngram_diversity"] = r"""
+WITH toks AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+tt AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(GREATEST(len(t) - 2, 0)) AS BIGINT) AS total_trigrams
+  FROM toks GROUP BY lang),
+g AS (
+  SELECT lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3),
+dg AS (SELECT lang, COUNT(DISTINCT gram) AS distinct_trigrams FROM g GROUP BY lang)
+SELECT lang, n_docs, total_trigrams, distinct_trigrams,
+       CAST(distinct_trigrams AS DOUBLE) / CAST(total_trigrams AS DOUBLE)
+         AS distinct_ratio
+FROM tt JOIN dg USING (lang) ORDER BY lang
+"""
+
+ORACLE["dsir_importance_weights"] = r"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+feats AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15)) AS BIGINT)
+           % 512 AS bucket
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2),
+per_bucket AS (
+  SELECT bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_raw,
+         CAST(SUM(CASE WHEN source IN ('src0','src1','src2','src3')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+  FROM feats GROUP BY bucket),
+totals AS (
+  SELECT CAST(SUM(n_raw) AS BIGINT) AS big_n_raw,
+         CAST(SUM(n_tgt) AS BIGINT) AS big_n_tgt
+  FROM per_bucket),
+lr AS (
+  SELECT bucket,
+         CAST(FLOOR(LN((CAST(n_tgt + 1 AS DOUBLE) * CAST(big_n_raw + 512 AS DOUBLE))
+                       / (CAST(n_raw + 1 AS DOUBLE) * CAST(big_n_tgt + 512 AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) AS lr
+  FROM per_bucket, totals),
+doc_buckets AS (
+  SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM feats GROUP BY doc_id, bucket)
+SELECT d.doc_id,
+       CAST(SUM(d.cnt) AS BIGINT) AS n_bigrams,
+       CAST(SUM(d.cnt * l.lr) AS BIGINT) AS score_fixed,
+       CAST(CAST(SUM(d.cnt * l.lr) AS BIGINT) AS DOUBLE) / 1000000.0
+         AS dsir_logweight
+FROM doc_buckets d JOIN lr l USING (bucket)
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""

@@ -3619,6 +3619,9 @@ _SAMPLE_FIRST = [
     "daily_event_anomalies",
     "order_value_equidepth_histogram",
     "interorder_gap_stats",
+    "char_entropy",
+    "ngram_diversity",
+    "dsir_importance_weights",
     # (5) regression picks: r1 greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
