@@ -2254,3 +2254,34 @@ SELECT d.doc_id,
 FROM doc_buckets d JOIN lr l USING (bucket)
 GROUP BY d.doc_id ORDER BY d.doc_id
 """
+
+ORACLE["co_purchase_triangles"] = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT p, COUNT(*) AS deg
+  FROM (SELECT u AS p FROM e UNION ALL SELECT v AS p FROM e)
+  GROUP BY p),
+d AS (
+  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS src,
+         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS dst,
+         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN dv.deg ELSE du.deg END AS ddst
+  FROM e
+  JOIN deg du ON du.p = e.u
+  JOIN deg dv ON dv.p = e.v),
+tri AS (
+  SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+  FROM d w1
+  JOIN d w2 ON w1.src = w2.src AND (w1.ddst, w1.dst) < (w2.ddst, w2.dst)
+  JOIN d e3 ON e3.src = w1.dst AND e3.dst = w2.dst),
+corners AS (
+  SELECT a AS p FROM tri
+  UNION ALL SELECT b AS p FROM tri
+  UNION ALL SELECT c AS p FROM tri)
+SELECT p AS p_partkey, COUNT(*) AS n_triangles
+FROM corners GROUP BY p
+ORDER BY n_triangles DESC, p_partkey LIMIT 20
+"""
