@@ -1,0 +1,107 @@
+"""Iterative graph analytics: fixed-point PageRank.
+
+PageRank (Page et al. 1999) in EXACT integer fixed-point arithmetic:
+ranks are scaled to ``scale`` (default 1e15) and every per-iteration op
+is integer — contribution = r DIV outdeg, damping = (num * x) DIV den,
+teleport a precomputed integer constant. Integer sums are
+order-independent, so the result is bitwise identical across
+partitionings, engines, and retries — unlike float PageRank, whose
+per-vertex sums depend on shuffle arrival order. The cost is bounded
+mass leakage from the floor divisions (< outdeg ulps of 1e-15 per
+vertex per iteration), far below any ranking-relevant signal.
+
+Spark-first shape (mirrors operators/components.py):
+- one shuffle join per iteration (ranks ⋈ edges on src) + one groupBy
+  dst — both keyed shuffles Catalyst plans with map-side partial sums;
+- the rank frontier is localCheckpointed per iteration to truncate
+  lineage (10 iterations would otherwise nest 10 shuffles deep in one
+  plan);
+- driver state is scalar-only (the dangling-mass total), the same
+  bounded-collect contract the connected-components loop uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**15
+
+
+def pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = PR_SCALE,
+    id_col: str = "id",
+) -> DataFrame:
+    """Ranks after ``n_iter`` power iterations; returns (id, r) with
+    ``r`` the fixed-point rank (true rank ≈ r / scale).
+
+    ``vertices`` must contain every edge endpoint; ``edges`` is the
+    DIRECTED edge list (pass both directions for undirected graphs).
+    Recurrence (all integer):
+
+        teleport  = ((den - num) * (scale DIV n)) DIV den
+        inflow(v) = Σ_{u→v} (r(u) DIV outdeg(u)) + dangling DIV n
+        r'(v)     = teleport + (num * inflow(v)) DIV den
+    """
+    dnum, dden = damping
+    n = vertices.count()
+    if n == 0:
+        return vertices.select(
+            F.col(id_col).alias("id"), F.lit(0).cast("long").alias("r")
+        )
+    # the edge list is consumed every iteration — materialize it (and
+    # the degree table) ONCE instead of re-running its upstream plan
+    # n_iter times
+    edges = edges.select("src", "dst").localCheckpoint()
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("outdeg")
+    ).localCheckpoint()
+    teleport = ((dden - dnum) * (scale // n)) // dden
+    ids = vertices.select(F.col(id_col).alias("id")).localCheckpoint()
+    dangling_ids = ids.join(
+        outdeg, ids.id == outdeg.src, "left_anti"
+    ).localCheckpoint()
+    any_dangling = bool(dangling_ids.head(1))
+    ranks = ids.select(
+        "id", F.lit(scale // n).cast("long").alias("r")
+    ).localCheckpoint()
+    for _ in range(n_iter):
+        if any_dangling:
+            dangling = (
+                ranks.join(dangling_ids.select("id"), "id", "left_semi")
+                .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long"))
+                .collect()[0][0]
+            )
+        else:
+            dangling = 0
+        share = dangling // n
+        # per-VERTEX contribution first (vertex-sized join), then fan
+        # out over edges: the vertex-sized side is what AQE broadcasts,
+        # so the edge list is never shuffled inside the loop — only the
+        # contribution stream's groupBy(dst) moves data, with map-side
+        # partial sums collapsing it toward vertex cardinality
+        rc = ranks.join(outdeg, ranks.id == outdeg.src).select(
+            F.col("src"), F.expr("r DIV outdeg").alias("c")
+        )
+        inflow = (
+            edges.join(rc, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").cast("long").alias("inflow"))
+        )
+        ranks = (
+            ids.join(inflow, "id", "left")
+            .withColumn(
+                "r",
+                F.expr(
+                    f"CAST({teleport} + ({dnum} * (coalesce(inflow, 0)"
+                    f" + {share})) DIV {dden} AS BIGINT)"
+                ),
+            )
+            .select("id", "r")
+            .localCheckpoint()
+        )
+    return ranks

@@ -2285,3 +2285,54 @@ SELECT p AS p_partkey, COUNT(*) AS n_triangles
 FROM corners GROUP BY p
 ORDER BY n_triangles DESC, p_partkey LIMIT 20
 """
+
+
+def _pagerank_sql(n_iter: int = 5) -> str:
+    """Unrolled integer fixed-point PageRank over the co-purchase
+    graph — the SQL twin of operators/graph.pagerank: every iteration
+    is the identical integer recurrence (contribution r//outdeg,
+    damping via 85*x//100, teleport (15*(scale//n))//100), so the
+    fixed-point ranks hash-match bit for bit. The co-purchase graph is
+    undirected, so there are no dangling vertices and the dangling
+    term is identically zero on both sides."""
+    scale = 1000000000000000
+    ctes = [
+        """lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""",
+        """e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""",
+        """e AS (
+  SELECT u AS src, v AS dst FROM e0
+  UNION ALL SELECT v AS src, u AS dst FROM e0)""",
+        """verts AS (SELECT DISTINCT src AS p FROM e)""",
+        """outdeg AS (SELECT src AS p, COUNT(*) AS outdeg FROM e GROUP BY src)""",
+        """nv AS (SELECT COUNT(*) AS n FROM verts)""",
+        f"""r0 AS (SELECT p, CAST({scale} // n AS BIGINT) AS r FROM verts, nv)""",
+    ]
+    for k in range(1, n_iter + 1):
+        ctes.append(
+            f"""r{k} AS (
+  SELECT v.p,
+         CAST((15 * ({scale} // n)) // 100
+              + (85 * COALESCE(s.inflow, 0)) // 100 AS BIGINT) AS r
+  FROM verts v
+  LEFT JOIN (
+    SELECT e.dst AS p, CAST(SUM(r.r // o.outdeg) AS BIGINT) AS inflow
+    FROM e
+    JOIN r{k - 1} r ON r.p = e.src
+    JOIN outdeg o ON o.p = e.src
+    GROUP BY e.dst) s ON s.p = v.p, nv)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT p AS p_partkey, r AS rank_fixed,
+       CAST(r AS DOUBLE) / 1e15 AS pagerank
+FROM r{n_iter}
+ORDER BY rank_fixed DESC, p_partkey LIMIT 20"""
+    )
+
+
+ORACLE["part_pagerank"] = _pagerank_sql(5)

@@ -3663,6 +3663,50 @@ def co_purchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("part_pagerank")
+def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R57: PageRank centrality over the undirected co-purchase graph
+    (5 power iterations) — the classic iterative graph workload, run
+    in EXACT integer fixed-point so the result is hash-matchable: the
+    oracle unrolls the identical integer recurrence as 5 chained SQL
+    CTEs. Top-20 parts by rank.
+
+    Scale: one ranks⋈edges shuffle + one groupBy(dst) per iteration,
+    rank frontier localCheckpointed each round (operators/graph.py);
+    driver state is scalar-only. Same loop shape as connected
+    components — the proven iterative pattern in this repo.
+    """
+    from dimagi_data_platform_spark.operators.graph import pagerank
+
+    lp = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pa = lp.select("ok", F.col("p").alias("u"))
+    pb = lp.select("ok", F.col("p").alias("v"))
+    e0 = (
+        pa.join(pb, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    edges = e0.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(e0.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    verts = edges.select(F.col("src").alias("id")).distinct()
+    ranks = pagerank(verts, edges, n_iter=5)
+    return (
+        ranks.select(
+            F.col("id").alias("p_partkey"),
+            F.col("r").alias("rank_fixed"),
+            (F.col("r").cast("double") / F.lit(1.0e15)).alias("pagerank"),
+        )
+        .orderBy(F.desc("rank_fixed"), "p_partkey")
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------

@@ -225,3 +225,57 @@ def test_frozen_range_pid_stable_after_aggregate_upstream(spark):
     assert len(span) > 1  # sampling actually split the data
     for a, b in zip(span, span[1:]):
         assert a.mx < b.mn
+
+
+def test_pagerank_cycle_uniform(spark):
+    from dimagi_data_platform_spark.operators.graph import pagerank
+
+    v = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    got = {r.id: r.r for r in pagerank(v, e, n_iter=10).collect()}
+    assert len(set(got.values())) == 1  # symmetric graph -> equal ranks
+    assert abs(got[0] / 1e15 - 1 / 3) < 1e-9
+
+
+def test_pagerank_matches_float_reference(spark):
+    """The integer recurrence tracks textbook float PageRank to well
+    inside float tolerance, including dangling-mass redistribution."""
+    import numpy as np
+
+    from dimagi_data_platform_spark.operators.graph import pagerank
+
+    rng = np.random.RandomState(3)
+    n, m = 30, 120
+    edges = list({(int(a), int(b)) for a, b in rng.randint(0, n, (m, 2)) if a != b})
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.r / 1e15 for r in pagerank(v, e, n_iter=20).collect()}
+
+    outdeg = np.zeros(n)
+    for a, _ in edges:
+        outdeg[a] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(20):
+        nxt = np.zeros(n)
+        dangling = r[outdeg == 0].sum()
+        for a, b in edges:
+            nxt[b] += r[a] / outdeg[a]
+        nxt += dangling / n
+        r = 0.15 / n + 0.85 * nxt
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-6, (i, got[i], r[i])
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    import numpy as np
+
+    from dimagi_data_platform_spark.operators.graph import pagerank
+
+    rng = np.random.RandomState(5)
+    edges = list({(int(a), int(b)) for a, b in rng.randint(0, 50, (300, 2)) if a != b})
+    v = spark.createDataFrame([(i,) for i in range(50)], "id long")
+    e1 = spark.createDataFrame(edges, "src long, dst long")
+    e2 = e1.repartition(7, "dst")
+    g1 = sorted((r.id, r.r) for r in pagerank(v, e1, n_iter=8).collect())
+    g2 = sorted((r.id, r.r) for r in pagerank(v.repartition(3), e2, n_iter=8).collect())
+    assert g1 == g2  # bitwise: integer sums are order-independent
