@@ -3749,6 +3749,7 @@ _SAMPLE_FIRST = [
     "ngram_diversity",
     "dsir_importance_weights",
     "co_purchase_triangles",
+    "part_pagerank",
     # (5) regression picks: r1 greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",

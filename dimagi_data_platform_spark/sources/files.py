@@ -131,3 +131,29 @@ def compact_parquet(
     df = df.repartition(n_files) if rebalance else df.coalesce(n_files)
     df.write.mode("overwrite").parquet(dst)
     return n_files
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Multimodal raw-asset ingest: read a directory of opaque binary
+    files (images/audio/video) as rows of (path, modificationTime,
+    length, content) via Spark's binaryFile source — the scan side of
+    the multimodal pipeline (multimodal/binary_ops.py decodes the
+    ``content`` column downstream with Arrow kernels).
+
+    Scale: the source lists files driver-side but reads contents in
+    executors, one task per file group; ``glob`` (pathGlobFilter)
+    prunes at LISTING time, so non-matching files are never opened,
+    and column pruning means a query touching only ``length``/``path``
+    never reads file bytes at all.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)

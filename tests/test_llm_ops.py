@@ -545,3 +545,40 @@ def test_ngram_shingle_df_cap_bounds_group_size(spark):
         from dimagi_data_platform_spark.plans.queries import ngram_jaccard_pairs
 
         assert ngram_jaccard_pairs(spark, d).count() == 0
+
+
+# ---------------------------------------------------------------- wordpiece
+def test_wordpiece_encode_word_pure():
+    from dimagi_data_platform_spark.functions.tokenizer import UNK, encode_word
+
+    vocab = frozenset(
+        ["un", "##aff", "##able", "aff", "##ord", "hug", "##s", "b", "##ug"]
+    )
+    assert encode_word("unaffable", vocab) == ["un", "##aff", "##able"]
+    assert encode_word("hugs", vocab) == ["hug", "##s"]
+    assert encode_word("bug", vocab) == ["b", "##ug"]
+    # greedy longest-match: "hug" wins over any shorter prefix
+    assert encode_word("hug", vocab) == ["hug"]
+    assert encode_word("xyz", vocab) == [UNK]   # unmatchable start
+    assert encode_word("hugx", vocab) == [UNK]  # unmatchable tail
+    assert encode_word("", vocab) == []
+    assert encode_word("a" * 200, vocab) == [UNK]  # max_word_len guard
+
+
+def test_wordpiece_encode_dataframe(spark):
+    from dimagi_data_platform_spark.functions.tokenizer import wordpiece_encode
+
+    vocab = {"un", "##aff", "##able", "hug", "##s"}
+    df = spark.createDataFrame(
+        [(1, "Unaffable HUGS"), (2, "zzz"), (3, None), (4, "")],
+        "id long, text string",
+    )
+    out = {
+        r.id: r.pieces
+        for r in wordpiece_encode(df, "text", vocab).collect()
+    }
+    assert out[1] == ["un", "##aff", "##able", "hug", "##s"]  # lower-cased
+    assert out[2] == ["[UNK]"]
+    assert out[3] == [] and out[4] == []
+    schema = dict(wordpiece_encode(df, "text", vocab).dtypes)
+    assert schema["pieces"] == "array<string>"

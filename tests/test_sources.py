@@ -416,3 +416,21 @@ def test_compact_parquet_reduces_file_count_preserving_rows(spark, tmp_path):
         got.agg(F.sum("o_orderkey")).collect()[0][0]
         == orders.agg(F.sum("o_orderkey")).collect()[0][0]
     )
+
+
+def test_read_binary_dir_glob_and_content(spark, tmp_path):
+    from dimagi_data_platform_spark.sources.files import read_binary_dir
+
+    (tmp_path / "a.png").write_bytes(b"\x89PNG-fake-a")
+    (tmp_path / "b.png").write_bytes(b"\x89PNG-fake-bb")
+    (tmp_path / "c.txt").write_bytes(b"not an image")
+    df = read_binary_dir(spark, str(tmp_path), glob="*.png")
+    assert {f.name for f in df.schema.fields} == {
+        "path", "modificationTime", "length", "content"
+    }
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.png", "b.png"}  # listing-time glob pruning
+    assert bytes(rows["a.png"].content) == b"\x89PNG-fake-a"
+    assert rows["b.png"].length == 12
+    sizes = {r.length for r in df.select("length").collect()}
+    assert sizes == {11, 12}
