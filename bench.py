@@ -54,6 +54,14 @@ HEADLINE = [
     "phrase_search",
     "ngram_containment_pairs",
     "knn_sq_rerank",
+    # round-4 additions: distributed sweep-line/prefix-sum family,
+    # scan-local char-histogram signals, DSIR selection weights, and
+    # the two exact graph workloads (triangles, fixed-point PageRank)
+    "max_concurrent_visits",
+    "char_entropy",
+    "dsir_importance_weights",
+    "co_purchase_triangles",
+    "part_pagerank",
 ]
 
 
