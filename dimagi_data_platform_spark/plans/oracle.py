@@ -2336,3 +2336,65 @@ ORDER BY rank_fixed DESC, p_partkey LIMIT 20"""
 
 
 ORACLE["part_pagerank"] = _pagerank_sql(5)
+
+ORACLE["event_transition_matrix"] = """
+WITH steps AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events),
+c AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM steps WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type)
+SELECT from_type, to_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+         AS prob
+FROM c ORDER BY from_type, to_type
+"""
+
+ORACLE["zipf_slope"] = r"""
+WITH words AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents),
+tf AS (SELECT lang, w, COUNT(*) AS freq FROM words GROUP BY lang, w),
+ranked AS (
+  SELECT lang, freq,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, w) AS rank
+  FROM tf QUALIFY rank <= 1000),
+q AS (
+  SELECT lang,
+         CAST(FLOOR(LN(CAST(rank AS DOUBLE)) * 1000.0) AS BIGINT) AS x,
+         CAST(FLOOR(LN(CAST(freq AS DOUBLE)) * 1000.0) AS BIGINT) AS y
+  FROM ranked),
+agg AS (
+  SELECT lang, COUNT(*) AS n_terms,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM q GROUP BY lang)
+SELECT lang, n_terms,
+       CASE WHEN (n_terms * sxx - sx * sx) > 0 THEN
+         CAST(n_terms * sxy - sx * sy AS DOUBLE)
+           / CAST(n_terms * sxx - sx * sx AS DOUBLE)
+       END AS zipf_slope
+FROM agg ORDER BY lang
+"""
+
+ORACLE["ewma_daily_value"] = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS vq
+  FROM events GROUP BY date_trunc('day', ts)),
+l AS (
+  SELECT day, vq,
+         LAG(vq, 0) OVER w * 128 + LAG(vq, 1) OVER w * 64
+         + LAG(vq, 2) OVER w * 32 + LAG(vq, 3) OVER w * 16
+         + LAG(vq, 4) OVER w * 8 + LAG(vq, 5) OVER w * 4
+         + LAG(vq, 6) OVER w * 2 + LAG(vq, 7) OVER w * 1 AS weighted
+  FROM d WINDOW w AS (ORDER BY day))
+SELECT day, CAST(vq AS DOUBLE) / 100.0 AS daily_value,
+       CAST(CAST(weighted AS BIGINT) AS DOUBLE) / 25600.0 AS ewma_value
+FROM l ORDER BY day
+"""
