@@ -2398,3 +2398,36 @@ SELECT day, CAST(vq AS DOUBLE) / 100.0 AS daily_value,
        CAST(CAST(weighted AS BIGINT) AS DOUBLE) / 25600.0 AS ewma_value
 FROM l ORDER BY day
 """
+
+ORACLE["purchase_tier_enrich"] = r"""
+WITH obs AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER)
+                    / 25) AS INTEGER) AS tier
+  FROM events),
+lagged AS (
+  SELECT user_id, ts, event_id, tier,
+         LAG(tier) OVER w AS prev_tier,
+         LAG(1) OVER w AS has_prev
+  FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+changes AS (
+  SELECT user_id, ts, event_id, tier FROM lagged
+  WHERE has_prev IS NULL OR tier IS DISTINCT FROM prev_tier),
+dim AS (
+  SELECT user_id, tier, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM changes)
+SELECT e.event_id, e.user_id, e.ts, d.tier, e.value
+FROM events e
+JOIN dim d ON d.user_id = e.user_id
+          AND d.valid_from <= e.ts
+          AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+WHERE e.event_type = 'purchase'
+ORDER BY e.event_id
+"""
+
+
+ORACLE["knn_label_filtered"] = ORACLE["knn_bruteforce"].replace(
+    "embedding AS c_vec FROM embeddings)",
+    "embedding AS c_vec FROM embeddings WHERE label = 1)",
+)

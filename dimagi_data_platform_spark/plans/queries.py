@@ -3847,6 +3847,56 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("purchase_tier_enrich")
+def purchase_tier_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P39: batch point-in-time SCD2 enrichment — every purchase joined
+    to the user's tier AS OF the purchase instant (valid_from <= ts <
+    valid_to), the batch twin of the streaming SCD2 enrich (P28) and
+    the canonical "facts against a versioned dimension" warehouse
+    query.
+
+    Scale: plain equi-join on user_id with the interval predicate in
+    the join condition — per-key fan-out is (purchases of a user) x
+    (that user's intervals), bounded by per-user change counts, so no
+    time-bucketing is needed (operators/intervals.py has the bucketed
+    variant for hot-key interval tables). The dimension build itself
+    is the P21 two-window plan.
+    """
+    ev = _t(spark, sf_dir, "events")
+    dim = user_tier_scd2(spark, sf_dir).select(
+        F.col("user_id").alias("d_user"), "tier", "valid_from", "valid_to"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return (
+        purchases.join(
+            dim,
+            (purchases.user_id == dim.d_user)
+            & (dim.valid_from <= purchases.ts)
+            & (dim.valid_to.isNull() | (purchases.ts < dim.valid_to)),
+        )
+        .select("event_id", "user_id", "ts", "tier", "value")
+        .orderBy("event_id")
+    )
+
+
+@query("knn_label_filtered")
+def knn_label_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L43: filtered vector search — exact cosine top-5 restricted to
+    candidates satisfying a metadata predicate (label = 1). The
+    predicate is applied BEFORE the kernel (filter-then-search), so
+    results are exact under the constraint — unlike search-then-filter,
+    which silently loses recall when the predicate is selective. The
+    filter reaches the parquet scan as a pushed predicate, so
+    non-matching candidates are never even deserialized.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_bruteforce(
+        emb.filter(F.col("label") == 1), emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
@@ -3893,6 +3943,8 @@ _SAMPLE_FIRST = [
     "event_transition_matrix",
     "zipf_slope",
     "ewma_daily_value",
+    "purchase_tier_enrich",
+    "knn_label_filtered",
     # (5) regression picks: r1 greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
