@@ -157,3 +157,23 @@ def read_binary_dir(
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
     return reader.load(path)
+
+
+def read_parquet_evolving(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """Read a parquet directory whose files were written under
+    EVOLVING schemas (columns added over time by successive loads —
+    the normal life of a warehouse landing zone).
+
+    With ``schema=None``, footers are reconciled via mergeSchema: the
+    result is the union of all file schemas, and files missing a
+    column yield NULLs for it. Passing an explicit ``schema`` skips
+    the footer sweep (at large file counts the merge pass reads every
+    footer — O(files) driver-side work) and projects/NULL-fills
+    directly, which is the 100 TB posture: keep the authoritative
+    schema in a catalog, not in footers.
+    """
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -434,3 +434,39 @@ def test_read_binary_dir_glob_and_content(spark, tmp_path):
     assert rows["b.png"].length == 12
     sizes = {r.length for r in df.select("length").collect()}
     assert sizes == {11, 12}
+
+
+def test_read_parquet_evolving_merges_added_columns(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from dimagi_data_platform_spark.sources.files import read_parquet_evolving
+
+    base = str(tmp_path / "landing")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, a string").write.mode(
+        "append"
+    ).parquet(base)
+    spark.createDataFrame(
+        [(3, "c", 30.0)], "id long, a string, b double"
+    ).write.mode("append").parquet(base)
+
+    merged = read_parquet_evolving(spark, base)
+    assert set(merged.columns) == {"id", "a", "b"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].b is None and rows[3].b == 30.0  # old files NULL-fill
+
+    # explicit-schema path: no footer sweep, same NULL-fill semantics
+    explicit = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("a", StringType()),
+            StructField("b", StringType()),  # type override also allowed
+        ]
+    )
+    got = read_parquet_evolving(spark, base, schema=explicit)
+    assert dict(got.dtypes)["b"] == "string"
+    assert {r.id for r in got.filter("b IS NULL").collect()} == {1, 2}
