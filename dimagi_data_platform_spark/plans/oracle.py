@@ -2431,3 +2431,27 @@ ORACLE["knn_label_filtered"] = ORACLE["knn_bruteforce"].replace(
     "embedding AS c_vec FROM embeddings)",
     "embedding AS c_vec FROM embeddings WHERE label = 1)",
 )
+
+ORACLE["lang_confusion"] = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+    {_score_cols}
+  FROM documents),
+p AS (
+  SELECT lang,
+    CASE
+      WHEN c_en > 0 AND c_en >= GREATEST(c_es, c_de, c_fr) THEN 'en'
+      WHEN c_es > 0 AND c_es >= GREATEST(c_en, c_de, c_fr) THEN 'es'
+      WHEN c_de > 0 AND c_de >= GREATEST(c_en, c_es, c_fr) THEN 'de'
+      WHEN c_fr > 0 AND c_fr >= GREATEST(c_en, c_es, c_de) THEN 'fr'
+      ELSE 'und'
+    END AS lang_pred
+  FROM s),
+cells AS (
+  SELECT lang, lang_pred, COUNT(*) AS n_docs
+  FROM p GROUP BY lang, lang_pred)
+SELECT lang, lang_pred, n_docs,
+       CAST(n_docs AS DOUBLE)
+         / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS frac_of_lang
+FROM cells ORDER BY lang, lang_pred
+"""

@@ -3897,6 +3897,36 @@ def knn_label_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("lang_confusion")
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L44: classifier evaluation — the confusion matrix of the L8
+    language-ID heuristic against gold labels, with each cell's share
+    of its gold-label row (recall on the diagonal). The eval loop a
+    pipeline runs whenever a cheap filter model is retrained; exact
+    counts, one IEEE division per cell.
+
+    Scale: prediction is the scan-local L8 expression; the matrix is a
+    |langs|²-key aggregate and the row normalizer a window over ≤25
+    rows.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    pred = lang_predict(lang_scores("text"))
+    cells = (
+        docs.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return (
+        cells.withColumn(
+            "frac_of_lang",
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
@@ -3945,6 +3975,7 @@ _SAMPLE_FIRST = [
     "ewma_daily_value",
     "purchase_tier_enrich",
     "knn_label_filtered",
+    "lang_confusion",
     # (5) regression picks: r1 greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
