@@ -212,3 +212,55 @@ def test_operators_accept_empty_inputs(spark):
     labels = {r.id: r.component for r in
               connected_components(verts, empty_edges).collect()}
     assert labels == {1: 1, 2: 2}
+
+
+def test_interval_concurrency_random_streams_vs_reference(spark):
+    """Randomized sweep-line cross-check: heavy ts collisions (coarse
+    grid) + zero-length intervals, validated against a pure-Python
+    event sweep with the same (ts, starts-first) tie rule."""
+    import datetime as dt
+
+    from dimagi_data_platform_spark.operators.intervals import (
+        interval_concurrency,
+    )
+
+    rnd = random.Random(17)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for _ in range(800):
+        lo = base + dt.timedelta(seconds=rnd.randrange(500))
+        hi = lo + dt.timedelta(seconds=rnd.randrange(20))  # 0-length included
+        rows.append((lo, hi))
+    df = spark.createDataFrame(rows, "lo timestamp, hi timestamp")
+    got = {
+        (r.ts, r.delta): r.concurrency
+        for r in interval_concurrency(df, "lo", "hi").collect()
+    }
+
+    events: dict = {}
+    for lo, hi in rows:
+        events[(lo, 1)] = events.get((lo, 1), 0) + 1
+        events[(hi, -1)] = events.get((hi, -1), 0) - 1
+    run = 0
+    want = {}
+    for (ts, sign), delta in sorted(events.items(), key=lambda kv: (kv[0][0], -kv[0][1])):
+        run += delta
+        want[(ts, delta)] = run
+    assert got == want
+    assert min(got.values()) >= 0
+
+
+def test_pagerank_mass_conservation_random_graphs(spark):
+    """Total fixed-point mass stays within the floor-leak envelope:
+    at most one 1e-15 unit lost per (vertex, incident division) per
+    iteration — i.e. the ranks still sum to ~1."""
+    from dimagi_data_platform_spark.operators.graph import pagerank
+
+    rnd = random.Random(23)
+    n = 40
+    edges = list({(rnd.randrange(n), rnd.randrange(n)) for _ in range(200)})
+    edges = [(a, b) for a, b in edges if a != b]
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    total = sum(r.r for r in pagerank(v, e, n_iter=12).collect())
+    assert 0.999 < total / 1e15 <= 1.0 + 1e-12
