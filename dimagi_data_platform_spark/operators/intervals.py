@@ -134,3 +134,55 @@ def interval_concurrency(
         .withColumn(out_col, (F.col("__run") + F.col("__off")).cast("long"))
         .select("ts", F.col("delta").cast("long").alias("delta"), out_col)
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_cols: tuple[str, str] = ("lo", "hi"),
+    right_cols: tuple[str, str] = ("r_lo", "r_hi"),
+    bucket_micros: int = MICROS_PER_HOUR,
+) -> DataFrame:
+    """Inner-join two INTERVAL tables on closed-interval overlap
+    (lo_a <= hi_b AND lo_b <= hi_a) — the interval×interval sibling of
+    :func:`point_in_interval_join`.
+
+    Scale strategy: both sides explode to the fixed-width time buckets
+    they cover and meet in an equi-join on the bucket; a qualifying
+    pair would meet once per SHARED bucket, so the join keeps only the
+    meeting in the bucket of max(lo_a, lo_b) — each overlapping pair
+    survives exactly once, with no post-hoc distinct over the pair
+    stream. Candidate volume per row is the opposite side's intervals
+    overlapping its buckets, never the whole table; pick
+    ``bucket_micros`` ≈ typical interval width so explosion stays O(1)
+    per interval. Column names must not collide between the sides.
+    """
+    lo_l, hi_l = left_cols
+    lo_r, hi_r = right_cols
+    b = F.lit(bucket_micros)
+
+    def buckets(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    (F.unix_micros(F.col(lo)) / b).cast("long"),
+                    (F.unix_micros(F.col(hi)) / b).cast("long"),
+                )
+            ),
+        )
+
+    la = buckets(left, lo_l, hi_l)
+    rb = buckets(right, lo_r, hi_r)
+    anchor = (
+        F.greatest(F.unix_micros(F.col(lo_l)), F.unix_micros(F.col(lo_r))) / b
+    ).cast("long")
+    return (
+        la.join(rb, "_bucket")
+        .filter(
+            (F.col(lo_l) <= F.col(hi_r))
+            & (F.col(lo_r) <= F.col(hi_l))
+            & (F.col("_bucket") == anchor)
+        )
+        .drop("_bucket")
+    )

@@ -2455,3 +2455,42 @@ SELECT lang, lang_pred, n_docs,
          / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS frac_of_lang
 FROM cells ORDER BY lang, lang_pred
 """
+
+ORACLE["visits_outage_overlap"] = """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM x),
+v AS (
+  SELECT user_id, session_id, MIN(ts) AS lo, MAX(ts) AS hi
+  FROM s GROUP BY user_id, session_id),
+ex AS (
+  SELECT ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR date_diff('microsecond', LAG(ts) OVER w, ts) > 900000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE event_type = 'error'
+  WINDOW w AS (ORDER BY ts, event_id)),
+es AS (
+  SELECT ts, CAST(SUM(is_new) OVER (ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS outage_id
+  FROM ex),
+o AS (
+  SELECT outage_id, MIN(ts) AS r_lo, MAX(ts) AS r_hi, COUNT(*) AS n_errors
+  FROM es GROUP BY outage_id
+  HAVING COUNT(*) >= 2)
+SELECT v.user_id, v.session_id, o.outage_id,
+       CAST(date_diff('microsecond',
+                      GREATEST(v.lo, o.r_lo),
+                      LEAST(v.hi, o.r_hi)) AS DOUBLE) / 1000000.0
+         AS overlap_seconds
+FROM v JOIN o ON v.lo <= o.r_hi AND o.r_lo <= v.hi
+ORDER BY v.user_id, v.session_id, o.outage_id
+"""

@@ -3927,6 +3927,61 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("visits_outage_overlap")
+def visits_outage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P40: interval-overlap join — user visits that overlap a system
+    outage window (error events gap-sessionized GLOBALLY into burst
+    intervals), with the overlap duration. The interval×interval join
+    shape (incident impact, campaign exposure, maintenance blackouts)
+    that point-in-interval can't express.
+
+    Scale: both interval sets explode to hour buckets and meet in a
+    bucketed equi-join; each qualifying pair is kept only in the
+    bucket of max(lo_a, lo_b), so pairs arrive exactly once with no
+    distinct over the pair stream (operators/intervals.py:
+    interval_overlap_join). Overlap duration is exact integer
+    microseconds with one division by the literal 1e6.
+    """
+    from dimagi_data_platform_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800, tie_break="event_id")
+    visits = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    )
+    errors = ev.filter(F.col("event_type") == "error").withColumn(
+        "_g", F.lit(1)
+    )
+    bursts = sessionize(errors, "_g", "ts", gap_seconds=900, tie_break="event_id")
+    outages = (
+        bursts.groupBy(F.col("session_id").alias("outage_id"))
+        .agg(
+            F.min("ts").alias("r_lo"),
+            F.max("ts").alias("r_hi"),
+            F.count(F.lit(1)).alias("n_errors"),
+        )
+        .filter(F.col("n_errors") >= 2)
+        .select("outage_id", "r_lo", "r_hi")
+    )
+    overlap_us = F.least(
+        F.unix_micros(F.col("hi")), F.unix_micros(F.col("r_hi"))
+    ) - F.greatest(F.unix_micros(F.col("lo")), F.unix_micros(F.col("r_lo")))
+    return (
+        interval_overlap_join(visits, outages)
+        .select(
+            "user_id",
+            "session_id",
+            "outage_id",
+            (overlap_us.cast("double") / F.lit(1000000.0)).alias(
+                "overlap_seconds"
+            ),
+        )
+        .orderBy("user_id", "session_id", "outage_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
@@ -3976,6 +4031,7 @@ _SAMPLE_FIRST = [
     "purchase_tier_enrich",
     "knn_label_filtered",
     "lang_confusion",
+    "visits_outage_overlap",
     # (5) regression picks: r1 greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
