@@ -2494,3 +2494,34 @@ SELECT v.user_id, v.session_id, o.outage_id,
 FROM v JOIN o ON v.lo <= o.r_hi AND o.r_lo <= v.hi
 ORDER BY v.user_id, v.session_id, o.outage_id
 """
+
+ORACLE["bigram_lm_perplexity"] = r"""
+WITH toks0 AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+toks AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks0, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM toks GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+vocab AS (
+  SELECT COUNT(DISTINCT w) AS v
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents)),
+lm AS (
+  SELECT w1, w2,
+         CAST(FLOOR(LN(CAST(c12.c12 + 1 AS DOUBLE)
+                       / CAST(c1.c1 + vocab.v AS DOUBLE)) * -1000000.0)
+              AS BIGINT) AS nll_fixed_unit
+  FROM c12 JOIN c1 USING (w1), vocab),
+per_doc AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS cnt FROM toks GROUP BY doc_id, w1, w2)
+SELECT d.doc_id,
+       CAST(SUM(d.cnt) AS BIGINT) AS n_bigrams,
+       CAST(SUM(d.cnt * l.nll_fixed_unit) AS BIGINT) AS nll_fixed,
+       CAST(CAST(SUM(d.cnt * l.nll_fixed_unit) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(d.cnt) AS BIGINT) * 1000000 AS DOUBLE) AS avg_nll
+FROM per_doc d JOIN lm l USING (w1, w2)
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""

@@ -3982,6 +3982,84 @@ def visits_outage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("bigram_lm_perplexity")
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L45: LM-based quality scoring (the CCNet/KenLM perplexity-filter
+    pattern) — a Laplace-smoothed bigram language model is trained on
+    the corpus itself, then every doc is scored by its average
+    negative log-likelihood under that model; high-NLL docs are the
+    out-of-distribution / garbage tail a perplexity filter drops.
+
+    Determinism: per-bigram -ln P(w2|w1) = -ln((c12+1)/(c1+V)) passes
+    through the fixed-point floor(1e6·ln(num/den)) table (num/den is
+    the same IEEE op pair on both engines; margin >> ulp), so per-doc
+    NLL sums are exact integers with ONE final IEEE division.
+
+    Scale: LM training is two count aggregates (bigram-vocab-sized
+    shuffles, map-side combine); scoring joins per-doc bigram counts
+    to the model keyed on the bigram — a shuffle join on bigram, never
+    a broadcast of the (vocab²-sized) model; the per-doc reduce is the
+    only corpus-keyed shuffle.
+    """
+    docs = _t(spark, sf_dir, "documents").withColumn("_toks", tokens("text"))
+    t = F.col("_toks")
+    idx = F.sequence(F.lit(0), F.size(t) - F.lit(2))
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(t, (i + 1).cast("int")).alias("w1"),
+                F.element_at(t, (i + 2).cast("int")).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    toks = docs.select("doc_id", F.explode(bigrams).alias("bg")).select(
+        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    c12 = toks.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    vocab_size = docs.select(
+        F.explode(tokens("text")).alias("w")
+    ).agg(F.countDistinct("w").alias("v"))
+    lm = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab_size))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.log(
+                    (F.col("c12") + F.lit(1)).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+                * F.lit(-1000000.0)
+            )
+            .cast("long")
+            .alias("nll_fixed_unit"),
+        )
+    )
+    per_doc = toks.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_doc.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("nll_fixed_unit"))
+            .cast("long")
+            .alias("nll_fixed"),
+        )
+        .withColumn(
+            "avg_nll",
+            F.col("nll_fixed").cast("double")
+            / (F.col("n_bigrams") * F.lit(1000000)).cast("double"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
@@ -4032,6 +4110,7 @@ _SAMPLE_FIRST = [
     "knn_label_filtered",
     "lang_confusion",
     "visits_outage_overlap",
+    "bigram_lm_perplexity",
     # (5) regression picks: r1 greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
