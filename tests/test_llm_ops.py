@@ -582,3 +582,55 @@ def test_wordpiece_encode_dataframe(spark):
     assert out[3] == [] and out[4] == []
     schema = dict(wordpiece_encode(df, "text", vocab).dtypes)
     assert schema["pieces"] == "array<string>"
+
+
+# ---------------------------------------------------------------- pca
+def test_pca_components_match_numpy_reference(spark):
+    import numpy as np
+
+    from dimagi_data_platform_spark.operators.pca import pca_components
+
+    rng = np.random.RandomState(4)
+    # anisotropic cloud: variance concentrated on two known axes
+    base = rng.randn(400, 64) * 0.05
+    base[:, 3] += rng.randn(400) * 2.0
+    base[:, 17] += rng.randn(400) * 1.0
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    mean, comps, ev = pca_components(df, k=2, dim=64)
+    assert ev[0] > ev[1] > 0
+    # top axes recover the planted directions
+    assert abs(comps[0][3]) > 0.95 and abs(comps[1][17]) > 0.9
+    # orthonormal
+    G = comps @ comps.T
+    assert np.allclose(G, np.eye(2), atol=1e-9)
+    # quantized-integer scatter ⇒ identical across repartitionings
+    _, comps2, ev2 = pca_components(df.repartition(13), k=2, dim=64)
+    assert np.array_equal(comps, comps2) and np.array_equal(ev, ev2)
+
+
+def test_pca_project_reduces_reconstruction_error(spark):
+    import numpy as np
+
+    from dimagi_data_platform_spark.operators.pca import (
+        pca_components,
+        pca_project,
+    )
+
+    rng = np.random.RandomState(9)
+    X = rng.randn(300, 64) * (2.0 * 0.7 ** np.arange(64))
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    out = pca_project(df, k=8, dim=64)
+    got = {r.vec_id: np.array(r.pca_vec) for r in out.collect()}
+    assert len(got) == 300 and got[0].shape == (8,)
+    mean, comps, _ = pca_components(df, k=8, dim=64)
+    # projecting captures most variance: reconstruction beats mean-only
+    recon = np.stack([got[i] @ comps + mean for i in range(300)])
+    err_pca = float(((X - recon) ** 2).sum())
+    err_mean = float(((X - X.mean(0)) ** 2).sum())
+    assert err_pca < 0.2 * err_mean
