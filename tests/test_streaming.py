@@ -468,3 +468,30 @@ def test_streaming_scd2_enrich_matches_batch_asof_semantics(spark, tmp_path):
     batch = streaming_scd2_enrich(batch_ev, hist)
     assert batch.count() == len(events)
     assert {r.event_id: r.attr for r in batch.collect()} == got
+
+
+def test_streaming_anomalies_match_batch(spark, tmp_path):
+    """The streamed report must be bitwise equal to the batch P35 query
+    over the same events, including across multiple micro-batches."""
+    import __spark_entry__ as em
+    from dimagi_data_platform_spark.streaming.anomaly_stream import (
+        run_streaming_anomalies,
+    )
+
+    in_dir, ev = _dump_events_as_json(spark, tmp_path, n_files=3)
+    stream = read_event_stream(spark, in_dir, fmt="json", max_files=1)
+    run_streaming_anomalies(
+        stream,
+        state_dir=str(tmp_path / "state"),
+        report_dir=str(tmp_path / "report"),
+        checkpoint_dir=str(tmp_path / "ckpt_anom"),
+    )
+    got = {
+        r.day: (r.n_events, r.n_baseline_days, r.z_score, r.is_anomaly)
+        for r in spark.read.parquet(str(tmp_path / "report")).collect()
+    }
+    want = {
+        r.day: (r.n_events, r.n_baseline_days, r.z_score, r.is_anomaly)
+        for r in em.queries()["daily_event_anomalies"](spark, SF_SMALL).collect()
+    }
+    assert got == want  # exact integer sums + identical IEEE chain
