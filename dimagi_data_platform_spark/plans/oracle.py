@@ -2525,3 +2525,17 @@ SELECT d.doc_id,
 FROM per_doc d JOIN lm l USING (w1, w2)
 GROUP BY d.doc_id ORDER BY d.doc_id
 """
+
+ORACLE["near_dup_eval"] = f"""
+WITH mh AS (SELECT id_a, id_b FROM ({ORACLE["minhash_lsh_dedup"]}) s),
+tr AS (SELECT doc_a AS id_a, doc_b AS id_b
+       FROM ({ORACLE["ngram_jaccard_pairs"]}) s WHERE jaccard >= 0.2),
+hit AS (SELECT id_a, id_b FROM mh INTERSECT SELECT id_a, id_b FROM tr),
+c AS (SELECT (SELECT COUNT(*) FROM mh) AS n_candidates,
+             (SELECT COUNT(*) FROM tr) AS n_truth,
+             (SELECT COUNT(*) FROM hit) AS n_hit)
+SELECT n_candidates, n_truth, n_hit,
+       CAST(n_hit AS DOUBLE) / CAST(n_candidates AS DOUBLE) AS precision_at_02,
+       CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall_at_02
+FROM c
+"""

@@ -4060,6 +4060,47 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("near_dup_eval")
+def near_dup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L47: dedup quality evaluation — precision/recall of the
+    MinHash+LSH candidate set against exact n-gram Jaccard ground
+    truth at the same 0.2 threshold. The measurement loop that decides
+    banding parameters before a production dedup run; exact counts,
+    two final IEEE divisions.
+
+    Scale: both pair sets come from the bounded band/shingle joins
+    (never all-pairs); the intersection is a pair-keyed join and the
+    three counts are scalar aggregates (broadcast cross-joined, the
+    repo's standard scalar pattern).
+    """
+    cand = minhash_lsh_dedup(spark, sf_dir).select("id_a", "id_b")
+    truth = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.2)
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    )
+    hit = cand.intersect(truth)
+    a = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    b = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    h = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(h))
+        .select(
+            "n_candidates",
+            "n_truth",
+            "n_hit",
+            (
+                F.col("n_hit").cast("double")
+                / F.col("n_candidates").cast("double")
+            ).alias("precision_at_02"),
+            (
+                F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
+            ).alias("recall_at_02"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
@@ -4111,6 +4152,7 @@ _SAMPLE_FIRST = [
     "lang_confusion",
     "visits_outage_overlap",
     "bigram_lm_perplexity",
+    "near_dup_eval",
     # (5) regression picks: r1 greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
