@@ -2539,3 +2539,50 @@ SELECT n_candidates, n_truth, n_hit,
        CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall_at_02
 FROM c
 """
+
+ORACLE["customer_spend_gini"] = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT o_custkey, cents,
+         ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rn
+  FROM spend),
+tot AS (
+  SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS t,
+         CAST(SUM(rn * cents) AS BIGINT) AS s_rank
+  FROM ranked),
+dec AS (
+  SELECT CAST(1 + ((rn - 1) * 10) // n AS BIGINT) AS decile,
+         COUNT(*) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS decile_cents,
+         MAX(t) AS t, MAX(n) AS n, MAX(s_rank) AS s_rank
+  FROM ranked, tot
+  GROUP BY CAST(1 + ((rn - 1) * 10) // n AS BIGINT))
+SELECT decile, n_customers,
+       CAST(decile_cents AS DOUBLE) / 100.0 AS decile_spend,
+       CAST(CAST(SUM(decile_cents) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS DOUBLE) / CAST(t AS DOUBLE) AS cum_share,
+       CAST(2 * s_rank - (n + 1) * t AS DOUBLE)
+         / CAST(n * t AS DOUBLE) AS gini
+FROM dec ORDER BY decile
+"""
+
+ORACLE["weighted_doc_sample"] = """
+WITH u AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#wsample42'),
+                              1, 15)) AS BIGINT) % 1000000 + 1 AS uu
+  FROM documents WHERE n_chars > 0),
+p AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(FLOOR(LN(1000000.0 / CAST(uu AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS neg_ln_u
+  FROM u)
+SELECT doc_id, lang, n_chars,
+       CAST(neg_ln_u AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
+FROM p ORDER BY priority, doc_id LIMIT 200
+"""

@@ -4101,6 +4101,122 @@ def near_dup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("customer_spend_gini")
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P42: concentration analytics — the Lorenz decile table of
+    customer spend (cumulative revenue share per spend decile) plus
+    the Gini coefficient, the whale-concentration measure behind
+    revenue-risk dashboards.
+
+    Exact: spend is cent-quantized integers; the Gini closed form
+    (2·Σ rank·spend − (n+1)·T) / (n·T) uses exact int64 sums with one
+    final IEEE division (envelope: n·T < 2^63 — cents with n ≤ ~1e6
+    customers; past that, switch the two sums to DECIMAL(38,0) and
+    divide once at the end). Ranks come from the DISTRIBUTED global
+    rank (frozen-boundary buckets + offsets), never a single-task
+    window; decile assignment is the same rank formula as the
+    equi-depth histogram.
+    """
+    from dimagi_data_platform_spark.operators.linkage import global_row_number
+
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")).alias(
+            "cents"
+        )
+    )
+    ranked = global_row_number(spend, ["cents", "o_custkey"], out_col="rn")
+    totals = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("t"),
+        F.sum(F.col("rn") * F.col("cents")).cast("long").alias("s_rank"),
+    )
+    gini = (
+        (F.lit(2) * F.col("s_rank") - (F.col("n") + 1) * F.col("t")).cast(
+            "double"
+        )
+        / (F.col("n") * F.col("t")).cast("double")
+    )
+    deciles = (
+        ranked.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "decile",
+            (F.lit(1) + F.expr("((rn - 1) * 10) DIV n")).cast("long"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").cast("long").alias("decile_cents"),
+            F.max("t").alias("_t"),
+            F.max("n").alias("_n"),
+            F.max("s_rank").alias("_s"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        deciles.withColumn(
+            "cum_share",
+            F.sum("decile_cents").over(w).cast("double")
+            / F.col("_t").cast("double"),
+        )
+        .withColumn(
+            "gini",
+            (
+                F.lit(2) * F.col("_s") - (F.col("_n") + 1) * F.col("_t")
+            ).cast("double")
+            / (F.col("_n") * F.col("_t")).cast("double"),
+        )
+        .select(
+            "decile",
+            "n_customers",
+            (F.col("decile_cents").cast("double") / F.lit(100.0)).alias(
+                "decile_spend"
+            ),
+            "cum_share",
+            "gini",
+        )
+        .orderBy("decile")
+    )
+
+
+@query("weighted_doc_sample")
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L48: weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES) — 200 docs drawn with probability proportional to length,
+    the standard size-biased corpus subsample. Each doc's priority is
+    -ln(u)/w with u a portable md5 uniform; selection = top-k by
+    priority, so the sample is deterministic, engine-portable, and
+    one-pass.
+
+    Determinism: u is an integer in [1, 1e6] from md5; -ln(u/1e6)
+    passes through the fixed-point floor(1e6·ln) table, and the
+    priority is ONE IEEE division of exact integers (lnq / weight).
+    Scale: priorities are scan-local; top-k is TakeOrdered (no global
+    sort materialized).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tagged = F.concat(F.col("doc_id").cast("string"), F.lit("#wsample42"))
+    u = F.pmod(
+        F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long"),
+        F.lit(1_000_000),
+    ) + F.lit(1)
+    neg_ln_u = F.floor(
+        F.log(F.lit(1_000_000.0) / u.cast("double")) * F.lit(1000000.0)
+    ).cast("long")
+    priority = neg_ln_u.cast("double") / F.col("n_chars").cast("double")
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            priority.alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(200)
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
@@ -4153,6 +4269,8 @@ _SAMPLE_FIRST = [
     "visits_outage_overlap",
     "bigram_lm_perplexity",
     "near_dup_eval",
+    "customer_spend_gini",
+    "weighted_doc_sample",
     # (5) regression picks: r1 greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
