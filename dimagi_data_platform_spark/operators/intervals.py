@@ -107,10 +107,13 @@ def interval_concurrency(
     grain = deltas.groupBy("ts", F.signum("delta").cast("int").alias("sign")).agg(
         F.sum("delta").alias("delta")
     )
+    # materialize the boundary stream once: the boundary sampler, the
+    # running-sum branch, and the offsets aggregate all consume it, and
+    # each would otherwise re-run the full upstream (e.g. a sessionize
+    # + two groupBys for the visits case — measured ~4x the grain cost)
+    grain = grain.withColumn("neg_sign", -F.col("sign")).localCheckpoint()
     par = spark.sparkContext.defaultParallelism
-    parted = frozen_range_pid(
-        grain.withColumn("neg_sign", -F.col("sign")), ["ts", "neg_sign"], par
-    )
+    parted = frozen_range_pid(grain, ["ts", "neg_sign"], par)
     in_part = Window.partitionBy("__pid").orderBy("ts", F.desc("sign"))
     local = parted.withColumn("__run", F.sum("delta").over(in_part))
     offsets = (
