@@ -2586,3 +2586,237 @@ SELECT doc_id, lang, n_chars,
        CAST(neg_ln_u AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
 FROM p ORDER BY priority, doc_id LIMIT 200
 """
+
+
+def _bpe_train_sql(n_merges: int) -> str:
+    """Unrolled BPE training — the SQL twin of operators/bpe.bpe_train:
+    each round is the identical (pair-count → argmax → literal replace)
+    recurrence on the double-space segment representation, so the merge
+    table of an ITERATIVE tokenizer training hash-matches bit for bit.
+    The argmax CTE per round plays the role of the broadcast 1-row
+    LIMIT in the Spark plan; ties break on the pair itself."""
+    ctes = [
+        r"""words AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents)""",
+        """wf AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM words GROUP BY w HAVING LENGTH(w) >= 2)""",
+        r"""seg0 AS (
+  SELECT '  ' || regexp_replace(w, '(.)', '\1  ', 'g') AS seg, freq
+  FROM wf)""",
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{k} AS (
+  SELECT s, freq, UNNEST(range(1, len(s))) AS i
+  FROM (SELECT string_split(trim(seg), '  ') AS s, freq FROM seg{k - 1})),
+best{k} AS (
+  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM (SELECT s[i] AS a, s[i + 1] AS b, freq FROM p{k})
+  GROUP BY a, b ORDER BY pair_count DESC, a, b LIMIT 1),
+seg{k} AS (
+  SELECT replace(seg, ' ' || a || '  ' || b || ' ',
+                 ' ' || a || b || ' ') AS seg, freq
+  FROM seg{k - 1}, best{k})"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, a, b, a || b AS merged, pair_count FROM best{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT * FROM (\n{union}\n) ORDER BY step"
+    )
+
+
+ORACLE["bpe_train_merges"] = _bpe_train_sql(6)
+
+_KNN_VEC0_SQL = (
+    ORACLE["knn_bruteforce"]
+    .replace("WHERE vec_id < 10", "WHERE vec_id = 0")
+    .replace('WHERE "rank" <= 5', 'WHERE "rank" <= 20')
+)
+
+ORACLE["hybrid_search_rrf"] = f"""
+WITH b0 AS ({ORACLE["bm25_search"]}),
+b AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS text_rank
+  FROM b0),
+v0 AS ({_KNN_VEC0_SQL}),
+v AS (SELECT neighbor_id AS doc_id, CAST("rank" AS BIGINT) AS vec_rank FROM v0),
+f AS (
+  SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+         CAST(COALESCE(text_rank, 0) AS BIGINT) AS text_rank,
+         CAST(COALESCE(vec_rank, 0) AS BIGINT) AS vec_rank
+  FROM b FULL OUTER JOIN v ON b.doc_id = v.doc_id)
+SELECT doc_id, text_rank, vec_rank,
+       CAST(CASE WHEN text_rank > 0
+                 THEN 1000000000000 // (60 + text_rank) ELSE 0 END
+          + CASE WHEN vec_rank > 0
+                 THEN 1000000000000 // (60 + vec_rank) ELSE 0 END
+            AS BIGINT) AS rrf_fixed
+FROM f ORDER BY rrf_fixed DESC, doc_id
+"""
+
+ORACLE["item_item_cosine"] = """
+WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_ord FROM lp GROUP BY p),
+pairs AS (
+  SELECT a.p AS i, b.p AS j, CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p
+  GROUP BY a.p, b.p)
+SELECT i, j, n_both, di.n_ord AS n_i, dj.n_ord AS n_j,
+       CAST(n_both AS DOUBLE)
+         / sqrt(CAST(di.n_ord * dj.n_ord AS DOUBLE)) AS cosine
+FROM pairs
+JOIN deg di ON di.p = i
+JOIN deg dj ON dj.p = j
+ORDER BY cosine DESC, i, j LIMIT 30
+"""
+
+ORACLE["customer_rfm"] = """
+WITH h AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS h FROM orders),
+per AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS cents,
+         CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)), MAX(h.h))
+              AS BIGINT) AS recency_days
+  FROM orders, h GROUP BY o_custkey),
+r AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY recency_days, o_custkey) AS rr,
+         ROW_NUMBER() OVER (ORDER BY n_orders, o_custkey) AS rf,
+         ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rm,
+         COUNT(*) OVER () AS n_total
+  FROM per)
+SELECT CAST(1 + ((rr - 1) * 4) // n_total AS BIGINT) AS r_q,
+       CAST(1 + ((rf - 1) * 4) // n_total AS BIGINT) AS f_q,
+       CAST(1 + ((rm - 1) * 4) // n_total AS BIGINT) AS m_q,
+       COUNT(*) AS n_customers,
+       CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100.0 AS total_spend
+FROM r
+GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q
+"""
+
+ORACLE["top_session_paths"] = """
+WITH x AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM x),
+p AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM s GROUP BY user_id, session_id)
+SELECT path, COUNT(*) AS n_sessions
+FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20
+"""
+
+ORACLE["table_profile"] = """
+WITH base AS (
+  SELECT lpad(CAST(o_orderkey AS VARCHAR), 18, '0') AS v_ok,
+         lpad(CAST(o_custkey AS VARCHAR), 18, '0') AS v_ck,
+         o_orderstatus AS v_st,
+         o_orderpriority AS v_pr,
+         lpad(CAST(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS VARCHAR),
+              18, '0') AS v_tp,
+         CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS v_od
+  FROM orders),
+st AS (
+  SELECT 'o_orderkey' AS col_name, v_ok AS val FROM base
+  UNION ALL SELECT 'o_custkey', v_ck FROM base
+  UNION ALL SELECT 'o_orderstatus', v_st FROM base
+  UNION ALL SELECT 'o_orderpriority', v_pr FROM base
+  UNION ALL SELECT 'o_totalprice_cents', v_tp FROM base
+  UNION ALL SELECT 'o_orderdate', v_od FROM base)
+SELECT col_name,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(val) AS n_nulls,
+       CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+       MIN(val) AS min_val,
+       MAX(val) AS max_val
+FROM st GROUP BY col_name ORDER BY col_name
+"""
+
+ORACLE["daily_lag_corr"] = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY 1),
+l AS (SELECT unnest(range(0, 8)) AS lag_days),
+j AS (
+  SELECT l.lag_days, a.x, b.y
+  FROM daily a
+  CROSS JOIN l
+  JOIN daily b ON b.day_num = a.day_num + l.lag_days),
+agg AS (
+  SELECT lag_days,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM j GROUP BY lag_days)
+SELECT CAST(lag_days AS BIGINT) AS lag_days, n_days,
+       CASE WHEN CAST(n_days * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(n_days * syy - sy * sy AS DOUBLE) > 0
+            THEN CAST(n_days * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
+                        * CAST(n_days * syy - sy * sy AS DOUBLE))
+       END AS corr_lag
+FROM agg ORDER BY lag_days
+"""
+
+ORACLE["customer_survival_km"] = """
+WITH h AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS h FROM orders),
+per AS (
+  SELECT CAST(date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                        MAX(CAST(o_orderdate AS DATE))) AS BIGINT) AS t_days,
+         CASE WHEN date_diff('day', MAX(CAST(o_orderdate AS DATE)), MAX(h.h))
+                   > 90 THEN 1 ELSE 0 END AS is_event
+  FROM orders, h GROUP BY o_custkey),
+byd AS (
+  SELECT t_days, CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST(SUM(is_event) AS BIGINT) AS n_events
+  FROM per GROUP BY t_days),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM per),
+risk AS (
+  SELECT t_days, n_events,
+         CAST(n_total - COALESCE(SUM(n_all) OVER (ORDER BY t_days
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_at_risk
+  FROM byd, tot),
+ev AS (
+  SELECT t_days, n_at_risk, n_events,
+         CAST(FLOOR(LN(CAST(n_at_risk - n_events AS DOUBLE)
+                       / CAST(n_at_risk AS DOUBLE)) * -1000000.0)
+              AS BIGINT) AS hazard_fixed
+  FROM risk WHERE n_events > 0 AND n_at_risk > n_events),
+cum AS (
+  SELECT t_days, n_at_risk, n_events, hazard_fixed,
+         CAST(SUM(hazard_fixed) OVER (ORDER BY t_days
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS neg_ln_s_fixed
+  FROM ev)
+SELECT t_days, n_at_risk, n_events, hazard_fixed, neg_ln_s_fixed,
+       CAST(FLOOR(1000000.0
+                  * EXP(-(CAST(neg_ln_s_fixed AS DOUBLE) / 1000000.0)))
+            AS BIGINT) AS survival_ppm
+FROM cum ORDER BY t_days
+"""

@@ -4217,6 +4217,418 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TRAIN_MERGES = 6
+
+
+@query("bpe_train_merges")
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L49: BPE tokenizer TRAINING (6 merge iterations) — the full
+    iterative Sennrich loop, not just the first-round statistic (L35):
+    count adjacent symbol pairs over the word-frequency table, merge
+    the argmax pair everywhere (left-to-right non-overlapping), repeat.
+    Returns the learned merge table in priority order — the artifact a
+    tokenizer ships.
+
+    Hash-matched ITERATIVE training: counts are exact integers, ties
+    break on the pair itself, and the DuckDB oracle unrolls the
+    identical recurrence as chained CTEs (argmax-in-SQL per round) —
+    same contract as PageRank (R57). No driver collect: the argmax is
+    a 1-row LIMIT broadcast cross-joined onto the vocabulary
+    (operators/bpe.py, checkpointed per round).
+
+    Scale: the corpus-keyed shuffle happens ONCE (word counts);
+    every merge round is vocabulary-sized string work + an
+    |symbols|²-key aggregate.
+    """
+    from dimagi_data_platform_spark.operators.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens("text")).alias("w"))
+    wf = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("w") >= 2)
+    )
+    return bpe_train(wf, BPE_TRAIN_MERGES)
+
+
+@query("hybrid_search_rrf")
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L50: hybrid retrieval — BM25 (terms 'spark data table') fused
+    with vector search (query embedding vec_id=0) by reciprocal-rank
+    fusion, the standard RAG retrieval pattern. RRF score is computed
+    in integer fixed-point (1e12 DIV (60+rank), the k=60 convention),
+    so fusion is bitwise exact; rank 0 encodes "not in that top-k"
+    (COALESCE, not NULL — NULLable ints round-trip pandas as float64
+    and would re-open the r3 dtype artifact).
+
+    Scale: both legs are the existing bounded plans (BM25's term-
+    filtered scan; brute-force kNN's broadcast-query streaming kernel
+    — swap in knn_ivf for corpus-scale serving); fusion itself is a
+    20-row full-outer join.
+    """
+    b = bm25_search(spark, sf_dir)
+    wb = Window.orderBy(F.desc("score"), "doc_id")
+    brank = b.select(
+        "doc_id", F.row_number().over(wb).cast("long").alias("text_rank")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    v = knn_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=20)
+    vrank = v.select(
+        F.col("neighbor_id").cast("long").alias("doc_id"),
+        F.col("rank").cast("long").alias("vec_rank"),
+    )
+    fused = brank.join(vrank, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("text_rank", F.lit(0)).cast("long").alias("text_rank"),
+        F.coalesce("vec_rank", F.lit(0)).cast("long").alias("vec_rank"),
+    )
+    rrf = (
+        F.when(
+            F.col("text_rank") > 0,
+            F.expr("1000000000000 DIV (60 + text_rank)"),
+        ).otherwise(F.lit(0))
+        + F.when(
+            F.col("vec_rank") > 0,
+            F.expr("1000000000000 DIV (60 + vec_rank)"),
+        ).otherwise(F.lit(0))
+    ).cast("long")
+    return fused.select(
+        "doc_id", "text_rank", "vec_rank", rrf.alias("rrf_fixed")
+    ).orderBy(F.desc("rrf_fixed"), "doc_id")
+
+
+@query("item_item_cosine")
+def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R59: item-item collaborative-filtering neighbors — cosine
+    similarity of parts over the order-basket incidence matrix:
+    cos(i,j) = |orders with both| / sqrt(|orders with i|·|orders with
+    j|). The classic co-occurrence recommender (Sarwar et al. 2001),
+    exact: integer counts, ONE final sqrt+division. Top-30 pairs.
+
+    Scale: pair fan-out is bounded by order size (same bound as R52);
+    the two degree joins shuffle on partkey (AQE broadcasts the
+    part-sized degree table when it fits); top-k is TakeOrdered.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    lp = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    deg = lp.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n_ord"))
+    a = lp.select("ok", F.col("p").alias("i"))
+    bb = lp.select("ok", F.col("p").alias("j"))
+    pairs = (
+        a.join(bb, "ok")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    out = (
+        pairs.join(
+            deg.select(F.col("p").alias("i"), F.col("n_ord").alias("n_i")), "i"
+        )
+        .join(
+            deg.select(F.col("p").alias("j"), F.col("n_ord").alias("n_j")), "j"
+        )
+        .withColumn(
+            "cosine",
+            F.col("n_both").cast("double")
+            / F.sqrt((F.col("n_i") * F.col("n_j")).cast("double")),
+        )
+    )
+    return (
+        out.select("i", "j", "n_both", "n_i", "n_j", "cosine")
+        .orderBy(F.desc("cosine"), "i", "j")
+        .limit(30)
+    )
+
+
+@query("customer_rfm")
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P43: RFM segmentation — every customer scored into quartiles of
+    recency (days since last order, ascending: quartile 1 = most
+    recent), frequency (#orders), and monetary (cent-exact spend),
+    then the 4×4×4 cell table with counts and spend. The classic
+    CRM/marketing segmentation.
+
+    Scale: quartiles need a GLOBAL rank per metric — computed with the
+    distributed frozen-boundary range rank (operators/linkage.py),
+    never a single-task NTILE window; the bucket formula
+    1 + (rank-1)*4 DIV n is mirrored verbatim in the oracle (NTILE's
+    remainder-to-front semantics differ). Three ranked passes over the
+    customer-grain aggregate, then a ≤64-key rollup.
+    """
+    from dimagi_data_platform_spark.operators.linkage import global_row_number
+
+    orders = _t(spark, sf_dir, "orders")
+    horizon = orders.agg(F.max(F.to_date("o_orderdate")).alias("h"))
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_d"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .withColumn("recency_days", F.datediff("h", "last_d").cast("long"))
+    )
+    r1 = global_row_number(per, ["recency_days", "o_custkey"], out_col="rr")
+    r2 = global_row_number(r1, ["n_orders", "o_custkey"], out_col="rf")
+    r3 = global_row_number(r2, ["cents", "o_custkey"], out_col="rm")
+    tot = per.agg(F.count(F.lit(1)).alias("n_total"))
+
+    def quart(rank_col: str):
+        return (
+            F.lit(1) + F.expr(f"(({rank_col} - 1) * 4) DIV n_total")
+        ).cast("long")
+
+    cells = r3.crossJoin(F.broadcast(tot)).select(
+        quart("rr").alias("r_q"),
+        quart("rf").alias("f_q"),
+        quart("rm").alias("m_q"),
+        "cents",
+    )
+    return (
+        cells.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            (F.sum("cents").cast("long").cast("double") / F.lit(100.0)).alias(
+                "total_spend"
+            ),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+@query("top_session_paths")
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P44: session path mining — the most common event-type sequences
+    across 30-min-gap sessions (the funnel-discovery complement of the
+    fixed-order funnels P6/P34: here the paths come FROM the data).
+
+    Determinism: the path string is built from an array_sort over
+    (ts, event_id, event_type) structs — a total order — so
+    collect_list's nondeterministic arrival order never shows.
+    Scale: one shuffle on user_id (sessionize) + one path-keyed
+    aggregate; top-k is TakeOrdered.
+    """
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800, tie_break="event_id")
+    paths = s.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+@query("table_profile")
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P45: data-profiling summary — per column of ``orders``: row
+    count, null count, distinct count, min/max. The first query a
+    data platform runs against a new table (complements the
+    expectation-style dq_checks P19 with discovery instead of
+    assertions).
+
+    One pass: columns are stacked to (col_name, val) rows — a single
+    scan feeding a 6-key aggregate — instead of 6 per-column scans.
+    Values are rendered as sortable strings (numerics zero-padded, so
+    lexicographic min/max = numeric min/max; money in exact cents).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        F.lpad(F.col("o_orderkey").cast("string"), 18, "0").alias("v_ok"),
+        F.lpad(F.col("o_custkey").cast("string"), 18, "0").alias("v_ck"),
+        F.col("o_orderstatus").alias("v_st"),
+        F.col("o_orderpriority").alias("v_pr"),
+        F.lpad(
+            F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            18,
+            "0",
+        ).alias("v_tp"),
+        F.to_date("o_orderdate").cast("string").alias("v_od"),
+    )
+    st = o.select(
+        F.expr(
+            "stack(6,"
+            " 'o_orderkey', v_ok,"
+            " 'o_custkey', v_ck,"
+            " 'o_orderstatus', v_st,"
+            " 'o_orderpriority', v_pr,"
+            " 'o_totalprice_cents', v_tp,"
+            " 'o_orderdate', v_od) AS (col_name, val)"
+        )
+    )
+    return (
+        st.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("val")).cast("long").alias("n_nulls"),
+            F.countDistinct("val").cast("long").alias("n_distinct"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+        .orderBy("col_name")
+    )
+
+
+@query("daily_lag_corr")
+def daily_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R60: lagged cross-correlation — corr(clicks(d), purchases(d+L))
+    for lags L = 0..7 days, the lead-lag discovery behind attribution
+    windows and marketing-mix timing (generalizes the co-moving R53
+    window to explicit lags).
+
+    Determinism: same contract as R53 — the five moment sums are exact
+    integers; corr is the closed-form IEEE division+sqrt chain.
+    Scale: one shuffle to the daily grain; the 8-lag self-join runs on
+    the day-grain series (metadata scale) with the lag table broadcast.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.unix_date(F.to_date("ts")).alias("day_num")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    lags = spark.range(0, 8).select(F.col("id").cast("long").alias("lag_days"))
+    a = daily.select("day_num", "x")
+    b = daily.select(F.col("day_num").alias("day2"), "y")
+    j = a.crossJoin(F.broadcast(lags)).join(
+        b, F.col("day2") == F.col("day_num") + F.col("lag_days")
+    )
+    agg = j.groupBy("lag_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    denx = (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    deny = (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    corr = num / F.sqrt(denx * deny)
+    return (
+        agg.select(
+            "lag_days",
+            "n_days",
+            F.when((denx > 0) & (deny > 0), corr).alias("corr_lag"),
+        )
+        .orderBy("lag_days")
+    )
+
+
+@query("customer_survival_km")
+def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P46: Kaplan–Meier survival curve of customer lifetime — per
+    event time t (days from first to last order of churned customers):
+    the at-risk count, events, and the product-limit survival
+    estimate. Churn = no order in the final 90 days before the data
+    horizon; later-censored customers leave the risk set without an
+    event — the standard retention-analytics estimator.
+
+    Determinism: the survival PRODUCT goes through the fixed-point ln
+    table — hazard_fixed = floor(-1e6·ln((n-d)/n)) per step (exact
+    integer), the cumulative sum is exact, and survival_ppm =
+    floor(1e6·exp(-Σ/1e6)) re-quantizes the one exp. Scale: the
+    at-risk prefix sum runs over the per-duration aggregate (≤ #days
+    in the date span — bounded metadata cardinality, same contract as
+    R53's daily window), never the customer table.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    horizon = orders.agg(F.max(F.to_date("o_orderdate")).alias("h"))
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min(F.to_date("o_orderdate")).alias("first_d"),
+            F.max(F.to_date("o_orderdate")).alias("last_d"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("last_d", "first_d").cast("long").alias("t_days"),
+            F.when(F.datediff("h", "last_d") > 90, 1)
+            .otherwise(0)
+            .alias("is_event"),
+        )
+    )
+    byd = per.groupBy("t_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("is_event").cast("long").alias("n_events"),
+    )
+    tot = per.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    w_prev = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = byd.crossJoin(F.broadcast(tot)).withColumn(
+        "n_at_risk",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("n_all").over(w_prev), F.lit(0))
+        ).cast("long"),
+    )
+    ev_rows = risk.filter(
+        (F.col("n_events") > 0) & (F.col("n_at_risk") > F.col("n_events"))
+    ).withColumn(
+        "hazard_fixed",
+        F.floor(
+            F.log(
+                (F.col("n_at_risk") - F.col("n_events")).cast("double")
+                / F.col("n_at_risk").cast("double")
+            )
+            * F.lit(-1000000.0)
+        ).cast("long"),
+    )
+    w_cum = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev_rows.withColumn(
+            "neg_ln_s_fixed",
+            F.sum("hazard_fixed").over(w_cum).cast("long"),
+        )
+        .withColumn(
+            "survival_ppm",
+            F.floor(
+                F.lit(1000000.0)
+                * F.exp(
+                    -(F.col("neg_ln_s_fixed").cast("double") / F.lit(1000000.0))
+                )
+            ).cast("long"),
+        )
+        .select(
+            "t_days",
+            "n_at_risk",
+            "n_events",
+            "hazard_fixed",
+            "neg_ln_s_fixed",
+            "survival_ppm",
+        )
+        .orderBy("t_days")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
@@ -4271,6 +4683,14 @@ _SAMPLE_FIRST = [
     "near_dup_eval",
     "customer_spend_gini",
     "weighted_doc_sample",
+    "bpe_train_merges",
+    "hybrid_search_rrf",
+    "item_item_cosine",
+    "customer_rfm",
+    "top_session_paths",
+    "table_profile",
+    "daily_lag_corr",
+    "customer_survival_km",
     # (5) regression picks: r1 greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
