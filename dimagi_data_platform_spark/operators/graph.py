@@ -105,3 +105,48 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source: DataFrame,
+    n_rounds: int,
+) -> DataFrame:
+    """Unweighted shortest-path distances from ``source`` vertices via
+    ``n_rounds`` of frontier relaxation — the BFS/SSSP building block
+    (friend-of-friend radius, blast-radius analysis on the co-purchase
+    graph). Returns (id, dist) for every vertex reached within
+    ``n_rounds`` hops.
+
+    Spark-first shape (same loop contract as pagerank/components):
+    - per round, only the NEW frontier (vertices first reached last
+      round) joins the edge list — relaxation work is proportional to
+      the frontier's out-degree sum, not the reached set;
+    - one shuffle join + one groupBy(min) per round, both map-side
+      combinable; reached set localCheckpointed per round;
+    - distances are exact integers — bitwise deterministic, so the
+      oracle can unroll the identical min-relaxation recurrence.
+
+    ``edges`` is the DIRECTED edge list (src, dst); pass both
+    directions for undirected graphs. ``source`` must have column
+    ``id`` (dist 0 seeds).
+    """
+    edges = edges.select("src", "dst").localCheckpoint()
+    reached = source.select("id", F.lit(0).cast("long").alias("dist")).localCheckpoint()
+    frontier = reached
+    for _ in range(n_rounds):
+        if not frontier.head(1):
+            break
+        cand = (
+            edges.join(
+                frontier.withColumnRenamed("id", "src"), "src"
+            )
+            .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("id")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+        frontier = cand.join(
+            reached.select("id"), "id", "left_anti"
+        ).localCheckpoint()
+        reached = reached.unionAll(frontier).localCheckpoint()
+    return reached

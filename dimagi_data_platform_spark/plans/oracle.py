@@ -2820,3 +2820,101 @@ SELECT t_days, n_at_risk, n_events, hazard_fixed, neg_ln_s_fixed,
             AS BIGINT) AS survival_ppm
 FROM cum ORDER BY t_days
 """
+
+_TRI_CTES = """lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT p, COUNT(*) AS deg
+  FROM (SELECT u AS p FROM e UNION ALL SELECT v AS p FROM e)
+  GROUP BY p),
+d AS (
+  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS src,
+         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS dst,
+         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN dv.deg ELSE du.deg END AS ddst
+  FROM e
+  JOIN deg du ON du.p = e.u
+  JOIN deg dv ON dv.p = e.v),
+tri AS (
+  SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+  FROM d w1
+  JOIN d w2 ON w1.src = w2.src AND (w1.ddst, w1.dst) < (w2.ddst, w2.dst)
+  JOIN d e3 ON e3.src = w1.dst AND e3.dst = w2.dst),
+corners AS (
+  SELECT a AS p FROM tri
+  UNION ALL SELECT b AS p FROM tri
+  UNION ALL SELECT c AS p FROM tri)"""
+
+ORACLE["copurchase_clustering"] = f"""
+WITH {_TRI_CTES},
+tc AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_triangles
+       FROM corners GROUP BY p)
+SELECT deg.p AS p_partkey,
+       CAST(deg.deg AS BIGINT) AS degree,
+       CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(COALESCE(tc.n_triangles, 0) * 2 AS DOUBLE)
+         / CAST(deg.deg * (deg.deg - 1) AS DOUBLE) AS clustering_coeff
+FROM deg LEFT JOIN tc ON tc.p = deg.p
+WHERE deg.deg >= 2
+ORDER BY clustering_coeff DESC, p_partkey LIMIT 20
+"""
+
+
+def _bfs_sql(n_rounds: int) -> str:
+    """Unrolled BFS min-relaxation over the co-purchase graph — the
+    SQL twin of operators/graph.bfs_distances (frontier-only
+    relaxation computes the same distances as the naive recurrence on
+    a unit-weight graph)."""
+    ctes = [
+        """lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""",
+        """e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""",
+        """e AS (
+  SELECT u AS src, v AS dst FROM e0
+  UNION ALL SELECT v AS src, u AS dst FROM e0)""",
+        """d0 AS (SELECT MIN(src) AS id, CAST(0 AS BIGINT) AS dist FROM e)""",
+    ]
+    for k in range(1, n_rounds + 1):
+        ctes.append(
+            f"""d{k} AS (
+  SELECT id, CAST(MIN(dist) AS BIGINT) AS dist
+  FROM (
+    SELECT id, dist FROM d{k - 1}
+    UNION ALL
+    SELECT e.dst AS id, d.dist + 1 AS dist
+    FROM e JOIN d{k - 1} d ON d.id = e.src)
+  GROUP BY id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM d{n_rounds} GROUP BY dist ORDER BY dist"""
+    )
+
+
+ORACLE["copurchase_bfs_hops"] = _bfs_sql(6)
+
+ORACLE["segment_priority_chi2"] = """
+WITH obs AS (
+  SELECT c_mktsegment, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, o_orderpriority),
+cells AS (
+  SELECT c_mktsegment, o_orderpriority, n_obs,
+         CAST(SUM(n_obs) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS rt,
+         CAST(SUM(n_obs) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS ct,
+         CAST(SUM(n_obs) OVER () AS BIGINT) AS n
+  FROM obs)
+SELECT c_mktsegment, o_orderpriority, n_obs,
+       CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+       (CAST(n_obs * n - rt * ct AS DOUBLE)
+        * CAST(n_obs * n - rt * ct AS DOUBLE))
+         / (CAST(rt * ct AS DOUBLE) * CAST(n AS DOUBLE)) AS chi2_contrib
+FROM cells ORDER BY c_mktsegment, o_orderpriority
+"""

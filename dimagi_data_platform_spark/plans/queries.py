@@ -3593,21 +3593,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("co_purchase_triangles")
-def co_purchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R56: triangle counting on the co-purchase graph — parts that
-    appear in the same order are edges; a triangle is three parts that
-    pairwise co-occur. The graph-analytics staple for community
-    density / recommendation strength; output is the top-20 parts by
-    triangle participation.
-
-    Scale: the standard degree-ordered orientation (each edge directed
-    from its lower-(degree, id) endpoint) bounds wedge generation by
-    Σ outdeg² = O(m^1.5) instead of Σ deg² — hub vertices never fan
-    out. Edge build is an order-local self-join (per-order fan-out
-    ≤ order_size²); the degree table is part-cardinality-sized and
-    broadcast; wedge + closing joins shuffle on vertex/edge keys only.
-    """
+def _copurchase_tri(spark: SparkSession, sf_dir: str):
+    """Shared triangle machinery for R56/R61: returns (deg, corners) —
+    the undirected co-purchase degree table and the per-triangle corner
+    stream (three rows per triangle). See co_purchase_triangles for the
+    scale analysis of each join."""
     lp = (
         _t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
@@ -3667,10 +3657,61 @@ def co_purchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("b").alias("p")))
         .unionAll(tri.select(F.col("c").alias("p")))
     )
+    return deg, corners
+
+
+@query("co_purchase_triangles")
+def co_purchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R56: triangle counting on the co-purchase graph — parts that
+    appear in the same order are edges; a triangle is three parts that
+    pairwise co-occur. The graph-analytics staple for community
+    density / recommendation strength; output is the top-20 parts by
+    triangle participation.
+
+    Scale: the standard degree-ordered orientation (each edge directed
+    from its lower-(degree, id) endpoint) bounds wedge generation by
+    Σ outdeg² = O(m^1.5) instead of Σ deg² — hub vertices never fan
+    out. Edge build is an order-local self-join (per-order fan-out
+    ≤ order_size²); the degree table is part-cardinality-sized and
+    broadcast; wedge + closing joins shuffle on vertex/edge keys only.
+    """
+    _deg, corners = _copurchase_tri(spark, sf_dir)
     return (
         corners.groupBy(F.col("p").alias("p_partkey"))
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .orderBy(F.desc("n_triangles"), "p_partkey")
+        .limit(20)
+    )
+
+
+@query("copurchase_clustering")
+def copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R61: local clustering coefficient — per part, 2·T/(deg·(deg-1)):
+    how close its co-purchase neighborhood is to a clique (the
+    community-density signal behind bundle detection). Exact integer
+    triangle and degree counts, ONE final IEEE division per part;
+    top-20 by coefficient among parts of degree ≥ 2, ties on partkey.
+
+    Scale: reuses the degree-ordered triangle machinery (R56, Σ outdeg²
+    wedge bound); the coefficient join is part-cardinality-sized.
+    """
+    deg, corners = _copurchase_tri(spark, sf_dir)
+    tcount = corners.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tcount, "p", "left")
+        .select(
+            F.col("p").alias("p_partkey"),
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            (
+                (F.coalesce("n_triangles", F.lit(0)) * 2).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double")
+            ).alias("clustering_coeff"),
+        )
+        .orderBy(F.desc("clustering_coeff"), "p_partkey")
         .limit(20)
     )
 
@@ -4629,6 +4670,107 @@ def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BFS_ROUNDS = 6
+
+
+@query("copurchase_bfs_hops")
+def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R62: BFS hop-distance profile — unweighted shortest-path
+    distances from the minimum-key part over the co-purchase graph,
+    6 relaxation rounds, reported as the (distance → #parts reached)
+    histogram. The reachability/blast-radius primitive; with PageRank
+    (R57) and BPE training (L49) the third hash-matched ITERATIVE
+    algorithm: distances are exact integers and the oracle unrolls the
+    identical min-relaxation recurrence.
+
+    Scale: operators/graph.bfs_distances relaxes only the NEW frontier
+    each round (work ∝ frontier out-degree, not reached set), one
+    shuffle join + min-aggregate per round, reached set checkpointed.
+    The source is a 1-row broadcast — no driver collect.
+    """
+    from dimagi_data_platform_spark.operators.graph import bfs_distances
+
+    lp = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pa = lp.select("ok", F.col("p").alias("u"))
+    pb = lp.select("ok", F.col("p").alias("v"))
+    e0 = (
+        pa.join(pb, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    edges = e0.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(e0.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    source = edges.agg(F.min("src").alias("id"))
+    dists = bfs_distances(edges, source, n_rounds=BFS_ROUNDS)
+    return (
+        dists.groupBy("dist")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .orderBy("dist")
+    )
+
+
+@query("segment_priority_chi2")
+def segment_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P47: chi-square test of independence — the market-segment ×
+    order-priority contingency table with expected counts and per-cell
+    χ² contributions (the categorical-association complement of the
+    two-proportion z-test P30).
+
+    Determinism: observed/marginal counts are exact integers;
+    expected = (rt·ct)/N and the contribution
+    (O·N - rt·ct)²/(rt·ct·N) are a fixed IEEE chain over exactly
+    representable integers (every int operand < 2^53 before its cast).
+    Scale: one shuffle to the ≤ 5×5 cell grid (map-side combine);
+    marginals are windows over the 25-row cell table.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    obs = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    w_r = Window.partitionBy("c_mktsegment")
+    w_c = Window.partitionBy("o_orderpriority")
+    w_all = Window.partitionBy()
+    cells = obs.select(
+        "c_mktsegment",
+        "o_orderpriority",
+        "n_obs",
+        F.sum("n_obs").over(w_r).cast("long").alias("rt"),
+        F.sum("n_obs").over(w_c).cast("long").alias("ct"),
+        F.sum("n_obs").over(w_all).cast("long").alias("n"),
+    )
+    num = (F.col("n_obs") * F.col("n") - F.col("rt") * F.col("ct")).cast(
+        "double"
+    )
+    return (
+        cells.select(
+            "c_mktsegment",
+            "o_orderpriority",
+            "n_obs",
+            (
+                (F.col("rt") * F.col("ct")).cast("double")
+                / F.col("n").cast("double")
+            ).alias("expected"),
+            (
+                (num * num)
+                / (
+                    (F.col("rt") * F.col("ct")).cast("double")
+                    * F.col("n").cast("double")
+                )
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("c_mktsegment", "o_orderpriority")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
@@ -4691,6 +4833,9 @@ _SAMPLE_FIRST = [
     "table_profile",
     "daily_lag_corr",
     "customer_survival_km",
+    "copurchase_clustering",
+    "copurchase_bfs_hops",
+    "segment_priority_chi2",
     # (5) regression picks: r1 greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",

@@ -279,3 +279,44 @@ def test_pagerank_deterministic_across_partitionings(spark):
     g1 = sorted((r.id, r.r) for r in pagerank(v, e1, n_iter=8).collect())
     g2 = sorted((r.id, r.r) for r in pagerank(v.repartition(3), e2, n_iter=8).collect())
     assert g1 == g2  # bitwise: integer sums are order-independent
+
+
+# ---- BFS distances --------------------------------------------------------
+
+
+def _undirect(spark, pairs):
+    e = spark.createDataFrame(pairs, ["src", "dst"])
+    return e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def test_bfs_chain_distances(spark):
+    """0-1-2-...-9 chain from source 0: dist(v) = v, truncated at the
+    round budget (multi-round coverage the dense co-purchase graph
+    never exercises)."""
+    from dimagi_data_platform_spark.operators.graph import bfs_distances
+
+    edges = _undirect(spark, [(i, i + 1) for i in range(9)])
+    src = spark.createDataFrame([(0,)], ["id"])
+    got = {r["id"]: r["dist"] for r in bfs_distances(edges, src, 6).collect()}
+    assert got == {i: i for i in range(7)}  # 8, 9 beyond 6 rounds
+
+
+def test_bfs_shortcut_takes_min(spark):
+    """Diamond with a long path and a shortcut: BFS must keep the min."""
+    from dimagi_data_platform_spark.operators.graph import bfs_distances
+
+    edges = _undirect(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (0, 4)])
+    src = spark.createDataFrame([(0,)], ["id"])
+    got = {r["id"]: r["dist"] for r in bfs_distances(edges, src, 6).collect()}
+    assert got == {0: 0, 1: 1, 4: 1, 2: 2, 3: 2}
+
+
+def test_bfs_early_exhaustion(spark):
+    """Disconnected component never reached; loop stops when the
+    frontier empties (no wasted rounds, unreached ids absent)."""
+    from dimagi_data_platform_spark.operators.graph import bfs_distances
+
+    edges = _undirect(spark, [(0, 1), (5, 6)])
+    src = spark.createDataFrame([(0,)], ["id"])
+    got = {r["id"]: r["dist"] for r in bfs_distances(edges, src, 6).collect()}
+    assert got == {0: 0, 1: 1}
