@@ -62,6 +62,13 @@ HEADLINE = [
     "dsir_importance_weights",
     "co_purchase_triangles",
     "part_pagerank",
+    # round-4 late additions: iterative BPE training, hybrid RRF
+    # retrieval, basket recommender, distributed-rank RFM, BFS
+    "bpe_train_merges",
+    "hybrid_search_rrf",
+    "item_item_cosine",
+    "customer_rfm",
+    "copurchase_bfs_hops",
 ]
 
 

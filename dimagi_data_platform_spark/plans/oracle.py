@@ -2918,3 +2918,115 @@ SELECT c_mktsegment, o_orderpriority, n_obs,
          / (CAST(rt * ct AS DOUBLE) * CAST(n AS DOUBLE)) AS chi2_contrib
 FROM cells ORDER BY c_mktsegment, o_orderpriority
 """
+
+ORACLE["dow_adjusted_anomalies"] = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1),
+d2 AS (SELECT *, CAST(day_num % 7 AS BIGINT) AS dow FROM daily),
+base AS (
+  SELECT day_num, dow, n_events,
+         CAST(COALESCE(COUNT(*) OVER w, 0) AS BIGINT) AS n_prior,
+         CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS sum_prior
+  FROM d2
+  WINDOW w AS (PARTITION BY dow ORDER BY day_num
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT CAST(day_num AS BIGINT) AS day_num, dow, n_events, n_prior,
+       CAST(sum_prior AS DOUBLE) / CAST(n_prior AS DOUBLE) AS expected,
+       CAST(n_events * n_prior AS DOUBLE) / CAST(sum_prior AS DOUBLE) AS ratio,
+       (2 * n_events * n_prior > 3 * sum_prior
+        OR 3 * n_events * n_prior < 2 * sum_prior) AS is_anomaly
+FROM base WHERE n_prior >= 2 ORDER BY day_num
+"""
+
+ORACLE["dayk_retention"] = """
+WITH acts AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+  FROM events),
+firsts AS (SELECT user_id, MIN(day_num) AS d0 FROM acts GROUP BY user_id),
+maxd AS (SELECT MAX(day_num) AS max_day FROM acts),
+ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES (1), (7), (14)) t(k)),
+eligible AS (
+  SELECT f.user_id, f.d0, ks.k
+  FROM firsts f CROSS JOIN ks CROSS JOIN maxd
+  WHERE f.d0 + ks.k <= maxd.max_day),
+j AS (
+  SELECT e.k, a.user_id AS u2
+  FROM eligible e
+  LEFT JOIN acts a
+    ON a.user_id = e.user_id AND a.day_num = e.d0 + e.k)
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n_eligible,
+       CAST(COUNT(u2) AS BIGINT) AS n_retained,
+       CAST(COUNT(u2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS retention_rate
+FROM j GROUP BY k ORDER BY k
+"""
+
+ORACLE["join_key_profile"] = """
+WITH fk AS (
+  SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM orders GROUP BY o_custkey),
+dk AS (SELECT c_custkey AS key, 1 AS in_dim FROM customer),
+j AS (
+  SELECT COALESCE(fk.key, dk.key) AS key, fk.n_rows, dk.in_dim
+  FROM fk FULL OUTER JOIN dk ON fk.key = dk.key)
+SELECT CAST(SUM(n_rows) AS BIGINT) AS n_fact_rows,
+       CAST(COUNT(n_rows) AS BIGINT) AS n_fact_keys,
+       CAST(SUM(CASE WHEN in_dim IS NULL THEN n_rows ELSE 0 END) AS BIGINT)
+         AS n_orphan_fact_rows,
+       CAST(COUNT(in_dim) AS BIGINT) AS n_dim_keys,
+       CAST(SUM(CASE WHEN in_dim IS NOT NULL AND n_rows IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_unreferenced,
+       CAST(MAX(CASE WHEN in_dim IS NOT NULL THEN n_rows END) AS BIGINT)
+         AS max_fanout,
+       CAST(CAST(SUM(n_rows) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(COUNT(in_dim) AS BIGINT) AS DOUBLE) AS avg_fanout
+FROM j
+"""
+
+ORACLE["funnel_time_to_convert"] = """
+WITH t0 AS (
+  SELECT user_id, MIN(ts) AS t0
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+conv AS (
+  SELECT t0.user_id,
+         CAST(date_diff('microsecond', t0.t0, MIN(e.ts)) // 1000000
+              AS BIGINT) AS delay_s
+  FROM t0
+  JOIN events e ON e.user_id = t0.user_id
+    AND e.event_type = 'purchase' AND e.ts >= t0.t0
+  GROUP BY t0.user_id, t0.t0),
+ranked AS (
+  SELECT delay_s,
+         ROW_NUMBER() OVER (ORDER BY delay_s, user_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM conv)
+SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+       MIN(delay_s) AS min_delay_s,
+       MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN delay_s END)
+         AS p25_s,
+       MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN delay_s END)
+         AS p50_s,
+       MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN delay_s END)
+         AS p75_s,
+       MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN delay_s END)
+         AS p90_s,
+       MAX(delay_s) AS max_delay_s
+FROM ranked
+"""
+
+ORACLE["embedding_label_centroids"] = """
+WITH cells AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS xq
+  FROM embeddings)
+SELECT label, dim,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(xq) AS BIGINT) AS sum_fixed,
+       CAST(CAST(SUM(xq) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(*) * 1000000 AS DOUBLE) AS mean_val
+FROM cells GROUP BY label, dim ORDER BY label, dim
+"""

@@ -4771,6 +4771,235 @@ def segment_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dow_adjusted_anomalies")
+def dow_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P48: seasonality-adjusted anomaly detection — each day's event
+    count vs the mean of all PRIOR same-weekday days (weekly
+    seasonality is the dominant signal daily z-scores (P35) mistake
+    for anomalies). Exact arithmetic: expected is a rational
+    (sum/count) and the anomaly flag compares cross-multiplied
+    integers (2·n·cnt vs 3·sum), so no float enters the decision;
+    ratio/expected are final IEEE renderings.
+
+    Scale: one shuffle to the daily grain; the per-weekday window runs
+    over day-count rows (metadata scale). dow = epoch-day mod 7 —
+    engine-portable (DAYOFWEEK anchors differ across engines).
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.unix_date(F.to_date("ts")).alias("day_num")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    daily = daily.withColumn("dow", F.pmod(F.col("day_num"), F.lit(7)).cast("long"))
+    w = (
+        Window.partitionBy("dow")
+        .orderBy("day_num")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = daily.select(
+        "day_num",
+        "dow",
+        "n_events",
+        F.coalesce(F.count(F.lit(1)).over(w), F.lit(0)).cast("long").alias("n_prior"),
+        F.coalesce(F.sum("n_events").over(w), F.lit(0)).cast("long").alias("sum_prior"),
+    ).filter(F.col("n_prior") >= 2)
+    return base.select(
+        "day_num",
+        "dow",
+        "n_events",
+        "n_prior",
+        (F.col("sum_prior").cast("double") / F.col("n_prior").cast("double")).alias(
+            "expected"
+        ),
+        (
+            (F.col("n_events") * F.col("n_prior")).cast("double")
+            / F.col("sum_prior").cast("double")
+        ).alias("ratio"),
+        (
+            (2 * F.col("n_events") * F.col("n_prior") > 3 * F.col("sum_prior"))
+            | (3 * F.col("n_events") * F.col("n_prior") < 2 * F.col("sum_prior"))
+        ).alias("is_anomaly"),
+    ).orderBy("day_num")
+
+
+@query("dayk_retention")
+def dayk_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P49: day-k retention curve — of users first seen on day d0 (and
+    whose day d0+k falls inside the data window), the share active
+    exactly on day d0+k, for k ∈ {1, 7, 14}. The canonical
+    consumer-analytics retention metric; complements the monthly
+    cohort matrix (P5) at daily grain.
+
+    Scale: firsts and the activity set are one user-keyed shuffle
+    each; the k-expansion is a 3-row broadcast; retention probe is a
+    (user, day) equi-join on the DISTINCT activity set.
+    """
+    ev = _t(spark, sf_dir, "events")
+    acts = ev.select(
+        "user_id", F.unix_date(F.to_date("ts")).alias("day_num")
+    ).distinct()
+    firsts = acts.groupBy("user_id").agg(F.min("day_num").alias("d0"))
+    maxd = acts.agg(F.max("day_num").alias("max_day"))
+    ks = spark.createDataFrame([(1,), (7,), (14,)], ["k"]).select(
+        F.col("k").cast("long").alias("k")
+    )
+    eligible = (
+        firsts.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(maxd))
+        .filter(F.col("d0") + F.col("k") <= F.col("max_day"))
+    )
+    probe = acts.select(
+        F.col("user_id").alias("u2"), F.col("day_num").alias("dk")
+    )
+    joined = eligible.join(
+        probe,
+        (F.col("user_id") == F.col("u2"))
+        & (F.col("dk") == F.col("d0") + F.col("k")),
+        "left",
+    )
+    return (
+        joined.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eligible"),
+            F.count("u2").cast("long").alias("n_retained"),
+        )
+        .withColumn(
+            "retention_rate",
+            F.col("n_retained").cast("double") / F.col("n_eligible").cast("double"),
+        )
+        .orderBy("k")
+    )
+
+
+@query("join_key_profile")
+def join_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P50: join-key / foreign-key profiling of orders.o_custkey →
+    customer.c_custkey: orphan fact rows, unreferenced dimension keys,
+    and the fan-out distribution — the diagnosis a platform runs
+    before trusting (or choosing a strategy for) a join. Complements
+    dq_checks (P19, assertion-style) with discovery.
+
+    Scale: one key-grain aggregate per side + one outer join on the
+    key; every output is an exact count (one final IEEE division for
+    the mean fan-out).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    fk = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    dk = cust.select(F.col("c_custkey").alias("key"), F.lit(1).alias("in_dim"))
+    j = fk.join(dk, "key", "full_outer")
+    return j.agg(
+        F.sum("n_rows").cast("long").alias("n_fact_rows"),
+        F.count("n_rows").cast("long").alias("n_fact_keys"),
+        F.sum(F.when(F.col("in_dim").isNull(), F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("n_orphan_fact_rows"),
+        F.count("in_dim").cast("long").alias("n_dim_keys"),
+        F.sum(
+            F.when(F.col("in_dim").isNotNull() & F.col("n_rows").isNull(), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_dim_unreferenced"),
+        F.max(F.when(F.col("in_dim").isNotNull(), F.col("n_rows"))).cast("long").alias(
+            "max_fanout"
+        ),
+    ).withColumn(
+        "avg_fanout",
+        F.col("n_fact_rows").cast("double") / F.col("n_dim_keys").cast("double"),
+    )
+
+
+@query("funnel_time_to_convert")
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P51: funnel latency — seconds from a user's first signup to
+    their first subsequent purchase, summarized as exact discrete
+    quantiles (rank-at-ceil, the R14 contract) over the converted-user
+    population. The "how fast do funnels convert" companion to the
+    conversion-rate funnels (P6/P34).
+
+    Scale: the quantile rank is the DISTRIBUTED frozen-boundary rank
+    (operators/linkage.py), never a single-task window over all
+    converted users; delays are exact integer seconds.
+    """
+    from dimagi_data_platform_spark.operators.linkage import global_row_number
+
+    ev = _t(spark, sf_dir, "events")
+    t0 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("tp")
+    )
+    conv = (
+        t0.join(pur, (F.col("user_id") == F.col("u2")) & (F.col("tp") >= F.col("t0")))
+        .groupBy("user_id", "t0")
+        .agg(F.min("tp").alias("t1"))
+        .select(
+            "user_id",
+            F.expr("(unix_micros(t1) - unix_micros(t0)) DIV 1000000")
+            .cast("long")
+            .alias("delay_s"),
+        )
+    )
+    ranked = global_row_number(conv, ["delay_s", "user_id"], out_col="rn")
+    tot = conv.agg(F.count(F.lit(1)).alias("n"))
+    ranked = ranked.crossJoin(F.broadcast(tot))
+
+    def pick(p: float):
+        pos = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return F.max(F.when(F.col("rn") == pos, F.col("delay_s")))
+
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.min("delay_s").alias("min_delay_s"),
+        pick(0.25).alias("p25_s"),
+        pick(0.5).alias("p50_s"),
+        pick(0.75).alias("p75_s"),
+        pick(0.9).alias("p90_s"),
+        F.max("delay_s").alias("max_delay_s"),
+    )
+
+
+@query("embedding_label_centroids")
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L51: per-label embedding centroids — the per-class mean vector
+    in fixed-point (floor(x·1e6) int sums, order-independent), the
+    building block for class-prototype analysis, drift monitoring, and
+    nearest-centroid classification. One (label, dim)-keyed aggregate;
+    the mean is one final IEEE division per cell.
+
+    Scale: posexplode is scan-local (64 rows per vector, no data
+    movement until the |labels|·dim-key aggregate with map-side
+    partial sums) — the same shape at 10^10 vectors.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        F.col("label").cast("long").alias("label"),
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.floor(F.col("x").cast("double") * F.lit(1000000.0)).cast("long").alias("xq"),
+    )
+    return (
+        cells.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("xq").cast("long").alias("sum_fixed"),
+        )
+        .withColumn(
+            "mean_val",
+            F.col("sum_fixed").cast("double")
+            / (F.col("n_vecs") * F.lit(1000000)).cast("double"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
@@ -4795,10 +5024,11 @@ _SAMPLE_FIRST = [
     "table_fingerprint",
     "corpus_mixture_weights",
     "bpe_pair_counts",
-    # (3) rows-only by design: keep runs+err=None exercised
+    # (3) rows-only by design: keep runs+err=None exercised (two of
+    # the six sketch re-samples yield to new oracle-checked queries —
+    # they sit at positions 51-52, first in line if the sample grows;
+    # their error-bound unit tests carry the evidence either way)
     "approx_monthly_distinct_buyers",
-    "approx_order_percentiles",
-    "approx_heavy_hitter_terms",
     "segment_distinct_union",
     "semantic_dedup",
     "knn_ivf",
@@ -4836,6 +5066,14 @@ _SAMPLE_FIRST = [
     "copurchase_clustering",
     "copurchase_bfs_hops",
     "segment_priority_chi2",
+    "dow_adjusted_anomalies",
+    "dayk_retention",
+    "join_key_profile",
+    "funnel_time_to_convert",
+    "embedding_label_centroids",
+    # overflow rows-only re-samples (positions 51-52)
+    "approx_order_percentiles",
+    "approx_heavy_hitter_terms",
     # (5) regression picks: r1 greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
