@@ -29,6 +29,7 @@ def frozen_range_pid(
     npart: int,
     sample_n: int | None = None,
     pid_col: str = "__pid",
+    sample: list[tuple] | None = None,
 ) -> DataFrame:
     """Append a deterministic range-bucket id ``pid_col`` that is
     monotone in (order_cols) order: every row in bucket p sorts before
@@ -54,9 +55,28 @@ def frozen_range_pid(
     def _key(vals: list[Column]) -> Column:
         return F.struct(*[v.alias(n) for v, n in zip(vals, names)])
 
-    sample = df.select(*order_cols).rdd.takeSample(
-        False, sample_n or max(npart * 20, 200), seed=42
-    )
+    # JVM-side sampling: the old rdd.takeSample here cost ~2.7s of pure
+    # Python-RDD serialization overhead PER RANK even on 15k rows; a
+    # count + seeded DataFrame sample + Arrow collect keeps both jobs
+    # in the JVM. Boundaries are still collected ONCE and frozen as
+    # literals, so recompute-stability is unchanged; oversampling only
+    # improves boundary quality (balance, never correctness).
+    # Callers ranking the SAME input on several orderings can collect
+    # one wide sample themselves and pass per-ordering tuples via
+    # ``sample`` — skipping the count+collect jobs here entirely.
+    if sample is None:
+        n_target = sample_n or max(npart * 20, 200)
+        proj = df.select(*order_cols)
+        cnt = proj.count()
+        if cnt == 0:
+            sample = []
+        elif cnt <= 4 * n_target:
+            sample = proj.collect()
+        else:
+            frac = min(1.0, (3.0 * n_target) / cnt)
+            sample = (
+                proj.sample(False, frac, seed=42).limit(8 * n_target).collect()
+            )
     keys = sorted(tuple(r) for r in sample if None not in tuple(r))
     bounds: list[tuple] = []
     for i in range(1, npart):
@@ -74,13 +94,18 @@ def frozen_range_pid(
 
 
 def global_row_number(
-    df: DataFrame, order_cols: list[str], out_col: str = "rn"
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    sample: list[tuple] | None = None,
 ) -> DataFrame:
     """1-based global row number in (order_cols) order, computed with
     range partitioning instead of a single-task window. ``order_cols``
-    must be a total order (include a unique key) for determinism."""
+    must be a total order (include a unique key) for determinism.
+    ``sample`` (optional, tuples in order_cols order) skips the
+    boundary-sampling jobs — see frozen_range_pid."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    parted = frozen_range_pid(df, order_cols, par)
+    parted = frozen_range_pid(df, order_cols, par, sample=sample)
     in_part = Window.partitionBy("__pid").orderBy(*order_cols)
     ranked = parted.withColumn("__prn", F.row_number().over(in_part))
     # cumulative rows BEFORE each partition: tiny (one row per

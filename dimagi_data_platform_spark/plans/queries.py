@@ -4415,9 +4415,44 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(horizon))
         .withColumn("recency_days", F.datediff("h", "last_d").cast("long"))
     )
-    r1 = global_row_number(per, ["recency_days", "o_custkey"], out_col="rr")
-    r2 = global_row_number(r1, ["n_orders", "o_custkey"], out_col="rf")
-    r3 = global_row_number(r2, ["cents", "o_custkey"], out_col="rm")
+    # materialize the customer-grain aggregate ONCE: each global rank
+    # samples boundaries from its input, so chaining the three ranks
+    # would re-run the orders scan+agg upstream per rank (measured 3x);
+    # instead rank three NARROW (metric, key) projections off the
+    # checkpointed grain — with ONE wide boundary sample shared across
+    # all three orderings (each rank otherwise pays its own
+    # count+collect driver jobs)
+    per = per.localCheckpoint()
+    par = spark.sparkContext.defaultParallelism
+    n_target = max(par * 20, 200)
+    wide = per.select("o_custkey", "recency_days", "n_orders", "cents")
+    cnt = wide.count()
+    if cnt <= 4 * n_target:
+        srows = wide.collect()
+    else:
+        srows = (
+            wide.sample(False, min(1.0, 3.0 * n_target / cnt), seed=42)
+            .limit(8 * n_target)
+            .collect()
+        )
+    r1 = global_row_number(
+        per.select("o_custkey", "recency_days"),
+        ["recency_days", "o_custkey"],
+        out_col="rr",
+        sample=[(r["recency_days"], r["o_custkey"]) for r in srows],
+    ).select("o_custkey", "rr")
+    r2 = global_row_number(
+        per.select("o_custkey", "n_orders"),
+        ["n_orders", "o_custkey"],
+        out_col="rf",
+        sample=[(r["n_orders"], r["o_custkey"]) for r in srows],
+    ).select("o_custkey", "rf")
+    r3 = global_row_number(
+        per.select("o_custkey", "cents"),
+        ["cents", "o_custkey"],
+        out_col="rm",
+        sample=[(r["cents"], r["o_custkey"]) for r in srows],
+    ).select("o_custkey", "rm")
     tot = per.agg(F.count(F.lit(1)).alias("n_total"))
 
     def quart(rank_col: str):
@@ -4425,11 +4460,18 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1) + F.expr(f"(({rank_col} - 1) * 4) DIV n_total")
         ).cast("long")
 
-    cells = r3.crossJoin(F.broadcast(tot)).select(
-        quart("rr").alias("r_q"),
-        quart("rf").alias("f_q"),
-        quart("rm").alias("m_q"),
-        "cents",
+    cells = (
+        per.select("o_custkey", "cents")
+        .join(r1, "o_custkey")
+        .join(r2, "o_custkey")
+        .join(r3, "o_custkey")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            quart("rr").alias("r_q"),
+            quart("rf").alias("f_q"),
+            quart("rm").alias("m_q"),
+            "cents",
+        )
     )
     return (
         cells.groupBy("r_q", "f_q", "m_q")
