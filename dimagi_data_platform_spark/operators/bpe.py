@@ -128,6 +128,30 @@ def bpe_train(
     return out.orderBy("step")
 
 
+def bpe_train_apply(
+    wordfreq: DataFrame,
+    n_merges: int,
+    word_col: str = "w",
+    freq_col: str = "freq",
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges AND return the re-segmented
+    vocabulary (seg, freq) under the learned merges — train + encode
+    as one lazy program (the merge argmaxes stay broadcast 1-row
+    limits, never driver literals)."""
+    cur = segment_words(wordfreq, word_col, freq_col).localCheckpoint()
+    for _ in range(n_merges):
+        pc = (
+            adjacent_pairs(cur)
+            .groupBy("a", "b")
+            .agg(F.sum("freq").cast("long").alias("pair_count"))
+        )
+        best = (
+            pc.orderBy(F.desc("pair_count"), "a", "b").limit(1).localCheckpoint()
+        )
+        cur = apply_merge(cur, best).localCheckpoint()
+    return cur
+
+
 def bpe_segment(
     wordfreq: DataFrame,
     merges: list[tuple[str, str]],

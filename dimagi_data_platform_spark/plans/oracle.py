@@ -2631,7 +2631,26 @@ seg{k} AS (
     )
 
 
+def _bpe_vocab_sql(n_merges: int) -> str:
+    """Train-and-encode twin (L49b): the same unrolled recurrence,
+    then the symbol rollup over the FINAL segment state."""
+    base = _bpe_train_sql(n_merges)
+    ctes = base.split("\nSELECT * FROM (")[0]
+    return (
+        ctes
+        + f""",
+sym AS (
+  SELECT unnest(string_split(trim(seg), '  ')) AS symbol, freq
+  FROM seg{n_merges})
+SELECT symbol, CAST(SUM(freq) AS BIGINT) AS total_freq,
+       CAST(COUNT(*) AS BIGINT) AS n_vocab_occurrences
+FROM sym GROUP BY symbol
+ORDER BY total_freq DESC, symbol LIMIT 30"""
+    )
+
+
 ORACLE["bpe_train_merges"] = _bpe_train_sql(6)
+ORACLE["bpe_vocab_counts"] = _bpe_vocab_sql(6)
 
 _KNN_VEC0_SQL = (
     ORACLE["knn_bruteforce"]
