@@ -3049,3 +3049,30 @@ SELECT label, dim,
          / CAST(COUNT(*) * 1000000 AS DOUBLE) AS mean_val
 FROM cells GROUP BY label, dim ORDER BY label, dim
 """
+
+# R63: identical SQL text runs on BOTH engines (queries.py executes this
+# same string via spark.sql) — the WITH RECURSIVE surface, dialect-free.
+ORACLE["event_type_reachability"] = """
+WITH RECURSIVE
+steps AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events),
+g AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM steps WHERE from_type IS NOT NULL AND from_type <> to_type
+  GROUP BY from_type, to_type),
+tot AS (SELECT COUNT(*) AS t FROM steps WHERE from_type IS NOT NULL),
+e AS (SELECT from_type, to_type FROM g, tot WHERE n * 50 > t),
+r AS (
+  SELECT 'signup' AS node, 0 AS hops
+  UNION ALL
+  SELECT e.to_type AS node, r.hops + 1 AS hops
+  FROM r JOIN e ON e.from_type = r.node
+  WHERE r.hops < 4)
+SELECT node, CAST(MIN(hops) AS BIGINT) AS min_hops,
+       CAST(COUNT(*) AS BIGINT) AS n_walks
+FROM r GROUP BY node ORDER BY node
+"""

@@ -4849,6 +4849,27 @@ def segment_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("event_type_reachability")
+def event_type_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R63: WITH RECURSIVE surface — multi-hop reachability over the
+    significant event-type transition graph (edges = transitions with
+    > 2% share, decided on cross-multiplied integers): min hops from
+    'signup' and the bounded walk count within 4 hops. The ONE SQL
+    text runs verbatim on BOTH engines (spark.sql here, DuckDB in the
+    oracle) — recursion is Spark 4's native iteration surface, the
+    declarative twin of the operator-level loops (R57/R62/L49).
+
+    Scale: the recursion runs on the |event-types|² transition graph
+    (metadata cardinality) — corpus-sized work is only the one lag
+    window + aggregate building it; walk fan-out is capped by the hop
+    bound.
+    """
+    from dimagi_data_platform_spark.plans.oracle import ORACLE
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(ORACLE["event_type_reachability"])
+
+
 @query("dow_adjusted_anomalies")
 def dow_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P48: seasonality-adjusted anomaly detection — each day's event
@@ -5106,7 +5127,6 @@ _SAMPLE_FIRST = [
     # the six sketch re-samples yield to new oracle-checked queries —
     # they sit at positions 51-52, first in line if the sample grows;
     # their error-bound unit tests carry the evidence either way)
-    "approx_monthly_distinct_buyers",
     "semantic_dedup",
     "knn_ivf",
     # (4) new round-4 queries
@@ -5143,6 +5163,7 @@ _SAMPLE_FIRST = [
     "copurchase_clustering",
     "copurchase_bfs_hops",
     "segment_priority_chi2",
+    "event_type_reachability",
     "dow_adjusted_anomalies",
     "dayk_retention",
     "join_key_profile",
@@ -5150,6 +5171,7 @@ _SAMPLE_FIRST = [
     "embedding_label_centroids",
     "bpe_vocab_counts",
     # overflow (positions 51+): first in line if the sample grows
+    "approx_monthly_distinct_buyers",
     "segment_distinct_union",
     "approx_order_percentiles",
     "approx_heavy_hitter_terms",
