@@ -91,3 +91,57 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return df.select(id_col, "payload").mapInPandas(_frames, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, payload binary, out_width long, out_height long, out_bytes long"
+)
+
+
+def resize_images(
+    df: DataFrame, width: int = 64, height: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """Image resize over the binary payload column — the
+    decode → resample → re-encode pattern, as Arrow-batched
+    ``mapInPandas``. The resample kernel is a DETERMINISTIC FAKE
+    (stride-sampled byte stream sized to width*height; no codec libs in
+    this container): swap the body for a real PIL/libvips resize
+    without touching the schema, batching, or partition contract.
+
+    Scale: pure per-row transform inside Arrow batches — no shuffle,
+    partitioning inherited from the scan; output payload size is
+    bounded by width*height regardless of input size (the property
+    that makes resize-on-ingest the standard storage-diet step).
+    """
+    target = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "payload": [],
+                "out_width": [],
+                "out_height": [],
+                "out_bytes": [],
+            }
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                n = len(payload)
+                if n == 0:
+                    resized = b""
+                elif n >= target:
+                    # stride-sample down to exactly target bytes
+                    stride = n / target
+                    resized = bytes(
+                        payload[int(i * stride)] for i in range(target)
+                    )
+                else:
+                    # upsample by repetition, then trim
+                    resized = (payload * (target // n + 1))[:target]
+                out["doc_id"].append(did)
+                out["payload"].append(resized)
+                out["out_width"].append(width)
+                out["out_height"].append(height)
+                out["out_bytes"].append(len(resized))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(_resize, RESIZE_SCHEMA)

@@ -38,3 +38,29 @@ def test_extract_features_partitioning_preserved(spark):
     out = extract_features(attach_binary_payload(docs))
     assert out.rdd.getNumPartitions() == 8
     assert out.count() == 100
+
+
+def test_resize_images_contract(spark):
+    """Resize plumbing: exact output size, deterministic bytes across
+    partitionings, empty-payload safety."""
+    from dimagi_data_platform_spark.multimodal.binary_ops import (
+        attach_binary_payload,
+        resize_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 10), (2, "abcdefghijklmnopqrstuvwxyz" * 400), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = resize_images(attach_binary_payload(docs), width=8, height=8)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["out_bytes"] == 64  # upsampled by repetition
+    assert rows[2]["out_bytes"] == 64  # stride-sampled down
+    assert rows[3]["out_bytes"] == 0  # empty payload passes through
+    assert rows[1]["payload"] == b"x" * 64
+    # deterministic across partition layouts
+    out2 = resize_images(
+        attach_binary_payload(docs.repartition(7)), width=8, height=8
+    )
+    rows2 = {r["doc_id"]: r["payload"] for r in out2.collect()}
+    assert {k: r["payload"] for k, r in rows.items()} == rows2
