@@ -170,3 +170,63 @@ def test_corpus_mixture_weights_stays_jvm_side(spark):
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     # only lang + text are read from the 5-column table
     assert read and "doc_id" not in read[0] and "source" not in read[0]
+
+
+def test_item_item_cosine_no_cartesian(spark):
+    """Basket pair generation is an equi-join on the order key, never a
+    cartesian product; degree joins are hash joins."""
+    plan = plan_str(spark, "item_item_cosine")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bpe_rounds_stay_jvm_side(spark):
+    """One BPE round — pair counting, argmax limit, broadcast merge —
+    is codegen string/array work with no Python stages. (The query's
+    own final plan is just checkpoint scans, so assert on a round's
+    un-checkpointed plan directly.)"""
+    import contextlib
+    import io
+
+    from dimagi_data_platform_spark.operators.bpe import (
+        adjacent_pairs,
+        apply_merge,
+        segment_words,
+    )
+    from pyspark.sql import functions as F
+
+    wf = spark.createDataFrame([("lower", 5), ("low", 3)], ["w", "freq"])
+    cur = segment_words(wf)
+    pc = (
+        adjacent_pairs(cur)
+        .groupBy("a", "b")
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+    )
+    best = pc.orderBy(F.desc("pair_count"), "a", "b").limit(1)
+    round_plan = apply_merge(cur, best)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        round_plan.explain("formatted")
+    plan = buf.getvalue()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    # the argmax cross-join rides a broadcast (AQE's pre-execution
+    # formatted plan does not print codegen spans, so Python-freeness
+    # is the codegen assertion here)
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_chi2_pushes_column_pruning(spark):
+    plan = plan_str(spark, "segment_priority_chi2")
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all("o_totalprice" not in ln for ln in reads)
+
+
+def test_embedding_centroids_shuffle_is_post_explode_aggregate(spark):
+    """posexplode is scan-local; the only exchange is the (label, dim)
+    aggregate (plus AQE reads) — no join, no Python stage."""
+    plan = plan_str(spark, "embedding_label_centroids")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Join"):
+        assert marker not in plan
+    assert "Generate" in plan  # the explode
+    assert "HashAggregate" in plan
