@@ -41,6 +41,37 @@ def approx_percentiles_by(
     return out.drop("approx_pcts")
 
 
+def mg_partials(df: DataFrame, key: str, capacity: int = 64) -> DataFrame:
+    """Per-partition Misra-Gries summaries: (key, partial_count), at
+    most ``capacity`` rows per partition. The mergeable first stage of
+    heavy_hitters — also reused by the streaming maintenance path
+    (streaming/heavy_hitters_stream.py), whose per-batch summaries sum
+    under the same additive error bound."""
+    import pandas as pd
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for val, cnt in pdf[key].value_counts().items():
+                counters[val] = counters.get(val, 0) + int(cnt)
+            excess = len(counters) - capacity
+            if excess > 0:
+                by_count = sorted(counters.items(), key=lambda kv: kv[1])
+                dec = by_count[excess - 1][1]
+                counters = {
+                    v: c - dec for v, c in by_count[excess:] if c > dec
+                }
+        if counters:
+            yield pd.DataFrame(
+                {key: list(counters), "partial_count": list(counters.values())}
+            )
+
+    field = df.schema[key].dataType.simpleString()
+    return df.select(key).mapInPandas(
+        summarize, schema=f"{key} {field}, partial_count long"
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     key: str,
@@ -65,32 +96,7 @@ def heavy_hitters(
     Batches update via vectorized value_counts; the decrement loop
     touches only the O(capacity) summary dict.
     """
-    import pandas as pd
-
-    def summarize(batches):
-        counters: dict = {}
-        for pdf in batches:
-            for val, cnt in pdf[key].value_counts().items():
-                counters[val] = counters.get(val, 0) + int(cnt)
-            excess = len(counters) - capacity
-            if excess > 0:
-                # evict the smallest `excess` counters, decrementing
-                # the rest by the largest evicted count (one batched
-                # Misra-Gries decrement step)
-                by_count = sorted(counters.items(), key=lambda kv: kv[1])
-                dec = by_count[excess - 1][1]
-                counters = {
-                    v: c - dec for v, c in by_count[excess:] if c > dec
-                }
-        if counters:
-            yield pd.DataFrame(
-                {key: list(counters), "partial_count": list(counters.values())}
-            )
-
-    field = df.schema[key].dataType.simpleString()
-    partials = df.select(key).mapInPandas(
-        summarize, schema=f"{key} {field}, partial_count long"
-    )
+    partials = mg_partials(df, key, capacity)
     return (
         partials.groupBy(key)
         .agg(F.sum("partial_count").alias("est_count"))

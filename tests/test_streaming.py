@@ -495,3 +495,110 @@ def test_streaming_anomalies_match_batch(spark, tmp_path):
         for r in em.queries()["daily_event_anomalies"](spark, SF_SMALL).collect()
     }
     assert got == want  # exact integer sums + identical IEEE chain
+
+
+def test_streaming_heavy_hitters_exact_regime_matches_batch(spark, tmp_path):
+    """With capacity above the distinct-key count no MG decrement ever
+    fires, so the streamed report over 3 micro-batches is EXACT — it
+    must equal a plain groupBy count over the same events, bitwise."""
+    from dimagi_data_platform_spark.streaming.heavy_hitters_stream import (
+        run_streaming_heavy_hitters,
+    )
+
+    in_dir, ev = _dump_events_as_json(spark, tmp_path, n_files=3)
+    stream = read_event_stream(spark, in_dir, fmt="json", max_files=1)
+    run_streaming_heavy_hitters(
+        stream,
+        key="event_type",
+        state_dir=str(tmp_path / "hh_state"),
+        report_dir=str(tmp_path / "hh_report"),
+        checkpoint_dir=str(tmp_path / "hh_ckpt"),
+        capacity=64,
+        top_k=10,
+    )
+    got = {
+        r.event_type: r.est_count
+        for r in spark.read.parquet(str(tmp_path / "hh_report")).collect()
+    }
+    want = {
+        r.event_type: r.cnt
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_streaming_heavy_hitters_replay_idempotent(spark, tmp_path):
+    """Re-running the drained stream with the SAME checkpoint replays
+    nothing; re-writing a batch partition manually (the replay path)
+    leaves the merged report unchanged."""
+    from dimagi_data_platform_spark.operators.sketches import mg_partials
+    from dimagi_data_platform_spark.streaming.heavy_hitters_stream import (
+        merged_heavy_hitters,
+        run_streaming_heavy_hitters,
+    )
+
+    in_dir, ev = _dump_events_as_json(spark, tmp_path, n_files=2)
+    state = str(tmp_path / "hh2_state")
+    stream = read_event_stream(spark, in_dir, fmt="json", max_files=1)
+    run_streaming_heavy_hitters(
+        stream,
+        key="event_type",
+        state_dir=state,
+        report_dir=str(tmp_path / "hh2_report"),
+        checkpoint_dir=str(tmp_path / "hh2_ckpt"),
+    )
+    before = [
+        (r.event_type, r.est_count)
+        for r in merged_heavy_hitters(spark, state, "event_type").collect()
+    ]
+    # simulate the failure-replay of batch 0: rewrite its partition
+    batch0 = spark.read.json(
+        in_dir + "/part0.json",
+        schema="event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    mg_partials(batch0, "event_type", 64).write.mode("overwrite").parquet(
+        f"{state}/partials/batch_id=0"
+    )
+    after = [
+        (r.event_type, r.est_count)
+        for r in merged_heavy_hitters(spark, state, "event_type").collect()
+    ]
+    assert before == after
+
+
+def test_streaming_heavy_hitters_eviction_regime_bounds(spark, tmp_path):
+    """With a tiny capacity the estimates are lower bounds within the
+    summed N/capacity error, and the true top key is still ranked
+    first — the MG guarantee under per-batch merging."""
+    from dimagi_data_platform_spark.streaming.heavy_hitters_stream import (
+        run_streaming_heavy_hitters,
+    )
+
+    in_dir, ev = _dump_events_as_json(spark, tmp_path, n_files=3)
+    stream = read_event_stream(spark, in_dir, fmt="json", max_files=1)
+    run_streaming_heavy_hitters(
+        stream,
+        key="user_id",
+        state_dir=str(tmp_path / "hh3_state"),
+        report_dir=str(tmp_path / "hh3_report"),
+        checkpoint_dir=str(tmp_path / "hh3_ckpt"),
+        capacity=8,
+        top_k=5,
+    )
+    est = {
+        r.user_id: r.est_count
+        for r in spark.read.parquet(str(tmp_path / "hh3_report")).collect()
+    }
+    true = {
+        r.user_id: r.cnt
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    }
+    n_total = sum(true.values())
+    for uid, e in est.items():
+        assert e <= true[uid]
+        assert e >= true[uid] - n_total / 8
