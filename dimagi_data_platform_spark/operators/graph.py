@@ -62,10 +62,16 @@ def pagerank(
     ).localCheckpoint()
     teleport = ((dden - dnum) * (scale // n)) // dden
     ids = vertices.select(F.col(id_col).alias("id")).localCheckpoint()
-    dangling_ids = ids.join(
-        outdeg, ids.id == outdeg.src, "left_anti"
-    ).localCheckpoint()
-    any_dangling = bool(dangling_ids.head(1))
+    # a dangling vertex is one with no out-edges: cheaper to detect by
+    # comparing counts of two already-checkpointed tables than to
+    # materialize the anti-join — the anti-join is only built when
+    # dangling vertices actually exist (never, for undirected graphs)
+    any_dangling = outdeg.count() != n
+    dangling_ids = (
+        ids.join(outdeg, ids.id == outdeg.src, "left_anti").localCheckpoint()
+        if any_dangling
+        else None
+    )
     ranks = ids.select(
         "id", F.lit(scale // n).cast("long").alias("r")
     ).localCheckpoint()
