@@ -3403,6 +3403,10 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus.
     """
     docs = _t(spark, sf_dir, "documents")
+    # small single-split inputs arrive as ONE task, serializing the
+    # per-doc sort/histogram work (measured 2.8s -> 1.5s at sf0.1);
+    # at real scale multi-split scans make this shuffle a no-op cost
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     cs = F.filter(F.split(F.lower(F.col("text")), ""), lambda c: c != F.lit(""))
     docs = docs.withColumn("_s", F.array_sort(cs)).withColumn(
         "n_chars", F.size("_s").cast("long")
