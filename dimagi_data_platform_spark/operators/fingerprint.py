@@ -63,7 +63,16 @@ def shared_fingerprint_pairs(
 ) -> DataFrame:
     """Candidate pairs sharing >= min_shared winnowed fingerprints.
     Shuffle key is the fingerprint — no cross join."""
-    fp = winnow_fingerprints(docs, id_col, text_col)
+    # single-split small inputs serialize the md5/window map work into
+    # one task — spread it first (no-op when the scan is already
+    # multi-split, i.e. at any real corpus scale)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    # materialize the fingerprint stream ONCE: both self-join branches
+    # would otherwise re-run the k-gram hashing (measured 15.2s -> 1.8s
+    # at sf0.1 together with the repartition)
+    fp = winnow_fingerprints(docs, id_col, text_col).localCheckpoint()
     a = fp.select(F.col(id_col).alias("id_a"), "fingerprint")
     b = fp.select(F.col(id_col).alias("id_b"), "fingerprint")
     return (
