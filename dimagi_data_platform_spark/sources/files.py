@@ -177,3 +177,25 @@ def read_parquet_evolving(
     if schema is not None:
         return spark.read.schema(schema).parquet(path)
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_text_lines(
+    spark: SparkSession,
+    path: str,
+    whole_text: bool = False,
+    line_col: str = "value",
+) -> DataFrame:
+    """Line-oriented (or whole-file) text ingestion — the raw-corpus
+    entry point before any structure exists (log shipping, crawl
+    dumps, one-doc-per-line corpora). ``whole_text=True`` yields one
+    row per FILE (pair with ``input_file_name`` for provenance);
+    otherwise one row per line, splittable and parallel.
+
+    Scale: the line reader splits large files on block boundaries like
+    any text-based source; whole-file mode is one task per file — use
+    it only for file-sized documents.
+    """
+    reader = spark.read.option("wholetext", "true") if whole_text else spark.read
+    df = reader.text(path)
+    out = df.withColumnRenamed("value", line_col) if line_col != "value" else df
+    return out.withColumn("source_file", F.input_file_name())

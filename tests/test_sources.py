@@ -470,3 +470,19 @@ def test_read_parquet_evolving_merges_added_columns(spark, tmp_path):
     got = read_parquet_evolving(spark, base, schema=explicit)
     assert dict(got.dtypes)["b"] == "string"
     assert {r.id for r in got.filter("b IS NULL").collect()} == {1, 2}
+
+
+def test_read_text_lines_and_whole_files(spark, tmp_path):
+    from dimagi_data_platform_spark.sources.files import read_text_lines
+
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("line1\nline2\n")
+    (d / "b.txt").write_text("solo\n")
+    lines = read_text_lines(spark, str(d), line_col="line")
+    got = sorted(r.line for r in lines.collect())
+    assert got == ["line1", "line2", "solo"]
+    assert all(r.source_file for r in lines.collect())
+    whole = read_text_lines(spark, str(d), whole_text=True, line_col="doc")
+    docs = {r.source_file.rsplit("/", 1)[-1]: r.doc for r in whole.collect()}
+    assert docs == {"a.txt": "line1\nline2\n", "b.txt": "solo\n"}
