@@ -195,7 +195,6 @@ def read_text_lines(
     any text-based source; whole-file mode is one task per file — use
     it only for file-sized documents.
     """
-    reader = spark.read.option("wholetext", "true") if whole_text else spark.read
-    df = reader.text(path)
+    df = spark.read.text(path, wholetext=whole_text)
     out = df.withColumnRenamed("value", line_col) if line_col != "value" else df
     return out.withColumn("source_file", F.input_file_name())
