@@ -3707,9 +3707,10 @@ def co_purchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the standard degree-ordered orientation (each edge directed
     from its lower-(degree, id) endpoint) bounds wedge generation by
     Σ outdeg² = O(m^1.5) instead of Σ deg² — hub vertices never fan
-    out. Edge build is an order-local self-join (per-order fan-out
-    ≤ order_size²); the degree table is part-cardinality-sized and
-    broadcast; wedge + closing joins shuffle on vertex/edge keys only.
+    out. Edges come from the row-local basket expansion
+    (_copurchase_pairs, per-order fan-out ≤ order_size²); the degree
+    table is part-cardinality-sized and broadcast; wedge + closing
+    joins shuffle on vertex/edge keys only.
     """
     _deg, corners = _copurchase_tri(spark, sf_dir)
     return (
