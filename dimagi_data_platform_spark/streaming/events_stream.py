@@ -218,3 +218,56 @@ def streaming_scd2_enrich(
     return events.join(F.broadcast(d), cond, "left").drop(
         "__k", "valid_from", "valid_to"
     )
+
+
+def streaming_interval_join_outer(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER time-interval join: every purchase is
+    emitted — attributed to preceding same-user clicks when they
+    exist, or with NULL click columns once the watermark proves no
+    click can still arrive (the unattributed-conversion feed an inner
+    join silently drops).
+
+    The outer side's NULL rows are emitted only after the watermark
+    passes the join window's end — Spark holds the purchase in state
+    until then, so "no match" is a PROVEN fact, not an artifact of
+    arrival order. State is evicted on the same schedule as the inner
+    join (bounded by watermark + gap, never stream history).
+    """
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}")
+        )
+    )
+    return p.join(c, cond, "leftOuter").select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )

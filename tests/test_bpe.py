@@ -82,3 +82,27 @@ def test_bpe_overlap_semantics(spark):
     rows = bpe_train(wf, 2).orderBy("step").collect()
     assert (rows[0]["a"], rows[0]["b"], rows[0]["pair_count"]) == ("a", "a", 3)
     assert (rows[1]["a"], rows[1]["b"]) == ("aa", "aa")
+
+
+def test_bpe_random_vocabs_match_reference(spark):
+    """Randomized equivalence: small random vocabularies over a tiny
+    alphabet (maximizing tie/overlap/adjacent-merge cases) must
+    reproduce the reference merges exactly."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(4):
+        vocab = {}
+        for _ in range(rng.randint(4, 10)):
+            w = "".join(
+                rng.choice("ab") for _ in range(rng.randint(2, 7))
+            )
+            vocab[w] = vocab.get(w, 0) + rng.randint(1, 9)
+        n_merges = rng.randint(1, 5)
+        want, _ = _ref_bpe(vocab, n_merges)
+        wf = spark.createDataFrame(list(vocab.items()), ["w", "freq"])
+        got = [
+            (r["a"], r["b"], r["merged"], r["pair_count"])
+            for r in bpe_train(wf, n_merges).orderBy("step").collect()
+        ]
+        assert got == want, f"trial {trial}: vocab={vocab} n={n_merges}"

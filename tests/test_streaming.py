@@ -602,3 +602,76 @@ def test_streaming_heavy_hitters_eviction_regime_bounds(spark, tmp_path):
     for uid, e in est.items():
         assert e <= true[uid]
         assert e >= true[uid] - n_total / 8
+
+
+def test_streaming_interval_join_outer_emits_unmatched(spark, tmp_path):
+    """LEFT OUTER stream-stream join: matched pairs equal the batch
+    inner join; NULL-click rows appear only for truly unmatched
+    purchases, and every unmatched purchase old enough for the final
+    watermark to have proven no-match is emitted."""
+    from dimagi_data_platform_spark.streaming.events_stream import (
+        streaming_interval_join_outer,
+    )
+
+    in_dir, ev = _dump_events_as_json(spark, tmp_path, n_files=3)
+    purch_s = read_event_stream(spark, in_dir, fmt="json", max_files=1).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks_s = read_event_stream(spark, in_dir, fmt="json", max_files=1).filter(
+        F.col("event_type") == "click"
+    )
+    out = str(tmp_path / "ssjo_out")
+    run_to_sink(
+        streaming_interval_join_outer(purch_s, clicks_s),
+        out,
+        str(tmp_path / "ssjo_ckpt"),
+    )
+    rows = spark.read.parquet(out).collect()
+    got_matched = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in rows
+        if r.click_id is not None
+    }
+    got_unmatched = {r.purchase_id for r in rows if r.click_id is None}
+
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour"))
+    )
+    want_matched = {
+        (r.p_user, r.purchase_id, r.click_id) for r in c.join(p, cond).collect()
+    }
+    assert got_matched == want_matched and len(want_matched) > 0
+
+    matched_ids = {pid for _, pid, _ in want_matched}
+    all_p = {r.purchase_id: r.purchase_ts for r in p.collect()}
+    want_unmatched = set(all_p) - matched_ids
+    # every emitted NULL row is a genuinely unmatched purchase...
+    assert got_unmatched <= want_unmatched
+    # ...and completeness where the watermark PROVABLY passed: the
+    # watermark applied to a batch is derived from the batches before
+    # it, so only the first file's purchases (roughly the oldest third
+    # of a 30-day span, far below the last applied watermark) are
+    # guaranteed flushed by the availableNow drain
+    first_file = spark.read.json(
+        in_dir + "/part0.json",
+        schema="event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    first_ids = {
+        r.event_id
+        for r in first_file.filter(F.col("event_type") == "purchase").collect()
+    }
+    overdue = want_unmatched & first_ids
+    assert overdue <= got_unmatched and len(got_unmatched) > 0
