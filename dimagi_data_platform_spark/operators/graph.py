@@ -154,5 +154,8 @@ def bfs_distances(
         frontier = cand.join(
             reached.select("id"), "id", "left_anti"
         ).localCheckpoint()
-        reached = reached.unionAll(frontier).localCheckpoint()
+        # reached is a union of ALREADY-checkpointed frontiers — its
+        # lineage is one union node per round, so materializing it
+        # again would only add a job per round
+        reached = reached.unionAll(frontier)
     return reached
