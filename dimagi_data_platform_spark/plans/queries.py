@@ -953,6 +953,25 @@ def knn_sq_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("knn_ivfpq")
+def knn_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7f: IVF-PQ ANN (rows-only check; recall + bitwise-exact rerank
+    scores vs brute force verified in tests/test_llm_ops.py) — the
+    FAISS-style layout for a 100 TB corpus: coarse lists prune the
+    scan (partition pruning when persisted), m_sub-byte product codes
+    replace the float column in the scoring scan (32x less bandwidth
+    at dim=64/m=8), ADC lookup tables score candidates without
+    touching a float vector, and the exact fold-ordered cosine reranks
+    only the survivors, so reported scores are bitwise-equal to
+    knn_bruteforce."""
+    from dimagi_data_platform_spark.operators.similarity import knn_ivfpq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_ivfpq(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, nlist=16, nprobe=6
+    )
+
+
 @query("session_windows")
 def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P12 batch twin: native session_window (gap 30 min) — identical
@@ -5184,6 +5203,7 @@ _SAMPLE_FIRST = [
     "embedding_label_centroids",
     "bpe_vocab_counts",
     # overflow (positions 51+): first in line if the sample grows
+    "knn_ivfpq",
     "approx_monthly_distinct_buyers",
     "segment_distinct_union",
     "approx_order_percentiles",

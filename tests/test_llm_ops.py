@@ -634,3 +634,32 @@ def test_pca_project_reduces_reconstruction_error(spark):
     err_pca = float(((X - recon) ** 2).sum())
     err_mean = float(((X - X.mean(0)) ** 2).sum())
     assert err_pca < 0.2 * err_mean
+
+
+def test_knn_ivfpq_recall_and_exact_scores(spark):
+    """IVF-PQ must (a) reach solid recall vs brute force with nprobe
+    covering part of the lists and (b) report EXACT scores for every
+    returned pair (the rerank reuses the codegen fold chain), and
+    (c) be deterministic across runs (fixed seeds + deterministic
+    training sample)."""
+    from dimagi_data_platform_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivfpq,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    bf = {(r.q_id, r.neighbor_id): r.cos_sim for r in knn_bruteforce(emb, q, k=5).collect()}
+    pq_rows = knn_ivfpq(emb, q, k=5, nlist=8, nprobe=4).collect()
+    pq = {(r.q_id, r.neighbor_id): r.cos_sim for r in pq_rows}
+    recall = len(set(bf) & set(pq)) / len(bf)
+    assert recall >= 0.6, f"IVF-PQ recall too low: {recall}"
+    full = {
+        (r.q_id, r.neighbor_id): r.cos_sim
+        for r in knn_bruteforce(emb, q, k=50).collect()
+    }
+    for pair, sim in pq.items():
+        if pair in full:
+            assert sim == full[pair], f"rerank score not exact for {pair}"
+    again = sorted(map(tuple, knn_ivfpq(emb, q, k=5, nlist=8, nprobe=4).collect()))
+    assert again == sorted(map(tuple, pq_rows))
