@@ -161,3 +161,52 @@ def sorted_neighborhood_pairs(
         .withColumn("rank_dist", (F.col("rn_b") - F.col("rn_a")).cast("long"))
         .select("id_a", "id_b", "rank_dist")
     )
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: list[str],
+    out_prefix: str = "cum_",
+) -> DataFrame:
+    """Exact inclusive running totals of ``sum_cols`` in (order_cols)
+    order, without a single-task global window: range-bucket on the
+    frozen boundaries (see :func:`frozen_range_pid` — both the
+    in-bucket running sums and the per-bucket totals branch recompute
+    against the SAME bucketing), run windowed sums within each bucket,
+    then add each bucket's cumulative offset (one tiny row per bucket,
+    broadcast back). The distributed-rank pattern generalized from row
+    counts to arbitrary additive measures — the backbone for exact
+    ECDFs / rank statistics at scale.
+
+    ``order_cols`` should be a total order of the rows (e.g. a distinct
+    value grain) so running sums are well-defined.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    parted = frozen_range_pid(df, order_cols, par)
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = parted
+    for c in sum_cols:
+        cum = cum.withColumn(f"{out_prefix}{c}", F.sum(c).over(w_in))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = parted.groupBy("__pid").agg(
+        *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
+    )
+    for c in sum_cols:
+        offsets = offsets.withColumn(
+            f"__o_{c}", F.coalesce(F.sum(f"__t_{c}").over(w_off), F.lit(0))
+        )
+    out = cum.join(
+        F.broadcast(offsets.select("__pid", *[f"__o_{c}" for c in sum_cols])),
+        "__pid",
+    )
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{out_prefix}{c}",
+            (F.col(f"{out_prefix}{c}") + F.col(f"__o_{c}")).cast("long"),
+        )
+    return out.drop("__pid", *[f"__o_{c}" for c in sum_cols])

@@ -3076,3 +3076,91 @@ SELECT node, CAST(MIN(hops) AS BIGINT) AS min_hops,
        CAST(COUNT(*) AS BIGINT) AS n_walks
 FROM r GROUP BY node ORDER BY node
 """
+
+
+# R64: two-sample KS test. The ECDF gap stays integer via
+# cross-multiplication (HUGEINT here, decimal(38,0) on the Spark
+# side — both exact), and only the final division is IEEE. The argmax
+# row is selected on the exact integer, tie-broken on value.
+ORACLE["order_value_ks_test"] = """
+WITH per AS (
+  SELECT o_totalprice AS value,
+         SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                  THEN 1 ELSE 0 END) AS a_cnt,
+         SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                  THEN 0 ELSE 1 END) AS b_cnt
+  FROM orders GROUP BY o_totalprice),
+c AS (
+  SELECT value,
+         SUM(a_cnt) OVER (ORDER BY value) AS ca,
+         SUM(b_cnt) OVER (ORDER BY value) AS cb,
+         SUM(a_cnt) OVER () AS na,
+         SUM(b_cnt) OVER () AS nb
+  FROM per)
+SELECT value, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(ABS(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
+            AS DOUBLE)
+         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks_stat
+FROM c
+ORDER BY ABS(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na) DESC,
+         value
+LIMIT 1
+"""
+
+
+# R65: Mann-Whitney U with exact integer midranks
+# (2*midrank = 2*cum_before + cnt + 1) and tie correction; the
+# mu/var/z chain mirrors the Spark expressions op for op.
+ORACLE["order_value_mannwhitney"] = """
+WITH per AS (
+  SELECT o_totalprice AS v,
+         SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                  THEN 1 ELSE 0 END) AS a_cnt,
+         SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                  THEN 0 ELSE 1 END) AS b_cnt
+  FROM orders GROUP BY v),
+c AS (
+  SELECT v, a_cnt, b_cnt,
+         SUM(a_cnt + b_cnt) OVER (ORDER BY v) AS cum_t
+  FROM per),
+s AS (
+  SELECT CAST(SUM(a_cnt) AS BIGINT) AS n_a,
+         CAST(SUM(b_cnt) AS BIGINT) AS n_b,
+         SUM(CAST(a_cnt AS HUGEINT)
+             * (2 * (cum_t - (a_cnt + b_cnt)) + (a_cnt + b_cnt) + 1))
+           AS two_r_a,
+         SUM(CAST(a_cnt + b_cnt AS HUGEINT) * (a_cnt + b_cnt)
+               * (a_cnt + b_cnt)
+             - (a_cnt + b_cnt)) AS s_ties
+  FROM c),
+u AS (
+  SELECT n_a, n_b, two_r_a, s_ties,
+         CAST(two_r_a AS DOUBLE) / 2.0
+           - (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0)) / 2.0
+           AS u_a
+  FROM s)
+SELECT n_a, n_b, u_a,
+       (u_a - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+         / SQRT(
+             (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+             * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                - CAST(s_ties AS DOUBLE)
+                  / (CAST(n_a + n_b AS DOUBLE)
+                     * (CAST(n_a + n_b AS DOUBLE) - 1.0)))
+           ) AS z_score
+FROM u
+"""
+
+
+# R66: running distinct buyers via first-touch additivity.
+ORACLE["cumulative_distinct_buyers"] = """
+WITH fb AS (
+  SELECT o_custkey, MIN(o_orderdate) AS first_day
+  FROM orders GROUP BY o_custkey),
+per AS (
+  SELECT first_day, COUNT(*) AS new_buyers FROM fb GROUP BY first_day)
+SELECT first_day, CAST(new_buyers AS BIGINT) AS new_buyers,
+       CAST(SUM(new_buyers) OVER (ORDER BY first_day) AS BIGINT)
+         AS cum_buyers
+FROM per ORDER BY first_day
+"""

@@ -5131,6 +5131,148 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("order_value_ks_test")
+def order_value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R64: two-sample Kolmogorov-Smirnov test — does the order-value
+    distribution of urgent orders (priority 1-URGENT/2-HIGH) differ
+    from the rest? The KS statistic is the max ECDF gap
+    sup_v |F_a(v) - F_b(v)|, computed EXACTLY: the gap is kept as the
+    integer |cum_a*n_b - cum_b*n_a| (cross-multiplied, no division)
+    until the single final IEEE division by n_a*n_b.
+
+    Scale: per-value counts are a normal shuffle aggregate; the global
+    cumulative counts run on the distributed prefix-sum machinery
+    (frozen-boundary range buckets + broadcast per-bucket offsets,
+    operators/linkage.py:global_prefix_sums) — never a single-task
+    window over the corpus. Cross-products are decimal(38,0), exact
+    past int64 at 10^11-row inputs; the argmax is a top-1
+    TakeOrderedAndProject.
+    """
+    from dimagi_data_platform_spark.operators.linkage import global_prefix_sums
+
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderpriority")
+    is_a = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    per = orders.groupBy("o_totalprice").agg(
+        F.sum(is_a.cast("long")).alias("a_cnt"),
+        F.sum((~is_a).cast("long")).alias("b_cnt"),
+    )
+    cum = global_prefix_sums(per, ["o_totalprice"], ["a_cnt", "b_cnt"])
+    tot = per.agg(
+        F.sum("a_cnt").cast("long").alias("n_a"),
+        F.sum("b_cnt").cast("long").alias("n_b"),
+    )
+    dec = "decimal(19,0)"
+    num_diff = F.abs(
+        F.col("cum_a_cnt").cast(dec) * F.col("n_b").cast(dec)
+        - F.col("cum_b_cnt").cast(dec) * F.col("n_a").cast(dec)
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("o_totalprice").alias("value"),
+            "n_a",
+            "n_b",
+            num_diff.alias("_nd"),
+        )
+        .withColumn(
+            "ks_stat",
+            F.col("_nd").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+        )
+        .orderBy(F.desc("_nd"), "value")
+        .limit(1)
+        .select("value", "n_a", "n_b", "ks_stat")
+    )
+
+
+@query("order_value_mannwhitney")
+def order_value_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R65: Mann-Whitney U (Wilcoxon rank-sum) test on the same two
+    groups as R64 — the nonparametric location test a product analyst
+    reaches for when values are skewed. Midranks with tie handling are
+    kept EXACT as integers: 2*midrank(v) = 2*cum_before(v) + cnt(v) + 1
+    over the distinct-value grain, so twice the rank-sum of group A
+    and the tie-correction term sum(t^3 - t) are exact decimal sums;
+    mu/var/z are one fixed mirrored IEEE chain at the end.
+
+    Scale: same distributed prefix-sum backbone as R64 (per-value
+    aggregate -> range-bucketed running totals -> broadcast offsets);
+    the final statistic is a single-row aggregate.
+    """
+    from dimagi_data_platform_spark.operators.linkage import global_prefix_sums
+
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderpriority")
+    is_a = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    per = orders.groupBy("o_totalprice").agg(
+        F.sum(is_a.cast("long")).alias("a_cnt"),
+        F.sum((~is_a).cast("long")).alias("b_cnt"),
+    )
+    cum = global_prefix_sums(per, ["o_totalprice"], ["a_cnt", "b_cnt"])
+    dec = "decimal(19,0)"
+    cnt_v = (F.col("a_cnt") + F.col("b_cnt")).cast("long")
+    cum_before = (F.col("cum_a_cnt") + F.col("cum_b_cnt")) - cnt_v
+    two_midrank = (F.lit(2) * cum_before + cnt_v + F.lit(1)).cast(dec)
+    s = cum.agg(
+        F.sum("a_cnt").cast("long").alias("n_a"),
+        F.sum("b_cnt").cast("long").alias("n_b"),
+        F.sum(F.col("a_cnt").cast(dec) * two_midrank).alias("two_r_a"),
+        F.sum(
+            cnt_v.cast("decimal(13,0)") * cnt_v * cnt_v - cnt_v
+        ).alias("s_ties"),
+    )
+    n_a_d = F.col("n_a").cast("double")
+    n_b_d = F.col("n_b").cast("double")
+    n_d = (F.col("n_a") + F.col("n_b")).cast("double")
+    u_a = (
+        F.col("two_r_a").cast("double") / F.lit(2.0)
+        - (n_a_d * (n_a_d + F.lit(1.0))) / F.lit(2.0)
+    )
+    return (
+        s.withColumn("u_a", u_a)
+        .withColumn(
+            "z_score",
+            (F.col("u_a") - n_a_d * n_b_d / F.lit(2.0))
+            / F.sqrt(
+                (n_a_d * n_b_d / F.lit(12.0))
+                * (
+                    (n_d + F.lit(1.0))
+                    - F.col("s_ties").cast("double")
+                    / (n_d * (n_d - F.lit(1.0)))
+                )
+            ),
+        )
+        .select("n_a", "n_b", "u_a", "z_score")
+    )
+
+
+@query("cumulative_distinct_buyers")
+def cumulative_distinct_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R66: running distinct count — how many distinct customers have
+    EVER ordered, by day. A windowed COUNT(DISTINCT) is not directly
+    computable, but first-touch attribution makes it additive: each
+    customer contributes on exactly their first order day, so the
+    running total of first-appearance counts IS the cumulative
+    distinct count.
+
+    Scale: the distinct-per-customer min-date is a shuffle aggregate
+    on the natural key; the running sum runs on the DATE grain, whose
+    key space is bounded (a few thousand rows regardless of corpus
+    size), so the unpartitioned window never sees more than that.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_day")
+    )
+    per = first.groupBy("first_day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_buyers")
+    )
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.withColumn("cum_buyers", F.sum("new_buyers").over(w).cast("long"))
+        .orderBy("first_day")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
@@ -5208,6 +5350,9 @@ _SAMPLE_FIRST = [
     "segment_distinct_union",
     "approx_order_percentiles",
     "approx_heavy_hitter_terms",
+    "order_value_ks_test",
+    "order_value_mannwhitney",
+    "cumulative_distinct_buyers",
     # (5) regression picks: r1 greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
