@@ -2019,17 +2019,22 @@ per AS (
            WHERE b.c_mktsegment = c.c_mktsegment) AS k
   FROM customer c GROUP BY c.c_mktsegment),
 tot AS (
+  -- NB: quoted "N"/"K" here would resolve CASE-INSENSITIVELY back to
+  -- the per-segment n/k (DuckDB matches identifiers case-insensitively,
+  -- first column wins), silently zeroing "N" - n and making the z
+  -- branch vacuously NULL — caught by the sf0.1 parity sweep where
+  -- Spark's (correct) totals first diverge from per-segment counts.
   SELECT c_mktsegment, n, k,
-         SUM(n) OVER () AS "N", SUM(k) OVER () AS "K"
+         SUM(n) OVER () AS tot_n, SUM(k) OVER () AS tot_k
   FROM per)
 SELECT c_mktsegment, n, k AS conversions,
        CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS conv_rate,
-       CASE WHEN "N" > n AND "K" > 0 AND "K" < "N" THEN
+       CASE WHEN tot_n > n AND tot_k > 0 AND tot_k < tot_n THEN
          (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
-          - CAST("K" - k AS DOUBLE) / CAST("N" - n AS DOUBLE))
-         / SQRT((CAST("K" AS DOUBLE) / CAST("N" AS DOUBLE))
-                * (1.0 - CAST("K" AS DOUBLE) / CAST("N" AS DOUBLE))
-                * (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST("N" - n AS DOUBLE)))
+          - CAST(tot_k - k AS DOUBLE) / CAST(tot_n - n AS DOUBLE))
+         / SQRT((CAST(tot_k AS DOUBLE) / CAST(tot_n AS DOUBLE))
+                * (1.0 - CAST(tot_k AS DOUBLE) / CAST(tot_n AS DOUBLE))
+                * (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(tot_n - n AS DOUBLE)))
        END AS z_score
 FROM tot ORDER BY c_mktsegment
 """
@@ -3163,4 +3168,30 @@ SELECT first_day, CAST(new_buyers AS BIGINT) AS new_buyers,
        CAST(SUM(new_buyers) OVER (ORDER BY first_day) AS BIGINT)
          AS cum_buyers
 FROM per ORDER BY first_day
+"""
+
+
+# P53: Benford first-digit audit. b_ppm quantization and the
+# chi-square chain mirror the Spark expressions op for op; the first
+# digit is numeric (no string formatting).
+ORACLE["order_value_benford"] = """
+WITH per AS (
+  SELECT CAST(FLOOR(CAST(o_totalprice AS DOUBLE)
+              / POWER(10.0, FLOOR(LOG10(CAST(o_totalprice AS DOUBLE)))))
+         AS BIGINT) AS digit,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1),
+t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n_total FROM per),
+j AS (
+  SELECT digit, CAST(n_orders AS BIGINT) AS n_orders, n_total,
+         CAST(FLOOR(LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000.0)
+              AS BIGINT) AS b_ppm
+  FROM per, t)
+SELECT digit, n_orders,
+       CAST(n_orders AS DOUBLE) / CAST(n_total AS DOUBLE) AS obs_share,
+       b_ppm AS benford_ppm,
+       (CAST(n_orders * 1000000 - n_total * b_ppm AS DOUBLE)
+        * CAST(n_orders * 1000000 - n_total * b_ppm AS DOUBLE))
+         / (CAST(n_total * b_ppm AS DOUBLE) * 1000000.0) AS chi2_term
+FROM j ORDER BY digit
 """

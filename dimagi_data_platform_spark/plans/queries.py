@@ -5273,6 +5273,49 @@ def cumulative_distinct_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("order_value_benford")
+def order_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P53: Benford first-digit audit — the classic fraud/data-entry
+    anomaly screen: the leading-digit distribution of order values vs
+    Benford's law, with per-digit chi-square contributions. First
+    digit is extracted numerically (floor(v / 10^floor(log10 v))) —
+    never via string formatting, which differs between engines.
+
+    Determinism: the Benford share goes through the fixed-point ppm
+    quantization (floor(1e6*log10(1+1/d)) — same contract as the KM
+    survival ln table), so expected counts are EXACT integers
+    n*b_ppm; the chi-square term is a fixed two-op IEEE chain over
+    those integers. Scale: scan-local digit extraction, 9-key final
+    aggregate with map-side partials.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    v = F.col("o_totalprice").cast("double")
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("long")
+    per = (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    tot = per.agg(F.sum("n_orders").cast("long").alias("n_total"))
+    d_d = F.col("digit").cast("double")
+    b_ppm = F.floor(
+        F.log10(F.lit(1.0) + F.lit(1.0) / d_d) * F.lit(1000000.0)
+    ).cast("long")
+    joined = per.crossJoin(F.broadcast(tot)).withColumn("b_ppm", b_ppm)
+    o6 = F.col("n_orders") * F.lit(1000000)
+    e6 = F.col("n_total") * F.col("b_ppm")
+    dev = (o6 - e6).cast("double")
+    return joined.select(
+        "digit",
+        "n_orders",
+        (F.col("n_orders").cast("double") / F.col("n_total").cast("double")).alias(
+            "obs_share"
+        ),
+        F.col("b_ppm").alias("benford_ppm"),
+        (dev * dev / (e6.cast("double") * F.lit(1000000.0))).alias("chi2_term"),
+    ).orderBy("digit")
+
+
 # --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
@@ -5353,6 +5396,7 @@ _SAMPLE_FIRST = [
     "order_value_ks_test",
     "order_value_mannwhitney",
     "cumulative_distinct_buyers",
+    "order_value_benford",
     # (5) regression picks: r1 greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
