@@ -145,3 +145,63 @@ def resize_images(
             yield pd.DataFrame(out)
 
     return df.select(id_col, "payload").mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+CHUNK_SCHEMA = (
+    "doc_id long, chunk_idx long, start_ms long, end_ms long, "
+    "chunk_bytes long, rms_sig long"
+)
+
+
+def chunk_audio(
+    df: DataFrame,
+    chunk_ms: int = 10_000,
+    sample_rate: int = 16_000,
+    bytes_per_sample: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audio segmentation: one output row per fixed-duration chunk of
+    each payload — the audio twin of :func:`sample_frames` and the
+    standard pre-step for ASR/TTS training pipelines (long recordings
+    become model-sized windows with millisecond offsets).
+
+    Duration is derived from byte length via the declared PCM geometry
+    (sample_rate * bytes_per_sample per second); the per-chunk "rms"
+    signature is a DETERMINISTIC FAKE (byte-sum over the chunk slice —
+    no audio codec libs in this container). Swap the signature line for
+    a real decode+RMS without touching the schema, batching, offsets,
+    or partition contract.
+
+    Scale: fan-out is duration/chunk_ms rows per recording, produced
+    executor-side inside Arrow batches; payload bytes never leave the
+    executor, and downstream per-chunk work (VAD, transcription)
+    parallelizes over the exploded rows.
+    """
+    bytes_per_ms = sample_rate * bytes_per_sample / 1000.0
+    chunk_bytes = int(chunk_ms * bytes_per_ms)
+
+    def _chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "chunk_idx": [],
+                "start_ms": [],
+                "end_ms": [],
+                "chunk_bytes": [],
+                "rms_sig": [],
+            }
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                n = len(payload)
+                n_chunks = max(1, -(-n // chunk_bytes)) if n else 0
+                for idx in range(n_chunks):
+                    lo = idx * chunk_bytes
+                    hi = min(n, lo + chunk_bytes)
+                    out["doc_id"].append(did)
+                    out["chunk_idx"].append(idx)
+                    out["start_ms"].append(int(lo / bytes_per_ms))
+                    out["end_ms"].append(int(hi / bytes_per_ms))
+                    out["chunk_bytes"].append(hi - lo)
+                    out["rms_sig"].append(sum(payload[lo:hi]))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(_chunks, CHUNK_SCHEMA)

@@ -3195,3 +3195,29 @@ SELECT digit, n_orders,
          / (CAST(n_total * b_ppm AS DOUBLE) * 1000000.0) AS chi2_term
 FROM j ORDER BY digit
 """
+
+
+# L12d: audio chunking twin — 5 ms chunks at 16kHz/16-bit = 160 bytes;
+# offsets/coverage mirror the Python kernel's integer arithmetic and
+# the rms signature is the same byte sum the fake decoder computes.
+ORACLE["multimodal_audio_chunks"] = """
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n FROM documents),
+ch AS (
+  SELECT doc_id, text, n,
+         UNNEST(range(0, CAST(CEIL(n / 160.0) AS BIGINT))) AS chunk_idx
+  FROM base WHERE n > 0),
+s AS (
+  SELECT doc_id, chunk_idx, chunk_idx * 160 AS lo,
+         LEAST(n, chunk_idx * 160 + 160) AS hi, text
+  FROM ch)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(FLOOR(lo / 32.0) AS BIGINT) AS start_ms,
+       CAST(FLOOR(hi / 32.0) AS BIGINT) AS end_ms,
+       CAST(hi - lo AS BIGINT) AS chunk_bytes,
+       CAST(COALESCE(list_aggregate(
+           list_transform(range(lo, hi),
+                          j -> ord(substring(text, CAST(j + 1 AS INT), 1))),
+           'sum'), 0) AS BIGINT) AS rms_sig
+FROM s
+"""

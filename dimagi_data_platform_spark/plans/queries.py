@@ -827,6 +827,20 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_binary_payload(docs))
 
 
+@query("multimodal_audio_chunks")
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L12d: audio-style fixed-duration segmentation — one row per
+    chunk with millisecond offsets derived from PCM geometry
+    (executor-side Arrow explode, deterministic fake decode; the
+    oracle recomputes the chunk byte sums in SQL). chunk_ms is tiny
+    here so document payloads split into several chunks and the
+    offset/coverage arithmetic is actually exercised."""
+    docs = _t(spark, sf_dir, "documents")
+    from dimagi_data_platform_spark.multimodal.binary_ops import chunk_audio
+
+    return chunk_audio(attach_binary_payload(docs), chunk_ms=5)
+
+
 # ---- rows-only operators (not SQL-expressible; unit-tested instead) ----
 
 
@@ -5397,6 +5411,7 @@ _SAMPLE_FIRST = [
     "order_value_mannwhitney",
     "cumulative_distinct_buyers",
     "order_value_benford",
+    "multimodal_audio_chunks",
     # (5) regression picks: r1 greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",

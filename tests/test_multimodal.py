@@ -64,3 +64,33 @@ def test_resize_images_contract(spark):
     )
     rows2 = {r["doc_id"]: r["payload"] for r in out2.collect()}
     assert {k: r["payload"] for k, r in rows.items()} == rows2
+
+
+def test_chunk_audio_offsets_and_coverage(spark):
+    from dimagi_data_platform_spark.multimodal.binary_ops import chunk_audio
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 100_000), (2, "b" * 10), (3, "")],
+        "doc_id long, text string",
+    )
+    # 1 ms of "audio" = 32 bytes at 16kHz/16-bit; chunk_ms=1000 -> 32k bytes
+    rows = chunk_audio(
+        attach_binary_payload(docs), chunk_ms=1000
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 100_000 bytes -> ceil(100000/32000) = 4 chunks, offsets
+    # contiguous, byte coverage exact
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_idx for r in c1] == [0, 1, 2, 3]
+    assert sum(r.chunk_bytes for r in c1) == 100_000
+    assert c1[0].start_ms == 0 and c1[0].end_ms == 1000
+    assert c1[-1].chunk_bytes == 100_000 - 3 * 32_000
+    for a, b in zip(c1, c1[1:]):
+        assert b.start_ms == a.end_ms
+    # rms signature is the deterministic byte sum of the slice
+    assert c1[0].rms_sig == ord("a") * 32_000
+    # doc 2: short clip -> one partial chunk; doc 3: empty -> no rows
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_bytes == 10
+    assert 3 not in by_doc

@@ -230,3 +230,13 @@ def test_embedding_centroids_shuffle_is_post_explode_aggregate(spark):
         assert marker not in plan
     assert "Generate" in plan  # the explode
     assert "HashAggregate" in plan
+
+
+def test_ks_prefix_sums_are_range_bucketed(spark):
+    """R64/R65's corpus-sized running sums must run inside the frozen
+    range buckets (window partitioned by __pid) with the per-bucket
+    offsets joined back broadcast — never an unpartitioned window over
+    every distinct value."""
+    plan = plan_str(spark, "order_value_ks_test")
+    assert "__pid" in plan
+    assert "BroadcastHashJoin" in plan
