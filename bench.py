@@ -73,6 +73,10 @@ HEADLINE = [
     # 15.2s->1.8s, LSH-blocked near-dup 18.6s->2.7s) — keep them timed
     "winnow_shared_fingerprints",
     "embedding_near_dup_lsh",
+    # round-4 final additions: PQ-coded ANN and the distributed
+    # prefix-sum rank-statistics family
+    "knn_ivfpq",
+    "order_value_ks_test",
 ]
 
 

@@ -103,3 +103,68 @@ def heavy_hitters(
         .orderBy(F.desc("est_count"), key)
         .limit(top_k)
     )
+
+
+def _cms_row_buckets(key, width: int, depth: int, seed: int):
+    """One struct per sketch row: (row_id, bucket) from independent
+    xxhash64 seeds — shared by build and probe so both sides hash
+    identically (pure codegen, no Python)."""
+    col = F.col(key) if isinstance(key, str) else key
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_id"),
+                F.pmod(F.xxhash64(col, F.lit(seed + i)), F.lit(width)).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame, key: str, width: int = 2048, depth: int = 4, seed: int = 7
+) -> DataFrame:
+    """Count-Min Sketch of ``key`` frequencies: (row_id, bucket, cnt),
+    at most depth*width rows regardless of input size.
+
+    ONE scan: the depth bucket assignments fan out scan-locally via
+    explode, and the aggregate's map-side partials are bounded by
+    depth*width counters per task — the shuffle carries sketch cells,
+    never keys. Mergeable by construction (cell-wise addition), so
+    per-day sketches roll up to any grain with a second tiny aggregate,
+    and estimates are one-sided: est >= true always, est <= true +
+    eps*N with probability 1 - (1/2)^depth for width = 2/eps (Cormode &
+    Muthukrishnan). The exact-groupBy twin stays the correctness gate.
+    """
+    return (
+        df.select(F.explode(_cms_row_buckets(key, width, depth, seed)).alias("rb"))
+        .select("rb.row_id", "rb.bucket")
+        .groupBy("row_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys_df: DataFrame,
+    key: str,
+    width: int = 2048,
+    depth: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Point-estimate frequencies for ``keys_df[key]`` from a
+    :func:`cms_build` sketch: hash each probe key with the SAME seeded
+    chain, broadcast-join the (<= depth*width row) sketch, and take the
+    min counter across rows. Probe work scales with the probe set, not
+    the corpus the sketch summarized."""
+    probes = keys_df.select(
+        key, F.explode(_cms_row_buckets(key, width, depth, seed)).alias("rb")
+    ).select(key, "rb.row_id", "rb.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["row_id", "bucket"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+        .groupBy(key)
+        .agg(F.min("cnt").cast("long").alias("est_count"))
+    )

@@ -827,6 +827,39 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_binary_payload(docs))
 
 
+@query("cms_term_counts")
+def cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L17c: Count-Min Sketch point-frequency estimates (rows-only:
+    sketch cells are engine-specific; one-sided error + eps*N bound +
+    cell-wise mergeability proven in tests/test_sketches.py). Emits
+    the top true terms with exact and CMS-estimated counts side by
+    side — est >= true always, overshoot bounded by the sketch width.
+
+    Scale: the sketch build is ONE scan whose shuffle carries at most
+    depth*width cells (map-side partials bound per-task state the same
+    way); probes broadcast the tiny sketch, so estimating any key set
+    never rescans the corpus. The exact groupBy here exists only to
+    display the truth column."""
+    from dimagi_data_platform_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from dimagi_data_platform_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    sketch = cms_build(terms, "term")
+    exact = terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    top = exact.orderBy(F.desc("true_count"), "term").limit(20)
+    return (
+        top.join(cms_estimate(sketch, top.select("term"), "term"), "term")
+        .select("term", "true_count", "est_count")
+        .orderBy(F.desc("true_count"), "term")
+    )
+
+
 @query("multimodal_audio_chunks")
 def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L12d: audio-style fixed-duration segmentation — one row per
@@ -5412,6 +5445,7 @@ _SAMPLE_FIRST = [
     "cumulative_distinct_buyers",
     "order_value_benford",
     "multimodal_audio_chunks",
+    "cms_term_counts",
     # (5) regression picks: r1 greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",

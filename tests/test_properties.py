@@ -264,3 +264,34 @@ def test_pagerank_mass_conservation_random_graphs(spark):
     e = spark.createDataFrame(edges, "src long, dst long")
     total = sum(r.r for r in pagerank(v, e, n_iter=12).collect())
     assert 0.999 < total / 1e15 <= 1.0 + 1e-12
+
+
+def test_global_prefix_sums_match_pandas_reference(spark):
+    """global_prefix_sums must equal a single-threaded cumulative sum
+    for random multisets — including duplicate-free and heavily-skewed
+    key distributions, and regardless of how many range buckets the
+    frozen boundaries produce."""
+    from dimagi_data_platform_spark.operators.linkage import global_prefix_sums
+
+    rnd = random.Random(13)
+    rows = [
+        (rnd.randint(0, 50) if i % 3 else 7, rnd.randint(-5, 5), rnd.randint(0, 9))
+        for i in range(500)
+    ]
+    # distinct-value grain (the documented contract: order_cols total-order)
+    per = {}
+    for v, a, b in rows:
+        pa, pb = per.get(v, (0, 0))
+        per[v] = (pa + a, pb + b)
+    df = spark.createDataFrame(
+        [(v, a, b) for v, (a, b) in per.items()], "v long, a long, b long"
+    ).repartition(7)
+    out = {
+        r.v: (r.cum_a, r.cum_b)
+        for r in global_prefix_sums(df, ["v"], ["a", "b"]).collect()
+    }
+    ca = cb = 0
+    for v in sorted(per):
+        ca += per[v][0]
+        cb += per[v][1]
+        assert out[v] == (ca, cb), f"prefix mismatch at {v}"

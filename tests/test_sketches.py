@@ -139,3 +139,45 @@ def test_segment_distinct_union_estimates_within_hll_error(spark):
     assert set(got) == set(exact)
     for seg, est in got.items():
         assert abs(est - exact[seg]) / exact[seg] < 0.05, (seg, est, exact[seg])
+
+
+def test_cms_estimates_one_sided_and_bounded(spark):
+    """CMS invariants on real token data: (a) every estimate is >= the
+    true count (one-sided by construction), (b) for this fixed seed and
+    width the overestimate stays within the eps*N analysis bound, and
+    (c) a sketch built from per-partition unions equals the all-at-once
+    sketch (mergeability = cell-wise addition)."""
+    from dimagi_data_platform_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    terms = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    n_total = terms.count()
+    width, depth = 1024, 4
+    sketch = cms_build(terms, "term", width=width, depth=depth)
+    exact = terms.groupBy("term").agg(F.count(F.lit(1)).alias("true_count"))
+    top = exact.orderBy(F.desc("true_count"), "term").limit(30)
+    est = cms_estimate(sketch, top.select("term"), "term", width=width, depth=depth)
+    joined = {
+        r.term: (r.true_count, r.est_count)
+        for r in top.join(est, "term").collect()
+    }
+    assert len(joined) == 30
+    for term, (true, e) in joined.items():
+        assert e >= true, f"CMS under-estimated {term}: {e} < {true}"
+        assert e - true <= 2.0 * n_total / width, (
+            f"CMS overshoot beyond bound for {term}: {e} vs {true}"
+        )
+    # mergeability: sketches of two halves sum cell-wise to the full one
+    h1 = cms_build(terms.filter(F.crc32(F.col("term")) % 2 == 0), "term", width=width, depth=depth)
+    h2 = cms_build(terms.filter(F.crc32(F.col("term")) % 2 == 1), "term", width=width, depth=depth)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("row_id", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = {(r.row_id, r.bucket): r.cnt for r in sketch.collect()}
+    got = {(r.row_id, r.bucket): r.cnt for r in merged.collect()}
+    assert got == full
