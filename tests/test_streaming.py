@@ -675,3 +675,53 @@ def test_streaming_interval_join_outer_emits_unmatched(spark, tmp_path):
     }
     overdue = want_unmatched & first_ids
     assert overdue <= got_unmatched and len(got_unmatched) > 0
+
+
+def test_streaming_cms_merged_equals_batch_sketch(spark, tmp_path):
+    """CMS cells are additive, so the merged per-batch sketches must be
+    BITWISE-equal to a one-shot batch sketch of the same rows — and the
+    estimates served from stream state must match batch estimates."""
+    from dimagi_data_platform_spark.operators.sketches import cms_build, cms_estimate
+    from dimagi_data_platform_spark.streaming.cms_stream import (
+        estimate_from_stream_state,
+        merged_cms,
+        run_streaming_cms,
+    )
+
+    in_dir, ev = _dump_events_as_json(spark, tmp_path, n_files=3)
+    stream = read_event_stream(spark, in_dir, fmt="json", max_files=1)
+    state = str(tmp_path / "cms_state")
+    run_streaming_cms(
+        stream,
+        key="event_type",
+        state_dir=state,
+        checkpoint_dir=str(tmp_path / "cms_ckpt"),
+        width=256,
+        depth=3,
+    )
+    batch_sketch = {
+        (r.row_id, r.bucket): r.cnt
+        for r in cms_build(ev, "event_type", width=256, depth=3).collect()
+    }
+    merged = {
+        (r.row_id, r.bucket): r.cnt for r in merged_cms(spark, state).collect()
+    }
+    assert merged == batch_sketch
+    probe = ev.select("event_type").distinct()
+    want = {
+        r.event_type: r.est_count
+        for r in cms_estimate(
+            cms_build(ev, "event_type", width=256, depth=3),
+            probe,
+            "event_type",
+            width=256,
+            depth=3,
+        ).collect()
+    }
+    got = {
+        r.event_type: r.est_count
+        for r in estimate_from_stream_state(
+            spark, state, probe, "event_type", width=256, depth=3
+        ).collect()
+    }
+    assert got == want
