@@ -3221,3 +3221,32 @@ SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
            'sum'), 0) AS BIGINT) AS rms_sig
 FROM s
 """
+
+
+# L4c: prefix filtering is candidate PRUNING only — lossless for
+# J >= t — so the oracle is the plain full-intersection join at the
+# same threshold (same CTE body as L4 with t = 0.5).
+ORACLE["jaccard_prefix_join"] = r"""
+WITH
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+sh_all AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3),
+sh AS (
+  SELECT doc_id, shingle FROM sh_all
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+"""

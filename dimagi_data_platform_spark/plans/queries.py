@@ -794,6 +794,95 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("jaccard_prefix_join")
+def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4c: EXACT Jaccard-threshold set-similarity join via prefix
+    filtering (AllPairs/PPJoin, Xiao et al.) — the exact-result
+    complement to MinHash banding: order each doc's shingles by global
+    rarity (df asc), keep only the first n - ceil(t*n) + 1 as the
+    PREFIX, and generate candidates only from prefix-token buckets —
+    any pair with J >= t MUST share a prefix token (pigeonhole), so
+    pruning is lossless and the oracle is the plain full-intersection
+    SQL. Survivors are verified with an exact intersection count.
+
+    Scale: candidate generation touches only each doc's RAREST tokens
+    (hot shingles never reach a prefix bucket, on top of the inherited
+    MAX_SHINGLE_DF cap), so bucket fan-out shrinks as t grows —
+    at t=0.5 roughly half the shingle volume of L4's all-bucket pair
+    generation; verification shuffles candidate-pair x set rows, which
+    are threshold-bounded output-scale, not corpus-scale.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    t_num, t_den = 1, 2  # t = 0.5, kept rational for exact prefix math
+    par = spark.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(par)
+        .withColumn("_toks", tokens("text"))
+        .select(
+            "doc_id", F.explode(shingles_from_tokens("_toks", 3)).alias("shingle")
+        )
+    )
+    dfreq = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+    )
+    # materialized once: consumed by sizes, prefixes, and verification
+    shc = sh.join(dfreq, "shingle").localCheckpoint()
+    wd = Window.partitionBy("doc_id")
+    ranked = shc.withColumn(
+        "rk", F.row_number().over(wd.orderBy("df", "shingle"))
+    ).withColumn("n_sh", F.count(F.lit(1)).over(wd))
+    # prefix_len = n - ceil(t*n) + 1, exact integer arithmetic
+    prefix_len = (
+        F.col("n_sh")
+        - F.floor((F.col("n_sh") * t_num + t_den - 1) / t_den)
+        + F.lit(1)
+    )
+    prefix = ranked.filter(F.col("rk") <= prefix_len)
+    pair_structs = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), (i + 2).cast("int"), F.size("docs")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cand = (
+        prefix.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+    inter = (
+        cand.join(
+            shc.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            shc.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(t_num) / F.lit(t_den))
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
 @query("knn_bruteforce")
 def knn_bruteforce_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L6: exact cosine top-5 for query vectors (vec_id < 10)."""
@@ -5446,6 +5535,7 @@ _SAMPLE_FIRST = [
     "order_value_benford",
     "multimodal_audio_chunks",
     "cms_term_counts",
+    "jaccard_prefix_join",
     # (5) regression picks: r1 greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",

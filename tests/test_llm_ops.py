@@ -663,3 +663,21 @@ def test_knn_ivfpq_recall_and_exact_scores(spark):
             assert sim == full[pair], f"rerank score not exact for {pair}"
     again = sorted(map(tuple, knn_ivfpq(emb, q, k=5, nlist=8, nprobe=4).collect()))
     assert again == sorted(map(tuple, pq_rows))
+
+
+def test_prefix_join_lossless_vs_full_shingle_join(spark):
+    """Prefix filtering must be pure pruning: the t=0.5 prefix join's
+    output equals the full all-bucket shingle join thresholded at the
+    same t — pair for pair, intersection count for intersection count."""
+    from dimagi_data_platform_spark.plans.queries import QUERIES
+
+    full = {
+        (r.doc_a, r.doc_b): r.n_common
+        for r in QUERIES["ngram_jaccard_pairs"](spark, SF_SMALL).collect()
+        if r.jaccard >= 0.5
+    }
+    pref = {
+        (r.doc_a, r.doc_b): r.n_common
+        for r in QUERIES["jaccard_prefix_join"](spark, SF_SMALL).collect()
+    }
+    assert pref == full and pref
