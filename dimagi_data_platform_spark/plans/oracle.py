@@ -3250,3 +3250,53 @@ JOIN sz sa ON sa.doc_id = doc_a
 JOIN sz sb ON sb.doc_id = doc_b
 WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
 """
+
+
+# R67: Spearman + Kendall over the daily series. Midranks stay doubled
+# (2r = 2*(rank-1) + ties + 1 — same identity as the MWU oracle), all
+# moments/counts are exact integers, and each statistic's IEEE chain
+# mirrors the Spark expression op for op.
+ORACLE["daily_rank_corr"] = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY 1),
+ranked AS (
+  SELECT x, y,
+         2 * (RANK() OVER (ORDER BY x) - 1)
+           + COUNT(*) OVER (PARTITION BY x) + 1 AS ra,
+         2 * (RANK() OVER (ORDER BY y) - 1)
+           + COUNT(*) OVER (PARTITION BY y) + 1 AS rb
+  FROM daily),
+sp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(ra) AS BIGINT) AS sa, CAST(SUM(rb) AS BIGINT) AS sb,
+         CAST(SUM(ra * ra) AS BIGINT) AS saa,
+         CAST(SUM(rb * rb) AS BIGINT) AS sbb,
+         CAST(SUM(ra * rb) AS BIGINT) AS sab
+  FROM ranked),
+kt AS (
+  SELECT CAST(SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS nc,
+         CAST(SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS nd,
+         CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+         CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ty
+  FROM daily a JOIN daily b ON a.day_num < b.day_num)
+SELECT n_days, nc AS concordant, nd AS discordant,
+       (CAST(n_days AS DOUBLE) * CAST(sab AS DOUBLE)
+        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+         / (SQRT(CAST(n_days AS DOUBLE) * CAST(saa AS DOUBLE)
+                 - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+            * SQRT(CAST(n_days AS DOUBLE) * CAST(sbb AS DOUBLE)
+                   - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+         AS spearman_rho,
+       CAST(nc - nd AS DOUBLE)
+         / SQRT((CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0) / 2.0
+                 - CAST(tx AS DOUBLE))
+                * (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0) / 2.0
+                   - CAST(ty AS DOUBLE)))
+         AS kendall_tau
+FROM sp, kt
+"""

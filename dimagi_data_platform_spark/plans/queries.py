@@ -5452,6 +5452,86 @@ def order_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("digit")
 
 
+@query("daily_rank_corr")
+def daily_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R67: rank correlation of the daily click and purchase series —
+    Spearman's rho (Pearson over exact integer 2x-midranks, the MWU
+    midrank identity per value) and Kendall's tau-b (concordant /
+    discordant day pairs with tie corrections) in one pass. The
+    robust complements to R53/R60's product-moment correlation: both
+    are invariant to monotone distortions of either series.
+
+    Determinism: every moment/count is an exact integer — midranks
+    stay doubled (2r = 2*rank_before + ties + 1), pair counts come
+    from a day-grain self-join — and each statistic is ONE final
+    mirrored IEEE chain. Scale: everything after the daily aggregate
+    runs on the DATE grain (bounded metadata cardinality, same
+    contract as R53's daily window); the O(days^2) Kendall self-join
+    is a few million pairs regardless of corpus size.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.unix_date(F.to_date("ts")).alias("day_num")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    two_r = lambda c: (
+        F.lit(2) * (F.rank().over(Window.orderBy(c)) - 1)
+        + F.count(F.lit(1)).over(Window.partitionBy(c))
+        + F.lit(1)
+    ).cast("long")
+    ranked = daily.withColumn("ra", two_r("x")).withColumn("rb", two_r("y"))
+    sp = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("ra").cast("long").alias("sa"),
+        F.sum("rb").cast("long").alias("sb"),
+        F.sum(F.col("ra") * F.col("ra")).cast("long").alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).cast("long").alias("sbb"),
+        F.sum(F.col("ra") * F.col("rb")).cast("long").alias("sab"),
+    )
+    n = F.col("n_days").cast("double")
+    rho = (
+        (n * F.col("sab").cast("double") - F.col("sa").cast("double") * F.col("sb").cast("double"))
+        / (
+            F.sqrt(n * F.col("saa").cast("double") - F.col("sa").cast("double") * F.col("sa").cast("double"))
+            * F.sqrt(n * F.col("sbb").cast("double") - F.col("sb").cast("double") * F.col("sb").cast("double"))
+        )
+    )
+    a = daily.select(F.col("day_num").alias("d1"), F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = daily.select(F.col("day_num").alias("d2"), F.col("x").alias("x2"), F.col("y").alias("y2"))
+    pairs = a.join(b, F.col("d1") < F.col("d2"))
+    sgn = (F.col("x2") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+    kt = pairs.agg(
+        F.sum(F.when(sgn > 0, 1).otherwise(0)).cast("long").alias("nc"),
+        F.sum(F.when(sgn < 0, 1).otherwise(0)).cast("long").alias("nd"),
+        F.sum(F.when(F.col("x1") == F.col("x2"), 1).otherwise(0))
+        .cast("long")
+        .alias("tx"),
+        F.sum(F.when(F.col("y1") == F.col("y2"), 1).otherwise(0))
+        .cast("long")
+        .alias("ty"),
+    )
+    n0 = n * (n - F.lit(1.0)) / F.lit(2.0)
+    tau = (F.col("nc") - F.col("nd")).cast("double") / F.sqrt(
+        (n0 - F.col("tx").cast("double")) * (n0 - F.col("ty").cast("double"))
+    )
+    return (
+        sp.crossJoin(kt)
+        .withColumn("spearman_rho", rho)
+        .withColumn("kendall_tau", tau)
+        .select(
+            "n_days",
+            F.col("nc").alias("concordant"),
+            F.col("nd").alias("discordant"),
+            "spearman_rho",
+            "kendall_tau",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
@@ -5536,6 +5616,7 @@ _SAMPLE_FIRST = [
     "multimodal_audio_chunks",
     "cms_term_counts",
     "jaccard_prefix_join",
+    "daily_rank_corr",
     # (5) regression picks: r1 greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
