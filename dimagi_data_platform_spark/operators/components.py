@@ -87,6 +87,7 @@ def connected_components(
     )
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
 
+    converged = False
     for _ in range(max_iter):
         nbr_labels = sym.join(
             labels.select(
@@ -106,8 +107,20 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Still shrinking at the round cap -> the labels are NOT
+        # components yet (long-diameter graph). Returning them would be
+        # silently wrong — linkage chains hit exactly this (a sorted
+        # neighborhood is a path graph). Fail loudly and point at the
+        # O(log n) algorithm instead of the O(diameter) one.
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_iter} rounds; "
+            "the graph's diameter exceeds the cap — use "
+            "algorithm='star' (O(log n) rounds) or raise max_iter"
+        )
     return labels.union(singletons)
 
 

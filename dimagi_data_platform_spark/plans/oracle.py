@@ -3300,3 +3300,32 @@ SELECT n_days, nc AS concordant, nd AS discordant,
          AS kendall_tau
 FROM sp, kt
 """
+
+
+# P55: entity consolidation — the P26c pair SQL feeding a recursive
+# min-label closure (same pattern as the near-dup components oracle).
+ORACLE["customer_entity_resolution"] = """
+WITH RECURSIVE ranked AS (
+  SELECT c_custkey, c_name,
+         ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rn
+  FROM customer),
+pairs AS (
+  SELECT a.c_custkey AS ca, b.c_custkey AS cb
+  FROM ranked a JOIN ranked b
+    ON b.rn > a.rn AND b.rn <= a.rn + 3
+  WHERE levenshtein(a.c_name, b.c_name) <= 2),
+edges AS (
+  SELECT ca AS a, cb AS b FROM pairs
+  UNION ALL
+  SELECT cb, ca FROM pairs),
+reach(id, label) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.id = e.b),
+comp AS (SELECT id, MIN(label) AS entity_id FROM reach GROUP BY id)
+SELECT id AS c_custkey, entity_id,
+       CAST(COUNT(*) OVER (PARTITION BY entity_id) AS BIGINT) AS n_records
+FROM comp
+QUALIFY COUNT(*) OVER (PARTITION BY entity_id) > 1
+ORDER BY entity_id, c_custkey
+"""

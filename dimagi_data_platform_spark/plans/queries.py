@@ -5532,6 +5532,50 @@ def daily_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("customer_entity_resolution")
+def customer_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P55: end-to-end entity consolidation — the step after matching
+    that every record-linkage deployment needs: sorted-neighborhood
+    candidates verified by edit distance (P26c) become merge edges,
+    connected components collapse transitively-linked records into one
+    entity (min custkey = canonical id), and the output lists every
+    record in a multi-record entity with its canonical id and group
+    size. Composes P26c -> L13 exactly the way corpus dedup composes
+    pair generation -> components.
+
+    Scale: inherits the distributed-rank candidate bound (n*w pairs)
+    and the edge-incident CC rounds; the final size window partitions
+    by entity id. Oracle: the identical pair SQL feeding a recursive
+    min-label closure.
+    """
+    from dimagi_data_platform_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = QUERIES["sorted_neighborhood_fuzzy"](spark, sf_dir)
+    edges = pairs.select(
+        F.col("custkey_a").alias("src"), F.col("custkey_b").alias("dst")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id")
+    )
+    # star, not propagate: a sorted neighborhood is a PATH graph, so
+    # component diameter ~ chain length — the O(log n) contraction is
+    # the only round-bounded choice (propagate now raises at its cap)
+    comp = connected_components(cust, edges, algorithm="star")
+    w = Window.partitionBy("component")
+    return (
+        comp.withColumn("n_records", F.count(F.lit(1)).over(w).cast("long"))
+        .filter(F.col("n_records") > 1)
+        .select(
+            F.col("id").alias("c_custkey"),
+            F.col("component").alias("entity_id"),
+            "n_records",
+        )
+        .orderBy("entity_id", "c_custkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
@@ -5617,6 +5661,7 @@ _SAMPLE_FIRST = [
     "cms_term_counts",
     "jaccard_prefix_join",
     "daily_rank_corr",
+    "customer_entity_resolution",
     # (5) regression picks: r1 greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",

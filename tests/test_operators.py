@@ -174,3 +174,25 @@ def test_global_row_number_matches_single_task_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_propagate_raises_at_round_cap_instead_of_wrong_labels(spark):
+    """A 60-vertex path has diameter 59: propagation capped at 5 rounds
+    CANNOT have converged, and must say so instead of returning
+    partially-merged labels (the silent-wrong-answer mode that linkage
+    chains would hit). The star algorithm finishes the same graph
+    within its O(log n) bound."""
+    import pytest
+
+    from dimagi_data_platform_spark.operators.components import (
+        connected_components,
+    )
+
+    verts = spark.range(60).selectExpr("id")
+    edges = spark.range(59).selectExpr("id AS src", "id + 1 AS dst")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(verts, edges, max_iter=5).collect()
+    star = connected_components(
+        verts, edges, max_iter=12, algorithm="star"
+    ).collect()
+    assert {r.component for r in star} == {0} and len(star) == 60
