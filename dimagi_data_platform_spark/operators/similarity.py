@@ -1112,8 +1112,10 @@ def knn_ivfpq(
                     continue
                 rmask = lists == li
                 ids_s, codes_s = ids[rmask], codes[rmask]
-                # gather: per item, sum_m LUT[q, m, code_m]
-                gathered = LUT[:, m_idx[None, :], codes_s][qis]
+                # gather: per item, sum_m LUT[q, m, code_m] — slice the
+                # probing queries FIRST so the fancy-index materializes
+                # (len(qis), n_items, m), not (n_queries, n_items, m)
+                gathered = LUT[qis][:, m_idx[None, :], codes_s]
                 for row_i, qi in enumerate(qis):
                     score = gathered[row_i].sum(axis=1) + QC[qi, li]
                     not_self = ids_s != q_ids[qi]
