@@ -3894,12 +3894,14 @@ def co_purchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle participation.
 
     Scale: the standard degree-ordered orientation (each edge directed
-    from its lower-(degree, id) endpoint) bounds wedge generation by
+    from its lower-(degree, id) endpoint) bounds closing-vertex work by
     Σ outdeg² = O(m^1.5) instead of Σ deg² — hub vertices never fan
-    out. Edges come from the row-local basket expansion
-    (_copurchase_pairs, per-order fan-out ≤ order_size²); the degree
-    table is part-cardinality-sized and broadcast; wedge + closing
-    joins shuffle on vertex/edge keys only.
+    out — and the intersection runs as sorted-adjacency
+    array_intersect over m edge rows, never a materialized wedge
+    stream (see _copurchase_tri). Edges come from the persisted
+    co-purchase artifact (_copurchase_edges: basket expansion runs
+    once per source version); the degree and adjacency tables are
+    part-cardinality-sized and broadcast.
     """
     _deg, corners = _copurchase_tri(spark, sf_dir)
     return (
