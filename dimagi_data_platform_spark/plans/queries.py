@@ -1029,8 +1029,23 @@ def _ensure_artifact(path: str, subdirs: tuple[str, ...], build_fn) -> None:
     build_fn(tmp)
     try:
         os.rename(tmp, path)
-    except OSError:  # another process renamed first; its artifact wins
-        shutil.rmtree(tmp, ignore_errors=True)
+    except OSError:
+        if all(
+            os.path.exists(os.path.join(path, s, "_SUCCESS")) for s in subdirs
+        ):
+            # a concurrent builder renamed first with a COMPLETE
+            # artifact — its copy wins, ours is redundant
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            # the existing dir is a PARTIAL artifact (crashed build):
+            # without this branch every retry would build, fail the
+            # rename against the stale dir, and silently discard the
+            # good copy — leaving the partial artifact in place forever
+            shutil.rmtree(path, ignore_errors=True)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
 
 
 @query("knn_ivf")
