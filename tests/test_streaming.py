@@ -725,3 +725,41 @@ def test_streaming_cms_merged_equals_batch_sketch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_cms_replay_idempotent(spark, tmp_path):
+    """Re-writing a batch's cell partition (the failure-replay path)
+    must leave the merged sketch unchanged — overwrite-by-batch_id
+    never double-counts."""
+    from dimagi_data_platform_spark.operators.sketches import cms_build
+    from dimagi_data_platform_spark.streaming.cms_stream import (
+        merged_cms,
+        run_streaming_cms,
+    )
+
+    in_dir, ev = _dump_events_as_json(spark, tmp_path, n_files=2)
+    state = str(tmp_path / "cms2_state")
+    stream = read_event_stream(spark, in_dir, fmt="json", max_files=1)
+    run_streaming_cms(
+        stream,
+        key="event_type",
+        state_dir=state,
+        checkpoint_dir=str(tmp_path / "cms2_ckpt"),
+        width=128,
+        depth=3,
+    )
+    before = {
+        (r.row_id, r.bucket): r.cnt for r in merged_cms(spark, state).collect()
+    }
+    batch0 = spark.read.json(
+        in_dir + "/part0.json",
+        schema="event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    cms_build(batch0, "event_type", width=128, depth=3).write.mode(
+        "overwrite"
+    ).parquet(f"{state}/cells/batch_id=0")
+    after = {
+        (r.row_id, r.bucket): r.cnt for r in merged_cms(spark, state).collect()
+    }
+    assert before == after
