@@ -3329,3 +3329,22 @@ FROM comp
 QUALIFY COUNT(*) OVER (PARTITION BY entity_id) > 1
 ORDER BY entity_id, c_custkey
 """
+
+
+# R68: exact weighted quantiles via cumulative weights on the value
+# grain; selection is the integer comparison cum_w*100 >= pct*tw.
+ORACLE["weighted_price_quantiles"] = """
+WITH per AS (
+  SELECT l_extendedprice AS value,
+         SUM(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1),
+c AS (
+  SELECT value, SUM(w) OVER (ORDER BY value) AS cw, SUM(w) OVER () AS tw
+  FROM per),
+q AS (SELECT UNNEST([25, 50, 75, 90]) AS pct)
+SELECT CAST(pct AS BIGINT) AS pct, MIN(value) AS value,
+       CAST(MAX(tw) AS BIGINT) AS total_weight
+FROM c, q
+WHERE cw * 100 >= pct * tw
+GROUP BY pct ORDER BY pct
+"""

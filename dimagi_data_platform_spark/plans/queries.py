@@ -5627,6 +5627,44 @@ def customer_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("weighted_price_quantiles")
+def weighted_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R68: EXACT weighted quantiles — the order-value percentiles
+    where each row counts by its QUANTITY (volume-weighted price
+    points: "half the units sold cost at most X"). Unweighted exact
+    percentiles (R14) can't express this, and percentile_approx has
+    no weight argument at all.
+
+    The p-th weighted quantile (lower) is the smallest value whose
+    cumulative weight reaches p% of total weight — selected by the
+    exact integer comparison cum_w*100 >= pct*total_w (no float
+    thresholds). Scale: fourth client of the distributed prefix-sum
+    backbone (value-grain aggregate -> frozen range buckets +
+    broadcast offsets); the quantile probe is a 4-row broadcast.
+    """
+    from dimagi_data_platform_spark.operators.linkage import global_prefix_sums
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("value"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    per = li.groupBy("value").agg(F.sum("qty").alias("w"))
+    cum = global_prefix_sums(per, ["value"], ["w"])
+    tot = per.agg(F.sum("w").cast("long").alias("tw"))
+    q = spark.createDataFrame([(25,), (50,), (75,), (90,)], "pct long")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("cum_w") * 100 >= F.col("pct") * F.col("tw"))
+        .groupBy("pct")
+        .agg(
+            F.min("value").alias("value"),
+            F.max("tw").cast("long").alias("total_weight"),
+        )
+        .orderBy("pct")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
@@ -5713,6 +5751,7 @@ _SAMPLE_FIRST = [
     "jaccard_prefix_join",
     "daily_rank_corr",
     "customer_entity_resolution",
+    "weighted_price_quantiles",
     # (5) regression picks: r1 greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
