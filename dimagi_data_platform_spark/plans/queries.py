@@ -5665,6 +5665,25 @@ def weighted_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("unigram_tokenizer_train")
+def unigram_tokenizer_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L38: SentencePiece-style unigram-LM tokenizer TRAINING (hard-EM:
+    Viterbi E-step over the distinct-word table in an Arrow kernel,
+    JVM M-step with fixed-point log-probs). Rows-only: the per-word DP
+    is not SQL-expressible; bitwise-determinism and agreement with a
+    pure-Python reference are pinned in tests/test_properties.py.
+
+    Scale: E-step work scales with DISTINCT words x freq weights (the
+    BPE trainer's grain), candidate generation and the M-step are pure
+    JVM; the piece table collected per iteration is bounded by
+    max_candidates + alphabet — broadcast-sized trainer state, the
+    same posture as the k-means centroid collects."""
+    from dimagi_data_platform_spark.operators.unigram_lm import unigram_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_train(docs, vocab_size=100, n_iter=2)
+
+
 # --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
@@ -5752,6 +5771,7 @@ _SAMPLE_FIRST = [
     "daily_rank_corr",
     "customer_entity_resolution",
     "weighted_price_quantiles",
+    "unigram_tokenizer_train",
     # (5) regression picks: r1 greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",

@@ -295,3 +295,79 @@ def test_global_prefix_sums_match_pandas_reference(spark):
         ca += per[v][0]
         cb += per[v][1]
         assert out[v] == (ca, cb), f"prefix mismatch at {v}"
+
+
+def test_unigram_train_matches_python_reference(spark):
+    """Unigram-LM hard-EM must agree EXACTLY with a single-threaded
+    reference (same candidate set, fixed-point log-probs, Viterbi
+    tie-breaks) on a small corpus — and be reproducible across runs."""
+    import math
+
+    from dimagi_data_platform_spark.operators.unigram_lm import (
+        LOG_SCALE,
+        _viterbi,
+        unigram_train,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on mats",
+        "matting the mat with cats",
+        "a cat and a mat",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.piece, r.piece_count, r.logp)
+        for r in unigram_train(docs, vocab_size=15, n_iter=2).collect()
+    ]
+    again = [
+        (r.piece, r.piece_count, r.logp)
+        for r in unigram_train(docs, vocab_size=15, n_iter=2).collect()
+    ]
+    assert got == again, "training must be reproducible"
+
+    # pure-Python reference of the same pipeline
+    words: dict[str, int] = {}
+    for t in texts:
+        for w in t.lower().split():
+            words[w] = words.get(w, 0) + 1
+    cand: dict[str, int] = {}
+    for w, f in words.items():
+        for i in range(len(w)):
+            for j in range(i + 1, min(len(w), i + 6) + 1):
+                cand[w[i:j]] = cand.get(w[i:j], 0) + f
+    chars = {p: c for p, c in cand.items() if len(p) == 1}
+    longer = dict(
+        sorted(
+            ((p, c) for p, c in cand.items() if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:2000]
+    )
+    weights = {**chars, **longer}
+
+    def logtable(ws):
+        tot = float(sum(ws.values()))
+        return {
+            p: math.floor(math.log(c / tot) * LOG_SCALE)
+            for p, c in ws.items()
+        }
+
+    table = logtable(weights)
+    for _ in range(2):
+        acc: dict[str, int] = {}
+        for w, f in words.items():
+            for p in _viterbi(w, table, 6):
+                acc[p] = acc.get(p, 0) + f
+        for p in chars:
+            acc.setdefault(p, 1)
+        weights = acc
+        table = logtable(weights)
+    ref_chars = [(p, c, table[p]) for p, c in weights.items() if len(p) == 1]
+    ref_top = sorted(
+        ((p, c, table[p]) for p, c in weights.items() if len(p) > 1),
+        key=lambda x: (-x[1], x[0]),
+    )[:15]
+    want = sorted(ref_chars + ref_top, key=lambda x: (-x[1], x[0]))
+    assert got == want
