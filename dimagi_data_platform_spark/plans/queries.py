@@ -263,11 +263,36 @@ def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("acctbal_deciles")
 def acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE decile analytics with deterministic tie-break."""
-    cust = _t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    """NTILE decile analytics with deterministic tie-break.
+
+    Scale: the rank is DISTRIBUTED (frozen-boundary range partition +
+    broadcast offsets, operators/linkage.py:global_row_number) — the
+    naive ``Window.orderBy(...)`` + ``ntile`` form funnels the whole
+    customer table through ONE task. NTILE's remainder-to-front bucket
+    allocation (first ``n mod 10`` buckets one row larger) is
+    reproduced in exact integer arithmetic so the oracle's NTILE(10)
+    still hash-matches: with q = n DIV 10, r = n MOD 10,
+    decile(rn) = 1 + (rn-1) DIV (q+1)              if rn <= (q+1)*r
+               = r + 1 + (rn - (q+1)*r - 1) DIV q  otherwise.
+    One broadcast scalar row count; the final aggregate has 10 keys.
+    """
+    from dimagi_data_platform_spark.operators.linkage import global_row_number
+
+    cust = _t(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    ranked = global_row_number(cust, ["c_acctbal", "c_custkey"], out_col="rn")
+    total = ranked.agg(F.count(F.lit(1)).alias("n_total"))
+    decile = F.expr(
+        """CASE
+             WHEN rn <= ((n_total DIV 10) + 1) * (n_total % 10)
+             THEN 1 + (rn - 1) DIV ((n_total DIV 10) + 1)
+             ELSE (n_total % 10) + 1
+                  + (rn - ((n_total DIV 10) + 1) * (n_total % 10) - 1)
+                    DIV (n_total DIV 10)
+           END"""
+    ).cast("long")
     return (
-        cust.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("decile", decile)
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -334,16 +359,31 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Implemented as rank-at-ceil(p*n) — engine-portable, no float
     interpolation, deterministic under ties (orderkey tie-break).
-    Scale: one shuffle on priority; window is per-partition streaming.
+
+    Scale: a window partitioned by priority has only 5 partitions —
+    each task would materialize 20% of ALL orders at any scale. The
+    rank here is instead ONE distributed global rank over
+    (priority, price, orderkey) — priority is the leading sort key, so
+    each priority class occupies a contiguous rank range and the
+    within-class rank is ``rn - min(rn per class) + 1``. The per-class
+    offsets/counts aggregate is 5 rows with map-side partials,
+    broadcast back.
     """
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    wn = Window.partitionBy("o_orderpriority")
-    ranked = orders.select(
-        "o_orderpriority",
-        "o_totalprice",
-        F.row_number().over(w).cast("long").alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    from dimagi_data_platform_spark.operators.linkage import global_row_number
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    ranked = global_row_number(
+        orders,
+        ["o_orderpriority", "o_totalprice", "o_orderkey"],
+        out_col="__grn",
+    )
+    grp = ranked.groupBy("o_orderpriority").agg(
+        F.min("__grn").alias("__base"), F.count(F.lit(1)).alias("n")
+    )
+    ranked = ranked.join(F.broadcast(grp), "o_orderpriority").withColumn(
+        "rn", (F.col("__grn") - F.col("__base") + F.lit(1)).cast("long")
     )
 
     def pick(p: float):
@@ -1488,18 +1528,48 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("customer_percent_rank")
 def customer_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percent_rank / cume_dist over a per-nation partition."""
+    """percent_rank / cume_dist over a per-nation partition.
+
+    Scale: a window partitioned by nation has only 25 partitions — at
+    100× each task still materializes 4% of ALL customers. Instead:
+    ONE distributed global rank over (n_name, c_acctbal, c_custkey)
+    (frozen-boundary range partition, operators/linkage.py); nation is
+    the leading sort key so each nation is a contiguous rank range and
+    the within-nation rank is ``rn - min(rn per nation) + 1``. The
+    ordering includes the unique c_custkey, so there are no ties and
+    the closed forms are exact:
+      percent_rank = (rank-1)/(n-1)  (0 when n = 1, per SQL spec)
+      cume_dist    = rank/n.
+    Both divisions are IEEE double over exact integers — bitwise equal
+    to the oracle's native PERCENT_RANK/CUME_DIST.
+    """
+    from dimagi_data_platform_spark.operators.linkage import global_row_number
+
     cust = _t(spark, sf_dir, "customer")
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
-    w = Window.partitionBy("n_name").orderBy("c_acctbal", "c_custkey")
+    joined = cust.join(nation, nation.n_nationkey == cust.c_nationkey).select(
+        "n_name", "c_custkey", "c_acctbal"
+    )
+    ranked = global_row_number(
+        joined, ["n_name", "c_acctbal", "c_custkey"], out_col="__grn"
+    )
+    grp = ranked.groupBy("n_name").agg(
+        F.min("__grn").alias("__base"), F.count(F.lit(1)).alias("__n")
+    )
+    rn = F.col("__grn") - F.col("__base") + F.lit(1)
     return (
-        cust.join(nation, nation.n_nationkey == cust.c_nationkey)
+        ranked.join(F.broadcast(grp), "n_name")
         .select(
             "n_name",
             "c_custkey",
             "c_acctbal",
-            F.percent_rank().over(w).alias("pct_rank"),
-            F.cume_dist().over(w).alias("cume"),
+            F.when(F.col("__n") == 1, F.lit(0.0))
+            .otherwise(
+                (rn - F.lit(1)).cast("double")
+                / (F.col("__n") - F.lit(1)).cast("double")
+            )
+            .alias("pct_rank"),
+            (rn.cast("double") / F.col("__n").cast("double")).alias("cume"),
         )
     )
 
@@ -5698,81 +5768,28 @@ def unigram_tokenizer_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the local mirror (tests/test_oracle_parity.py), which checks ALL
 # queries every test run.
 _SAMPLE_FIRST = [
-    # (1) never sampled by the driver before round 4
-    "phrase_search",
-    "ngram_containment_pairs",
-    "knn_sq_rerank",
-    "purchase_click_attribution",
-    # (2) round-3 hash FAILs, oracle typing fixed this round
-    "rolling_click_purchase_corr",
-    "table_fingerprint",
-    "corpus_mixture_weights",
-    "bpe_pair_counts",
-    # (3) rows-only by design: keep runs+err=None exercised (two of
-    # the six sketch re-samples yield to new oracle-checked queries —
-    # they sit at positions 51-52, first in line if the sample grows;
-    # their error-bound unit tests carry the evidence either way)
-    "semantic_dedup",
-    "knn_ivf",
-    # (4) new round-4 queries
-    "max_concurrent_visits",
-    "orderkey_islands",
-    "funnel_3step_windowed",
-    "daily_event_anomalies",
-    "order_value_equidepth_histogram",
-    "interorder_gap_stats",
-    "char_entropy",
-    "ngram_diversity",
-    "dsir_importance_weights",
-    "co_purchase_triangles",
-    "part_pagerank",
-    "event_transition_matrix",
-    "zipf_slope",
-    "ewma_daily_value",
-    "purchase_tier_enrich",
-    "knn_label_filtered",
-    "lang_confusion",
-    "visits_outage_overlap",
-    "bigram_lm_perplexity",
-    "near_dup_eval",
-    "customer_spend_gini",
-    "weighted_doc_sample",
-    "bpe_train_merges",
-    "hybrid_search_rrf",
-    "item_item_cosine",
-    "customer_rfm",
-    "top_session_paths",
-    "table_profile",
-    "daily_lag_corr",
-    "customer_survival_km",
-    "copurchase_clustering",
-    "copurchase_bfs_hops",
-    "segment_priority_chi2",
-    "event_type_reachability",
-    "dow_adjusted_anomalies",
-    "dayk_retention",
-    "join_key_profile",
-    "funnel_time_to_convert",
-    "embedding_label_centroids",
-    "bpe_vocab_counts",
-    # overflow (positions 51+): first in line if the sample grows
-    "knn_ivfpq",
-    "approx_monthly_distinct_buyers",
-    "segment_distinct_union",
-    "approx_order_percentiles",
-    "approx_heavy_hitter_terms",
+    # (1) the 12 queries with ZERO driver evidence across rounds 1-4
+    # (VERDICT r4 top-next item): 9 oracle-backed + 3 no-oracle paths
     "order_value_ks_test",
     "order_value_mannwhitney",
     "cumulative_distinct_buyers",
-    "order_value_benford",
-    "multimodal_audio_chunks",
-    "cms_term_counts",
-    "jaccard_prefix_join",
     "daily_rank_corr",
-    "customer_entity_resolution",
     "weighted_price_quantiles",
+    "order_value_benford",
+    "customer_entity_resolution",
+    "jaccard_prefix_join",
+    "multimodal_audio_chunks",
+    "knn_ivfpq",
+    "cms_term_counts",
     "unigram_tokenizer_train",
-    # (5) regression picks: r1 greens with the oldest driver signal
+    # (2) rewritten this round (single-task windows -> distributed
+    # rank; VERDICT r4 weak items) -- must re-verify under the driver
+    "acctbal_deciles",
+    "order_value_percentiles",
+    "customer_percent_rank",
+    # (3) new round-5 queries
+    # (placeholder -- extended as round-5 operators land)
+    # (4) regression picks: greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
     "q6_revenue_delta",
@@ -5781,10 +5798,8 @@ _SAMPLE_FIRST = [
     "lapsed_buyers_except",
     "top_customers_per_nation",
     "running_revenue",
-    "acctbal_deciles",
     "rollup_sales",
     "segment_priority_pivot",
-    "order_value_percentiles",
     "above_avg_orders",
     "min_price_supplier_per_part",
     "q7_volume_shipping",
@@ -5809,6 +5824,24 @@ _SAMPLE_FIRST = [
     "corpus_prep",
     "pii_redaction",
     "doc_chunks",
+    "latest_event_per_user",
+    "visits_sessionize",
+    "monthly_usage",
+    "active_users_daily",
+    "retention_cohorts",
+    "signup_to_purchase_funnel",
+    "events_asof_join",
+    "event_session_assign",
+    "session_windows",
+    "cube_sales",
+    "grouping_sets_activity",
+    "hourly_event_pivot",
+    "event_counts_unpivot",
+    "priority_except_all",
+    "priority_intersect_all",
+    "rolling_7day_revenue",
+    "user_first_last_event",
+    "daily_value_gapfill",
 ]
 
 def _reorder_for_sampling() -> None:
