@@ -123,12 +123,20 @@ def main() -> None:
             release_checkpoints(spark)
         times[name] = round(best, 3)
 
+    # Standing reference line (BASELINE.md): the round-1 total over the
+    # original 12 headline queries at this same sf0.1/local[32] setup.
+    # The ratio is the mechanical "within 2x of baseline" check.
+    shared12 = HEADLINE[:12]
+    shared12_sec = round(sum(times[n] for n in shared12), 3)
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "baseline_shared12_sec": 13.614,
+        "shared12_sec": shared12_sec,
+        "vs_baseline_shared12": round(shared12_sec / 13.614, 3),
     }
     print(json.dumps(out))
 

@@ -44,3 +44,13 @@ def test_every_query_is_claimed_in_survey():
 def test_oracle_keys_subset_of_queries():
     extra = set(ORACLE) - set(QUERIES)
     assert not extra, f"oracle entries without a query: {sorted(extra)}"
+
+
+def test_survey_row_ids_unique():
+    """§2 row IDs (R*/P*/L*) are the judge's coverage keys — each must
+    label exactly one capability (r4 verdict found L38/P53 reused)."""
+    text = open(SURVEY).read()
+    sec2 = text.split("## §2")[1].split("## §3")[0]
+    ids = re.findall(r"^\| ([RPL]\d+[a-z]?) \|", sec2, flags=re.M)
+    dupes = sorted({i for i in ids if ids.count(i) > 1})
+    assert not dupes, f"SURVEY §2 duplicate row IDs: {dupes}"
