@@ -1,4 +1,4 @@
-"""Iterative graph analytics: fixed-point PageRank.
+"""Iterative graph analytics: fixed-point PageRank + BFS distances.
 
 PageRank (Page et al. 1999) in EXACT integer fixed-point arithmetic:
 ranks are scaled to ``scale`` (default 1e15) and every per-iteration op
@@ -11,11 +11,21 @@ mass leakage from the floor divisions (< outdeg ulps of 1e-15 per
 vertex per iteration), far below any ranking-relevant signal.
 
 Spark-first shape (mirrors operators/components.py):
-- one shuffle join per iteration (ranks ⋈ edges on src) + one groupBy
-  dst — both keyed shuffles Catalyst plans with map-side partial sums;
-- the rank frontier is localCheckpointed per iteration to truncate
-  lineage (10 iterations would otherwise nest 10 shuffles deep in one
-  plan);
+- ONE shuffle per iteration — the contribution stream's groupBy(dst),
+  with map-side partial sums collapsing it toward vertex cardinality.
+  The vertex-sized rank frontier is broadcast into the edge join when
+  the vertex count (known exactly, it was just counted) is under
+  ``broadcast_max_vertices``; above that the join falls back to a
+  keyed shuffle — at that scale, persist the edge list bucketed by
+  src so the edge side's exchange disappears.
+- the rank frontier is localCheckpointed on a bounded cadence to
+  truncate lineage (10 iterations would otherwise nest 10 shuffles
+  deep in one plan);
+- ``materialize_edges`` controls whether the edge list is
+  localCheckpointed: pass False when edges already come from a
+  persisted columnar source (parquet artifact) — a checkpoint copies
+  them into ROW-format blocks whose per-iteration rescan costs ~3x a
+  columnar parquet scan (measured at sf0.1: 1.5s vs 0.5s per pass);
 - driver state is scalar-only (the dangling-mass total), the same
   bounded-collect contract the connected-components loop uses.
 """
@@ -27,6 +37,10 @@ from pyspark.sql import functions as F
 
 PR_SCALE = 10**15
 
+# Above this vertex count the rank frontier is no longer broadcast
+# into the per-iteration edge join (~16 bytes/row -> ~64 MB at 4M).
+BROADCAST_MAX_VERTICES = 4_000_000
+
 
 def pagerank(
     vertices: DataFrame,
@@ -35,6 +49,8 @@ def pagerank(
     damping: tuple[int, int] = (85, 100),
     scale: int = PR_SCALE,
     id_col: str = "id",
+    materialize_edges: bool = True,
+    broadcast_max_vertices: int = BROADCAST_MAX_VERTICES,
 ) -> DataFrame:
     """Ranks after ``n_iter`` power iterations; returns (id, r) with
     ``r`` the fixed-point rank (true rank ≈ r / scale).
@@ -48,67 +64,70 @@ def pagerank(
         r'(v)     = teleport + (num * inflow(v)) DIV den
     """
     dnum, dden = damping
-    n = vertices.count()
-    if n == 0:
-        return vertices.select(
-            F.col(id_col).alias("id"), F.lit(0).cast("long").alias("r")
-        )
-    # the edge list is consumed every iteration — materialize it (and
-    # the degree table) ONCE instead of re-running its upstream plan
-    # n_iter times
-    edges = edges.select("src", "dst").localCheckpoint()
-    outdeg = edges.groupBy("src").agg(
-        F.count(F.lit(1)).alias("outdeg")
-    ).localCheckpoint()
-    teleport = ((dden - dnum) * (scale // n)) // dden
-    ids = vertices.select(F.col(id_col).alias("id")).localCheckpoint()
-    # a dangling vertex is one with no out-edges: cheaper to detect by
-    # comparing counts of two already-checkpointed tables than to
-    # materialize the anti-join — the anti-join is only built when
-    # dangling vertices actually exist (never, for undirected graphs)
-    any_dangling = outdeg.count() != n
-    dangling_ids = (
-        ids.join(outdeg, ids.id == outdeg.src, "left_anti").localCheckpoint()
-        if any_dangling
-        else None
+    edges = edges.select("src", "dst")
+    if materialize_edges:
+        # the edge list is consumed every iteration — materialize it
+        # once when its upstream plan is expensive (joins/explodes);
+        # skip when it is already a cheap columnar scan
+        edges = edges.localCheckpoint()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # ONE upfront checkpoint job: the per-vertex base table carries
+    # outdeg so the loop never re-joins ranks ⋈ outdeg, and counting
+    # the checkpointed blocks is free vs re-running the (distinct-
+    # shaped) vertices plan a second time
+    base = (
+        vertices.select(F.col(id_col).alias("id"))
+        .join(outdeg, F.col("id") == F.col("src"), "left")
+        .select("id", "outdeg")
+        .localCheckpoint()
     )
-    ranks = ids.select(
-        "id", F.lit(scale // n).cast("long").alias("r")
-    ).localCheckpoint()
+    n = base.count()
+    if n == 0:
+        return base.select("id", F.lit(0).cast("long").alias("r"))
+    teleport = ((dden - dnum) * (scale // n)) // dden
+    # a dangling vertex has no out-edges -> NULL outdeg in base; its
+    # contribution expression (r DIV NULL) is NULL and never matches an
+    # edge src, so only the mass-redistribution branch needs the set
+    dangling_ids = base.filter(F.col("outdeg").isNull()).select("id")
+    any_dangling = bool(dangling_ids.head(1))
+    small = n <= broadcast_max_vertices
+    ranks = base.select(
+        "id", "outdeg", F.lit(scale // n).cast("long").alias("r")
+    )
     # Checkpoint cadence: materializing ranks EVERY round costs one
-    # eager job per iteration (~half the loop's wall time at sf0.1 —
-    # measured 7.4s -> 4.2s on the co-purchase graph); chaining a few
-    # rounds lazily lets AQE pipeline them, while a bounded cadence
-    # keeps plan depth (and Catalyst optimization time) flat for large
-    # n_iter. With dangling vertices each round already runs an action
-    # (the dangling-mass collect), so lineage must truncate every round
-    # or the chain recomputes inside the collect.
+    # eager job per iteration; chaining a few rounds lazily lets AQE
+    # pipeline them, while a bounded cadence keeps plan depth (and
+    # Catalyst optimization time) flat for large n_iter. With dangling
+    # vertices each round already runs an action (the dangling-mass
+    # collect), so lineage must truncate every round or the chain
+    # recomputes inside the collect.
     ckpt_every = 1 if any_dangling else 3
     for it in range(n_iter):
         if any_dangling:
             dangling = (
-                ranks.join(dangling_ids.select("id"), "id", "left_semi")
+                ranks.join(dangling_ids, "id", "left_semi")
                 .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long"))
                 .collect()[0][0]
             )
         else:
             dangling = 0
         share = dangling // n
-        # per-VERTEX contribution first (vertex-sized join), then fan
-        # out over edges: the vertex-sized side is what AQE broadcasts,
-        # so the edge list is never shuffled inside the loop — only the
-        # contribution stream's groupBy(dst) moves data, with map-side
-        # partial sums collapsing it toward vertex cardinality
-        rc = ranks.join(outdeg, ranks.id == outdeg.src).select(
-            F.col("src"), F.expr("r DIV outdeg").alias("c")
+        # per-VERTEX contribution straight off the rank frontier (which
+        # carries outdeg), then fan out over edges: the vertex-sized
+        # side is explicitly broadcast while n is provably small (the
+        # checkpointed frontier has no stats, so Catalyst alone would
+        # shuffle the EDGE list every iteration) — only the
+        # contribution stream's groupBy(dst) moves data
+        rc = ranks.select(
+            F.col("id").alias("src"), F.expr("r DIV outdeg").alias("c")
         )
         inflow = (
-            edges.join(rc, "src")
+            edges.join(F.broadcast(rc) if small else rc, "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("c").cast("long").alias("inflow"))
         )
         ranks = (
-            ids.join(inflow, "id", "left")
+            base.join(F.broadcast(inflow) if small else inflow, "id", "left")
             .withColumn(
                 "r",
                 F.expr(
@@ -116,17 +135,19 @@ def pagerank(
                     f" + {share})) DIV {dden} AS BIGINT)"
                 ),
             )
-            .select("id", "r")
+            .select("id", "outdeg", "r")
         )
         if (it + 1) % ckpt_every == 0 or it == n_iter - 1:
             ranks = ranks.localCheckpoint()
-    return ranks
+    return ranks.select("id", "r")
 
 
 def bfs_distances(
     edges: DataFrame,
     source: DataFrame,
     n_rounds: int,
+    materialize_edges: bool = True,
+    broadcast_frontier: bool = False,
 ) -> DataFrame:
     """Unweighted shortest-path distances from ``source`` vertices via
     ``n_rounds`` of frontier relaxation — the BFS/SSSP building block
@@ -139,7 +160,15 @@ def bfs_distances(
       round) joins the edge list — relaxation work is proportional to
       the frontier's out-degree sum, not the reached set;
     - one shuffle join + one groupBy(min) per round, both map-side
-      combinable; reached set localCheckpointed per round;
+      combinable; new frontier localCheckpointed per round;
+    - ``broadcast_frontier=True`` broadcasts the frontier/reached
+      sides into the edge join and the anti-join (callers whose vertex
+      set is provably bounded — e.g. a dimension-keyed graph); the
+      checkpointed frontier has no stats, so Catalyst alone would
+      shuffle the edge list every round;
+    - ``materialize_edges`` as in :func:`pagerank` — pass False for
+      parquet-artifact-backed edge lists (columnar rescans beat
+      row-format checkpoint blocks ~3x);
     - distances are exact integers — bitwise deterministic, so the
       oracle can unroll the identical min-relaxation recurrence.
 
@@ -147,22 +176,27 @@ def bfs_distances(
     directions for undirected graphs. ``source`` must have column
     ``id`` (dist 0 seeds).
     """
-    edges = edges.select("src", "dst").localCheckpoint()
-    reached = source.select("id", F.lit(0).cast("long").alias("dist")).localCheckpoint()
+    edges = edges.select("src", "dst")
+    if materialize_edges:
+        edges = edges.localCheckpoint()
+    hint = F.broadcast if broadcast_frontier else (lambda df: df)
+    reached = source.select(
+        "id", F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint()
     frontier = reached
     for _ in range(n_rounds):
         if not frontier.head(1):
             break
         cand = (
             edges.join(
-                frontier.withColumnRenamed("id", "src"), "src"
+                hint(frontier.withColumnRenamed("id", "src")), "src"
             )
             .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
             .groupBy("id")
             .agg(F.min("dist").cast("long").alias("dist"))
         )
         frontier = cand.join(
-            reached.select("id"), "id", "left_anti"
+            hint(reached.select("id")), "id", "left_anti"
         ).localCheckpoint()
         # reached is a union of ALREADY-checkpointed frontiers — its
         # lineage is one union node per round, so materializing it
