@@ -106,17 +106,29 @@ def heavy_hitters(
 
 
 def _cms_row_buckets(key, width: int, depth: int, seed: int):
-    """One struct per sketch row: (row_id, bucket) from independent
-    xxhash64 seeds — shared by build and probe so both sides hash
-    identically (pure codegen, no Python)."""
+    """One struct per sketch row: (row_id, bucket) from independently
+    seeded PORTABLE hashes — shared by build and probe so both sides
+    hash identically (pure codegen, no Python). The hash is the repo's
+    engine-portable idiom (md5 → 60-bit prefix → mod width; identical
+    text yields the identical cell in Spark AND DuckDB/Postgres), so a
+    sketch built here can be probed — and oracle-checked — anywhere."""
     col = F.col(key) if isinstance(key, str) else key
     return F.array(
         *[
             F.struct(
                 F.lit(i).alias("row_id"),
-                F.pmod(F.xxhash64(col, F.lit(seed + i)), F.lit(width)).alias(
-                    "bucket"
-                ),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(":", F.lit(str(seed + i)), col)),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % F.lit(width)
+                ).alias("bucket"),
             )
             for i in range(depth)
         ]

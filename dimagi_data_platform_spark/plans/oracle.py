@@ -3348,3 +3348,39 @@ FROM c, q
 WHERE cw * 100 >= pct * tw
 GROUP BY pct ORDER BY pct
 """
+
+
+# L17c: Count-Min Sketch — the hash chain is the portable md5 idiom
+# (operators/sketches.py:_cms_row_buckets), so the ENTIRE sketch
+# (cell build, probe, min-over-rows estimate) replays in SQL: this
+# oracle re-derives the same depth=4 x width=2048 cells and must match
+# the Spark estimates bitwise.
+ORACLE["cms_term_counts"] = """
+WITH terms AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents),
+d AS (SELECT unnest([0, 1, 2, 3]) AS row_id),
+hashed AS (
+  SELECT term, row_id,
+         CAST(('0x' || substr(md5(CAST(7 + row_id AS VARCHAR) || ':' || term), 1, 15)) AS BIGINT) % 2048 AS bucket
+  FROM terms CROSS JOIN d),
+cells AS (
+  SELECT row_id, bucket, COUNT(*) AS cnt
+  FROM hashed GROUP BY row_id, bucket),
+exact AS (
+  SELECT term, COUNT(*) AS true_count FROM terms GROUP BY term),
+top AS (
+  SELECT term, true_count FROM exact
+  ORDER BY true_count DESC, term LIMIT 20),
+tp AS (
+  SELECT t.term, d.row_id,
+         CAST(('0x' || substr(md5(CAST(7 + d.row_id AS VARCHAR) || ':' || t.term), 1, 15)) AS BIGINT) % 2048 AS bucket
+  FROM top t CROSS JOIN d),
+est AS (
+  SELECT tp.term, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_count
+  FROM tp LEFT JOIN cells c USING (row_id, bucket)
+  GROUP BY tp.term)
+SELECT t.term, CAST(t.true_count AS BIGINT) AS true_count, e.est_count
+FROM top t JOIN est e USING (term)
+ORDER BY true_count DESC, term
+"""

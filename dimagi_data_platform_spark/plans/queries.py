@@ -958,11 +958,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("cms_term_counts")
 def cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L17c: Count-Min Sketch point-frequency estimates (rows-only:
-    sketch cells are engine-specific; one-sided error + eps*N bound +
-    cell-wise mergeability proven in tests/test_sketches.py). Emits
-    the top true terms with exact and CMS-estimated counts side by
-    side — est >= true always, overshoot bounded by the sketch width.
+    """L17c: Count-Min Sketch point-frequency estimates. The hash
+    chain is the portable md5 idiom, so the sketch is fully
+    SQL-expressible: the oracle re-derives the identical depth×width
+    cells and the min-over-rows estimates hash-match bitwise (one-sided
+    error + eps*N bound + cell-wise mergeability additionally proven in
+    tests/test_sketches.py). Emits the top true terms with exact and
+    CMS-estimated counts side by side — est >= true always, overshoot
+    bounded by the sketch width.
 
     Scale: the sketch build is ONE scan whose shuffle carries at most
     depth*width cells (map-side partials bound per-task state the same
