@@ -1165,3 +1165,93 @@ def knn_ivfpq(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def _lit_dot_sql(vec_col: str, plane: list[float]) -> str:
+    """Left-folded literal dot product as ONE parsed SQL expression
+    (see lsh_bucket for the py4j-cost rationale): 0-based Spark array
+    indexing; the oracle mirrors the identical chain 1-based."""
+    terms = " + ".join(
+        f"CAST({vec_col}[{j}] AS DOUBLE) * {p!r}D" for j, p in enumerate(plane)
+    )
+    return f"(CAST(0 AS DOUBLE) + {terms})"
+
+
+def knn_ivf_flat(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+    nlist: int = 8,
+    seed: int = 23,
+) -> DataFrame:
+    """IVF-Flat ANN with a FIXED literal coarse quantizer: the nlist
+    centroids are seeded gaussians (not k-means-trained), so — unlike
+    knn_ivf/knn_ivfpq — the ENTIRE mechanism (argmax-dot list
+    assignment, top-nprobe probe, exact cosine rerank) is a
+    deterministic closed-form expression that an SQL oracle replays
+    bitwise. This is the driver-checkable twin of the trained IVF
+    family: same candidate-pruning shape, centroid quality traded for
+    verifiability.
+
+    Scale: corpus list assignment is SCAN-LOCAL whole-stage-codegen
+    (nlist literal dot chains + one CASE argmax — no shuffle, no
+    window); queries explode to nprobe probe rows and broadcast; the
+    candidate join touches ~nprobe/nlist of the corpus; the only
+    full-width shuffle is the final per-query top-k over candidates.
+    """
+    cents = _planes(dim, nlist, seed)
+    dcols = [
+        F.expr(_lit_dot_sql(vec_col, pl)).alias(f"_d{i}")
+        for i, pl in enumerate(cents)
+    ]
+    dnames = [f"_d{i}" for i in range(nlist)]
+    # first-wins >= chain == deterministic smallest-index argmax
+    argmax = "CASE " + " ".join(
+        "WHEN "
+        + " AND ".join(f"_d{i} >= _d{j}" for j in range(nlist) if j != i)
+        + f" THEN {i}"
+        for i in range(nlist - 1)
+    ) + f" ELSE {nlist - 1} END"
+    c = (
+        items.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm_fixed(vec_col, dim).alias("c_norm"),
+            *dcols,
+        )
+        .withColumn("list_id", F.expr(argmax).cast("int"))
+        .drop(*dnames)
+    )
+    q0 = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_fixed(vec_col, dim).alias("q_norm"),
+        *dcols,
+    )
+    stack = "stack({}, {}) AS (list_id, cd)".format(
+        nlist, ", ".join(f"{i}, _d{i}" for i in range(nlist))
+    )
+    stacked = q0.selectExpr("q_id", "q_vec", "q_norm", stack)
+    w_probe = Window.partitionBy("q_id").orderBy(F.desc("cd"), "list_id")
+    probes = (
+        stacked.withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= nprobe)
+        .select("q_id", "q_vec", "q_norm", F.col("list_id").cast("int").alias("list_id"))
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(c, "list_id")
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+    )
+    cos = dot_fixed("q_vec", "c_vec", dim) / (F.col("q_norm") * F.col("c_norm"))
+    scored = cand.withColumn("cos_sim", cos)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    )

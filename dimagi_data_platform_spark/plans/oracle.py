@@ -3384,3 +3384,65 @@ SELECT t.term, CAST(t.true_count AS BIGINT) AS true_count, e.est_count
 FROM top t JOIN est e USING (term)
 ORDER BY true_count DESC, term
 """
+
+
+# L7g: IVF-Flat with FIXED literal centroids (similarity.knn_ivf_flat)
+# — the centroid dot chains interpolate as literals (same left fold,
+# 1-based indexing here), so assignment, probe, and exact rerank all
+# replay bitwise.
+def _ivf_flat_sql(nlist: int = 8, nprobe: int = 2, k: int = 5, dim: int = 64, seed: int = 23) -> str:
+    from dimagi_data_platform_spark.operators.similarity import _planes
+
+    cents = _planes(dim, nlist, seed)
+    dcols = ",\n         ".join(
+        "(0.0 + "
+        + " + ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE) * ({p!r})"
+            for j, p in enumerate(plane)
+        )
+        + f") AS d{i}"
+        for i, plane in enumerate(cents)
+    )
+    argmax = "CASE " + " ".join(
+        "WHEN "
+        + " AND ".join(f"d{i} >= d{j}" for j in range(nlist) if j != i)
+        + f" THEN {i}"
+        for i in range(nlist - 1)
+    ) + f" ELSE {nlist - 1} END"
+    cd_case = "CASE i " + " ".join(
+        f"WHEN {i} THEN d{i}" for i in range(nlist)
+    ) + " END"
+    ilist = ", ".join(str(i) for i in range(nlist))
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         {dcols},
+         {_vdot('embedding', 'embedding')} AS nrm2
+  FROM embeddings),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_vec, sqrt(nrm2) AS c_norm,
+         {argmax} AS list_id
+  FROM base),
+qd AS (SELECT * FROM base WHERE vec_id < 10),
+qs AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, sqrt(nrm2) AS q_norm,
+         i AS list_id, {cd_case} AS cd
+  FROM qd CROSS JOIN (SELECT unnest([{ilist}]) AS i)),
+probes AS (
+  SELECT q_id, q_vec, q_norm, list_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cd DESC, list_id) AS pr FROM qs)
+  WHERE pr <= {nprobe}),
+scored AS (
+  SELECT q_id, neighbor_id,
+         {_vdot('q_vec', 'c_vec')} / (q_norm * c_norm) AS cos_sim
+  FROM probes JOIN c USING (list_id)
+  WHERE q_id <> neighbor_id),
+r AS (
+  SELECT q_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS "rank"
+  FROM scored)
+SELECT q_id, neighbor_id, cos_sim, "rank" FROM r WHERE "rank" <= {k}
+"""
+
+
+ORACLE["knn_ivf_flat"] = _ivf_flat_sql()

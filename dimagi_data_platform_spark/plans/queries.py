@@ -1122,6 +1122,22 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, threshold=EMBED_NEAR_DUP_THRESHOLD)
 
 
+@query("knn_ivf_flat")
+def knn_ivf_flat_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7g: IVF-Flat ANN with a FIXED literal coarse quantizer — the
+    driver-checkable twin of the trained IVF family (knn_ivf /
+    knn_ivfpq are rows-only because k-means is not SQL-expressible;
+    here the centroids are seeded literals, so the oracle replays the
+    argmax-dot assignment, top-nprobe probe, and exact cosine rerank
+    bitwise). Scale: corpus assignment is scan-local codegen (no
+    shuffle/window); candidates are the ~nprobe/nlist probed fraction.
+    """
+    from dimagi_data_platform_spark.operators.similarity import knn_ivf_flat
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_ivf_flat(emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2)
+
+
 @query("knn_lsh")
 def knn_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L7: LSH-bucketed approximate KNN (rows-only check; recall vs
@@ -5802,7 +5818,7 @@ _SAMPLE_FIRST = [
     "order_value_percentiles",
     "customer_percent_rank",
     # (3) new round-5 queries
-    # (placeholder -- extended as round-5 operators land)
+    "knn_ivf_flat",
     # (4) regression picks: greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
