@@ -3446,3 +3446,36 @@ SELECT q_id, neighbor_id, cos_sim, "rank" FROM r WHERE "rank" <= {k}
 
 
 ORACLE["knn_ivf_flat"] = _ivf_flat_sql()
+
+
+# L53: exact substring dedup (Lee et al. 2022) — k=8 token grams,
+# first-occurrence-wins over md5 gram keys, packed integer argmin.
+ORACLE["substring_dedup_clean"] = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, u.i AS pos,
+         md5(array_to_string(toks[u.i:u.i+7], ' ')) AS gk
+  FROM t, UNNEST(range(1, len(toks) - 8 + 2)) AS u(i)),
+f AS (SELECT gk, MIN(doc_id * 1048576 + pos) AS first_pk FROM g GROUP BY gk),
+dup AS (
+  SELECT g.doc_id, g.pos FROM g JOIN f USING (gk)
+  WHERE g.doc_id * 1048576 + g.pos <> f.first_pk),
+cov AS (
+  SELECT DISTINCT doc_id, u.cp AS pos
+  FROM dup, UNNEST(range(pos, pos + 8)) AS u(cp)),
+ts AS (
+  SELECT doc_id, u.i AS pos, toks[u.i] AS tok
+  FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+kept AS (SELECT ts.* FROM ts ANTI JOIN cov USING (doc_id, pos)),
+cl AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(toks) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+       md5(COALESCE(clean_text, '')) AS clean_hash
+FROM t LEFT JOIN cl USING (doc_id)
+ORDER BY doc_id
+"""

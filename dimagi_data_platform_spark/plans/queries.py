@@ -2777,6 +2777,92 @@ def span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(docs, span_width=8)
 
 
+SUBSTR_DEDUP_K = 8
+
+
+@query("substring_dedup_clean")
+def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L53: EXACT substring-level dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") — any
+    token position covered by a k-token gram whose globally FIRST
+    occurrence lies elsewhere is removed; only the first copy of every
+    repeated >= k-token substring survives, including partial-overlap
+    repeats that span-grid dedup (L26 span_dedup_clean) misses. The
+    suffix-array formulation of the paper is re-expressed relationally:
+    every k-gram occurrence IS a suffix prefix, and first-occurrence
+    selection replaces the lexicographic sort.
+
+    Exactness/portability: first-occurrence-wins over portable md5 gram
+    keys; the (doc_id, pos) argmin is an integer MIN over the packed
+    key doc_id*2^20 + pos (pos < 2^20 tokens/doc; at larger doc sizes
+    widen the pack or switch to a struct MIN — Spark supports it, the
+    oracle is what pins the packed form).
+
+    Scale: gram construction is SCAN-LOCAL (transform over sequence —
+    no window, no shuffle); the gram stream shuffles ONCE on the gram
+    key with map-side MIN combine (no hot task even for million-fold
+    repeated grams, unlike a row_number-per-gram formulation); the
+    duplicate-occurrence join is gram-keyed; cover explode fans out
+    k x (duplicated occurrences only). Reassembly is one groupBy(doc).
+    """
+    k = SUBSTR_DEDUP_K
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("toks"))
+        .withColumn("n_tokens", F.size("toks").cast("long"))
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""CASE WHEN size(toks) >= {k}
+                     THEN transform(sequence(1, size(toks) - {k} + 1),
+                                    i -> struct(CAST(i AS INT) AS pos,
+                                                md5(array_join(slice(toks, i, {k}), ' ')) AS gk))
+                     ELSE CAST(array() AS array<struct<pos:int,gk:string>>)
+                   END"""
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gk").alias("gk"))
+    pack = (F.col("doc_id") * F.lit(1048576) + F.col("pos")).cast("long")
+    firsts = grams.select("gk", pack.alias("pk")).groupBy("gk").agg(
+        F.min("pk").alias("first_pk")
+    )
+    dups = (
+        grams.withColumn("pk", pack)
+        .join(firsts, "gk")
+        .filter(F.col("pk") != F.col("first_pk"))
+    )
+    covered = dups.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("pos"),
+    ).distinct()
+    tokstream = docs.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).cast("int").alias("pos"), "tok")
+    kept = tokstream.join(covered, ["doc_id", "pos"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, tok))),"
+            " x -> x.tok), ' ')"
+        ).alias("clean_text"),
+    )
+    return (
+        docs.select("doc_id", "n_tokens")
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query("source_cap_sample")
 def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L27: per-source document cap — keep the top-15 docs per source
@@ -5819,6 +5905,7 @@ _SAMPLE_FIRST = [
     "customer_percent_rank",
     # (3) new round-5 queries
     "knn_ivf_flat",
+    "substring_dedup_clean",
     # (4) regression picks: greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",

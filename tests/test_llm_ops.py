@@ -681,3 +681,53 @@ def test_prefix_join_lossless_vs_full_shingle_join(spark):
         for r in QUERIES["jaccard_prefix_join"](spark, SF_SMALL).collect()
     }
     assert pref == full and pref
+
+
+# ---- exact substring dedup (Lee et al. 2022 shape) ----
+
+
+def _substr_dedup(spark, rows):
+    """Run the substring_dedup_clean pipeline on an in-memory corpus by
+    monkey-free reuse: write to a temp dir shaped like a sf_dir."""
+    import os
+    import tempfile
+
+    from dimagi_data_platform_spark.plans.queries import QUERIES
+
+    d = tempfile.mkdtemp(prefix="substrdedup")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    return {
+        r.doc_id: r.asDict()
+        for r in QUERIES["substring_dedup_clean"](spark, d).collect()
+    }
+
+
+def test_substring_dedup_removes_later_copy_only(spark):
+    first = "a b c d e f g h"                     # 8 tokens = one gram
+    rows = [
+        (1, first + " x y z"),
+        (2, "p q r " + first + " s t"),            # contains the copy
+        (3, "entirely unrelated tokens here nothing shared at all"),
+    ]
+    got = _substr_dedup(spark, rows)
+    assert got[1]["n_removed"] == 0                # first occurrence survives
+    assert got[2]["n_removed"] == 8                # exactly the copied gram
+    assert got[3]["n_removed"] == 0
+
+
+def test_substring_dedup_overlapping_repeat_within_doc(spark):
+    # a 9-token repeat = two overlapping 8-grams; the SECOND occurrence
+    # (later position, same doc) loses all 9 covered positions
+    run = "a b c d e f g h i"
+    rows = [(1, run + " zz " + run)]
+    got = _substr_dedup(spark, rows)
+    assert got[1]["n_removed"] == 9
+
+
+def test_substring_dedup_short_docs_untouched(spark):
+    rows = [(1, "only seven tokens in this tiny doc"),
+            (2, "only seven tokens in this tiny doc")]
+    got = _substr_dedup(spark, rows)
+    # 7 tokens < k=8: no grams, nothing removable even for exact dups
+    assert got[1]["n_removed"] == 0 and got[2]["n_removed"] == 0
