@@ -42,11 +42,20 @@ EVENT_SCHEMA = StructType(
 def read_event_stream(
     spark: SparkSession, path: str, fmt: str = "json", max_files: int = 10
 ) -> DataFrame:
-    return (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", max_files)
-        .format(fmt)
-        .load(path)
+    from dimagi_data_platform_spark.sources.stream import (
+        StreamSource,
+        open_stream,
+    )
+
+    return open_stream(
+        spark,
+        StreamSource(
+            kind="file",
+            schema=EVENT_SCHEMA,
+            path=path,
+            fmt=fmt,
+            max_files_per_trigger=max_files,
+        ),
     )
 
 

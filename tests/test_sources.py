@@ -486,3 +486,172 @@ def test_read_text_lines_and_whole_files(spark, tmp_path):
     whole = read_text_lines(spark, str(d), whole_text=True, line_col="doc")
     docs = {r.source_file.rsplit("/", 1)[-1]: r.doc for r in whole.collect()}
     assert docs == {"a.txt": "line1\nline2\n", "b.txt": "solo\n"}
+
+
+# ---- config-driven streaming sources (sources/stream.py) ----
+
+
+def test_open_stream_file_kind_drains(spark, tmp_path):
+    import json as _json
+
+    from dimagi_data_platform_spark.sources.stream import (
+        StreamSource,
+        open_stream,
+    )
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    rows = [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]
+    (d / "batch0.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    src = StreamSource(kind="file", schema="id long, v string", path=str(d))
+    stream = open_stream(spark, src)
+    assert stream.isStreaming
+    out = tmp_path / "out"
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.id, r.v) for r in spark.read.parquet(str(out)).collect())
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_kafka_options_mapping_and_validation():
+    import pytest as _pytest
+
+    from dimagi_data_platform_spark.sources.stream import (
+        StreamSource,
+        kafka_options,
+    )
+
+    src = StreamSource(
+        kind="kafka",
+        bootstrap_servers="broker1:9092,broker2:9092",
+        topic="events",
+        starting_offsets="latest",
+        options={"maxOffsetsPerTrigger": 50000},
+    )
+    opts = kafka_options(src)
+    assert opts["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert opts["subscribe"] == "events"
+    assert opts["startingOffsets"] == "latest"
+    assert opts["failOnDataLoss"] == "false"
+    assert opts["maxOffsetsPerTrigger"] == "50000"
+    with _pytest.raises(ValueError):
+        kafka_options(StreamSource(kind="kafka", topic="events"))
+    with _pytest.raises(ValueError):
+        kafka_options(StreamSource(kind="file", path="/x"))
+
+
+def test_parse_kafka_value_typed_and_malformed(spark):
+    from dimagi_data_platform_spark.sources.stream import parse_kafka_value
+
+    # batch frame with the kafka wire schema (value binary + timestamp)
+    raw = spark.createDataFrame(
+        [
+            (bytearray(b'{"id": 7, "v": "ok"}'), dt.datetime(2024, 1, 1)),
+            (bytearray(b"not json at all"), dt.datetime(2024, 1, 2)),
+        ],
+        "value binary, timestamp timestamp",
+    )
+    got = parse_kafka_value(raw, "id long, v string").orderBy("kafka_ts").collect()
+    assert (got[0].id, got[0].v) == (7, "ok")
+    assert got[1].id is None and got[1].v is None  # malformed -> NULL row
+
+
+# ---- paginated REST ingestion (sources/rest.py) ----
+
+
+def _fake_api(pages, fail_first=0, fail_status=503):
+    """Transport over an in-memory paged resource. ``fail_first``
+    makes the first N calls fail with ``fail_status`` (then succeed)
+    to exercise retry/backoff."""
+    calls = {"n": 0, "urls": []}
+
+    def transport(url, params):
+        calls["n"] += 1
+        calls["urls"].append((url, dict(params)))
+        if calls["n"] <= fail_first:
+            return fail_status, {}
+        if url.startswith("cursor:"):
+            page_no = int(url.split(":")[1])
+        else:
+            page_no = params.get("offset", 0) // 100 if "offset" in params else 0
+        if page_no >= len(pages):
+            return 200, {"objects": [], "meta": {"next": None}}
+        nxt = f"cursor:{page_no + 1}" if page_no + 1 < len(pages) else None
+        return 200, {"objects": pages[page_no], "meta": {"next": nxt}}
+
+    return transport, calls
+
+
+def test_rest_cursor_pagination_pulls_all_pages():
+    from dimagi_data_platform_spark.sources.rest import RestSource, fetch_records
+
+    pages = [[{"id": i} for i in range(100)],
+             [{"id": i} for i in range(100, 200)],
+             [{"id": 200}]]
+    transport, calls = _fake_api(pages)
+    cfg = RestSource(base_url="https://api.example/v1/forms")
+    got = list(fetch_records(transport, cfg, since="2024-01-01"))
+    assert [r["id"] for r in got] == list(range(201))
+    # watermark param on the first request only (cursor carries on)
+    first_url, first_params = calls["urls"][0]
+    assert first_params["server_date_modified_start"] == "2024-01-01"
+    assert first_params["limit"] == 100
+
+
+def test_rest_offset_pagination_stops_on_short_page():
+    from dimagi_data_platform_spark.sources.rest import RestSource, fetch_records
+
+    pages = [[{"id": i} for i in range(100)], [{"id": 100}]]
+    transport, calls = _fake_api(pages)
+    cfg = RestSource(base_url="https://api.example/v1/forms", pagination="offset")
+    got = list(fetch_records(transport, cfg))
+    assert len(got) == 101
+    offsets = [p.get("offset") for _, p in calls["urls"]]
+    assert offsets == [0, 100]
+
+
+def test_rest_retries_transient_then_succeeds_and_backs_off():
+    from dimagi_data_platform_spark.sources.rest import RestSource, fetch_records
+
+    pages = [[{"id": 1}]]
+    transport, calls = _fake_api(pages, fail_first=3)
+    slept = []
+    cfg = RestSource(base_url="https://api.example/v1/forms")
+    got = list(fetch_records(transport, cfg, sleeper=slept.append))
+    assert [r["id"] for r in got] == [1]
+    assert slept == [0.5, 1.0, 2.0]  # exponential schedule, deterministic
+    assert calls["n"] == 4
+
+
+def test_rest_gives_up_after_max_retries_and_permanent_4xx():
+    import pytest as _pytest
+
+    from dimagi_data_platform_spark.sources.rest import RestSource, fetch_records
+
+    transport, _ = _fake_api([[{"id": 1}]], fail_first=99)
+    cfg = RestSource(base_url="https://api.example/v1/forms", max_retries=3)
+    with _pytest.raises(RuntimeError, match="giving up"):
+        list(fetch_records(transport, cfg, sleeper=lambda s: None))
+
+    def bad_request(url, params):
+        return 401, {}
+
+    with _pytest.raises(RuntimeError, match="permanent failure 401"):
+        list(fetch_records(bad_request, cfg, sleeper=lambda s: None))
+
+
+def test_rest_ingest_lands_in_spark_with_declared_schema(spark):
+    from dimagi_data_platform_spark.sources.rest import RestSource, ingest
+
+    pages = [[{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]]
+    transport, _ = _fake_api(pages)
+    cfg = RestSource(base_url="https://api.example/v1/cases")
+    df = ingest(spark, transport, cfg, schema="id long, name string")
+    assert df.schema.simpleString() == "struct<id:bigint,name:string>"
+    assert sorted((r.id, r.name) for r in df.collect()) == [(1, "a"), (2, "b")]
