@@ -77,6 +77,11 @@ HEADLINE = [
     # prefix-sum rank-statistics family
     "knn_ivfpq",
     "order_value_ks_test",
+    # round-5 additions: exact substring dedup (Lee et al.), the
+    # literal-quantizer IVF, and the de-single-tasked NTILE rank
+    "substring_dedup_clean",
+    "knn_ivf_flat",
+    "acctbal_deciles",
 ]
 
 

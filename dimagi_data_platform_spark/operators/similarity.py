@@ -1225,6 +1225,14 @@ def knn_ivf_flat(
         )
         .withColumn("list_id", F.expr(argmax).cast("int"))
         .drop(*dnames)
+        # stage barrier, deliberately: fusing the nlist dot chains +
+        # argmax CASE with the probe join's cosine chain in ONE
+        # whole-stage-codegen method exceeds janino's 64KB limit and
+        # silently falls back to interpreted eval (~2x slower here).
+        # The exchange splits codegen into two compilable stages AND
+        # co-locates each inverted list — the layout a persisted IVF
+        # index has on disk.
+        .repartition("list_id")
     )
     q0 = queries.select(
         F.col(id_col).alias("q_id"),
