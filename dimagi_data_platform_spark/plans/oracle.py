@@ -3479,3 +3479,81 @@ SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
 FROM t LEFT JOIN cl USING (doc_id)
 ORDER BY doc_id
 """
+
+
+# P59: CUSUM change-point — integer cross-multiplied deviation, one
+# closing IEEE division chain (queries.daily_value_cusum).
+ORACLE["daily_value_cusum"] = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS vq
+  FROM events GROUP BY 1),
+cum AS (
+  SELECT day,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+         CAST(SUM(vq) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_t
+  FROM daily),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(vq) AS BIGINT) AS s_n FROM daily),
+dev AS (
+  SELECT day, t, s_t, ABS(n_days * s_t - t * s_n) AS dev_x, n_days
+  FROM cum CROSS JOIN tot),
+top AS (SELECT * FROM dev ORDER BY dev_x DESC, day LIMIT 5)
+SELECT day, t,
+       CAST(s_t AS DOUBLE) / 100.0 AS cum_value,
+       CAST(dev_x AS DOUBLE) / (CAST(n_days AS DOUBLE) * 100.0) AS cusum_dev
+FROM top
+ORDER BY cusum_dev DESC, day
+"""
+
+# R69: STL-lite seasonal decomposition — integer detrended series
+# 7*vq - sum7, per-weekday means, mirrored IEEE division chains.
+ORACLE["daily_seasonal_decompose"] = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS vq
+  FROM events GROUP BY 1),
+w7 AS (
+  SELECT day, vq,
+         COUNT(*) OVER win AS n7,
+         CAST(SUM(vq) OVER win AS BIGINT) AS sum7
+  FROM daily
+  WINDOW win AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+ds AS (
+  SELECT day, vq, sum7,
+         CAST(EXTRACT(dow FROM day) AS INT) AS dow,
+         CAST(7 * vq - sum7 AS BIGINT) AS dt_x
+  FROM w7 WHERE n7 = 7),
+dm AS (
+  SELECT dow, CAST(SUM(dt_x) AS BIGINT) AS sum_dt,
+         CAST(COUNT(*) AS BIGINT) AS n_dow
+  FROM ds GROUP BY dow)
+SELECT day,
+       CAST(vq AS DOUBLE) / 100.0 AS value,
+       CAST(sum7 AS DOUBLE) / 700.0 AS trend,
+       CAST(sum_dt AS DOUBLE) / (700.0 * CAST(n_dow AS DOUBLE)) AS seasonal,
+       CAST(dt_x AS DOUBLE) / 700.0
+         - CAST(sum_dt AS DOUBLE) / (700.0 * CAST(n_dow AS DOUBLE)) AS residual
+FROM ds JOIN dm USING (dow)
+ORDER BY day
+"""
+
+# P60: multi-grain rollup — the oracle aggregates the FACTS per grain;
+# matching proves the daily-aggregate reuse lossless.
+ORACLE["multi_grain_rollup"] = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS p,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT 'day' AS grain, p AS period_start,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue, n_orders
+FROM daily
+UNION ALL
+SELECT 'week', date_trunc('week', p),
+       CAST(SUM(cents) AS DOUBLE) / 100.0, CAST(SUM(n_orders) AS BIGINT)
+FROM daily GROUP BY 2
+UNION ALL
+SELECT 'month', date_trunc('month', p),
+       CAST(SUM(cents) AS DOUBLE) / 100.0, CAST(SUM(n_orders) AS BIGINT)
+FROM daily GROUP BY 2
+"""

@@ -5871,6 +5871,165 @@ def unigram_tokenizer_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round-5 additions: change-point, seasonal decomposition, grain reuse
+# --------------------------------------------------------------------------
+
+
+@query("daily_value_cusum")
+def daily_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P59: CUSUM change-point detection over the daily event-value
+    series — the classic mean-shift detector: the day t maximizing
+    |S_t - t/n * S_n| (cumulative sum's deviation from the uniform
+    ramp) is the most likely change point. All comparisons are EXACT
+    integers: values quantize to cents, and the deviation is cross-
+    multiplied (n*S_t - t*S_n) instead of divided, so the argmax is
+    bitwise deterministic; the reported statistic divides once at the
+    end (one IEEE op).
+
+    Scale: one shuffle to the date grain; the running sum's window is
+    over one row per DAY (calendar-bounded metadata, not data scale).
+    Top-5 deviations reported, earliest-day tie-break. Integer bound:
+    n_days * total_cents must stay < 2^63 — ~1e14 total dollars at a
+    30-year daily grain; past that, lift the cross-product to
+    DECIMAL(38,0).
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * F.lit(100.0)).cast("long")).alias("vq")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+        F.sum("vq").over(w).cast("long").alias("s_t"),
+    )
+    tot = daily.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("vq").cast("long").alias("s_n"),
+    )
+    dev = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "dev_x",
+            F.abs(F.col("n_days") * F.col("s_t") - F.col("t") * F.col("s_n")),
+        )
+    )
+    return (
+        dev.orderBy(F.desc("dev_x"), "day")
+        .limit(5)
+        .select(
+            "day",
+            "t",
+            (F.col("s_t").cast("double") / F.lit(100.0)).alias("cum_value"),
+            (
+                F.col("dev_x").cast("double")
+                / (F.col("n_days").cast("double") * F.lit(100.0))
+            ).alias("cusum_dev"),
+        )
+        .orderBy(F.desc("cusum_dev"), "day")
+    )
+
+
+@query("daily_seasonal_decompose")
+def daily_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R69: classical seasonal decomposition (STL-lite) of the daily
+    event-value series: trend = centered 7-day moving average,
+    seasonal = per-weekday mean of the detrended series, residual =
+    the rest. Exactness: the detrended series is carried as the
+    INTEGER 7*vq - sum7 (cents*7 units — no float state); trend,
+    seasonal, and residual each close with one fixed IEEE division
+    chain mirrored in the oracle. Only days with a full 7-day window
+    decompose (leading/trailing 3 days drop).
+
+    Scale: one shuffle to the date grain; both windows run over one
+    row per day (calendar-bounded); the weekday means aggregate 7
+    groups with map-side partials.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * F.lit(100.0)).cast("long")).alias("vq")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    with7 = daily.select(
+        "day",
+        "vq",
+        F.count(F.lit(1)).over(w7).alias("n7"),
+        F.sum("vq").over(w7).cast("long").alias("sum7"),
+    ).filter(F.col("n7") == 7)
+    ds = with7.select(
+        "day",
+        "vq",
+        "sum7",
+        (F.dayofweek("day") - F.lit(1)).cast("int").alias("dow"),
+        (F.lit(7) * F.col("vq") - F.col("sum7")).cast("long").alias("dt_x"),
+    )
+    dow_mean = ds.groupBy("dow").agg(
+        F.sum("dt_x").cast("long").alias("sum_dt"),
+        F.count(F.lit(1)).cast("long").alias("n_dow"),
+    )
+    return (
+        ds.join(F.broadcast(dow_mean), "dow")
+        .select(
+            "day",
+            (F.col("vq").cast("double") / F.lit(100.0)).alias("value"),
+            (F.col("sum7").cast("double") / F.lit(700.0)).alias("trend"),
+            (
+                F.col("sum_dt").cast("double")
+                / (F.lit(700.0) * F.col("n_dow").cast("double"))
+            ).alias("seasonal"),
+            (
+                F.col("dt_x").cast("double") / F.lit(700.0)
+                - F.col("sum_dt").cast("double")
+                / (F.lit(700.0) * F.col("n_dow").cast("double"))
+            ).alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+@query("multi_grain_rollup")
+def multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P60: multi-granularity aggregate reuse — revenue at day, week,
+    and month grain where the WEEKLY and MONTHLY tables derive from
+    the daily aggregate, never rescanning the fact table (the
+    materialized-rollup pattern: at 100 TB the fact scan happens once,
+    coarser grains are metadata-scale reaggregations). Exact integer
+    cent sums are associative, so regrouping daily sums is bitwise
+    equal to aggregating the facts directly — which is what the oracle
+    does per grain, proving the reuse lossless. The daily aggregate is
+    localCheckpointed so the fact scan runs ONCE for all three grains.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("p")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")).alias("cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    ).localCheckpoint()
+
+    def grain(df, unit):
+        return (
+            df.groupBy(F.date_trunc(unit, "p").alias("period_start"))
+            .agg(
+                F.sum("cents").cast("long").alias("cents"),
+                F.sum("n_orders").cast("long").alias("n_orders"),
+            )
+            .select(
+                F.lit(unit).alias("grain"),
+                "period_start",
+                (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+                "n_orders",
+            )
+        )
+
+    day = daily.select(
+        F.lit("day").alias("grain"),
+        F.col("p").alias("period_start"),
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        "n_orders",
+    )
+    return day.unionAll(grain(daily, "week")).unionAll(grain(daily, "month"))
+
+
+# --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 registered queries.
@@ -5906,6 +6065,9 @@ _SAMPLE_FIRST = [
     # (3) new round-5 queries
     "knn_ivf_flat",
     "substring_dedup_clean",
+    "daily_value_cusum",
+    "daily_seasonal_decompose",
+    "multi_grain_rollup",
     # (4) regression picks: greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
