@@ -3557,3 +3557,57 @@ SELECT 'month', date_trunc('month', p),
        CAST(SUM(cents) AS DOUBLE) / 100.0, CAST(SUM(n_orders) AS BIGINT)
 FROM daily GROUP BY 2
 """
+
+
+# L54: class geometry — integer fixed-point centroid sums (the 1/(n·1e6)
+# scalar cancels in cosine), HUGEINT lifts where int64 would overflow,
+# 1e9-quantized member cosines before the mean.
+ORACLE["label_centroid_separation"] = """
+WITH cells AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+  FROM embeddings),
+cent AS (
+  SELECT label, dim, CAST(SUM(xq) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n_vecs
+  FROM cells GROUP BY label, dim),
+cn AS (
+  SELECT label, SUM(CAST(s AS HUGEINT) * s) AS s2, MAX(n_vecs) AS n_vecs
+  FROM cent GROUP BY label),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         SUM(CAST(a.s AS HUGEINT) * b.s) AS dab
+  FROM cent a JOIN cent b USING (dim)
+  WHERE a.label < b.label
+  GROUP BY 1, 2),
+between_rows AS (
+  SELECT label_a, label_b, 'between' AS kind,
+         CAST(dab AS DOUBLE)
+           / (sqrt(CAST(na.s2 AS DOUBLE)) * sqrt(CAST(nb.s2 AS DOUBLE))) AS cosine,
+         CAST(na.n_vecs + nb.n_vecs AS BIGINT) AS n
+  FROM dots
+  JOIN cn na ON na.label = label_a
+  JOIN cn nb ON nb.label = label_b),
+mem AS (
+  SELECT vec_id, cells.label,
+         CAST(SUM(xq * s) AS BIGINT) AS dxc,
+         CAST(SUM(xq * xq) AS BIGINT) AS x2
+  FROM cells JOIN cent USING (label, dim)
+  GROUP BY vec_id, cells.label),
+mcos AS (
+  SELECT mem.label,
+         CAST(FLOOR(CAST(dxc AS DOUBLE)
+           / (sqrt(CAST(x2 AS DOUBLE)) * sqrt(CAST(cn.s2 AS DOUBLE)))
+           * 1000000000.0) AS BIGINT) AS cq
+  FROM mem JOIN cn ON cn.label = mem.label),
+within_rows AS (
+  SELECT label AS label_a, label AS label_b, 'within' AS kind,
+         CAST(SUM(cq) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000000.0) AS cosine,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM mcos GROUP BY label)
+SELECT * FROM between_rows
+UNION ALL
+SELECT * FROM within_rows
+ORDER BY kind, label_a, label_b
+"""

@@ -6029,6 +6029,131 @@ def multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return day.unionAll(grain(daily, "week")).unionAll(grain(daily, "month"))
 
 
+@query("label_centroid_separation")
+def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L54: embedding-space class geometry — (a) BETWEEN rows: cosine
+    between every pair of per-label centroids (class separation /
+    drift), (b) WITHIN rows: mean cosine of each label's members to
+    their OWN centroid (class cohesion). The eval that tells you
+    whether labels are linearly separable before training a probe.
+
+    Exactness: centroids stay as INTEGER fixed-point sums s_d =
+    Σ floor(x_d·1e6) (the 1/(n·1e6) scalar cancels inside cosine, so
+    it is never applied); centroid-pair dots lift to DECIMAL(38,0)
+    (Σ s_a·s_b can exceed int64), member-to-centroid dots fit int64
+    (Σ floor(x·1e6)·s ≲ 2^55 at 10^3 members/label — lift to decimal
+    past that); per-member cosines quantize to 1e9 fixed-point before
+    the mean so no float ever aggregates. Each output value is one
+    mirrored IEEE chain off exact integers.
+
+    Scale: one |labels|·dim-keyed aggregate builds centroids (map-side
+    partials); the member pass joins each exploded cell to the
+    BROADCAST centroid cells on (label, dim) — scan-local fan-out 64,
+    one vec_id-keyed re-aggregate; the between-pass is |labels|² rows.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        F.col("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.floor(F.col("x").cast("double") * F.lit(1000000.0))
+        .cast("long")
+        .alias("xq"),
+    )
+    cent = cells.groupBy("label", "dim").agg(
+        F.sum("xq").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+    )
+    # centroid self-norms: decimal lift, Σ s² can exceed int64
+    cn = cent.groupBy("label").agg(
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("s2"),
+        F.max("n_vecs").alias("n_vecs"),
+    )
+    # BETWEEN: centroid-pair cosine, label_a < label_b
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("s").alias("sa")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("sa").cast("decimal(38,0)") * F.col("sb")).alias("dab")
+        )
+    )
+    na = cn.select(
+        F.col("label").alias("label_a"),
+        F.col("s2").alias("a2"),
+        F.col("n_vecs").alias("n_a"),
+    )
+    nb = cn.select(
+        F.col("label").alias("label_b"),
+        F.col("s2").alias("b2"),
+        F.col("n_vecs").alias("n_b"),
+    )
+    between = (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.lit("between").alias("kind"),
+            (
+                F.col("dab").cast("double")
+                / (
+                    F.sqrt(F.col("a2").cast("double"))
+                    * F.sqrt(F.col("b2").cast("double"))
+                )
+            ).alias("cosine"),
+            (F.col("n_a") + F.col("n_b")).cast("long").alias("n"),
+        )
+    )
+    # WITHIN: per-member cosine to own centroid (int64 dot), quantized
+    # to 1e9 fixed-point before the mean
+    mem = (
+        cells.join(F.broadcast(cent.select("label", "dim", "s")), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("xq") * F.col("s")).cast("long").alias("dxc"),
+            F.sum(F.col("xq") * F.col("xq")).cast("long").alias("x2"),
+        )
+    )
+    mcos = mem.join(F.broadcast(cn.select("label", "s2")), "label").select(
+        "label",
+        F.floor(
+            F.col("dxc").cast("double")
+            / (
+                F.sqrt(F.col("x2").cast("double"))
+                * F.sqrt(F.col("s2").cast("double"))
+            )
+            * F.lit(1000000000.0)
+        )
+        .cast("long")
+        .alias("cq"),
+    )
+    within = mcos.groupBy("label").agg(
+        F.sum("cq").cast("long").alias("sum_cq"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).select(
+        F.col("label").alias("label_a"),
+        F.col("label").alias("label_b"),
+        F.lit("within").alias("kind"),
+        (
+            F.col("sum_cq").cast("double")
+            / (F.col("n").cast("double") * F.lit(1000000000.0))
+        ).alias("cosine"),
+        "n",
+    )
+    return between.unionAll(within).orderBy("kind", "label_a", "label_b")
+
+
 # --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
@@ -6068,6 +6193,7 @@ _SAMPLE_FIRST = [
     "daily_value_cusum",
     "daily_seasonal_decompose",
     "multi_grain_rollup",
+    "label_centroid_separation",
     # (4) regression picks: greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
