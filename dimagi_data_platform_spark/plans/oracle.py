@@ -3611,3 +3611,81 @@ UNION ALL
 SELECT * FROM within_rows
 ORDER BY kind, label_a, label_b
 """
+
+
+# L55: LSH band-tuning — capped-shingle exact Jaccard pairs (>= 0.05),
+# band capture as OR-over-bands AND-over-rows on the md5-portable
+# signatures, theory literals interpolated identically on both sides.
+def _band_tuning_oracle() -> str:
+    from dimagi_data_platform_spark.operators.minhash import (
+        MINHASH_P,
+        _hash_params,
+    )
+
+    params = _hash_params(64, 42)
+    sig_cols = ",\n  ".join(
+        f"MIN(({a}*h + {b}) % {MINHASH_P}) AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_or = "\n       OR ".join(
+        "(" + " AND ".join(f"a.s{b * 4 + j} = b.s{b * 4 + j}" for j in range(4)) + ")"
+        for b in range(16)
+    )
+    # e-notation forces DuckDB to parse the literal as DOUBLE directly;
+    # a long plain-decimal literal would go through DECIMAL and double-
+    # round one ulp off the Python/Spark float
+    theory = " ".join(
+        "WHEN {} THEN {:.17e}".format(
+            b, 1.0 - (1.0 - ((b + 0.5) / 10.0) ** 4) ** 16
+        )
+        for b in range(10)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+sh_all AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3),
+sh AS (
+  SELECT doc_id, shingle FROM sh_all
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+  FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.05),
+hs AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {MINHASH_P} AS h
+  FROM (SELECT DISTINCT doc_id, shingle FROM sh_all)),
+sig AS (SELECT doc_id,
+  {sig_cols}
+  FROM hs GROUP BY doc_id),
+flagged AS (
+  SELECT p.doc_a, p.doc_b, p.jaccard,
+         CASE WHEN ({band_or}) THEN 1 ELSE 0 END AS caught
+  FROM pairs p
+  JOIN sig a ON a.doc_id = p.doc_a
+  JOIN sig b ON b.doc_id = p.doc_b),
+binned AS (
+  SELECT LEAST(CAST(FLOOR(jaccard * 10) AS BIGINT), 9) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(caught) AS BIGINT) AS n_caught
+  FROM flagged GROUP BY 1)
+SELECT bin, n_pairs, n_caught,
+       CAST(n_caught AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS observed_rate,
+       CASE bin {theory} END AS theory_p
+FROM binned ORDER BY bin
+"""
+
+
+ORACLE["lsh_band_tuning"] = _band_tuning_oracle()

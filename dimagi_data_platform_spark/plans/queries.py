@@ -6154,6 +6154,79 @@ def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return between.unionAll(within).orderBy("kind", "label_a", "label_b")
 
 
+@query("lsh_band_tuning")
+def lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L55: LSH band-tuning evaluation — the observed candidate-capture
+    rate of the production banding (16 bands x 4 rows) per exact-
+    Jaccard bin, next to the theoretical S-curve p(s) = 1-(1-s^4)^16
+    at each bin midpoint. The table that tells you whether b/r match
+    the dedup threshold BEFORE burning a full-corpus run (capture
+    should be ~0 well below the threshold and ~1 above it).
+
+    Determinism: exact Jaccard comes from the shared capped-shingle
+    machinery (:func:`_shingle_intersections`); band capture is the
+    closed-form OR-over-bands of AND-over-rows on the md5-portable
+    signatures (no bucket hash involved); theory values are PYTHON-
+    computed literals interpolated into both engines via shortest-repr
+    doubles.
+
+    Scale: the pair set is the threshold-bounded L4 output (never all
+    pairs); each pair carries two 64-slot signatures through ONE join
+    per side; the final aggregate has 10 bins.
+    """
+    inter, sz = _shingle_intersections(spark, sf_dir)
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    pairs = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.05)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    pa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    pb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    caught = F.lit(False)
+    for bnd in range(16):
+        m = F.lit(True)
+        for j in range(4):
+            m = m & (F.col("sig_a")[bnd * 4 + j] == F.col("sig_b")[bnd * 4 + j])
+        caught = caught | m
+    theory = None
+    for b in range(10):
+        mid = (b + 0.5) / 10.0
+        p = 1.0 - (1.0 - mid**4) ** 16
+        theory = (
+            F.when(F.col("bin") == b, F.lit(p))
+            if theory is None
+            else theory.when(F.col("bin") == b, F.lit(p))
+        )
+    return (
+        pairs.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn("caught", caught)
+        .withColumn(
+            "bin", F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("long")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("caught").cast("long")).cast("long").alias("n_caught"),
+        )
+        .withColumn(
+            "observed_rate",
+            F.col("n_caught").cast("double") / F.col("n_pairs").cast("double"),
+        )
+        .withColumn("theory_p", theory)
+        .orderBy("bin")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
@@ -6194,6 +6267,7 @@ _SAMPLE_FIRST = [
     "daily_seasonal_decompose",
     "multi_grain_rollup",
     "label_centroid_separation",
+    "lsh_band_tuning",
     # (4) regression picks: greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
