@@ -3689,3 +3689,52 @@ FROM binned ORDER BY bin
 
 
 ORACLE["lsh_band_tuning"] = _band_tuning_oracle()
+
+
+# L56: nearest-centroid confusion — same fixed-point cells/centroids
+# as L54; the member norm cancels in the argmax.
+ORACLE["nearest_centroid_confusion"] = """
+WITH cells AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS true_label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+  FROM embeddings),
+cent AS (
+  SELECT true_label AS cand_label, dim, CAST(SUM(xq) AS BIGINT) AS s
+  FROM cells GROUP BY 1, 2),
+cn AS (
+  SELECT cand_label, SUM(CAST(s AS HUGEINT) * s) AS s2
+  FROM cent GROUP BY cand_label),
+scores AS (
+  SELECT vec_id, true_label, cand_label,
+         CAST(SUM(xq * s) AS DOUBLE) / sqrt(CAST(MAX(s2) AS DOUBLE)) AS score
+  FROM cells
+  JOIN cent USING (dim)
+  JOIN cn USING (cand_label)
+  GROUP BY vec_id, true_label, cand_label),
+pred AS (
+  SELECT vec_id, true_label, cand_label AS pred_label
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cand_label) AS rk
+        FROM scores)
+  WHERE rk = 1),
+grid AS (
+  SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+  FROM pred GROUP BY 1, 2)
+SELECT true_label, pred_label, n_vecs,
+       CAST(n_vecs AS DOUBLE)
+         / CAST(SUM(n_vecs) OVER (PARTITION BY true_label) AS DOUBLE) AS frac_of_true
+FROM grid ORDER BY true_label, pred_label
+"""
+
+# P61: k-anonymity audit.
+ORACLE["k_anonymity_audit"] = """
+WITH grid AS (
+  SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM grid)
+SELECT c_mktsegment, c_nationkey, n,
+       CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS exposed_share
+FROM grid CROSS JOIN tot
+WHERE n < 5
+ORDER BY c_mktsegment, c_nationkey
+"""

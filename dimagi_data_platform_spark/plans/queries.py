@@ -6227,6 +6227,105 @@ def lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("nearest_centroid_confusion")
+def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L56: nearest-centroid classification eval — every vector is
+    assigned to the label whose centroid it is most cosine-similar to,
+    reported as the (true_label × pred_label) confusion matrix with
+    per-true-label shares. With L54 (class geometry) this closes the
+    centroid family: prototypes → separation → a working classifier.
+
+    Determinism: member→centroid scores reuse the exact fixed-point
+    machinery (int64 dot of floor(x·1e6) cells against integer
+    centroid sums; the member's own norm CANCELS in the argmax, so the
+    score is dxc/sqrt(Σs²) — one IEEE chain); argmax tie-breaks on the
+    smaller label via row_number.
+
+    Scale: centroids are a |labels|·dim table broadcast into the
+    scan-local exploded cells; the only data-scale shuffles are the
+    (vec, cand_label)-keyed re-aggregate and the final |labels|² grid.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("true_label"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "vec_id",
+        "true_label",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.floor(F.col("x").cast("double") * F.lit(1000000.0))
+        .cast("long")
+        .alias("xq"),
+    )
+    cent = cells.groupBy(F.col("true_label").alias("cand_label"), "dim").agg(
+        F.sum("xq").cast("long").alias("s")
+    )
+    cn = cent.groupBy("cand_label").agg(
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("s2")
+    )
+    scores = (
+        cells.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "true_label", "cand_label")
+        .agg(F.sum(F.col("xq") * F.col("s")).cast("long").alias("dxc"))
+        .join(F.broadcast(cn), "cand_label")
+        .withColumn(
+            "score",
+            F.col("dxc").cast("double") / F.sqrt(F.col("s2").cast("double")),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), "cand_label")
+    pred = (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "true_label", F.col("cand_label").alias("pred_label"))
+    )
+    cellsm = pred.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    w_t = Window.partitionBy("true_label")
+    return cellsm.select(
+        "true_label",
+        "pred_label",
+        "n_vecs",
+        (
+            F.col("n_vecs").cast("double")
+            / F.sum("n_vecs").over(w_t).cast("double")
+        ).alias("frac_of_true"),
+    ).orderBy("true_label", "pred_label")
+
+
+@query("k_anonymity_audit")
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P61: k-anonymity audit — quasi-identifier groups (market
+    segment × nation) whose occupancy is below k=5: any row in such a
+    group is re-identifiable by joining public attributes, the
+    standard privacy pre-release gate (Sweeney 2002). Emits each
+    at-risk group with its size and the share of the table it exposes.
+
+    Scale: one shuffle to the QI grid (map-side combine); the at-risk
+    report is grid-bounded. The total is a broadcast scalar.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    grid = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = grid.groupBy().agg(F.sum("n").cast("long").alias("n_total"))
+    return (
+        grid.filter(F.col("n") < 5)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "n",
+            (F.col("n").cast("double") / F.col("n_total").cast("double")).alias(
+                "exposed_share"
+            ),
+        )
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
@@ -6268,6 +6367,8 @@ _SAMPLE_FIRST = [
     "multi_grain_rollup",
     "label_centroid_separation",
     "lsh_band_tuning",
+    "nearest_centroid_confusion",
+    "k_anonymity_audit",
     # (4) regression picks: greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
