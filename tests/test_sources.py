@@ -655,3 +655,94 @@ def test_rest_ingest_lands_in_spark_with_declared_schema(spark):
     df = ingest(spark, transport, cfg, schema="id long, name string")
     assert df.schema.simpleString() == "struct<id:bigint,name:string>"
     assert sorted((r.id, r.name) for r in df.collect()) == [(1, "a"), (2, "b")]
+
+
+# ---- versioned tables: time travel + MERGE + vacuum (sources/versioned.py) ----
+
+
+def test_versioned_write_read_timetravel(spark, tmp_path):
+    from dimagi_data_platform_spark.sources.versioned import (
+        history,
+        read_asof,
+        read_version,
+        write_version,
+    )
+
+    p = str(tmp_path / "tbl")
+    v1 = write_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        p, commit_ts="2024-01-01T00:00:00",
+    )
+    v2 = write_version(
+        spark.createDataFrame([(1, "a2"), (3, "c")], "id long, v string"),
+        p, commit_ts="2024-02-01T00:00:00",
+    )
+    assert (v1, v2) == (1, 2)
+    assert [h["version"] for h in history(p)] == [1, 2]
+    assert {r.id for r in read_version(spark, p).collect()} == {1, 3}  # latest
+    assert {r.id for r in read_version(spark, p, 1).collect()} == {1, 2}
+    assert {r.id for r in read_asof(spark, p, "2024-01-15T00:00:00").collect()} == {1, 2}
+    assert {r.id for r in read_asof(spark, p, "2024-03-01T00:00:00").collect()} == {1, 3}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        read_asof(spark, p, "2023-12-31T00:00:00")
+    with _pytest.raises(ValueError):
+        read_version(spark, p, 99)
+
+
+def test_versioned_merge_latest_wins_and_tie_update_wins(spark, tmp_path):
+    from dimagi_data_platform_spark.sources.versioned import (
+        merge_version,
+        read_version,
+        write_version,
+    )
+
+    p = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame(
+            [(1, 10, "base"), (2, 10, "base")], "id long, ver long, who string"
+        ),
+        p, commit_ts="2024-01-01T00:00:00",
+    )
+    merge_version(
+        spark,
+        p,
+        spark.createDataFrame(
+            [(1, 10, "upd"),    # tie on ver -> update wins
+             (2, 5, "upd"),     # older -> base survives
+             (3, 1, "upd")],    # new key -> insert
+            "id long, ver long, who string",
+        ),
+        keys=["id"], order_col="ver", commit_ts="2024-02-01T00:00:00",
+    )
+    got = {r.id: r.who for r in read_version(spark, p).collect()}
+    assert got == {1: "upd", 2: "base", 3: "upd"}
+    # the pre-merge snapshot is still readable (time travel)
+    old = {r.id: r.who for r in read_version(spark, p, 1).collect()}
+    assert old == {1: "base", 2: "base"}
+
+
+def test_versioned_vacuum_keeps_manifest_consistent(spark, tmp_path):
+    import os as _os
+
+    from dimagi_data_platform_spark.sources.versioned import (
+        history,
+        read_version,
+        vacuum,
+        write_version,
+    )
+
+    p = str(tmp_path / "tbl")
+    for i in range(1, 5):
+        write_version(
+            spark.createDataFrame([(i,)], "id long"),
+            p, commit_ts=f"2024-0{i}-01T00:00:00",
+        )
+    dropped = vacuum(p, keep_last=2)
+    assert dropped == [1, 2]
+    assert [h["version"] for h in history(p)] == [3, 4]
+    assert not _os.path.exists(_os.path.join(p, "v=1"))
+    assert {r.id for r in read_version(spark, p, 3).collect()} == {3}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        read_version(spark, p, 1)
