@@ -1263,3 +1263,98 @@ def knn_ivf_flat(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def semantic_dedup_flat(
+    items: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+    nlist: int = 8,
+    seed: int = 23,
+) -> DataFrame:
+    """SemDeDup with the FIXED literal coarse quantizer — the driver-
+    checkable twin of :func:`semantic_dedup` (k-means is not SQL-
+    expressible; the literal argmax-dot quantizer is). Same keep rule:
+    within each cluster, an item is dropped when some LOWER-id member
+    reaches ``threshold`` cosine; dropped rows carry their best match
+    (max cosine, ties to the lowest id). Absent matches encode as
+    matched_id = -1 / cos_sim = 0.0 — COALESCE, not NULL, so nullable
+    ints never round-trip pandas as float64 (the r3 dtype artifact).
+
+    Scale: assignment is scan-local codegen behind the same stage
+    barrier as knn_ivf_flat; the within-cluster compare is a list_id-
+    keyed self-join (O(Σ cluster²) — the SemDeDup trade). The TRAINED
+    semantic_dedup remains the scale path: it sub-blocks hot clusters
+    so no task ever materializes a cluster; this twin is the
+    verification instrument on the same mechanism.
+    """
+    cents = _planes(dim, nlist, seed)
+    dcols = [
+        F.expr(_lit_dot_sql(vec_col, pl)).alias(f"_d{i}")
+        for i, pl in enumerate(cents)
+    ]
+    argmax = "CASE " + " ".join(
+        "WHEN "
+        + " AND ".join(f"_d{i} >= _d{j}" for j in range(nlist) if j != i)
+        + f" THEN {i}"
+        for i in range(nlist - 1)
+    ) + f" ELSE {nlist - 1} END"
+    assigned = (
+        items.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            norm_fixed(vec_col, dim).alias("nrm"),
+            *dcols,
+        )
+        .withColumn("list_id", F.expr(argmax).cast("long"))
+        .drop(*[f"_d{i}" for i in range(nlist)])
+        # stage barrier: see knn_ivf_flat — assignment chains + cosine
+        # chains fused in one codegen method exceed janino's limit
+        .repartition("list_id")
+    )
+    a = assigned.select(
+        "list_id",
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        "list_id",
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot_fixed("vec_a", "vec_b", dim) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, "list_id")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .withColumn("cos_sim", cos)
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), "id_b")
+    best = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("id_a", F.col("id_b").alias("bm_id"), F.col("cos_sim").alias("bm_cos"))
+    )
+    return (
+        assigned.select("id", "list_id")
+        .join(best, assigned.id == best.id_a, "left")
+        .withColumn(
+            "is_kept",
+            F.coalesce(F.col("bm_cos") < F.lit(threshold), F.lit(True)),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "list_id",
+            "is_kept",
+            F.when(F.col("is_kept"), F.lit(-1))
+            .otherwise(F.col("bm_id"))
+            .cast("long")
+            .alias("matched_id"),
+            F.when(F.col("is_kept"), F.lit(0.0))
+            .otherwise(F.col("bm_cos"))
+            .alias("cos_sim"),
+        )
+    )

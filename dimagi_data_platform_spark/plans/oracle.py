@@ -3738,3 +3738,60 @@ FROM grid CROSS JOIN tot
 WHERE n < 5
 ORDER BY c_mktsegment, c_nationkey
 """
+
+
+# L57: SemDeDup-flat — literal-quantizer assignment (same centroid
+# chains as knn_ivf_flat, 1-based), within-cluster lower-id best match,
+# keep decision at the 0.35 threshold, -1/0.0 encodes "kept".
+def _semantic_dedup_flat_sql(nlist: int = 8, dim: int = 64, seed: int = 23, threshold: float = 0.35) -> str:
+    from dimagi_data_platform_spark.operators.similarity import _planes
+
+    cents = _planes(dim, nlist, seed)
+    dcols = ",\n         ".join(
+        "(0.0 + "
+        + " + ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE) * ({p!r})"
+            for j, p in enumerate(plane)
+        )
+        + f") AS d{i}"
+        for i, plane in enumerate(cents)
+    )
+    argmax = "CASE " + " ".join(
+        "WHEN "
+        + " AND ".join(f"d{i} >= d{j}" for j in range(nlist) if j != i)
+        + f" THEN {i}"
+        for i in range(nlist - 1)
+    ) + f" ELSE {nlist - 1} END"
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         {dcols},
+         sqrt({_vdot('embedding', 'embedding')}) AS nrm
+  FROM embeddings),
+assigned AS (
+  SELECT vec_id AS id, embedding AS vec, nrm,
+         CAST({argmax} AS BIGINT) AS list_id
+  FROM base),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.list_id,
+         {_vdot('a.vec', 'b.vec')} / (a.nrm * b.nrm) AS cos_sim
+  FROM assigned a JOIN assigned b USING (list_id)
+  WHERE b.id < a.id),
+best AS (
+  SELECT id_a, id_b AS bm_id, cos_sim AS bm_cos
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos_sim DESC, id_b) AS rk
+        FROM pairs)
+  WHERE rk = 1),
+out AS (
+  SELECT assigned.id AS vec_id, list_id,
+         COALESCE(bm_cos < {threshold!r}, TRUE) AS is_kept,
+         bm_id, bm_cos
+  FROM assigned LEFT JOIN best ON best.id_a = assigned.id)
+SELECT vec_id, list_id, is_kept,
+       CAST(CASE WHEN is_kept THEN -1 ELSE bm_id END AS BIGINT) AS matched_id,
+       CASE WHEN is_kept THEN 0.0 ELSE bm_cos END AS cos_sim
+FROM out
+"""
+
+
+ORACLE["semantic_dedup_flat"] = _semantic_dedup_flat_sql()

@@ -1138,6 +1138,26 @@ def knn_ivf_flat_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf_flat(emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2)
 
 
+@query("semantic_dedup_flat")
+def semantic_dedup_flat_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L57: SemDeDup with the FIXED literal coarse quantizer — the
+    driver-checkable twin of semantic_dedup (L33, rows-only because
+    k-means is not SQL-expressible): identical keep rule (lower-id
+    cluster member at >= threshold cosine kills a row; min-id
+    representative survives), literal argmax-dot clusters, so the
+    oracle replays assignment, within-cluster best-match, and the keep
+    decision bitwise. Absent matches encode as -1/0.0 (COALESCE, not
+    NULL). The trained path remains the scale instrument (hot-cluster
+    sub-blocking); this is the verification instrument.
+    """
+    from dimagi_data_platform_spark.operators.similarity import (
+        semantic_dedup_flat,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_flat(emb, threshold=EMBED_NEAR_DUP_THRESHOLD)
+
+
 @query("knn_lsh")
 def knn_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L7: LSH-bucketed approximate KNN (rows-only check; recall vs
@@ -6369,6 +6389,7 @@ _SAMPLE_FIRST = [
     "lsh_band_tuning",
     "nearest_centroid_confusion",
     "k_anonymity_audit",
+    "semantic_dedup_flat",
     # (4) regression picks: greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
