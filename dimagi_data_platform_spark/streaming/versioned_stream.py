@@ -1,0 +1,115 @@
+"""Streaming sink into a versioned table — exactly-once micro-batch
+commits (streaming twin of sources/versioned.py).
+
+Each micro-batch MERGEs into the versioned table (latest-wins on the
+key, Delta-style copy-on-write) and commits as the next version; the
+micro-batch id is recorded in the manifest entry, and a replayed batch
+(foreachBatch re-delivery after a crash is AT-LEAST-ONCE) is detected
+and SKIPPED — idempotent sink + at-least-once delivery = exactly-once
+table state, the same protocol Delta's txn-id dance implements.
+
+Scale: per batch, one copy-on-write merge (read latest version +
+batch-keyed window); history grows one manifest entry per batch —
+vacuum on a retention schedule. Single writer, like the batch module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dimagi_data_platform_spark.sources.versioned import (
+    history,
+    merge_version,
+    read_version,
+    write_version,
+)
+
+
+def committed_batch_ids(path: str) -> set[int]:
+    return {
+        h["batch_id"] for h in history(path) if h.get("batch_id") is not None
+    }
+
+
+def versioned_sink(
+    path: str,
+    keys: list[str],
+    order_col: str,
+    ts_col: str = "ts",
+):
+    """Build a ``foreachBatch`` function committing each micro-batch as
+    a new version of the table at ``path``. The commit timestamp is
+    the batch's max ``ts_col`` (event time — deterministic, replayable;
+    never the wall clock), so ``read_asof`` time-travels in event time.
+    """
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if batch_id in committed_batch_ids(path):
+            return  # crash-replayed batch: already committed, skip
+        spark = batch.sparkSession
+        commit_ts = str(
+            batch.agg(F.max(ts_col).alias("m")).collect()[0]["m"]
+        )
+        try:
+            read_version(spark, path)
+            exists = True
+        except FileNotFoundError:
+            exists = False
+        if exists:
+            v = merge_version(
+                spark, path, batch, keys=keys, order_col=order_col,
+                commit_ts=commit_ts,
+            )
+        else:
+            # first batch: latest-wins WITHIN the batch, then write v1
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+            first = (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            v = write_version(first, path, commit_ts)
+        # stamp the batch id on the entry just committed (manifest
+        # rewrite is atomic; single-writer contract)
+        import json
+        import os
+        import tempfile
+
+        from dimagi_data_platform_spark.sources.versioned import (
+            _manifest_path,
+        )
+
+        versions = history(path)
+        for h in versions:
+            if h["version"] == v:
+                h["batch_id"] = batch_id
+        fd, tmp = tempfile.mkstemp(dir=path, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"versions": versions}, f)
+        os.replace(tmp, _manifest_path(path))
+
+    return sink
+
+
+def run_stream_to_versioned(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: list[str],
+    order_col: str,
+    ts_col: str = "ts",
+) -> None:
+    """Drain ``stream`` into the versioned table with availableNow
+    (test/backfill trigger; drop the trigger for continuous runs)."""
+    q = (
+        stream.writeStream.foreachBatch(versioned_sink(path, keys, order_col, ts_col))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -763,3 +763,55 @@ def test_streaming_cms_replay_idempotent(spark, tmp_path):
         (r.row_id, r.bucket): r.cnt for r in merged_cms(spark, state).collect()
     }
     assert before == after
+
+
+def test_streaming_versioned_sink_exactly_once_and_batch_twin(spark, tmp_path):
+    """Micro-batches commit as versions; replayed batch ids are skipped;
+    the final table equals the batch one-shot latest-wins twin."""
+    import json as _json
+
+    from dimagi_data_platform_spark.sources.stream import StreamSource, open_stream
+    from dimagi_data_platform_spark.sources.versioned import history, read_version
+    from dimagi_data_platform_spark.streaming.versioned_stream import (
+        run_stream_to_versioned,
+        versioned_sink,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    rows1 = [
+        {"id": 1, "ver": 1, "who": "b1", "ts": "2024-01-01T00:00:01"},
+        {"id": 2, "ver": 1, "who": "b1", "ts": "2024-01-01T00:00:02"},
+    ]
+    rows2 = [
+        {"id": 1, "ver": 2, "who": "b2", "ts": "2024-01-02T00:00:01"},
+        {"id": 3, "ver": 1, "who": "b2", "ts": "2024-01-02T00:00:02"},
+    ]
+    (indir / "a.json").write_text("\n".join(_json.dumps(r) for r in rows1))
+    (indir / "b.json").write_text("\n".join(_json.dumps(r) for r in rows2))
+    schema = "id long, ver long, who string, ts string"
+    stream = open_stream(
+        spark,
+        StreamSource(kind="file", schema=schema, path=str(indir),
+                     max_files_per_trigger=1),
+    )
+    tbl = str(tmp_path / "tbl")
+    run_stream_to_versioned(
+        stream, tbl, str(tmp_path / "ck"), keys=["id"], order_col="ver"
+    )
+    got = {r.id: r.who for r in read_version(spark, tbl).collect()}
+    assert got == {1: "b2", 2: "b1", 3: "b2"}
+    hist = history(tbl)
+    assert len(hist) == 2 and [h["batch_id"] for h in hist] == [0, 1]
+    # time travel in event time: as of Jan 1 only batch 1 is visible
+    from dimagi_data_platform_spark.sources.versioned import read_asof
+
+    old = {r.id: r.who for r in read_asof(spark, tbl, "2024-01-01T23:59:59").collect()}
+    assert old == {1: "b1", 2: "b1"}
+    # exactly-once: replaying an already-committed batch id is a no-op
+    replay = spark.createDataFrame(
+        [(9, 9, "dup", "2024-03-01T00:00:00")], schema
+    )
+    versioned_sink(tbl, keys=["id"], order_col="ver")(replay, 1)
+    assert len(history(tbl)) == 2
+    assert {r.id for r in read_version(spark, tbl).collect()} == {1, 2, 3}
