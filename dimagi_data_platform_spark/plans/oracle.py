@@ -3795,3 +3795,40 @@ FROM out
 
 
 ORACLE["semantic_dedup_flat"] = _semantic_dedup_flat_sql()
+
+
+# P64: session-level event-type lift — log-free PMI, exact integer
+# cross-products, one closing IEEE division.
+ORACLE["session_event_lift"] = """
+WITH x AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM x),
+st AS (SELECT DISTINCT user_id, session_id, event_type FROM s),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+        FROM (SELECT DISTINCT user_id, session_id FROM st)),
+singles AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_single
+  FROM st GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM st a JOIN st b USING (user_id, session_id)
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, n_ab,
+       CAST(n_ab * n_sessions AS DOUBLE)
+         / CAST(sa.n_single * sb.n_single AS DOUBLE) AS lift
+FROM pairs
+JOIN singles sa ON sa.event_type = type_a
+JOIN singles sb ON sb.event_type = type_b
+CROSS JOIN tot
+ORDER BY lift DESC, type_a, type_b
+"""

@@ -6346,6 +6346,56 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("session_event_lift")
+def session_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P64: behavioral association mining — LIFT of event-type pairs
+    co-occurring within the same 30-min session:
+    lift(a,b) = P(a,b)/(P(a)P(b)) = n_ab·N / (n_a·n_b). The log-free
+    PMI: every count is exact, the statistic is ONE division of exact
+    integer cross-products (no ln — engine libm differences never
+    enter), so the ranking is bitwise deterministic.
+
+    Scale: sessionization is the shared one-shuffle-per-user pattern;
+    the per-session distinct-type set is tiny (|event types| bounded),
+    so the within-session pair fan-out is output-sized; all three
+    count tables aggregate with map-side partials.
+    """
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800, tie_break="event_id")
+    st = s.select("user_id", "session_id", "event_type").distinct()
+    n_total = st.select("user_id", "session_id").distinct().groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    singles = st.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_single")
+    )
+    a = st.select("user_id", "session_id", F.col("event_type").alias("type_a"))
+    b = st.select("user_id", "session_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "session_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n_single").alias("n_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n_single").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            (
+                (F.col("n_ab") * F.col("n_sessions")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "type_a", "type_b")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
@@ -6390,6 +6440,7 @@ _SAMPLE_FIRST = [
     "nearest_centroid_confusion",
     "k_anonymity_audit",
     "semantic_dedup_flat",
+    "session_event_lift",
     # (4) regression picks: greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
