@@ -240,3 +240,36 @@ def test_ks_prefix_sums_are_range_bucketed(spark):
     plan = plan_str(spark, "order_value_ks_test")
     assert "__pid" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def _table_scale_windows(plan: str) -> list[str]:
+    """Window operator lines in a formatted plan (each names its
+    partition spec in the following Arguments line)."""
+    lines = plan.splitlines()
+    out = []
+    for i, ln in enumerate(lines):
+        if ") Window" in ln:
+            # the Arguments line carries the partition/order spec
+            for la in lines[i + 1 : i + 4]:
+                if "Arguments" in la:
+                    out.append(la)
+    return out
+
+
+def test_rank_rewrites_have_no_table_scale_single_task_window(spark):
+    """The r4-weak trio now ranks on the frozen-boundary distributed
+    machinery: every remaining Window either partitions by __pid (the
+    range bucket) or runs on the bucket-count offsets table — never an
+    unpartitioned NTILE/row_number over the data table. ntile itself
+    must be gone from acctbal_deciles."""
+    for name in (
+        "acctbal_deciles",
+        "order_value_percentiles",
+        "customer_percent_rank",
+    ):
+        plan = plan_str(spark, name)
+        assert "ntile" not in plan.lower(), name
+        for args in _table_scale_windows(plan):
+            # offsets window: partition-count rows, ordered by __pid;
+            # in-bucket window: partitioned by __pid
+            assert "__pid" in args, f"{name}: unpartitioned window {args}"
