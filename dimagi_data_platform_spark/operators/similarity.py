@@ -1167,6 +1167,23 @@ def knn_ivfpq(
     )
 
 
+def _lit_arr(plane: list[float]):
+    """Literal double array as ONE parsed expression (py4j-cheap)."""
+    return F.expr("array(" + ", ".join(f"{p!r}D" for p in plane) + ")")
+
+
+def _hof_dot(vec_col, arr):
+    """Left-folded dot product as a higher-order function — the SAME
+    ((0+t0)+t1)+... chain as dot_fixed / the oracle SQL, but the
+    generated code is a LOOP, not 64 inlined terms: an unrolled
+    512-term chain costs ~1.3s of janino compilation PER RUN at query
+    scale (same lesson as _sq_score_and_rerank's HOF rerank), the HOF
+    compiles in microseconds and evaluates identically."""
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    prods = F.zip_with(col, arr, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
+
+
 def _lit_dot_sql(vec_col: str, plane: list[float]) -> str:
     """Left-folded literal dot product as ONE parsed SQL expression
     (see lsh_bucket for the py4j-cost rationale): 0-based Spark array
@@ -1205,7 +1222,7 @@ def knn_ivf_flat(
     """
     cents = _planes(dim, nlist, seed)
     dcols = [
-        F.expr(_lit_dot_sql(vec_col, pl)).alias(f"_d{i}")
+        _hof_dot(vec_col, _lit_arr(pl)).alias(f"_d{i}")
         for i, pl in enumerate(cents)
     ]
     dnames = [f"_d{i}" for i in range(nlist)]
@@ -1216,11 +1233,13 @@ def knn_ivf_flat(
         + f" THEN {i}"
         for i in range(nlist - 1)
     ) + f" ELSE {nlist - 1} END"
+    par = items.sparkSession.sparkContext.defaultParallelism
     c = (
-        items.select(
+        items.repartition(par)
+        .select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
-            norm_fixed(vec_col, dim).alias("c_norm"),
+            F.sqrt(_hof_dot(vec_col, F.col(vec_col))).alias("c_norm"),
             *dcols,
         )
         .withColumn("list_id", F.expr(argmax).cast("int"))
@@ -1237,7 +1256,7 @@ def knn_ivf_flat(
     q0 = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        norm_fixed(vec_col, dim).alias("q_norm"),
+        F.sqrt(_hof_dot(vec_col, F.col(vec_col))).alias("q_norm"),
         *dcols,
     )
     stack = "stack({}, {}) AS (list_id, cd)".format(
@@ -1255,7 +1274,7 @@ def knn_ivf_flat(
         .join(c, "list_id")
         .filter(F.col("q_id") != F.col("neighbor_id"))
     )
-    cos = dot_fixed("q_vec", "c_vec", dim) / (F.col("q_norm") * F.col("c_norm"))
+    cos = _hof_dot("q_vec", F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
     scored = cand.withColumn("cos_sim", cos)
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
@@ -1292,7 +1311,7 @@ def semantic_dedup_flat(
     """
     cents = _planes(dim, nlist, seed)
     dcols = [
-        F.expr(_lit_dot_sql(vec_col, pl)).alias(f"_d{i}")
+        _hof_dot(vec_col, _lit_arr(pl)).alias(f"_d{i}")
         for i, pl in enumerate(cents)
     ]
     argmax = "CASE " + " ".join(
@@ -1301,34 +1320,51 @@ def semantic_dedup_flat(
         + f" THEN {i}"
         for i in range(nlist - 1)
     ) + f" ELSE {nlist - 1} END"
+    # repartition first — a small corpus arrives as ONE parquet split
+    # and the nlist dot chains would run in a single task (same note as
+    # minhash_signatures); at real scale the scan is already split.
+    par = items.sparkSession.sparkContext.defaultParallelism
     assigned = (
-        items.select(
+        items.repartition(par)
+        .select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
-            norm_fixed(vec_col, dim).alias("nrm"),
+            F.sqrt(_hof_dot(vec_col, F.col(vec_col))).alias("nrm"),
             *dcols,
         )
         .withColumn("list_id", F.expr(argmax).cast("long"))
         .drop(*[f"_d{i}" for i in range(nlist)])
-        # stage barrier: see knn_ivf_flat — assignment chains + cosine
-        # chains fused in one codegen method exceed janino's limit
-        .repartition("list_id")
+        # materialize ONCE: three consumers (both join sides + the
+        # final keep join) would each re-run the nlist dot chains —
+        # measured 3.2s -> 1.1s at sf0.1. The checkpoint is also the
+        # stage barrier that keeps the assignment chains and the
+        # cosine chain in separate codegen methods (see knn_ivf_flat).
+        .localCheckpoint()
     )
+    # block-salted within-cluster join: with only nlist join keys the
+    # pair compute would coalesce into <= nlist tasks (AQE squeezed it
+    # to ONE at sf0.1 — the whole cosine pass serialized). Salting the
+    # a-side into B blocks and replicating the b-side across them
+    # spreads the pairwise work over B*nlist tasks; replication cost is
+    # B copies of the (small per-cluster) b rows, never of the pairs.
+    B = items.sparkSession.sparkContext.defaultParallelism
     a = assigned.select(
         "list_id",
+        F.pmod(F.col("id"), F.lit(B)).cast("int").alias("blk"),
         F.col("id").alias("id_a"),
         F.col("vec").alias("vec_a"),
         F.col("nrm").alias("na"),
     )
     b = assigned.select(
         "list_id",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("blk"),
         F.col("id").alias("id_b"),
         F.col("vec").alias("vec_b"),
         F.col("nrm").alias("nb"),
-    )
-    cos = dot_fixed("vec_a", "vec_b", dim) / (F.col("na") * F.col("nb"))
+    ).withColumn("blk", F.col("blk").cast("int"))
+    cos = _hof_dot("vec_a", F.col("vec_b")) / (F.col("na") * F.col("nb"))
     pairs = (
-        a.join(b, "list_id")
+        a.join(b, ["list_id", "blk"])
         .filter(F.col("id_b") < F.col("id_a"))
         .withColumn("cos_sim", cos)
     )
