@@ -1184,16 +1184,6 @@ def _hof_dot(vec_col, arr):
     return F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
 
 
-def _lit_dot_sql(vec_col: str, plane: list[float]) -> str:
-    """Left-folded literal dot product as ONE parsed SQL expression
-    (see lsh_bucket for the py4j-cost rationale): 0-based Spark array
-    indexing; the oracle mirrors the identical chain 1-based."""
-    terms = " + ".join(
-        f"CAST({vec_col}[{j}] AS DOUBLE) * {p!r}D" for j, p in enumerate(plane)
-    )
-    return f"(CAST(0 AS DOUBLE) + {terms})"
-
-
 def knn_ivf_flat(
     items: DataFrame,
     queries: DataFrame,
