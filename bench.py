@@ -82,6 +82,13 @@ HEADLINE = [
     "substring_dedup_clean",
     "knn_ivf_flat",
     "acctbal_deciles",
+    # round-5 late additions: oracle-checked SemDeDup twin, the LSH
+    # S-curve eval (re-runs signatures + exact pairs — deliberately the
+    # heaviest dedup-eval composite), class geometry, session lift
+    "semantic_dedup_flat",
+    "lsh_band_tuning",
+    "label_centroid_separation",
+    "session_event_lift",
 ]
 
 
