@@ -1335,8 +1335,12 @@ def semantic_dedup_flat(
     # pair compute would coalesce into <= nlist tasks (AQE squeezed it
     # to ONE at sf0.1 — the whole cosine pass serialized). Salting the
     # a-side into B blocks and replicating the b-side across them
-    # spreads the pairwise work over B*nlist tasks; replication cost is
-    # B copies of the (small per-cluster) b rows, never of the pairs.
+    # spreads the pairwise work over B*nlist tasks. The replication is
+    # B copies of the CORPUS rows (B a constant parallelism knob, so
+    # shuffle volume stays linear) — acceptable for this verification
+    # twin; at true corpus scale use the TRAINED semantic_dedup, whose
+    # per-cluster block-pair decomposition replicates each row only
+    # into its own cluster's ceil(c/block_target) blocks.
     B = items.sparkSession.sparkContext.defaultParallelism
     a = assigned.select(
         "list_id",
