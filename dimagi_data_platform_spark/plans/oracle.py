@@ -3832,3 +3832,23 @@ JOIN singles sb ON sb.event_type = type_b
 CROSS JOIN tot
 ORDER BY lift DESC, type_a, type_b
 """
+
+
+# P65: incremental view maintenance — the oracle computes the view
+# from ALL facts; matching proves the base+delta merge lossless.
+ORACLE["incremental_daily_agg"] = """
+WITH d AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(MIN(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS min_c,
+         CAST(MAX(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS max_c
+  FROM orders GROUP BY 1)
+SELECT day,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       n_orders,
+       CAST(min_c AS DOUBLE) / 100.0 AS min_price,
+       CAST(max_c AS DOUBLE) / 100.0 AS max_price,
+       CAST(cents AS DOUBLE) / (CAST(n_orders AS DOUBLE) * 100.0) AS avg_price
+FROM d ORDER BY day
+"""

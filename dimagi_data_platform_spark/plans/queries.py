@@ -6049,6 +6049,60 @@ def multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return day.unionAll(grain(daily, "week")).unionAll(grain(daily, "month"))
 
 
+@query("incremental_daily_agg")
+def incremental_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P65: incremental view maintenance — the daily revenue aggregate
+    maintained from a BASE aggregate (orders before 1997-01-01) plus a
+    DELTA aggregate (orders after), merged by additive combination,
+    never re-scanning the base facts. The oracle computes the same
+    view from ALL facts in one pass, so the hash match PROVES the
+    incremental maintenance lossless — the correctness property every
+    nightly-refresh pipeline silently assumes. Exact integer cent sums
+    make the merge associative; a float view would drift.
+
+    Scale: this is the 100 TB refresh pattern — the delta scan touches
+    only new partitions, the merge is a date-grain (metadata-sized)
+    FULL OUTER union-aggregate. COUNT and SUM merge additively; MIN/
+    MAX merge by min/max (also shown); AVG derives from SUM/COUNT at
+    read time (never maintained directly).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cut = "1997-01-01"
+
+    def day_agg(df):
+        return df.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+            F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")).alias("cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")).alias("min_c"),
+            F.max(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")).alias("max_c"),
+        )
+
+    base = day_agg(orders.filter(F.col("o_orderdate") < F.lit(cut)))
+    delta = day_agg(orders.filter(F.col("o_orderdate") >= F.lit(cut)))
+    merged = (
+        base.select("day", "cents", "n_orders", "min_c", "max_c")
+        .unionAll(delta.select("day", "cents", "n_orders", "min_c", "max_c"))
+        .groupBy("day")
+        .agg(
+            F.sum("cents").cast("long").alias("cents"),
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.min("min_c").cast("long").alias("min_c"),
+            F.max("max_c").cast("long").alias("max_c"),
+        )
+    )
+    return merged.select(
+        "day",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        "n_orders",
+        (F.col("min_c").cast("double") / F.lit(100.0)).alias("min_price"),
+        (F.col("max_c").cast("double") / F.lit(100.0)).alias("max_price"),
+        (
+            F.col("cents").cast("double")
+            / (F.col("n_orders").cast("double") * F.lit(100.0))
+        ).alias("avg_price"),
+    ).orderBy("day")
+
+
 @query("label_centroid_separation")
 def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L54: embedding-space class geometry — (a) BETWEEN rows: cosine
@@ -6441,6 +6495,7 @@ _SAMPLE_FIRST = [
     "k_anonymity_audit",
     "semantic_dedup_flat",
     "session_event_lift",
+    "incremental_daily_agg",
     # (4) regression picks: greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
