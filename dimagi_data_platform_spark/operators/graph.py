@@ -203,3 +203,101 @@ def bfs_distances(
         # again would only add a job per round
         reached = reached.unionAll(frontier)
     return reached
+
+
+def personalized_pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 4,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = PR_SCALE,
+    id_col: str = "id",
+    materialize_edges: bool = True,
+    broadcast_max_vertices: int = BROADCAST_MAX_VERTICES,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass restarts at the SEED set
+    instead of uniformly — the similarity-to-seeds measure behind
+    related-item recommendation and seed-expansion community detection.
+    Same EXACT integer fixed-point contract as :func:`pagerank` (all
+    per-iteration ops integer, bitwise-reproducible, oracle-unrollable):
+
+        r0(v)      = scale DIV |S|            if v in S else 0
+        teleport   = ((den-num) * (scale DIV |S|)) DIV den   on seeds
+        r'(v)      = (num * (inflow(v) + dang_v)) DIV den + teleport_v
+        dang_v     = (dangling DIV |S|) for seeds else 0
+
+    (dangling mass restarts at the seeds, inside the damped term —
+    the standard PPR convention). Same loop shape as pagerank: one
+    contribution shuffle per iteration, vertex-sized sides broadcast
+    while provably small, bounded checkpoint cadence.
+    """
+    dnum, dden = damping
+    edges = edges.select("src", "dst")
+    if materialize_edges:
+        edges = edges.localCheckpoint()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    base = (
+        vertices.select(F.col(id_col).alias("id"))
+        .join(outdeg, F.col("id") == F.col("src"), "left")
+        .join(
+            seeds.select(F.col(id_col).alias("id")).withColumn(
+                "is_seed", F.lit(True)
+            ),
+            "id",
+            "left",
+        )
+        .select("id", "outdeg", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+        .localCheckpoint()
+    )
+    n = base.count()
+    n_s = base.filter("is_seed").count()
+    if n == 0 or n_s == 0:
+        return base.select("id", F.lit(0).cast("long").alias("r"))
+    teleport = ((dden - dnum) * (scale // n_s)) // dden
+    dangling_ids = base.filter(F.col("outdeg").isNull()).select("id")
+    any_dangling = bool(dangling_ids.head(1))
+    small = n <= broadcast_max_vertices
+    ranks = base.select(
+        "id",
+        "outdeg",
+        "is_seed",
+        F.when(F.col("is_seed"), F.lit(scale // n_s))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    )
+    ckpt_every = 1 if any_dangling else 3
+    for it in range(n_iter):
+        if any_dangling:
+            dangling = (
+                ranks.join(dangling_ids, "id", "left_semi")
+                .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long"))
+                .collect()[0][0]
+            )
+        else:
+            dangling = 0
+        share = dangling // n_s
+        rc = ranks.select(
+            F.col("id").alias("src"), F.expr("r DIV outdeg").alias("c")
+        )
+        inflow = (
+            edges.join(F.broadcast(rc) if small else rc, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").cast("long").alias("inflow"))
+        )
+        ranks = (
+            base.join(F.broadcast(inflow) if small else inflow, "id", "left")
+            .withColumn(
+                "r",
+                F.expr(
+                    f"CAST(({dnum} * (coalesce(inflow, 0)"
+                    f" + IF(is_seed, {share}, 0))) DIV {dden}"
+                    f" + IF(is_seed, {teleport}, 0) AS BIGINT)"
+                ),
+            )
+            .select("id", "outdeg", "is_seed", "r")
+        )
+        if (it + 1) % ckpt_every == 0 or it == n_iter - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("id", "r")

@@ -3852,3 +3852,55 @@ SELECT day,
        CAST(cents AS DOUBLE) / (CAST(n_orders AS DOUBLE) * 100.0) AS avg_price
 FROM d ORDER BY day
 """
+
+
+def _ppr_sql(n_iter: int = 4) -> str:
+    """Unrolled integer fixed-point PERSONALIZED PageRank (twin of
+    operators/graph.personalized_pagerank): the start vector and the
+    teleport live only on the 3-part seed set; the co-purchase graph
+    is undirected so the dangling term is identically zero."""
+    scale = 1000000000000000
+    ctes = [
+        """lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""",
+        """e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""",
+        """e AS (
+  SELECT u AS src, v AS dst FROM e0
+  UNION ALL SELECT v AS src, u AS dst FROM e0)""",
+        """verts AS (SELECT DISTINCT src AS p FROM e)""",
+        """outdeg AS (SELECT src AS p, COUNT(*) AS outdeg FROM e GROUP BY src)""",
+        """seeds AS (SELECT p FROM verts ORDER BY p LIMIT 3)""",
+        """sv AS (SELECT v.p, (s.p IS NOT NULL) AS is_seed
+  FROM verts v LEFT JOIN seeds s ON s.p = v.p)""",
+        f"""r0 AS (SELECT p, CAST(CASE WHEN is_seed THEN {scale} // 3 ELSE 0 END AS BIGINT) AS r
+  FROM sv)""",
+    ]
+    teleport = f"(15 * ({scale} // 3)) // 100"
+    for k in range(1, n_iter + 1):
+        ctes.append(
+            f"""r{k} AS (
+  SELECT v.p,
+         CAST((85 * COALESCE(s.inflow, 0)) // 100
+              + CASE WHEN v.is_seed THEN {teleport} ELSE 0 END AS BIGINT) AS r
+  FROM sv v
+  LEFT JOIN (
+    SELECT e.dst AS p, CAST(SUM(r.r // o.outdeg) AS BIGINT) AS inflow
+    FROM e
+    JOIN r{k - 1} r ON r.p = e.src
+    JOIN outdeg o ON o.p = e.src
+    GROUP BY e.dst) s ON s.p = v.p)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT p AS p_partkey, r AS rank_fixed,
+       CAST(r AS DOUBLE) / 1e15 AS ppr
+FROM r{n_iter}
+ORDER BY rank_fixed DESC, p_partkey LIMIT 20"""
+    )
+
+
+ORACLE["part_ppr"] = _ppr_sql(4)

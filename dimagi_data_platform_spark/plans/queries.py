@@ -4188,6 +4188,40 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("part_ppr")
+def part_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R70: PERSONALIZED PageRank over the co-purchase graph — teleport
+    restarts at a 3-part seed set (the 3 smallest part keys in the
+    graph), 4 power iterations, top-20 by similarity-to-seeds: the
+    related-item recommendation primitive. Exact integer fixed point
+    like R57, so the oracle unrolls the identical recurrence (seeded
+    start vector, teleport only on seeds) and hash-matches bitwise.
+
+    Scale: operators/graph.personalized_pagerank — same one-shuffle-
+    per-iteration loop as pagerank; the seed set is a 3-row broadcast.
+    """
+    from dimagi_data_platform_spark.operators.graph import personalized_pagerank
+
+    e0 = _copurchase_edges(spark, sf_dir)
+    edges = e0.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(e0.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    verts = edges.select(F.col("src").alias("id")).distinct()
+    seeds = verts.orderBy("id").limit(3)
+    ranks = personalized_pagerank(
+        verts, edges, seeds, n_iter=4, materialize_edges=False
+    )
+    return (
+        ranks.select(
+            F.col("id").alias("p_partkey"),
+            F.col("r").alias("rank_fixed"),
+            (F.col("r").cast("double") / F.lit(1.0e15)).alias("ppr"),
+        )
+        .orderBy(F.desc("rank_fixed"), "p_partkey")
+        .limit(20)
+    )
+
+
 @query("event_transition_matrix")
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P38: behavioral Markov transition matrix — for each ordered
@@ -6496,6 +6530,7 @@ _SAMPLE_FIRST = [
     "semantic_dedup_flat",
     "session_event_lift",
     "incremental_daily_agg",
+    "part_ppr",
     # (4) regression picks: greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",

@@ -320,3 +320,34 @@ def test_bfs_early_exhaustion(spark):
     src = spark.createDataFrame([(0,)], ["id"])
     got = {r["id"]: r["dist"] for r in bfs_distances(edges, src, 6).collect()}
     assert got == {0: 0, 1: 1}
+
+
+def test_personalized_pagerank_dangling_mass_restarts_at_seeds(spark):
+    """Directed chain with a dangling sink: 1->2->3 (3 has no out-
+    edges). Python reference of the exact integer recurrence."""
+    from dimagi_data_platform_spark.operators.graph import personalized_pagerank
+
+    v = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {
+        r.id: r.r
+        for r in personalized_pagerank(v, e, seeds, n_iter=3).collect()
+    }
+
+    scale = 10**15
+    outdeg = {1: 1, 2: 1}
+    r = {1: scale // 1, 2: 0, 3: 0}
+    teleport = (15 * (scale // 1)) // 100
+    for _ in range(3):
+        dangling = r[3]
+        share = dangling // 1  # one seed
+        inflow = {1: 0, 2: 0, 3: 0}
+        for (s, d) in [(1, 2), (2, 3)]:
+            inflow[d] += r[s] // outdeg[s]
+        r = {
+            v_: (85 * (inflow[v_] + (share if v_ == 1 else 0))) // 100
+            + (teleport if v_ == 1 else 0)
+            for v_ in (1, 2, 3)
+        }
+    assert got == r
