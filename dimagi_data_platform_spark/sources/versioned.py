@@ -78,7 +78,11 @@ def write_version(df: DataFrame, path: str, commit_ts: str) -> int:
     versions = history(path)
     n = versions[-1]["version"] + 1 if versions else 1
     vdir = os.path.join(path, f"v={n}")
-    df.write.mode("errorifexists").parquet(vdir)
+    # overwrite, deliberately: version n is not in the manifest, so if
+    # the directory exists it is garbage from a write that crashed
+    # BEFORE its manifest commit — overwriting it IS the recovery
+    # (errorifexists would brick the table after any such crash)
+    df.write.mode("overwrite").parquet(vdir)
     n_rows = df.sparkSession.read.parquet(vdir).count()
     _commit(path, {"version": n, "commit_ts": commit_ts, "n_rows": n_rows})
     return n

@@ -746,3 +746,31 @@ def test_versioned_vacuum_keeps_manifest_consistent(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         read_version(spark, p, 1)
+
+
+def test_versioned_write_recovers_from_crashed_commit(spark, tmp_path):
+    """A crash between the parquet write and the manifest commit leaves
+    an unreferenced v=N directory; the next write must overwrite it,
+    not brick the table."""
+    import os as _os
+
+    from dimagi_data_platform_spark.sources.versioned import (
+        history,
+        read_version,
+        write_version,
+    )
+
+    p = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([(1,)], "id long"), p, commit_ts="2024-01-01"
+    )
+    # simulate the crashed write: v=2 exists on disk, manifest doesn't know
+    spark.createDataFrame([(99,)], "id long").write.parquet(
+        _os.path.join(p, "v=2")
+    )
+    assert [h["version"] for h in history(p)] == [1]
+    write_version(
+        spark.createDataFrame([(2,)], "id long"), p, commit_ts="2024-02-01"
+    )
+    assert [h["version"] for h in history(p)] == [1, 2]
+    assert {r.id for r in read_version(spark, p).collect()} == {2}  # not 99
