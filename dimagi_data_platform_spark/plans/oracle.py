@@ -3904,3 +3904,43 @@ ORDER BY rank_fixed DESC, p_partkey LIMIT 20"""
 
 
 ORACLE["part_ppr"] = _ppr_sql(4)
+
+
+# P66: l-diversity audit.
+ORACLE["l_diversity_audit"] = """
+WITH grid AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2),
+per_qi AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS l_distinct,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(MAX(n) AS BIGINT) AS n_dominant
+  FROM grid GROUP BY c_nationkey)
+SELECT c_nationkey, l_distinct, n_rows,
+       CAST(n_dominant AS DOUBLE) / CAST(n_rows AS DOUBLE) AS dominant_share
+FROM per_qi WHERE l_distinct < 3
+ORDER BY c_nationkey
+"""
+
+# P67: trending event types — integer cross-product momentum, one
+# closing division; full-history + volume guards.
+ORACLE["trending_event_types"] = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_today
+  FROM events GROUP BY 1, 2),
+hist AS (
+  SELECT day, event_type, n_today,
+         COUNT(*) OVER w AS n_days_prior,
+         CAST(SUM(n_today) OVER w AS BIGINT) AS n_prior7
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT day, event_type, n_today, n_prior7,
+       CAST(7 * n_today AS DOUBLE) / CAST(n_prior7 AS DOUBLE) AS lift
+FROM hist
+WHERE n_days_prior = 7 AND n_today >= 10
+ORDER BY lift DESC, day, event_type
+LIMIT 20
+"""

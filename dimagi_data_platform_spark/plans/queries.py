@@ -6434,6 +6434,84 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("l_diversity_audit")
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P66: l-diversity audit — the k-anonymity (P61) refinement: a QI
+    group can be large yet still leak if its SENSITIVE attribute is
+    homogeneous (Machanavajjhala et al. 2007). Here QI = nation,
+    sensitive = market segment: emit every nation whose customers span
+    fewer than l=3 distinct segments, with the group size and its
+    dominant-segment share (the attacker's confidence).
+
+    Scale: one shuffle to the (QI, sensitive) grid, then grid-bounded
+    re-aggregation; distinct counts are exact over the tiny grid.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    grid = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    per_qi = grid.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("l_distinct"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("n_dominant"),
+    )
+    return (
+        per_qi.filter(F.col("l_distinct") < 3)
+        .select(
+            "c_nationkey",
+            "l_distinct",
+            "n_rows",
+            (
+                F.col("n_dominant").cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("dominant_share"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query("trending_event_types")
+def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P67: trending detection — each (day, event_type)'s volume vs its
+    own trailing-7-day baseline, ranked by momentum: lift =
+    n_today / (prior7/7), kept as the exact integer cross-product
+    7*n_today vs n_prior7 until ONE closing division. Rows with a full
+    7-day history and n_today >= 10 only (cold-start and noise guard).
+    Top-20, deterministic tie-break.
+
+    Scale: one shuffle to the (day, type) grid; the trailing window is
+    per-type over the DATE grain (bounded metadata cardinality — same
+    contract as R53/R58's daily windows).
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_today"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    hist = daily.select(
+        "day",
+        "event_type",
+        "n_today",
+        F.count(F.lit(1)).over(w).alias("n_days_prior"),
+        F.sum("n_today").over(w).cast("long").alias("n_prior7"),
+    )
+    return (
+        hist.filter((F.col("n_days_prior") == 7) & (F.col("n_today") >= 10))
+        .select(
+            "day",
+            "event_type",
+            "n_today",
+            "n_prior7",
+            (
+                (F.lit(7) * F.col("n_today")).cast("double")
+                / F.col("n_prior7").cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "day", "event_type")
+        .limit(20)
+    )
+
+
 @query("session_event_lift")
 def session_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P64: behavioral association mining — LIFT of event-type pairs
@@ -6531,6 +6609,8 @@ _SAMPLE_FIRST = [
     "session_event_lift",
     "incremental_daily_agg",
     "part_ppr",
+    "l_diversity_audit",
+    "trending_event_types",
     # (4) regression picks: greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
