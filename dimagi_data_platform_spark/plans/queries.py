@@ -2826,8 +2826,13 @@ def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     k x (duplicated occurrences only). Reassembly is one groupBy(doc).
     """
     k = SUBSTR_DEDUP_K
+    # repartition first: a small corpus arrives as one parquet split
+    # and the scan-local gram/md5 fan-out (the hot map-side work) would
+    # run in a single task; at real scale the scan is already split
+    par = spark.sparkContext.defaultParallelism
     docs = (
         _t(spark, sf_dir, "documents")
+        .repartition(par)
         .select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("toks"))
         .withColumn("n_tokens", F.size("toks").cast("long"))
     )
