@@ -3944,3 +3944,28 @@ WHERE n_days_prior = 7 AND n_today >= 10
 ORDER BY lift DESC, day, event_type
 LIMIT 20
 """
+
+
+# L58: embedding decontamination — same left-fold chains; argmax via
+# row_number (cos DESC, eval_id) mirroring Spark's max_by struct order.
+ORACLE["embedding_decontaminate"] = f"""
+WITH train AS (
+  SELECT vec_id, embedding AS t_vec,
+         sqrt({_vdot('embedding', 'embedding')}) AS t_norm
+  FROM embeddings WHERE vec_id >= 20),
+ev AS (
+  SELECT vec_id AS eval_id, embedding AS e_vec,
+         sqrt({_vdot('embedding', 'embedding')}) AS e_norm
+  FROM embeddings WHERE vec_id < 20),
+s AS (
+  SELECT train.vec_id, ev.eval_id,
+         {_vdot('t_vec', 'e_vec')} / (t_norm * e_norm) AS cos_sim
+  FROM train CROSS JOIN ev),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, eval_id) AS rk
+  FROM s)
+SELECT vec_id, eval_id AS nearest_eval_id, cos_sim AS max_eval_cos,
+       cos_sim >= 0.95 AS is_contaminated
+FROM r WHERE rk = 1
+ORDER BY vec_id
+"""

@@ -6517,6 +6517,55 @@ def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("embedding_decontaminate")
+def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L58: SEMANTIC benchmark decontamination — the embedding
+    complement of the 5-gram overlap drop (L21): a training vector is
+    contaminated when its max cosine against the EVAL set (vec_id <
+    20, the held-out benchmark stand-in) reaches 0.95; paraphrased
+    eval leakage that exact n-grams miss. Emits every training vector
+    with its max eval similarity, nearest eval id, and the drop flag.
+
+    Determinism: the 20-row eval side is broadcast with precomputed
+    HOF norms; max-cosine ties break on the smaller eval id via the
+    (cos DESC, id) row_number. One IEEE chain per pair, mirrored in
+    the oracle.
+
+    Scale: eval sets are small by construction — this is the
+    broadcast-side pattern of knn_bruteforce; the corpus streams
+    through one scan-local pass, no shuffle before the per-vector
+    argmax (vec_id-keyed, map-side combinable via max_by).
+    """
+    from dimagi_data_platform_spark.operators.similarity import _hof_dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    train = emb.filter(F.col("vec_id") >= 20).repartition(par).select(
+        F.col("vec_id"),
+        F.col("embedding").alias("t_vec"),
+        F.sqrt(_hof_dot("embedding", F.col("embedding"))).alias("t_norm"),
+    )
+    ev = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("e_vec"),
+        F.sqrt(_hof_dot("embedding", F.col("embedding"))).alias("e_norm"),
+    )
+    cos = _hof_dot("t_vec", F.col("e_vec")) / (F.col("t_norm") * F.col("e_norm"))
+    scored = train.join(F.broadcast(ev)).withColumn("cos_sim", cos)
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct(F.col("cos_sim"), F.col("eval_id")),
+            F.struct(F.col("cos_sim"), -F.col("eval_id")),
+        ).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        F.col("b.eval_id").alias("nearest_eval_id"),
+        F.col("b.cos_sim").alias("max_eval_cos"),
+        (F.col("b.cos_sim") >= F.lit(0.95)).alias("is_contaminated"),
+    ).orderBy("vec_id")
+
+
 @query("session_event_lift")
 def session_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P64: behavioral association mining — LIFT of event-type pairs
@@ -6616,6 +6665,7 @@ _SAMPLE_FIRST = [
     "part_ppr",
     "l_diversity_audit",
     "trending_event_types",
+    "embedding_decontaminate",
     # (4) regression picks: greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
