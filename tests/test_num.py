@@ -81,7 +81,20 @@ def test_query_results_independent_of_shuffle_partitions(spark):
     from dimagi_data_platform_spark.plans.queries import QUERIES
     from tests.conftest import SF_SMALL
 
-    names = ["q1_pricing_summary", "nation_acctbal_stats", "running_revenue"]
+    names = [
+        "q1_pricing_summary",
+        "nation_acctbal_stats",
+        "running_revenue",
+        # round-5 rank-machinery clients: the frozen-boundary rank and
+        # the NTILE/percent_rank closed forms must survive a relayout
+        "acctbal_deciles",
+        "customer_percent_rank",
+        "order_value_percentiles",
+        # round-5 integer/fixed-point chains
+        "daily_value_cusum",
+        "session_event_lift",
+        "part_ppr",
+    ]
     old = spark.conf.get("spark.sql.shuffle.partitions")
 
     def snap(name):
