@@ -774,3 +774,26 @@ def test_versioned_write_recovers_from_crashed_commit(spark, tmp_path):
     )
     assert [h["version"] for h in history(p)] == [1, 2]
     assert {r.id for r in read_version(spark, p).collect()} == {2}  # not 99
+
+
+def test_versioned_merge_rejects_schema_drift(spark, tmp_path):
+    """MERGE with a drifted update schema must fail loudly (unionByName
+    without allowMissingColumns), never silently null-fill a column."""
+    import pytest as _pytest
+
+    from dimagi_data_platform_spark.sources.versioned import (
+        merge_version,
+        write_version,
+    )
+
+    p = str(tmp_path / "tbl")
+    write_version(
+        spark.createDataFrame([(1, 1, "a")], "id long, ver long, v string"),
+        p, commit_ts="2024-01-01",
+    )
+    drifted = spark.createDataFrame([(1, 2)], "id long, ver long")  # missing v
+    with _pytest.raises(Exception, match="v|column|resolve|UNION"):
+        merge_version(
+            spark, p, drifted, keys=["id"], order_col="ver",
+            commit_ts="2024-02-01",
+        )
