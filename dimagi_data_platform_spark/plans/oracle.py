@@ -3969,3 +3969,57 @@ SELECT vec_id, eval_id AS nearest_eval_id, cos_sim AS max_eval_cos,
 FROM r WHERE rk = 1
 ORDER BY vec_id
 """
+
+
+# R71: time-weighted average — HUGEINT term products, one division.
+ORACLE["user_time_weighted_value"] = """
+WITH seg AS (
+  SELECT user_id,
+         CAST(FLOOR(value * 100.0) AS BIGINT) AS vq,
+         CAST(date_diff('microsecond', ts,
+              LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           AS BIGINT) AS dt_us
+  FROM events),
+agg AS (
+  SELECT user_id,
+         SUM(CAST(vq AS HUGEINT) * dt_us) AS wsum,
+         CAST(SUM(dt_us) AS BIGINT) AS t_total_us,
+         CAST(COUNT(*) AS BIGINT) AS n_segments
+  FROM seg WHERE dt_us IS NOT NULL
+  GROUP BY user_id)
+SELECT user_id, n_segments,
+       CAST(t_total_us AS DOUBLE) / 1000000.0 AS span_s,
+       CAST(wsum AS DOUBLE) / (CAST(t_total_us AS DOUBLE) * 100.0) AS twap_value
+FROM agg ORDER BY user_id
+"""
+
+# R72: longest consecutive-growth streak (gaps-and-islands on deltas).
+ORACLE["customer_growth_streaks"] = """
+WITH q AS (
+  SELECT o_custkey,
+         CAST(EXTRACT(year FROM o_orderdate) * 4
+              + (EXTRACT(quarter FROM o_orderdate) - 1) AS BIGINT) AS qnum,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2),
+flagged AS (
+  SELECT o_custkey, qnum, cents,
+         CASE WHEN LAG(qnum) OVER w = qnum - 1
+               AND LAG(cents) OVER w < cents
+              THEN 0 ELSE 1 END AS is_start
+  FROM q WINDOW w AS (PARTITION BY o_custkey ORDER BY qnum)),
+runs AS (
+  SELECT *, CAST(SUM(is_start) OVER (PARTITION BY o_custkey ORDER BY qnum
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+  FROM flagged),
+streaks AS (
+  SELECT o_custkey, run_id,
+         CAST(COUNT(*) AS BIGINT) AS len_quarters,
+         CAST(MIN(qnum) AS BIGINT) AS start_qnum,
+         CAST(MAX(cents) AS BIGINT) AS peak_cents
+  FROM runs GROUP BY 1, 2)
+SELECT o_custkey, len_quarters, start_qnum,
+       CAST(peak_cents AS DOUBLE) / 100.0 AS peak_spend
+FROM streaks
+ORDER BY len_quarters DESC, o_custkey, start_qnum
+LIMIT 20
+"""

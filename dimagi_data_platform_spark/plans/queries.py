@@ -6566,6 +6566,105 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+@query("user_time_weighted_value")
+def user_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R71: time-weighted average (TWAP-style) — per user, the mean of
+    ``value`` weighted by how long each observation was current
+    (irregular sampling: each event's value holds until the next
+    event). The telemetry/finance aggregate a plain AVG silently gets
+    wrong whenever sampling is bursty.
+
+    Determinism: weights are exact microsecond gaps; value quantizes
+    to cents; per-term products cents x micros lift to DECIMAL(38,0)
+    before summing (a 10-year x high-value series overflows int64),
+    and the single TWAP division is the only IEEE op. Users with one
+    event (no holding interval) are excluded — their TWAP is
+    undefined, and excluding beats inventing a zero-width convention.
+
+    Scale: one shuffle on user_id; the lead window streams per user.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("vq"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts")))
+        .cast("long")
+        .alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    agg = seg.groupBy("user_id").agg(
+        F.sum(F.col("vq").cast("decimal(38,0)") * F.col("dt_us")).alias("wsum"),
+        F.sum("dt_us").cast("long").alias("t_total_us"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+    )
+    return agg.select(
+        "user_id",
+        "n_segments",
+        (F.col("t_total_us").cast("double") / F.lit(1000000.0)).alias("span_s"),
+        (
+            F.col("wsum").cast("double")
+            / (F.col("t_total_us").cast("double") * F.lit(100.0))
+        ).alias("twap_value"),
+    ).orderBy("user_id")
+
+
+@query("customer_growth_streaks")
+def customer_growth_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R72: longest consecutive-growth streak — per customer, the
+    longest run of strictly increasing QUARTERLY spend (consecutive
+    calendar quarters only: a skipped quarter breaks the streak). The
+    gaps-and-islands pattern applied to deltas; top-20 streaks.
+
+    Determinism: spend compares as exact integer cents; quarter
+    arithmetic is integer (year*4 + quarter). Scale: one shuffle to
+    the (customer, quarter) grain, then per-customer windows over a
+    bounded-calendar series; the global top-20 is a TakeOrdered.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    q = orders.groupBy(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 4 + (F.quarter("o_orderdate") - 1)
+        ).cast("long").alias("qnum"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("qnum")
+    flagged = q.select(
+        "o_custkey",
+        "qnum",
+        "cents",
+        F.when(
+            (F.lag("qnum").over(w) == F.col("qnum") - 1)
+            & (F.lag("cents").over(w) < F.col("cents")),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("is_start"),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("is_start")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    streaks = runs.groupBy("o_custkey", "run_id").agg(
+        F.count(F.lit(1)).cast("long").alias("len_quarters"),
+        F.min("qnum").cast("long").alias("start_qnum"),
+        F.max("cents").cast("long").alias("peak_cents"),
+    )
+    return (
+        streaks.select(
+            "o_custkey",
+            "len_quarters",
+            "start_qnum",
+            (F.col("peak_cents").cast("double") / F.lit(100.0)).alias("peak_spend"),
+        )
+        .orderBy(F.desc("len_quarters"), "o_custkey", "start_qnum")
+        .limit(20)
+    )
+
+
 @query("session_event_lift")
 def session_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P64: behavioral association mining — LIFT of event-type pairs
@@ -6666,6 +6765,8 @@ _SAMPLE_FIRST = [
     "l_diversity_audit",
     "trending_event_types",
     "embedding_decontaminate",
+    "user_time_weighted_value",
+    "customer_growth_streaks",
     # (4) regression picks: greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
