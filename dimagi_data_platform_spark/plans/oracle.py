@@ -4023,3 +4023,72 @@ FROM streaks
 ORDER BY len_quarters DESC, o_custkey, start_qnum
 LIMIT 20
 """
+
+
+# P68: U-shaped multi-touch attribution — integer ppm credit exact per
+# purchase (remainder to the first touch), HUGEINT credited cents.
+ORACLE["ushape_attribution"] = """
+WITH p AS (
+  SELECT event_id AS p_id, user_id,
+         CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS BIGINT) AS p_us,
+         CAST(FLOOR(value * 100.0) AS BIGINT) AS p_cents
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT event_id AS c_id, user_id,
+         CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS BIGINT) AS c_us,
+         ts AS c_ts
+  FROM events WHERE event_type = 'click'),
+pairs AS (
+  SELECT p.p_id, p.p_cents, c.c_id, c.c_us, c.c_ts
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.c_us <= p.p_us AND c.c_us > p.p_us - 1800000000),
+pos AS (
+  SELECT p_id, p_cents, c_id, c_ts,
+         CAST(ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY c_us, c_id) AS BIGINT) AS pos,
+         CAST(COUNT(*) OVER (PARTITION BY p_id) AS BIGINT) AS n_touch
+  FROM pairs),
+credited AS (
+  SELECT *,
+    CAST(CASE
+      WHEN n_touch = 1 THEN 1000000
+      WHEN n_touch = 2 THEN 500000
+      WHEN pos = n_touch THEN 400000
+      WHEN pos = 1 THEN 400000 + (200000 - (200000 // (n_touch - 2)) * (n_touch - 2))
+      ELSE 200000 // (n_touch - 2)
+    END AS BIGINT) AS credit_ppm
+  FROM pos)
+SELECT date_trunc('hour', c_ts) AS click_hour,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(credit_ppm) AS BIGINT) AS sum_ppm,
+       CAST(SUM(CAST(credit_ppm AS HUGEINT) * p_cents) AS DOUBLE) / 100000000.0
+         AS credited_value
+FROM credited
+GROUP BY 1 ORDER BY 1
+"""
+
+# R73: QQ decile table (urgent vs other order values).
+ORACLE["order_value_qq"] = """
+WITH g AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 'urgent' ELSE 'other' END AS grp,
+         o_totalprice, o_orderkey
+  FROM orders),
+ranked AS (
+  SELECT grp, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM g),
+targets AS (
+  SELECT grp, d, CAST(CEIL(d * n / 10) AS BIGINT) AS rn
+  FROM (SELECT DISTINCT grp, n FROM ranked),
+       (SELECT UNNEST([1,2,3,4,5,6,7,8,9]) AS d)),
+deciles AS (
+  SELECT r.grp, t.d, r.o_totalprice
+  FROM ranked r JOIN targets t ON t.grp = r.grp AND t.rn = r.rn)
+SELECT CAST(u.d AS BIGINT) AS decile,
+       u.o_totalprice AS urgent_q,
+       o.o_totalprice AS other_q,
+       u.o_totalprice - o.o_totalprice AS gap
+FROM deciles u JOIN deciles o ON u.d = o.d AND u.grp = 'urgent' AND o.grp = 'other'
+ORDER BY decile
+"""

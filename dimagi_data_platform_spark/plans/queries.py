@@ -6665,6 +6665,158 @@ def customer_growth_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ushape_attribution")
+def ushape_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P68: position-based (U-shaped) multi-touch attribution — each
+    purchase's credit splits 40/40/20 across the user's clicks in the
+    trailing 30 minutes: 40% to the FIRST touch, 40% to the LAST, 20%
+    spread over the middle ones (all to first/last when <= 2 touches:
+    1-touch -> 100%, 2-touch -> 50/50). Credit is integer parts-per-
+    million so the per-touch shares are exact and sum to 1e6 per
+    purchase (remainder to the first touch); the report aggregates
+    credited value per click-hour.
+
+    Scale: the purchase x trailing-clicks pairing reuses the banded
+    range-join shape (time-bucketed equi-join, no interval cross
+    product); per-purchase position ranks are windows over the
+    (purchase) key — fan-out-bounded by the attribution window.
+    """
+    ev = _t(spark, sf_dir, "events")
+    win_us = 30 * 60 * 1000000
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id"),
+        F.unix_micros("ts").alias("p_us"),
+        F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("p_cents"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id"),
+        F.unix_micros("ts").alias("c_us"),
+        F.col("ts").alias("c_ts"),
+    )
+    # time-bucketed banded join: a purchase pairs with clicks in its
+    # own or the previous 30-min bucket, exact predicate after
+    pb = purchases.withColumn("bkt", F.floor(F.col("p_us") / win_us).cast("long"))
+    cb = clicks.withColumn("bkt0", F.floor(F.col("c_us") / win_us).cast("long"))
+    cand = None
+    for off in (0, 1):
+        side = cb.withColumn("bkt", (F.col("bkt0") + off).cast("long"))
+        cand = side if cand is None else cand.unionAll(side)
+    pairs = (
+        pb.join(cand, ["user_id", "bkt"])
+        .filter(
+            (F.col("c_us") <= F.col("p_us"))
+            & (F.col("c_us") > F.col("p_us") - win_us)
+        )
+        .select("p_id", "p_cents", "c_id", "c_us", "c_ts")
+    )
+    w_pos = Window.partitionBy("p_id").orderBy("c_us", "c_id")
+    w_n = Window.partitionBy("p_id")
+    pos = pairs.select(
+        "p_id",
+        "p_cents",
+        "c_id",
+        "c_ts",
+        F.row_number().over(w_pos).cast("long").alias("pos"),
+        F.count(F.lit(1)).over(w_n).cast("long").alias("n_touch"),
+    )
+    # integer ppm credit: first gets 400000 (+ remainder), last 400000,
+    # middles split 200000; n=1 -> 1000000; n=2 -> 500000/500000
+    mid_share = F.expr("200000 DIV (n_touch - 2)")
+    credit = (
+        F.when(F.col("n_touch") == 1, F.lit(1000000))
+        .when(F.col("n_touch") == 2, F.lit(500000))
+        .when(F.col("pos") == F.col("n_touch"), F.lit(400000))
+        .when(
+            F.col("pos") == 1,
+            F.lit(400000)
+            + (F.lit(200000) - mid_share * (F.col("n_touch") - 2)),
+        )
+        .otherwise(mid_share)
+        .cast("long")
+    )
+    credited = pos.withColumn("credit_ppm", credit)
+    return (
+        credited.groupBy(F.date_trunc("hour", "c_ts").alias("click_hour"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum("credit_ppm").cast("long").alias("sum_ppm"),
+            F.sum(
+                F.col("credit_ppm").cast("decimal(38,0)") * F.col("p_cents")
+            ).alias("wcents"),
+        )
+        .select(
+            "click_hour",
+            "n_touches",
+            "sum_ppm",
+            (
+                F.col("wcents").cast("double") / F.lit(100000000.0)
+            ).alias("credited_value"),
+        )
+        .orderBy("click_hour")
+    )
+
+
+@query("order_value_qq")
+def order_value_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R73: QQ table — deciles of the urgent (1-URGENT/2-HIGH) vs
+    non-urgent order-value distributions side by side: the
+    distribution-shift diagnostic that SHOWS where the KS statistic
+    (R64) comes from. Exact rank-at-ceil decile selection per group on
+    the distributed rank machinery; one row per decile with both
+    quantile values and their gap.
+
+    Scale: same backbone as order_value_percentiles — ONE global
+    distributed rank over (group, value, key); per-group offsets are a
+    2-row broadcast.
+    """
+    from dimagi_data_platform_spark.operators.linkage import global_row_number
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit("urgent")
+        )
+        .otherwise(F.lit("other"))
+        .alias("grp"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    ranked = global_row_number(
+        orders, ["grp", "o_totalprice", "o_orderkey"], out_col="__grn"
+    )
+    off = ranked.groupBy("grp").agg(
+        F.min("__grn").alias("__base"), F.count(F.lit(1)).alias("n")
+    )
+    ranked = ranked.join(F.broadcast(off), "grp").withColumn(
+        "rn", (F.col("__grn") - F.col("__base") + F.lit(1)).cast("long")
+    )
+    # 18-row broadcast target table (group x decile), never a 9x
+    # explode of the ranked stream
+    targets = (
+        off.select("grp", "n", F.explode(F.sequence(F.lit(1), F.lit(9))).alias("d"))
+        .withColumn("rn", F.ceil(F.col("d") * F.col("n") / 10).cast("long"))
+        .select("grp", "d", "rn")
+    )
+    deciles = ranked.join(F.broadcast(targets), ["grp", "rn"])
+    u = deciles.filter(F.col("grp") == "urgent").select(
+        "d", F.col("o_totalprice").alias("urgent_q")
+    )
+    o = deciles.filter(F.col("grp") == "other").select(
+        "d", F.col("o_totalprice").alias("other_q")
+    )
+    return (
+        u.join(o, "d")
+        .select(
+            F.col("d").cast("long").alias("decile"),
+            "urgent_q",
+            "other_q",
+            (F.col("urgent_q") - F.col("other_q")).alias("gap"),
+        )
+        .orderBy("decile")
+    )
+
+
 @query("session_event_lift")
 def session_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P64: behavioral association mining — LIFT of event-type pairs
@@ -6767,6 +6919,8 @@ _SAMPLE_FIRST = [
     "embedding_decontaminate",
     "user_time_weighted_value",
     "customer_growth_streaks",
+    "ushape_attribution",
+    "order_value_qq",
     # (4) regression picks: greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
