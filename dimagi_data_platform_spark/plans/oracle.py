@@ -4092,3 +4092,77 @@ SELECT CAST(u.d AS BIGINT) AS decile,
 FROM deciles u JOIN deciles o ON u.d = o.d AND u.grp = 'urgent' AND o.grp = 'other'
 ORDER BY decile
 """
+
+
+# R74: Holt forecast — the identical affine lag combo (coefficients
+# from queries.HOLT_NUMS) over cent-quantized daily values.
+def _holt_sql() -> str:
+    from dimagi_data_platform_spark.plans.queries import HOLT_DEN, HOLT_NUMS
+
+    terms = " + ".join(
+        f"({c}) * LAG(vq, {7 - i}) OVER (ORDER BY day)"
+        for i, c in enumerate(HOLT_NUMS)
+    )
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS vq
+  FROM events GROUP BY 1)
+SELECT day,
+       CAST(vq AS DOUBLE) / 100.0 AS daily_value,
+       CAST(CAST({terms} AS BIGINT) AS DOUBLE) / {float(HOLT_DEN * 100)!r}
+         AS forecast_next_day
+FROM daily ORDER BY day
+"""
+
+
+ORACLE["holt_forecast_daily"] = _holt_sql()
+
+# L59: Jensen-Shannon divergence between source term distributions —
+# fixed-point lnq chains mirrored exactly.
+ORACLE["source_term_js_divergence"] = """
+WITH st AS (
+  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents),
+cnt AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM st GROUP BY 1, 2),
+per_src AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+         SUM(CAST(c AS HUGEINT) * CAST(FLOOR(ln(c) * 1000000.0) AS BIGINT)) AS s
+  FROM cnt GROUP BY source),
+pair_meta AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         a.n AS na, b.n AS nb, a.s AS sa, b.s AS sb
+  FROM per_src a JOIN per_src b ON a.source < b.source),
+a2 AS (
+  SELECT p.src_a, p.src_b, c.term, c.c AS ca
+  FROM cnt c JOIN pair_meta p ON p.src_a = c.source),
+b2 AS (
+  SELECT p.src_a, p.src_b, c.term, c.c AS cb
+  FROM cnt c JOIN pair_meta p ON p.src_b = c.source),
+aligned AS (
+  SELECT COALESCE(a2.src_a, b2.src_a) AS src_a,
+         COALESCE(a2.src_b, b2.src_b) AS src_b,
+         COALESCE(a2.term, b2.term) AS term,
+         COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+  FROM a2 FULL JOIN b2
+    ON a2.src_a = b2.src_a AND a2.src_b = b2.src_b AND a2.term = b2.term),
+g AS (
+  SELECT al.src_a, al.src_b,
+         SUM(CAST(ca * nb + cb * na AS HUGEINT)
+             * CAST(FLOOR(ln(ca * nb + cb * na) * 1000000.0) AS BIGINT)) AS su,
+         MAX(na) AS na, MAX(nb) AS nb, MAX(sa) AS sa, MAX(sb) AS sb
+  FROM aligned al JOIN pair_meta USING (src_a, src_b)
+  GROUP BY al.src_a, al.src_b)
+SELECT src_a, src_b, na, nb,
+       (CAST(FLOOR(ln(CAST(2 * na * nb AS BIGINT)) * 1000000.0) AS DOUBLE)
+          - CAST(su AS DOUBLE) / CAST(CAST(2 * na * nb AS BIGINT) AS DOUBLE))
+         / 1000000.0
+       - ((CAST(FLOOR(ln(na) * 1000000.0) AS DOUBLE)
+            - CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+          + (CAST(FLOOR(ln(nb) * 1000000.0) AS DOUBLE)
+            - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)))
+         / 2000000.0 AS jsd_nats
+FROM g ORDER BY src_a, src_b
+"""

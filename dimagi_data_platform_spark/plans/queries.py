@@ -6817,6 +6817,152 @@ def order_value_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Holt linear-trend coefficients (alpha = beta = 1/2, l0 = y0, b0 = 0,
+# 8-day window), derived EXACTLY with Fractions offline: the one-step-
+# ahead forecast l7+b7 is the affine combo Σ c_i·y_i / 16384 over the
+# last 8 days (Σc = 16384, so a constant series forecasts itself).
+# Index 0 = 7 days ago ... 7 = today.
+HOLT_NUMS = [-967, -1541, -1828, -1488, -64, 2816, 7168, 12288]
+HOLT_DEN = 16384
+
+
+@query("holt_forecast_daily")
+def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R74: Holt linear-trend forecasting (double exponential
+    smoothing, alpha = beta = 1/2) of daily event value — the
+    trend-aware upgrade of the EWMA (R58): the coupled level/trend
+    recurrences over the trailing 8 days UNROLL to one exact affine
+    combination (HOLT_NUMS, derived with exact rational arithmetic),
+    so the whole forecast is an integer weighted lag-sum over
+    cent-quantized values closed by ONE division — bitwise-portable,
+    no accumulated float state.
+
+    Scale: one shuffle to the date grain; 8 lags over one row per day
+    (calendar-bounded). Forecast is NULL until 8 days of history.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * F.lit(100.0)).cast("long")).alias("vq")
+    )
+    w = Window.orderBy("day")
+    num = None
+    for i, c in enumerate(HOLT_NUMS):
+        term = F.lag("vq", 7 - i).over(w) * F.lit(c)
+        num = term if num is None else num + term
+    return daily.select(
+        "day",
+        (F.col("vq").cast("double") / F.lit(100.0)).alias("daily_value"),
+        (
+            num.cast("long").cast("double") / F.lit(float(HOLT_DEN * 100))
+        ).alias("forecast_next_day"),
+    ).orderBy("day")
+
+
+@query("source_term_js_divergence")
+def source_term_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L59: distribution shift between corpus sources — Jensen-Shannon
+    divergence of every source pair's term distributions (the
+    drift/mixture-design diagnostic; bounded by ln 2, symmetric,
+    defined even for disjoint vocabularies — exactly why it beats KL
+    here). With midpoint M = (P+Q)/2 over P = ca/na, Q = cb/nb:
+
+        u_i = ca_i·nb + cb_i·na   (integer; M_i = u_i / U, U = 2·na·nb)
+        JSD = [lnq(U) - S_u/U]/1e6
+              - ([lnq(na) - S_a/na] + [lnq(nb) - S_b/nb]) / 2e6
+        with S_x = Σ c·lnq(c), lnq = floor(1e6·ln(·)) (the shared
+        fixed-point table: every aggregation is exact integers/decimal,
+        each output value ONE mirrored IEEE chain).
+
+    Scale: one (source, term) aggregate with map-side partials;
+    per-source totals/entropy sums computed once (|sources| rows,
+    broadcast); the cross term replicates the term table across each
+    source's pairs — fan-out bounded by |sources| (a corpus registry,
+    not data scale). Output is the |sources|² pair grid.
+    """
+    from dimagi_data_platform_spark.functions.text import tokens
+
+    def lnq(c):
+        return F.floor(F.log(c.cast("double")) * F.lit(1000000.0)).cast(
+            "long"
+        )
+
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    st = (
+        docs.repartition(par)
+        .select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    per_src = st.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)") * lnq(F.col("c"))).alias("s"),
+    )
+    pa = per_src.select(
+        F.col("source").alias("src_a"),
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+    )
+    pb = per_src.select(
+        F.col("source").alias("src_b"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+    )
+    pair_meta = pa.crossJoin(pb).filter(F.col("src_a") < F.col("src_b"))
+    pairs_only = pair_meta.select("src_a", "src_b")
+    a2 = st.select(
+        F.col("source").alias("src_a"), "term", F.col("c").alias("ca")
+    ).join(F.broadcast(pairs_only), "src_a")
+    b2 = st.select(
+        F.col("source").alias("src_b"), "term", F.col("c").alias("cb")
+    ).join(F.broadcast(pairs_only), "src_b")
+    aligned = a2.join(b2, ["src_a", "src_b", "term"], "full")
+    u = (
+        F.coalesce("ca", F.lit(0)) * F.col("nb")
+        + F.coalesce("cb", F.lit(0)) * F.col("na")
+    )
+    g = (
+        aligned.join(
+            F.broadcast(pair_meta), ["src_a", "src_b"]
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(u.cast("decimal(38,0)") * lnq(u)).alias("su"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+            F.max("sa").alias("sa"),
+            F.max("sb").alias("sb"),
+        )
+    )
+    U = (F.lit(2) * F.col("na") * F.col("nb")).cast("long")
+    jsd = (
+        (
+            lnq(U).cast("double")
+            - F.col("su").cast("double") / U.cast("double")
+        )
+        / F.lit(1000000.0)
+        - (
+            (
+                lnq(F.col("na")).cast("double")
+                - F.col("sa").cast("double") / F.col("na").cast("double")
+            )
+            + (
+                lnq(F.col("nb")).cast("double")
+                - F.col("sb").cast("double") / F.col("nb").cast("double")
+            )
+        )
+        / F.lit(2000000.0)
+    )
+    return g.select(
+        "src_a",
+        "src_b",
+        "na",
+        "nb",
+        jsd.alias("jsd_nats"),
+    ).orderBy("src_a", "src_b")
+
+
 @query("session_event_lift")
 def session_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P64: behavioral association mining — LIFT of event-type pairs
@@ -6921,6 +7067,8 @@ _SAMPLE_FIRST = [
     "customer_growth_streaks",
     "ushape_attribution",
     "order_value_qq",
+    "holt_forecast_daily",
+    "source_term_js_divergence",
     # (4) regression picks: greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
