@@ -4166,3 +4166,77 @@ SELECT src_a, src_b, na, nb,
          / 2000000.0 AS jsd_nats
 FROM g ORDER BY src_a, src_b
 """
+
+
+# P69: cohort LTV curve.
+ORACLE["cohort_ltv_curve"] = """
+WITH first AS (
+  SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort
+  FROM orders GROUP BY o_custkey),
+sized AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM first GROUP BY cohort),
+aged AS (
+  SELECT cohort,
+         CAST((EXTRACT(year FROM o_orderdate) - EXTRACT(year FROM cohort)) * 12
+              + (EXTRACT(month FROM o_orderdate) - EXTRACT(month FROM cohort)) AS BIGINT) AS age,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders JOIN first USING (o_custkey)
+  WHERE (EXTRACT(year FROM o_orderdate) - EXTRACT(year FROM cohort)) * 12
+        + (EXTRACT(month FROM o_orderdate) - EXTRACT(month FROM cohort)) <= 24
+  GROUP BY 1, 2),
+cum AS (
+  SELECT cohort, age, cents,
+         CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY age
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+  FROM aged)
+SELECT cohort, age, n_members,
+       CAST(cum_cents AS DOUBLE) / 100.0 AS cum_revenue,
+       CAST(cum_cents AS DOUBLE) / (CAST(n_members AS DOUBLE) * 100.0) AS ltv_per_member
+FROM cum JOIN sized USING (cohort)
+ORDER BY cohort, age
+"""
+
+# P70: deletion cascade impact.
+ORACLE["deletion_cascade_impact"] = """
+WITH del_keys AS (SELECT c_custkey FROM customer WHERE c_acctbal < -900),
+aff_orders AS (
+  SELECT * FROM orders WHERE o_custkey IN (SELECT c_custkey FROM del_keys)),
+aff_li AS (
+  SELECT * FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM aff_orders))
+SELECT 'customer' AS table_name,
+       CAST((SELECT COUNT(*) FROM del_keys) AS BIGINT) AS n_affected,
+       CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_total,
+       CAST((SELECT COUNT(*) FROM del_keys) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM customer) AS DOUBLE) AS affected_frac
+UNION ALL
+SELECT 'orders',
+       CAST((SELECT COUNT(*) FROM aff_orders) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM aff_orders) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM orders) AS DOUBLE)
+UNION ALL
+SELECT 'lineitem',
+       CAST((SELECT COUNT(*) FROM aff_li) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM aff_li) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE)
+"""
+
+# L60: deterministic contrastive negatives (portable md5 ordering).
+ORACLE["contrastive_negatives"] = """
+WITH hashed AS (
+  SELECT doc_id, md5(trim(lower(text))) AS chash FROM documents),
+anchors AS (
+  SELECT doc_id AS anchor_id, chash AS a_hash FROM hashed WHERE doc_id < 10),
+pairs AS (
+  SELECT anchor_id, h.doc_id AS neg_id,
+         md5(CAST(anchor_id AS VARCHAR) || ':' || CAST(h.doc_id AS VARCHAR)) AS rk_hash
+  FROM anchors a JOIN hashed h
+    ON h.doc_id <> a.anchor_id AND h.chash <> a.a_hash)
+SELECT anchor_id, neg_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY rk_hash, neg_id) AS BIGINT) AS "rank"
+FROM pairs
+QUALIFY "rank" <= 5
+ORDER BY anchor_id, "rank"
+"""

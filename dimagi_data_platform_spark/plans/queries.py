@@ -6963,6 +6963,157 @@ def source_term_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("src_a", "src_b")
 
 
+@query("cohort_ltv_curve")
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P69: cohort lifetime-value curve — customers cohorted by first-
+    order month; for each cohort and month-age k, the CUMULATIVE
+    revenue per cohort member (the LTV curve marketing payback math
+    reads off). Exact cent sums; the running total is a window over
+    the (cohort, age) grid (calendar²-bounded); the per-member
+    normalization divides once at the end.
+
+    Scale: two shuffles (first-order per customer; cohort-age
+    aggregate with map-side partials); the grid window is metadata-
+    sized. Ages capped at 24 months to bound the output.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    sized = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    aged = (
+        orders.join(first, "o_custkey")
+        .withColumn(
+            "age",
+            (
+                (F.year("o_orderdate") - F.year("cohort")) * 12
+                + (F.month("o_orderdate") - F.month("cohort"))
+            ).cast("long"),
+        )
+        .filter(F.col("age") <= 24)
+        .groupBy("cohort", "age")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("cohort").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        aged.withColumn("cum_cents", F.sum("cents").over(w).cast("long"))
+        .join(F.broadcast(sized), "cohort")
+        .select(
+            "cohort",
+            "age",
+            "n_members",
+            (F.col("cum_cents").cast("double") / F.lit(100.0)).alias("cum_revenue"),
+            (
+                F.col("cum_cents").cast("double")
+                / (F.col("n_members").cast("double") * F.lit(100.0))
+            ).alias("ltv_per_member"),
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+@query("deletion_cascade_impact")
+def deletion_cascade_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P70: right-to-be-forgotten cascade analysis — given a deletion
+    set (customers with acctbal < -900, the erasure-request stand-in),
+    the per-table blast radius a GDPR delete must touch: direct rows
+    (customer), FK children (orders), and grandchildren (lineitem via
+    orderkey). One row per table with affected/total counts and the
+    rewrite fraction — the number that decides partition layout for
+    erasure SLAs.
+
+    Scale: semi joins down the FK chain (key-only projections); counts
+    aggregate map-side. The union output is 3 rows.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    del_keys = cust.filter(F.col("c_acctbal") < -900).select("c_custkey")
+    aff_orders = orders.join(
+        del_keys, orders.o_custkey == del_keys.c_custkey, "left_semi"
+    )
+    aff_li = li.join(
+        aff_orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+
+    def row(name, aff_df, tot_df):
+        return (
+            aff_df.agg(F.count(F.lit(1)).cast("long").alias("n_affected"))
+            .crossJoin(
+                tot_df.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+            )
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_affected",
+                "n_total",
+                (
+                    F.col("n_affected").cast("double")
+                    / F.col("n_total").cast("double")
+                ).alias("affected_frac"),
+            )
+        )
+
+    return (
+        row("customer", del_keys, cust)
+        .unionAll(row("orders", aff_orders, orders))
+        .unionAll(row("lineitem", aff_li, li))
+    )
+
+
+@query("contrastive_negatives")
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L60: deterministic negative sampling for contrastive training
+    pairs — for each anchor doc (doc_id < 10), the k=5 pseudo-random
+    corpus negatives chosen by the PORTABLE md5(anchor:candidate)
+    ordering (reproducible across engines/runs — the property naive
+    rand() sampling loses), excluding the anchor itself and any doc
+    sharing its content hash (exact dups make false negatives).
+
+    Scale: anchors broadcast against the candidate scan; the per-
+    anchor top-k rides a window keyed by anchor (fan-out = |anchors|
+    x corpus before the rank — at real scale pre-filter candidates by
+    a cheap blocking key or sample the corpus first; the md5 order is
+    stable under any such pre-filter).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.md5(F.trim(F.lower("text"))).alias("chash")
+    )
+    anchors = hashed.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("anchor_id"), F.col("chash").alias("a_hash")
+    )
+    cand = hashed.select(
+        F.col("doc_id").alias("neg_id"), F.col("chash").alias("n_hash")
+    )
+    pairs = (
+        F.broadcast(anchors)
+        .join(cand, (F.col("anchor_id") != F.col("neg_id")) & (F.col("a_hash") != F.col("n_hash")))
+        .withColumn(
+            "rk_hash",
+            F.md5(
+                F.concat_ws(":", F.col("anchor_id"), F.col("neg_id"))
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy("rk_hash", "neg_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("anchor_id", "neg_id", "rank")
+        .orderBy("anchor_id", "rank")
+    )
+
+
 @query("session_event_lift")
 def session_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P64: behavioral association mining — LIFT of event-type pairs
@@ -7069,6 +7220,9 @@ _SAMPLE_FIRST = [
     "order_value_qq",
     "holt_forecast_daily",
     "source_term_js_divergence",
+    "cohort_ltv_curve",
+    "deletion_cascade_impact",
+    "contrastive_negatives",
     # (4) regression picks: greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
