@@ -4240,3 +4240,45 @@ FROM pairs
 QUALIFY "rank" <= 5
 ORDER BY anchor_id, "rank"
 """
+
+
+# R75: order-to-ship latency profile.
+ORACLE["order_to_ship_latency"] = """
+WITH g AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(date_diff('day', o_orderdate, l_shipdate) / 7) AS BIGINT) AS week_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2)
+SELECT o_orderpriority, week_bucket, n_lines,
+       CAST(n_lines AS DOUBLE)
+         / CAST(SUM(n_lines) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+         AS frac_of_priority
+FROM g ORDER BY o_orderpriority, week_bucket
+"""
+
+# R76: monthly revenue waterfall (quantized component sums).
+ORACLE["monthly_revenue_waterfall"] = f"""
+WITH g AS (
+  SELECT date_trunc('month', l_shipdate) AS month,
+         {sql_qsum('l_extendedprice', 2)} AS gross,
+         {sql_qsum('l_extendedprice * l_discount', 2)} AS discounts,
+         {sql_qsum('l_extendedprice * (1.0 - l_discount) * l_tax', 2)} AS taxes
+  FROM lineitem GROUP BY 1)
+SELECT month, gross, discounts, taxes,
+       gross - discounts + taxes AS net
+FROM g ORDER BY month
+"""
+
+# R77: per-segment mode priority.
+ORACLE["segment_priority_mode"] = """
+WITH g AS (
+  SELECT c_mktsegment, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2)
+SELECT c_mktsegment, o_orderpriority AS mode_priority, n AS n_orders
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        ORDER BY n DESC, o_orderpriority) AS rk FROM g)
+WHERE rk = 1
+ORDER BY c_mktsegment
+"""

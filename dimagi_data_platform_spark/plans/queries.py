@@ -7114,6 +7114,104 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("order_to_ship_latency")
+def order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R75: fulfillment latency profile — order-date → ship-date gaps
+    bucketed by week, per order priority: the SLA distribution table
+    (is URGENT actually shipping faster?). Exact integer day/week
+    arithmetic; per-priority shares close with one division.
+
+    Scale: one orderkey equi-join (fact-fact, AQE-planned), one
+    shuffle to the (priority, week-bucket) grid with map-side partials.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    g = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "o_orderpriority",
+            F.floor(
+                F.datediff("l_shipdate", "o_orderdate") / F.lit(7)
+            ).cast("long").alias("week_bucket"),
+        )
+        .groupBy("o_orderpriority", "week_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+    )
+    w = Window.partitionBy("o_orderpriority")
+    return g.select(
+        "o_orderpriority",
+        "week_bucket",
+        "n_lines",
+        (
+            F.col("n_lines").cast("double")
+            / F.sum("n_lines").over(w).cast("double")
+        ).alias("frac_of_priority"),
+    ).orderBy("o_orderpriority", "week_bucket")
+
+
+@query("monthly_revenue_waterfall")
+def monthly_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R76: revenue waterfall — monthly gross → discount → tax → net
+    decomposition of lineitem revenue (the q1 money identities at
+    reporting grain). Each component is an order-independent quantized
+    sum (functions.num.qsum); net recombines the three components in
+    one fixed IEEE chain, so the waterfall provably adds up on both
+    engines.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.date_trunc("month", "l_shipdate").alias("month")).agg(
+        qsum(F.col("l_extendedprice"), digits=2).alias("gross"),
+        qsum(F.col("l_extendedprice") * F.col("l_discount"), digits=2).alias(
+            "discounts"
+        ),
+        qsum(
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * F.col("l_tax"),
+            digits=2,
+        ).alias("taxes"),
+    )
+    return g.select(
+        "month",
+        "gross",
+        "discounts",
+        "taxes",
+        (F.col("gross") - F.col("discounts") + F.col("taxes")).alias("net"),
+    ).orderBy("month")
+
+
+@query("segment_priority_mode")
+def segment_priority_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R77: per-group MODE — each market segment's most frequent order
+    priority (deterministic: count DESC, then lexicographic priority).
+    The categorical summary statistic SQL lacks natively; expressed as
+    count-then-rank so it distributes (no per-group collect).
+
+    Scale: one shuffle to the (segment, priority) grid, then a
+    25-row window.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    g = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("n"), "o_orderpriority"
+    )
+    return (
+        g.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 @query("session_event_lift")
 def session_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P64: behavioral association mining — LIFT of event-type pairs
@@ -7223,6 +7321,9 @@ _SAMPLE_FIRST = [
     "cohort_ltv_curve",
     "deletion_cascade_impact",
     "contrastive_negatives",
+    "order_to_ship_latency",
+    "monthly_revenue_waterfall",
+    "segment_priority_mode",
     # (4) regression picks: greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
