@@ -4282,3 +4282,66 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
 WHERE rk = 1
 ORDER BY c_mktsegment
 """
+
+
+# P71: duplicate-invoice pairs (same customer, |d price| < $1, <= 7d).
+ORACLE["duplicate_invoice_pairs"] = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey AS ok,
+         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dnum
+  FROM orders)
+SELECT a.o_custkey AS o_custkey, a.ok AS ok_a, b.ok AS ok_b,
+       CAST(a.cents AS DOUBLE) / 100.0 AS price_a,
+       CAST(b.cents AS DOUBLE) / 100.0 AS price_b,
+       CAST(ABS(a.dnum - b.dnum) AS BIGINT) AS days_apart
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.ok < b.ok
+ AND ABS(a.cents - b.cents) < 100 AND ABS(a.dnum - b.dnum) <= 7
+ORDER BY 1, 2, 3
+"""
+
+# L61: emerging terms (df growth across corpus halves, add-one ratio).
+ORACLE["emerging_terms"] = """
+WITH tot AS (SELECT MAX(doc_id) AS max_id FROM documents),
+tagged AS (
+  SELECT doc_id, text, (doc_id * 2 > max_id) AS is_late
+  FROM documents CROSS JOIN tot),
+tt AS (
+  SELECT DISTINCT doc_id, is_late,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM tagged),
+df_half AS (
+  SELECT term, is_late, CAST(COUNT(*) AS BIGINT) AS df
+  FROM tt GROUP BY 1, 2),
+halves AS (
+  SELECT is_late, CAST(COUNT(*) AS BIGINT) AS n_half
+  FROM tagged GROUP BY is_late),
+e AS (SELECT term, df AS df2 FROM df_half WHERE is_late),
+l AS (SELECT term, df AS df1 FROM df_half WHERE NOT is_late),
+n1 AS (SELECT n_half AS n1 FROM halves WHERE NOT is_late),
+n2 AS (SELECT n_half AS n2 FROM halves WHERE is_late)
+SELECT term, CAST(COALESCE(df1, 0) AS BIGINT) AS df1, df2,
+       CAST((df2 + 1) * (n1 + 1) AS DOUBLE)
+         / CAST((COALESCE(df1, 0) + 1) * (n2 + 1) AS DOUBLE) AS growth
+FROM e LEFT JOIN l USING (term)
+CROSS JOIN n1 CROSS JOIN n2
+WHERE df2 >= 5
+ORDER BY growth DESC, term
+LIMIT 20
+"""
+
+# P72: round-price bias audit.
+ORACLE["round_price_bias"] = """
+WITH g AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CASE WHEN CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) % 100 = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_round
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment)
+SELECT c_mktsegment, n_orders, n_round,
+       CAST(n_round AS DOUBLE) / CAST(n_orders AS DOUBLE) AS round_share,
+       CAST(n_round AS DOUBLE) / CAST(n_orders AS DOUBLE) * 100.0 AS ratio_to_uniform
+FROM g ORDER BY c_mktsegment
+"""

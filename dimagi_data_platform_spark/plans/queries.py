@@ -7212,6 +7212,163 @@ def segment_priority_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("duplicate_invoice_pairs")
+def duplicate_invoice_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P71: duplicate-payment audit — pairs of orders by the SAME
+    customer with near-identical value (|Δ| < $1) placed within 7
+    days: the classic double-billing / resubmitted-invoice finance
+    control. Exact integer cent and day arithmetic; pair (a < b) per
+    orderkey, deterministic output order.
+
+    Scale: candidate pairing is blocked by customer (per-customer
+    order counts are bounded fan-out, the natural blocking key);
+    within a block the join is triangular. A hot customer costs extra
+    pairs, never a cross join — the same blocked-linkage posture as
+    P26.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("ok"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("cents"),
+        F.unix_date(F.to_date("o_orderdate")).cast("long").alias("dnum"),
+    )
+    a = o.select(
+        "o_custkey",
+        F.col("ok").alias("ok_a"),
+        F.col("cents").alias("cents_a"),
+        F.col("dnum").alias("d_a"),
+    )
+    b = o.select(
+        "o_custkey",
+        F.col("ok").alias("ok_b"),
+        F.col("cents").alias("cents_b"),
+        F.col("dnum").alias("d_b"),
+    )
+    return (
+        a.join(b, "o_custkey")
+        .filter(
+            (F.col("ok_a") < F.col("ok_b"))
+            & (F.abs(F.col("cents_a") - F.col("cents_b")) < 100)
+            & (F.abs(F.col("d_a") - F.col("d_b")) <= 7)
+        )
+        .select(
+            "o_custkey",
+            "ok_a",
+            "ok_b",
+            (F.col("cents_a").cast("double") / F.lit(100.0)).alias("price_a"),
+            (F.col("cents_b").cast("double") / F.lit(100.0)).alias("price_b"),
+            F.abs(F.col("d_a") - F.col("d_b")).cast("long").alias("days_apart"),
+        )
+        .orderBy("o_custkey", "ok_a", "ok_b")
+    )
+
+
+@query("emerging_terms")
+def emerging_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L61: vocabulary drift — terms whose document frequency grows
+    most between the corpus's first and second half (split at the
+    median doc_id, a stand-in for ingestion time): the emerging-topic
+    / distribution-shift detector that complements the pairwise JSD
+    (L59) with term-level attribution. Growth is the add-one-smoothed
+    exact rational (df2+1)·(n1+1) / ((df1+1)·(n2+1)), integer
+    cross-products until one closing division; top-20 with volume
+    guard df2 >= 5.
+
+    Scale: one (half, term) df aggregate; the half split is a scalar
+    broadcast threshold; the growth join is term-keyed.
+    """
+    from dimagi_data_platform_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    tot = docs.groupBy().agg(
+        F.max("doc_id").alias("max_id"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tagged = docs.repartition(par).crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") * 2 > F.col("max_id")).alias("is_late"),
+    )
+    df_half = (
+        tagged.select(
+            "doc_id", "is_late", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .distinct()
+        .groupBy("term", "is_late")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    halves = tagged.groupBy("is_late").agg(
+        F.count(F.lit(1)).cast("long").alias("n_half")
+    )
+    e = df_half.filter(F.col("is_late")).select(
+        "term", F.col("df").alias("df2")
+    )
+    l = df_half.filter(~F.col("is_late")).select(
+        "term", F.col("df").alias("df1")
+    )
+    n1 = halves.filter(~F.col("is_late")).select(
+        F.col("n_half").alias("n1")
+    )
+    n2 = halves.filter(F.col("is_late")).select(F.col("n_half").alias("n2"))
+    return (
+        e.join(l, "term", "left")
+        .withColumn("df1", F.coalesce("df1", F.lit(0)))
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .filter(F.col("df2") >= 5)
+        .select(
+            "term",
+            "df1",
+            "df2",
+            (
+                ((F.col("df2") + 1) * (F.col("n1") + 1)).cast("double")
+                / ((F.col("df1") + 1) * (F.col("n2") + 1)).cast("double")
+            ).alias("growth"),
+        )
+        .orderBy(F.desc("growth"), "term")
+        .limit(20)
+    )
+
+
+@query("round_price_bias")
+def round_price_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P72: round-number bias audit — the share of orders whose price
+    lands exactly on a whole dollar, per segment, against the 1%
+    uniform-cents expectation (with Benford's first-digit audit, the
+    standard fabricated-figures screen). Exact integer cents; the
+    share and the expectation-ratio close with one division each.
+
+    Scale: one shuffle to the segment grid with map-side partials.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    g = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(
+                (
+                    F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+                    % 100
+                    == 0
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_round"),
+        )
+    )
+    share = F.col("n_round").cast("double") / F.col("n_orders").cast("double")
+    return g.select(
+        "c_mktsegment",
+        "n_orders",
+        "n_round",
+        share.alias("round_share"),
+        (share * F.lit(100.0)).alias("ratio_to_uniform"),
+    ).orderBy("c_mktsegment")
+
+
 @query("session_event_lift")
 def session_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P64: behavioral association mining — LIFT of event-type pairs
@@ -7324,6 +7481,9 @@ _SAMPLE_FIRST = [
     "order_to_ship_latency",
     "monthly_revenue_waterfall",
     "segment_priority_mode",
+    "duplicate_invoice_pairs",
+    "emerging_terms",
+    "round_price_bias",
     # (4) regression picks: greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
