@@ -4345,3 +4345,58 @@ SELECT c_mktsegment, n_orders, n_round,
        CAST(n_round AS DOUBLE) / CAST(n_orders AS DOUBLE) * 100.0 AS ratio_to_uniform
 FROM g ORDER BY c_mktsegment
 """
+
+
+# R78: nation supplier HHI.
+ORACLE["nation_supplier_hhi"] = """
+WITH per_sup AS (
+  SELECT s_nationkey, s_suppkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2),
+g AS (
+  SELECT s_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(cents) AS BIGINT) AS total_cents,
+         SUM(CAST(cents AS HUGEINT) * cents) AS sq
+  FROM per_sup GROUP BY s_nationkey)
+SELECT s_nationkey, n_suppliers,
+       CAST(total_cents AS DOUBLE) / 100.0 AS total_revenue,
+       CAST(sq AS DOUBLE)
+         / (CAST(total_cents AS DOUBLE) * CAST(total_cents AS DOUBLE)) AS hhi
+FROM g ORDER BY s_nationkey
+"""
+
+# R79: common-neighbors link prediction — identical orientation
+# (deg*2^40+id packing) stated relationally.
+ORACLE["copurchase_link_prediction"] = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+allv AS (
+  SELECT u AS p FROM e0 UNION ALL SELECT v FROM e0),
+deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS deg FROM allv GROUP BY p),
+packed AS (
+  SELECT e0.u, e0.v,
+         du.deg * 1099511627776 + e0.u AS ku,
+         dv.deg * 1099511627776 + e0.v AS kv
+  FROM e0 JOIN deg du ON du.p = e0.u JOIN deg dv ON dv.p = e0.v),
+directed AS (
+  SELECT CASE WHEN ku < kv THEN u ELSE v END AS src,
+         CASE WHEN ku < kv THEN v ELSE u END AS dst
+  FROM packed),
+wedges AS (
+  SELECT d1.dst AS u, d2.dst AS v, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM directed d1 JOIN directed d2
+    ON d1.src = d2.src AND d1.dst < d2.dst
+  GROUP BY 1, 2),
+pred AS (
+  SELECT w.u, w.v, w.n_common
+  FROM wedges w ANTI JOIN e0 ON e0.u = w.u AND e0.v = w.v)
+SELECT u AS part_a, v AS part_b, n_common
+FROM pred
+ORDER BY n_common DESC, part_a, part_b
+LIMIT 20
+"""

@@ -7369,6 +7369,112 @@ def round_price_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_mktsegment")
 
 
+@query("nation_supplier_hhi")
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R78: supply-concentration audit — the Herfindahl-Hirschman
+    index of supplier revenue shares within each nation (HHI = Σ s_i²
+    over shares; > 0.25 is the antitrust red-flag zone). Exact:
+    per-supplier cent totals are integers, Σ cents² lifts to
+    DECIMAL(38,0), and HHI = Σc² / (Σc)² closes with one division of
+    exactly-representable doubles.
+
+    Scale: one suppkey aggregate off the fact scan, one nation-grain
+    re-aggregate with map-side partials; the supplier dimension join
+    is broadcast.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    sup = F.broadcast(_t(spark, sf_dir, "supplier"))
+    per_sup = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * F.lit(100.0)).cast("long")
+            ).alias("cents")
+        )
+    )
+    g = per_sup.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("sq"),
+    )
+    return g.select(
+        "s_nationkey",
+        "n_suppliers",
+        (F.col("total_cents").cast("double") / F.lit(100.0)).alias("total_revenue"),
+        (
+            F.col("sq").cast("double")
+            / (
+                F.col("total_cents").cast("double")
+                * F.col("total_cents").cast("double")
+            )
+        ).alias("hhi"),
+    ).orderBy("s_nationkey")
+
+
+@query("copurchase_link_prediction")
+def copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R79: common-neighbors link prediction — the top-20 part pairs
+    that are NOT co-purchased yet but share the most co-purchase
+    neighbors (the simplest, still-standard link predictor; the
+    "customers also bought" candidate generator). Built on the SAME
+    degree-ordered orientation as triangle counting (R56): every
+    common-neighbor instance is a wedge in the oriented out-adjacency,
+    so total wedge work is the Σ outdeg² = O(m^1.5) bound, with
+    orientation capping outdeg at ~sqrt(2m).
+
+    Spark shape: per-vertex sorted out-neighbor arrays (broadcast-free
+    scan-local triangular expansion, the by_shingle pair trick), one
+    (pair)-keyed count with map-side partials, existing-edge anti-join,
+    global top-20. The oracle states the identical wedges relationally
+    (self-join on the oriented edge list).
+    """
+    deg, _corners = _copurchase_tri(spark, sf_dir)
+    edges = _copurchase_edges(spark, sf_dir)
+    pack = 1 << 40
+    du = deg.select(
+        F.col("p").alias("u"), (F.col("deg") * pack + F.col("u")).alias("ku")
+    )
+    dv = deg.select(
+        F.col("p").alias("v"), (F.col("deg") * pack + F.col("v")).alias("kv")
+    )
+    e = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    u_first = F.col("ku") < F.col("kv")
+    directed = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    adj = directed.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "nbrs",
+            lambda x, i: F.transform(
+                F.slice(F.col("nbrs"), (i + 2).cast("int"), F.size("nbrs")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    wedges = (
+        adj.filter(F.size("nbrs") >= 2)
+        .select(F.explode(pair_structs).alias("w"))
+        .select(F.col("w.a").alias("u"), F.col("w.b").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        wedges.join(edges, ["u", "v"], "left_anti")
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            "n_common",
+        )
+        .orderBy(F.desc("n_common"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
 @query("session_event_lift")
 def session_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P64: behavioral association mining — LIFT of event-type pairs
@@ -7484,6 +7590,8 @@ _SAMPLE_FIRST = [
     "duplicate_invoice_pairs",
     "emerging_terms",
     "round_price_bias",
+    "nation_supplier_hhi",
+    "copurchase_link_prediction",
     # (4) regression picks: greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
