@@ -4400,3 +4400,45 @@ FROM pred
 ORDER BY n_common DESC, part_a, part_b
 LIMIT 20
 """
+
+
+# R80: quantile transform (empirical percentile per order).
+ORACLE["order_value_quantile_transform"] = """
+WITH ranked AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM orders)
+SELECT o_orderkey, o_totalprice, rn AS value_rank,
+       CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS quantile
+FROM ranked WHERE o_orderkey < 2000
+ORDER BY o_orderkey
+"""
+
+# R81: winsorized order stats (exact rank-at-ceil thresholds).
+ORACLE["winsorized_order_stats"] = """
+WITH o AS (
+  SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders),
+ranked AS (
+  SELECT cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM o),
+th AS (
+  SELECT MIN(cents) AS lo, MAX(cents) AS hi, MAX(n) AS n
+  FROM ranked
+  WHERE rn = CAST(CEIL(0.05 * n) AS BIGINT) OR rn = CAST(CEIL(0.95 * n) AS BIGINT)),
+clipped AS (
+  SELECT GREATEST(lo, LEAST(hi, cents)) AS w_cents,
+         CASE WHEN cents < lo THEN 1 ELSE 0 END AS clip_lo,
+         CASE WHEN cents > hi THEN 1 ELSE 0 END AS clip_hi,
+         lo, hi, n
+  FROM o CROSS JOIN th)
+SELECT MAX(CAST(lo AS DOUBLE) / 100.0) AS p05,
+       MAX(CAST(hi AS DOUBLE) / 100.0) AS p95,
+       CAST(SUM(clip_lo) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(clip_hi) AS BIGINT) AS n_clipped_high,
+       CAST(SUM(w_cents) AS DOUBLE) / (CAST(MAX(n) AS DOUBLE) * 100.0) AS winsorized_mean
+FROM clipped
+"""

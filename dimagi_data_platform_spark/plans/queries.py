@@ -7475,6 +7475,98 @@ def copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("order_value_quantile_transform")
+def order_value_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R80: quantile (rank) transform — every order's value mapped to
+    its empirical percentile (rank-1)/(n-1) in [0,1]: the
+    distribution-free feature normalization (robust to outliers and
+    monotone transforms) ML pipelines apply before linear/NN models.
+    Rank is the frozen-boundary DISTRIBUTED rank; the transform is one
+    IEEE division per row. Sampled to orderkeys < 2000 in the OUTPUT
+    only (the rank is computed over the full table).
+
+    Scale: one distributed rank (range partition + broadcast offsets),
+    scan-local arithmetic after.
+    """
+    from dimagi_data_platform_spark.operators.linkage import global_row_number
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_row_number(
+        orders, ["o_totalprice", "o_orderkey"], out_col="rn"
+    )
+    tot = ranked.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("rn").alias("value_rank"),
+            (
+                (F.col("rn") - F.lit(1)).cast("double")
+                / (F.col("n") - F.lit(1)).cast("double")
+            ).alias("quantile"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query("winsorized_order_stats")
+def winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R81: winsorized statistics — the order-value mean and total
+    after CLIPPING to the exact [p05, p95] band (rank-at-ceil
+    thresholds on the distributed rank): the robust aggregate that
+    keeps every row (unlike trimming) while bounding outlier leverage.
+    Clipped values stay integer cents (the thresholds are data values,
+    not floats), so the winsorized sums are exact with one closing
+    division.
+
+    Scale: one distributed rank to find the two thresholds (2-row
+    broadcast), then one scan-local clip + aggregate pass.
+    """
+    from dimagi_data_platform_spark.operators.linkage import global_row_number
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("cents"),
+    )
+    ranked = global_row_number(orders, ["cents", "o_orderkey"], out_col="rn")
+    tot = ranked.agg(F.count(F.lit(1)).alias("n"))
+    th = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("rn") == F.ceil(F.lit(0.05) * F.col("n")).cast("long"))
+            | (F.col("rn") == F.ceil(F.lit(0.95) * F.col("n")).cast("long"))
+        )
+        .groupBy()
+        .agg(
+            F.min("cents").alias("lo"),
+            F.max("cents").alias("hi"),
+            F.max("n").alias("n"),
+        )
+    )
+    clipped = orders.crossJoin(F.broadcast(th)).select(
+        F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("cents"))).alias(
+            "w_cents"
+        ),
+        (F.col("cents") < F.col("lo")).cast("long").alias("clip_lo"),
+        (F.col("cents") > F.col("hi")).cast("long").alias("clip_hi"),
+        "lo",
+        "hi",
+        "n",
+    )
+    return clipped.groupBy().agg(
+        F.max(F.col("lo").cast("double") / F.lit(100.0)).alias("p05"),
+        F.max(F.col("hi").cast("double") / F.lit(100.0)).alias("p95"),
+        F.sum("clip_lo").cast("long").alias("n_clipped_low"),
+        F.sum("clip_hi").cast("long").alias("n_clipped_high"),
+        (
+            F.sum("w_cents").cast("double")
+            / (F.max("n").cast("double") * F.lit(100.0))
+        ).alias("winsorized_mean"),
+    )
+
+
 @query("session_event_lift")
 def session_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P64: behavioral association mining — LIFT of event-type pairs
@@ -7592,6 +7684,8 @@ _SAMPLE_FIRST = [
     "round_price_bias",
     "nation_supplier_hhi",
     "copurchase_link_prediction",
+    "order_value_quantile_transform",
+    "winsorized_order_stats",
     # (4) regression picks: greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
