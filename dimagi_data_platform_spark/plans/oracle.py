@@ -4442,3 +4442,55 @@ SELECT MAX(CAST(lo AS DOUBLE) / 100.0) AS p05,
        CAST(SUM(w_cents) AS DOUBLE) / (CAST(MAX(n) AS DOUBLE) * 100.0) AS winsorized_mean
 FROM clipped
 """
+
+
+# P73: daily returns p-chart with 3-sigma binomial limits.
+ORACLE["returns_pchart"] = """
+WITH daily AS (
+  SELECT date_trunc('day', l_shipdate) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returns
+  FROM lineitem GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n_lines) AS BIGINT) AS nt, CAST(SUM(n_returns) AS BIGINT) AS rt
+  FROM daily)
+SELECT day, n_lines, n_returns,
+       CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE) AS p_day,
+       CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE)
+         + 3.0 * sqrt((CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE))
+             * (1.0 - CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE))
+             / CAST(n_lines AS DOUBLE)) AS ucl,
+       CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE)
+         - 3.0 * sqrt((CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE))
+             * (1.0 - CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE))
+             / CAST(n_lines AS DOUBLE)) AS lcl,
+       (CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE)
+          > CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE)
+            + 3.0 * sqrt((CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE))
+                * (1.0 - CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE))
+                / CAST(n_lines AS DOUBLE)))
+       OR (CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE)
+          < CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE)
+            - 3.0 * sqrt((CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE))
+                * (1.0 - CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE))
+                / CAST(n_lines AS DOUBLE))) AS out_of_control
+FROM daily CROSS JOIN tot
+ORDER BY day
+"""
+
+# P74: per-user behavioral entropy (fixed-point lnq).
+ORACLE["user_behavior_entropy"] = """
+WITH ut AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+g AS (
+  SELECT user_id,
+         CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(c * CAST(FLOOR(ln(c) * 1000000.0) AS BIGINT)) AS BIGINT) AS hsum
+  FROM ut GROUP BY user_id)
+SELECT user_id, n_events, n_types,
+       CAST(n_events * CAST(FLOOR(ln(n_events) * 1000000.0) AS BIGINT) - hsum AS DOUBLE)
+         / (CAST(n_events AS DOUBLE) * 1000000.0) AS entropy_nats
+FROM g ORDER BY user_id
+"""

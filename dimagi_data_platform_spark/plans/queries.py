@@ -7567,6 +7567,90 @@ def winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("returns_pchart")
+def returns_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P73: attribute control chart (p-chart) — the daily lineitem
+    RETURN rate against 3-sigma binomial control limits around the
+    overall rate p̄: UCL/LCL = p̄ ± 3·sqrt(p̄(1-p̄)/n_day), the
+    quality-engineering monitor for defect/return shares. Counts are
+    exact integers; p̄ and the limits are one mirrored IEEE chain per
+    day; the out-of-control flag compares doubles computed identically
+    on both engines.
+
+    Scale: one shuffle to the date grain; the overall rate is a
+    broadcast scalar.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum((F.col("l_returnflag") == "R").cast("long"))
+        .cast("long")
+        .alias("n_returns"),
+    )
+    tot = daily.groupBy().agg(
+        F.sum("n_lines").cast("long").alias("nt"),
+        F.sum("n_returns").cast("long").alias("rt"),
+    )
+    pbar = F.col("rt").cast("double") / F.col("nt").cast("double")
+    sig = F.sqrt(
+        pbar * (F.lit(1.0) - pbar) / F.col("n_lines").cast("double")
+    )
+    p_day = F.col("n_returns").cast("double") / F.col("n_lines").cast("double")
+    return (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "n_lines",
+            "n_returns",
+            p_day.alias("p_day"),
+            (pbar + F.lit(3.0) * sig).alias("ucl"),
+            (pbar - F.lit(3.0) * sig).alias("lcl"),
+            (
+                (p_day > pbar + F.lit(3.0) * sig)
+                | (p_day < pbar - F.lit(3.0) * sig)
+            ).alias("out_of_control"),
+        )
+        .orderBy("day")
+    )
+
+
+@query("user_behavior_entropy")
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P74: behavioral diversity — Shannon entropy of each user's
+    event-type distribution (the explore-vs-habit feature behind
+    engagement segmentation). Same exactness contract as char entropy
+    (L52): counts are integers, ln enters only through the fixed-point
+    floor(1e6·ln(c)) table, H = [n·lnq(n) - Σ c·lnq(c)] / (n·1e6)
+    closes with ONE division.
+
+    Scale: one (user, type) aggregate with map-side partials, one
+    user-grain re-aggregate; no window, no collect.
+    """
+
+    def lnq(c):
+        return F.floor(F.log(c.cast("double")) * F.lit(1000000.0)).cast("long")
+
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    g = ut.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * lnq(F.col("c"))).cast("long").alias("hsum"),
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        (
+            (F.col("n_events") * lnq(F.col("n_events")) - F.col("hsum"))
+            .cast("double")
+            / (F.col("n_events").cast("double") * F.lit(1000000.0))
+        ).alias("entropy_nats"),
+    ).orderBy("user_id")
+
+
 @query("session_event_lift")
 def session_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P64: behavioral association mining — LIFT of event-type pairs
@@ -7686,6 +7770,8 @@ _SAMPLE_FIRST = [
     "copurchase_link_prediction",
     "order_value_quantile_transform",
     "winsorized_order_stats",
+    "returns_pchart",
+    "user_behavior_entropy",
     # (4) regression picks: greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
