@@ -4494,3 +4494,47 @@ SELECT user_id, n_events, n_types,
          / (CAST(n_events AS DOUBLE) * 1000000.0) AS entropy_nats
 FROM g ORDER BY user_id
 """
+
+
+# P75: Wilson 95% score intervals for segment conversion.
+ORACLE["segment_conversion_wilson"] = """
+WITH buyers AS (
+  SELECT c_custkey, c_mktsegment FROM customer
+  WHERE c_custkey IN (SELECT o_custkey FROM orders)),
+per AS (
+  SELECT c.c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(b.k, 0) AS BIGINT) AS k
+  FROM customer c
+  LEFT JOIN (SELECT c_mktsegment, COUNT(*) AS k FROM buyers GROUP BY 1) b
+    USING (c_mktsegment)
+  GROUP BY c.c_mktsegment, b.k)
+SELECT c_mktsegment, n, k,
+       CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+       (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+          + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE))) / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))
+       - 1.96 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+             * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+             + 1.96 * 1.96 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)) AS wilson_lo,
+       (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+          + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE))) / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))
+       + 1.96 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+             * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+             + 1.96 * 1.96 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)) AS wilson_hi
+FROM per ORDER BY c_mktsegment
+"""
+
+# P76: hour x weekday seasonality grid.
+ORACLE["hourly_weekday_profile"] = """
+WITH g AS (
+  SELECT CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT dow, hour, n_events,
+       CAST(n_events AS DOUBLE)
+         / CAST(SUM(n_events) OVER (PARTITION BY dow) AS DOUBLE) AS frac_of_dow
+FROM g ORDER BY dow, hour
+"""

@@ -7651,6 +7651,87 @@ def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+@query("segment_conversion_wilson")
+def segment_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P75: Wilson 95% score intervals for each segment's customer→
+    order conversion rate — the CI that stays inside [0,1] and behaves
+    at small n (unlike the Wald interval), i.e. what a dashboard
+    should actually draw next to P30's z-test. Counts are exact
+    integers; the interval is ONE fixed IEEE chain per segment with
+    the z=1.96 literal identical on both engines:
+        center = (p̂ + z²/2n) / (1 + z²/n)
+        half   = z·sqrt(p̂(1-p̂)/n + z²/4n²) / (1 + z²/n)
+
+    Scale: one segment aggregate + a semi-join for buyers; 5 rows out.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    buyers = cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_semi",
+    ).select("c_custkey", "c_mktsegment")
+    per = (
+        cust.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .join(
+            buyers.groupBy("c_mktsegment").agg(
+                F.count(F.lit(1)).cast("long").alias("k")
+            ),
+            "c_mktsegment",
+            "left",
+        )
+        .withColumn("k", F.coalesce("k", F.lit(0)).cast("long"))
+    )
+    z = F.lit(1.96)
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    denom = F.lit(1.0) + z * z / n
+    center = (p + z * z / (F.lit(2.0) * n)) / denom
+    half = (
+        z
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / n
+            + z * z / (F.lit(4.0) * n * n)
+        )
+        / denom
+    )
+    return per.select(
+        "c_mktsegment",
+        "n",
+        "k",
+        p.alias("p_hat"),
+        (center - half).alias("wilson_lo"),
+        (center + half).alias("wilson_hi"),
+    ).orderBy("c_mktsegment")
+
+
+@query("hourly_weekday_profile")
+def hourly_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P76: traffic seasonality grid — event volume by (weekday, hour)
+    with each cell's share of its weekday (the heatmap behind
+    capacity planning and anomaly baselining; the 2-D refinement of
+    the hourly pivot R35). Exact counts, one division per cell.
+
+    Scale: one shuffle to the 7×24 grid with map-side partials.
+    """
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        (F.dayofweek("ts") - F.lit(1)).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = Window.partitionBy("dow")
+    return g.select(
+        "dow",
+        "hour",
+        "n_events",
+        (
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(w).cast("double")
+        ).alias("frac_of_dow"),
+    ).orderBy("dow", "hour")
+
+
 @query("session_event_lift")
 def session_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P64: behavioral association mining — LIFT of event-type pairs
@@ -7772,6 +7853,8 @@ _SAMPLE_FIRST = [
     "winsorized_order_stats",
     "returns_pchart",
     "user_behavior_entropy",
+    "segment_conversion_wilson",
+    "hourly_weekday_profile",
     # (4) regression picks: greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
