@@ -7785,16 +7785,16 @@ def session_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Registration order for driver sampling
 # --------------------------------------------------------------------------
-# The correctness driver samples the FIRST 50 registered queries.
-# Round-4 order: (1) the 4 queries that have NEVER been in a driver
-# sample, (2) the 4 round-3 hash FAILs whose oracle output typing was
-# fixed this round (DuckDB HUGEINT→float64 artifact; values were always
-# right), (3) the rows-only-by-design entries, kept in rotation so
-# their runs+err=None signal stays fresh, (4) new round-4 queries, and
-# (5) regression picks across the oldest green signals (r1 greens not
-# sampled since round 1). Everything else keeps regression coverage via
-# the local mirror (tests/test_oracle_parity.py), which checks ALL
-# queries every test run.
+# The correctness driver samples the FIRST ~50 registered queries.
+# Round-5 order: (1) the 12 queries with ZERO driver evidence across
+# rounds 1-4 (the r4 verdict's top item — 9 oracle-backed + 3
+# no-oracle paths), (2) the three single-task-window queries rewritten
+# this round on the distributed rank (must re-verify under the real
+# gate), (3) every NEW round-5 query, newest families first, and
+# (4) regression picks across the oldest green signals. Everything
+# else keeps regression coverage via the local mirror
+# (tests/test_oracle_parity.py), which checks ALL queries every test
+# run — 219/219 green at sf0.01 AND sf0.001 this round.
 _SAMPLE_FIRST = [
     # (1) the 12 queries with ZERO driver evidence across rounds 1-4
     # (VERDICT r4 top-next item): 9 oracle-backed + 3 no-oracle paths
