@@ -4538,3 +4538,52 @@ SELECT dow, hour, n_events,
          / CAST(SUM(n_events) OVER (PARTITION BY dow) AS DOUBLE) AS frac_of_dow
 FROM g ORDER BY dow, hour
 """
+
+
+# P77: association rules (support/confidence/lift, directed).
+ORACLE["basket_association_rules"] = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS ant, b.l_partkey AS cons,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3),
+per_part AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_orders_part
+  FROM li GROUP BY l_partkey),
+n_tot AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders_total FROM li)
+SELECT ant, cons, n_ab,
+       CAST(n_ab AS DOUBLE) / CAST(n_orders_total AS DOUBLE) AS support,
+       CAST(n_ab AS DOUBLE) / CAST(pa.n_orders_part AS DOUBLE) AS confidence,
+       CAST(n_ab * n_orders_total AS DOUBLE)
+         / CAST(pa.n_orders_part * pc.n_orders_part AS DOUBLE) AS lift
+FROM pairs
+JOIN per_part pa ON pa.l_partkey = ant
+JOIN per_part pc ON pc.l_partkey = cons
+CROSS JOIN n_tot
+ORDER BY lift DESC, confidence DESC, ant, cons
+LIMIT 20
+"""
+
+# P78: part-catalog near-dups (type-blocked token Jaccard).
+ORACLE["part_catalog_near_dups"] = """
+WITH toks AS (
+  SELECT p_partkey, p_type,
+         list_sort(list_distinct(regexp_split_to_array(
+           trim(lower(p_name || ' ' || p_brand || ' ' || p_type)), '\\s+'))) AS t
+  FROM part)
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       a.p_type AS p_type,
+       CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+         / CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS DOUBLE)
+         AS jaccard
+FROM toks a JOIN toks b
+  ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        / CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS DOUBLE)
+      >= 0.5
+ORDER BY part_a, part_b
+"""

@@ -7732,6 +7732,124 @@ def hourly_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dow", "hour")
 
 
+@query("basket_association_rules")
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P77: association-rule mining output — DIRECTED rules a→b over
+    same-order part pairs with the three classic measures: support
+    (pair orders / all orders), confidence (pair / antecedent), and
+    lift (confidence / consequent base rate) — the Apriori report R52's
+    raw co-occurrence feeds. All measures are exact integer cross-
+    products until one closing division each; min support 3 orders,
+    top-20 by (lift, conf) with full deterministic tie-break.
+
+    Scale: same order-bounded items² pair fan-out as R52; per-part
+    order counts are a map-side-combined aggregate joined back
+    broadcast; N_orders is a broadcast scalar.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("ant"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("cons"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("ant") != F.col("cons"))
+        .groupBy("ant", "cons")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders_part")
+    )
+    n_tot = li.select("l_orderkey").distinct().groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders_total")
+    )
+    pa = per_part.select(
+        F.col("l_partkey").alias("ant"), F.col("n_orders_part").alias("n_a")
+    )
+    pc = per_part.select(
+        F.col("l_partkey").alias("cons"), F.col("n_orders_part").alias("n_c")
+    )
+    out = (
+        pairs.join(F.broadcast(pa), "ant")
+        .join(F.broadcast(pc), "cons")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "ant",
+            "cons",
+            "n_ab",
+            (
+                F.col("n_ab").cast("double")
+                / F.col("n_orders_total").cast("double")
+            ).alias("support"),
+            (F.col("n_ab").cast("double") / F.col("n_a").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("n_ab") * F.col("n_orders_total")).cast("double")
+                / (F.col("n_a") * F.col("n_c")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.desc("lift"), F.desc("confidence"), "ant", "cons"
+    ).limit(20)
+
+
+@query("part_catalog_near_dups")
+def part_catalog_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P78: catalog near-duplicate detection — part pairs whose
+    (name + brand + type) token sets overlap at Jaccard >= 0.5,
+    BLOCKED by p_type so candidate pairing never crosses unrelated
+    catalog sections (the master-data dedup problem on the product
+    dimension — the customer-linkage family P26 applied to SKUs).
+    Exact token-set arithmetic via the same sorted-array intersection
+    the triangle counter uses; deterministic pair order.
+
+    Scale: blocking bounds each group at the type's SKU count; the
+    in-block triangular pairing is the P26c SNM posture. Dimension-
+    sized input — runs broadcast-free as plain shuffles.
+    """
+    part = _t(spark, sf_dir, "part")
+    toks = part.select(
+        "p_partkey",
+        "p_type",
+        F.array_sort(
+            F.array_distinct(
+                F.split(
+                    F.trim(
+                        F.lower(
+                            F.concat_ws(
+                                " ", "p_name", "p_brand", "p_type"
+                            )
+                        )
+                    ),
+                    r"\s+",
+                )
+            )
+        ).alias("toks"),
+    )
+    a = toks.select(
+        "p_type",
+        F.col("p_partkey").alias("part_a"),
+        F.col("toks").alias("toks_a"),
+    )
+    b = toks.select(
+        "p_type",
+        F.col("p_partkey").alias("part_b"),
+        F.col("toks").alias("toks_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, "p_type")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("part_a", "part_b", "p_type", "jaccard")
+        .orderBy("part_a", "part_b")
+    )
+
+
 @query("session_event_lift")
 def session_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P64: behavioral association mining — LIFT of event-type pairs
@@ -7855,6 +7973,8 @@ _SAMPLE_FIRST = [
     "user_behavior_entropy",
     "segment_conversion_wilson",
     "hourly_weekday_profile",
+    "basket_association_rules",
+    "part_catalog_near_dups",
     # (4) regression picks: greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
