@@ -4587,3 +4587,74 @@ WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
       >= 0.5
 ORDER BY part_a, part_b
 """
+
+
+# R82: ABC / Pareto classification on cumulative revenue share.
+ORACLE["part_abc_classification"] = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey),
+cum AS (
+  SELECT l_partkey, cents,
+         CAST(SUM(cents) OVER (ORDER BY -cents, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+         CAST(SUM(cents) OVER () AS BIGINT) AS total
+  FROM per_part),
+classed AS (
+  SELECT *,
+         CASE WHEN cum_cents * 100 <= total * 80 THEN 'A'
+              WHEN cum_cents * 100 <= total * 95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM cum)
+SELECT abc,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue,
+       CAST(SUM(cents) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS revenue_share
+FROM classed GROUP BY abc ORDER BY abc
+"""
+
+# L62: label-noise candidates (centroid cosine below median - 3 MAD).
+ORACLE["label_noise_candidates"] = """
+WITH cells AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+  FROM embeddings),
+cent AS (
+  SELECT label, dim, CAST(SUM(xq) AS BIGINT) AS s
+  FROM cells GROUP BY 1, 2),
+cn AS (
+  SELECT label, SUM(CAST(s AS HUGEINT) * s) AS s2 FROM cent GROUP BY label),
+mem AS (
+  SELECT vec_id, cells.label,
+         CAST(FLOOR(CAST(SUM(xq * s) AS DOUBLE)
+           / (sqrt(CAST(SUM(xq * xq) AS DOUBLE)) * sqrt(CAST(MAX(s2) AS DOUBLE)))
+           * 1000000000.0) AS BIGINT) AS cq
+  FROM cells JOIN cent USING (label, dim) JOIN cn USING (label)
+  GROUP BY vec_id, cells.label),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY cq, vec_id) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS n
+  FROM mem),
+med AS (
+  SELECT label, cq AS med_cq FROM ranked
+  WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)),
+dev AS (
+  SELECT mem.vec_id, mem.label, cq, med_cq, ABS(cq - med_cq) AS ad
+  FROM mem JOIN med USING (label)),
+r2 AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY ad, vec_id) AS BIGINT) AS rn2,
+         CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS n
+  FROM dev),
+mad AS (
+  SELECT label, ad AS mad_cq FROM r2
+  WHERE rn2 = CAST(CEIL(n / 2.0) AS BIGINT))
+SELECT vec_id, label,
+       CAST(cq AS DOUBLE) / 1e9 AS cos_to_centroid,
+       CAST(med_cq AS DOUBLE) / 1e9 AS label_median,
+       CAST(mad_cq AS DOUBLE) / 1e9 AS label_mad
+FROM dev JOIN mad USING (label)
+WHERE cq < med_cq - 3 * mad_cq
+ORDER BY label, vec_id
+"""

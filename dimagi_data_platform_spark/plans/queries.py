@@ -7850,6 +7850,167 @@ def part_catalog_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("part_abc_classification")
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R82: ABC / Pareto classification — parts bucketed by cumulative
+    revenue share in descending-revenue order (A = first 80% of
+    revenue, B = next 15%, C = tail), the inventory-management
+    primitive. The running total is the DISTRIBUTED prefix sum
+    (range-bucket + broadcast offsets — the fifth client of that
+    backbone); class assignment is the integer cross-product
+    cum*100 <=> {80,95}*total, so the cut is exact. Reported per
+    class: part count, revenue, exact share (one division).
+
+    Scale: one part-grain aggregate off the fact scan, one distributed
+    prefix sum; the final aggregate has 3 keys.
+    """
+    from dimagi_data_platform_spark.operators.linkage import global_prefix_sums
+
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * F.lit(100.0)).cast("long")
+        ).alias("cents")
+    ).withColumn("neg_cents", -F.col("cents"))
+    cum = global_prefix_sums(
+        per_part, ["neg_cents", "l_partkey"], ["cents"], out_prefix="cum_"
+    )
+    tot = per_part.groupBy().agg(F.sum("cents").cast("long").alias("total"))
+    classed = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "abc",
+        F.when(F.col("cum_cents") * 100 <= F.col("total") * 80, F.lit("A"))
+        .when(F.col("cum_cents") * 100 <= F.col("total") * 95, F.lit("B"))
+        .otherwise(F.lit("C")),
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("class_cents"),
+            F.max("total").alias("total"),
+        )
+        .select(
+            "abc",
+            "n_parts",
+            (F.col("class_cents").cast("double") / F.lit(100.0)).alias(
+                "revenue"
+            ),
+            (
+                F.col("class_cents").cast("double")
+                / F.col("total").cast("double")
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc")
+    )
+
+
+@query("label_noise_candidates")
+def label_noise_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L62: label-noise screening — vectors whose cosine to their OWN
+    label centroid is an outlier within the label (below
+    median - 3·MAD of the label's member-cosine distribution): the
+    cleanlab-style candidate list for relabeling/inspection,
+    composing the centroid machinery (L54) with the robust-outlier
+    machinery (R50). All thresholds are exact: member cosines
+    quantize to 1e9 fixed-point, median/MAD are exact discrete ranks
+    over the (label, cosine) grid.
+
+    Scale: the member-cosine pass is L54's broadcast-centroid join;
+    median/MAD run per label over bounded-cardinality quantized
+    values (rank windows keyed by label over the distinct-value
+    grain).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.floor(F.col("x").cast("double") * F.lit(1000000.0))
+        .cast("long")
+        .alias("xq"),
+    )
+    cent = cells.groupBy("label", "dim").agg(
+        F.sum("xq").cast("long").alias("s")
+    )
+    cn = cent.groupBy("label").agg(
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("s2")
+    )
+    mem = (
+        cells.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("xq") * F.col("s")).cast("long").alias("dxc"),
+            F.sum(F.col("xq") * F.col("xq")).cast("long").alias("x2"),
+        )
+        .join(F.broadcast(cn), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.floor(
+                F.col("dxc").cast("double")
+                / (
+                    F.sqrt(F.col("x2").cast("double"))
+                    * F.sqrt(F.col("s2").cast("double"))
+                )
+                * F.lit(1000000000.0)
+            )
+            .cast("long")
+            .alias("cq"),
+        )
+    )
+    # per-label medians ride the DISTRIBUTED rank (label leading key,
+    # contiguous rank ranges; a label-partitioned window would funnel
+    # n/|labels| rows through one task at scale — the r5-rewrite rule)
+    from dimagi_data_platform_spark.operators.linkage import global_row_number
+
+    ranked = global_row_number(mem, ["label", "cq", "vec_id"], out_col="__grn")
+    off = ranked.groupBy("label").agg(
+        F.min("__grn").alias("__base"), F.count(F.lit(1)).alias("n")
+    )
+    ranked = ranked.join(F.broadcast(off), "label").withColumn(
+        "rn", (F.col("__grn") - F.col("__base") + F.lit(1)).cast("long")
+    )
+    med = ranked.filter(
+        F.col("rn") == F.ceil(F.col("n") / 2).cast("long")
+    ).select("label", F.col("cq").alias("med_cq"))
+    dev = mem.join(F.broadcast(med), "label").select(
+        "vec_id",
+        "label",
+        "cq",
+        "med_cq",
+        F.abs(F.col("cq") - F.col("med_cq")).alias("ad"),
+    )
+    ranked2 = global_row_number(
+        dev.select("label", "ad", "vec_id"), ["label", "ad", "vec_id"],
+        out_col="__grn2",
+    )
+    off2 = ranked2.groupBy("label").agg(
+        F.min("__grn2").alias("__b2"), F.count(F.lit(1)).alias("n")
+    )
+    mad = (
+        ranked2.join(F.broadcast(off2), "label")
+        .withColumn("rn2", (F.col("__grn2") - F.col("__b2") + F.lit(1)).cast("long"))
+        .filter(F.col("rn2") == F.ceil(F.col("n") / 2).cast("long"))
+        .select("label", F.col("ad").alias("mad_cq"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "label")
+        .filter(F.col("cq") < F.col("med_cq") - 3 * F.col("mad_cq"))
+        .select(
+            "vec_id",
+            "label",
+            (F.col("cq").cast("double") / F.lit(1e9)).alias("cos_to_centroid"),
+            (F.col("med_cq").cast("double") / F.lit(1e9)).alias("label_median"),
+            (F.col("mad_cq").cast("double") / F.lit(1e9)).alias("label_mad"),
+        )
+        .orderBy("label", "vec_id")
+    )
+
+
 @query("session_event_lift")
 def session_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P64: behavioral association mining — LIFT of event-type pairs
@@ -7975,6 +8136,8 @@ _SAMPLE_FIRST = [
     "hourly_weekday_profile",
     "basket_association_rules",
     "part_catalog_near_dups",
+    "part_abc_classification",
+    "label_noise_candidates",
     # (4) regression picks: greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
