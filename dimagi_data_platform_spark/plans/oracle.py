@@ -4658,3 +4658,52 @@ FROM dev JOIN mad USING (label)
 WHERE cq < med_cq - 3 * mad_cq
 ORDER BY label, vec_id
 """
+
+
+# P79: recency-weighted engagement (dyadic weekly decay, exact ints).
+ORACLE["recency_weighted_engagement"] = """
+WITH anchor AS (
+  SELECT CAST(MAX(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS BIGINT) AS d_max
+  FROM events),
+scored AS (
+  SELECT user_id,
+         CAST(FLOOR(value * 100.0) AS BIGINT) AS cents,
+         LEAST(8, CAST(FLOOR((d_max - date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) / 7) AS BIGINT)) AS w
+  FROM events CROSS JOIN anchor),
+agg AS (
+  SELECT user_id,
+         CAST(SUM(cents * (1 << CAST(8 - w AS INT))) AS BIGINT) AS wsum,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM scored GROUP BY user_id)
+SELECT user_id, n_events,
+       CAST(wsum AS DOUBLE) / 25600.0 AS engagement_score
+FROM agg
+ORDER BY engagement_score DESC, user_id
+LIMIT 20
+"""
+
+# P80: dormancy -> reactivation.
+ORACLE["dormant_reactivation"] = """
+WITH g AS (
+  SELECT o_custkey,
+         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents,
+         CAST(date_diff('day',
+              CAST(LAG(o_orderdate) OVER w AS DATE),
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+per AS (
+  SELECT o_custkey,
+         MAX(gap_days) AS max_gap_days,
+         CAST(SUM(CASE WHEN gap_days >= 90 THEN cents ELSE 0 END) AS BIGINT) AS reactivated_cents,
+         CAST(SUM(cents) AS BIGINT) AS total_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM g GROUP BY o_custkey)
+SELECT o_custkey, n_orders,
+       CAST(max_gap_days AS BIGINT) AS max_gap_days,
+       CAST(reactivated_cents AS DOUBLE) / 100.0 AS reactivated_spend,
+       CAST(total_cents AS DOUBLE) / 100.0 AS total_spend
+FROM per WHERE max_gap_days >= 90
+ORDER BY max_gap_days DESC, o_custkey
+LIMIT 50
+"""

@@ -8011,6 +8011,113 @@ def label_noise_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("recency_weighted_engagement")
+def recency_weighted_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P79: recency-weighted engagement score — each user's event
+    value summed with dyadic time decay (half-life one week): weight
+    = 2^-(weeks before the corpus max day). With whole-week buckets
+    the weights are exact powers of two, so the score is an INTEGER
+    sum Σ cents·2^(Wmax - w) closed by one division by 2^Wmax·100 —
+    the engagement ranking stays bitwise deterministic (float decay
+    drifts with summation order). Top-20 users.
+
+    Scale: the max-day anchor is a broadcast scalar; one user-keyed
+    aggregate with map-side partials. Weeks cap at Wmax ≤ 8 so the
+    shift never overflows (corpus spans are bounded; widen to decimal
+    past 2^63/cents).
+    """
+    ev = _t(spark, sf_dir, "events")
+    anchor = ev.groupBy().agg(
+        F.max(F.unix_date(F.to_date("ts"))).cast("long").alias("d_max")
+    )
+    wmax = 8
+    scored = (
+        ev.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("cents"),
+            F.least(
+                F.lit(wmax),
+                F.floor(
+                    (F.col("d_max") - F.unix_date(F.to_date("ts"))) / F.lit(7)
+                ).cast("long"),
+            ).alias("w"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("cents")
+                * F.expr(f"CAST(shiftleft(1, CAST({wmax} - w AS INT)) AS BIGINT)")
+            )
+            .cast("long")
+            .alias("wsum"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    return (
+        scored.select(
+            "user_id",
+            "n_events",
+            (
+                F.col("wsum").cast("double") / F.lit(float((1 << wmax) * 100))
+            ).alias("engagement_score"),
+        )
+        .orderBy(F.desc("engagement_score"), "user_id")
+        .limit(20)
+    )
+
+
+@query("dormant_reactivation")
+def dormant_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P80: dormancy → reactivation analysis — customers whose order
+    history contains a gap of 90+ days followed by a return, with the
+    longest dormancy and the spend after reactivation vs before (the
+    win-back campaign read-out). Exact integer day gaps and cent sums;
+    one user-keyed window pass (lag) + one aggregate.
+
+    Scale: one shuffle on custkey; the lag window streams per
+    customer.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = orders.select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("cents"),
+        (
+            F.unix_date(F.to_date("o_orderdate"))
+            - F.unix_date(F.to_date(F.lag("o_orderdate").over(w)))
+        )
+        .cast("long")
+        .alias("gap_days"),
+    )
+    per = g.groupBy("o_custkey").agg(
+        F.max("gap_days").alias("max_gap_days"),
+        F.sum(
+            F.when(F.col("gap_days") >= 90, F.col("cents")).otherwise(0)
+        )
+        .cast("long")
+        .alias("reactivated_cents"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    return (
+        per.filter(F.col("max_gap_days") >= 90)
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.col("max_gap_days").cast("long").alias("max_gap_days"),
+            (
+                F.col("reactivated_cents").cast("double") / F.lit(100.0)
+            ).alias("reactivated_spend"),
+            (F.col("total_cents").cast("double") / F.lit(100.0)).alias(
+                "total_spend"
+            ),
+        )
+        .orderBy(F.desc("max_gap_days"), "o_custkey")
+        .limit(50)
+    )
+
+
 @query("session_event_lift")
 def session_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P64: behavioral association mining — LIFT of event-type pairs
@@ -8138,6 +8245,8 @@ _SAMPLE_FIRST = [
     "part_catalog_near_dups",
     "part_abc_classification",
     "label_noise_candidates",
+    "recency_weighted_engagement",
+    "dormant_reactivation",
     # (4) regression picks: greens with the oldest driver signal
     "q3_shipping_priority",
     "q4_order_priority",
