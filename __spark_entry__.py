@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from dimagi_data_platform_spark.plans.oracle import ORACLE
 from dimagi_data_platform_spark.plans.queries import QUERIES
+from dimagi_data_platform_spark.rotation import sample_order
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -21,7 +22,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    # Rotation order (never-driver-sampled first, then stalest round):
+    # the driver samples a prefix, so this guarantees every query
+    # eventually carries driver evidence.  Computed from the committed
+    # CORRECTNESS_r*.json ledger — see tools/rotation.py.
+    return {name: QUERIES[name] for name in sample_order(list(QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1388,3 +1388,242 @@ def semantic_dedup_flat(
             .alias("cos_sim"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ with FIXED literal quantizers — the driver-checkable twin of
+# knn_ivfpq (k-means coarse centroids and residual codebooks are not
+# SQL-expressible; seeded-literal ones are, so assignment, PQ encode,
+# ADC table-gather scoring, and the exact rerank all replay bitwise in
+# the DuckDB oracle).
+# --------------------------------------------------------------------------
+
+
+def pq_flat_params(
+    dim: int = DEFAULT_DIM,
+    nlist: int = 8,
+    m_sub: int = 8,
+    ksub: int = 4,
+    seed: int = 23,
+):
+    """Shared literal quantizers for knn_ivfpq_flat and its oracle.
+
+    Returns (centroids, books, bconst) where
+    ``bconst[l][m][j] = <centroid_l_sub_m, book_mj> + ||book_mj||^2/2``
+    — the per-(list, subspace, codeword) constant that folds the
+    residual into the encode argmin: argmin_j ||(v - c_l)_m - b_mj||^2
+    == argmax_j (<v_m, b_mj> - bconst[l][m][j]).  Precomputed in plain
+    Python floats and interpolated as the SAME literal into both
+    engines, so there is no cross-engine arithmetic to drift."""
+    dsub = dim // m_sub
+    cents = _planes(dim, nlist, seed)
+    books = [_planes(dsub, ksub, seed + 1000 + 31 * m) for m in range(m_sub)]
+    bconst = [
+        [
+            [
+                sum(
+                    cents[li][m * dsub + t] * books[m][j][t]
+                    for t in range(dsub)
+                )
+                + sum(books[m][j][t] * books[m][j][t] for t in range(dsub)) / 2.0
+                for j in range(ksub)
+            ]
+            for m in range(m_sub)
+        ]
+        for li in range(nlist)
+    ]
+    return cents, books, bconst
+
+
+def knn_ivfpq_flat(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+    nlist: int = 8,
+    m_sub: int = 8,
+    ksub: int = 4,
+    rerank_factor: int = 4,
+    seed: int = 23,
+) -> DataFrame:
+    """IVF-PQ ANN with FIXED literal quantizers: same plan shape as
+    :func:`knn_ivfpq` (coarse-list pruning -> PQ-code scoring scan ->
+    exact rerank) but every stage is a closed-form codegen expression
+    an SQL oracle replays bitwise.  Quantizer quality is traded for
+    verifiability exactly as in :func:`knn_ivf_flat`; the trained
+    knn_ivfpq remains the quality/scale instrument on the SAME
+    mechanism, so hash-matching this twin certifies that mechanism.
+
+    Plan shape (scale story):
+    1. Corpus: argmax-dot coarse assignment (scan-local codegen), then
+       per-subspace codeword argmax on the residual folded into
+       literal constants — the encoded table is (id, list_id, m_sub
+       SMALL codes): the 4*dim-byte float column never reaches the
+       scoring scan (the PQ bandwidth claim, here 64 floats -> 8
+       codes).  localCheckpoint = the persisted-index posture and the
+       janino stage barrier.
+    2. Queries: top-nprobe lists by the same literal dots; per-query
+       ADC lookup table = m_sub*ksub literal sub-dots, broadcast.
+    3. Scoring: candidates = probed lists only (~nprobe/nlist of the
+       corpus); adc = <q,c_l> + sum_m LUT[m][code_m] — a pure CASE
+       gather over code columns, no float vector touched.
+    4. Top ``rerank_factor*k`` per query join BACK to the float table
+       for the exact fold-ordered cosine; reported scores are bitwise
+       brute-force scores (approximation picks candidates, never
+       scores).
+    """
+    dsub = dim // m_sub
+    cents, books, bconst = pq_flat_params(dim, nlist, m_sub, ksub, seed)
+    dcols = [
+        _hof_dot(vec_col, _lit_arr(pl)).alias(f"_d{i}")
+        for i, pl in enumerate(cents)
+    ]
+    argmax_list = "CASE " + " ".join(
+        "WHEN "
+        + " AND ".join(f"_d{i} >= _d{j}" for j in range(nlist) if j != i)
+        + f" THEN {i}"
+        for i in range(nlist - 1)
+    ) + f" ELSE {nlist - 1} END"
+    par = items.sparkSession.sparkContext.defaultParallelism
+
+    assigned = (
+        items.repartition(par)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_v"),
+            *dcols,
+        )
+        .withColumn("list_id", F.expr(argmax_list).cast("int"))
+        .drop(*[f"_d{i}" for i in range(nlist)])
+        # barrier: keeps the nlist dot chains out of the encode stage's
+        # codegen method (janino 64KB cliff — same as knn_ivf_flat)
+        .repartition("list_id")
+    )
+    # per-(m, j) residual score e_mj = <v_sub_m, b_mj> - bconst[list][m][j]
+    ecols = []
+    for m in range(m_sub):
+        sub = F.slice(F.col("_v"), m * dsub + 1, dsub)
+        for j in range(ksub):
+            lit_b = _lit_arr(books[m][j])
+            const_case = "CASE list_id " + " ".join(
+                f"WHEN {li} THEN {bconst[li][m][j]!r}D" for li in range(nlist)
+            ) + " END"
+            ecols.append(
+                (_hof_dot(sub, lit_b) - F.expr(const_case)).alias(f"_e{m}_{j}")
+            )
+    code_cases = [
+        (
+            "CASE "
+            + " ".join(
+                "WHEN "
+                + " AND ".join(
+                    f"_e{m}_{j} >= _e{m}_{jj}" for jj in range(ksub) if jj != j
+                )
+                + f" THEN {j}"
+                for j in range(ksub - 1)
+            )
+            + f" ELSE {ksub - 1} END"
+        )
+        for m in range(m_sub)
+    ]
+    encoded = (
+        assigned.select("neighbor_id", "list_id", "_v", *ecols)
+        .select(
+            "neighbor_id",
+            "list_id",
+            *[
+                F.expr(code_cases[m]).cast("int").alias(f"code_{m}")
+                for m in range(m_sub)
+            ],
+        )
+        # the persisted PQ index: id + list + m_sub codes, NO floats —
+        # materialized once, every query batch scans only this
+        .localCheckpoint()
+    )
+
+    qcols = [
+        _hof_dot(vec_col, _lit_arr(pl)).alias(f"_d{i}")
+        for i, pl in enumerate(cents)
+    ]
+    lutcols = [
+        _hof_dot(F.slice(F.col("q_vec"), m * dsub + 1, dsub), _lit_arr(books[m][j])).alias(
+            f"lut_{m}_{j}"
+        )
+        for m in range(m_sub)
+        for j in range(ksub)
+    ]
+    q0 = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), *qcols
+    ).select("q_id", "q_vec", *[f"_d{i}" for i in range(nlist)], *lutcols)
+    stack = "stack({}, {}) AS (list_id, cd)".format(
+        nlist, ", ".join(f"{i}, _d{i}" for i in range(nlist))
+    )
+    lut_names = [f"lut_{m}_{j}" for m in range(m_sub) for j in range(ksub)]
+    stacked = q0.selectExpr("q_id", *lut_names, stack)
+    w_probe = Window.partitionBy("q_id").orderBy(F.desc("cd"), "list_id")
+    probes = (
+        stacked.withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= nprobe)
+        .select(
+            "q_id",
+            F.col("list_id").cast("int").alias("list_id"),
+            "cd",
+            *lut_names,
+        )
+    )
+    gather = [
+        "CASE code_{m} ".format(m=m)
+        + " ".join(f"WHEN {j} THEN lut_{m}_{j}" for j in range(ksub))
+        + " END"
+        for m in range(m_sub)
+    ]
+    adc = "cd + " + " + ".join(gather)
+    cand = (
+        F.broadcast(probes)
+        .join(encoded, "list_id")
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .withColumn("adc_score", F.expr(adc))
+    )
+    r = rerank_factor * k
+    w_adc = Window.partitionBy("q_id").orderBy(
+        F.desc("adc_score"), "neighbor_id"
+    )
+    survivors = (
+        cand.withColumn("_rk", F.row_number().over(w_adc))
+        .filter(F.col("_rk") <= r)
+        .select("q_id", "neighbor_id")
+    )
+    exact = (
+        survivors.join(
+            items.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("c_vec"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+                )
+            ),
+            "q_id",
+        )
+        .withColumn(
+            "cos_sim",
+            _hof_dot("q_vec", F.col("c_vec"))
+            / (
+                F.sqrt(_hof_dot("q_vec", F.col("q_vec")))
+                * F.sqrt(_hof_dot("c_vec", F.col("c_vec")))
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    )

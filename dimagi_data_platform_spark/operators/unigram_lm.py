@@ -205,3 +205,165 @@ class _neg_lex(str):
 
     def __gt__(self, other):  # noqa: D105
         return str.__lt__(self, other)
+
+
+# --------------------------------------------------------------------------
+# Fixed-vocab Viterbi ENCODE — the driver-checkable twin of training
+# (the EM loop is not SQL-expressible; segmentation under a LITERAL
+# integer-cost vocab is a deterministic DP both engines unroll
+# identically, the same twin technique as knn_ivf_flat/knn_ivfpq_flat).
+# --------------------------------------------------------------------------
+
+ENCODE_MAX_WORD = 12  # DP unroll depth (positions)
+ENCODE_MAX_PIECE = 4  # longest vocab piece
+_ENCODE_SENTINEL = 1_000_000_000  # packed "unreachable" cost
+
+
+def flat_vocab() -> list[tuple[str, int]]:
+    """Literal (piece, integer cost) vocabulary shared by the Spark
+    query and the DuckDB oracle.  Costs are scaled -log-prob-style
+    ints: every a-z char is present (the fallback alphabet, so every
+    alpha word is segmentable) around cost ~550; multi-char pieces
+    cost ~320/char + jitter, so they usually — not always — beat char
+    sums, which keeps the DP's choices non-trivial.  Jitter is seeded,
+    so the table is a stable literal."""
+    import random
+
+    rnd = random.Random(61)
+    vocab: list[tuple[str, int]] = []
+    for c in "abcdefghijklmnopqrstuvwxyz":
+        vocab.append((c, 500 + rnd.randrange(100)))
+    multi = (
+        "th he in er an re on at en nd ti es or te of ed is it al ar st to "
+        "nt ng se ha as ou io le ve co me de hi ri ro ic ne ea ra ce li ch "
+        "ll be ma si om ur "
+        "the and ing ion tio ent ati for her ter hat tha ere ate his con "
+        "res ver all ons nce men ith ted ers pro thi wit are ess not ive "
+        "was ect rea com eve per int est sta cti ica ist ear ain one our "
+        "iti rat "
+        "tion atio that ther with ment ions this here from ould ting hich "
+        "whic ctio ence have othe ight sion ever ical they inte ough ance "
+        "were tive over ding nter comp able heir thei ally ated ring ture "
+        "cont ents"
+    ).split()
+    for p in multi:
+        vocab.append((p, 320 * len(p) + rnd.randrange(200)))
+    return vocab
+
+
+def unigram_encode_flat(
+    docs: DataFrame, text_col: str = "text", top_n: int = 40
+) -> DataFrame:
+    """Viterbi-segment the corpus vocabulary under the literal
+    :func:`flat_vocab` cost table — exact integer DP, bitwise
+    SQL-replayable.
+
+    Semantics: for each distinct alphabetic word of length <=
+    ``ENCODE_MAX_WORD``, find the segmentation into vocab pieces
+    (length <= ``ENCODE_MAX_PIECE``) minimizing (total cost, then
+    piece count) — the DP value is the PACKED integer
+    ``cost*16 + n_pieces``, so one integer ``min`` realizes the
+    lexicographic objective, and remaining ties break to the SHORTEST
+    last piece (first-wins backtrack).  Output: the ``top_n`` most
+    frequent words (freq desc, word asc) with cost, piece count, and
+    the reassembled piece string.
+
+    Spark-first shape: work runs at the DISTINCT-WORD grain (corpus
+    tokens collapse in one shuffle — the BPE/unigram trainers' grain);
+    span costs come from ONE broadcast join against the literal vocab;
+    the pivot back to per-(start, len) columns and the unrolled DP +
+    backtrack are scan-local integer codegen.  Nothing about the DP
+    depends on corpus size, so the plan scales as groupBy(word) does.
+    """
+    spark = docs.sparkSession
+    L, P = ENCODE_MAX_WORD, ENCODE_MAX_PIECE
+    S = _ENCODE_SENTINEL
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") <= L))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    vocab = spark.createDataFrame(flat_vocab(), "piece string, cost long")
+    # spans: (word, start, len, piece) for every candidate piece slot
+    spans = words.select(
+        "w",
+        "freq",
+        F.explode(F.expr(f"sequence(1, length(w))")).alias("s"),
+    ).select(
+        "w",
+        "freq",
+        "s",
+        F.explode(
+            F.expr(f"sequence(1, least({P}, length(w) - s + 1))")
+        ).alias("l"),
+    ).select(
+        "w", "freq", "s", "l", F.expr("substring(w, s, l)").alias("piece")
+    )
+    costed = spans.join(F.broadcast(vocab), "piece")
+    # pivot to per-(start, len) cost columns: c_s_l
+    ccols = [
+        F.max(
+            F.when((F.col("s") == s) & (F.col("l") == l), F.col("cost"))
+        ).alias(f"c_{s}_{l}")
+        for s in range(1, L + 1)
+        for l in range(1, P + 1)
+        if s + l - 1 <= L
+    ]
+    grid = costed.groupBy("w", "freq").agg(*ccols)
+
+    def c(s: int, l: int):
+        return F.coalesce(F.col(f"c_{s}_{l}") * 16 + 1, F.lit(S).cast("long"))
+
+    # unrolled DP: best_i = min over piece length l of best_{i-l} + packed
+    cur = grid.withColumn("best_0", F.lit(0).cast("long"))
+    for i in range(1, L + 1):
+        cands = [
+            F.col(f"best_{i - l}") + c(i - l + 1, l)
+            for l in range(1, min(P, i) + 1)
+        ]
+        cur = cur.withColumn("best_i_tmp", F.least(*cands) if len(cands) > 1 else cands[0])
+        cur = cur.withColumn(f"best_{i}", F.col("best_i_tmp")).drop("best_i_tmp")
+        # first-wins backtrack: shortest last piece on ties
+        bl = None
+        for l in range(1, min(P, i) + 1):
+            cond = F.col(f"best_{i}") == (F.col(f"best_{i - l}") + c(i - l + 1, l))
+            bl = F.when(cond, F.lit(l)) if bl is None else bl.when(cond, F.lit(l))
+        cur = cur.withColumn(f"bl_{i}", bl.cast("int"))
+    final_best = F.expr(
+        "CASE length(w) "
+        + " ".join(f"WHEN {i} THEN best_{i}" for i in range(1, L + 1))
+        + " END"
+    )
+    cur = cur.withColumn("best", final_best)
+    # unrolled backtrack: walk bl_pos from the end, prepending pieces
+    bl_at = lambda pos_col: F.expr(
+        "CASE " + pos_col + " "
+        + " ".join(f"WHEN {i} THEN bl_{i}" for i in range(1, L + 1))
+        + " ELSE 0 END"
+    )
+    cur = cur.withColumn("pos_0", F.length("w").cast("int")).withColumn(
+        "seg_0", F.lit("")
+    )
+    for k in range(1, L + 1):
+        prev = f"pos_{k - 1}"
+        lk = F.when(F.col(prev) > 0, bl_at(prev)).otherwise(F.lit(0))
+        cur = cur.withColumn(f"lk_{k}", lk)
+        piece = F.expr(f"substring(w, pos_{k - 1} - lk_{k} + 1, lk_{k})")
+        cur = cur.withColumn(
+            f"seg_{k}",
+            F.when(
+                F.col(f"lk_{k}") > 0,
+                F.when(
+                    F.col(f"seg_{k - 1}") == "", piece
+                ).otherwise(F.concat(piece, F.lit(" "), F.col(f"seg_{k - 1}"))),
+            ).otherwise(F.col(f"seg_{k - 1}")),
+        ).withColumn(f"pos_{k}", (F.col(prev) - F.col(f"lk_{k}")).cast("int"))
+    out = cur.select(
+        "w",
+        "freq",
+        F.expr("CAST(best DIV 16 AS BIGINT)").alias("total_cost"),
+        F.expr("CAST(best % 16 AS BIGINT)").alias("n_pieces"),
+        F.col(f"seg_{L}").alias("pieces"),
+    )
+    return out.orderBy(F.desc("freq"), "w").limit(top_n)

@@ -4707,3 +4707,243 @@ FROM per WHERE max_gap_days >= 90
 ORDER BY max_gap_days DESC, o_custkey
 LIMIT 50
 """
+
+
+# L7h: IVF-PQ with FIXED literal quantizers (similarity.knn_ivfpq_flat)
+# — coarse centroids, per-subspace codebooks, and the folded residual
+# constants all interpolate as literals from the SAME pq_flat_params
+# call the Spark operator uses, so coarse assignment, PQ encode, ADC
+# gather scoring, and the exact rerank replay bitwise (same left-fold
+# chains, 1-based indexing here).
+def _ivfpq_flat_sql(
+    nlist: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    dim: int = 64,
+    m_sub: int = 8,
+    ksub: int = 4,
+    rerank_factor: int = 4,
+    seed: int = 23,
+) -> str:
+    from dimagi_data_platform_spark.operators.similarity import pq_flat_params
+
+    cents, books, bconst = pq_flat_params(dim, nlist, m_sub, ksub, seed)
+    dsub = dim // m_sub
+    dcols = ",\n         ".join(
+        "(0.0 + "
+        + " + ".join(
+            f"CAST(embedding[{t + 1}] AS DOUBLE) * ({p!r})"
+            for t, p in enumerate(plane)
+        )
+        + f") AS d{i}"
+        for i, plane in enumerate(cents)
+    )
+    argmax = "CASE " + " ".join(
+        "WHEN "
+        + " AND ".join(f"d{i} >= d{j}" for j in range(nlist) if j != i)
+        + f" THEN {i}"
+        for i in range(nlist - 1)
+    ) + f" ELSE {nlist - 1} END"
+    e_exprs = ",\n         ".join(
+        "((0.0 + "
+        + " + ".join(
+            f"CAST(_v[{m * dsub + t + 1}] AS DOUBLE) * ({books[m][j][t]!r})"
+            for t in range(dsub)
+        )
+        + ") - (CASE list_id "
+        + " ".join(
+            f"WHEN {li} THEN ({bconst[li][m][j]!r})" for li in range(nlist)
+        )
+        + f" END)) AS e_{m}_{j}"
+        for m in range(m_sub)
+        for j in range(ksub)
+    )
+    code_cols = ",\n         ".join(
+        "(CASE "
+        + " ".join(
+            "WHEN "
+            + " AND ".join(
+                f"e_{m}_{j} >= e_{m}_{jj}" for jj in range(ksub) if jj != j
+            )
+            + f" THEN {j}"
+            for j in range(ksub - 1)
+        )
+        + f" ELSE {ksub - 1} END) AS code_{m}"
+        for m in range(m_sub)
+    )
+    lut_cols = ",\n         ".join(
+        "(0.0 + "
+        + " + ".join(
+            f"CAST(embedding[{m * dsub + t + 1}] AS DOUBLE) * ({books[m][j][t]!r})"
+            for t in range(dsub)
+        )
+        + f") AS lut_{m}_{j}"
+        for m in range(m_sub)
+        for j in range(ksub)
+    )
+    lut_names = ", ".join(
+        f"lut_{m}_{j}" for m in range(m_sub) for j in range(ksub)
+    )
+    cd_case = "CASE i " + " ".join(
+        f"WHEN {i} THEN d{i}" for i in range(nlist)
+    ) + " END"
+    ilist = ", ".join(str(i) for i in range(nlist))
+    adc = "cd + " + " + ".join(
+        f"CASE code_{m} "
+        + " ".join(f"WHEN {j} THEN lut_{m}_{j}" for j in range(ksub))
+        + " END"
+        for m in range(m_sub)
+    )
+    r = rerank_factor * k
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         {dcols}
+  FROM embeddings),
+a AS (
+  SELECT vec_id AS neighbor_id, embedding AS _v,
+         {argmax} AS list_id
+  FROM base),
+e AS (
+  SELECT neighbor_id, list_id,
+         {e_exprs}
+  FROM a),
+enc AS (
+  SELECT neighbor_id, list_id,
+         {code_cols}
+  FROM e),
+qd AS (
+  SELECT vec_id AS q_id,
+         {lut_cols},
+         {dcols}
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10)),
+qs AS (
+  SELECT q_id, {lut_names}, i AS list_id, {cd_case} AS cd
+  FROM qd CROSS JOIN (SELECT unnest([{ilist}]) AS i)),
+probes AS (
+  SELECT q_id, {lut_names}, list_id, cd
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cd DESC, list_id) AS pr FROM qs)
+  WHERE pr <= {nprobe}),
+cand AS (
+  SELECT q_id, neighbor_id, {adc} AS adc_score
+  FROM probes JOIN enc USING (list_id)
+  WHERE q_id <> neighbor_id),
+surv AS (
+  SELECT q_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_score DESC, neighbor_id) AS rk FROM cand)
+  WHERE rk <= {r}),
+x AS (
+  SELECT s.q_id, s.neighbor_id,
+         {_vdot('q.embedding', 'c.embedding')} /
+         (sqrt({_vdot('q.embedding', 'q.embedding')}) * sqrt({_vdot('c.embedding', 'c.embedding')})) AS cos_sim
+  FROM surv s
+  JOIN embeddings c ON c.vec_id = s.neighbor_id
+  JOIN embeddings q ON q.vec_id = s.q_id),
+rr AS (
+  SELECT q_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS "rank"
+  FROM x)
+SELECT q_id, neighbor_id, cos_sim, "rank" FROM rr WHERE "rank" <= {k}
+"""
+
+
+ORACLE["knn_ivfpq_flat"] = _ivfpq_flat_sql()
+
+
+# L38b: fixed-vocab Viterbi encode (unigram_lm.unigram_encode_flat) —
+# the literal vocab interpolates from the SAME flat_vocab() call the
+# Spark operator uses; the packed-integer DP (cost*16 + n_pieces) and
+# the first-wins shortest-last-piece backtrack unroll identically, so
+# the whole segmentation is exact integer arithmetic on both engines.
+def _unigram_encode_flat_sql(top_n: int = 40) -> str:
+    from dimagi_data_platform_spark.operators.unigram_lm import (
+        ENCODE_MAX_PIECE,
+        ENCODE_MAX_WORD,
+        flat_vocab,
+    )
+
+    L, P, S = ENCODE_MAX_WORD, ENCODE_MAX_PIECE, 1_000_000_000
+    vocab_rows = ", ".join(f"('{p}', {c})" for p, c in flat_vocab())
+    ccols = ",\n         ".join(
+        f"MAX(CASE WHEN s = {s} AND l = {l} THEN cost END) AS c_{s}_{l}"
+        for s in range(1, L + 1)
+        for l in range(1, P + 1)
+        if s + l - 1 <= L
+    )
+
+    def c(s: int, l: int) -> str:
+        return f"COALESCE(c_{s}_{l} * 16 + 1, {S})"
+
+    layers = ["d0 AS (SELECT *, CAST(0 AS BIGINT) AS best_0 FROM grid)"]
+    for i in range(1, L + 1):
+        cands = [
+            f"best_{i - l} + {c(i - l + 1, l)}"
+            for l in range(1, min(P, i) + 1)
+        ]
+        best = f"LEAST({', '.join(cands)})" if len(cands) > 1 else cands[0]
+        layers.append(
+            f"d{i} AS (SELECT *, {best} AS best_{i} FROM "
+            + (f"b{i - 1})" if i > 1 else "d0)")
+        )
+        bl = "CASE " + " ".join(
+            f"WHEN best_{i} = best_{i - l} + {c(i - l + 1, l)} THEN {l}"
+            for l in range(1, min(P, i) + 1)
+        ) + " END"
+        layers.append(f"b{i} AS (SELECT *, {bl} AS bl_{i} FROM d{i})")
+    final_best = "CASE length(w) " + " ".join(
+        f"WHEN {i} THEN best_{i}" for i in range(1, L + 1)
+    ) + " END"
+    layers.append(
+        f"fb AS (SELECT *, {final_best} AS best FROM b{L})"
+    )
+    layers.append(
+        "t0 AS (SELECT *, CAST(length(w) AS INT) AS pos_0, '' AS seg_0 FROM fb)"
+    )
+    for k in range(1, L + 1):
+        bl_at = "CASE pos_{p} ".format(p=k - 1) + " ".join(
+            f"WHEN {i} THEN bl_{i}" for i in range(1, L + 1)
+        ) + " ELSE 0 END"
+        layers.append(
+            f"u{k} AS (SELECT *, CASE WHEN pos_{k - 1} > 0 THEN ({bl_at}) "
+            f"ELSE 0 END AS lk_{k} FROM t{k - 1})"
+        )
+        piece = f"substr(w, pos_{k - 1} - lk_{k} + 1, lk_{k})"
+        layers.append(
+            f"t{k} AS (SELECT *, CASE WHEN lk_{k} > 0 THEN "
+            f"(CASE WHEN seg_{k - 1} = '' THEN {piece} "
+            f"ELSE {piece} || ' ' || seg_{k - 1} END) "
+            f"ELSE seg_{k - 1} END AS seg_{k}, "
+            f"CAST(pos_{k - 1} - lk_{k} AS INT) AS pos_{k} FROM u{k})"
+        )
+    body = ",\n".join(layers)
+    return f"""
+WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents)
+  WHERE regexp_matches(w, '^[a-z]+$') AND length(w) <= {L}
+  GROUP BY w),
+vocab(piece, cost) AS (VALUES {vocab_rows}),
+spans AS (
+  SELECT w, freq, CAST(u.s AS INT) AS s, CAST(v.l AS INT) AS l,
+         substr(w, CAST(u.s AS INT), CAST(v.l AS INT)) AS piece
+  FROM words,
+       UNNEST(range(1, length(w) + 1)) AS u(s),
+       UNNEST(range(1, least({P}, length(w) - CAST(u.s AS INT) + 1) + 1)) AS v(l)),
+costed AS (
+  SELECT spans.*, vocab.cost FROM spans JOIN vocab USING (piece)),
+grid AS (
+  SELECT w, freq, {ccols}
+  FROM costed GROUP BY w, freq),
+{body}
+SELECT w, freq,
+       CAST(best // 16 AS BIGINT) AS total_cost,
+       CAST(best % 16 AS BIGINT) AS n_pieces,
+       seg_{L} AS pieces
+FROM t{L}
+ORDER BY freq DESC, w
+LIMIT {top_n}
+"""
+
+
+ORACLE["unigram_viterbi_encode"] = _unigram_encode_flat_sql()

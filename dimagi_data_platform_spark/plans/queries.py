@@ -8167,149 +8167,58 @@ def session_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "type_a", "type_b")
     )
 
+# --------------------------------------------------------------------------
+# Driver-sampling order is computed, not hand-maintained: the
+# correctness driver samples a PREFIX of __spark_entry__.queries(),
+# which reorders this registry via dimagi_data_platform_spark.rotation
+# (never-driver-sampled queries first, then stalest-sampled round —
+# ledger = the committed CORRECTNESS_r*.json files; see
+# tools/rotation.py).  The hand-rotation list rounds 3-5 maintained
+# here is retired (r5 VERDICT item 7).  Regression coverage for
+# everything outside the sampled prefix comes from the local mirror
+# (tests/test_oracle_parity.py), which checks ALL queries every run.
+
 
 # --------------------------------------------------------------------------
-# Registration order for driver sampling
+# Round 6: literal-quantizer twins for the last no-evidence families
 # --------------------------------------------------------------------------
-# The correctness driver samples the FIRST ~50 registered queries.
-# Round-5 order: (1) the 12 queries with ZERO driver evidence across
-# rounds 1-4 (the r4 verdict's top item — 9 oracle-backed + 3
-# no-oracle paths), (2) the three single-task-window queries rewritten
-# this round on the distributed rank (must re-verify under the real
-# gate), (3) every NEW round-5 query, newest families first, and
-# (4) regression picks across the oldest green signals. Everything
-# else keeps regression coverage via the local mirror
-# (tests/test_oracle_parity.py), which checks ALL queries every test
-# run — 219/219 green at sf0.01 AND sf0.001 this round.
-_SAMPLE_FIRST = [
-    # (1) the 12 queries with ZERO driver evidence across rounds 1-4
-    # (VERDICT r4 top-next item): 9 oracle-backed + 3 no-oracle paths
-    "order_value_ks_test",
-    "order_value_mannwhitney",
-    "cumulative_distinct_buyers",
-    "daily_rank_corr",
-    "weighted_price_quantiles",
-    "order_value_benford",
-    "customer_entity_resolution",
-    "jaccard_prefix_join",
-    "multimodal_audio_chunks",
-    "knn_ivfpq",
-    "cms_term_counts",
-    "unigram_tokenizer_train",
-    # (2) rewritten this round (single-task windows -> distributed
-    # rank; VERDICT r4 weak items) -- must re-verify under the driver
-    "acctbal_deciles",
-    "order_value_percentiles",
-    "customer_percent_rank",
-    # (3) new round-5 queries
-    "knn_ivf_flat",
-    "substring_dedup_clean",
-    "daily_value_cusum",
-    "daily_seasonal_decompose",
-    "multi_grain_rollup",
-    "label_centroid_separation",
-    "lsh_band_tuning",
-    "nearest_centroid_confusion",
-    "k_anonymity_audit",
-    "semantic_dedup_flat",
-    "session_event_lift",
-    "incremental_daily_agg",
-    "part_ppr",
-    "l_diversity_audit",
-    "trending_event_types",
-    "embedding_decontaminate",
-    "user_time_weighted_value",
-    "customer_growth_streaks",
-    "ushape_attribution",
-    "order_value_qq",
-    "holt_forecast_daily",
-    "source_term_js_divergence",
-    "cohort_ltv_curve",
-    "deletion_cascade_impact",
-    "contrastive_negatives",
-    "order_to_ship_latency",
-    "monthly_revenue_waterfall",
-    "segment_priority_mode",
-    "duplicate_invoice_pairs",
-    "emerging_terms",
-    "round_price_bias",
-    "nation_supplier_hhi",
-    "copurchase_link_prediction",
-    "order_value_quantile_transform",
-    "winsorized_order_stats",
-    "returns_pchart",
-    "user_behavior_entropy",
-    "segment_conversion_wilson",
-    "hourly_weekday_profile",
-    "basket_association_rules",
-    "part_catalog_near_dups",
-    "part_abc_classification",
-    "label_noise_candidates",
-    "recency_weighted_engagement",
-    "dormant_reactivation",
-    # (4) regression picks: greens with the oldest driver signal
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q6_revenue_delta",
-    "q10_returned_items",
-    "repeat_buyers_intersect",
-    "lapsed_buyers_except",
-    "top_customers_per_nation",
-    "running_revenue",
-    "rollup_sales",
-    "segment_priority_pivot",
-    "above_avg_orders",
-    "min_price_supplier_per_part",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "priority_line_counts",
-    "q14_promo_share",
-    "q16_supplier_part_counts",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "sole_supplier_orders",
-    "wealthy_inactive_customers",
-    "doc_quality",
-    "token_counts",
-    "doc_fingerprint",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "near_dup_components",
-    "corpus_prep",
-    "pii_redaction",
-    "doc_chunks",
-    "latest_event_per_user",
-    "visits_sessionize",
-    "monthly_usage",
-    "active_users_daily",
-    "retention_cohorts",
-    "signup_to_purchase_funnel",
-    "events_asof_join",
-    "event_session_assign",
-    "session_windows",
-    "cube_sales",
-    "grouping_sets_activity",
-    "hourly_event_pivot",
-    "event_counts_unpivot",
-    "priority_except_all",
-    "priority_intersect_all",
-    "rolling_7day_revenue",
-    "user_first_last_event",
-    "daily_value_gapfill",
-]
-
-def _reorder_for_sampling() -> None:
-    missing = [k for k in _SAMPLE_FIRST if k not in QUERIES]
-    assert not missing, f"_SAMPLE_FIRST names unknown queries: {missing}"
-    head = {k: QUERIES[k] for k in _SAMPLE_FIRST}
-    tail = {k: v for k, v in QUERIES.items() if k not in head}
-    QUERIES.clear()
-    QUERIES.update(head)
-    QUERIES.update(tail)
 
 
-_reorder_for_sampling()
+@query("knn_ivfpq_flat")
+def knn_ivfpq_flat_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7h: IVF-PQ ANN with FIXED literal quantizers — the driver-
+    checkable twin of knn_ivfpq (L7f, rows-only because the k-means
+    coarse centroids and residual codebooks are not SQL-expressible).
+    Literal seeded centroids + literal per-subspace codebooks make the
+    ENTIRE mechanism — argmax-dot coarse assignment, residual PQ
+    encode (codeword argmax with the residual folded into per-(list,
+    subspace, codeword) literal constants), ADC CASE-gather scoring
+    over the code columns, and the exact fold-ordered cosine rerank —
+    a closed-form expression the DuckDB oracle replays bitwise.  The
+    trained knn_ivfpq remains the quality/scale instrument on the SAME
+    plan shape; hash-matching this twin certifies that mechanism.
+    """
+    from dimagi_data_platform_spark.operators.similarity import knn_ivfpq_flat
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_ivfpq_flat(emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2)
+
+
+@query("unigram_viterbi_encode")
+def unigram_viterbi_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L38b: fixed-vocab Viterbi ENCODE — the driver-checkable twin of
+    unigram_tokenizer_train (L38, rows-only because the EM loop is not
+    SQL-expressible).  Segmentation under the LITERAL integer-cost
+    vocab is a deterministic DP: the packed-integer objective
+    (cost*16 + n_pieces, min = lexicographic (cost, pieces), remaining
+    ties to the shortest last piece) unrolls to 12 positions in BOTH
+    engines, so word costs, piece counts, and the reassembled piece
+    strings hash-match exactly — the same literal-quantizer technique
+    as knn_ivf_flat / knn_ivfpq_flat, applied to the tokenizer family.
+    """
+    from dimagi_data_platform_spark.operators.unigram_lm import (
+        unigram_encode_flat,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_encode_flat(docs, top_n=40)
