@@ -61,10 +61,26 @@ def minhash_signatures(
             F.explode(shingles_from_tokens("_toks", shingle_n)).alias("shingle"),
         )
     )
+    return signatures_from_shingles(sh, id_col=id_col, num_hashes=num_hashes, seed=seed)
+
+
+def signatures_from_shingles(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingle",
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Signature chain over an EXISTING (id, shingle) stream — lets a
+    caller that already exploded shingles for another consumer (e.g.
+    the exact-Jaccard machinery in the L55 band-tuning eval) share one
+    tokenize/explode pass instead of re-scanning the corpus.  Identical
+    output to :func:`minhash_signatures` by construction (that function
+    now delegates here)."""
     # 15 hex chars = 60 bits → fits signed 64 exactly; pmod folds below
     # P so a*h+b stays under 2^62 (no ANSI overflow)
     h = F.pmod(
-        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long"),
+        F.conv(F.substring(F.md5(shingle_col), 1, 15), 16, 10).cast("long"),
         F.lit(MINHASH_P),
     )
     sh = sh.withColumn("h", h)
