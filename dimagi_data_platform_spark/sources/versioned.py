@@ -66,7 +66,9 @@ def _commit(path: str, entry: dict) -> None:
     os.replace(tmp, _manifest_path(path))  # atomic commit point
 
 
-def write_version(df: DataFrame, path: str, commit_ts: str) -> int:
+def write_version(
+    df: DataFrame, path: str, commit_ts: str, extra: dict | None = None
+) -> int:
     """Commit ``df`` as the next immutable version; returns its number.
 
     ``commit_ts`` is caller-supplied (ISO-8601) so ingestion pipelines
@@ -74,6 +76,11 @@ def write_version(df: DataFrame, path: str, commit_ts: str) -> int:
     deterministic. The parquet write happens BEFORE the manifest
     replace — a crash in between leaves an unreferenced directory,
     never a readable half-version.
+
+    ``extra`` fields land in the manifest entry IN the atomic commit
+    (the streaming sink stamps its micro-batch id this way, so "data
+    committed" and "batch id recorded" are one swap — there is no
+    crash window where the state exists but the replay marker doesn't).
     """
     versions = history(path)
     n = versions[-1]["version"] + 1 if versions else 1
@@ -84,7 +91,10 @@ def write_version(df: DataFrame, path: str, commit_ts: str) -> int:
     # (errorifexists would brick the table after any such crash)
     df.write.mode("overwrite").parquet(vdir)
     n_rows = df.sparkSession.read.parquet(vdir).count()
-    _commit(path, {"version": n, "commit_ts": commit_ts, "n_rows": n_rows})
+    entry = {"version": n, "commit_ts": commit_ts, "n_rows": n_rows}
+    if extra:
+        entry.update(extra)
+    _commit(path, entry)
     return n
 
 
@@ -121,6 +131,7 @@ def merge_version(
     keys: list[str],
     order_col: str,
     commit_ts: str,
+    extra: dict | None = None,
 ) -> int:
     """Delta-style MERGE as copy-on-write: latest-wins by ``order_col``
     per ``keys`` between the current version and ``updates``,
@@ -144,7 +155,7 @@ def merge_version(
         .drop("__rn", "__src")
         .localCheckpoint()  # materialize before writing over our read
     )
-    return write_version(merged, path, commit_ts)
+    return write_version(merged, path, commit_ts, extra=extra)
 
 
 def vacuum(path: str, keep_last: int) -> list[int]:

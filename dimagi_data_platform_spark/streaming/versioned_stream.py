@@ -42,6 +42,15 @@ def versioned_sink(
     a new version of the table at ``path``. The commit timestamp is
     the batch's max ``ts_col`` (event time — deterministic, replayable;
     never the wall clock), so ``read_asof`` time-travels in event time.
+
+    Crash consistency: the batch id is stamped into the manifest entry
+    IN the version's atomic commit swap (``write_version(extra=...)``),
+    so the only two post-crash states are (a) nothing committed — the
+    replayed batch merges against the pre-crash table, with any
+    half-written ``v=N`` directory overwritten by write_version's
+    repair path — or (b) committed with the id recorded — the replayed
+    batch is skipped. There is no window where table state exists
+    without its replay marker (the pre-r6 two-swap protocol had one).
     """
 
     def sink(batch: DataFrame, batch_id: int) -> None:
@@ -53,15 +62,16 @@ def versioned_sink(
         commit_ts = str(
             batch.agg(F.max(ts_col).alias("m")).collect()[0]["m"]
         )
+        stamp = {"batch_id": batch_id}
         try:
             read_version(spark, path)
             exists = True
         except FileNotFoundError:
             exists = False
         if exists:
-            v = merge_version(
+            merge_version(
                 spark, path, batch, keys=keys, order_col=order_col,
-                commit_ts=commit_ts,
+                commit_ts=commit_ts, extra=stamp,
             )
         else:
             # first batch: latest-wins WITHIN the batch, then write v1
@@ -73,25 +83,7 @@ def versioned_sink(
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
-            v = write_version(first, path, commit_ts)
-        # stamp the batch id on the entry just committed (manifest
-        # rewrite is atomic; single-writer contract)
-        import json
-        import os
-        import tempfile
-
-        from dimagi_data_platform_spark.sources.versioned import (
-            _manifest_path,
-        )
-
-        versions = history(path)
-        for h in versions:
-            if h["version"] == v:
-                h["batch_id"] = batch_id
-        fd, tmp = tempfile.mkstemp(dir=path, suffix=".manifest.tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump({"versions": versions}, f)
-        os.replace(tmp, _manifest_path(path))
+            write_version(first, path, commit_ts, extra=stamp)
 
     return sink
 

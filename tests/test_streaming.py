@@ -815,3 +815,129 @@ def test_streaming_versioned_sink_exactly_once_and_batch_twin(spark, tmp_path):
     versioned_sink(tbl, keys=["id"], order_col="ver")(replay, 1)
     assert len(history(tbl)) == 2
     assert {r.id for r in read_version(spark, tbl).collect()} == {1, 2, 3}
+
+
+def _crash_stream_fixture(spark, tmp_path):
+    """Two single-file micro-batches feeding the versioned sink."""
+    import json as _json
+
+    from dimagi_data_platform_spark.sources.stream import StreamSource, open_stream
+
+    indir = tmp_path / "in"
+    indir.mkdir(exist_ok=True)
+    rows1 = [
+        {"id": 1, "ver": 1, "who": "b1", "ts": "2024-01-01T00:00:01"},
+        {"id": 2, "ver": 1, "who": "b1", "ts": "2024-01-01T00:00:02"},
+    ]
+    rows2 = [
+        {"id": 1, "ver": 2, "who": "b2", "ts": "2024-01-02T00:00:01"},
+        {"id": 3, "ver": 1, "who": "b2", "ts": "2024-01-02T00:00:02"},
+    ]
+    (indir / "a.json").write_text("\n".join(_json.dumps(r) for r in rows1))
+    (indir / "b.json").write_text("\n".join(_json.dumps(r) for r in rows2))
+    schema = "id long, ver long, who string, ts string"
+
+    def mk_stream():
+        return open_stream(
+            spark,
+            StreamSource(kind="file", schema=schema, path=str(indir),
+                         max_files_per_trigger=1),
+        )
+
+    return mk_stream
+
+
+def _run_expect_crash(mk_stream, tbl, ck):
+    import pytest as _pytest
+
+    from dimagi_data_platform_spark.streaming.versioned_stream import (
+        run_stream_to_versioned,
+    )
+
+    with _pytest.raises(Exception, match="injected crash"):
+        run_stream_to_versioned(
+            mk_stream(), tbl, ck, keys=["id"], order_col="ver"
+        )
+
+
+def _assert_final_state(spark, tbl):
+    from dimagi_data_platform_spark.sources.versioned import history, read_version
+
+    got = {r.id: r.who for r in read_version(spark, tbl).collect()}
+    assert got == {1: "b2", 2: "b1", 3: "b2"}, got
+    hist = history(tbl)
+    assert [h["version"] for h in hist] == [1, 2], hist
+    assert [h["batch_id"] for h in hist] == [0, 1], hist
+
+
+def test_versioned_sink_crash_before_manifest_swap_replays_cleanly(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the sink BETWEEN the parquet data write and the atomic
+    manifest swap on batch 1, restart the stream from the same
+    checkpoint: the batch must replay against the pre-crash table, the
+    half-written v=2 directory must be overwritten by the repair path,
+    and the final table must equal the no-crash run — no duplicate
+    version, no lost rows (r5 VERDICT item 6)."""
+    import os as _os
+
+    from dimagi_data_platform_spark.sources import versioned as V
+    from dimagi_data_platform_spark.streaming.versioned_stream import (
+        run_stream_to_versioned,
+    )
+
+    mk_stream = _crash_stream_fixture(spark, tmp_path)
+    tbl, ck = str(tmp_path / "tbl"), str(tmp_path / "ck")
+
+    real_commit = V._commit
+    calls = {"n": 0}
+
+    def crashing_commit(path, entry):
+        calls["n"] += 1
+        if calls["n"] == 2:  # batch 1's commit: data written, swap never runs
+            raise RuntimeError("injected crash before manifest swap")
+        real_commit(path, entry)
+
+    monkeypatch.setattr(V, "_commit", crashing_commit)
+    _run_expect_crash(mk_stream, tbl, ck)
+    # post-crash state: batch 0 committed, batch 1's data dir is
+    # unreferenced garbage the manifest doesn't know about
+    assert [h["batch_id"] for h in V.history(tbl)] == [0]
+    assert _os.path.isdir(_os.path.join(tbl, "v=2"))
+    monkeypatch.setattr(V, "_commit", real_commit)
+    # restart from the same checkpoint: batch 1 is redelivered
+    run_stream_to_versioned(mk_stream(), tbl, ck, keys=["id"], order_col="ver")
+    _assert_final_state(spark, tbl)
+
+
+def test_versioned_sink_crash_after_manifest_swap_skips_replay(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the sink JUST AFTER batch 1's atomic swap (commit durable,
+    foreachBatch never returned, so the checkpoint doesn't know):
+    restart must detect the recorded batch id and SKIP the replay —
+    exactly-once table state with no duplicate version entry."""
+    from dimagi_data_platform_spark.sources import versioned as V
+    from dimagi_data_platform_spark.streaming.versioned_stream import (
+        run_stream_to_versioned,
+    )
+
+    mk_stream = _crash_stream_fixture(spark, tmp_path)
+    tbl, ck = str(tmp_path / "tbl"), str(tmp_path / "ck")
+
+    real_commit = V._commit
+    calls = {"n": 0}
+
+    def crash_after_commit(path, entry):
+        calls["n"] += 1
+        real_commit(path, entry)
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash after manifest swap")
+
+    monkeypatch.setattr(V, "_commit", crash_after_commit)
+    _run_expect_crash(mk_stream, tbl, ck)
+    # the commit IS durable: both batch ids recorded despite the crash
+    assert [h["batch_id"] for h in V.history(tbl)] == [0, 1]
+    monkeypatch.setattr(V, "_commit", real_commit)
+    run_stream_to_versioned(mk_stream(), tbl, ck, keys=["id"], order_col="ver")
+    _assert_final_state(spark, tbl)
