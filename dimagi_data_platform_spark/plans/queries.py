@@ -8266,3 +8266,288 @@ def unigram_viterbi_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return unigram_encode_flat(docs, top_n=40)
+
+
+# --------------------------------------------------------------------------
+# Round 6: corpus quality rules, readability, ML-prep encodings, and
+# multi-group rank/variance tests
+# --------------------------------------------------------------------------
+
+
+@query("gopher_quality_rules")
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L63: Gopher/C4-style rule-based quality filtering — the
+    standard pre-training hygiene pass (Rae et al. 2021 §A1.1;
+    Raffel et al. 2020 C4): per-doc word-count bounds, mean-word-length
+    bounds, repetition (top-term share) cap, lexical-diversity floor
+    (distinct/total), and a stopword-evidence floor, each as an
+    explicit boolean column plus the conjunctive keep flag, so a
+    pipeline can both filter and AUDIT which rule fired.
+
+    Exactness: every metric is integer (milli-ratios via 1000*x DIV y)
+    — no IEEE anywhere, so the hash gate is trivial. Scale: term stats
+    are one explode + (doc, term) groupBy (the tf-idf shuffle); all
+    rules are then scan-local.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("w")).filter(
+        F.length("w") > 0
+    )
+    per_term = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    stats = per_term.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("tf").cast("long").alias("top_tf"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.length(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", "")).alias(
+            "n_nospace"
+        ),
+        stopword_count("text").alias("n_stop"),
+    )
+    j = stats.join(base, "doc_id")
+    mean_wl_milli = F.expr("CAST(1000 * n_nospace DIV n_words AS BIGINT)")
+    top_share_milli = F.expr("CAST(1000 * top_tf DIV n_words AS BIGINT)")
+    distinct_milli = F.expr("CAST(1000 * n_distinct DIV n_words AS BIGINT)")
+    out = (
+        j.withColumn("mean_wl_milli", mean_wl_milli)
+        .withColumn("top_share_milli", top_share_milli)
+        .withColumn("distinct_milli", distinct_milli)
+        .withColumn("wc_ok", (F.col("n_words") >= 20) & (F.col("n_words") <= 120))
+        .withColumn(
+            "mwl_ok",
+            (F.col("mean_wl_milli") >= 2500) & (F.col("mean_wl_milli") <= 8500),
+        )
+        .withColumn("rep_ok", F.col("top_share_milli") <= 200)
+        .withColumn("div_ok", F.col("distinct_milli") >= 300)
+        .withColumn("stop_ok", F.col("n_stop") >= 2)
+        .withColumn(
+            "keep",
+            F.col("wc_ok")
+            & F.col("mwl_ok")
+            & F.col("rep_ok")
+            & F.col("div_ok")
+            & F.col("stop_ok"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "mean_wl_milli",
+        "top_share_milli",
+        "distinct_milli",
+        F.col("n_stop").cast("long").alias("n_stop"),
+        "wc_ok",
+        "mwl_ok",
+        "rep_ok",
+        "div_ok",
+        "stop_ok",
+        "keep",
+    )
+
+
+@query("doc_readability")
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L64: readability scoring (Flesch reading-ease shape) with
+    vowel-group syllable counting — the deterministic regex-only
+    approximation (a syllable ~ one maximal [aeiou]+ run), the corpus
+    treated as one sentence per doc (the synthetic corpus carries no
+    sentence punctuation; with real text swap n_words for
+    words-per-sentence). Counts are exact integers; the score is ONE
+    mirrored IEEE chain (206.835 - 1.015*words - 84.6*syll/words).
+
+    Scale: fully scan-local (regexp_extract_all + size), no shuffle
+    beyond the parquet scan.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    n_words = ws_token_count("text")
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiou]+"), 0)
+    ).cast("long")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * F.col("n_words").cast("double")
+        - F.lit(84.6) * F.col("spw")
+    )
+    return (
+        docs.select(
+            "doc_id", n_words.alias("n_words"), n_syll.alias("n_syllables")
+        )
+        .filter(F.col("n_words") > 0)
+        .withColumn("spw", spw)
+        .withColumn("flesch_score", score)
+        .select("doc_id", "n_words", "n_syllables", "spw", "flesch_score")
+    )
+
+
+@query("segment_target_encoding")
+def segment_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P81: leave-one-out target encoding of the customer segment
+    against account balance — the standard ML categorical encoding
+    computed the leakage-safe way: each row's encode is its segment's
+    mean EXCLUDING the row itself, (S_g - x_i) / (n_g - 1). Exact
+    integer cent sums per segment broadcast back to the scan; one
+    final mirrored IEEE division per row.
+
+    Scale: one segment-grain aggregate (5 rows, broadcast) + a
+    scan-local expression — no per-row window, no shuffle of the fact.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * F.lit(100.0)).cast("long")
+    seg = (
+        cust.select("c_mktsegment", cents.alias("cents"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("cents").cast("long").alias("s_g"),
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+        )
+    )
+    return (
+        cust.select("c_custkey", "c_mktsegment", cents.alias("cents"))
+        .join(F.broadcast(seg), "c_mktsegment")
+        .withColumn(
+            "loo_mean",
+            (F.col("s_g") - F.col("cents")).cast("double")
+            / (F.lit(100.0) * (F.col("n_g") - F.lit(1)).cast("double")),
+        )
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("acctbal"),
+            "loo_mean",
+        )
+    )
+
+
+@query("order_value_kruskal_wallis")
+def order_value_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R83: Kruskal-Wallis H test across ALL five order priorities —
+    the k-group generalization of Mann-Whitney (R65): exact integer
+    doubled midranks on the distributed prefix-sum backbone, per-group
+    rank sums as exact decimals, tie correction from sum(t^3 - t);
+    H and the tie-corrected H are one mirrored IEEE chain.
+
+    Scale: same backbone as R64/R65 (per-value aggregate -> range
+    buckets + broadcast offsets); statistic is a single-row aggregate.
+    """
+    from dimagi_data_platform_spark.operators.linkage import global_prefix_sums
+
+    prios = [
+        "1-URGENT",
+        "2-HIGH",
+        "3-MEDIUM",
+        "4-NOT SPECIFIED",
+        "5-LOW",
+    ]
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderpriority")
+    per = orders.groupBy("o_totalprice").agg(
+        *[
+            F.sum((F.col("o_orderpriority") == p).cast("long")).alias(f"g{i}")
+            for i, p in enumerate(prios)
+        ]
+    )
+    gcols = [f"g{i}" for i in range(5)]
+    cum = global_prefix_sums(per, ["o_totalprice"], gcols)
+    dec = "decimal(19,0)"
+    cnt_v = sum(F.col(g) for g in gcols).cast("long")
+    cum_before = sum(F.col(f"cum_{g}") for g in gcols) - cnt_v
+    two_midrank = (F.lit(2) * cum_before + cnt_v + F.lit(1)).cast(dec)
+    s = cum.agg(
+        *[F.sum(g).cast("long").alias(f"n{i}") for i, g in enumerate(gcols)],
+        *[
+            F.sum(F.col(g).cast(dec) * two_midrank).alias(f"two_r{i}")
+            for i, g in enumerate(gcols)
+        ],
+        F.sum(cnt_v.cast("decimal(13,0)") * cnt_v * cnt_v - cnt_v).alias(
+            "s_ties"
+        ),
+    )
+    n_d = sum(F.col(f"n{i}") for i in range(5)).cast("double")
+    # A = sum_g R_g^2 / n_g with R_g = two_r_g / 2, left-associated in
+    # group order (mirrored verbatim in the oracle)
+    terms = [
+        (F.col(f"two_r{i}").cast("double") / F.lit(2.0))
+        * (F.col(f"two_r{i}").cast("double") / F.lit(2.0))
+        / F.col(f"n{i}").cast("double")
+        for i in range(5)
+    ]
+    a = terms[0] + terms[1] + terms[2] + terms[3] + terms[4]
+    h = F.lit(12.0) / (n_d * (n_d + F.lit(1.0))) * a - F.lit(3.0) * (
+        n_d + F.lit(1.0)
+    )
+    c = F.lit(1.0) - F.col("s_ties").cast("double") / (
+        n_d * n_d * n_d - n_d
+    )
+    return (
+        s.withColumn("h_stat", h)
+        .withColumn("tie_c", c)
+        .withColumn("h_corrected", F.col("h_stat") / F.col("tie_c"))
+        .select(
+            *[f"n{i}" for i in range(5)], "h_stat", "tie_c", "h_corrected"
+        )
+    )
+
+
+@query("order_value_anova")
+def order_value_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R84: one-way ANOVA F of order value across the five priorities —
+    the parametric sibling of R83. Per-group n / sum / sum-of-squares
+    accumulate as EXACT integers on cent-quantized values (decimal
+    accumulators, order-independent); SSB/SSW/F are one mirrored IEEE
+    chain over those six exact scalars.
+
+    Scale: one map-side-combined groupBy to 5 rows; nothing else.
+    """
+    prios = [
+        "1-URGENT",
+        "2-HIGH",
+        "3-MEDIUM",
+        "4-NOT SPECIFIED",
+        "5-LOW",
+    ]
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    v = orders.select("o_orderpriority", cents.alias("v"))
+    # ONE conditional aggregate row with the groups in literal order —
+    # every downstream float chain is then a fixed left-associated
+    # expression over exact scalars, never an order-nondeterministic
+    # float SUM across group rows
+    tot = v.agg(
+        *[
+            F.sum((F.col("o_orderpriority") == p).cast("long"))
+            .cast("long")
+            .alias(f"n{i}")
+            for i, p in enumerate(prios)
+        ],
+        *[
+            F.sum(
+                F.when(F.col("o_orderpriority") == p, F.col("v")).otherwise(
+                    F.lit(0)
+                ).cast("decimal(38,0)")
+            ).alias(f"s{i}")
+            for i, p in enumerate(prios)
+        ],
+        F.sum(F.col("v").cast("decimal(19,0)") * F.col("v")).alias("ss"),
+    )
+    n_d = sum(F.col(f"n{i}") for i in range(5)).cast("double")
+    s_d = sum(F.col(f"s{i}") for i in range(5)).cast("double")
+    terms = [
+        F.col(f"s{i}").cast("double")
+        * F.col(f"s{i}").cast("double")
+        / F.col(f"n{i}").cast("double")
+        for i in range(5)
+    ]
+    a_term = terms[0] + terms[1] + terms[2] + terms[3] + terms[4]
+    t_term = s_d * s_d / n_d
+    ssb = a_term - t_term
+    ssw = F.col("ss").cast("double") - a_term
+    f_stat = (ssb / F.lit(4.0)) / (ssw / (n_d - F.lit(5.0)))
+    return (
+        tot.withColumn("n", sum(F.col(f"n{i}") for i in range(5)).cast("long"))
+        .withColumn("ssb", ssb)
+        .withColumn("ssw", ssw)
+        .withColumn("f_stat", f_stat)
+        .select("n", "ssb", "ssw", "f_stat")
+    )
