@@ -4947,3 +4947,200 @@ LIMIT {top_n}
 
 
 ORACLE["unigram_viterbi_encode"] = _unigram_encode_flat_sql()
+
+
+# L63: Gopher/C4 rule-based quality filtering. Every metric is an
+# exact integer (milli-ratios via integer floor division — DuckDB //
+# mirrors Spark DIV for the non-negative operands here), so the hash
+# gate is trivial; booleans mirror the Spark rule expressions op for op.
+ORACLE["gopher_quality_rules"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents),
+per_term AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM toks WHERE length(w) > 0
+  GROUP BY doc_id, w),
+stats AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(tf) AS BIGINT) AS top_tf
+  FROM per_term GROUP BY doc_id),
+base AS (
+  SELECT doc_id,
+         CAST(length(regexp_replace(trim(lower(text)), '\s+', '', 'g'))
+              AS BIGINT) AS n_nospace,
+         CAST(len(regexp_extract_all(lower(text),
+              '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS n_stop
+  FROM documents),
+j AS (
+  SELECT s.doc_id, n_words, n_distinct, top_tf, n_nospace, n_stop,
+         CAST((1000 * n_nospace) // n_words AS BIGINT) AS mean_wl_milli,
+         CAST((1000 * top_tf) // n_words AS BIGINT) AS top_share_milli,
+         CAST((1000 * n_distinct) // n_words AS BIGINT) AS distinct_milli
+  FROM stats s JOIN base USING (doc_id))
+SELECT doc_id, n_words, mean_wl_milli, top_share_milli, distinct_milli,
+       n_stop,
+       (n_words >= 20 AND n_words <= 120) AS wc_ok,
+       (mean_wl_milli >= 2500 AND mean_wl_milli <= 8500) AS mwl_ok,
+       (top_share_milli <= 200) AS rep_ok,
+       (distinct_milli >= 300) AS div_ok,
+       (n_stop >= 2) AS stop_ok,
+       ((n_words >= 20 AND n_words <= 120)
+        AND (mean_wl_milli >= 2500 AND mean_wl_milli <= 8500)
+        AND top_share_milli <= 200
+        AND distinct_milli >= 300
+        AND n_stop >= 2) AS keep
+FROM j
+"""
+
+
+# L64: Flesch-shape readability. Counts are exact integers; spw and the
+# score are the same left-associated IEEE chain as the Spark columns.
+ORACLE["doc_readability"] = r"""
+WITH x AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+              AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+              AS BIGINT) AS n_syllables
+  FROM documents)
+SELECT doc_id, n_words, n_syllables,
+       CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE) AS spw,
+       206.835 - 1.015 * CAST(n_words AS DOUBLE)
+         - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+         AS flesch_score
+FROM x WHERE n_words > 0
+"""
+
+
+# P81: leave-one-out target encoding. Cent sums are exact integers;
+# loo_mean is one mirrored IEEE division, NULL for singleton segments.
+ORACLE["segment_target_encoding"] = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(FLOOR(CAST(c_acctbal AS DOUBLE) * 100.0) AS BIGINT) AS cents
+  FROM customer),
+seg AS (
+  SELECT c_mktsegment, CAST(SUM(cents) AS BIGINT) AS s_g,
+         CAST(COUNT(*) AS BIGINT) AS n_g
+  FROM c GROUP BY c_mktsegment)
+SELECT c_custkey, c.c_mktsegment,
+       CAST(cents AS DOUBLE) / 100.0 AS acctbal,
+       CASE WHEN n_g > 1
+            THEN CAST(s_g - cents AS DOUBLE)
+                 / (100.0 * CAST(n_g - 1 AS DOUBLE))
+            ELSE NULL END AS loo_mean
+FROM c JOIN seg USING (c_mktsegment)
+"""
+
+
+# R83: Kruskal-Wallis H across the five priorities. Exact integer
+# doubled midranks (2*cum_before + cnt + 1) on the per-value prefix
+# sum — the R65 backbone generalized to k groups; H / tie-corrected H
+# mirror the Spark left-associated float chain over exact scalars.
+ORACLE["order_value_kruskal_wallis"] = """
+WITH per AS (
+  SELECT o_totalprice AS v,
+    SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS g0,
+    SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS g1,
+    SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS g2,
+    SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)
+      AS g3,
+    SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS g4
+  FROM orders GROUP BY v),
+c AS (
+  SELECT v, g0, g1, g2, g3, g4,
+         g0 + g1 + g2 + g3 + g4 AS cnt,
+         SUM(g0 + g1 + g2 + g3 + g4) OVER (ORDER BY v) AS cum_t
+  FROM per),
+m AS (
+  SELECT *, CAST(2 * (cum_t - cnt) + cnt + 1 AS HUGEINT) AS two_mid
+  FROM c),
+s AS (
+  SELECT
+    CAST(SUM(g0) AS BIGINT) AS n0, CAST(SUM(g1) AS BIGINT) AS n1,
+    CAST(SUM(g2) AS BIGINT) AS n2, CAST(SUM(g3) AS BIGINT) AS n3,
+    CAST(SUM(g4) AS BIGINT) AS n4,
+    SUM(CAST(g0 AS HUGEINT) * two_mid) AS two_r0,
+    SUM(CAST(g1 AS HUGEINT) * two_mid) AS two_r1,
+    SUM(CAST(g2 AS HUGEINT) * two_mid) AS two_r2,
+    SUM(CAST(g3 AS HUGEINT) * two_mid) AS two_r3,
+    SUM(CAST(g4 AS HUGEINT) * two_mid) AS two_r4,
+    SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS s_ties
+  FROM m),
+h AS (
+  SELECT n0, n1, n2, n3, n4, s_ties,
+    CAST(n0 + n1 + n2 + n3 + n4 AS DOUBLE) AS nd,
+    (CAST(two_r0 AS DOUBLE) / 2.0) * (CAST(two_r0 AS DOUBLE) / 2.0)
+      / CAST(n0 AS DOUBLE)
+    + (CAST(two_r1 AS DOUBLE) / 2.0) * (CAST(two_r1 AS DOUBLE) / 2.0)
+      / CAST(n1 AS DOUBLE)
+    + (CAST(two_r2 AS DOUBLE) / 2.0) * (CAST(two_r2 AS DOUBLE) / 2.0)
+      / CAST(n2 AS DOUBLE)
+    + (CAST(two_r3 AS DOUBLE) / 2.0) * (CAST(two_r3 AS DOUBLE) / 2.0)
+      / CAST(n3 AS DOUBLE)
+    + (CAST(two_r4 AS DOUBLE) / 2.0) * (CAST(two_r4 AS DOUBLE) / 2.0)
+      / CAST(n4 AS DOUBLE) AS a
+  FROM s),
+o AS (
+  SELECT n0, n1, n2, n3, n4,
+    12.0 / (nd * (nd + 1.0)) * a - 3.0 * (nd + 1.0) AS h_stat,
+    1.0 - CAST(s_ties AS DOUBLE) / (nd * nd * nd - nd) AS tie_c
+  FROM h)
+SELECT n0, n1, n2, n3, n4, h_stat, tie_c, h_stat / tie_c AS h_corrected
+FROM o
+"""
+
+
+# R84: one-way ANOVA F. Per-group n / cent-sum / sum-of-squares are
+# exact integers from ONE conditional-aggregate row; SSB/SSW/F mirror
+# the Spark left-associated float chain over those exact scalars.
+ORACLE["order_value_anova"] = """
+WITH v AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT) AS v
+  FROM orders),
+tot AS (
+  SELECT
+    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n0,
+    CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n2,
+    CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0
+         END) AS BIGINT) AS n3,
+    CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n4,
+    SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN v ELSE 0 END
+        AS HUGEINT)) AS s0,
+    SUM(CAST(CASE WHEN o_orderpriority = '2-HIGH' THEN v ELSE 0 END
+        AS HUGEINT)) AS s1,
+    SUM(CAST(CASE WHEN o_orderpriority = '3-MEDIUM' THEN v ELSE 0 END
+        AS HUGEINT)) AS s2,
+    SUM(CAST(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN v ELSE 0
+        END AS HUGEINT)) AS s3,
+    SUM(CAST(CASE WHEN o_orderpriority = '5-LOW' THEN v ELSE 0 END
+        AS HUGEINT)) AS s4,
+    SUM(CAST(v AS HUGEINT) * v) AS ss
+  FROM v),
+d AS (
+  SELECT n0 + n1 + n2 + n3 + n4 AS n,
+    CAST(n0 + n1 + n2 + n3 + n4 AS DOUBLE) AS nd,
+    CAST(s0 + s1 + s2 + s3 + s4 AS DOUBLE) AS sd,
+    CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+    + CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+    + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+    + CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE)
+    + CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE) / CAST(n4 AS DOUBLE)
+      AS a_term,
+    CAST(ss AS DOUBLE) AS ssd
+  FROM tot),
+o AS (
+  SELECT CAST(n AS BIGINT) AS n,
+    a_term - sd * sd / nd AS ssb,
+    ssd - a_term AS ssw, nd
+  FROM d)
+SELECT n, ssb, ssw, (ssb / 4.0) / (ssw / (nd - 5.0)) AS f_stat
+FROM o
+"""

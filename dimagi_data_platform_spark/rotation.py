@@ -3,11 +3,16 @@ human-facing ledger).
 
 The correctness driver samples a prefix of ``queries()``; to guarantee
 every query eventually carries driver evidence, ``__spark_entry__.py``
-presents never-sampled queries first, then stalest-sampled (ascending
-last-sampled round), with registration order as the tie-break.  The
-evidence source is the union of ``CORRECTNESS_r*.json`` files committed
-at the repo root — if none are readable (fresh clone without round
-artifacts) the order degrades gracefully to registration order.
+presents queries whose LAST sample failed and is now fixable first
+(an err/mismatch must be re-checked promptly, not parked behind the
+rotation), then never-sampled queries, then stalest-sampled (ascending
+last-sampled round), with registration order as the tie-break.  A
+``no_oracle`` err on a query that STILL has no oracle entry is
+by-design rows-only, not a failure — it stays in normal staleness
+order so it doesn't burn a sample slot every round.  The evidence
+source is the union of ``CORRECTNESS_r*.json`` files committed at the
+repo root — if none are readable (fresh clone without round artifacts)
+the order degrades gracefully to registration order.
 """
 
 from __future__ import annotations
@@ -19,10 +24,12 @@ import re
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+_MATCH_KEYS = ("rows_match", "schema_match", "hash_match")
 
-def last_sampled_rounds(repo: str = _REPO) -> dict[str, int]:
-    """query name -> most recent round whose driver sampled it."""
-    seen: dict[str, int] = {}
+
+def _ledger(repo: str) -> dict[str, tuple[int, dict]]:
+    """query name -> (most recent round sampled, that round's record)."""
+    seen: dict[str, tuple[int, dict]] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r0*(\d+)\.json$", path)
         if not m:
@@ -33,14 +40,47 @@ def last_sampled_rounds(repo: str = _REPO) -> dict[str, int]:
                 data = json.load(fh)
         except (OSError, json.JSONDecodeError):
             continue
-        for key in data:
-            seen[key] = max(seen.get(key, 0), rnd)
+        for key, rec in data.items():
+            if key not in seen or rnd > seen[key][0]:
+                seen[key] = (rnd, rec if isinstance(rec, dict) else {})
     return seen
 
 
+def last_sampled_rounds(repo: str = _REPO) -> dict[str, int]:
+    """query name -> most recent round whose driver sampled it."""
+    return {k: rnd for k, (rnd, _) in _ledger(repo).items()}
+
+
+def needs_resample(name: str, rec: dict) -> bool:
+    """True when the last driver sample of this query failed in a way a
+    fresh sample could now resolve: an explicit value/schema/row
+    mismatch, or any err other than a (still-true) missing oracle."""
+    if any(rec.get(k) is False for k in _MATCH_KEYS):
+        return True
+    err = rec.get("err")
+    if err is None:
+        return False
+    if err == "no_oracle":
+        try:
+            from dimagi_data_platform_spark.plans.oracle import ORACLE
+        except Exception:  # pragma: no cover - defensive import guard
+            return True
+        return name in ORACLE
+    return True
+
+
 def sample_order(names: list[str], repo: str = _REPO) -> list[str]:
-    """Rotation order: never-sampled first, then stalest round,
-    registration order as tie-break."""
-    seen = last_sampled_rounds(repo)
+    """Rotation order: fixable-failure resamples first, then
+    never-sampled, then stalest round; registration order ties."""
+    ledger = _ledger(repo)
     pos = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (seen.get(n, -1), pos[n]))
+
+    def key(n: str) -> tuple[int, int]:
+        if n not in ledger:
+            return (-1, pos[n])
+        rnd, rec = ledger[n]
+        if needs_resample(n, rec):
+            return (-2, pos[n])
+        return (rnd, pos[n])
+
+    return sorted(names, key=key)

@@ -38,3 +38,28 @@ def test_entry_surface_is_rotated_and_complete():
         # no sampled query may precede a never-sampled one
         first_sampled = next((i for i, n in enumerate(names) if n in seen), len(names))
         assert all(n in seen for n in names[first_sampled:])
+
+
+def test_failed_last_sample_resamples_first(tmp_path):
+    """A query whose LAST sample failed (hash mismatch, or a no_oracle
+    err on a query that NOW has an oracle) must head the rotation; a
+    no_oracle err on a still-oracle-less query stays in staleness
+    order (ADVICE r6)."""
+    from dimagi_data_platform_spark.plans.oracle import ORACLE
+
+    oracled = sorted(ORACLE)[0]
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "bad": {"rows_match": True, "schema_match": True, "hash_match": False, "err": None},
+                oracled: {"hash_match": None, "err": "no_oracle"},
+                "rows_only_forever": {"hash_match": None, "err": "no_oracle"},
+                "clean": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+            }
+        )
+    )
+    names = ["clean", "rows_only_forever", oracled, "bad", "fresh"]
+    order = sample_order(names, repo=str(tmp_path))
+    # priority tier: bad (mismatch) and the now-oracled query, in
+    # registration order; then never-sampled fresh; then staleness.
+    assert order == [oracled, "bad", "fresh", "clean", "rows_only_forever"]

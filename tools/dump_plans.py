@@ -91,6 +91,28 @@ SHOW = [
     ("incremental_daily_agg",
      "base+delta partial aggregates merged at date grain — the "
      "lossless-refresh pattern"),
+    # round-6/7: literal-quantizer IVF-PQ, Viterbi encode, and the
+    # five r6-tail queries (oracles landed r7)
+    ("knn_ivfpq_flat",
+     "literal coarse centroids + per-subspace codebooks, ADC "
+     "CASE-gather scoring, exact rerank — all codegen, zero Python"),
+    ("unigram_viterbi_encode",
+     "packed-integer Viterbi DP unrolled to 12 positions, "
+     "vocab as literal CASE tables, scan-local"),
+    ("gopher_quality_rules",
+     "one explode + (doc,term) groupBy for term stats, then "
+     "scan-local integer milli-ratio rules"),
+    ("doc_readability",
+     "fully scan-local regex counts + one IEEE chain, no shuffle "
+     "beyond the parquet scan"),
+    ("segment_target_encoding",
+     "5-row broadcast segment aggregate + scan-local LOO expression, "
+     "fact never shuffled"),
+    ("order_value_kruskal_wallis",
+     "per-value conditional counts + distributed prefix-sum backbone "
+     "(range buckets, broadcast offsets), single-row statistic"),
+    ("order_value_anova",
+     "ONE map-side-combined conditional-aggregate row; nothing else"),
 ]
 
 MARKERS = (

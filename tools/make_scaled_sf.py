@@ -13,7 +13,9 @@ distributions match sf0.1 exactly and replicas don't interact:
   MULT disjoint copies — graph workloads scale linearly, as a real
   10x corpus would;
 - document text gets a per-replica token remap (every token suffixed
-  ``#r<k>`` for k>0), so replicas share ZERO shingles: within-replica
+  ``zq<letter>`` for k>0 — alphabetic-only so remapped tokens
+  still match the ``^[a-z]+$`` word filters used by the quality and
+  tokenizer queries), so replicas share ZERO shingles: within-replica
   similarity structure is preserved exactly while cross-replica
   near-dup pairs don't explode superlinearly (replicating identical
   text would square the pair counts and measure a different problem);
@@ -67,7 +69,7 @@ def build(out: str, mult: int) -> None:
         )
 
     def reps(sql_tpl: str, name: str) -> None:
-        parts = " UNION ALL ".join(sql_tpl.format(r=r) for r in range(mult))
+        parts = " UNION ALL ".join(sql_tpl.format(r=r, rl=chr(97 + r)) for r in range(mult))
         con.execute(
             f"COPY ({parts}) TO '{out}/{name}.parquet' (FORMAT PARQUET)"
         )
@@ -123,13 +125,13 @@ def build(out: str, mult: int) -> None:
                CASE WHEN {{r}} = 0 THEN text
                     ELSE array_to_string(
                       list_transform(regexp_split_to_array(text, ' '),
-                                     x -> x || '#r{{r}}'), ' ')
+                                     x -> x || 'zq{{rl}}'), ' ')
                END AS text,
                lang, source,
                CAST(CASE WHEN {{r}} = 0 THEN n_chars
                     ELSE length(array_to_string(
                       list_transform(regexp_split_to_array(text, ' '),
-                                     x -> x || '#r{{r}}'), ' '))
+                                     x -> x || 'zq{{rl}}'), ' '))
                END AS BIGINT) AS n_chars
         FROM '{SRC}/documents.parquet'""",
         "documents",
