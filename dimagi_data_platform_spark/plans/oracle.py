@@ -5144,3 +5144,225 @@ o AS (
 SELECT n, ssb, ssw, (ssb / 4.0) / (ssw / (nd - 5.0)) AS f_stat
 FROM o
 """
+
+
+# L65: KMV distinct sketch rollup. Hashes are exact integers (15-hex
+# md5 prefix), the merge is set-union + re-take-k-smallest, and the
+# estimate is one mirrored IEEE chain — the whole sketch lifecycle
+# hash-checks, unlike HLL binaries.
+ORACLE["segment_distinct_kmv"] = """
+WITH per AS (
+  SELECT DISTINCT c_mktsegment, c_nationkey,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM customer),
+cell AS (
+  SELECT c_mktsegment, h,
+         row_number() OVER (PARTITION BY c_mktsegment, c_nationkey
+                            ORDER BY h) AS rk
+  FROM per),
+sketch AS (
+  SELECT DISTINCT c_mktsegment, h FROM cell WHERE rk <= 64),
+seg AS (
+  SELECT c_mktsegment, h,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY h) AS rk
+  FROM sketch),
+merged AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+         CAST(MAX(h) AS BIGINT) AS kth_hash
+  FROM seg WHERE rk <= 64 GROUP BY c_mktsegment),
+exact AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_customers
+  FROM customer GROUP BY c_mktsegment)
+SELECT m.c_mktsegment, n_sketch, kth_hash,
+       CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+            ELSE 63.0 / (CAST(kth_hash AS DOUBLE) / 1152921504606846976.0)
+       END AS approx_customers,
+       exact_customers
+FROM merged m JOIN exact USING (c_mktsegment)
+ORDER BY c_mktsegment
+"""
+
+
+# R85: Mann-Kendall + Theil-Sen off one day-pair grid. S and the tie
+# term are exact integers; var/z are the mirrored IEEE chain; the
+# median slope is the rank-at-ceil pick on the (value, num, den)
+# deterministic total order.
+ORACLE["daily_trend_test"] = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+pairs AS (
+  SELECT a.day AS day_a, b.day AS day_b,
+         b.c - a.c AS dc,
+         CAST(date_diff('day', a.day, b.day) AS BIGINT) AS dd
+  FROM daily a JOIN daily b ON a.day < b.day),
+s AS (
+  SELECT CAST(SUM(CASE WHEN dc > 0 THEN 1 WHEN dc < 0 THEN -1 ELSE 0 END)
+              AS BIGINT) AS s_stat,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+ties AS (
+  SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY c)),
+ranked AS (
+  SELECT CAST(dc AS DOUBLE) / CAST(dd AS DOUBLE) AS slope, dc, dd,
+         row_number() OVER (
+           ORDER BY CAST(dc AS DOUBLE) / CAST(dd AS DOUBLE), dc, dd) AS rk
+  FROM pairs),
+med AS (
+  SELECT slope AS theil_sen_slope, dc AS slope_num, dd AS slope_den
+  FROM ranked, s WHERE rk * 2 >= n_pairs ORDER BY rk LIMIT 1),
+v AS (
+  SELECT s.s_stat, s.n_pairs, nd.n_days, ties.tie_term,
+         (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)
+            * (2.0 * CAST(n_days AS DOUBLE) + 5.0)
+          - CAST(tie_term AS DOUBLE)) / 18.0 AS var_s
+  FROM s, nd, ties)
+SELECT n_days, n_pairs, s_stat, var_s,
+       CASE WHEN s_stat > 0
+              THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+            WHEN s_stat < 0
+              THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+            ELSE 0.0 END AS z_stat,
+       theil_sen_slope, slope_num, slope_den
+FROM v, med
+"""
+
+
+# R86: Brown-Forsythe on cent-exact absolute deviations from per-group
+# lower medians (the R83 prefix-sum backbone + the R84 one-row
+# conditional aggregate); W is the mirrored IEEE chain.
+ORACLE["order_value_levene"] = """
+WITH v AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT) AS v
+  FROM orders),
+per AS (
+  SELECT v,
+    SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS g0,
+    SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS g1,
+    SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS g2,
+    SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)
+      AS g3,
+    SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS g4
+  FROM v GROUP BY v),
+c AS (
+  SELECT v,
+         SUM(g0) OVER (ORDER BY v) AS cum_g0,
+         SUM(g1) OVER (ORDER BY v) AS cum_g1,
+         SUM(g2) OVER (ORDER BY v) AS cum_g2,
+         SUM(g3) OVER (ORDER BY v) AS cum_g3,
+         SUM(g4) OVER (ORDER BY v) AS cum_g4
+  FROM per),
+tot AS (
+  SELECT CAST(SUM(g0) AS BIGINT) AS n0, CAST(SUM(g1) AS BIGINT) AS n1,
+         CAST(SUM(g2) AS BIGINT) AS n2, CAST(SUM(g3) AS BIGINT) AS n3,
+         CAST(SUM(g4) AS BIGINT) AS n4
+  FROM per),
+meds AS (
+  SELECT CAST(MIN(CASE WHEN 2 * cum_g0 >= n0 THEN v END) AS BIGINT) AS med0,
+         CAST(MIN(CASE WHEN 2 * cum_g1 >= n1 THEN v END) AS BIGINT) AS med1,
+         CAST(MIN(CASE WHEN 2 * cum_g2 >= n2 THEN v END) AS BIGINT) AS med2,
+         CAST(MIN(CASE WHEN 2 * cum_g3 >= n3 THEN v END) AS BIGINT) AS med3,
+         CAST(MIN(CASE WHEN 2 * cum_g4 >= n4 THEN v END) AS BIGINT) AS med4
+  FROM c, tot),
+dev AS (
+  SELECT o_orderpriority,
+         ABS(v - CASE o_orderpriority
+                   WHEN '1-URGENT' THEN med0
+                   WHEN '2-HIGH' THEN med1
+                   WHEN '3-MEDIUM' THEN med2
+                   WHEN '4-NOT SPECIFIED' THEN med3
+                   WHEN '5-LOW' THEN med4 END) AS z
+  FROM v, meds),
+t2 AS (
+  SELECT
+    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n0,
+    CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n2,
+    CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0
+         END) AS BIGINT) AS n3,
+    CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n4,
+    SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN z ELSE 0 END
+        AS HUGEINT)) AS s0,
+    SUM(CAST(CASE WHEN o_orderpriority = '2-HIGH' THEN z ELSE 0 END
+        AS HUGEINT)) AS s1,
+    SUM(CAST(CASE WHEN o_orderpriority = '3-MEDIUM' THEN z ELSE 0 END
+        AS HUGEINT)) AS s2,
+    SUM(CAST(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN z ELSE 0
+        END AS HUGEINT)) AS s3,
+    SUM(CAST(CASE WHEN o_orderpriority = '5-LOW' THEN z ELSE 0 END
+        AS HUGEINT)) AS s4,
+    SUM(CAST(z AS HUGEINT) * z) AS ss
+  FROM dev),
+d AS (
+  SELECT n0 + n1 + n2 + n3 + n4 AS n,
+    CAST(n0 + n1 + n2 + n3 + n4 AS DOUBLE) AS nd,
+    CAST(s0 + s1 + s2 + s3 + s4 AS DOUBLE) AS sd,
+    CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+    + CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+    + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+    + CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE)
+    + CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE) / CAST(n4 AS DOUBLE)
+      AS a_term,
+    CAST(ss AS DOUBLE) AS ssd
+  FROM t2)
+SELECT CAST(n AS BIGINT) AS n, med0, med1, med2, med3, med4,
+       a_term - sd * sd / nd AS ssb_z,
+       ssd - a_term AS ssw_z,
+       ((a_term - sd * sd / nd) / 4.0) / ((ssd - a_term) / (nd - 5.0))
+         AS w_stat
+FROM d, meds
+"""
+
+
+# P82: explicit Bloom-filter membership probe — positions via the
+# two-md5-halves double hash, all counts exact, one IEEE division.
+ORACLE["arrears_bloom_probe"] = """
+WITH members AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+mh AS (
+  SELECT c_custkey,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 16, 15))
+              AS BIGINT) AS h2
+  FROM members),
+bits AS (
+  SELECT DISTINCT (h1 + i * h2) % 16384 AS pos
+  FROM mh, UNNEST([0, 1, 2]) AS u(i)),
+oh AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 16, 15))
+              AS BIGINT) AS h2
+  FROM orders),
+probed AS (
+  SELECT o_orderkey
+  FROM (SELECT o_orderkey, (h1 + i * h2) % 16384 AS pos
+        FROM oh, UNNEST([0, 1, 2]) AS u(i)) p
+  JOIN bits USING (pos)
+  GROUP BY o_orderkey HAVING COUNT(*) = 3),
+truth AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM members)),
+counts AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM probed) AS n_flagged,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true)
+SELECT n_orders, n_members, n_bits_set, n_flagged, n_true,
+       n_flagged - n_true AS n_false_pos,
+       CAST(n_flagged - n_true AS DOUBLE)
+         / CAST(n_orders - n_true AS DOUBLE) AS fp_rate
+FROM counts
+"""

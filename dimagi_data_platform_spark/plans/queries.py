@@ -8571,3 +8571,386 @@ def order_value_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("f_stat", f_stat)
         .select("n", "ssb", "ssw", "f_stat")
     )
+
+
+@query("segment_distinct_kmv")
+def segment_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L65: KMV (k-minimum-values) distinct sketch rollup — the
+    BITWISE-portable mergeable-distinct pattern, i.e. the
+    driver-checkable twin of L37's HLL union (whose sketch binaries
+    are engine-specific): per-(segment, nation) sketches keep the
+    k=64 smallest md5-derived hash values of the distinct customer
+    keys; the segment-grain rollup merges per-nation sketches by set
+    union + re-taking the k smallest — NEVER rescanning the raw keys —
+    and estimates distinct = (k-1) / (h_k / 2^60) (Bar-Yossef et al.
+    2002). Every hash is an exact integer and the estimate is ONE
+    mirrored IEEE chain, so unlike HLL the whole sketch lifecycle
+    hash-checks against the oracle. Exact counts reported beside the
+    estimate (the near_dup_eval convention).
+
+    Scale: sketch build is a per-cell top-k (window partitioned by the
+    grain key — distributed across cells); the MERGE window runs over
+    per-nation sketch rows only (≤ k·|nations| per segment: sketch-
+    sized metadata, not data-sized), which is the entire point of
+    mergeable sketches — coarser grains never touch raw data.
+    """
+    k = 64
+    cust = _t(spark, sf_dir, "customer")
+    h = F.conv(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    # distinct hash VALUES per cell (KMV is a set-of-hashes sketch;
+    # dedup first so ranking never depends on tie order)
+    per = cust.select("c_mktsegment", "c_nationkey", h.alias("h")).distinct()
+    w_cell = Window.partitionBy("c_mktsegment", "c_nationkey").orderBy("h")
+    sketch = (
+        per.withColumn("rk", F.row_number().over(w_cell))
+        .filter(F.col("rk") <= k)
+        .select("c_mktsegment", "h")
+    )
+    # merge to segment grain: union of hash sets, re-take k smallest
+    w_seg = Window.partitionBy("c_mktsegment").orderBy("h")
+    merged = (
+        sketch.distinct()
+        .withColumn("rk", F.row_number().over(w_seg))
+        .filter(F.col("rk") <= k)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sketch"),
+            F.max("h").cast("long").alias("kth_hash"),
+        )
+    )
+    exact = cust.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_custkey").cast("long").alias("exact_customers")
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        / (F.col("kth_hash").cast("double") / F.lit(float(2**60)))
+    )
+    return (
+        merged.join(exact, "c_mktsegment")
+        .withColumn("approx_customers", est)
+        .select(
+            "c_mktsegment",
+            "n_sketch",
+            "kth_hash",
+            "approx_customers",
+            "exact_customers",
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query("daily_trend_test")
+def daily_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R85: robust trend analytics on the daily event-count series —
+    Mann-Kendall S with tie-corrected variance and z, plus the
+    Theil-Sen median slope, both off ONE shared day-pair grid.
+    S = Σ_{i<j} sign(c_j - c_i) is an exact integer; the variance
+    (n(n-1)(2n+5) - Σ t(t-1)(2t+5)) / 18 and the continuity-corrected
+    z are one mirrored IEEE chain. The Theil-Sen slope is selected as
+    the LOWER MEDIAN of the pairwise slopes, ordered by (value,
+    numerator, denominator) — both engines compute identical doubles
+    from identical integers, so the ordering (and thus the pick) is
+    bitwise deterministic; the slope's exact rational (num, den) is
+    reported beside the IEEE quotient.
+
+    Scale: one shuffle to the day grain; the pair grid is
+    |days|·(|days|-1)/2 rows of CALENDAR-bounded metadata (≈ 66k pairs
+    per daily year — never data-sized), the same bounded-grid contract
+    as the CUSUM/seasonal queries. The median-rank window runs on that
+    grid, not on data.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = daily.select(F.col("day").alias("day_a"), F.col("c").alias("c_a"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("c").alias("c_b"))
+    pairs = a.join(F.broadcast(b), F.col("day_a") < F.col("day_b")).select(
+        "day_a",
+        "day_b",
+        (F.col("c_b") - F.col("c_a")).alias("dc"),
+        F.datediff("day_b", "day_a").cast("long").alias("dd"),
+    )
+    sgn = (
+        F.when(F.col("dc") > 0, F.lit(1))
+        .when(F.col("dc") < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    s_row = pairs.agg(
+        F.sum(sgn).cast("long").alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    n_row = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    ties = (
+        daily.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - F.lit(1)) * (F.lit(2) * F.col("t") + F.lit(5))
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    # lower median of the pairwise slopes (rank-at-ceil on the bounded
+    # grid; deterministic total order: IEEE value, then exact rational)
+    slope_d = F.col("dc").cast("double") / F.col("dd").cast("double")
+    ranked = pairs.withColumn("slope", slope_d).withColumn(
+        "rk", F.row_number().over(Window.orderBy("slope", "dc", "dd"))
+    )
+    med = (
+        ranked.join(
+            F.broadcast(s_row.select(F.col("n_pairs").alias("np2"))),
+            F.col("rk") * 2 >= F.col("np2"),
+        )
+        .orderBy("rk")
+        .limit(1)
+        .select(
+            F.col("slope").alias("theil_sen_slope"),
+            F.col("dc").alias("slope_num"),
+            F.col("dd").alias("slope_den"),
+        )
+    )
+    n_d = F.col("n_days").cast("double")
+    var_s = (
+        n_d * (n_d - F.lit(1.0)) * (F.lit(2.0) * n_d + F.lit(5.0))
+        - F.col("tie_term").cast("double")
+    ) / F.lit(18.0)
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat").cast("double") - F.lit(1.0)) / F.sqrt(F.col("var_s")),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat").cast("double") + F.lit(1.0)) / F.sqrt(F.col("var_s")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        s_row.crossJoin(F.broadcast(n_row))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(med))
+        .withColumn("var_s", var_s)
+        .withColumn("z_stat", z)
+        .select(
+            "n_days",
+            "n_pairs",
+            "s_stat",
+            "var_s",
+            "z_stat",
+            "theil_sen_slope",
+            "slope_num",
+            "slope_den",
+        )
+    )
+
+
+@query("order_value_levene")
+def order_value_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R86: Brown-Forsythe (median-based Levene) test of variance
+    homogeneity across the five order priorities — the robust
+    spread-equality check beside the mean test (R84 ANOVA) and the
+    rank tests (R83/R65). Per-group LOWER MEDIANS come off the SAME
+    distributed prefix-sum backbone as R83 (per-value conditional
+    counts, range buckets + broadcast offsets — never a 5-partition
+    window); absolute deviations from the group median accumulate as
+    EXACT integer cents in ONE conditional-aggregate row (the R84
+    shape), and W = (SSB/(k-1)) / (SSW/(N-k)) over the deviations is
+    one mirrored IEEE chain.
+
+    Scale: one per-value aggregate + the prefix-sum backbone for the
+    medians (broadcast back as 5 scalars), then one map-side-combined
+    scan aggregate. Nothing is data-sized after the first groupBy.
+    """
+    from dimagi_data_platform_spark.operators.linkage import global_prefix_sums
+
+    prios = [
+        "1-URGENT",
+        "2-HIGH",
+        "3-MEDIUM",
+        "4-NOT SPECIFIED",
+        "5-LOW",
+    ]
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    v = orders.select("o_orderpriority", cents.alias("v"))
+    per = v.groupBy("v").agg(
+        *[
+            F.sum((F.col("o_orderpriority") == p).cast("long")).alias(f"g{i}")
+            for i, p in enumerate(prios)
+        ]
+    )
+    gcols = [f"g{i}" for i in range(5)]
+    cum = global_prefix_sums(per, ["v"], gcols)
+    tot = per.agg(
+        *[F.sum(g).cast("long").alias(f"n{i}") for i, g in enumerate(gcols)]
+    )
+    # lower median per group: smallest value whose cumulative count
+    # reaches ceil(n_g / 2), i.e. 2*cum >= n_g
+    meds = cum.crossJoin(F.broadcast(tot)).agg(
+        *[
+            F.min(
+                F.when(
+                    F.lit(2) * F.col(f"cum_g{i}") >= F.col(f"n{i}"), F.col("v")
+                )
+            )
+            .cast("long")
+            .alias(f"med{i}")
+            for i in range(5)
+        ]
+    )
+    med_for_prio = None
+    for i, p in enumerate(prios):
+        med_for_prio = (
+            F.when(F.col("o_orderpriority") == p, F.col(f"med{i}"))
+            if med_for_prio is None
+            else med_for_prio.when(F.col("o_orderpriority") == p, F.col(f"med{i}"))
+        )
+    dev = v.crossJoin(F.broadcast(meds)).select(
+        "o_orderpriority", F.abs(F.col("v") - med_for_prio).alias("z")
+    )
+    tot2 = dev.agg(
+        *[
+            F.sum((F.col("o_orderpriority") == p).cast("long"))
+            .cast("long")
+            .alias(f"n{i}")
+            for i, p in enumerate(prios)
+        ],
+        *[
+            F.sum(
+                F.when(F.col("o_orderpriority") == p, F.col("z"))
+                .otherwise(F.lit(0))
+                .cast("decimal(38,0)")
+            ).alias(f"s{i}")
+            for i, p in enumerate(prios)
+        ],
+        F.sum(F.col("z").cast("decimal(19,0)") * F.col("z")).alias("ss"),
+    )
+    n_d = sum(F.col(f"n{i}") for i in range(5)).cast("double")
+    s_d = sum(F.col(f"s{i}") for i in range(5)).cast("double")
+    terms = [
+        F.col(f"s{i}").cast("double")
+        * F.col(f"s{i}").cast("double")
+        / F.col(f"n{i}").cast("double")
+        for i in range(5)
+    ]
+    a_term = terms[0] + terms[1] + terms[2] + terms[3] + terms[4]
+    ssb = a_term - s_d * s_d / n_d
+    ssw = F.col("ss").cast("double") - a_term
+    w_stat = (ssb / F.lit(4.0)) / (ssw / (n_d - F.lit(5.0)))
+    return (
+        tot2.crossJoin(F.broadcast(meds))
+        .withColumn("n", sum(F.col(f"n{i}") for i in range(5)).cast("long"))
+        .withColumn("ssb_z", ssb)
+        .withColumn("ssw_z", ssw)
+        .withColumn("w_stat", w_stat)
+        .select(
+            "n",
+            *[f"med{i}" for i in range(5)],
+            "ssb_z",
+            "ssw_z",
+            "w_stat",
+        )
+    )
+
+
+@query("arrears_bloom_probe")
+def arrears_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P82: explicit Bloom-filter membership — the join-pruning
+    pattern Spark's AQE injects implicitly (runtime bloom filters,
+    proven in the r2 plan tests), built HERE as a portable, bitwise-
+    checkable artifact: m=16384 bits, j=3 positions per key via the
+    two-md5-halves double-hashing idiom (pos_i = (h1 + i*h2) mod m,
+    Kirsch-Mitzenmacher 2006). Member set = customers in arrears
+    (negative account balance, ~9%); the probe flags every ORDER whose
+    customer MIGHT be a member. No false negatives by construction
+    (the result proves it: n_flagged ≥ n_true with every true-member
+    order flagged); observed false-positive rate is the one IEEE
+    division.
+
+    Scale: the bit set is a ≤m-row table (metadata-sized, broadcast);
+    the probe is a scan-local position computation + broadcast join +
+    one orderkey-grain aggregate — the fact table is never shuffled
+    against the dimension. At 100 TB this is exactly the pre-join
+    pruning filter you ship to the fact scan instead of the dimension.
+    """
+    m = 16384
+    j = 3
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+
+    def h1(col):
+        return F.conv(
+            F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+        ).cast("long")
+
+    def h2(col):
+        return F.conv(
+            F.substring(F.md5(col.cast("string")), 16, 15), 16, 10
+        ).cast("long")
+
+    members = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    pos_arr = F.array(
+        *[
+            F.pmod(h1(F.col("c_custkey")) + F.lit(i) * h2(F.col("c_custkey")), F.lit(m))
+            for i in range(j)
+        ]
+    )
+    bits = (
+        members.select(F.explode(pos_arr).alias("pos")).distinct()
+    )
+    probe_pos = F.array(
+        *[
+            F.pmod(h1(F.col("o_custkey")) + F.lit(i) * h2(F.col("o_custkey")), F.lit(m))
+            for i in range(j)
+        ]
+    )
+    probed = (
+        orders.select("o_orderkey", "o_custkey", F.explode(probe_pos).alias("pos"))
+        .join(F.broadcast(bits), "pos")
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == j)
+    )
+    truth = orders.join(
+        F.broadcast(members.withColumnRenamed("c_custkey", "o_custkey")),
+        "o_custkey",
+        "left_semi",
+    )
+    counts = (
+        orders.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .crossJoin(
+            F.broadcast(
+                members.agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set")))
+        )
+        .crossJoin(
+            F.broadcast(
+                probed.agg(F.count(F.lit(1)).cast("long").alias("n_flagged"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(truth.agg(F.count(F.lit(1)).cast("long").alias("n_true")))
+        )
+    )
+    return counts.select(
+        "n_orders",
+        "n_members",
+        "n_bits_set",
+        "n_flagged",
+        "n_true",
+        (F.col("n_flagged") - F.col("n_true")).alias("n_false_pos"),
+        (
+            (F.col("n_flagged") - F.col("n_true")).cast("double")
+            / (F.col("n_orders") - F.col("n_true")).cast("double")
+        ).alias("fp_rate"),
+    )

@@ -27,7 +27,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _MATCH_KEYS = ("rows_match", "schema_match", "hash_match")
 
 
-def _ledger(repo: str) -> dict[str, tuple[int, dict]]:
+def _ledger(repo: str = _REPO) -> dict[str, tuple[int, dict]]:
     """query name -> (most recent round sampled, that round's record)."""
     seen: dict[str, tuple[int, dict]] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):

@@ -28,6 +28,8 @@ def test_entry_surface_is_rotated_and_complete():
     import __spark_entry__ as entrymod
     from dimagi_data_platform_spark.plans.queries import QUERIES
 
+    from dimagi_data_platform_spark.rotation import _ledger, needs_resample
+
     rotated = entrymod.queries()
     assert set(rotated) == set(QUERIES)
     seen = last_sampled_rounds()
@@ -35,9 +37,25 @@ def test_entry_surface_is_rotated_and_complete():
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "CORRECTNESS_r01.json")
     ):
         names = list(rotated)
-        # no sampled query may precede a never-sampled one
-        first_sampled = next((i for i, n in enumerate(names) if n in seen), len(names))
-        assert all(n in seen for n in names[first_sampled:])
+        ledger = _ledger()
+        # the only sampled queries allowed to precede a never-sampled
+        # one are fixable-failure resamples (the r7 priority tier)
+        first_unsampled = next(
+            (i for i, n in enumerate(names) if n not in seen), len(names)
+        )
+        assert all(
+            needs_resample(n, ledger[n][1]) for n in names[:first_unsampled]
+        )
+        # and after the last never-sampled query, order is by staleness
+        first_sampled_tail = next(
+            (
+                i
+                for i, n in enumerate(names)
+                if n in seen and not needs_resample(n, ledger[n][1])
+            ),
+            len(names),
+        )
+        assert all(n in seen for n in names[first_sampled_tail:])
 
 
 def test_failed_last_sample_resamples_first(tmp_path):

@@ -113,6 +113,20 @@ SHOW = [
      "(range buckets, broadcast offsets), single-row statistic"),
     ("order_value_anova",
      "ONE map-side-combined conditional-aggregate row; nothing else"),
+    # round-7 additions: bitwise mergeable sketch, trend tests,
+    # variance homogeneity, explicit bloom pruning
+    ("segment_distinct_kmv",
+     "per-cell top-k sketch windows + sketch-sized merge (never "
+     "rescans raw keys at the coarser grain)"),
+    ("daily_trend_test",
+     "day-grain aggregate + calendar-bounded pair grid; statistic "
+     "rows all broadcast"),
+    ("order_value_levene",
+     "per-value conditional counts -> distributed prefix-sum medians "
+     "(broadcast 5 scalars) -> one conditional-aggregate scan"),
+    ("arrears_bloom_probe",
+     "metadata-sized bit table broadcast into a scan-local position "
+     "probe; fact never shuffled against the dimension"),
 ]
 
 MARKERS = (
