@@ -5366,3 +5366,143 @@ SELECT n_orders, n_members, n_bits_set, n_flagged, n_true,
          / CAST(n_orders - n_true AS DOUBLE) AS fp_rate
 FROM counts
 """
+
+
+# L7i: SQ-flat ANN with the literal scale 1.7/127 — quantize, integer
+# dot, two-level-lossless candidate top-R, and the exact cosine rerank
+# all replay bitwise (the candidate pre-filter is lossless under the
+# (int_score, neighbor_id) total order, so the oracle takes the global
+# top-R directly).
+def _sq_flat_sql(k: int = 5, rerank_factor: int = 4, dim: int = 64) -> str:
+    s = 1.7 / 127.0
+    r = rerank_factor * k
+
+    def code(src: str) -> str:
+        return (
+            f"list_transform({src}, x -> GREATEST(-127, LEAST(127, "
+            f"CAST(round(CAST(x AS DOUBLE) / {s!r}) AS INT))))"
+        )
+
+    idot = "(CAST(0 AS BIGINT) + " + " + ".join(
+        f"CAST(q_code[{i}] AS BIGINT) * CAST(c_code[{i}] AS BIGINT)"
+        for i in range(1, dim + 1)
+    ) + ")"
+    return f"""
+WITH c AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_vec,
+         {code('embedding')} AS c_code
+  FROM embeddings),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec,
+         {code('embedding')} AS q_code
+  FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q_id, neighbor_id, q_vec, c_vec, {idot} AS int_score
+  FROM q CROSS JOIN c WHERE q_id <> neighbor_id),
+cand AS (
+  SELECT q_id, neighbor_id, q_vec, c_vec FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY int_score DESC, neighbor_id) AS crk
+    FROM scored)
+  WHERE crk <= {r}),
+ex AS (
+  SELECT q_id, neighbor_id, {_COS_QC} AS cos_sim FROM cand),
+rr AS (
+  SELECT q_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT)
+           AS "rank"
+  FROM ex)
+SELECT q_id, neighbor_id, cos_sim, "rank" FROM rr WHERE "rank" <= {k}
+"""
+
+
+ORACLE["knn_sq_flat"] = _sq_flat_sql()
+
+
+# P84: t-closeness — EMD over ordered $1000 acctbal bands on exact
+# cross-multiplied integer cumulative counts; one closing IEEE
+# division per QI group.
+ORACLE["t_closeness_audit"] = """
+WITH base AS (
+  SELECT c_nationkey,
+         CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS band
+  FROM customer),
+cell AS (
+  SELECT c_nationkey, band, CAST(COUNT(*) AS BIGINT) AS n_cell
+  FROM base GROUP BY c_nationkey, band),
+gband AS (
+  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_band FROM base GROUP BY band),
+nations AS (
+  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_g
+  FROM base GROUP BY c_nationkey),
+tot AS (
+  SELECT CAST(SUM(n_band) AS BIGINT) AS n_tot,
+         CAST(COUNT(*) AS BIGINT) AS n_bands
+  FROM gband),
+gcum AS (
+  SELECT band,
+         CAST(SUM(n_band) OVER (ORDER BY band
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tot
+  FROM gband),
+grid AS (
+  SELECT n.c_nationkey, n.n_g, g.band, g.cum_tot,
+         COALESCE(c.n_cell, 0) AS n_cell
+  FROM nations n CROSS JOIN gcum g
+  LEFT JOIN cell c ON c.c_nationkey = n.c_nationkey AND c.band = g.band),
+dev AS (
+  SELECT c_nationkey, n_g, band, cum_tot, n_cell,
+         CAST(SUM(n_cell) OVER (PARTITION BY c_nationkey ORDER BY band
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_g
+  FROM grid),
+per AS (
+  SELECT c_nationkey, n_g, n_tot, n_bands,
+         CAST(SUM(ABS(cum_g * n_tot - cum_tot * n_g)) AS BIGINT) AS emd_num
+  FROM dev CROSS JOIN tot
+  GROUP BY c_nationkey, n_g, n_tot, n_bands)
+SELECT c_nationkey, n_g, emd_num,
+       CAST(emd_num AS DOUBLE)
+         / CAST(n_g * n_tot * (n_bands - 1) AS DOUBLE) AS t_emd,
+       (CAST(emd_num AS DOUBLE)
+         / CAST(n_g * n_tot * (n_bands - 1) AS DOUBLE)) > 0.15 AS is_risky
+FROM per
+ORDER BY c_nationkey
+"""
+
+
+# L66: exact tie-aware ROC AUC via the Mann-Whitney midrank backbone
+# (score = the L9 quality chain; label = lang = 'en'); U and AUC are
+# the mirrored closing IEEE chain.
+ORACLE["auc_quality_lang"] = f"""
+WITH x AS (
+  SELECT lang,
+    CAST({_NWORDS} AS BIGINT) AS n_words,
+    CAST(len(regexp_extract_all(text, '{_PUNCT_RE}')) AS DOUBLE) / length(text) AS punct_ratio,
+    CAST(len(regexp_extract_all(lower(text), '{_STOP}')) AS DOUBLE) / {_NWORDS} AS stopword_ratio
+  FROM documents),
+sc AS (
+  SELECT 0.4 * stopword_ratio + 0.3 * (1.0 - punct_ratio)
+           + 0.3 * LEAST(1.0, n_words / 100.0) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos
+  FROM x),
+per AS (
+  SELECT s, SUM(is_pos) AS p, SUM(1 - is_pos) AS q FROM sc GROUP BY s),
+c AS (
+  SELECT s, p, q, SUM(p + q) OVER (ORDER BY s) AS cum_t FROM per),
+agg AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(q) AS BIGINT) AS n_neg,
+         SUM(CAST(p AS HUGEINT)
+             * (2 * (cum_t - (p + q)) + (p + q) + 1)) AS two_r_pos
+  FROM c),
+u AS (
+  SELECT n_pos, n_neg,
+         CAST(two_r_pos AS DOUBLE) / 2.0
+           - (CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0)) / 2.0
+           AS u_stat
+  FROM agg)
+SELECT n_pos, n_neg, u_stat,
+       u_stat / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+FROM u
+"""

@@ -8954,3 +8954,172 @@ def arrears_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_orders") - F.col("n_true")).cast("double")
         ).alias("fp_rate"),
     )
+
+
+@query("knn_sq_flat")
+def knn_sq_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7i: int8 scalar-quantized ANN with a FIXED literal scale — the
+    driver-checkable twin of L7d (whose per-dimension scales are
+    trained from a sample, so only its rerank scores are bitwise): the
+    quantizer is the literal s = 1.7/127 (the generator's embedding
+    domain bound), so quantize → integer-dot candidate scoring →
+    exact rerank ALL replay bitwise in SQL. Candidate selection is the
+    same two-level top-R as L7d (partition-local pre-filter is
+    lossless under the (int_score, neighbor_id) total order, so the
+    oracle replays the global top-R directly).
+
+    Scale: identical plan shape to L7d — codes are 4x smaller than
+    the float column, both passes whole-stage codegen, rerank join is
+    candidate-sized. Completes the flat-twin set (IVF: L7g, IVF-PQ:
+    L7h, SemDeDup: L57).
+    """
+    from dimagi_data_platform_spark.operators.similarity import (
+        _sq_quantize,
+        _sq_score_and_rerank,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    scales_col = F.array(*[F.lit(1.7 / 127.0)] * 64)
+    qq = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        _sq_quantize(scales_col, "embedding").alias("q_code"),
+    )
+    code_side = emb.repartition(par).select(
+        F.col("vec_id").alias("neighbor_id"),
+        _sq_quantize(scales_col, "embedding").alias("c_code"),
+    )
+    full_side = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+    )
+    return _sq_score_and_rerank(code_side, full_side, qq, k=5, rerank_factor=4)
+
+
+@query("t_closeness_audit")
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P84: t-closeness audit — the third rung of the privacy-release
+    ladder (Li et al. 2007) after k-anonymity (P61) and l-diversity
+    (P66): a QI group passes only if its SENSITIVE-attribute
+    distribution is close to the global one, closeness measured by the
+    Earth Mover's Distance over the ORDERED sensitive domain (here:
+    account-balance bands of $1000). For equal-spaced ordered bands,
+    EMD = (1/(B-1)) * Σ_b |CumP_b - CumQ_b| — computed here on EXACT
+    cross-multiplied integer cumulative counts (|cum_g·n_tot −
+    cum_tot·n_g|), with ONE closing IEEE division per group, so the
+    audit hash-checks bitwise.
+
+    Scale: one shuffle to the (QI, band) grid; the nation×band matrix
+    is grid-bounded metadata (|QI|·|bands| rows) — the cumulative
+    windows run on that grid, never on data.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+    base = cust.select("c_nationkey", band.alias("band"))
+    cell = base.groupBy("c_nationkey", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cell")
+    )
+    gband = base.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_band")
+    )
+    nations = base.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g")
+    )
+    tot = gband.agg(
+        F.sum("n_band").cast("long").alias("n_tot"),
+        F.count(F.lit(1)).cast("long").alias("n_bands"),
+    )
+    gcum = gband.withColumn(
+        "cum_tot",
+        F.sum("n_band").over(
+            Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).select("band", "cum_tot")
+    grid = (
+        nations.crossJoin(F.broadcast(gcum))
+        .join(cell, ["c_nationkey", "band"], "left")
+        .withColumn("n_cell", F.coalesce(F.col("n_cell"), F.lit(0)))
+    )
+    w_n = Window.partitionBy("c_nationkey").orderBy("band").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dev = grid.withColumn("cum_g", F.sum("n_cell").over(w_n)).crossJoin(
+        F.broadcast(tot)
+    )
+    per_nation = (
+        dev.withColumn(
+            "d",
+            F.abs(
+                F.col("cum_g") * F.col("n_tot") - F.col("cum_tot") * F.col("n_g")
+            ),
+        )
+        .groupBy("c_nationkey", "n_g", "n_tot", "n_bands")
+        .agg(F.sum("d").cast("long").alias("emd_num"))
+    )
+    t_emd = F.col("emd_num").cast("double") / (
+        F.col("n_g") * F.col("n_tot") * (F.col("n_bands") - F.lit(1))
+    ).cast("double")
+    return (
+        per_nation.withColumn("t_emd", t_emd)
+        .withColumn("is_risky", F.col("t_emd") > F.lit(0.15))
+        .select("c_nationkey", "n_g", "emd_num", "t_emd", "is_risky")
+        .orderBy("c_nationkey")
+    )
+
+
+@query("auc_quality_lang")
+def auc_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L66: ROC AUC of a score against a binary label, computed
+    EXACTLY as the tie-aware rank statistic AUC = U / (n_pos · n_neg)
+    (AUC equals the Mann-Whitney U probability; Hanley & McNeil 1982)
+    — the standard classifier-eval metric beside the confusion
+    matrices (L44/L56). Score = the L9 quality chain; label =
+    (lang = 'en'). Midranks come off the SAME distributed prefix-sum
+    backbone as R65 (exact integer 2·midrank per distinct score); only
+    the closing U and AUC divisions are IEEE, mirrored op for op.
+
+    Scale: per-distinct-score aggregate → range-bucketed prefix sums +
+    broadcast offsets; the statistic is one row. No per-row window,
+    no O(n²) pair scan.
+    """
+    from dimagi_data_platform_spark.operators.linkage import global_prefix_sums
+
+    docs = _t(spark, sf_dir, "documents")
+    n_words = ws_token_count("text")
+    punct_ratio = punct_count("text").cast("double") / F.length("text")
+    stop_ratio = stopword_count("text").cast("double") / n_words
+    score = (
+        F.lit(0.4) * stop_ratio
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(F.lit(1.0), n_words / F.lit(100.0))
+    )
+    scored = docs.select(
+        score.alias("s"),
+        (F.col("lang") == "en").cast("long").alias("is_pos"),
+    )
+    per = scored.groupBy("s").agg(
+        F.sum("is_pos").alias("p"),
+        F.sum(F.lit(1) - F.col("is_pos")).alias("q"),
+    )
+    cum = global_prefix_sums(per, ["s"], ["p", "q"])
+    dec = "decimal(19,0)"
+    cnt = F.col("p") + F.col("q")
+    cum_before = F.col("cum_p") + F.col("cum_q") - cnt
+    two_mid = (F.lit(2) * cum_before + cnt + F.lit(1)).cast(dec)
+    agg = cum.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("q").cast("long").alias("n_neg"),
+        F.sum(F.col("p").cast(dec) * two_mid).alias("two_r_pos"),
+    )
+    np_d = F.col("n_pos").cast("double")
+    u = F.col("two_r_pos").cast("double") / F.lit(2.0) - (
+        np_d * (np_d + F.lit(1.0))
+    ) / F.lit(2.0)
+    return (
+        agg.withColumn("u_stat", u)
+        .withColumn(
+            "auc",
+            F.col("u_stat") / (np_d * F.col("n_neg").cast("double")),
+        )
+        .select("n_pos", "n_neg", "u_stat", "auc")
+    )

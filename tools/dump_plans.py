@@ -127,6 +127,15 @@ SHOW = [
     ("arrears_bloom_probe",
      "metadata-sized bit table broadcast into a scan-local position "
      "probe; fact never shuffled against the dimension"),
+    ("knn_sq_flat",
+     "literal-scale int8 quantize + codegen int-dot scan + "
+     "candidate-sized exact rerank, zero Python stages"),
+    ("t_closeness_audit",
+     "one shuffle to the (QI, band) grid; cumulative windows on "
+     "grid-bounded metadata only"),
+    ("auc_quality_lang",
+     "per-distinct-score aggregate -> distributed prefix-sum "
+     "midranks -> one statistic row"),
 ]
 
 MARKERS = (
