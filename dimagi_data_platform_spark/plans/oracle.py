@@ -5506,3 +5506,106 @@ SELECT n_pos, n_neg, u_stat,
        u_stat / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
 FROM u
 """
+
+
+# L67: calibration table — exact counts, qsum-style integer score
+# sums, short mirrored IEEE chain for mean/rate/gap.
+ORACLE["quality_calibration_bins"] = f"""
+WITH x AS (
+  SELECT lang,
+    CAST({_NWORDS} AS BIGINT) AS n_words,
+    CAST(len(regexp_extract_all(text, '{_PUNCT_RE}')) AS DOUBLE) / length(text) AS punct_ratio,
+    CAST(len(regexp_extract_all(lower(text), '{_STOP}')) AS DOUBLE) / {_NWORDS} AS stopword_ratio
+  FROM documents),
+sc AS (
+  SELECT 0.4 * stopword_ratio + 0.3 * (1.0 - punct_ratio)
+           + 0.3 * LEAST(1.0, n_words / 100.0) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos
+  FROM x),
+b AS (
+  SELECT LEAST(9, CAST(FLOOR(s * 10.0) AS BIGINT)) AS bin, s, is_pos
+  FROM sc),
+agg AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+         SUM(CAST(FLOOR(s * 1000000.0) AS HUGEINT)) AS sq
+  FROM b GROUP BY bin)
+SELECT bin, n, n_pos,
+       CAST(sq AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS mean_score,
+       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS observed_rate,
+       ABS(CAST(sq AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
+           - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) AS calib_gap
+FROM agg ORDER BY bin
+"""
+
+
+# R87: synchronous deterministic LPA, 3 unrolled rounds — the
+# identical (count DESC, label ASC) adoption recurrence.
+def _lpa_sql(n_rounds: int = 3) -> str:
+    ctes = [
+        """lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""",
+        """e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""",
+        """e AS (
+  SELECT u AS src, v AS dst FROM e0
+  UNION ALL SELECT v AS src, u AS dst FROM e0)""",
+        """l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e)""",
+    ]
+    for k in range(1, n_rounds + 1):
+        ctes.append(
+            f"""n{k} AS (
+  SELECT e.src, l.lbl AS nlbl, COUNT(*) AS cnt
+  FROM e JOIN l{k - 1} l ON l.id = e.dst
+  GROUP BY e.src, l.lbl)"""
+        )
+        ctes.append(
+            f"""l{k} AS (
+  SELECT src AS id, nlbl AS lbl FROM (
+    SELECT src, nlbl,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY cnt DESC, nlbl ASC) AS rk
+    FROM n{k})
+  WHERE rk = 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM l{n_rounds} GROUP BY lbl
+ORDER BY n_members DESC, community ASC LIMIT 20"""
+    )
+
+
+ORACLE["copurchase_communities"] = _lpa_sql()
+
+
+# L68: collocations — exact window-pair/unigram counts, one IEEE
+# division for lift, deterministic (lift, a, b) top-20.
+ORACLE["term_collocations"] = r"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+p AS (
+  SELECT LEAST(t[u.i], t[u.i + 1]) AS a, GREATEST(t[u.i], t[u.i + 1]) AS b
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  UNION ALL
+  SELECT LEAST(t[u.i], t[u.i + 2]), GREATEST(t[u.i], t[u.i + 2])
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+pc AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_pair FROM p GROUP BY a, b),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM p),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w)
+SELECT pc.a, pc.b, n_pair, ua.c AS c_a, ub.c AS c_b,
+       CAST(n_pair * n_tot AS DOUBLE) / CAST(ua.c * ub.c AS DOUBLE) AS lift
+FROM pc
+JOIN uni ua ON ua.w = pc.a
+JOIN uni ub ON ub.w = pc.b
+CROSS JOIN tot
+WHERE n_pair >= 5
+ORDER BY lift DESC, a, b LIMIT 20
+"""

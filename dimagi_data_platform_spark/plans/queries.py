@@ -9123,3 +9123,167 @@ def auc_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_pos", "n_neg", "u_stat", "auc")
     )
+
+
+@query("quality_calibration_bins")
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L67: calibration / reliability table — the companion eval to
+    AUC (L66): decile bins of the L9 quality score vs the observed
+    label rate (lang = 'en') per bin, with the per-bin |mean score −
+    observed rate| calibration gap (the summands of expected
+    calibration error; Guo et al. 2017). Counts are exact integers;
+    the per-bin mean score accumulates as the exact integer sum of
+    floor(s·10⁶) (the qsum idiom — order-independent), and
+    mean/rate/gap are a short mirrored IEEE chain.
+
+    Scale: one scan → one 10-row groupBy with map-side combine;
+    nothing else.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    n_words = ws_token_count("text")
+    punct_ratio = punct_count("text").cast("double") / F.length("text")
+    stop_ratio = stopword_count("text").cast("double") / n_words
+    score = (
+        F.lit(0.4) * stop_ratio
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(F.lit(1.0), n_words / F.lit(100.0))
+    )
+    scored = docs.select(
+        score.alias("s"),
+        (F.col("lang") == "en").cast("long").alias("is_pos"),
+    )
+    binned = scored.withColumn(
+        "bin",
+        F.least(F.lit(9), F.floor(F.col("s") * F.lit(10.0))).cast("long"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("is_pos").cast("long").alias("n_pos"),
+        F.sum(F.floor(F.col("s") * F.lit(1000000.0)).cast("decimal(38,0)"))
+        .alias("sq"),
+    )
+    mean_s = F.col("sq").cast("double") / F.lit(1000000.0) / F.col("n").cast(
+        "double"
+    )
+    rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    return (
+        agg.withColumn("mean_score", mean_s)
+        .withColumn("observed_rate", rate)
+        .withColumn(
+            "calib_gap", F.abs(F.col("mean_score") - F.col("observed_rate"))
+        )
+        .select("bin", "n", "n_pos", "mean_score", "observed_rate", "calib_gap")
+        .orderBy("bin")
+    )
+
+
+@query("copurchase_communities")
+def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R87: community detection via synchronous label propagation
+    (Raghavan et al. 2007) on the co-purchase graph — 3 rounds, fully
+    deterministic: every vertex adopts the neighbor label with the
+    highest count, ties broken toward the SMALLER label (row_number
+    over (count DESC, label ASC)), so unlike classic randomized LPA
+    the result is bitwise-reproducible and the oracle unrolls the
+    identical recurrence — the FOURTH hash-matched iterative algorithm
+    (PageRank R57, BFS R62, BPE L49). Report: top-20 communities by
+    size after round 3.
+
+    Scale: per round — ONE edge join against the broadcast vertex-
+    sized label frontier (the pagerank contract) + a (vertex,
+    neighbor-label) groupBy with map-side combine + a degree-bounded
+    per-vertex window; labels localCheckpointed per round. Rounds are
+    O(diameter-ish) constants, not data-driven.
+    """
+    e0 = _copurchase_edges(spark, sf_dir)
+    edges = e0.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(e0.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(3):
+        nbr = (
+            edges.join(
+                F.broadcast(
+                    labels.select(
+                        F.col("id").alias("dst"), F.col("lbl").alias("nlbl")
+                    )
+                ),
+                "dst",
+            )
+            .groupBy("src", "nlbl")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        w = Window.partitionBy("src").orderBy(F.desc("cnt"), F.asc("nlbl"))
+        labels = (
+            nbr.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("src").alias("id"), F.col("nlbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy("lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .orderBy(F.desc("n_members"), F.asc("lbl"))
+        .limit(20)
+        .select(F.col("lbl").alias("community"), "n_members")
+    )
+
+
+@query("term_collocations")
+def term_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L68: collocation extraction — unordered term pairs co-occurring
+    within a ±2-token window, ranked by lift = P(a,b)/(P(a)P(b)) (the
+    log-free PMI ordering, the session_event_lift pattern applied to
+    the token stream) — the word2vec/GloVe co-occurrence-statistics
+    prep. All counts are exact integers off ONE scan-local array
+    expansion (zip_with over shifted slices — no doc-partitioned
+    window, no self-join); lift is ONE IEEE division of exact integer
+    cross-products (each < 2^53 here; lift the operands to decimal
+    past ~10^15 window observations).
+
+    Scale: the pair stream shuffles once to the (a, b) grain with
+    map-side combine; unigram counts and the total are broadcast-sized
+    aggregates. Top-20 by (lift, a, b), support ≥ 5.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(tokens("text").alias("t"))
+    pair_expr = F.expr(
+        "flatten(array("
+        " zip_with(slice(t, 1, greatest(size(t)-1, 0)),"
+        "          slice(t, 2, greatest(size(t)-1, 0)),"
+        "          (x, y) -> struct(x, y)),"
+        " zip_with(slice(t, 1, greatest(size(t)-2, 0)),"
+        "          slice(t, 3, greatest(size(t)-2, 0)),"
+        "          (x, y) -> struct(x, y))))"
+    )
+    pairs = d.select(F.explode(pair_expr).alias("p")).select(
+        F.least(F.col("p.x"), F.col("p.y")).alias("a"),
+        F.greatest(F.col("p.x"), F.col("p.y")).alias("b"),
+    )
+    pc = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair")
+    )
+    tot = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    uni = (
+        d.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    lift = (F.col("n_pair") * F.col("n_tot")).cast("double") / (
+        F.col("c_a") * F.col("c_b")
+    ).cast("double")
+    return (
+        pc.filter(F.col("n_pair") >= 5)
+        .join(uni.select(F.col("w").alias("a"), F.col("c").alias("c_a")), "a")
+        .join(uni.select(F.col("w").alias("b"), F.col("c").alias("c_b")), "b")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("lift", lift)
+        .select("a", "b", "n_pair", "c_a", "c_b", "lift")
+        .orderBy(F.desc("lift"), "a", "b")
+        .limit(20)
+    )

@@ -136,6 +136,12 @@ SHOW = [
     ("auc_quality_lang",
      "per-distinct-score aggregate -> distributed prefix-sum "
      "midranks -> one statistic row"),
+    ("copurchase_communities",
+     "per-round broadcast label frontier + (vertex, label) groupBy + "
+     "degree-bounded window; artifact-backed edges"),
+    ("term_collocations",
+     "scan-local zip_with pair expansion -> one (a,b) shuffle with "
+     "map-side combine; unigrams/total broadcast"),
 ]
 
 MARKERS = (
