@@ -89,6 +89,12 @@ HEADLINE = [
     "lsh_band_tuning",
     "label_centroid_separation",
     "session_event_lift",
+    # round-7 additions: the SQ literal twin, deterministic LPA
+    # communities (4th iterative), and the token-window collocation
+    # shuffle
+    "knn_sq_flat",
+    "copurchase_communities",
+    "term_collocations",
 ]
 
 

@@ -5609,3 +5609,20 @@ CROSS JOIN tot
 WHERE n_pair >= 5
 ORDER BY lift DESC, a, b LIMIT 20
 """
+
+
+# R16c: VARIANT path extraction — the oracle reads the same JSON
+# path; all aggregates exact integers.
+ORACLE["props_variant_extract"] = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS n_with_k,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS max_k
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""

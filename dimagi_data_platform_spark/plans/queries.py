@@ -9287,3 +9287,27 @@ def term_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "a", "b")
         .limit(20)
     )
+
+
+@query("props_variant_extract")
+def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R16c: semi-structured property extraction through Spark 4's
+    native VARIANT type — ``try_parse_json`` → ``try_variant_get``
+    path extraction, the modern engine-native replacement for
+    schema-declared ``from_json`` (R16b) when the property schema is
+    open-ended: the binary variant encoding is columnar-shreddable and
+    path access stays JVM-side. Malformed documents yield NULL (try_
+    semantics), never a scan failure.
+
+    Scale: scan-local parse + path extraction inside codegen; one
+    user-grain aggregate with map-side combine.
+    """
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "long")
+    per = ev.select("user_id", k.alias("k")).groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("k").cast("long").alias("n_with_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )
+    return per.orderBy("user_id")

@@ -179,3 +179,68 @@ def vacuum(path: str, keep_last: int) -> list[int]:
         shutil.rmtree(os.path.join(path, f"v={v['version']}"), ignore_errors=True)
         dropped.append(v["version"])
     return dropped
+
+
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change data feed between two committed versions (the Delta CDF
+    / Iceberg changelog pattern): returns every key whose row was
+    inserted, deleted, or updated between ``from_version`` (exclusive
+    base) and ``to_version``, with a ``_change_type`` column in
+    {'insert', 'delete', 'update_preimage', 'update_postimage'} —
+    update keys emit BOTH images, exactly like Delta CDF, so a
+    downstream incremental consumer can retract-and-apply.
+
+    Implementation: full-outer join of the two pinned snapshots on the
+    key with a null-safe any-column comparison — the P25 snapshot-diff
+    classification lifted onto the versioned-table surface. Cost is a
+    scan of the two version directories + one key-grain shuffle; at
+    scale, partition/bucket both snapshots by the key so the join is
+    co-located (sources/bucketed.py). Keys must be unique per version
+    (the merge_version invariant).
+    """
+    old = read_version(spark, path, from_version)
+    new = read_version(spark, path, to_version)
+    val_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(
+        *[F.col(c).alias(f"__o_{c}") if c not in key_cols else F.col(c) for c in old.columns]
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__n_{c}") if c not in key_cols else F.col(c) for c in new.columns]
+    )
+    j = o.join(n, key_cols, "full_outer")
+    # presence flags must not depend on value NULLs: use a marker join
+    o_m = old.select(*key_cols).withColumn("__in_old", F.lit(True))
+    n_m = new.select(*key_cols).withColumn("__in_new", F.lit(True))
+    m = o_m.join(n_m, key_cols, "full_outer").select(
+        *key_cols,
+        F.coalesce("__in_old", F.lit(False)).alias("__in_old"),
+        F.coalesce("__in_new", F.lit(False)).alias("__in_new"),
+    )
+    changed = F.lit(False)
+    for c in val_cols:
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    full = j.join(m, key_cols)
+    inserts = (
+        full.filter(~F.col("__in_old") & F.col("__in_new"))
+        .select(*key_cols, *[F.col(f"__n_{c}").alias(c) for c in val_cols])
+        .withColumn("_change_type", F.lit("insert"))
+    )
+    deletes = (
+        full.filter(F.col("__in_old") & ~F.col("__in_new"))
+        .select(*key_cols, *[F.col(f"__o_{c}").alias(c) for c in val_cols])
+        .withColumn("_change_type", F.lit("delete"))
+    )
+    upd = full.filter(F.col("__in_old") & F.col("__in_new") & changed)
+    pre = upd.select(
+        *key_cols, *[F.col(f"__o_{c}").alias(c) for c in val_cols]
+    ).withColumn("_change_type", F.lit("update_preimage"))
+    post = upd.select(
+        *key_cols, *[F.col(f"__n_{c}").alias(c) for c in val_cols]
+    ).withColumn("_change_type", F.lit("update_postimage"))
+    return inserts.unionAll(deletes).unionAll(pre).unionAll(post)

@@ -142,6 +142,9 @@ SHOW = [
     ("term_collocations",
      "scan-local zip_with pair expansion -> one (a,b) shuffle with "
      "map-side combine; unigrams/total broadcast"),
+    ("props_variant_extract",
+     "VARIANT parse + path extraction scan-local in codegen; one "
+     "user-grain aggregate"),
 ]
 
 MARKERS = (
