@@ -1,0 +1,82 @@
+"""P58b: paginated REST ingestion through Spark 4's Python Data
+Source API — page fetches distributed across executors via
+InputPartitions (fixture-dir transport: no network in this
+container)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from dimagi_data_platform_spark.sources.rest_datasource import (
+    RestPagesDataSource,
+    RestPagesReader,
+)
+
+
+@pytest.fixture()
+def pages(tmp_path):
+    n_pages, per_page = 10, 7
+    rid = 0
+    for p in range(n_pages):
+        recs = []
+        for _ in range(per_page):
+            recs.append({"id": rid, "name": f"rec-{rid}", "value": rid * 3})
+            rid += 1
+        (tmp_path / f"page-{p}.json").write_text(json.dumps(recs))
+    return str(tmp_path), n_pages, per_page
+
+
+def test_reads_all_pages_distributed(spark, pages):
+    fixture_dir, n_pages, per_page = pages
+    spark.dataSource.register(RestPagesDataSource)
+    df = (
+        spark.read.format("rest_pages")
+        .option("schema_ddl", "id INT, name STRING, value INT")
+        .option("n_pages", n_pages)
+        .option("pages_per_partition", 3)
+        .option("fixture_dir", fixture_dir)
+        .load()
+    )
+    assert df.count() == n_pages * per_page
+    # records arrive typed and complete, not stringly
+    agg = df.agg(
+        F.min("id").alias("lo"), F.max("id").alias("hi"), F.sum("value").alias("s")
+    ).collect()[0]
+    n = n_pages * per_page
+    assert (agg["lo"], agg["hi"]) == (0, n - 1)
+    assert agg["s"] == 3 * n * (n - 1) // 2
+    # the page range really is partitioned for executor fan-out
+    assert df.rdd.getNumPartitions() == 4  # ceil(10 / 3)
+
+
+def test_missing_fields_yield_null(spark, tmp_path):
+    (tmp_path / "page-0.json").write_text(json.dumps([{"id": 1}]))
+    spark.dataSource.register(RestPagesDataSource)
+    row = (
+        spark.read.format("rest_pages")
+        .option("schema_ddl", "id INT, name STRING")
+        .option("n_pages", 1)
+        .option("fixture_dir", str(tmp_path))
+        .load()
+        .collect()[0]
+    )
+    assert (row["id"], row["name"]) == (1, None)
+
+
+def test_partition_planning_covers_range_exactly():
+    reader = RestPagesReader.__new__(RestPagesReader)
+    reader.n_pages, reader.per_part = 10, 3
+    parts = RestPagesReader.partitions(reader)
+    assert [(p.start, p.end) for p in parts] == [(0, 3), (3, 6), (6, 9), (9, 10)]
+
+
+def test_options_validated():
+    from pyspark.sql.types import StructType
+
+    with pytest.raises(ValueError, match="base_url or fixture_dir"):
+        RestPagesReader(StructType([]), {"n_pages": "5"})
+    with pytest.raises(ValueError, match="n_pages"):
+        RestPagesReader(StructType([]), {"fixture_dir": "/x"})
