@@ -5626,3 +5626,22 @@ FROM events
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+# P86: row-pattern matching over the per-user symbol string — same
+# string (total order), same leftmost-greedy regex semantics.
+ORACLE["event_pattern_match"] = """
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS seq
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       CAST(length(seq) AS BIGINT) AS seq_len,
+       CAST(len(regexp_extract_all(seq, 's[^e]*c[^e]*p')) AS BIGINT)
+         AS n_matches,
+       COALESCE(regexp_extract(seq, 's[^e]*c[^e]*p'), '') AS first_match
+FROM seqs
+WHERE len(regexp_extract_all(seq, 's[^e]*c[^e]*p')) > 0
+ORDER BY user_id
+"""

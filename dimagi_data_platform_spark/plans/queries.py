@@ -9311,3 +9311,49 @@ def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("long").alias("max_k"),
     )
     return per.orderBy("user_id")
+
+
+@query("event_pattern_match")
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P86: MATCH_RECOGNIZE-style event-pattern matching — Spark has
+    no MATCH_RECOGNIZE clause, so the row-pattern query is expressed
+    the Spark-first way: each user's total-ordered event-type sequence
+    collapses to a compact symbol string (one char per event, the P44
+    total-order idiom), and the pattern runs as a regex over that
+    string — here ``s[^e]*c[^e]*p``: signup, then a click, then a
+    purchase, with NO error anywhere between (the clean-conversion
+    path). Reported per matching user: sequence length, number of
+    disjoint matches, and the first matched span. Both engines run
+    leftmost, greedy, non-overlapping matching on identical strings,
+    so counts and spans mirror exactly.
+
+    Scale: one shuffle to the user grain; the regex is scan-local over
+    per-user strings (bounded by per-user event counts). For
+    unbounded-length entities, segment by session (P2) first.
+    """
+    ev = _t(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "ts", "event_id", F.expr("substring(event_type, 1, 1)").alias("c")
+                    )
+                )
+            ),
+            lambda x: x["c"],
+        ),
+        "",
+    )
+    pat = r"s[^e]*c[^e]*p"
+    per = ev.groupBy("user_id").agg(seq.alias("seq"))
+    return (
+        per.select(
+            "user_id",
+            F.length("seq").cast("long").alias("seq_len"),
+            F.regexp_count("seq", F.lit(pat)).cast("long").alias("n_matches"),
+            F.regexp_extract("seq", pat, 0).alias("first_match"),
+        )
+        .filter(F.col("n_matches") > 0)
+        .orderBy("user_id")
+    )
