@@ -13,7 +13,7 @@ in the driver gate + error-bound tests in tests/test_sketches.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -180,3 +180,66 @@ def cms_estimate(
         .groupBy(key)
         .agg(F.min("cnt").cast("long").alias("est_count"))
     )
+
+
+def kmv_hash(col) -> Column:
+    """Portable KMV hash: 15-hex md5 prefix as a 60-bit long — exact
+    on both engines (the minhash idiom), so KMV sketches are bitwise-
+    reproducible unlike HLL binaries."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_partial(
+    df: DataFrame, key: str, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Per-group KMV sketch: the k smallest DISTINCT hash values of
+    ``key`` (dedup before ranking so tie order never matters).
+    Returns (group_cols..., h) rows — at most k per group; the
+    persistable sketch artifact."""
+    h = kmv_hash(key)
+    per = df.select(*group_cols, h.alias("h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        per.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(*group_cols, "h")
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Merge KMV sketches to the (coarser) ``group_cols`` grain: hash
+    SET union, re-take the k smallest. Associative and idempotent —
+    per-batch/per-cell partials merge to exactly the sketch of the
+    union (the defining mergeable-sketch property, here bitwise)."""
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        sketches.select(*group_cols, "h")
+        .distinct()
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(*group_cols, "h")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Distinct-count estimate per group: (k-1)/(h_k/2^60) when the
+    sketch is full, exact sketch size below k (Bar-Yossef et al.
+    2002). ONE IEEE division — hash-checkable end to end."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sketch"),
+        F.max("h").cast("long").alias("kth_hash"),
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        / (F.col("kth_hash").cast("double") / F.lit(float(2**60)))
+    )
+    return agg.withColumn("approx_distinct", est)

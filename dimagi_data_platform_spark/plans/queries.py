@@ -8594,44 +8594,27 @@ def segment_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized metadata, not data-sized), which is the entire point of
     mergeable sketches — coarser grains never touch raw data.
     """
+    from dimagi_data_platform_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_partial,
+    )
+
     k = 64
     cust = _t(spark, sf_dir, "customer")
-    h = F.conv(
-        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    # distinct hash VALUES per cell (KMV is a set-of-hashes sketch;
-    # dedup first so ranking never depends on tie order)
-    per = cust.select("c_mktsegment", "c_nationkey", h.alias("h")).distinct()
-    w_cell = Window.partitionBy("c_mktsegment", "c_nationkey").orderBy("h")
-    sketch = (
-        per.withColumn("rk", F.row_number().over(w_cell))
-        .filter(F.col("rk") <= k)
-        .select("c_mktsegment", "h")
-    )
-    # merge to segment grain: union of hash sets, re-take k smallest
-    w_seg = Window.partitionBy("c_mktsegment").orderBy("h")
-    merged = (
-        sketch.distinct()
-        .withColumn("rk", F.row_number().over(w_seg))
-        .filter(F.col("rk") <= k)
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_sketch"),
-            F.max("h").cast("long").alias("kth_hash"),
-        )
-    )
+    # per-cell sketches (the persistable fine-grain artifact), merged
+    # to segment grain by hash-set union + re-take-k — the SAME
+    # operators the streaming maintenance twin uses
+    # (streaming/kmv_stream.py), so batch and stream can never drift
+    cell = kmv_partial(cust, "c_custkey", ["c_mktsegment", "c_nationkey"], k)
+    merged = kmv_merge(cell.select("c_mktsegment", "h"), ["c_mktsegment"], k)
     exact = cust.groupBy("c_mktsegment").agg(
         F.countDistinct("c_custkey").cast("long").alias("exact_customers")
     )
-    est = F.when(
-        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
-    ).otherwise(
-        F.lit(float(k - 1))
-        / (F.col("kth_hash").cast("double") / F.lit(float(2**60)))
-    )
     return (
-        merged.join(exact, "c_mktsegment")
-        .withColumn("approx_customers", est)
+        kmv_estimate(merged, ["c_mktsegment"], k)
+        .withColumnRenamed("approx_distinct", "approx_customers")
+        .join(exact, "c_mktsegment")
         .select(
             "c_mktsegment",
             "n_sketch",

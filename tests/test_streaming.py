@@ -941,3 +941,86 @@ def test_versioned_sink_crash_after_manifest_swap_skips_replay(
     monkeypatch.setattr(V, "_commit", real_commit)
     run_stream_to_versioned(mk_stream(), tbl, ck, keys=["id"], order_col="ver")
     _assert_final_state(spark, tbl)
+
+
+def test_streaming_kmv_merged_equals_batch_sketch(spark, tmp_path):
+    """KMV merge is associative + idempotent hash-set union, so the
+    merged per-batch partials must be BITWISE-equal to a one-shot
+    batch sketch of the same rows — and so must the estimates."""
+    from dimagi_data_platform_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_partial,
+    )
+    from dimagi_data_platform_spark.streaming.kmv_stream import (
+        estimate_from_stream_state,
+        merged_kmv,
+        run_streaming_kmv,
+    )
+
+    in_dir, ev = _dump_events_as_json(spark, tmp_path, n_files=3)
+    stream = read_event_stream(spark, in_dir, fmt="json", max_files=1)
+    state = str(tmp_path / "kmv_state")
+    run_streaming_kmv(
+        stream,
+        key="user_id",
+        group_cols=["event_type"],
+        state_dir=state,
+        checkpoint_dir=str(tmp_path / "kmv_ckpt"),
+        k=16,
+    )
+    batch = {
+        (r.event_type, r.h)
+        for r in kmv_partial(ev, "user_id", ["event_type"], 16).collect()
+    }
+    merged = {
+        (r.event_type, r.h)
+        for r in merged_kmv(spark, state, ["event_type"], 16).collect()
+    }
+    assert merged == batch
+    want = {
+        r.event_type: r.approx_distinct
+        for r in kmv_estimate(
+            kmv_partial(ev, "user_id", ["event_type"], 16), ["event_type"], 16
+        ).collect()
+    }
+    got = {
+        r.event_type: r.approx_distinct
+        for r in estimate_from_stream_state(
+            spark, state, ["event_type"], 16
+        ).collect()
+    }
+    assert got == want
+    # sanity: estimates land near the exact distincts (k=16 → ~25% rse)
+    exact = {
+        r.event_type: r.d
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    for t, est in got.items():
+        assert abs(est - exact[t]) / exact[t] < 0.75
+
+
+def test_streaming_kmv_replay_idempotent(spark, tmp_path):
+    """Re-running the stream over the same input (fresh checkpoint,
+    same state dir) rewrites the same batch partitions — the merged
+    sketch must not change."""
+    from dimagi_data_platform_spark.streaming.kmv_stream import (
+        merged_kmv,
+        run_streaming_kmv,
+    )
+
+    in_dir, ev = _dump_events_as_json(spark, tmp_path, n_files=2)
+    state = str(tmp_path / "kmv_state")
+    for attempt in range(2):
+        stream = read_event_stream(spark, in_dir, fmt="json", max_files=1)
+        run_streaming_kmv(
+            stream,
+            key="user_id",
+            group_cols=["event_type"],
+            state_dir=state,
+            checkpoint_dir=str(tmp_path / f"ckpt{attempt}"),
+            k=16,
+        )
+    merged = merged_kmv(spark, state, ["event_type"], 16)
+    assert merged.groupBy("event_type").count().filter("count > 16").count() == 0
