@@ -5645,3 +5645,70 @@ FROM seqs
 WHERE len(regexp_extract_all(seq, 's[^e]*c[^e]*p')) > 0
 ORDER BY user_id
 """
+
+
+# P88: PSI drift — fixed 20-bin spec, Laplace smoothing, exact
+# cross-multiplied integer difference x fixed-point lnq ratio; the
+# total re-quantizes contributions to nanos so the cross-bin sum is
+# integer (order-independent).
+ORACLE["order_value_psi_drift"] = """
+WITH tagged AS (
+  SELECT LEAST(19, CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 30000.0)
+               AS BIGINT)) AS bin,
+         (o_orderdate < TIMESTAMP '1997-01-01') AS is_base
+  FROM orders),
+per AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS n_curr
+  FROM tagged GROUP BY bin),
+grid AS (
+  SELECT CAST(u.b AS BIGINT) AS bin,
+         COALESCE(n_base, 0) AS n_base, COALESCE(n_curr, 0) AS n_curr
+  FROM UNNEST(range(0, 20)) AS u(b) LEFT JOIN per ON per.bin = u.b),
+tot AS (
+  SELECT CAST(SUM(n_base) AS BIGINT) AS np,
+         CAST(SUM(n_curr) AS BIGINT) AS nq
+  FROM grid),
+c AS (
+  SELECT bin, n_base, n_curr,
+         CAST((n_base + 1) * (nq + 20) AS HUGEINT) AS num,
+         CAST((n_curr + 1) * (np + 20) AS HUGEINT) AS den,
+         CAST(np + 20 AS HUGEINT) * (nq + 20) AS big_d
+  FROM grid CROSS JOIN tot),
+o AS (
+  SELECT bin, n_base, n_curr,
+         CAST((num - den)
+              * (CAST(FLOOR(ln(CAST(num AS DOUBLE)) * 1000000.0) AS HUGEINT)
+                 - CAST(FLOOR(ln(CAST(den AS DOUBLE)) * 1000000.0) AS HUGEINT))
+              AS DOUBLE)
+           / (CAST(big_d AS DOUBLE) * 1000000.0) AS contrib_psi
+  FROM c),
+t AS (
+  SELECT CAST(SUM(CAST(FLOOR(contrib_psi * 1000000000.0) AS BIGINT))
+              AS BIGINT) AS psi_nano
+  FROM o)
+SELECT bin, n_base, n_curr, contrib_psi,
+       CAST(psi_nano AS DOUBLE) / 1000000000.0 AS psi_total
+FROM o CROSS JOIN t
+ORDER BY bin
+"""
+
+
+# L69: feature hashing — two-md5-halves index/sign, exact integer
+# signed counts, sparse output.
+ORACLE["doc_feature_hashing"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 64 AS feat_idx,
+         (CAST(('0x' || substr(md5(w), 16, 15)) AS BIGINT) % 2) * 2 - 1
+           AS sign
+  FROM toks WHERE length(w) > 0)
+SELECT doc_id, feat_idx, CAST(SUM(sign) AS BIGINT) AS weight
+FROM h GROUP BY doc_id, feat_idx
+HAVING SUM(sign) <> 0
+ORDER BY doc_id, feat_idx
+"""

@@ -9340,3 +9340,115 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_matches") > 0)
         .orderBy("user_id")
     )
+
+
+@query("order_value_psi_drift")
+def order_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P88: population-stability-index drift monitoring — THE standard
+    production check that a feature's distribution has not shifted
+    between a baseline and a current period (credit-risk / model-
+    monitoring practice): PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over a
+    FIXED bin spec (20 × $30k order-value bins, Laplace-smoothed so
+    empty bins are defined). Exactness: shares stay rational — the
+    difference cross-multiplies to the exact integer d_b =
+    (n_p+1)(N_q+B) − (n_q+1)(N_p+B) over the common denominator D,
+    and the log factor is the fixed-point lnq(num)−lnq(den) idiom
+    (zipf/JS-divergence pattern); each bin contributes ONE mirrored
+    IEEE division chain.
+
+    Scale: two conditional counts into a 20-bin grid (map-side
+    combine); the bin table is a literal range — nothing data-sized
+    past the first aggregate.
+    """
+    B = 20
+    orders = _t(spark, sf_dir, "orders")
+    split = "1997-01-01"
+    binc = F.least(
+        F.lit(B - 1), F.floor(F.col("o_totalprice") / F.lit(30000.0))
+    ).cast("long")
+    tagged = orders.select(
+        binc.alias("bin"),
+        (F.col("o_orderdate") < F.lit(split).cast("timestamp")).alias("is_base"),
+    )
+    per = tagged.groupBy("bin").agg(
+        F.sum(F.col("is_base").cast("long")).cast("long").alias("n_base"),
+        F.sum((~F.col("is_base")).cast("long")).cast("long").alias("n_curr"),
+    )
+    bins = spark.range(B).select(F.col("id").alias("bin"))
+    grid = bins.join(per, "bin", "left").select(
+        "bin",
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        F.coalesce("n_curr", F.lit(0)).alias("n_curr"),
+    )
+    tot = grid.agg(
+        F.sum("n_base").cast("long").alias("np"),
+        F.sum("n_curr").cast("long").alias("nq"),
+    )
+
+    def lnq(c):
+        return F.floor(F.log(c.cast("double")) * F.lit(1000000.0)).cast("long")
+
+    j = grid.crossJoin(F.broadcast(tot))
+    num = (F.col("n_base") + F.lit(1)) * (F.col("nq") + F.lit(B))
+    den = (F.col("n_curr") + F.lit(1)) * (F.col("np") + F.lit(B))
+    d_b = (num - den).cast("decimal(38,0)")
+    ln_diff = (lnq(num) - lnq(den)).cast("decimal(38,0)")
+    big_d = (
+        (F.col("np") + F.lit(B)).cast("decimal(38,0)")
+        * (F.col("nq") + F.lit(B)).cast("decimal(38,0)")
+    )
+    contrib = (d_b * ln_diff).cast("double") / (
+        big_d.cast("double") * F.lit(1000000.0)
+    )
+    out = j.withColumn("contrib_psi", contrib).select(
+        "bin", "n_base", "n_curr", "contrib_psi"
+    )
+    psi = out.agg(
+        F.sum(F.floor(F.col("contrib_psi") * F.lit(1000000000.0)))
+        .cast("long")
+        .alias("psi_nano")
+    )
+    return (
+        out.crossJoin(F.broadcast(psi))
+        .withColumn(
+            "psi_total", F.col("psi_nano").cast("double") / F.lit(1000000000.0)
+        )
+        .select("bin", "n_base", "n_curr", "contrib_psi", "psi_total")
+        .orderBy("bin")
+    )
+
+
+@query("doc_feature_hashing")
+def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L69: feature hashing (the "hashing trick", Weinberger et al.
+    2009; sklearn's HashingVectorizer) — fixed-width text
+    vectorization with NO vocabulary state: every token maps to
+    index = h1(token) mod 64 with sign = ±1 from a second hash (the
+    sign trick keeps collisions unbiased), and the document vector is
+    the signed count per index, emitted SPARSE as (doc_id, feat_idx,
+    weight). Vocabulary-free means the featurizer is embarrassingly
+    parallel and identical across train shards — the streaming-safe
+    vectorizer. Hashes are the portable two-md5-halves idiom, so every
+    weight is an exact integer.
+
+    Scale: scan-local hash + one (doc, idx) groupBy with map-side
+    combine; output ≤ 64 rows per doc. Zero-weight cells (sign
+    cancellation) are dropped on both engines.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("w")
+    ).filter(F.length("w") > 0)
+    h1 = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5("w"), 16, 15), 16, 10).cast("long")
+    hashed = toks.select(
+        "doc_id",
+        F.pmod(h1, F.lit(64)).alias("feat_idx"),
+        (F.pmod(h2, F.lit(2)) * F.lit(2) - F.lit(1)).alias("sign"),
+    )
+    return (
+        hashed.groupBy("doc_id", "feat_idx")
+        .agg(F.sum("sign").cast("long").alias("weight"))
+        .filter(F.col("weight") != 0)
+        .orderBy("doc_id", "feat_idx")
+    )

@@ -94,6 +94,16 @@ def test_query_results_independent_of_shuffle_partitions(spark):
         "daily_value_cusum",
         "session_event_lift",
         "part_ppr",
+        # round-7 prefix-sum / sketch / iterative clients: k-group
+        # midranks, median-deviation ANOVA, AUC midranks, KMV top-k
+        # hash cuts, and the deterministic LPA adoption rule must all
+        # survive a relayout
+        "order_value_kruskal_wallis",
+        "order_value_levene",
+        "auc_quality_lang",
+        "segment_distinct_kmv",
+        "copurchase_communities",
+        "daily_trend_test",
     ]
     old = spark.conf.get("spark.sql.shuffle.partitions")
 

@@ -145,6 +145,15 @@ SHOW = [
     ("props_variant_extract",
      "VARIANT parse + path extraction scan-local in codegen; one "
      "user-grain aggregate"),
+    ("event_pattern_match",
+     "one user-grain shuffle; regex over bounded per-user symbol "
+     "strings, scan-local"),
+    ("order_value_psi_drift",
+     "two conditional counts into a literal 20-bin grid; nothing "
+     "data-sized past the first aggregate"),
+    ("doc_feature_hashing",
+     "scan-local two-md5 hash + one (doc, idx) groupBy with map-side "
+     "combine; sparse output"),
 ]
 
 MARKERS = (
