@@ -5712,3 +5712,58 @@ FROM h GROUP BY doc_id, feat_idx
 HAVING SUM(sign) <> 0
 ORDER BY doc_id, feat_idx
 """
+
+
+# R88: deterministic Poisson bootstrap — md5-uniform inverse-CDF
+# weights, exact integer weighted sums, rank-at-ceil CI selection.
+ORACLE["daily_revenue_bootstrap_ci"] = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS vq
+  FROM events GROUP BY 1),
+d2 AS (
+  SELECT CAST(date_diff('day', TIMESTAMP '1970-01-01', day) AS BIGINT)
+           AS ed, vq
+  FROM daily),
+reps AS (
+  SELECT ed, vq, CAST(u.b AS BIGINT) AS b,
+         CAST(CAST(('0x' || substr(md5(CAST(ed AS VARCHAR) || '#'
+              || CAST(u.b AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+           / 1152921504606846976.0 AS u
+  FROM d2, UNNEST(range(0, 100)) AS u(b)),
+wts AS (
+  SELECT b, vq,
+         CASE WHEN u < 0.36787944117144233 THEN 0
+              WHEN u < 0.7357588823428847 THEN 1
+              WHEN u < 0.9196986029286058 THEN 2
+              WHEN u < 0.9810118431238463 THEN 3
+              WHEN u < 0.9963401531726563 THEN 4
+              WHEN u < 0.9994058151824183 THEN 5
+              WHEN u < 0.999916758850712 THEN 6
+              ELSE 7 END AS w
+  FROM reps),
+boot AS (
+  SELECT b, CAST(SUM(w * vq) AS BIGINT) AS swv,
+         CAST(SUM(w) AS BIGINT) AS sw
+  FROM wts GROUP BY b HAVING SUM(w) > 0),
+bm AS (
+  SELECT b, CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) / 100.0 AS boot_mean
+  FROM boot),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_boot FROM bm),
+ranked AS (
+  SELECT boot_mean,
+         CAST(ROW_NUMBER() OVER (ORDER BY boot_mean, b) AS BIGINT) AS rk
+  FROM bm),
+ci AS (
+  SELECT MIN(CASE WHEN rk * 40 >= n_boot THEN boot_mean END) AS ci_lo,
+         MIN(CASE WHEN rk * 40 >= 39 * n_boot THEN boot_mean END) AS ci_hi,
+         MAX(n_boot) AS n_boot
+  FROM ranked CROSS JOIN nb),
+pt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(vq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
+           AS point_mean
+  FROM daily)
+SELECT n_days, n_boot, point_mean, ci_lo, ci_hi
+FROM pt CROSS JOIN ci
+"""

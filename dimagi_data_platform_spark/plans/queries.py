@@ -9452,3 +9452,103 @@ def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("weight") != 0)
         .orderBy("doc_id", "feat_idx")
     )
+
+
+@query("daily_revenue_bootstrap_ci")
+def daily_revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R88: bootstrap confidence interval with DETERMINISTIC
+    resampling — the Poisson bootstrap (Chamandy et al. 2012, the
+    streaming/distributed bootstrap): each (day, replicate) draws a
+    Poisson(1) weight via inverse-CDF thresholds on an md5-uniform
+    (portable across engines, unlike rand()), B=100 replicate means of
+    the daily revenue series accumulate as exact integer weighted
+    sums, and the 95% CI is a rank-at-ceil selection over the B
+    replicate means (integer rank conditions, b as tie-break). The
+    resampling-based uncertainty quantification the parametric tests
+    (R64/R65/R83/R84) don't give — with zero RNG state.
+
+    Scale: one shuffle to the day grain; the replicate explode is
+    |days|·B rows of calendar-bounded metadata; B-row windows only.
+    """
+    B = 100
+    thresholds = [
+        0.36787944117144233,
+        0.7357588823428847,
+        0.9196986029286058,
+        0.9810118431238463,
+        0.9963401531726563,
+        0.9994058151824183,
+        0.999916758850712,
+    ]
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * F.lit(100.0)).cast("long")).alias("vq")
+    )
+    d2 = daily.withColumn(
+        "ed",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("timestamp")).cast(
+            "long"
+        ),
+    )
+    reps = d2.select(
+        "ed",
+        "vq",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", F.col("ed").cast("string"), F.col("b").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(float(2**60))
+    )
+    w = F.lit(7)
+    for k in range(len(thresholds) - 1, -1, -1):
+        w = F.when(u < F.lit(thresholds[k]), F.lit(k)).otherwise(w)
+    boot = (
+        reps.withColumn("w", w.cast("long"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("vq")).cast("long").alias("swv"),
+            F.sum("w").cast("long").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .withColumn(
+            "boot_mean",
+            F.col("swv").cast("double") / F.col("sw").cast("double") / F.lit(100.0),
+        )
+    )
+    nb = boot.agg(F.count(F.lit(1)).cast("long").alias("n_boot"))
+    ranked = boot.withColumn(
+        "rk", F.row_number().over(Window.orderBy("boot_mean", "b")).cast("long")
+    ).crossJoin(F.broadcast(nb))
+    ci = ranked.agg(
+        F.min(
+            F.when(F.col("rk") * 40 >= F.col("n_boot"), F.col("boot_mean"))
+        ).alias("ci_lo"),
+        F.min(
+            F.when(F.col("rk") * 40 >= 39 * F.col("n_boot"), F.col("boot_mean"))
+        ).alias("ci_hi"),
+        F.max("n_boot").alias("n_boot"),
+    )
+    point = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (
+            F.sum("vq").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(100.0)
+        ).alias("point_mean"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n_days", "n_boot", "point_mean", "ci_lo", "ci_hi"
+    )

@@ -154,6 +154,9 @@ SHOW = [
     ("doc_feature_hashing",
      "scan-local two-md5 hash + one (doc, idx) groupBy with map-side "
      "combine; sparse output"),
+    ("daily_revenue_bootstrap_ci",
+     "day-grain aggregate -> |days|x100 metadata explode -> B-row "
+     "windows; zero RNG state"),
 ]
 
 MARKERS = (
