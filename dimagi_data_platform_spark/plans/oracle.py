@@ -5767,3 +5767,28 @@ pt AS (
 SELECT n_days, n_boot, point_mean, ci_lo, ci_hi
 FROM pt CROSS JOIN ci
 """
+
+
+# L70: quantile normalization — within-source rank, integer ceil
+# target rank, pooled rank->value join; identical total orders.
+ORACLE["source_quantile_normalize"] = """
+WITH d AS (
+  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents),
+r AS (
+  SELECT doc_id, source, n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY n_chars, doc_id) AS BIGINT) AS src_rank,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_tot
+  FROM d),
+p AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+           AS pool_rank,
+         n_chars AS norm_chars
+  FROM d)
+SELECT doc_id, source, n_chars, src_rank, norm_chars
+FROM r JOIN p
+  ON p.pool_rank = (src_rank * n_tot + n_src - 1) // n_src
+ORDER BY doc_id
+"""

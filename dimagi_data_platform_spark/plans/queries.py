@@ -9552,3 +9552,56 @@ def daily_revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point.crossJoin(F.broadcast(ci)).select(
         "n_days", "n_boot", "point_mean", "ci_lo", "ci_hi"
     )
+
+
+@query("source_quantile_normalize")
+def source_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L70: cross-source quantile normalization (the batch-effect
+    correction standard, Bolstad et al. 2003, applied the
+    empirical-quantile-mapping way): every document's length is
+    replaced by the POOLED corpus length at its within-source
+    quantile, so per-source length distributions become comparable —
+    the corpus-mixing prep that stops a verbose source from dominating
+    length-sensitive downstream filters. Exact integer machinery
+    end-to-end: within-source ranks come off ONE distributed global
+    rank with source as the leading key (per-source offsets broadcast
+    — the order_value_percentiles pattern, never a per-source window),
+    the target pooled rank is the integer ceil division
+    (r·N + n_s − 1) DIV n_s, and the normalized value is a join
+    against the pooled rank→value table (a second distributed rank).
+
+    Scale: two distributed ranks + one integer-keyed join; no
+    per-group window, no collect.
+    """
+    from dimagi_data_platform_spark.operators.linkage import global_row_number
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("n_chars")
+    )
+    # ONE global rank, source-leading: within-source rank = global rn
+    # minus the source's broadcast offset
+    g = global_row_number(docs, ["source", "n_chars", "doc_id"], out_col="grn")
+    per_src = g.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src"),
+        F.min("grn").cast("long").alias("first_grn"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    ranked = (
+        g.join(F.broadcast(per_src), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("src_rank", (F.col("grn") - F.col("first_grn") + 1).cast("long"))
+        .withColumn(
+            "pool_rank",
+            F.expr("CAST((src_rank * n_tot + n_src - 1) DIV n_src AS BIGINT)"),
+        )
+    )
+    pooled = global_row_number(
+        docs.select("n_chars", "doc_id"), ["n_chars", "doc_id"], out_col="prn"
+    ).select(
+        F.col("prn").alias("pool_rank"), F.col("n_chars").alias("norm_chars")
+    )
+    return (
+        ranked.join(pooled, "pool_rank")
+        .select("doc_id", "source", "n_chars", "src_rank", "norm_chars")
+        .orderBy("doc_id")
+    )
