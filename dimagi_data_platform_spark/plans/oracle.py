@@ -5792,3 +5792,87 @@ FROM r JOIN p
   ON p.pool_rank = (src_rank * n_tot + n_src - 1) // n_src
 ORDER BY doc_id
 """
+
+
+# R89: MoM/YoY metric layer — exact cent deltas, calendar-aligned YoY
+# join, NULL-guarded single-division growth.
+ORACLE["monthly_revenue_pop"] = """
+WITH monthly AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+         CAST(SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100.0)
+              AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1, 2),
+cur AS (
+  SELECT *, LAG(rev_cents) OVER (ORDER BY yr, mo) AS prev_cents
+  FROM monthly),
+g AS (
+  SELECT c.*, y.rev_cents AS yoy_cents
+  FROM cur c LEFT JOIN monthly y ON y.yr = c.yr - 1 AND y.mo = c.mo)
+SELECT yr, mo,
+       CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(rev_cents - prev_cents AS BIGINT) AS mom_delta_cents,
+       CASE WHEN prev_cents IS NOT NULL AND prev_cents <> 0
+            THEN CAST(rev_cents - prev_cents AS DOUBLE)
+                 / CAST(prev_cents AS DOUBLE) END AS mom_growth,
+       CAST(rev_cents - yoy_cents AS BIGINT) AS yoy_delta_cents,
+       CASE WHEN yoy_cents IS NOT NULL AND yoy_cents <> 0
+            THEN CAST(rev_cents - yoy_cents AS DOUBLE)
+                 / CAST(yoy_cents AS DOUBLE) END AS yoy_growth
+FROM g ORDER BY yr, mo
+"""
+
+
+# P90: CUPED — pooled theta from exact integer moments, per-variant
+# adjusted means, SRM chi-square; mirrored IEEE chains.
+ORACLE["cuped_experiment_analysis"] = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+              THEN CAST(FLOOR(value * 100.0) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+              THEN CAST(FLOOR(value * 100.0) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY user_id),
+u AS (
+  SELECT *,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2 AS variant
+  FROM per_user),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         SUM(CAST(CASE WHEN variant = 0 THEN x ELSE 0 END AS HUGEINT)) AS sx0,
+         SUM(CAST(CASE WHEN variant = 0 THEN y ELSE 0 END AS HUGEINT)) AS sy0
+  FROM u),
+s AS (
+  SELECT *,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS xbar
+  FROM agg),
+v AS (
+  SELECT CAST(0 AS BIGINT) AS variant, n0 AS n_users,
+         CAST(sy0 AS DOUBLE) AS syv, CAST(sx0 AS DOUBLE) AS sxv, s.*
+  FROM s
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), n - n0,
+         CAST(sy - sy0 AS DOUBLE), CAST(sx - sx0 AS DOUBLE), s.*
+  FROM s)
+SELECT variant, CAST(n_users AS BIGINT) AS n_users,
+       syv / CAST(n_users AS DOUBLE) / 100.0 AS mean_y,
+       syv / CAST(n_users AS DOUBLE) / 100.0
+         - theta * (sxv / CAST(n_users AS DOUBLE) / 100.0 - xbar)
+         AS mean_y_cuped,
+       theta,
+       (CAST(n0 AS DOUBLE) - CAST(n - n0 AS DOUBLE))
+         * (CAST(n0 AS DOUBLE) - CAST(n - n0 AS DOUBLE))
+         / CAST(n AS DOUBLE) AS srm_chi2
+FROM v ORDER BY variant
+"""

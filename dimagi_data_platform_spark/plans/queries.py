@@ -9605,3 +9605,152 @@ def source_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars", "src_rank", "norm_chars")
         .orderBy("doc_id")
     )
+
+
+@query("monthly_revenue_pop")
+def monthly_revenue_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R89: period-over-period metric layer — monthly revenue with
+    month-over-month and year-over-year deltas and growth rates, the
+    calendar-aligned comparison every BI layer ships. MoM is lag(1)
+    over the month spine; YoY joins the SAME month number a year back
+    (calendar alignment, not row offset — a missing month must not
+    shift the comparison). Revenue accumulates as exact integer cents;
+    deltas stay integer and growth is ONE IEEE division per row,
+    NULL-guarded when the base period is absent or zero.
+
+    Scale: one shuffle to the month grain; the spine window is
+    calendar-bounded metadata.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy("yr", "mo")
+    cur = monthly.withColumn("prev_cents", F.lag("rev_cents").over(w))
+    yoy = monthly.select(
+        (F.col("yr") + 1).alias("yr"),
+        F.col("mo"),
+        F.col("rev_cents").alias("yoy_cents"),
+    )
+    g = cur.join(yoy, ["yr", "mo"], "left")
+
+    def growth(base):
+        return F.when(
+            base.isNotNull() & (base != 0),
+            (F.col("rev_cents") - base).cast("double") / base.cast("double"),
+        )
+
+    return g.select(
+        "yr",
+        "mo",
+        (F.col("rev_cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        (F.col("rev_cents") - F.col("prev_cents")).cast("long").alias("mom_delta_cents"),
+        growth(F.col("prev_cents")).alias("mom_growth"),
+        (F.col("rev_cents") - F.col("yoy_cents")).cast("long").alias("yoy_delta_cents"),
+        growth(F.col("yoy_cents")).alias("yoy_growth"),
+    ).orderBy("yr", "mo")
+
+
+@query("cuped_experiment_analysis")
+def cuped_experiment_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P90: CUPED variance-reduced experiment readout (Deng et al.
+    2013 — the industry-standard A/B sensitivity boost): users split
+    into deterministic variants by md5 parity (portable, no RNG), the
+    pre-period value sum is the covariate, and each variant's
+    experiment-period mean is adjusted by θ·(x̄_v − x̄) with
+    θ = cov(x,y)/var(x) estimated POOLED (the unbiased-under-the-null
+    choice). A sample-ratio-mismatch χ² guard rides along — the check
+    that must pass before anyone reads the metric. All moments are
+    exact integer cent sums (decimal accumulators); θ, the adjusted
+    means, and the SRM statistic are short mirrored IEEE chains.
+
+    Scale: one shuffle to the user grain, then a 2-row conditional
+    aggregate; nothing else.
+    """
+    split = "2024-01-16"
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * F.lit(100.0)).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts") < F.lit(split).cast("timestamp"), cents).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("ts") >= F.lit(split).cast("timestamp"), cents).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    u = per_user.withColumn(
+        "variant",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+            ).cast("long"),
+            F.lit(2),
+        ),
+    )
+    dec = "decimal(38,0)"
+    agg = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum((F.col("variant") == 0).cast("long")).cast("long").alias("n0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("x")).otherwise(F.lit(0)))
+        .cast(dec)
+        .alias("sx0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("y")).otherwise(F.lit(0)))
+        .cast(dec)
+        .alias("sy0"),
+    )
+    n_d = F.col("n").cast("double")
+    theta = (
+        n_d * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        n_d * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    xbar = F.col("sx").cast("double") / n_d / F.lit(100.0)
+    scal = agg.withColumn("theta", theta).withColumn("xbar", xbar)
+    rows = []
+    for v in (0, 1):
+        nv = F.col("n0") if v == 0 else (F.col("n") - F.col("n0"))
+        sxv = (
+            F.col("sx0") if v == 0 else (F.col("sx") - F.col("sx0"))
+        ).cast("double")
+        syv = (
+            F.col("sy0") if v == 0 else (F.col("sy") - F.col("sy0"))
+        ).cast("double")
+        nv_d = nv.cast("double")
+        mean_y = syv / nv_d / F.lit(100.0)
+        mean_x = sxv / nv_d / F.lit(100.0)
+        srm = (
+            (F.col("n0").cast("double") - (F.col("n") - F.col("n0")).cast("double"))
+            * (F.col("n0").cast("double") - (F.col("n") - F.col("n0")).cast("double"))
+            / n_d
+        )
+        rows.append(
+            scal.select(
+                F.lit(v).cast("long").alias("variant"),
+                nv.cast("long").alias("n_users"),
+                mean_y.alias("mean_y"),
+                (mean_y - F.col("theta") * (mean_x - F.col("xbar"))).alias(
+                    "mean_y_cuped"
+                ),
+                F.col("theta").alias("theta"),
+                srm.alias("srm_chi2"),
+            )
+        )
+    return rows[0].unionAll(rows[1]).orderBy("variant")

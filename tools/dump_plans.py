@@ -157,6 +157,12 @@ SHOW = [
     ("daily_revenue_bootstrap_ci",
      "day-grain aggregate -> |days|x100 metadata explode -> B-row "
      "windows; zero RNG state"),
+    ("source_quantile_normalize",
+     "two distributed global ranks + integer-keyed pooled join; no "
+     "per-source window"),
+    ("cuped_experiment_analysis",
+     "one user-grain shuffle -> one conditional-aggregate row -> "
+     "2-row readout"),
 ]
 
 MARKERS = (
