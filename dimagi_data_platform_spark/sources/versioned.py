@@ -244,3 +244,31 @@ def read_changes(
         *key_cols, *[F.col(f"__n_{c}").alias(c) for c in val_cols]
     ).withColumn("_change_type", F.lit("update_postimage"))
     return inserts.unionAll(deletes).unionAll(pre).unionAll(post)
+
+
+def read_bitemporal(
+    spark: SparkSession,
+    path: str,
+    tx_ts: str,
+    valid_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Bitemporal point query over a versioned SCD2 table — the two
+    time axes composed (Snodgrass bitemporal model): TRANSACTION time
+    resolves via the manifest (``read_asof``: the last version
+    committed at or before ``tx_ts`` — what the warehouse KNEW then,
+    immune to later restatements), then VALID time filters the SCD2
+    intervals (``valid_from <= valid_ts < valid_to``, open-ended
+    current rows included — what was TRUE then). "What did we believe
+    on March 1 about the customer's tier on Jan 15" is one call.
+
+    Scale: an ordinary pruned parquet scan of ONE version directory +
+    a scan-local interval filter — both axes cost nothing beyond the
+    snapshot read."""
+    snap = read_asof(spark, path, tx_ts)
+    v = F.lit(valid_ts).cast("timestamp")
+    return snap.filter(
+        (F.col(valid_from) <= v)
+        & (F.col(valid_to).isNull() | (F.col(valid_to) > v))
+    )
