@@ -46,10 +46,16 @@ DEFAULT_DIM = 64
 # --------------------------------------------------------------------------
 
 
-def _matrix(series: pd.Series) -> np.ndarray:
+def _matrix(series: pd.Series, empty_dim: int = 64) -> np.ndarray:
     """Stack an Arrow list<float> column into an (n, dim) float64 matrix
-    (cast-to-double first, matching ``.getItem(i).cast("double")``)."""
-    return np.stack([np.asarray(v, dtype=np.float64) for v in series])
+    (cast-to-double first, matching ``.getItem(i).cast("double")``).
+    An EMPTY training sample (empty corpus / over-filtered input)
+    yields one zero vector so quantizer/centroid literals still build
+    and the query degrades to an empty result instead of crashing."""
+    rows = [np.asarray(v, dtype=np.float64) for v in series]
+    if not rows:
+        return np.zeros((1, empty_dim))
+    return np.stack(rows)
 
 
 def _train_sample(
@@ -697,7 +703,12 @@ def knn_ivf_from_index(
         spark.read.parquet(f"{path}/centroids").orderBy("list_id").toPandas()
     )
     C = np.stack([np.asarray(v, dtype=np.float64) for v in cent["centroid"]])
-    assigned = spark.read.parquet(f"{path}/items")
+    # explicit schema: an index built from an EMPTY corpus has no part
+    # files to infer from (partitionBy wrote only _SUCCESS) — the serve
+    # path must still return an empty result, not fail the read
+    assigned = spark.read.schema(
+        f"{id_col} long, {vec_col} array<float>, list_id long"
+    ).parquet(f"{path}/items")
     return _ivf_score(assigned, C, queries, k, id_col, vec_col, nprobe)
 
 

@@ -2540,8 +2540,12 @@ c AS (SELECT (SELECT COUNT(*) FROM mh) AS n_candidates,
              (SELECT COUNT(*) FROM tr) AS n_truth,
              (SELECT COUNT(*) FROM hit) AS n_hit)
 SELECT n_candidates, n_truth, n_hit,
-       CAST(n_hit AS DOUBLE) / CAST(n_candidates AS DOUBLE) AS precision_at_02,
-       CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall_at_02
+       CASE WHEN n_candidates > 0
+            THEN CAST(n_hit AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+       END AS precision_at_02,
+       CASE WHEN n_truth > 0
+            THEN CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+       END AS recall_at_02
 FROM c
 """
 
@@ -4208,19 +4212,20 @@ SELECT 'customer' AS table_name,
        CAST((SELECT COUNT(*) FROM del_keys) AS BIGINT) AS n_affected,
        CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_total,
        CAST((SELECT COUNT(*) FROM del_keys) AS DOUBLE)
-         / CAST((SELECT COUNT(*) FROM customer) AS DOUBLE) AS affected_frac
+         / NULLIF(CAST((SELECT COUNT(*) FROM customer) AS DOUBLE), 0)
+         AS affected_frac
 UNION ALL
 SELECT 'orders',
        CAST((SELECT COUNT(*) FROM aff_orders) AS BIGINT),
        CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
        CAST((SELECT COUNT(*) FROM aff_orders) AS DOUBLE)
-         / CAST((SELECT COUNT(*) FROM orders) AS DOUBLE)
+         / NULLIF(CAST((SELECT COUNT(*) FROM orders) AS DOUBLE), 0)
 UNION ALL
 SELECT 'lineitem',
        CAST((SELECT COUNT(*) FROM aff_li) AS BIGINT),
        CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
        CAST((SELECT COUNT(*) FROM aff_li) AS DOUBLE)
-         / CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE)
+         / NULLIF(CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE), 0)
 """
 
 # L60: deterministic contrastive negatives (portable md5 ordering).
@@ -5362,8 +5367,10 @@ counts AS (
          (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true)
 SELECT n_orders, n_members, n_bits_set, n_flagged, n_true,
        n_flagged - n_true AS n_false_pos,
-       CAST(n_flagged - n_true AS DOUBLE)
-         / CAST(n_orders - n_true AS DOUBLE) AS fp_rate
+       CASE WHEN n_orders - n_true > 0
+            THEN CAST(n_flagged - n_true AS DOUBLE)
+                 / CAST(n_orders - n_true AS DOUBLE)
+       END AS fp_rate
 FROM counts
 """
 

@@ -4606,12 +4606,14 @@ def near_dup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_candidates",
             "n_truth",
             "n_hit",
-            (
+            F.when(
+                F.col("n_candidates") > 0,
                 F.col("n_hit").cast("double")
-                / F.col("n_candidates").cast("double")
+                / F.col("n_candidates").cast("double"),
             ).alias("precision_at_02"),
-            (
-                F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("n_hit").cast("double") / F.col("n_truth").cast("double"),
             ).alias("recall_at_02"),
         )
     )
@@ -7115,9 +7117,10 @@ def deletion_cascade_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(name).alias("table_name"),
                 "n_affected",
                 "n_total",
-                (
+                F.when(
+                    F.col("n_total") > 0,
                     F.col("n_affected").cast("double")
-                    / F.col("n_total").cast("double")
+                    / F.col("n_total").cast("double"),
                 ).alias("affected_frac"),
             )
         )
@@ -8932,9 +8935,10 @@ def arrears_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_flagged",
         "n_true",
         (F.col("n_flagged") - F.col("n_true")).alias("n_false_pos"),
-        (
+        F.when(
+            F.col("n_orders") - F.col("n_true") > 0,
             (F.col("n_flagged") - F.col("n_true")).cast("double")
-            / (F.col("n_orders") - F.col("n_true")).cast("double")
+            / (F.col("n_orders") - F.col("n_true")).cast("double"),
         ).alias("fp_rate"),
     )
 
