@@ -3107,9 +3107,11 @@ c AS (
          SUM(b_cnt) OVER () AS nb
   FROM per)
 SELECT value, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-       CAST(ABS(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
-            AS DOUBLE)
-         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks_stat
+       CASE WHEN na > 0 AND nb > 0
+            THEN CAST(ABS(CAST(ca AS HUGEINT) * nb
+                          - CAST(cb AS HUGEINT) * na) AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+       END AS ks_stat
 FROM c
 ORDER BY ABS(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na) DESC,
          value
@@ -3149,14 +3151,16 @@ u AS (
            AS u_a
   FROM s)
 SELECT n_a, n_b, u_a,
-       (u_a - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
-         / SQRT(
-             (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
-             * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
-                - CAST(s_ties AS DOUBLE)
-                  / (CAST(n_a + n_b AS DOUBLE)
-                     * (CAST(n_a + n_b AS DOUBLE) - 1.0)))
-           ) AS z_score
+       CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 1
+            THEN (u_a - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+                 / SQRT(
+                     (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+                     * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                        - CAST(s_ties AS DOUBLE)
+                          / (CAST(n_a + n_b AS DOUBLE)
+                             * (CAST(n_a + n_b AS DOUBLE) - 1.0)))
+                   )
+       END AS z_score
 FROM u
 """
 
@@ -3289,19 +3293,27 @@ kt AS (
          CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ty
   FROM daily a JOIN daily b ON a.day_num < b.day_num)
 SELECT n_days, nc AS concordant, nd AS discordant,
-       (CAST(n_days AS DOUBLE) * CAST(sab AS DOUBLE)
-        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
-         / (SQRT(CAST(n_days AS DOUBLE) * CAST(saa AS DOUBLE)
-                 - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
-            * SQRT(CAST(n_days AS DOUBLE) * CAST(sbb AS DOUBLE)
-                   - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
-         AS spearman_rho,
-       CAST(nc - nd AS DOUBLE)
-         / SQRT((CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0) / 2.0
-                 - CAST(tx AS DOUBLE))
-                * (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0) / 2.0
-                   - CAST(ty AS DOUBLE)))
-         AS kendall_tau
+       CASE WHEN SQRT(CAST(n_days AS DOUBLE) * CAST(saa AS DOUBLE)
+                      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                 * SQRT(CAST(n_days AS DOUBLE) * CAST(sbb AS DOUBLE)
+                        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) <> 0.0
+            THEN (CAST(n_days AS DOUBLE) * CAST(sab AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                 / (SQRT(CAST(n_days AS DOUBLE) * CAST(saa AS DOUBLE)
+                         - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                    * SQRT(CAST(n_days AS DOUBLE) * CAST(sbb AS DOUBLE)
+                           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+       END AS spearman_rho,
+       CASE WHEN SQRT((CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0) / 2.0
+                       - CAST(tx AS DOUBLE))
+                      * (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0) / 2.0
+                         - CAST(ty AS DOUBLE))) <> 0.0
+            THEN CAST(nc - nd AS DOUBLE)
+                 / SQRT((CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0) / 2.0
+                         - CAST(tx AS DOUBLE))
+                        * (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0) / 2.0
+                           - CAST(ty AS DOUBLE)))
+       END AS kendall_tau
 FROM sp, kt
 """
 
@@ -4415,7 +4427,9 @@ WITH ranked AS (
          CAST(COUNT(*) OVER () AS BIGINT) AS n
   FROM orders)
 SELECT o_orderkey, o_totalprice, rn AS value_rank,
-       CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS quantile
+       CASE WHEN n > 1
+            THEN CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+       END AS quantile
 FROM ranked WHERE o_orderkey < 2000
 ORDER BY o_orderkey
 """
@@ -5076,23 +5090,26 @@ s AS (
 h AS (
   SELECT n0, n1, n2, n3, n4, s_ties,
     CAST(n0 + n1 + n2 + n3 + n4 AS DOUBLE) AS nd,
-    (CAST(two_r0 AS DOUBLE) / 2.0) * (CAST(two_r0 AS DOUBLE) / 2.0)
-      / CAST(n0 AS DOUBLE)
-    + (CAST(two_r1 AS DOUBLE) / 2.0) * (CAST(two_r1 AS DOUBLE) / 2.0)
-      / CAST(n1 AS DOUBLE)
-    + (CAST(two_r2 AS DOUBLE) / 2.0) * (CAST(two_r2 AS DOUBLE) / 2.0)
-      / CAST(n2 AS DOUBLE)
-    + (CAST(two_r3 AS DOUBLE) / 2.0) * (CAST(two_r3 AS DOUBLE) / 2.0)
-      / CAST(n3 AS DOUBLE)
-    + (CAST(two_r4 AS DOUBLE) / 2.0) * (CAST(two_r4 AS DOUBLE) / 2.0)
-      / CAST(n4 AS DOUBLE) AS a
+    CASE WHEN n0 > 0 THEN (CAST(two_r0 AS DOUBLE) / 2.0) * (CAST(two_r0 AS DOUBLE) / 2.0)
+      / CAST(n0 AS DOUBLE) ELSE 0.0 END
+    + CASE WHEN n1 > 0 THEN (CAST(two_r1 AS DOUBLE) / 2.0) * (CAST(two_r1 AS DOUBLE) / 2.0)
+      / CAST(n1 AS DOUBLE) ELSE 0.0 END
+    + CASE WHEN n2 > 0 THEN (CAST(two_r2 AS DOUBLE) / 2.0) * (CAST(two_r2 AS DOUBLE) / 2.0)
+      / CAST(n2 AS DOUBLE) ELSE 0.0 END
+    + CASE WHEN n3 > 0 THEN (CAST(two_r3 AS DOUBLE) / 2.0) * (CAST(two_r3 AS DOUBLE) / 2.0)
+      / CAST(n3 AS DOUBLE) ELSE 0.0 END
+    + CASE WHEN n4 > 0 THEN (CAST(two_r4 AS DOUBLE) / 2.0) * (CAST(two_r4 AS DOUBLE) / 2.0)
+      / CAST(n4 AS DOUBLE) ELSE 0.0 END AS a
   FROM s),
 o AS (
   SELECT n0, n1, n2, n3, n4,
     12.0 / (nd * (nd + 1.0)) * a - 3.0 * (nd + 1.0) AS h_stat,
-    1.0 - CAST(s_ties AS DOUBLE) / (nd * nd * nd - nd) AS tie_c
+    CASE WHEN nd * nd * nd - nd <> 0.0
+         THEN 1.0 - CAST(s_ties AS DOUBLE) / (nd * nd * nd - nd)
+    END AS tie_c
   FROM h)
-SELECT n0, n1, n2, n3, n4, h_stat, tie_c, h_stat / tie_c AS h_corrected
+SELECT n0, n1, n2, n3, n4, h_stat, tie_c,
+       CASE WHEN tie_c <> 0.0 THEN h_stat / tie_c END AS h_corrected
 FROM o
 """
 
@@ -5133,11 +5150,11 @@ d AS (
   SELECT n0 + n1 + n2 + n3 + n4 AS n,
     CAST(n0 + n1 + n2 + n3 + n4 AS DOUBLE) AS nd,
     CAST(s0 + s1 + s2 + s3 + s4 AS DOUBLE) AS sd,
-    CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
-    + CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-    + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
-    + CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE)
-    + CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE) / CAST(n4 AS DOUBLE)
+    CASE WHEN n0 > 0 THEN CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) ELSE 0.0 END
+    + CASE WHEN n1 > 0 THEN CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) ELSE 0.0 END
+    + CASE WHEN n2 > 0 THEN CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) ELSE 0.0 END
+    + CASE WHEN n3 > 0 THEN CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE) ELSE 0.0 END
+    + CASE WHEN n4 > 0 THEN CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE) / CAST(n4 AS DOUBLE) ELSE 0.0 END
       AS a_term,
     CAST(ss AS DOUBLE) AS ssd
   FROM tot),
@@ -5146,7 +5163,9 @@ o AS (
     a_term - sd * sd / nd AS ssb,
     ssd - a_term AS ssw, nd
   FROM d)
-SELECT n, ssb, ssw, (ssb / 4.0) / (ssw / (nd - 5.0)) AS f_stat
+SELECT n, ssb, ssw,
+       CASE WHEN ssw <> 0.0
+            THEN (ssb / 4.0) / (ssw / (nd - 5.0)) END AS f_stat
 FROM o
 """
 
@@ -5311,19 +5330,21 @@ d AS (
   SELECT n0 + n1 + n2 + n3 + n4 AS n,
     CAST(n0 + n1 + n2 + n3 + n4 AS DOUBLE) AS nd,
     CAST(s0 + s1 + s2 + s3 + s4 AS DOUBLE) AS sd,
-    CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
-    + CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-    + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
-    + CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE)
-    + CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE) / CAST(n4 AS DOUBLE)
+    CASE WHEN n0 > 0 THEN CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) ELSE 0.0 END
+    + CASE WHEN n1 > 0 THEN CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) ELSE 0.0 END
+    + CASE WHEN n2 > 0 THEN CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) ELSE 0.0 END
+    + CASE WHEN n3 > 0 THEN CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE) ELSE 0.0 END
+    + CASE WHEN n4 > 0 THEN CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE) / CAST(n4 AS DOUBLE) ELSE 0.0 END
       AS a_term,
     CAST(ss AS DOUBLE) AS ssd
   FROM t2)
 SELECT CAST(n AS BIGINT) AS n, med0, med1, med2, med3, med4,
        a_term - sd * sd / nd AS ssb_z,
        ssd - a_term AS ssw_z,
-       ((a_term - sd * sd / nd) / 4.0) / ((ssd - a_term) / (nd - 5.0))
-         AS w_stat
+       CASE WHEN ssd - a_term <> 0.0
+            THEN ((a_term - sd * sd / nd) / 4.0)
+                 / ((ssd - a_term) / (nd - 5.0))
+       END AS w_stat
 FROM d, meds
 """
 
@@ -5470,10 +5491,14 @@ per AS (
   FROM dev CROSS JOIN tot
   GROUP BY c_nationkey, n_g, n_tot, n_bands)
 SELECT c_nationkey, n_g, emd_num,
-       CAST(emd_num AS DOUBLE)
-         / CAST(n_g * n_tot * (n_bands - 1) AS DOUBLE) AS t_emd,
-       (CAST(emd_num AS DOUBLE)
-         / CAST(n_g * n_tot * (n_bands - 1) AS DOUBLE)) > 0.15 AS is_risky
+       CASE WHEN n_bands > 1
+            THEN CAST(emd_num AS DOUBLE)
+                 / CAST(n_g * n_tot * (n_bands - 1) AS DOUBLE)
+       END AS t_emd,
+       (CASE WHEN n_bands > 1
+             THEN CAST(emd_num AS DOUBLE)
+                  / CAST(n_g * n_tot * (n_bands - 1) AS DOUBLE)
+        END) > 0.15 AS is_risky
 FROM per
 ORDER BY c_nationkey
 """
@@ -5510,7 +5535,9 @@ u AS (
            AS u_stat
   FROM agg)
 SELECT n_pos, n_neg, u_stat,
-       u_stat / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN u_stat / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+       END AS auc
 FROM u
 """
 
@@ -5858,10 +5885,13 @@ agg AS (
   FROM u),
 s AS (
   SELECT *,
-         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+         CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+              THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         END AS theta,
          CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS xbar
   FROM agg),
 v AS (
@@ -5873,10 +5903,12 @@ v AS (
          CAST(sy - sy0 AS DOUBLE), CAST(sx - sx0 AS DOUBLE), s.*
   FROM s)
 SELECT variant, CAST(n_users AS BIGINT) AS n_users,
-       syv / CAST(n_users AS DOUBLE) / 100.0 AS mean_y,
-       syv / CAST(n_users AS DOUBLE) / 100.0
-         - theta * (sxv / CAST(n_users AS DOUBLE) / 100.0 - xbar)
-         AS mean_y_cuped,
+       CASE WHEN n_users > 0
+            THEN syv / CAST(n_users AS DOUBLE) / 100.0 END AS mean_y,
+       CASE WHEN n_users > 0
+            THEN syv / CAST(n_users AS DOUBLE) / 100.0
+                 - theta * (sxv / CAST(n_users AS DOUBLE) / 100.0 - xbar)
+       END AS mean_y_cuped,
        theta,
        (CAST(n0 AS DOUBLE) - CAST(n - n0 AS DOUBLE))
          * (CAST(n0 AS DOUBLE) - CAST(n - n0 AS DOUBLE))

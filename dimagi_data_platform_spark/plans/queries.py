@@ -5618,8 +5618,11 @@ def order_value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "ks_stat",
-            F.col("_nd").cast("double")
-            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.col("_nd").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            ),
         )
         .orderBy(F.desc("_nd"), "value")
         .limit(1)
@@ -5673,14 +5676,17 @@ def order_value_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.withColumn("u_a", u_a)
         .withColumn(
             "z_score",
-            (F.col("u_a") - n_a_d * n_b_d / F.lit(2.0))
-            / F.sqrt(
-                (n_a_d * n_b_d / F.lit(12.0))
-                * (
-                    (n_d + F.lit(1.0))
-                    - F.col("s_ties").cast("double")
-                    / (n_d * (n_d - F.lit(1.0)))
-                )
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0) & (n_d > F.lit(1.0)),
+                (F.col("u_a") - n_a_d * n_b_d / F.lit(2.0))
+                / F.sqrt(
+                    (n_a_d * n_b_d / F.lit(12.0))
+                    * (
+                        (n_d + F.lit(1.0))
+                        - F.col("s_ties").cast("double")
+                        / (n_d * (n_d - F.lit(1.0)))
+                    )
+                ),
             ),
         )
         .select("n_a", "n_b", "u_a", "z_score")
@@ -5799,12 +5805,20 @@ def daily_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("ra") * F.col("rb")).cast("long").alias("sab"),
     )
     n = F.col("n_days").cast("double")
-    rho = (
-        (n * F.col("sab").cast("double") - F.col("sa").cast("double") * F.col("sb").cast("double"))
-        / (
-            F.sqrt(n * F.col("saa").cast("double") - F.col("sa").cast("double") * F.col("sa").cast("double"))
-            * F.sqrt(n * F.col("sbb").cast("double") - F.col("sb").cast("double") * F.col("sb").cast("double"))
+    rho_den = F.sqrt(
+        n * F.col("saa").cast("double")
+        - F.col("sa").cast("double") * F.col("sa").cast("double")
+    ) * F.sqrt(
+        n * F.col("sbb").cast("double")
+        - F.col("sb").cast("double") * F.col("sb").cast("double")
+    )
+    rho = F.when(
+        rho_den != 0.0,
+        (
+            n * F.col("sab").cast("double")
+            - F.col("sa").cast("double") * F.col("sb").cast("double")
         )
+        / rho_den,
     )
     a = daily.select(F.col("day_num").alias("d1"), F.col("x").alias("x1"), F.col("y").alias("y1"))
     b = daily.select(F.col("day_num").alias("d2"), F.col("x").alias("x2"), F.col("y").alias("y2"))
@@ -5821,8 +5835,12 @@ def daily_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ty"),
     )
     n0 = n * (n - F.lit(1.0)) / F.lit(2.0)
-    tau = (F.col("nc") - F.col("nd")).cast("double") / F.sqrt(
+    tau_den = F.sqrt(
         (n0 - F.col("tx").cast("double")) * (n0 - F.col("ty").cast("double"))
+    )
+    tau = F.when(
+        tau_den != 0.0,
+        (F.col("nc") - F.col("nd")).cast("double") / tau_den,
     )
     return (
         sp.crossJoin(kt)
@@ -7564,9 +7582,10 @@ def order_value_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFram
             "o_orderkey",
             "o_totalprice",
             F.col("rn").alias("value_rank"),
-            (
+            F.when(
+                F.col("n") > 1,
                 (F.col("rn") - F.lit(1)).cast("double")
-                / (F.col("n") - F.lit(1)).cast("double")
+                / (F.col("n") - F.lit(1)).cast("double"),
             ).alias("quantile"),
         )
         .orderBy("o_orderkey")
@@ -8491,22 +8510,30 @@ def order_value_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A = sum_g R_g^2 / n_g with R_g = two_r_g / 2, left-associated in
     # group order (mirrored verbatim in the oracle)
     terms = [
-        (F.col(f"two_r{i}").cast("double") / F.lit(2.0))
-        * (F.col(f"two_r{i}").cast("double") / F.lit(2.0))
-        / F.col(f"n{i}").cast("double")
+        F.when(
+            F.col(f"n{i}") > 0,
+            (F.col(f"two_r{i}").cast("double") / F.lit(2.0))
+            * (F.col(f"two_r{i}").cast("double") / F.lit(2.0))
+            / F.col(f"n{i}").cast("double"),
+        ).otherwise(F.lit(0.0))
         for i in range(5)
     ]
     a = terms[0] + terms[1] + terms[2] + terms[3] + terms[4]
     h = F.lit(12.0) / (n_d * (n_d + F.lit(1.0))) * a - F.lit(3.0) * (
         n_d + F.lit(1.0)
     )
-    c = F.lit(1.0) - F.col("s_ties").cast("double") / (
-        n_d * n_d * n_d - n_d
+    c = F.when(
+        n_d * n_d * n_d - n_d != 0.0,
+        F.lit(1.0)
+        - F.col("s_ties").cast("double") / (n_d * n_d * n_d - n_d),
     )
     return (
         s.withColumn("h_stat", h)
         .withColumn("tie_c", c)
-        .withColumn("h_corrected", F.col("h_stat") / F.col("tie_c"))
+        .withColumn(
+            "h_corrected",
+            F.when(F.col("tie_c") != 0.0, F.col("h_stat") / F.col("tie_c")),
+        )
         .select(
             *[f"n{i}" for i in range(5)], "h_stat", "tie_c", "h_corrected"
         )
@@ -8557,16 +8584,21 @@ def order_value_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_d = sum(F.col(f"n{i}") for i in range(5)).cast("double")
     s_d = sum(F.col(f"s{i}") for i in range(5)).cast("double")
     terms = [
-        F.col(f"s{i}").cast("double")
-        * F.col(f"s{i}").cast("double")
-        / F.col(f"n{i}").cast("double")
+        F.when(
+            F.col(f"n{i}") > 0,
+            F.col(f"s{i}").cast("double")
+            * F.col(f"s{i}").cast("double")
+            / F.col(f"n{i}").cast("double"),
+        ).otherwise(F.lit(0.0))
         for i in range(5)
     ]
     a_term = terms[0] + terms[1] + terms[2] + terms[3] + terms[4]
     t_term = s_d * s_d / n_d
     ssb = a_term - t_term
     ssw = F.col("ss").cast("double") - a_term
-    f_stat = (ssb / F.lit(4.0)) / (ssw / (n_d - F.lit(5.0)))
+    f_stat = F.when(
+        ssw != 0.0, (ssb / F.lit(4.0)) / (ssw / (n_d - F.lit(5.0)))
+    )
     return (
         tot.withColumn("n", sum(F.col(f"n{i}") for i in range(5)).cast("long"))
         .withColumn("ssb", ssb)
@@ -8821,15 +8853,20 @@ def order_value_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_d = sum(F.col(f"n{i}") for i in range(5)).cast("double")
     s_d = sum(F.col(f"s{i}") for i in range(5)).cast("double")
     terms = [
-        F.col(f"s{i}").cast("double")
-        * F.col(f"s{i}").cast("double")
-        / F.col(f"n{i}").cast("double")
+        F.when(
+            F.col(f"n{i}") > 0,
+            F.col(f"s{i}").cast("double")
+            * F.col(f"s{i}").cast("double")
+            / F.col(f"n{i}").cast("double"),
+        ).otherwise(F.lit(0.0))
         for i in range(5)
     ]
     a_term = terms[0] + terms[1] + terms[2] + terms[3] + terms[4]
     ssb = a_term - s_d * s_d / n_d
     ssw = F.col("ss").cast("double") - a_term
-    w_stat = (ssb / F.lit(4.0)) / (ssw / (n_d - F.lit(5.0)))
+    w_stat = F.when(
+        ssw != 0.0, (ssb / F.lit(4.0)) / (ssw / (n_d - F.lit(5.0)))
+    )
     return (
         tot2.crossJoin(F.broadcast(meds))
         .withColumn("n", sum(F.col(f"n{i}") for i in range(5)).cast("long"))
@@ -9043,9 +9080,13 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey", "n_g", "n_tot", "n_bands")
         .agg(F.sum("d").cast("long").alias("emd_num"))
     )
-    t_emd = F.col("emd_num").cast("double") / (
-        F.col("n_g") * F.col("n_tot") * (F.col("n_bands") - F.lit(1))
-    ).cast("double")
+    t_emd = F.when(
+        F.col("n_bands") > 1,
+        F.col("emd_num").cast("double")
+        / (
+            F.col("n_g") * F.col("n_tot") * (F.col("n_bands") - F.lit(1))
+        ).cast("double"),
+    )
     return (
         per_nation.withColumn("t_emd", t_emd)
         .withColumn("is_risky", F.col("t_emd") > F.lit(0.15))
@@ -9106,7 +9147,10 @@ def auc_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn("u_stat", u)
         .withColumn(
             "auc",
-            F.col("u_stat") / (np_d * F.col("n_neg").cast("double")),
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.col("u_stat") / (np_d * F.col("n_neg").cast("double")),
+            ),
         )
         .select("n_pos", "n_neg", "u_stat", "auc")
     )
@@ -9719,12 +9763,17 @@ def cuped_experiment_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sy0"),
     )
     n_d = F.col("n").cast("double")
-    theta = (
-        n_d * F.col("sxy").cast("double")
-        - F.col("sx").cast("double") * F.col("sy").cast("double")
-    ) / (
+    theta_den = (
         n_d * F.col("sxx").cast("double")
         - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    theta = F.when(
+        theta_den != 0.0,
+        (
+            n_d * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        )
+        / theta_den,
     )
     xbar = F.col("sx").cast("double") / n_d / F.lit(100.0)
     scal = agg.withColumn("theta", theta).withColumn("xbar", xbar)
@@ -9738,8 +9787,8 @@ def cuped_experiment_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sy0") if v == 0 else (F.col("sy") - F.col("sy0"))
         ).cast("double")
         nv_d = nv.cast("double")
-        mean_y = syv / nv_d / F.lit(100.0)
-        mean_x = sxv / nv_d / F.lit(100.0)
+        mean_y = F.when(nv > 0, syv / nv_d / F.lit(100.0))
+        mean_x = F.when(nv > 0, sxv / nv_d / F.lit(100.0))
         srm = (
             (F.col("n0").cast("double") - (F.col("n") - F.col("n0")).cast("double"))
             * (F.col("n0").cast("double") - (F.col("n") - F.col("n0")).cast("double"))

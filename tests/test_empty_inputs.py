@@ -1,10 +1,13 @@
 """Degenerate-input robustness: EVERY registered query must execute
-(possibly to an empty result) against zero-row tables — the state a
-production pipeline hits on day one, after an over-aggressive filter,
-or on an empty ingest partition. Found-and-fixed by the r7 sweep:
+against zero-row AND single-row tables — the states a production
+pipeline hits on day one, after an over-aggressive filter, or on an
+empty/thin ingest partition. Found-and-fixed by the r7 sweeps:
 np.stack on empty quantizer training samples (7 ANN queries), ANSI
-divide-by-zero on empty denominators (3 ratio queries), and
-schema-less reads of an IVF index built from an empty corpus."""
+divide-by-zero on empty denominators (3 ratio queries), schema-less
+reads of an IVF index built from an empty corpus, and 10 statistical
+queries whose statistics are undefined at n=1 (variance/rank/EMD
+denominators) — those now return NULL for the undefined statistic,
+with the guards mirrored in their oracles."""
 
 from __future__ import annotations
 
@@ -18,18 +21,27 @@ from dimagi_data_platform_spark.plans.queries import QUERIES
 from tests.conftest import SF_SMALL
 
 
-@pytest.fixture(scope="module")
-def empty_sf(tmp_path_factory):
-    d = str(tmp_path_factory.mktemp("sf_empty"))
+def _make_sf(tmp_path_factory, name: str, limit: int) -> str:
+    d = str(tmp_path_factory.mktemp(name))
     con = duckdb.connect()
     for t in TABLES:
         src = table_path(SF_SMALL, t)
         if os.path.exists(src):
             con.execute(
-                f"COPY (SELECT * FROM '{src}' LIMIT 0) "
+                f"COPY (SELECT * FROM '{src}' LIMIT {limit}) "
                 f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
             )
     return d
+
+
+@pytest.fixture(scope="module")
+def empty_sf(tmp_path_factory):
+    return _make_sf(tmp_path_factory, "sf_empty", 0)
+
+
+@pytest.fixture(scope="module")
+def one_row_sf(tmp_path_factory):
+    return _make_sf(tmp_path_factory, "sf_one", 1)
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -38,3 +50,10 @@ def test_query_survives_empty_tables(spark, empty_sf, name):
     # sometimes a single all-NULL/zero statistic row); the contract is
     # "executes without raising"
     QUERIES[name](spark, empty_sf).collect()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_survives_single_row_tables(spark, one_row_sf, name):
+    # n=1 exercises every (n-1)/variance/rank denominator; undefined
+    # statistics must come back NULL, never raise
+    QUERIES[name](spark, one_row_sf).collect()
