@@ -5915,3 +5915,93 @@ SELECT variant, CAST(n_users AS BIGINT) AS n_users,
          / CAST(n AS DOUBLE) AS srm_chi2
 FROM v ORDER BY variant
 """
+
+
+# R90: linear-interpolation gapfill — bracketing via IGNORE NULLS
+# window endpoints, exact integer cents/gaps, one IEEE chain per day.
+ORACLE["daily_value_lerp"] = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS vq
+  FROM events GROUP BY 1, 2),
+span AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+  FROM daily GROUP BY user_id),
+spine AS (
+  SELECT user_id, CAST(u.d AS TIMESTAMP) AS day
+  FROM span, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS u(d)),
+j AS (
+  SELECT s.user_id, s.day, d.vq
+  FROM spine s LEFT JOIN daily d USING (user_id, day)),
+m AS (
+  SELECT user_id, day, vq IS NOT NULL AS observed,
+         LAST_VALUE(vq IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_prev,
+         LAST_VALUE(CASE WHEN vq IS NOT NULL THEN day END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d_prev,
+         FIRST_VALUE(vq IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_next,
+         FIRST_VALUE(CASE WHEN vq IS NOT NULL THEN day END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS d_next
+  FROM j)
+SELECT user_id, day, observed,
+       CASE WHEN date_diff('day', d_prev, d_next) = 0
+            THEN CAST(v_prev AS DOUBLE) / 100.0
+            ELSE (CAST(v_prev AS DOUBLE)
+                  + CAST(v_next - v_prev AS DOUBLE)
+                    * (CAST(date_diff('day', d_prev, day) AS DOUBLE)
+                       / CAST(date_diff('day', d_prev, d_next) AS DOUBLE)))
+                 / 100.0
+       END AS lerp_value
+FROM m
+ORDER BY user_id, day
+"""
+
+
+# R91: DDSketch-shape quantiles — literal ln/exp factors, exact
+# mergeable bucket counts, exact rank-at-ceil value + realized error.
+ORACLE["order_value_ddsketch"] = """
+WITH o AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+  WHERE o_totalprice > 0),
+per_b AS (
+  SELECT CAST(FLOOR(ln(v) / 0.01980262729617973) AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         MIN(v) AS lo, MAX(v) AS hi
+  FROM o GROUP BY 1),
+cum_b AS (
+  SELECT b, CAST(SUM(c) OVER (ORDER BY b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum
+  FROM per_b),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM per_b),
+probes AS (
+  SELECT CAST(u.q AS INT) AS q, n_total,
+         CAST((u.q * n_total + 99) // 100 AS BIGINT) AS target_rank
+  FROM tot, UNNEST([50, 90, 95, 99]) AS u(q)),
+sk AS (
+  SELECT q, n_total, target_rank, CAST(MIN(b) AS BIGINT) AS bucket,
+         MIN_BY(lo, b) AS blo, MIN_BY(hi, b) AS bhi
+  FROM cum_b JOIN per_b USING (b) CROSS JOIN probes
+  WHERE cum >= target_rank
+  GROUP BY q, n_total, target_rank),
+per_v AS (
+  SELECT v, COUNT(*) AS cv FROM o GROUP BY v),
+cum_v AS (
+  SELECT v, SUM(cv) OVER (ORDER BY v) AS cum_cv FROM per_v),
+exact AS (
+  SELECT q, MIN(v) AS exact_value
+  FROM cum_v CROSS JOIN probes
+  WHERE cum_cv >= target_rank
+  GROUP BY q)
+SELECT sk.q, n_total, target_rank, bucket,
+       (blo + bhi) / 2.0 AS est_value,
+       exact_value,
+       (blo + bhi) / 2.0 / CAST(exact_value AS DOUBLE) - 1.0 AS rel_err
+FROM sk JOIN exact USING (q)
+ORDER BY q
+"""

@@ -9807,3 +9807,156 @@ def cuped_experiment_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return rows[0].unionAll(rows[1]).orderBy("variant")
+
+
+@query("daily_value_lerp")
+def daily_value_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R90: date-spine densify with LINEAR interpolation — the
+    time-series resampling companion to R46's LOCF: per user, every
+    day in the active span carries v_prev + (v_next − v_prev)·(d −
+    d_prev)/(d_next − d_prev) between the bracketing observed days
+    (span endpoints are observed by construction, so the lerp is
+    always bracketed). Observed values quantize to exact integer
+    cents; day gaps are exact integers; each filled day is ONE
+    mirrored IEEE chain.
+
+    Scale: one shuffle on user_id; the spine explode and both
+    bracketing windows (last/first ignoreNulls over the per-user day
+    spine) are calendar-bounded per user.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * F.lit(100.0)).cast("long")).alias("vq")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias(
+            "day"
+        ),
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked = j.select(
+        "user_id",
+        "day",
+        F.col("vq").isNotNull().alias("observed"),
+        F.last("vq", ignorenulls=True).over(w_back).alias("v_prev"),
+        F.last(F.when(F.col("vq").isNotNull(), F.col("day")), ignorenulls=True)
+        .over(w_back)
+        .alias("d_prev"),
+        F.first("vq", ignorenulls=True).over(w_fwd).alias("v_next"),
+        F.first(F.when(F.col("vq").isNotNull(), F.col("day")), ignorenulls=True)
+        .over(w_fwd)
+        .alias("d_next"),
+    )
+    gap = F.datediff("d_next", "d_prev").cast("long")
+    off = F.datediff("day", "d_prev").cast("long")
+    lerp = F.when(
+        gap == 0, F.col("v_prev").cast("double") / F.lit(100.0)
+    ).otherwise(
+        (
+            F.col("v_prev").cast("double")
+            + (F.col("v_next") - F.col("v_prev")).cast("double")
+            * (off.cast("double") / gap.cast("double"))
+        )
+        / F.lit(100.0)
+    )
+    return marked.select(
+        "user_id", "day", "observed", lerp.alias("lerp_value")
+    ).orderBy("user_id", "day")
+
+
+@query("order_value_ddsketch")
+def order_value_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R91: relative-error quantile sketch (DDSketch shape, Masson et
+    al. 2019 — the observability-metrics standard): values land in
+    log-scale buckets b = floor(ln(x)/ln γ) with γ = 1.02 (≤2%
+    relative error), bucket counts are exact integers and MERGEABLE
+    (cell-wise addition — the latency-histogram rollup), and each
+    probed quantile reports the bucket-midpoint estimate next to the
+    EXACT rank-at-ceil value with the realized relative error (the
+    near_dup_eval convention: the sketch's error bound is itself
+    measured). The ln/exp factors are fixed literals so the whole
+    chain mirrors bitwise.
+
+    Scale: one scan → bucket-grain counts (bounded by the VALUE RANGE
+    in log scale, ~330 buckets here — metadata, not data); the exact
+    column rides the per-value prefix-sum backbone. The bucket window
+    is bucket-grain only.
+    """
+    LNG = 0.01980262729617973  # ln(1.02)
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    b = F.floor(
+        F.log(F.col("o_totalprice").cast("double")) / F.lit(LNG)
+    ).cast("long")
+    per_b = orders.select(
+        b.alias("b"), F.col("o_totalprice").cast("double").alias("v")
+    ).groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum_b = per_b.withColumn("cum", F.sum("c").over(w).cast("long"))
+    tot = per_b.agg(F.sum("c").cast("long").alias("n_total"))
+    probes = tot.select(
+        F.explode(F.array(*[F.lit(q) for q in (50, 90, 95, 99)])).alias("q"),
+        "n_total",
+    ).withColumn(
+        "target_rank",
+        F.expr("CAST((q * n_total + 99) DIV 100 AS BIGINT)"),
+    )
+    sk = (
+        cum_b.crossJoin(F.broadcast(probes))
+        .filter(F.col("cum") >= F.col("target_rank"))
+        .groupBy("q", "n_total", "target_rank")
+        .agg(
+            F.min("b").cast("long").alias("bucket"),
+            F.min_by(F.col("lo"), F.col("b")).alias("blo"),
+            F.min_by(F.col("hi"), F.col("b")).alias("bhi"),
+        )
+        .withColumn(
+            "est_value",
+            (F.col("blo") + F.col("bhi")) / F.lit(2.0),
+        )
+        .drop("blo", "bhi")
+    )
+    from dimagi_data_platform_spark.operators.linkage import global_prefix_sums
+
+    per_v = orders.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("cv")
+    )
+    cum_v = global_prefix_sums(per_v, ["v"], ["cv"])
+    exact = (
+        cum_v.crossJoin(F.broadcast(probes.select("q", "target_rank")))
+        .filter(F.col("cum_cv") >= F.col("target_rank"))
+        .groupBy("q")
+        .agg(F.min("v").alias("exact_value"))
+    )
+    return (
+        sk.join(exact, "q")
+        .withColumn(
+            "rel_err",
+            F.col("est_value") / F.col("exact_value").cast("double")
+            - F.lit(1.0),
+        )
+        .select(
+            "q", "n_total", "target_rank", "bucket", "est_value",
+            "exact_value", "rel_err",
+        )
+        .orderBy("q")
+    )

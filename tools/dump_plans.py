@@ -163,6 +163,12 @@ SHOW = [
     ("cuped_experiment_analysis",
      "one user-grain shuffle -> one conditional-aggregate row -> "
      "2-row readout"),
+    ("daily_value_lerp",
+     "one user_id shuffle; spine explode + bracketing windows are "
+     "calendar-bounded per user"),
+    ("order_value_ddsketch",
+     "scan -> log-bucket-grain mergeable counts (value-range-bounded "
+     "metadata); exact column on the prefix-sum backbone"),
 ]
 
 MARKERS = (
