@@ -12,7 +12,11 @@ Invariants covered:
 - KMV sketch: merge associativity and equality with the one-shot
   sketch of the union (the mergeable-sketch law, exactly);
 - interval_overlap_join vs the naive O(n²) overlap reference across
-  bucket-straddling widths.
+  bucket-straddling widths;
+- connected_components (both algorithms) vs a union-find reference
+  over random small graphs incl. self-loops and singletons;
+- scd2_history: intervals tile the observation span exactly, and
+  every as-of probe answers the "last observation ≤ ts" reference.
 """
 
 from __future__ import annotations
@@ -202,3 +206,91 @@ def test_interval_overlap_join_matches_naive(spark, lraw, rraw):
         if a <= d and c <= b
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0,
+        max_size=20,
+    ),
+    st.sampled_from(["propagate", "star"]),
+)
+@SET
+def test_connected_components_matches_union_find(spark, eraw, algorithm):
+    from dimagi_data_platform_spark.operators.components import (
+        connected_components,
+    )
+
+    verts = sorted({v for e in eraw for v in e} | {0})
+    vdf = spark.createDataFrame([(v,) for v in verts], "id int")
+    edf = spark.createDataFrame(
+        [(a, b) for a, b in eraw] or [(0, 0)], "src int, dst int"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            vdf, edf, algorithm=algorithm
+        ).collect()
+    }
+    # union-find reference, min-id as the canonical label
+    parent = {v: v for v in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in eraw:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in verts}
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 3)),  # (ts sec, attr)
+        min_size=1,
+        max_size=20,
+    )
+)
+@SET
+def test_scd2_history_tiles_and_answers_asof(spark, obs):
+    from dimagi_data_platform_spark.operators.scd import scd2_history
+
+    data = [(1, _ts(s), str(a), i) for i, (s, a) in enumerate(obs)]
+    df = spark.createDataFrame(
+        data, "k int, ts timestamp, attr string, seq int"
+    )
+    rows = sorted(
+        scd2_history(df, "k", "ts", "attr", "seq").collect(),
+        key=lambda r: r["valid_from"],
+    )
+    # intervals tile: each valid_to equals the next valid_from; the
+    # last is open-ended and flagged current
+    for a, b in zip(rows, rows[1:]):
+        assert a["valid_to"] == b["valid_from"]
+        assert not a["is_current"]
+    assert rows[-1]["valid_to"] is None and rows[-1]["is_current"]
+    # as-of lookup: for every probe ts, the interval value equals the
+    # reference "last observation at or before ts" (ties by seq)
+    ordered = sorted((t, i, a) for _, t, a, i in data)
+    for probe in range(0, 51, 7):
+        pt = _ts(probe)
+        ref = None
+        for t, i, a in ordered:
+            if t <= pt:
+                ref = a
+        hit = [
+            r["attr"]
+            for r in rows
+            if r["valid_from"] <= pt
+            and (r["valid_to"] is None or r["valid_to"] > pt)
+        ]
+        if ref is None:
+            assert hit == []
+        else:
+            assert hit == [ref]
