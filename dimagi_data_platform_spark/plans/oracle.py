@@ -6005,3 +6005,70 @@ SELECT sk.q, n_total, target_rank, bucket,
 FROM sk JOIN exact USING (q)
 ORDER BY q
 """
+
+
+# P91: quarantine triage — DuckDB classifies with json_valid +
+# json_extract; counts exact, one IEEE share division.
+ORACLE["ingest_quarantine_report"] = """
+WITH payloads AS (
+  SELECT 'events_feed' AS src, props AS payload FROM events
+  UNION ALL
+  SELECT 'docs_feed', text FROM documents),
+cls AS (
+  SELECT src,
+         CASE WHEN NOT json_valid(payload) THEN 'malformed_json'
+              WHEN TRY_CAST(json_extract_string(payload, '$.k') AS BIGINT)
+                   IS NULL THEN 'missing_field_k'
+              ELSE 'accepted' END AS reason
+  FROM payloads),
+per AS (
+  SELECT src, reason, CAST(COUNT(*) AS BIGINT) AS n
+  FROM cls GROUP BY src, reason),
+tot AS (
+  SELECT src, CAST(SUM(n) AS BIGINT) AS n_src FROM per GROUP BY src)
+SELECT per.src, reason, n, n_src,
+       CAST(n AS DOUBLE) / CAST(n_src AS DOUBLE) AS share
+FROM per JOIN tot USING (src)
+ORDER BY src, reason
+"""
+
+
+# L73: dataset card — exact counts/dup classes, qsum-quantized mean
+# quality, deterministic dominant-language pick.
+ORACLE["dataset_card_by_source"] = f"""
+WITH base AS (
+  SELECT doc_id, source, lang,
+         CAST({_NWORDS} AS BIGINT) AS n_words,
+         CAST(FLOOR((0.4 * (CAST(len(regexp_extract_all(lower(text), '{_STOP}')) AS DOUBLE) / {_NWORDS})
+              + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '{_PUNCT_RE}')) AS DOUBLE) / length(text))
+              + 0.3 * LEAST(1.0, {_NWORDS} / 100.0)) * 1000000.0)
+              AS BIGINT) AS q6,
+         md5({_NORM_TEXT}) AS chash
+  FROM documents),
+dup AS (
+  SELECT source, CAST(SUM(c - 1) AS BIGINT) AS n_dup_docs
+  FROM (SELECT source, chash, COUNT(*) AS c FROM base GROUP BY 1, 2)
+  GROUP BY source),
+langs AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cl
+  FROM base GROUP BY source, lang),
+top_lang AS (
+  SELECT source, lang AS top_lang, cl AS top_lang_docs
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        ORDER BY cl DESC, lang ASC) AS rk FROM langs)
+  WHERE rk = 1),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+         CAST(SUM(q6) AS BIGINT) AS sq6
+  FROM base GROUP BY source)
+SELECT agg.source, n_docs, n_tokens, n_dup_docs,
+       CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_share,
+       CAST(sq6 AS DOUBLE) / 1000000.0 / CAST(n_docs AS DOUBLE)
+         AS mean_quality,
+       top_lang,
+       CAST(top_lang_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         AS top_lang_share
+FROM agg JOIN dup USING (source) JOIN top_lang USING (source)
+ORDER BY source
+"""

@@ -9960,3 +9960,133 @@ def order_value_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+@query("ingest_quarantine_report")
+def ingest_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P91: ingest dead-letter / quarantine triage — the report every
+    ingestion pipeline needs on day one: incoming payloads classified
+    into ACCEPTED vs quarantine REASONS (malformed JSON, missing
+    required field), per source, with counts and the share of the
+    source's volume. Exercised over a REAL mix: events.props (valid
+    JSON envelopes) unioned with documents.text (free text — the
+    classic "someone pointed the wrong feed at the topic" case);
+    classification is try_parse_json + VARIANT path probes, so a bad
+    payload NULLs instead of failing the scan (R16c semantics).
+
+    Scale: scan-local classification + one (source, reason) aggregate.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        F.lit("events_feed").alias("src"), F.col("props").alias("payload")
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.lit("docs_feed").alias("src"), F.col("text").alias("payload")
+    )
+    payloads = ev.unionAll(docs)
+    v = F.try_parse_json("payload")
+    k = F.try_variant_get(v, "$.k", "long")
+    reason = (
+        F.when(v.isNull(), F.lit("malformed_json"))
+        .when(k.isNull(), F.lit("missing_field_k"))
+        .otherwise(F.lit("accepted"))
+    )
+    per = payloads.select("src", reason.alias("reason")).groupBy(
+        "src", "reason"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = per.groupBy("src").agg(F.sum("n").cast("long").alias("n_src"))
+    return (
+        per.join(tot, "src")
+        .withColumn(
+            "share", F.col("n").cast("double") / F.col("n_src").cast("double")
+        )
+        .select("src", "reason", "n", "n_src", "share")
+        .orderBy("src", "reason")
+    )
+
+
+@query("dataset_card_by_source")
+def dataset_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L73: per-source dataset-card summary (Gebru et al. 2021
+    datasheets; the table every corpus release ships): documents,
+    whitespace tokens, exact-duplicate share (normalized-hash dup
+    classes beyond the first member), mean quality score in exact
+    milli units, and the dominant language with its share — one row
+    per source composing the L1/L9/L8 signal chains.
+
+    Exactness: counts and dup classes are exact integers; mean quality
+    re-uses the L9 IEEE chain quantized to floor(q·10⁶) before the
+    order-independent integer sum (qsum idiom), so the per-source mean
+    is one mirrored division; dominant-language pick is count-desc,
+    lang-asc deterministic.
+
+    Scale: one doc-grain scan with scan-local signals, then
+    source-grain aggregates (|sources| rows); the dup count is the L1
+    hash groupBy.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    n_words = ws_token_count("text")
+    punct_ratio = punct_count("text").cast("double") / F.length("text")
+    stop_ratio = stopword_count("text").cast("double") / n_words
+    score = (
+        F.lit(0.4) * stop_ratio
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(F.lit(1.0), n_words / F.lit(100.0))
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        n_words.alias("n_words"),
+        F.floor(score * F.lit(1000000.0)).cast("long").alias("q6"),
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+        .alias("chash"),
+    )
+    dup = (
+        base.groupBy("source", "chash")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("source")
+        .agg(F.sum(F.col("c") - F.lit(1)).cast("long").alias("n_dup_docs"))
+    )
+    langs = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("cl")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cl"), F.asc("lang"))
+    top_lang = (
+        langs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.col("cl").alias("top_lang_docs"),
+        )
+    )
+    agg = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_tokens"),
+        F.sum("q6").cast("long").alias("sq6"),
+    )
+    return (
+        agg.join(dup, "source")
+        .join(top_lang, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_dup_docs",
+            (
+                F.col("n_dup_docs").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_share"),
+            (
+                F.col("sq6").cast("double")
+                / F.lit(1000000.0)
+                / F.col("n_docs").cast("double")
+            ).alias("mean_quality"),
+            "top_lang",
+            (
+                F.col("top_lang_docs").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("top_lang_share"),
+        )
+        .orderBy("source")
+    )

@@ -169,6 +169,12 @@ SHOW = [
     ("order_value_ddsketch",
      "scan -> log-bucket-grain mergeable counts (value-range-bounded "
      "metadata); exact column on the prefix-sum backbone"),
+    ("ingest_quarantine_report",
+     "scan-local VARIANT classification + one (source, reason) "
+     "aggregate"),
+    ("dataset_card_by_source",
+     "one doc-grain scan with scan-local signals -> source-grain "
+     "aggregates"),
 ]
 
 MARKERS = (
