@@ -6072,3 +6072,64 @@ SELECT agg.source, n_docs, n_tokens, n_dup_docs,
 FROM agg JOIN dup USING (source) JOIN top_lang USING (source)
 ORDER BY source
 """
+
+
+# R92: two-way factorial ANOVA — exact integer cell/row/col/grand
+# moments; cross-group squared-mean sums re-quantized to tenths
+# (order-independent) before the mirrored IEEE assembly.
+ORACLE["order_value_twoway_anova"] = """
+WITH j AS (
+  SELECT c_mktsegment AS a, o_orderpriority AS b,
+         CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT) AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+cell AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab,
+         SUM(CAST(v AS HUGEINT)) AS s_ab
+  FROM j GROUP BY a, b),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(v AS HUGEINT)) AS s,
+         SUM(CAST(v AS HUGEINT) * v) AS ss
+  FROM j),
+row_a AS (
+  SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a,
+         SUM(s_ab) AS s_a
+  FROM cell GROUP BY a),
+col_b AS (
+  SELECT b, CAST(SUM(n_ab) AS BIGINT) AS n_b,
+         SUM(s_ab) AS s_b
+  FROM cell GROUP BY b),
+a_sq AS (
+  SELECT SUM((s_a * s_a) // n_a) AS q
+  FROM row_a),
+b_sq AS (
+  SELECT SUM((s_b * s_b) // n_b) AS q
+  FROM col_b),
+cell_sq AS (
+  SELECT SUM((s_ab * s_ab) // n_ab) AS q
+  FROM cell),
+d AS (
+  SELECT n,
+         CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS grand,
+         CAST(ss AS DOUBLE) AS ssd,
+         CAST(a_sq.q AS DOUBLE) AS a_sq,
+         CAST(b_sq.q AS DOUBLE) AS b_sq,
+         CAST(cell_sq.q AS DOUBLE) AS cell_sq
+  FROM tot, a_sq, b_sq, cell_sq),
+o AS (
+  SELECT n,
+         a_sq - grand AS ss_a,
+         b_sq - grand AS ss_b,
+         cell_sq - grand - (a_sq - grand) - (b_sq - grand) AS ss_ab,
+         (ssd - grand) - (cell_sq - grand) AS ss_err,
+         CAST(n AS DOUBLE) AS nd
+  FROM d)
+SELECT n, ss_a, ss_b, ss_ab, ss_err,
+       CASE WHEN ss_err <> 0.0
+            THEN (ss_a / 4.0) / (ss_err / (nd - 25.0)) END AS f_a,
+       CASE WHEN ss_err <> 0.0
+            THEN (ss_b / 4.0) / (ss_err / (nd - 25.0)) END AS f_b,
+       CASE WHEN ss_err <> 0.0
+            THEN (ss_ab / 16.0) / (ss_err / (nd - 25.0)) END AS f_ab
+FROM o
+"""

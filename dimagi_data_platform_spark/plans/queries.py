@@ -10090,3 +10090,110 @@ def dataset_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query("order_value_twoway_anova")
+def order_value_twoway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R92: two-way factorial ANOVA with interaction — order value by
+    market segment × order priority (the 5×5 design), partitioning
+    variance into main effects A (segment), B (priority), the A×B
+    interaction, and error. Unbalanced-design caveat: cell sizes are
+    unequal, so these are Type-I-style sums computed from cell means
+    (the textbook factorial decomposition on weighted cell statistics)
+    — the point here is the DISTRIBUTED shape: every SS term derives
+    from exact integer (cell, row, column, grand) cent sums and
+    counts, assembled in ONE pass of mirrored IEEE chains.
+
+    Scale: one fact⋈dim broadcast join → one 25-cell conditional
+    aggregate (map-side combined) → grid-bounded arithmetic. Nothing
+    data-sized past the first aggregate.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("a"),
+        F.col("o_orderpriority").alias("b"),
+        cents.alias("v"),
+    )
+    dec = "decimal(38,0)"
+    cell = j.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ab"),
+        F.sum(F.col("v").cast(dec)).alias("s_ab"),
+    )
+    tot = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("v").cast(dec)).alias("s"),
+        F.sum(F.col("v").cast("decimal(19,0)") * F.col("v")).alias("ss"),
+    )
+    row_a = cell.groupBy("a").agg(
+        F.sum("n_ab").cast("long").alias("n_a"),
+        F.sum("s_ab").cast(dec).alias("s_a"),
+    )
+    col_b = cell.groupBy("b").agg(
+        F.sum("n_ab").cast("long").alias("n_b"),
+        F.sum("s_ab").cast(dec).alias("s_b"),
+    )
+    # SS_total = ss - s^2/n; SS_A = sum_a s_a^2/n_a - s^2/n; likewise
+    # SS_B; SS_cells = sum_ab s_ab^2/n_ab - s^2/n; SS_AB = SS_cells -
+    # SS_A - SS_B; SS_err = SS_total - SS_cells. Cross-group sums of
+    # s²/n quantize via EXACT integer division (cent² granularity,
+    # order-independent; s² must stay within DECIMAL(38) — ~1e19
+    # total dollars).
+    def qsum_sq(df, s_col, n_col):
+        # decimal-native floor division: subtract the exact remainder,
+        # then divide (exactly divisible -> no rounding). Spark's
+        # `div` operator would return LONG and silently WRAP past
+        # 2^63 (observed at sf0.1) — decimals all the way instead.
+        qexpr = F.expr(
+            f"CAST((CAST({s_col} * {s_col} AS DECIMAL(38,0))"
+            f" - (CAST({s_col} * {s_col} AS DECIMAL(38,0))"
+            f" % {n_col})) / {n_col} AS DECIMAL(38,0))"
+        )
+        return df.agg(F.sum(qexpr).alias("q")).select(
+            F.col("q").cast("double").alias("v")
+        )
+
+    a_sq = qsum_sq(row_a, "s_a", "n_a").select(F.col("v").alias("a_sq"))
+    b_sq = qsum_sq(col_b, "s_b", "n_b").select(F.col("v").alias("b_sq"))
+    cell_sq = qsum_sq(cell, "s_ab", "n_ab").select(F.col("v").alias("cell_sq"))
+    g = (
+        tot.crossJoin(F.broadcast(a_sq))
+        .crossJoin(F.broadcast(b_sq))
+        .crossJoin(F.broadcast(cell_sq))
+    )
+    grand = F.col("s").cast("double") * F.col("s").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    ss_total = F.col("ss").cast("double") - grand
+    ss_a = F.col("a_sq") - grand
+    ss_b = F.col("b_sq") - grand
+    ss_cells = F.col("cell_sq") - grand
+    ss_ab = ss_cells - ss_a - ss_b
+    ss_err = ss_total - ss_cells
+    n_d = F.col("n").cast("double")
+    ms_err = ss_err / (n_d - F.lit(25.0))
+    out = (
+        g.withColumn("ss_a", ss_a)
+        .withColumn("ss_b", ss_b)
+        .withColumn("ss_ab", ss_ab)
+        .withColumn("ss_err", ss_err)
+        .withColumn(
+            "f_a",
+            F.when(F.col("ss_err") != 0.0, (ss_a / F.lit(4.0)) / ms_err),
+        )
+        .withColumn(
+            "f_b",
+            F.when(F.col("ss_err") != 0.0, (ss_b / F.lit(4.0)) / ms_err),
+        )
+        .withColumn(
+            "f_ab",
+            F.when(F.col("ss_err") != 0.0, (ss_ab / F.lit(16.0)) / ms_err),
+        )
+    )
+    return out.select(
+        "n", "ss_a", "ss_b", "ss_ab", "ss_err", "f_a", "f_b", "f_ab"
+    )

@@ -175,6 +175,9 @@ SHOW = [
     ("dataset_card_by_source",
      "one doc-grain scan with scan-local signals -> source-grain "
      "aggregates"),
+    ("order_value_twoway_anova",
+     "fact x broadcast dim -> one 25-cell conditional aggregate -> "
+     "grid-bounded assembly"),
 ]
 
 MARKERS = (
