@@ -6133,3 +6133,17 @@ SELECT n, ss_a, ss_b, ss_ab, ss_err,
             THEN (ss_ab / 16.0) / (ss_err / (nd - 25.0)) END AS f_ab
 FROM o
 """
+
+
+# R93: top-k WITH TIES — dense_rank keeps all tied rows; rank() shows
+# the gap semantics beside it.
+ORACLE["top_part_prices_with_ties"] = """
+SELECT p_brand, p_partkey, p_retailprice,
+       CAST(DENSE_RANK() OVER (PARTITION BY p_brand
+            ORDER BY p_retailprice DESC) AS BIGINT) AS price_dense_rank,
+       CAST(RANK() OVER (PARTITION BY p_brand
+            ORDER BY p_retailprice DESC) AS BIGINT) AS price_rank
+FROM part
+QUALIFY price_dense_rank <= 3
+ORDER BY p_brand, price_dense_rank, p_partkey
+"""

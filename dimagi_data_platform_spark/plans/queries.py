@@ -10197,3 +10197,36 @@ def order_value_twoway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "n", "ss_a", "ss_b", "ss_ab", "ss_err", "f_a", "f_b", "f_ab"
     )
+
+
+@query("top_part_prices_with_ties")
+def top_part_prices_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R93: top-k WITH TIES — the rank-semantics surface row_number
+    top-k (R9/R18) deliberately avoids: per brand, every part carrying
+    one of the top-3 DISTINCT retail prices (dense_rank ≤ 3 keeps ALL
+    tied rows, so group output size is data-dependent — the SQL
+    standard's FETCH FIRST k ROWS WITH TIES semantics). Beside the
+    dense rank, the gap-aware rank() of the same row shows the
+    ties-skip-ranks distinction explicitly.
+
+    Scale: one window partitioned by the brand key (bounded groups,
+    distributed across brands); everything else scan-local.
+    """
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    wv = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.dense_rank().over(wv).cast("long").alias("price_dense_rank"),
+            F.rank().over(wv).cast("long").alias("price_rank"),
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("price_dense_rank") <= 3)
+        .orderBy("p_brand", "price_dense_rank", "p_partkey")
+        .drop("rn")
+    )
