@@ -7,7 +7,12 @@ from __future__ import annotations
 import json
 import os
 
-from dimagi_data_platform_spark.rotation import last_sampled_rounds, sample_order
+from dimagi_data_platform_spark.rotation import (
+    _ledger as _rot_ledger,
+    last_sampled_rounds,
+    needs_resample,
+    sample_order,
+)
 
 
 def test_never_sampled_come_first(tmp_path):
@@ -38,24 +43,36 @@ def test_entry_surface_is_rotated_and_complete():
     ):
         names = list(rotated)
         ledger = _ledger()
-        # the only sampled queries allowed to precede a never-sampled
-        # one are fixable-failure resamples (the r7 priority tier)
-        first_unsampled = next(
-            (i for i, n in enumerate(names) if n not in seen), len(names)
-        )
-        assert all(
-            needs_resample(n, ledger[n][1]) for n in names[:first_unsampled]
-        )
-        # and after the last never-sampled query, order is by staleness
-        first_sampled_tail = next(
-            (
-                i
-                for i, n in enumerate(names)
-                if n in seen and not needs_resample(n, ledger[n][1])
-            ),
-            len(names),
-        )
-        assert all(n in seen for n in names[first_sampled_tail:])
+        # tier order must be monotone: fixable-failure resamples (0),
+        # then never-sampled (1), then sampled-clean (2) — and with a
+        # complete all-green ledger (every query sampled, none failing)
+        # every tier may be empty except the clean tail (VERDICT r7
+        # item 1: the old prefix-slice assertion was vacuously false
+        # in exactly that state).
+        def tier(n: str) -> int:
+            if n not in seen:
+                return 1
+            return 0 if needs_resample(n, ledger[n][1]) else 2
+
+        tiers = [tier(n) for n in names]
+        assert tiers == sorted(tiers)
+        # within the sampled-clean tail, order is by staleness
+        clean_rounds = [seen[n] for n, t in zip(names, tiers) if t == 2]
+        assert clean_rounds == sorted(clean_rounds)
+
+
+def test_complete_all_green_ledger_orders_by_staleness(tmp_path):
+    """Regression (VERDICT r7 item 1): when EVERY query has been
+    sampled and none needs a resample, the rotation is pure staleness
+    order — no assertion may demand a resample tier that cannot
+    exist."""
+    green = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({"a": green, "b": green}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({"c": green}))
+    order = sample_order(["a", "b", "c"], repo=str(tmp_path))
+    assert order == ["a", "b", "c"]
+    ledger = _rot_ledger(str(tmp_path))
+    assert not any(needs_resample(n, ledger[n][1]) for n in order)
 
 
 def test_failed_last_sample_resamples_first(tmp_path):
