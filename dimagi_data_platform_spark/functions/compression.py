@@ -40,7 +40,16 @@ def with_compression_ratio(
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            raw = pdf[text_col].astype(str).str.encode("utf-8")
+            # mask nulls BEFORE astype: astype(str) turns a NULL cell
+            # into the literal string 'None' (4 bogus bytes); empty
+            # string degrades to NULL via the n > 0 guard below, so
+            # NULL text must take the same path (ADVICE r7)
+            raw = (
+                pdf[text_col]
+                .where(pdf[text_col].notna(), "")
+                .astype(str)
+                .str.encode("utf-8")
+            )
             n = raw.str.len()
             comp = raw.map(lambda b: len(zlib.compress(b, level)))
             pdf = pdf.copy()

@@ -84,6 +84,17 @@ def cascade_delete(
             .distinct()
         )
         if e.child in affected:
+            # unionAll merges by POSITION: two FK edges converging on
+            # the same child must agree on the child's key column, or
+            # the merged set (and the final anti-join) is keyed wrong
+            # with no error (ADVICE r7 — mirrors the parent_key check)
+            if key_of[e.child] != e.child_key:
+                raise ValueError(
+                    f"edge {e.parent}->{e.child}: child set is keyed by "
+                    f"{key_of[e.child]!r}, but this edge cascades on "
+                    f"{e.child_key!r} — convergent edges must share one "
+                    "child_key"
+                )
             keys = affected[e.child].unionAll(keys).distinct()
         affected[e.child] = keys.localCheckpoint()
         key_of[e.child] = e.child_key

@@ -6016,7 +6016,7 @@ WITH payloads AS (
   SELECT 'docs_feed', text FROM documents),
 cls AS (
   SELECT src,
-         CASE WHEN NOT json_valid(payload) THEN 'malformed_json'
+         CASE WHEN COALESCE(NOT json_valid(payload), TRUE) THEN 'malformed_json'
               WHEN TRY_CAST(json_extract_string(payload, '$.k') AS BIGINT)
                    IS NULL THEN 'missing_field_k'
               ELSE 'accepted' END AS reason

@@ -9985,8 +9985,12 @@ def ingest_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = ev.unionAll(docs)
     v = F.try_parse_json("payload")
     k = F.try_variant_get(v, "$.k", "long")
+    # NULL payload is explicitly 'malformed_json' in BOTH engines:
+    # DuckDB's NOT json_valid(NULL) is NULL (falls through), so the
+    # oracle wraps it in COALESCE(..., TRUE) to match this arm
+    # (ADVICE r7 — latent hash break on NULL payloads)
     reason = (
-        F.when(v.isNull(), F.lit("malformed_json"))
+        F.when(F.col("payload").isNull() | v.isNull(), F.lit("malformed_json"))
         .when(k.isNull(), F.lit("missing_field_k"))
         .otherwise(F.lit("accepted"))
     )
@@ -10213,9 +10217,6 @@ def top_part_prices_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed across brands); everything else scan-local.
     """
     part = _t(spark, sf_dir, "part")
-    w = Window.partitionBy("p_brand").orderBy(
-        F.desc("p_retailprice"), F.asc("p_partkey")
-    )
     wv = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
     return (
         part.select(
@@ -10224,9 +10225,7 @@ def top_part_prices_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_retailprice",
             F.dense_rank().over(wv).cast("long").alias("price_dense_rank"),
             F.rank().over(wv).cast("long").alias("price_rank"),
-            F.row_number().over(w).cast("long").alias("rn"),
         )
         .filter(F.col("price_dense_rank") <= 3)
         .orderBy("p_brand", "price_dense_rank", "p_partkey")
-        .drop("rn")
     )

@@ -79,3 +79,15 @@ def test_real_corpus_lands_in_band(spark):
     n = docs.count()
     kept = compressibility_filter(docs).count()
     assert kept >= int(0.5 * n)
+
+
+def test_null_text_degrades_to_null(spark):
+    """NULL text must yield a NULL ratio like empty text — not the
+    4-byte ratio of the literal string 'None' (ADVICE r7)."""
+    rows = [(1, None), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["compress_ratio"]
+        for r in with_compression_ratio(df).collect()
+    }
+    assert got[1] is None and got[2] is None

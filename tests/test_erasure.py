@@ -96,3 +96,52 @@ def test_out_of_order_edges_rejected(spark):
 
     with pytest.raises(ValueError, match="topological"):
         cascade_delete(t, "customer", "c_custkey", seeds, list(reversed(EDGES)))
+
+
+def test_convergent_edges_with_mismatched_child_key_raise(spark):
+    """Two FK edges converging on one child with DIFFERENT child_key
+    values would union by position under mismatched columns and
+    silently mis-key the final anti-join — must raise (ADVICE r7)."""
+    import pytest
+
+    tables = {
+        "customer": load_table(spark, SF_SMALL, "customer"),
+        "orders": load_table(spark, SF_SMALL, "orders"),
+    }
+    seeds = tables["customer"].limit(1).select("c_custkey")
+    bad = [
+        FkEdge("customer", "c_custkey", "orders", "o_custkey", "o_orderkey"),
+        FkEdge("customer", "c_custkey", "orders", "o_custkey", "o_custkey"),
+    ]
+    with pytest.raises(ValueError, match="child_key"):
+        cascade_delete(tables, "customer", "c_custkey", seeds, bad)
+
+
+def test_convergent_edges_same_child_key_union(spark):
+    """Convergent edges that AGREE on child_key merge affected sets
+    correctly (the supported DAG shape)."""
+    tables = {
+        "customer": load_table(spark, SF_SMALL, "customer"),
+        "orders": load_table(spark, SF_SMALL, "orders"),
+    }
+    ck = [r["c_custkey"] for r in tables["customer"].limit(2).collect()]
+    seeds = tables["customer"].filter(F.col("c_custkey").isin(ck)).select(
+        "c_custkey"
+    )
+    edges = [
+        FkEdge("customer", "c_custkey", "orders", "o_custkey", "o_orderkey"),
+        FkEdge("customer", "c_custkey", "orders", "o_custkey", "o_orderkey"),
+    ]
+    cleaned, audit = cascade_delete(
+        tables, "customer", "c_custkey", seeds, edges
+    )
+    expect = tables["orders"].join(
+        seeds.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey",
+        "left_semi",
+    ).count()
+    got = {r["table_name"]: r["n_affected"] for r in audit.collect()}
+    assert got["orders"] == expect
+    assert cleaned["orders"].join(
+        seeds.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey",
+        "left_semi",
+    ).count() == 0
