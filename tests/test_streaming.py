@@ -900,10 +900,17 @@ def test_versioned_sink_crash_before_manifest_swap_replays_cleanly(
 
     monkeypatch.setattr(V, "_commit", crashing_commit)
     _run_expect_crash(mk_stream, tbl, ck)
-    # post-crash state: batch 0 committed, batch 1's data dir is
-    # unreferenced garbage the manifest doesn't know about
+    # post-crash state: batch 0 committed, batch 1's data sits in an
+    # unreferenced staged dir the commit log doesn't know about (OCC
+    # layout: data stages uniquely, the commit-log link is the swap)
     assert [h["batch_id"] for h in V.history(tbl)] == [0]
-    assert _os.path.isdir(_os.path.join(tbl, "v=2"))
+    referenced = {h.get("dir") for h in V.history(tbl)}
+    orphans = [
+        d
+        for d in _os.listdir(tbl)
+        if d.startswith(V.STAGE_PREFIX) and d not in referenced
+    ]
+    assert orphans, "crashed batch should leave an unreferenced staged dir"
     monkeypatch.setattr(V, "_commit", real_commit)
     # restart from the same checkpoint: batch 1 is redelivered
     run_stream_to_versioned(mk_stream(), tbl, ck, keys=["id"], order_col="ver")
