@@ -685,6 +685,85 @@ def build_ivf_index(
     cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def append_to_ivf_index(
+    new_items: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental index maintenance (VERDICT r7 item 3 — the ANN
+    sibling of ``incremental_minhash_dedup``): assign a NEW batch of
+    vectors to the EXISTING coarse centroids and append them to the
+    ``partitionBy(list_id)`` item layout. No retraining, no rewrite of
+    existing list partitions — append cost is one scan-local pass over
+    the batch plus new files in the touched lists, so it scales with
+    the batch size, not the corpus (exactly how FAISS IVF ``add()``
+    works after ``train()``). Serving via :func:`knn_ivf_from_index`
+    picks the new rows up unchanged, with the same partition pruning.
+
+    Centroids stay FIXED by design: an appended vector lands in the
+    same list a full rebuild with the same quantizer would put it in,
+    so index+append is EXACTLY equivalent to a rebuild that trained on
+    the same sample (asserted in tests). Drift discipline is the
+    caller's retrain schedule — when the data distribution moves,
+    rebuild with fresh centroids (cheap: one full pass), exactly the
+    FAISS posture.
+
+    Ids must be new (dedup upstream) — an anti-join against the corpus
+    here would make append cost O(corpus), defeating the point.
+
+    Returns the number of appended rows."""
+    spark = new_items.sparkSession
+    cent = (
+        spark.read.parquet(f"{path}/centroids").orderBy("list_id").toPandas()
+    )
+    C = np.stack([np.asarray(v, dtype=np.float64) for v in cent["centroid"]])
+    bc_c = spark.sparkContext.broadcast(C)
+
+    def assign(batches):
+        Cm = bc_c.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _matrix(pdf[vec_col])
+            d2 = ((X[:, None, :] - Cm[None, :, :]) ** 2).sum(axis=2)
+            out = pdf[[id_col, vec_col]].copy()
+            out["list_id"] = d2.argmin(axis=1).astype("int64")
+            yield out
+
+    schema = f"{id_col} long, {vec_col} array<float>, list_id long"
+    assigned = new_items.mapInPandas(assign, schema=schema).localCheckpoint()
+    n = assigned.count()
+    assigned.write.partitionBy("list_id").mode("append").parquet(
+        f"{path}/items"
+    )
+    return n
+
+
+def append_to_sq_codes(
+    new_items: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental append to a persisted :func:`build_sq_codes` table:
+    quantize ONLY the new batch with the STORED per-dimension scales
+    and append the code rows. Scales stay fixed (same contract as the
+    IVF centroids above — retrain on drift, not per batch), so
+    append ≡ rebuild-with-same-scales bitwise. Returns appended rows."""
+    spark = new_items.sparkSession
+    sc = spark.read.parquet(f"{path}/scales").orderBy("dim").toPandas()
+    scales_col = F.array(*[F.lit(float(s)) for s in sc["scale"]])
+    batch = new_items.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _sq_quantize(scales_col, vec_col).alias("code"),
+    ).localCheckpoint()
+    n = batch.count()
+    batch.write.mode("append").parquet(f"{path}/codes")
+    return n
+
+
 def knn_ivf_from_index(
     spark,
     path: str,
