@@ -2307,17 +2307,17 @@ def _pagerank_sql(n_iter: int = 5) -> str:
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM lp a JOIN lp b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""",
-        """e AS (
+        """e AS MATERIALIZED (
   SELECT u AS src, v AS dst FROM e0
   UNION ALL SELECT v AS src, u AS dst FROM e0)""",
-        """verts AS (SELECT DISTINCT src AS p FROM e)""",
-        """outdeg AS (SELECT src AS p, COUNT(*) AS outdeg FROM e GROUP BY src)""",
+        """verts AS MATERIALIZED (SELECT DISTINCT src AS p FROM e)""",
+        """outdeg AS MATERIALIZED (SELECT src AS p, COUNT(*) AS outdeg FROM e GROUP BY src)""",
         """nv AS (SELECT COUNT(*) AS n FROM verts)""",
         f"""r0 AS (SELECT p, CAST({scale} // n AS BIGINT) AS r FROM verts, nv)""",
     ]
     for k in range(1, n_iter + 1):
         ctes.append(
-            f"""r{k} AS (
+            f"""r{k} AS MATERIALIZED (
   SELECT v.p,
          CAST((15 * ({scale} // n)) // 100
               + (85 * COALESCE(s.inflow, 0)) // 100 AS BIGINT) AS r
@@ -2620,11 +2620,11 @@ def _bpe_train_sql(n_merges: int) -> str:
             f"""p{k} AS (
   SELECT s, freq, UNNEST(range(1, len(s))) AS i
   FROM (SELECT string_split(trim(seg), '  ') AS s, freq FROM seg{k - 1})),
-best{k} AS (
+best{k} AS MATERIALIZED (
   SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pair_count
   FROM (SELECT s[i] AS a, s[i + 1] AS b, freq FROM p{k})
   GROUP BY a, b ORDER BY pair_count DESC, a, b LIMIT 1),
-seg{k} AS (
+seg{k} AS MATERIALIZED (
   SELECT replace(seg, ' ' || a || '  ' || b || ' ',
                  ' ' || a || b || ' ') AS seg, freq
   FROM seg{k - 1}, best{k})"""
@@ -2901,14 +2901,14 @@ def _bfs_sql(n_rounds: int) -> str:
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM lp a JOIN lp b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""",
-        """e AS (
+        """e AS MATERIALIZED (
   SELECT u AS src, v AS dst FROM e0
   UNION ALL SELECT v AS src, u AS dst FROM e0)""",
         """d0 AS (SELECT MIN(src) AS id, CAST(0 AS BIGINT) AS dist FROM e)""",
     ]
     for k in range(1, n_rounds + 1):
         ctes.append(
-            f"""d{k} AS (
+            f"""d{k} AS MATERIALIZED (
   SELECT id, CAST(MIN(dist) AS BIGINT) AS dist
   FROM (
     SELECT id, dist FROM d{k - 1}
@@ -3882,13 +3882,13 @@ def _ppr_sql(n_iter: int = 4) -> str:
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM lp a JOIN lp b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""",
-        """e AS (
+        """e AS MATERIALIZED (
   SELECT u AS src, v AS dst FROM e0
   UNION ALL SELECT v AS src, u AS dst FROM e0)""",
-        """verts AS (SELECT DISTINCT src AS p FROM e)""",
-        """outdeg AS (SELECT src AS p, COUNT(*) AS outdeg FROM e GROUP BY src)""",
+        """verts AS MATERIALIZED (SELECT DISTINCT src AS p FROM e)""",
+        """outdeg AS MATERIALIZED (SELECT src AS p, COUNT(*) AS outdeg FROM e GROUP BY src)""",
         """seeds AS (SELECT p FROM verts ORDER BY p LIMIT 3)""",
-        """sv AS (SELECT v.p, (s.p IS NOT NULL) AS is_seed
+        """sv AS MATERIALIZED (SELECT v.p, (s.p IS NOT NULL) AS is_seed
   FROM verts v LEFT JOIN seeds s ON s.p = v.p)""",
         f"""r0 AS (SELECT p, CAST(CASE WHEN is_seed THEN {scale} // 3 ELSE 0 END AS BIGINT) AS r
   FROM sv)""",
@@ -3896,7 +3896,7 @@ def _ppr_sql(n_iter: int = 4) -> str:
     teleport = f"(15 * ({scale} // 3)) // 100"
     for k in range(1, n_iter + 1):
         ctes.append(
-            f"""r{k} AS (
+            f"""r{k} AS MATERIALIZED (
   SELECT v.p,
          CAST((85 * COALESCE(s.inflow, 0)) // 100
               + CASE WHEN v.is_seed THEN {teleport} ELSE 0 END AS BIGINT) AS r
@@ -5582,20 +5582,20 @@ def _lpa_sql(n_rounds: int = 3) -> str:
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM lp a JOIN lp b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""",
-        """e AS (
+        """e AS MATERIALIZED (
   SELECT u AS src, v AS dst FROM e0
   UNION ALL SELECT v AS src, u AS dst FROM e0)""",
         """l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e)""",
     ]
     for k in range(1, n_rounds + 1):
         ctes.append(
-            f"""n{k} AS (
+            f"""n{k} AS MATERIALIZED (
   SELECT e.src, l.lbl AS nlbl, COUNT(*) AS cnt
   FROM e JOIN l{k - 1} l ON l.id = e.dst
   GROUP BY e.src, l.lbl)"""
         )
         ctes.append(
-            f"""l{k} AS (
+            f"""l{k} AS MATERIALIZED (
   SELECT src AS id, nlbl AS lbl FROM (
     SELECT src, nlbl,
            ROW_NUMBER() OVER (PARTITION BY src
