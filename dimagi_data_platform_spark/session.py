@@ -17,8 +17,13 @@ import os
 
 from pyspark.sql import SparkSession
 
+from dimagi_data_platform_spark.compat import ensure_protobuf
+
 
 def get_spark(app_name: str = "dimagi-data-platform-spark") -> SparkSession:
+    # Before the JVM starts: transformWithStateInPandas workers need
+    # google.protobuf on the PYTHONPATH they inherit from the JVM.
+    ensure_protobuf()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.appName(app_name)

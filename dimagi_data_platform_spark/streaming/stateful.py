@@ -14,9 +14,10 @@ Two implementations of the same semantics:
   the engine's per-key state store (RocksDB-backed on a real cluster)
   with typed value handles, instead of a whole-group pickled tuple,
   and the operator supports timers/TTL for state eviction.
-  NOTE: its Python runner protocol imports ``google.protobuf``, which
-  this container lacks (installs forbidden), so the equivalence test
-  skips here; on any standard PySpark install it runs.
+  NOTE: its Python runner protocol imports ``google.protobuf``; on
+  containers without a protobuf install, ``compat.ensure_protobuf()``
+  activates the vendored pure-python runtime (vendor/README.md), so
+  the equivalence test runs everywhere.
 
 State is per user_id: bounded by the user population, partitioned by
 the grouping key, checkpointed with the stream — no driver state.

@@ -50,6 +50,12 @@ def test_running_user_totals_converge_to_batch(spark, tmp_path):
 
 
 def _has_protobuf() -> bool:
+    # activates the vendored pure-python runtime (vendor/README.md)
+    # when the container has no protobuf install
+    from dimagi_data_platform_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        return False
     try:
         from google.protobuf import descriptor  # noqa: F401
 
