@@ -1031,3 +1031,74 @@ def test_streaming_kmv_replay_idempotent(spark, tmp_path):
         )
     merged = merged_kmv(spark, state, ["event_type"], 16)
     assert merged.groupBy("event_type").count().filter("count > 16").count() == 0
+
+
+def test_state_metrics_interval_join_eviction_schedule(spark, tmp_path):
+    """State-store metrics surface (r7 verdict item 8): the
+    stream-stream join's per-batch rows-in-state / evictions come back
+    as a queryable DataFrame, evictions only happen when the watermark
+    advances, and the state-size recurrence
+    total_k = total_{k-1} + updated_k - removed_k holds exactly."""
+    from dimagi_data_platform_spark.streaming.events_stream import (
+        streaming_interval_join,
+    )
+    from dimagi_data_platform_spark.streaming.state_metrics import (
+        run_to_sink_with_metrics,
+    )
+
+    in_dir, ev = _dump_events_as_json(spark, tmp_path, n_files=3)
+    clicks_s = read_event_stream(spark, in_dir, fmt="json", max_files=1).filter(
+        F.col("event_type") == "click"
+    )
+    purch_s = read_event_stream(spark, in_dir, fmt="json", max_files=1).filter(
+        F.col("event_type") == "purchase"
+    )
+    metrics = run_to_sink_with_metrics(
+        streaming_interval_join(clicks_s, purch_s),
+        str(tmp_path / "smj_out"),
+        str(tmp_path / "smj_ckpt"),
+    )
+    rows = metrics.orderBy("batch_id", "operator_idx").collect()
+    assert len({r.batch_id for r in rows}) >= 3  # one per drained file
+    assert {r.operator_name for r in rows} == {"symmetricHashJoin"}
+
+    prev_total, prev_wm, evicted = 0, None, 0
+    for r in rows:
+        assert r.rows_total == prev_total + r.rows_updated - r.rows_removed
+        if r.rows_removed > 0:
+            # evictions are watermark-driven: the batch must have run
+            # with a watermark strictly past the previous batch's
+            assert prev_wm is None or r.watermark > prev_wm
+            evicted += r.rows_removed
+        prev_total, prev_wm = r.rows_total, r.watermark
+    # event times span far beyond the join window, so the drain MUST
+    # have evicted state — a stalled watermark here is the exact
+    # production failure this surface exists to catch
+    assert evicted > 0
+    # watermark column is parsed and non-decreasing across batches
+    wms = [r.watermark for r in rows if r.watermark is not None]
+    assert wms == sorted(wms) and len(wms) >= 2
+
+
+def test_state_metrics_dedup_eviction(spark, tmp_path):
+    """The ingestion-dedup twin exposes its key-state metrics through
+    the same surface: state grows with new keys and the watermark
+    evicts old ones by the same recurrence."""
+    from dimagi_data_platform_spark.streaming.events_stream import streaming_dedup
+    from dimagi_data_platform_spark.streaming.state_metrics import (
+        run_to_sink_with_metrics,
+    )
+
+    in_dir, ev = _dump_events_as_json(spark, tmp_path, n_files=3)
+    stream = read_event_stream(spark, in_dir, fmt="json", max_files=1)
+    metrics = run_to_sink_with_metrics(
+        streaming_dedup(stream, watermark="2 hours"),
+        str(tmp_path / "dd_out"),
+        str(tmp_path / "dd_ckpt"),
+    )
+    rows = metrics.orderBy("batch_id").collect()
+    assert rows and all("dedupe" in r.operator_name for r in rows)
+    for prev, cur in zip([None] + rows[:-1], rows):
+        before = prev.rows_total if prev else 0
+        assert cur.rows_total == before + cur.rows_updated - cur.rows_removed
+    assert sum(r.rows_removed for r in rows) > 0
