@@ -81,3 +81,31 @@ def sql_dsum(expr: str) -> str:
 def sql_davg(expr: str) -> str:
     """DuckDB-side twin of :func:`davg`."""
     return f"{sql_dsum(expr)} / COUNT({expr})"
+
+
+def int_to_double(col: Column) -> Column:
+    """Correctly-rounded DOUBLE of an exact integer-valued DECIMAL
+    column, portable across engines. Needed past 2^53: the JVM's
+    Decimal→double rounds to nearest, but DuckDB's HUGEINT/DECIMAL →
+    DOUBLE casts TRUNCATE, so the two engines disagree by one ulp on
+    large moment sums. Split |x| = hi·2^32 + lo (hi exact in double
+    for |x| < 2^85, lo < 2^32), rebuild as hi·2^32 + lo in doubles —
+    the scale by 2^32 is exact and the single add rounds to nearest
+    identically everywhere. Pair with :func:`sql_int_to_double`.
+    """
+    m = 4294967296
+    a = F.abs(col)
+    hi = ((a - (a % F.lit(m))) / F.lit(m)).cast("decimal(38,0)").cast("double")
+    lo = (a % F.lit(m)).cast("double")
+    sign = F.when(col < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return sign * (hi * F.lit(4294967296.0) + lo)
+
+
+def sql_int_to_double(expr: str) -> str:
+    """DuckDB twin of :func:`int_to_double` for HUGEINT/BIGINT exprs
+    (`//` is DuckDB's integer division; exact on the divisible hi part)."""
+    return (
+        f"(CASE WHEN ({expr}) < 0 THEN -1.0 ELSE 1.0 END)"
+        f" * (CAST(ABS({expr}) // 4294967296 AS DOUBLE) * 4294967296.0"
+        f" + CAST(ABS({expr}) % 4294967296 AS DOUBLE))"
+    )

@@ -6147,3 +6147,174 @@ FROM part
 QUALIFY price_dense_rank <= 3
 ORDER BY p_brand, price_dense_rank, p_partkey
 """
+
+
+# R94: Welch t — the identical conditional-aggregate row and the
+# identical left-associated float chain over the six exact scalars.
+ORACLE["order_value_welch_ttest"] = """
+WITH v AS (
+  SELECT o_orderpriority = '1-URGENT' AS g,
+         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS v
+  FROM orders),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+         SUM(CAST(CASE WHEN g THEN v ELSE 0 END AS HUGEINT)) AS s1,
+         SUM(CAST(CASE WHEN g THEN v ELSE 0 END AS HUGEINT) * v) AS ss1,
+         SUM(CAST(CASE WHEN g THEN 0 ELSE v END AS HUGEINT)) AS s2,
+         SUM(CAST(CASE WHEN g THEN 0 ELSE v END AS HUGEINT) * v) AS ss2
+  FROM v),
+c AS (
+  SELECT n1, n2,
+         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+         CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+         (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+            * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+           / (CAST(n1 AS DOUBLE) - 1.0) AS var1,
+         (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+            * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+           / (CAST(n2 AS DOUBLE) - 1.0) AS var2
+  FROM tot),
+e AS (
+  SELECT n1, n2, m1, m2, var1, var2,
+         var1 / CAST(n1 AS DOUBLE) AS se1,
+         var2 / CAST(n2 AS DOUBLE) AS se2
+  FROM c)
+SELECT n1, n2,
+       m1 / 100.0 AS mean_urgent,
+       m2 / 100.0 AS mean_other,
+       CASE WHEN n1 > 1 AND n2 > 1 THEN
+         (m1 - m2) / sqrt(se1 + se2) END AS t_stat,
+       CASE WHEN n1 > 1 AND n2 > 1 THEN
+         ((se1 + se2) * (se1 + se2))
+           / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)
+              + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)) END AS df_welch,
+       CASE WHEN n1 > 1 AND n2 > 1 THEN
+         (m1 - m2) / sqrt(((CAST(n1 AS DOUBLE) - 1.0) * var1
+                           + (CAST(n2 AS DOUBLE) - 1.0) * var2)
+                          / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0))
+       END AS cohens_d
+FROM e
+"""
+
+# R95: ACF on the zero-filled day spine — exact HUGEINT cent moments,
+# the R60 closed-form corr chain per lag.
+ORACLE["daily_revenue_acf"] = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1),
+span AS (SELECT MIN(day_num) AS d0, MAX(day_num) AS d1 FROM daily),
+spine AS (
+  SELECT UNNEST(range(d0, d1 + 1)) AS day_num FROM span),
+series AS (
+  SELECT s.day_num, COALESCE(d.rev, 0) AS rev
+  FROM spine s LEFT JOIN daily d USING (day_num)),
+lags AS (SELECT UNNEST(range(1, 8)) AS lag_days),
+j AS (
+  SELECT l.lag_days, a.rev AS x, b.rev AS y
+  FROM series a
+  CROSS JOIN lags l
+  JOIN series b ON b.day_num = a.day_num + l.lag_days),
+agg AS (
+  SELECT lag_days,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM j GROUP BY lag_days),
+x AS (
+  SELECT lag_days, n_days,
+         CAST(n_days AS HUGEINT) * sxy - sx * sy AS num,
+         CAST(n_days AS HUGEINT) * sxx - sx * sx AS denx,
+         CAST(n_days AS HUGEINT) * syy - sy * sy AS deny
+  FROM agg)
+SELECT lag_days, n_days,
+       CASE WHEN denx > 0 AND deny > 0 THEN
+         (CASE WHEN (num) < 0 THEN -1.0 ELSE 1.0 END) * (CAST(ABS(num) // 4294967296 AS DOUBLE) * 4294967296.0 + CAST(ABS(num) % 4294967296 AS DOUBLE)) / sqrt((CASE WHEN (denx) < 0 THEN -1.0 ELSE 1.0 END) * (CAST(ABS(denx) // 4294967296 AS DOUBLE) * 4294967296.0 + CAST(ABS(denx) % 4294967296 AS DOUBLE)) * (CASE WHEN (deny) < 0 THEN -1.0 ELSE 1.0 END) * (CAST(ABS(deny) // 4294967296 AS DOUBLE) * 4294967296.0 + CAST(ABS(deny) % 4294967296 AS DOUBLE)))
+       END AS acf
+FROM x ORDER BY lag_days
+"""
+
+# L74: Cohen's kappa off the L44 confusion cells — exact integer
+# n/trace/Σrow·col, one IEEE division (plus the po/pe chains).
+ORACLE["lang_id_cohen_kappa"] = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+    {_score_cols}
+  FROM documents),
+p AS (
+  SELECT lang,
+    CASE
+      WHEN c_en > 0 AND c_en >= GREATEST(c_es, c_de, c_fr) THEN 'en'
+      WHEN c_es > 0 AND c_es >= GREATEST(c_en, c_de, c_fr) THEN 'es'
+      WHEN c_de > 0 AND c_de >= GREATEST(c_en, c_es, c_fr) THEN 'de'
+      WHEN c_fr > 0 AND c_fr >= GREATEST(c_en, c_es, c_de) THEN 'fr'
+      ELSE 'und'
+    END AS lang_pred
+  FROM s),
+cells AS (
+  SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS c
+  FROM p GROUP BY lang, lang_pred),
+g AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN lang = lang_pred THEN c ELSE 0 END) AS BIGINT)
+           AS trace
+  FROM cells),
+r AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS r FROM cells GROUP BY lang),
+k AS (SELECT lang_pred AS lang, CAST(SUM(c) AS BIGINT) AS k
+      FROM cells GROUP BY lang_pred),
+rc AS (
+  SELECT CAST(SUM(COALESCE(r.r, 0) * COALESCE(k.k, 0)) AS BIGINT) AS rc
+  FROM r FULL JOIN k USING (lang))
+SELECT n, trace,
+       CAST(trace AS DOUBLE) / CAST(n AS DOUBLE) AS observed_agreement,
+       CAST(rc AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+         AS expected_agreement,
+       CASE WHEN n * n != rc THEN
+         CAST(n * trace - rc AS DOUBLE) / CAST(n * n - rc AS DOUBLE)
+       END AS kappa
+FROM g, rc
+"""
+
+# P92: dispersion index on the zero-filled per-type day spine.
+ORACLE["event_type_dispersion"] = """
+WITH byday AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+span AS (
+  SELECT MIN(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS d0,
+         MAX(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS d1
+  FROM events),
+spine AS (
+  SELECT t.event_type, UNNEST(range(s.d0, s.d1 + 1)) AS day_num
+  FROM (SELECT DISTINCT event_type FROM byday) t, span s),
+dense AS (
+  SELECT s.event_type, COALESCE(b.c, 0) AS c
+  FROM spine s LEFT JOIN byday b USING (event_type, day_num)),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(c) AS BIGINT) AS total,
+         CAST(SUM(c * c) AS BIGINT) AS ssq
+  FROM dense GROUP BY event_type)
+SELECT event_type, n_days, total,
+       CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
+       CAST(n_days * ssq - total * total AS DOUBLE)
+         / CAST(n_days * (n_days - 1) AS DOUBLE) AS var_daily,
+       (CAST(n_days * ssq - total * total AS DOUBLE)
+          / CAST(n_days * (n_days - 1) AS DOUBLE))
+         / (CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE))
+         AS dispersion_index,
+       (CAST(n_days * ssq - total * total AS DOUBLE)
+          / CAST(n_days * (n_days - 1) AS DOUBLE))
+         / (CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE)) > 1.5
+         AS bursty
+FROM agg
+WHERE n_days > 1 AND total > 0
+ORDER BY event_type
+"""

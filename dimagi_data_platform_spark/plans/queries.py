@@ -26,7 +26,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dimagi_data_platform_spark.catalog import load_table
-from dimagi_data_platform_spark.functions.num import DEC, davg, dsum, qsum
+from dimagi_data_platform_spark.functions.num import (
+    DEC,
+    davg,
+    dsum,
+    int_to_double,
+    qsum,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -10228,4 +10234,243 @@ def top_part_prices_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("price_dense_rank") <= 3)
         .orderBy("p_brand", "price_dense_rank", "p_partkey")
+    )
+
+
+@query("order_value_welch_ttest")
+def order_value_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R94: Welch's two-sample t-test (unequal variances) + Cohen's d —
+    urgent-priority order values vs everything else. The workhorse
+    two-group comparison missing between the z-test (P30, proportions)
+    and ANOVA (R84, k groups): t statistic on the Welch standard
+    error, Welch–Satterthwaite degrees of freedom, and the pooled-SD
+    effect size. Per-group n / Σv / Σv² accumulate as EXACT integers
+    on cent-quantized values in ONE conditional aggregate row; every
+    float is a fixed left-associated chain over those six scalars
+    (mirrored verbatim in the oracle).
+
+    Scale: one map-side-combined aggregate to a single row; nothing
+    data-sized after the scan.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    is_u = F.col("o_orderpriority") == "1-URGENT"
+    v = orders.select(is_u.alias("g"), cents.alias("v"))
+    tot = v.agg(
+        F.sum(F.col("g").cast("long")).cast("long").alias("n1"),
+        F.sum((~F.col("g")).cast("long")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("g"), F.col("v")).otherwise(F.lit(0)).cast(DEC)).alias("s1"),
+        F.sum(F.when(~F.col("g"), F.col("v")).otherwise(F.lit(0)).cast(DEC)).alias("s2"),
+        F.sum(
+            F.when(F.col("g"), F.col("v")).otherwise(F.lit(0)).cast("decimal(19,0)")
+            * F.col("v")
+        ).alias("ss1"),
+        F.sum(
+            F.when(~F.col("g"), F.col("v")).otherwise(F.lit(0)).cast("decimal(19,0)")
+            * F.col("v")
+        ).alias("ss2"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    m1 = F.col("s1").cast("double") / n1
+    m2 = F.col("s2").cast("double") / n2
+    var1 = (F.col("ss1").cast("double") - F.col("s1").cast("double") * m1) / (
+        n1 - F.lit(1.0)
+    )
+    var2 = (F.col("ss2").cast("double") - F.col("s2").cast("double") * m2) / (
+        n2 - F.lit(1.0)
+    )
+    se1, se2 = var1 / n1, var2 / n2
+    sesq = se1 + se2
+    t_stat = (m1 - m2) / F.sqrt(sesq)
+    df_w = (sesq * sesq) / (
+        se1 * se1 / (n1 - F.lit(1.0)) + se2 * se2 / (n2 - F.lit(1.0))
+    )
+    pooled = ((n1 - F.lit(1.0)) * var1 + (n2 - F.lit(1.0)) * var2) / (
+        n1 + n2 - F.lit(2.0)
+    )
+    d = (m1 - m2) / F.sqrt(pooled)
+    ok = (F.col("n1") > 1) & (F.col("n2") > 1)
+    # cents → dollars on the means so the report reads in money units
+    return tot.select(
+        "n1",
+        "n2",
+        (m1 / F.lit(100.0)).alias("mean_urgent"),
+        (m2 / F.lit(100.0)).alias("mean_other"),
+        F.when(ok, t_stat).alias("t_stat"),
+        F.when(ok, df_w).alias("df_welch"),
+        F.when(ok, d).alias("cohens_d"),
+    )
+
+
+@query("daily_revenue_acf")
+def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R95: autocorrelation function of the daily revenue series, lags
+    1–7 — the seasonality detector behind every forecasting model
+    choice (R74 Holt, R58 EWMA assume the memory structure this
+    measures). The series is the ZERO-FILLED calendar-day spine
+    (missing order days are real zeros, not gaps), and each lag's
+    Pearson r comes from exact integer cent moments over the
+    overlapping windows — same determinism contract as R60, whose
+    cross-correlation machinery this turns on a single series.
+
+    Scale: one shuffle to the day grain; spine + 7-lag self-join run
+    on metadata-scale day rows with the lag table broadcast.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    daily = orders.groupBy(F.unix_date(F.to_date("o_orderdate")).alias("day_num")).agg(
+        F.sum(cents).cast("long").alias("rev")
+    )
+    span = daily.agg(
+        F.min("day_num").alias("d0"), F.max("day_num").alias("d1")
+    )
+    spine = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("day_num")
+    )
+    series = spine.join(daily, "day_num", "left").select(
+        "day_num", F.coalesce("rev", F.lit(0)).alias("rev")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("long").alias("lag_days"))
+    a = series.select("day_num", F.col("rev").alias("x"))
+    b = series.select(F.col("day_num").alias("day2"), F.col("rev").alias("y"))
+    j = a.crossJoin(F.broadcast(lags)).join(
+        b, F.col("day2") == F.col("day_num") + F.col("lag_days")
+    )
+    agg = j.groupBy("lag_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("x").cast("decimal(20,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(20,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y")).alias("syy"),
+    )
+    # num/den assembled as EXACT integers (decimal38), converted to
+    # double once via int_to_double — these moment sums exceed 2^53,
+    # where DuckDB's truncating cast and the JVM's rounding cast
+    # disagree by an ulp (functions.num has the full story)
+    nd = F.col("n_days").cast("decimal(20,0)")
+    num = int_to_double(nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+    denx = int_to_double(nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+    deny = int_to_double(nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    return (
+        agg.select(
+            "lag_days",
+            "n_days",
+            F.when((denx > 0) & (deny > 0), num / F.sqrt(denx * deny)).alias(
+                "acf"
+            ),
+        )
+        .orderBy("lag_days")
+    )
+
+
+@query("lang_id_cohen_kappa")
+def lang_id_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L74: Cohen's kappa of the L8 language-ID heuristic against gold
+    labels — chance-corrected agreement, the one-number summary the
+    L44 confusion matrix feeds (accuracy alone is inflated by the
+    dominant class). κ = (n·trace − Σ rowᵢ·colᵢ) / (n² − Σ rowᵢ·colᵢ):
+    every term is an exact integer off the confusion matrix, closed by
+    one IEEE division (observed/expected agreement emitted alongside).
+
+    Scale: scan-local prediction → |langs|²-cell aggregate →
+    grid-bounded arithmetic; nothing data-sized past the first agg.
+    """
+    from dimagi_data_platform_spark.functions.text import (
+        lang_predict,
+        lang_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = lang_predict(lang_scores("text"))
+    cells = (
+        docs.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    g = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("lang") == F.col("lang_pred"), F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("trace"),
+    )
+    rows = cells.groupBy("lang").agg(F.sum("c").cast("long").alias("r"))
+    cols = cells.groupBy(F.col("lang_pred").alias("lang")).agg(
+        F.sum("c").cast("long").alias("k")
+    )
+    rc = (
+        rows.join(cols, "lang", "full")
+        .select(
+            (F.coalesce("r", F.lit(0)) * F.coalesce("k", F.lit(0))).alias("rk")
+        )
+        .agg(F.sum("rk").cast("long").alias("rc"))
+    )
+    j = g.crossJoin(F.broadcast(rc))
+    n_d = F.col("n").cast("double")
+    po = F.col("trace").cast("double") / n_d
+    pe = F.col("rc").cast("double") / (n_d * n_d)
+    kappa = (F.col("n") * F.col("trace") - F.col("rc")).cast("double") / (
+        F.col("n") * F.col("n") - F.col("rc")
+    ).cast("double")
+    return j.select(
+        "n",
+        "trace",
+        po.alias("observed_agreement"),
+        pe.alias("expected_agreement"),
+        F.when(F.col("n") * F.col("n") != F.col("rc"), kappa).alias("kappa"),
+    )
+
+
+@query("event_type_dispersion")
+def event_type_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P92: burstiness audit — per event type, the variance-to-mean
+    ratio (index of dispersion) of daily counts over the FULL calendar
+    spine (zero days included: a type that fires in rare bursts has
+    VMR ≫ 1, a steady drip ≈ 1 — the Poisson baseline capacity
+    planning assumes). n/Σc/Σc² are exact integers per type; VMR and
+    the burst classification close in one mirrored IEEE chain.
+
+    Scale: one shuffle to the (type, day) grain, then a |types|-row
+    aggregate; the spine densify is an explode over the global span
+    broadcast to each type's row.
+    """
+    ev = _t(spark, sf_dir, "events")
+    byday = ev.groupBy(
+        F.col("event_type"), F.unix_date(F.to_date("ts")).alias("day_num")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    span = ev.agg(
+        F.min(F.unix_date(F.to_date("ts"))).alias("d0"),
+        F.max(F.unix_date(F.to_date("ts"))).alias("d1"),
+    )
+    types = byday.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(span)).select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("day_num")
+    )
+    dense = spine.join(byday, ["event_type", "day_num"], "left").select(
+        "event_type", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    agg = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ssq"),
+    )
+    n = F.col("n_days").cast("double")
+    s = F.col("total").cast("double")
+    var = (F.col("n_days") * F.col("ssq") - F.col("total") * F.col("total")).cast(
+        "double"
+    ) / (F.col("n_days") * (F.col("n_days") - 1)).cast("double")
+    mean = s / n
+    vmr = var / mean
+    return (
+        agg.filter((F.col("n_days") > 1) & (F.col("total") > 0))
+        .select(
+            "event_type",
+            "n_days",
+            "total",
+            mean.alias("mean_daily"),
+            var.alias("var_daily"),
+            vmr.alias("dispersion_index"),
+            (vmr > F.lit(1.5)).alias("bursty"),
+        )
+        .orderBy("event_type")
     )
