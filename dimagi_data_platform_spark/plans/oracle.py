@@ -6318,3 +6318,122 @@ FROM agg
 WHERE n_days > 1 AND total > 0
 ORDER BY event_type
 """
+
+
+def _kcore_sql(k: int = 3, n_rounds: int = 6) -> str:
+    """Unrolled synchronous k-core peel — the twin of part_k_core:
+    round r recomputes degrees on e{r-1} and keeps edges whose BOTH
+    endpoints still have degree >= k. MATERIALIZED per round (same
+    bounded-plan discipline as the pagerank family)."""
+    ctes = [
+        """lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""",
+        """e00 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""",
+        """e0 AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM e00
+  UNION ALL SELECT v AS src, u AS dst FROM e00)""",
+    ]
+    for r in range(1, n_rounds + 1):
+        ctes.append(
+            f"""v{r} AS MATERIALIZED (
+  SELECT src AS p FROM e{r - 1} GROUP BY src HAVING COUNT(*) >= {k})"""
+        )
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r - 1} e
+  JOIN v{r} a ON a.p = e.src
+  JOIN v{r} b ON b.p = e.dst)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT src AS p_partkey, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM e{n_rounds} GROUP BY src
+ORDER BY core_degree DESC, p_partkey LIMIT 50"""
+    )
+
+
+ORACLE["part_k_core"] = _kcore_sql()
+
+# R97: Adamic-Adar — R79's wedge join with the fixed-point
+# 1e12 // floor(ln(deg_src)*1e6) center weight.
+ORACLE["copurchase_adamic_adar"] = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+allv AS (
+  SELECT u AS p FROM e0 UNION ALL SELECT v FROM e0),
+deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS deg FROM allv GROUP BY p),
+packed AS (
+  SELECT e0.u, e0.v,
+         du.deg * 1099511627776 + e0.u AS ku,
+         dv.deg * 1099511627776 + e0.v AS kv
+  FROM e0 JOIN deg du ON du.p = e0.u JOIN deg dv ON dv.p = e0.v),
+directed AS (
+  SELECT CASE WHEN ku < kv THEN u ELSE v END AS src,
+         CASE WHEN ku < kv THEN v ELSE u END AS dst
+  FROM packed),
+cw AS (
+  SELECT p AS src,
+         CAST(FLOOR(1000000000000.0
+              / FLOOR(ln(CAST(deg AS DOUBLE)) * 1000000.0)) AS BIGINT)
+           AS w_center
+  FROM deg),
+wedges AS (
+  SELECT d1.dst AS u, d2.dst AS v,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         CAST(SUM(cw.w_center) AS BIGINT) AS aa_fixed
+  FROM directed d1
+  JOIN directed d2 ON d1.src = d2.src AND d1.dst < d2.dst
+  JOIN cw ON cw.src = d1.src
+  GROUP BY 1, 2),
+pred AS (
+  SELECT w.u, w.v, w.n_common, w.aa_fixed
+  FROM wedges w ANTI JOIN e0 ON e0.u = w.u AND e0.v = w.v)
+SELECT u AS part_a, v AS part_b, n_common, aa_fixed,
+       CAST(aa_fixed AS DOUBLE) / 1000000.0 AS aa_score
+FROM pred
+ORDER BY aa_fixed DESC, part_a, part_b
+LIMIT 20
+"""
+
+# P93: Nelson-Aalen — the P46 risk-set machinery with the pure
+# integer floor(1e6*d/n) step hazard.
+ORACLE["customer_hazard_na"] = """
+WITH per AS (
+  SELECT date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                   MAX(CAST(o_orderdate AS DATE))) AS t_days,
+         CASE WHEN date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                             (SELECT MAX(CAST(o_orderdate AS DATE))
+                              FROM orders)) > 90
+              THEN 1 ELSE 0 END AS is_event
+  FROM orders GROUP BY o_custkey),
+byd AS (
+  SELECT t_days, CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST(SUM(is_event) AS BIGINT) AS n_events
+  FROM per GROUP BY t_days),
+risk AS (
+  SELECT t_days, n_events,
+         CAST((SELECT COUNT(*) FROM per)
+              - COALESCE(SUM(n_all) OVER (ORDER BY t_days
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+  FROM byd),
+ev AS (
+  SELECT t_days, n_at_risk, n_events,
+         CAST((1000000 * n_events) // n_at_risk AS BIGINT) AS hazard_ppm
+  FROM risk WHERE n_events > 0)
+SELECT t_days, n_at_risk, n_events, hazard_ppm,
+       CAST(SUM(hazard_ppm) OVER (ORDER BY t_days
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_hazard_ppm,
+       CAST(CAST(SUM(hazard_ppm) OVER (ORDER BY t_days
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS DOUBLE) / 1000000.0 AS cum_hazard
+FROM ev ORDER BY t_days
+"""

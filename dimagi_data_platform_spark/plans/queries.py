@@ -10474,3 +10474,189 @@ def event_type_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query("part_k_core")
+def part_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R96: k-core decomposition (k=3) of the co-purchase graph — the
+    standard dense-subgraph peel: repeatedly delete vertices with
+    degree < k until only the 3-core remains (community cores,
+    spam/bot ring detection, graph sparsification). Six synchronous
+    peel rounds, run as FIXED rounds on both engines so the oracle's
+    unrolled MATERIALIZED recurrence replays bit-for-bit; a unit test
+    certifies round 6 is a fixed point on the test graphs, so the
+    fixed unroll IS the converged core there.
+
+    Scale: each round is one map-side-combined degree count plus two
+    semi-joins on the shrinking edge set — O(m) per round like
+    PageRank (R57), lineage checkpointed every third round.
+    """
+    e0 = _copurchase_edges(spark, sf_dir)
+    e = e0.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+        e0.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    k = 3
+    for r in range(6):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        e = e.join(keep, "src", "semi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "semi"
+        )
+        if r % 3 == 2:
+            e = e.localCheckpoint()
+    return (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .select(F.col("src").alias("p_partkey"), "core_degree")
+        .orderBy(F.desc("core_degree"), "p_partkey")
+        .limit(50)
+    )
+
+
+@query("copurchase_adamic_adar")
+def copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R97: Adamic–Adar link prediction — R79's common-neighbors
+    counter with the standard rare-neighbor reweighting: a shared
+    neighbor of degree d contributes 1/ln(d), so hub co-neighbors
+    (co-purchased with everything) stop drowning the signal. Same
+    degree-ordered wedge machinery as R56/R79 (center = oriented src,
+    Σ outdeg² bound); the weight is the exact integer
+    floor(1e12 / floor(ln(deg)·1e6)) per wedge — fixed-point lnq then
+    integer division, summed exactly, ONE final division for display.
+
+    Scale: identical to R79 plus one broadcast degree join before the
+    scan-local triangular expansion.
+    """
+    deg, _corners = _copurchase_tri(spark, sf_dir)
+    edges = _copurchase_edges(spark, sf_dir)
+    pack = 1 << 40
+    du = deg.select(
+        F.col("p").alias("u"), (F.col("deg") * pack + F.col("u")).alias("ku")
+    )
+    dv = deg.select(
+        F.col("p").alias("v"), (F.col("deg") * pack + F.col("v")).alias("kv")
+    )
+    e = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    u_first = F.col("ku") < F.col("kv")
+    directed = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    wsrc = F.floor(
+        F.lit(1000000000000.0)
+        / F.floor(F.log(F.col("deg").cast("double")) * F.lit(1000000.0))
+    ).cast("long")
+    adj = (
+        directed.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .join(
+            F.broadcast(deg.select(F.col("p").alias("src"), "deg")), "src"
+        )
+        # wedge centers have outdeg >= 2, so undirected deg >= 2 and
+        # ln(deg) >= ln 2 — the integer division is always defined
+        .withColumn("w_center", wsrc)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "nbrs",
+            lambda x, i: F.transform(
+                F.slice(F.col("nbrs"), (i + 2).cast("int"), F.size("nbrs")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    wedges = (
+        adj.filter(F.size("nbrs") >= 2)
+        .select(F.col("w_center"), F.explode(pair_structs).alias("w"))
+        .select(F.col("w.a").alias("u"), F.col("w.b").alias("v"), "w_center")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("w_center").cast("long").alias("aa_fixed"),
+        )
+    )
+    return (
+        wedges.join(edges, ["u", "v"], "left_anti")
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            "n_common",
+            "aa_fixed",
+            (F.col("aa_fixed").cast("double") / F.lit(1000000.0)).alias(
+                "aa_score"
+            ),
+        )
+        .orderBy(F.desc("aa_fixed"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@query("customer_hazard_na")
+def customer_hazard_na(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P93: Nelson–Aalen cumulative-hazard curve of customer lifetime —
+    the estimator beside P46's Kaplan–Meier survival: H(t) = Σ dᵢ/nᵢ
+    over event times (churn definition and risk-set machinery shared
+    with P46). Purely integer-deterministic: each step's hazard is the
+    EXACT floor(1e6·d/n) integer division — no libm anywhere, unlike
+    KM's product-limit — and the cumulative sum is exact; one display
+    division closes.
+
+    Scale: per-duration aggregate (bounded by the date span) + a
+    metadata-scale prefix window, never a customer-grain window.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    horizon = orders.agg(F.max(F.to_date("o_orderdate")).alias("h"))
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min(F.to_date("o_orderdate")).alias("first_d"),
+            F.max(F.to_date("o_orderdate")).alias("last_d"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("last_d", "first_d").cast("long").alias("t_days"),
+            F.when(F.datediff("h", "last_d") > 90, 1)
+            .otherwise(0)
+            .alias("is_event"),
+        )
+    )
+    byd = per.groupBy("t_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("is_event").cast("long").alias("n_events"),
+    )
+    tot = per.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    w_prev = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = byd.crossJoin(F.broadcast(tot)).withColumn(
+        "n_at_risk",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("n_all").over(w_prev), F.lit(0))
+        ).cast("long"),
+    )
+    ev = risk.filter(F.col("n_events") > 0).withColumn(
+        "hazard_ppm",
+        F.expr("CAST((1000000 * n_events) DIV n_at_risk AS LONG)"),
+    )
+    w_cum = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ev.withColumn(
+            "cum_hazard_ppm", F.sum("hazard_ppm").over(w_cum).cast("long")
+        )
+        .select(
+            "t_days",
+            "n_at_risk",
+            "n_events",
+            "hazard_ppm",
+            "cum_hazard_ppm",
+            (F.col("cum_hazard_ppm").cast("double") / F.lit(1000000.0)).alias(
+                "cum_hazard"
+            ),
+        )
+        .orderBy("t_days")
+    )

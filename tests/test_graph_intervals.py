@@ -351,3 +351,30 @@ def test_personalized_pagerank_dangling_mass_restarts_at_seeds(spark):
             for v_ in (1, 2, 3)
         }
     assert got == r
+
+
+def test_k_core_six_rounds_is_fixed_point(spark):
+    """part_k_core runs a FIXED 6-round peel so the unrolled oracle
+    replays it exactly; this certifies 6 rounds is the converged
+    3-core on the test graph (a 7th round changes nothing)."""
+    from dimagi_data_platform_spark.plans.queries import _copurchase_edges
+
+    e0 = _copurchase_edges(spark, "/root/testdata/sf0.001")
+    e = e0.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+        e0.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+
+    def peel(e, rounds, k=3):
+        for _ in range(rounds):
+            keep = (
+                e.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= k)
+                .select("src")
+            )
+            e = e.join(keep, "src", "semi").join(
+                keep.withColumnRenamed("src", "dst"), "dst", "semi"
+            ).localCheckpoint()
+        return sorted(map(tuple, e.collect()))
+
+    assert peel(e, 6) == peel(e, 7)
