@@ -6437,3 +6437,72 @@ SELECT t_days, n_at_risk, n_events, hazard_ppm,
             AS DOUBLE) / 1000000.0 AS cum_hazard
 FROM ev ORDER BY t_days
 """
+
+
+# L75: RAKE — identical regex segmentation, exact integer word/phrase
+# scores (1e6*degree // freq), deterministic top-20.
+ORACLE["doc_rake_keywords"] = r"""
+WITH segs AS (
+  SELECT UNNEST(string_split(
+           regexp_replace(lower(text), '\b(the|a|of|and|to|in|is)\b',
+                          '|', 'g'), '|')) AS seg
+  FROM documents),
+phrases AS (
+  SELECT phrase, string_split(phrase, ' ') AS toks,
+         CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen
+  FROM (SELECT trim(regexp_replace(seg, '\s+', ' ', 'g')) AS phrase
+        FROM segs)
+  WHERE phrase != '' AND len(string_split(phrase, ' ')) BETWEEN 1 AND 4),
+words AS (
+  SELECT UNNEST(toks) AS w, plen FROM phrases),
+wscore AS (
+  SELECT w,
+         CAST((1000000 * CAST(SUM(plen) AS BIGINT))
+              // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS w_score_fixed
+  FROM words GROUP BY w),
+pgrp AS (
+  SELECT phrase, toks, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM phrases GROUP BY phrase, toks),
+scored AS (
+  SELECT p.phrase, p.n_occurrences,
+         CAST(SUM(ws.w_score_fixed) AS BIGINT) AS score_fixed
+  FROM (SELECT phrase, n_occurrences, UNNEST(toks) AS w FROM pgrp) p
+  JOIN wscore ws ON ws.w = p.w
+  GROUP BY p.phrase, p.n_occurrences)
+SELECT phrase, n_occurrences, score_fixed,
+       CAST(score_fixed AS DOUBLE) / 1000000.0 AS rake_score
+FROM scored
+ORDER BY score_fixed DESC, phrase
+LIMIT 20
+"""
+
+# L76: pass@k — the identical left-associated k-factor product.
+def _pass_at_sql(k: int) -> str:
+    prod = "1.0"
+    for i in range(k):
+        prod = (
+            f"{prod} * (CAST(n_attempts - n_correct - {i} AS DOUBLE)"
+            f" / CAST(n_attempts - {i} AS DOUBLE))"
+        )
+    return (
+        f"CASE WHEN n_attempts < {k} THEN NULL"
+        f" WHEN n_attempts - n_correct < {k} THEN 1.0"
+        f" ELSE 1.0 - {prod} END"
+    )
+
+
+ORACLE["source_pass_at_k"] = rf"""
+WITH g AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_attempts,
+         CAST(SUM(CASE WHEN 5 * len(regexp_extract_all(lower(text),
+                '\b(the|a|of|and|to|in|is)\b'))
+              >= len(regexp_split_to_array(trim(text), '\s+'))
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM documents GROUP BY source)
+SELECT source, n_attempts, n_correct,
+       {_pass_at_sql(1)} AS pass_at_1,
+       {_pass_at_sql(5)} AS pass_at_5,
+       {_pass_at_sql(10)} AS pass_at_10
+FROM g ORDER BY source
+"""

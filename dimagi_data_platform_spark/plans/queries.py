@@ -10660,3 +10660,116 @@ def customer_hazard_na(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_days")
     )
+
+
+@query("doc_rake_keywords")
+def doc_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L75: RAKE keyword extraction (Rose et al. 2010) over the corpus
+    — candidate phrases are maximal stopword-free token runs (length
+    ≤ 4), each word scores degree/frequency (degree = Σ phrase lengths
+    it appears in), and a phrase scores the sum of its word scores.
+    The vocabulary-free keyword extractor beside tf-idf (L20) and
+    collocations (L68). Word scores are EXACT integers
+    (floor(1e6·deg/freq) via integer division); phrase scores are
+    exact integer sums; one display division.
+
+    Scale: segmentation is scan-local regex (JVM, codegen); word stats
+    are a vocab-sized shuffle; the phrase⋈word-score join fans out by
+    phrase length ≤ 4. Deterministic top-20 (score, phrase).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    segs = F.split(
+        F.regexp_replace(
+            F.lower(F.col("text")), r"\b(the|a|of|and|to|in|is)\b", "|"
+        ),
+        r"\|",
+    )
+    phrases = (
+        docs.select(F.explode(segs).alias("seg"))
+        .select(
+            F.trim(F.regexp_replace("seg", r"\s+", " ")).alias("phrase")
+        )
+        .filter(F.col("phrase") != "")
+        .withColumn("toks", F.split("phrase", " "))
+        .filter(F.size("toks").between(1, 4))
+        .withColumn("plen", F.size("toks").cast("long"))
+    )
+    words = phrases.select(F.explode("toks").alias("w"), "plen")
+    wstats = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("degree"),
+    )
+    wscore = wstats.withColumn(
+        "w_score_fixed",
+        F.expr("CAST((1000000 * degree) DIV freq AS LONG)"),
+    )
+    pgrp = phrases.groupBy("phrase", "toks", "plen").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    scored = (
+        pgrp.select(
+            "phrase", "n_occurrences", F.explode("toks").alias("w")
+        )
+        .join(wscore.select("w", "w_score_fixed"), "w")
+        .groupBy("phrase", "n_occurrences")
+        .agg(F.sum("w_score_fixed").cast("long").alias("score_fixed"))
+    )
+    return (
+        scored.select(
+            "phrase",
+            "n_occurrences",
+            "score_fixed",
+            (F.col("score_fixed").cast("double") / F.lit(1000000.0)).alias(
+                "rake_score"
+            ),
+        )
+        .orderBy(F.desc("score_fixed"), "phrase")
+        .limit(20)
+    )
+
+
+@query("source_pass_at_k")
+def source_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L76: pass@k estimator (Chen et al. 2021, the Codex metric) —
+    treating each source as a problem and its documents as attempts,
+    with an integer-exact "correct" criterion (stopword hits ≥ 20% of
+    words: 5·stops ≥ n_words, no float threshold edge). The unbiased
+    estimator pass@k = 1 − C(n−c,k)/C(n,k) evaluates as the FIXED
+    left-associated product Π_{i<k}(n−c−i)/(n−i) — k ≤ 10 literal
+    IEEE factors, identical chain on both engines; the n−c < k branch
+    short-circuits to exactly 1.
+
+    Scale: one scan-local classification, one |sources|-row aggregate,
+    grid-bounded arithmetic.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    correct = (
+        F.lit(5) * stopword_count("text") >= ws_token_count("text")
+    ).cast("long")
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_attempts"),
+        F.sum(correct).cast("long").alias("n_correct"),
+    )
+
+    def pass_at(k: int):
+        n, c = F.col("n_attempts"), F.col("n_correct")
+        prod = F.lit(1.0)
+        for i in range(k):
+            prod = prod * (
+                (n - c - F.lit(i)).cast("double")
+                / (n - F.lit(i)).cast("double")
+            )
+        return (
+            F.when(n < F.lit(k), F.lit(None).cast("double"))
+            .when(n - c < F.lit(k), F.lit(1.0))
+            .otherwise(F.lit(1.0) - prod)
+        )
+
+    return g.select(
+        "source",
+        "n_attempts",
+        "n_correct",
+        pass_at(1).alias("pass_at_1"),
+        pass_at(5).alias("pass_at_5"),
+        pass_at(10).alias("pass_at_10"),
+    ).orderBy("source")
