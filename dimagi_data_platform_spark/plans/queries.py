@@ -10773,3 +10773,137 @@ def source_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass_at(5).alias("pass_at_5"),
         pass_at(10).alias("pass_at_10"),
     ).orderBy("source")
+
+
+@query("ann_recall_eval")
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L77: ANN quality evaluation — recall@5 of the IVF-Flat serve
+    path (L7g) against exact brute-force cosine ground truth (L6), per
+    query vector. The eval loop every vector-index deployment runs
+    before trading recall for probe cost (the dedup sibling is L47).
+    Both rankings are deterministic (cosine DESC, id tiebreak), so the
+    hit count is exact; one display division per query.
+
+    Scale: ground truth is the broadcast-query brute-force kernel
+    (exact by definition, bounded query side); the IVF path prunes to
+    the probed fraction — the join of two k-row-per-query results is
+    metadata-sized.
+    """
+    from dimagi_data_platform_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivf_flat,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = knn_bruteforce(emb, q, k=5).select("q_id", "neighbor_id")
+    approx = knn_ivf_flat(emb, q, k=5, nprobe=2).select(
+        "q_id", F.col("neighbor_id").alias("a_id")
+    )
+    hits = exact.join(
+        approx,
+        (exact.q_id == approx.q_id) & (exact.neighbor_id == approx.a_id),
+        "left_semi",
+    )
+    n_exact = exact.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    n_hit = hits.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    return (
+        n_exact.join(n_hit, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall_at_5"),
+        )
+        .orderBy("q_id")
+    )
+
+
+@query("rolling_median_revenue")
+def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R98: 7-row rolling EXACT median of daily revenue — the robust
+    trend line beside the rolling mean (R30) and rolling corr (R53):
+    one outlier day cannot move it. No native median-over-window
+    exists in either engine with identical semantics, so both sides
+    sort the 7-row frame explicitly and take the LOWER-median pair sum
+    (median_x2 = a[mid]+a[mid+1] for even frames, 2·a[mid] for odd —
+    exact integer cents, no .5 float); display closes with /200.
+
+    Scale: the window runs on the day-grain aggregate (metadata
+    cardinality, R53's contract), frames are 7-element arrays.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    daily = orders.groupBy(F.unix_date(F.to_date("o_orderdate")).alias("day_num")).agg(
+        F.sum(cents).cast("long").alias("rev")
+    )
+    w = Window.orderBy("day_num").rowsBetween(-6, 0)
+    frame = F.array_sort(F.collect_list("rev").over(w))
+    n = F.size(frame)
+    lo = F.element_at(frame, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(frame, (n / 2 + 1).cast("int"))
+    return (
+        daily.withColumn("n_frame", n.cast("long"))
+        .withColumn("median_x2", (lo + hi).cast("long"))
+        .filter(F.col("n_frame") == 7)
+        .select(
+            "day_num",
+            "rev",
+            "median_x2",
+            (F.col("median_x2").cast("double") / F.lit(200.0)).alias(
+                "rolling_median"
+            ),
+        )
+        .orderBy("day_num")
+    )
+
+
+@query("fd_audit")
+def fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P94: functional-dependency audit — does column A determine
+    column B? The schema-inference / data-contract check profilers run
+    before trusting a "natural key" (P45 profiles columns alone; P50
+    profiles declared FKs; this tests UNDECLARED determinations). For
+    each candidate FD: LHS groups, violating groups (>1 distinct RHS),
+    worst fan-out, and the holds verdict — exact counts from one
+    two-level aggregate per candidate, stacked.
+
+    Scale: each candidate is a (LHS, RHS) distinct count with map-side
+    partials — same cost as a groupBy; candidates run independently.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+
+    def check(df, lhs, rhs):
+        pairs = df.select(
+            F.col(lhs).cast("string").alias("l"),
+            F.col(rhs).cast("string").alias("r"),
+        ).distinct()
+        per = pairs.groupBy("l").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rhs")
+        )
+        return per.agg(
+            F.lit(f"{lhs} -> {rhs}").alias("candidate_fd"),
+            F.count(F.lit(1)).cast("long").alias("n_lhs_groups"),
+            F.sum((F.col("n_rhs") > 1).cast("long")).cast("long").alias(
+                "n_violating"
+            ),
+            F.max("n_rhs").cast("long").alias("max_rhs_distinct"),
+            (F.max("n_rhs") == 1).alias("holds"),
+        )
+
+    out = (
+        check(cust, "c_nationkey", "c_mktsegment")
+        .unionAll(check(orders, "o_custkey", "o_orderpriority"))
+        .unionAll(check(part, "p_type", "p_size"))
+        .unionAll(check(part, "p_partkey", "p_brand"))
+    )
+    return out.orderBy("candidate_fd")
