@@ -10270,25 +10270,33 @@ def order_value_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("v")
         ).alias("ss2"),
     )
+    # try_divide throughout: under ANSI a degenerate group (n=0 or
+    # n=1, exercised by the single-row suite) must degrade to NULL,
+    # never raise; on healthy data the quotients are bit-identical
     n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
-    m1 = F.col("s1").cast("double") / n1
-    m2 = F.col("s2").cast("double") / n2
-    var1 = (F.col("ss1").cast("double") - F.col("s1").cast("double") * m1) / (
-        n1 - F.lit(1.0)
+    m1 = F.try_divide(F.col("s1").cast("double"), n1)
+    m2 = F.try_divide(F.col("s2").cast("double"), n2)
+    var1 = F.try_divide(
+        F.col("ss1").cast("double") - F.col("s1").cast("double") * m1,
+        n1 - F.lit(1.0),
     )
-    var2 = (F.col("ss2").cast("double") - F.col("s2").cast("double") * m2) / (
-        n2 - F.lit(1.0)
+    var2 = F.try_divide(
+        F.col("ss2").cast("double") - F.col("s2").cast("double") * m2,
+        n2 - F.lit(1.0),
     )
-    se1, se2 = var1 / n1, var2 / n2
+    se1, se2 = F.try_divide(var1, n1), F.try_divide(var2, n2)
     sesq = se1 + se2
-    t_stat = (m1 - m2) / F.sqrt(sesq)
-    df_w = (sesq * sesq) / (
-        se1 * se1 / (n1 - F.lit(1.0)) + se2 * se2 / (n2 - F.lit(1.0))
+    t_stat = F.try_divide(m1 - m2, F.sqrt(sesq))
+    df_w = F.try_divide(
+        sesq * sesq,
+        F.try_divide(se1 * se1, n1 - F.lit(1.0))
+        + F.try_divide(se2 * se2, n2 - F.lit(1.0)),
     )
-    pooled = ((n1 - F.lit(1.0)) * var1 + (n2 - F.lit(1.0)) * var2) / (
-        n1 + n2 - F.lit(2.0)
+    pooled = F.try_divide(
+        (n1 - F.lit(1.0)) * var1 + (n2 - F.lit(1.0)) * var2,
+        n1 + n2 - F.lit(2.0),
     )
-    d = (m1 - m2) / F.sqrt(pooled)
+    d = F.try_divide(m1 - m2, F.sqrt(pooled))
     ok = (F.col("n1") > 1) & (F.col("n2") > 1)
     # cents → dollars on the means so the report reads in money units
     return tot.select(
