@@ -96,6 +96,12 @@ HEADLINE = [
     "knn_sq_flat",
     "copurchase_communities",
     "term_collocations",
+    # r8 additions
+    "part_k_core",
+    "copurchase_adamic_adar",
+    "daily_revenue_acf",
+    "doc_rake_keywords",
+    "ann_recall_eval",
 ]
 
 

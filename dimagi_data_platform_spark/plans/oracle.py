@@ -6623,3 +6623,126 @@ UNION ALL {_fd_sql("part", "p_type", "p_size")}
 UNION ALL {_fd_sql("part", "p_partkey", "p_brand")}
 ) ORDER BY candidate_fd
 """
+
+
+# R99: HITS -- unrolled integer mutual reinforcement, MATERIALIZED per
+# half-round; max-normalization is integer 1e6*x // max.
+ORACLE["part_hits_authority"] = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+a1 AS MATERIALIZED (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS a FROM e GROUP BY p),
+an1 AS MATERIALIZED (
+  SELECT p, CAST((a * 1000000) // (SELECT MAX(a) FROM a1) AS BIGINT) AS an
+  FROM a1),
+h1 AS MATERIALIZED (
+  SELECT e.c, CAST(SUM(an1.an) AS BIGINT) AS h
+  FROM e JOIN an1 USING (p) GROUP BY e.c),
+hn1 AS MATERIALIZED (
+  SELECT c, CAST((h * 1000000) // (SELECT MAX(h) FROM h1) AS BIGINT) AS hn
+  FROM h1),
+a2 AS MATERIALIZED (
+  SELECT e.p, CAST(SUM(hn1.hn) AS BIGINT) AS a
+  FROM e JOIN hn1 USING (c) GROUP BY e.p),
+an2 AS MATERIALIZED (
+  SELECT p, CAST((a * 1000000) // (SELECT MAX(a) FROM a2) AS BIGINT) AS an
+  FROM a2),
+h2 AS MATERIALIZED (
+  SELECT e.c, CAST(SUM(an2.an) AS BIGINT) AS h
+  FROM e JOIN an2 USING (p) GROUP BY e.c),
+hn2 AS MATERIALIZED (
+  SELECT c, CAST((h * 1000000) // (SELECT MAX(h) FROM h2) AS BIGINT) AS hn
+  FROM h2),
+a3 AS MATERIALIZED (
+  SELECT e.p, CAST(SUM(hn2.hn) AS BIGINT) AS a
+  FROM e JOIN hn2 USING (c) GROUP BY e.p)
+SELECT p AS p_partkey,
+       CAST((a * 1000000) // (SELECT MAX(a) FROM a3) AS BIGINT) AS auth_fixed,
+       CAST(CAST((a * 1000000) // (SELECT MAX(a) FROM a3) AS BIGINT)
+            AS DOUBLE) / 1000000.0 AS authority
+FROM a3
+ORDER BY auth_fixed DESC, p_partkey LIMIT 20
+"""
+
+# P95: trailing-60s burst counts on exact epoch microseconds.
+ORACLE["user_burst_detection"] = """
+WITH b AS (
+  SELECT user_id,
+         COUNT(*) OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts)
+                        RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW)
+           AS burst
+  FROM events),
+per AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(MAX(burst) AS BIGINT) AS max_burst_60s
+  FROM b GROUP BY user_id)
+SELECT user_id, n_events, max_burst_60s, max_burst_60s >= 3 AS flagged
+FROM per ORDER BY user_id
+"""
+
+# L78: lexical diversity -- exact ppm integer chains end to end.
+ORACLE["source_lexical_diversity"] = r"""
+WITH wf AS (
+  SELECT doc_id, source, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, source,
+               UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents)
+  GROUP BY doc_id, source, w),
+per_doc AS (
+  SELECT doc_id, source,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM wf GROUP BY doc_id, source),
+ppm AS (
+  SELECT source,
+         CAST((1000000 * n_types) // n_tokens AS BIGINT) AS ttr_ppm,
+         CAST((1000000 * n_hapax) // n_tokens AS BIGINT) AS hapax_ppm
+  FROM per_doc),
+g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(ttr_ppm) AS BIGINT) AS sttr,
+         CAST(SUM(hapax_ppm) AS BIGINT) AS shap
+  FROM ppm GROUP BY source)
+SELECT source, n_docs,
+       CAST(sttr // n_docs AS BIGINT) AS mean_ttr_ppm,
+       CAST(shap // n_docs AS BIGINT) AS mean_hapax_ppm,
+       CAST(CAST(sttr // n_docs AS BIGINT) AS DOUBLE) / 1000000.0 AS mean_ttr
+FROM g ORDER BY source
+"""
+
+
+# L79: Matryoshka truncation eval -- 16-dim cosine ranking vs the
+# full-dimension ground truth, composed from the same literal chains.
+_COS_QC16 = f"{_vdot('q_vec', 'c_vec', 16)} / (sqrt({_vdot('q_vec', 'q_vec', 16)}) * sqrt({_vdot('c_vec', 'c_vec', 16)}))"
+
+ORACLE["matryoshka_recall_eval"] = f"""
+WITH exact AS ({ORACLE["knn_bruteforce"]}),
+q16 AS (SELECT vec_id AS q_id, embedding AS q_vec
+        FROM embeddings WHERE vec_id < 10),
+c16 AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+s16 AS (
+  SELECT q_id, neighbor_id, {_COS_QC16} AS cos_sim
+  FROM q16, c16 WHERE q_id <> neighbor_id),
+r16 AS (
+  SELECT q_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM s16),
+trunc AS (SELECT q_id, neighbor_id FROM r16 WHERE rnk <= 5),
+ne AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+       FROM exact GROUP BY q_id),
+nh AS (
+  SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM exact e SEMI JOIN trunc t
+    ON t.q_id = e.q_id AND t.neighbor_id = e.neighbor_id
+  GROUP BY e.q_id)
+SELECT ne.q_id, ne.n_exact,
+       CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(nh.n_hits, 0) AS DOUBLE)
+         / CAST(ne.n_exact AS DOUBLE) AS recall_at_5_dim16
+FROM ne LEFT JOIN nh ON nh.q_id = ne.q_id
+ORDER BY ne.q_id
+"""

@@ -10927,3 +10927,198 @@ def fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(check(part, "p_partkey", "p_brand"))
     )
     return out.orderBy("candidate_fd")
+
+
+@query("part_hits_authority")
+def part_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R99: HITS hubs & authorities (Kleinberg 1999) on the bipartite
+    customer→part purchase graph — authority parts are those bought by
+    high-hub customers, hub customers those buying high-authority
+    parts. Two mutual-reinforcement rounds in EXACT integer arithmetic
+    (h₀ = 1; aₖ = Σ h over in-edges; per-round integer max-normalization
+    x·1e6 DIV max(x) — the fixed-point sibling of R57's damping), so
+    the unrolled MATERIALIZED oracle replays bitwise.
+
+    Scale: each half-round is one edge join vs the vertex-sized
+    frontier + a map-side-combined groupBy (R57's per-round cost);
+    normalization is a broadcast 1-row max.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # h0 = 1 per customer: a1(p) = in-degree
+    a = e.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    for _ in range(2):
+        amax = a.agg(F.max("a").alias("m"))
+        a_n = a.crossJoin(F.broadcast(amax)).select(
+            "p", F.expr("CAST((a * 1000000) DIV m AS LONG)").alias("an")
+        )
+        h = (
+            e.join(a_n, "p")
+            .groupBy("c")
+            .agg(F.sum("an").cast("long").alias("h"))
+        )
+        hmax = h.agg(F.max("h").alias("m"))
+        h_n = h.crossJoin(F.broadcast(hmax)).select(
+            "c", F.expr("CAST((h * 1000000) DIV m AS LONG)").alias("hn")
+        )
+        a = (
+            e.join(h_n, "c")
+            .groupBy("p")
+            .agg(F.sum("hn").cast("long").alias("a"))
+        )
+    amax = a.agg(F.max("a").alias("m"))
+    return (
+        a.crossJoin(F.broadcast(amax))
+        .select(
+            F.col("p").alias("p_partkey"),
+            F.expr("CAST((a * 1000000) DIV m AS LONG)").alias("auth_fixed"),
+            (
+                F.expr("CAST((a * 1000000) DIV m AS LONG)").cast("double")
+                / F.lit(1000000.0)
+            ).alias("authority"),
+        )
+        .orderBy(F.desc("auth_fixed"), "p_partkey")
+        .limit(20)
+    )
+
+
+@query("user_burst_detection")
+def user_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P95: abuse/bot burst detection — each user's maximum event count
+    inside any trailing 60-second window (the rate-limit / scripted-
+    client screen beside the P35 daily anomaly detector). The RANGE
+    frame runs on exact epoch microseconds, so window membership is
+    integer-exact; users with a max burst ≥ 3 are flagged.
+
+    Scale: one window partitioned by user_id ordered by event time —
+    user-grain partitions, the same contract as sessionization (P2).
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-60_000_000, 0)
+    )
+    per = ev.withColumn("burst", F.count(F.lit(1)).over(w)).groupBy(
+        "user_id"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("burst").cast("long").alias("max_burst_60s"),
+    )
+    return per.select(
+        "user_id",
+        "n_events",
+        "max_burst_60s",
+        (F.col("max_burst_60s") >= 3).alias("flagged"),
+    ).orderBy("user_id")
+
+
+@query("source_lexical_diversity")
+def source_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L78: lexical diversity per source — mean type-token ratio and
+    mean hapax share (words occurring once in a doc) over the source's
+    documents: the template/boilerplate detector beside the trigram
+    repetition signal (L22) — templated docs repeat tokens (low TTR),
+    generated/natural text keeps hapax share high. Per-doc ratios are
+    EXACT integers (ppm via integer DIV); per-source means are exact
+    integer sums DIV counts — no float accumulation anywhere.
+
+    Scale: one (doc, word) aggregate (map-side combined), one doc-grain
+    aggregate, one |sources|-row rollup.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    wf = (
+        docs.select(
+            "doc_id", "source", F.explode(tokens("text")).alias("w")
+        )
+        .groupBy("doc_id", "source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_doc = wf.groupBy("doc_id", "source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("n_hapax"),
+    )
+    ppm = per_doc.select(
+        "source",
+        F.expr("CAST((1000000 * n_types) DIV n_tokens AS LONG)").alias(
+            "ttr_ppm"
+        ),
+        F.expr("CAST((1000000 * n_hapax) DIV n_tokens AS LONG)").alias(
+            "hapax_ppm"
+        ),
+    )
+    g = ppm.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ttr_ppm").cast("long").alias("sttr"),
+        F.sum("hapax_ppm").cast("long").alias("shap"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        F.expr("CAST(sttr DIV n_docs AS LONG)").alias("mean_ttr_ppm"),
+        F.expr("CAST(shap DIV n_docs AS LONG)").alias("mean_hapax_ppm"),
+        (
+            F.expr("CAST(sttr DIV n_docs AS LONG)").cast("double")
+            / F.lit(1000000.0)
+        ).alias("mean_ttr"),
+    ).orderBy("source")
+
+
+@query("matryoshka_recall_eval")
+def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L79: Matryoshka truncation evaluation (Kusupati 2022 — the
+    dimension-budget question every MRL-embedding deployment asks):
+    recall@5 of exact cosine search on the FIRST 16 of 64 dimensions
+    against the full-dimension ground truth, per query. Same eval
+    harness as L77 with the approximation axis being dimensionality
+    instead of probe count.
+
+    Scale: two broadcast-query brute-force kernels (the 16-dim scan is
+    4× cheaper — the point of truncation); the rank join is
+    metadata-sized.
+    """
+    from dimagi_data_platform_spark.operators.similarity import (
+        knn_bruteforce,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    emb16 = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    q16 = emb16.filter(F.col("vec_id") < 10)
+    exact = knn_bruteforce(emb, q, k=5).select("q_id", "neighbor_id")
+    trunc = knn_bruteforce(emb16, q16, k=5).select(
+        "q_id", F.col("neighbor_id").alias("t_id")
+    )
+    hits = exact.join(
+        trunc,
+        (exact.q_id == trunc.q_id) & (exact.neighbor_id == trunc.t_id),
+        "left_semi",
+    )
+    n_exact = exact.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    n_hit = hits.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    return (
+        n_exact.join(n_hit, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall_at_5_dim16"),
+        )
+        .orderBy("q_id")
+    )
