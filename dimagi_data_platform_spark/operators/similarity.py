@@ -1717,3 +1717,119 @@ def knn_ivfpq_flat(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def label_centroids_fixed(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label mean vectors via the L51 fixed-point discipline:
+    coordinate sums accumulate as exact floor(x·1e6) integers
+    (order-independent), one IEEE division per cell closes, and the
+    array is rebuilt in dim order. Returns (label, centroid
+    array<double>, n_vecs) — a |labels|-row table, broadcastable.
+
+    Scale: posexplode is scan-local; the aggregate is |labels|·dim
+    keys with map-side partials (identical to embedding_label_centroids,
+    plans/queries.py L51)."""
+    cells = emb.select(
+        F.col(label_col).cast("long").alias("label"),
+        F.posexplode(vec_col).alias("pos", "x"),
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("x").cast("double") * F.lit(1000000.0))
+        .cast("long")
+        .alias("xq"),
+    )
+    per_cell = cells.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("xq").cast("long").alias("sq"),
+    )
+    return (
+        per_cell.groupBy("label")
+        .agg(
+            F.max("n_vecs").cast("long").alias("n_vecs"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("sq"), F.col("n_vecs")))
+            ).alias("cells"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.transform(
+                "cells",
+                lambda c: c["sq"].cast("double")
+                / (c["n_vecs"] * F.lit(1000000)).cast("double"),
+            ).alias("centroid"),
+        )
+    )
+
+
+def silhouette_scores(
+    emb: DataFrame,
+    cents: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified silhouette per vector against a small centroid table:
+    a = cosine distance (1 − cos) to the OWN-label centroid, b = min
+    distance to any OTHER label's centroid, sil = (b−a)/max(a,b).
+    Distances are left-folded double chains over the array (the same
+    association order as the oracle's literal per-dim expansion).
+
+    Scale: one broadcast join against the |labels|-row centroid table
+    per vector — no pairwise vector work."""
+    c = F.broadcast(
+        cents.select(
+            F.col("label").alias("c_label"), F.col("centroid").alias("c_vec")
+        )
+    )
+    v = emb.select(
+        F.col("vec_id"),
+        F.col(label_col).cast("long").alias("label"),
+        F.col(vec_col).alias("vec"),
+    )
+    j = v.crossJoin(c)
+    dot = F.aggregate(
+        F.zip_with("vec", "c_vec", lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            F.transform("vec", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nc = F.sqrt(
+        F.aggregate(
+            F.transform("c_vec", lambda a: a * a),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    d = j.select(
+        "vec_id",
+        "label",
+        "c_label",
+        (F.lit(1.0) - dot / (nv * nc)).alias("dist"),
+    )
+    own = d.filter(F.col("label") == F.col("c_label")).select(
+        "vec_id", "label", F.col("dist").alias("a")
+    )
+    other = (
+        d.filter(F.col("label") != F.col("c_label"))
+        .groupBy("vec_id")
+        .agg(F.min("dist").alias("b"))
+    )
+    return own.join(other, "vec_id").select(
+        "vec_id",
+        "label",
+        "a",
+        "b",
+        (
+            (F.col("b") - F.col("a"))
+            / F.greatest(F.col("a"), F.col("b"))
+        ).alias("sil"),
+    )

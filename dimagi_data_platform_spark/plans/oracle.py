@@ -6746,3 +6746,109 @@ SELECT ne.q_id, ne.n_exact,
 FROM ne LEFT JOIN nh ON nh.q_id = ne.q_id
 ORDER BY ne.q_id
 """
+
+
+# L80: PR curve -- the L9 score chain vs ten literal thresholds,
+# exact TP/FP/FN, NULL-safe precision/recall/F1.
+ORACLE["quality_pr_curve"] = f"""
+WITH x AS (
+  SELECT CAST(lang = 'en' AS BIGINT) AS is_pos,
+    CAST({_NWORDS} AS BIGINT) AS n_words,
+    CAST(len(regexp_extract_all(text, '{_PUNCT_RE}')) AS DOUBLE)
+      / length(text) AS punct_ratio,
+    CAST(len(regexp_extract_all(lower(text), '{_STOP}')) AS DOUBLE)
+      / {_NWORDS} AS stopword_ratio
+  FROM documents),
+sc AS (
+  SELECT is_pos,
+         0.4 * stopword_ratio + 0.3 * (1.0 - punct_ratio)
+           + 0.3 * LEAST(1.0, n_words / 100.0) AS s
+  FROM x),
+th AS (SELECT CAST(UNNEST(range(0, 10)) AS DOUBLE) / 10.0 AS threshold),
+j AS (
+  SELECT th.threshold, sc.is_pos,
+         CAST(sc.s >= th.threshold AS BIGINT) AS pred
+  FROM sc CROSS JOIN th),
+g AS (
+  SELECT threshold,
+         CAST(SUM(pred * is_pos) AS BIGINT) AS tp,
+         CAST(SUM(pred * (1 - is_pos)) AS BIGINT) AS fp,
+         CAST(SUM((1 - pred) * is_pos) AS BIGINT) AS fn
+  FROM j GROUP BY threshold)
+SELECT threshold, tp, fp, fn,
+       CASE WHEN tp + fp > 0 THEN
+         CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+       CASE WHEN tp + fn > 0 THEN
+         CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+       CASE WHEN tp + fp > 0 AND tp + fn > 0
+             AND CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                 + CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) > 0 THEN
+         (2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+              * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)))
+         / (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+            + CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)) END AS f1
+FROM g ORDER BY threshold
+"""
+
+# R100: Hill power-law estimator on co-purchase degrees.
+ORACLE["copurchase_degree_powerlaw"] = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+allv AS (SELECT u AS p FROM e0 UNION ALL SELECT v FROM e0),
+deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS deg FROM allv GROUP BY p),
+d AS (SELECT deg FROM deg WHERE deg >= 2),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+         CAST(SUM(CAST(FLOOR(ln(CAST(deg AS DOUBLE) / 2.0) * 1000000.0)
+                       AS BIGINT)) AS BIGINT) AS sum_lnq,
+         CAST(MAX(deg) AS BIGINT) AS max_degree
+  FROM d)
+SELECT n_tail, max_degree, sum_lnq,
+       CASE WHEN sum_lnq != 0 THEN
+         1.0 + CAST(n_tail AS DOUBLE) * 1000000.0 / CAST(sum_lnq AS DOUBLE)
+       END AS alpha_hill
+FROM g
+"""
+
+
+# L81: simplified silhouette -- L51 fixed-point centroids rebuilt as
+# ordered arrays, literal fold-order distance chains, qsum(6) means.
+ORACLE["embedding_silhouette"] = f"""
+WITH cells AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+         CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS xq
+  FROM embeddings),
+per_cell AS (
+  SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(xq) AS BIGINT) AS sq
+  FROM cells GROUP BY label, pos),
+cents AS (
+  SELECT label,
+         list(CAST(sq AS DOUBLE) / CAST(n_vecs * 1000000 AS DOUBLE)
+              ORDER BY pos) AS c_vec
+  FROM per_cell GROUP BY label),
+v AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding AS vec
+      FROM embeddings),
+d AS (
+  SELECT v.vec_id, v.label, c.label AS c_label,
+         1.0 - {_vdot('vec', 'c_vec')}
+           / (sqrt({_vdot('vec', 'vec')}) * sqrt({_vdot('c_vec', 'c_vec')}))
+           AS dist
+  FROM v CROSS JOIN cents c),
+own AS (
+  SELECT vec_id, label, dist AS a FROM d WHERE label = c_label),
+other AS (
+  SELECT vec_id, MIN(dist) AS b FROM d WHERE label != c_label
+  GROUP BY vec_id),
+sil AS (
+  SELECT o.label, (t.b - o.a) / GREATEST(o.a, t.b) AS sil
+  FROM own o JOIN other t USING (vec_id))
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ({sql_qsum('sil', 6)}) / CAST(COUNT(*) AS DOUBLE) AS mean_silhouette
+FROM sil GROUP BY label ORDER BY label
+"""

@@ -11122,3 +11122,133 @@ def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+@query("quality_pr_curve")
+def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L80: precision–recall curve of the L9 quality score against the
+    English gold label — ten literal thresholds, exact TP/FP/FN counts
+    per threshold, one IEEE division each for precision/recall/F1. The
+    threshold-sweep companion to the rank-based ROC AUC (L66): this is
+    what picks the OPERATING POINT a filter actually deploys at.
+    Thresholds compare on the integer-exact margin 10·score vs t (the
+    score's float chain is itself mirrored, L9/L67 precedent).
+
+    Scale: one scan-local score + |thresholds|×|docs| conditional
+    aggregate — a 10-row fan-out folded into ONE aggregate row per
+    threshold via a broadcast literal range.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    n_words = ws_token_count("text")
+    punct_ratio = punct_count("text").cast("double") / F.length("text")
+    stop_ratio = stopword_count("text").cast("double") / n_words
+    score = (
+        F.lit(0.4) * stop_ratio
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(F.lit(1.0), n_words / F.lit(100.0))
+    )
+    scored = docs.select(
+        score.alias("s"),
+        (F.col("lang") == "en").cast("long").alias("is_pos"),
+    )
+    th = spark.range(0, 10).select(
+        (F.col("id").cast("double") / F.lit(10.0)).alias("threshold")
+    )
+    j = scored.crossJoin(F.broadcast(th))
+    pred = (F.col("s") >= F.col("threshold")).cast("long")
+    g = j.groupBy("threshold").agg(
+        F.sum(pred * F.col("is_pos")).cast("long").alias("tp"),
+        F.sum(pred * (1 - F.col("is_pos"))).cast("long").alias("fp"),
+        F.sum((1 - pred) * F.col("is_pos")).cast("long").alias("fn"),
+    )
+    prec = F.try_divide(
+        F.col("tp").cast("double"),
+        (F.col("tp") + F.col("fp")).cast("double"),
+    )
+    rec = F.try_divide(
+        F.col("tp").cast("double"),
+        (F.col("tp") + F.col("fn")).cast("double"),
+    )
+    f1 = F.try_divide(
+        F.lit(2.0) * prec * rec,
+        prec + rec,
+    )
+    return g.select(
+        "threshold", "tp", "fp", "fn",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        f1.alias("f1"),
+    ).orderBy("threshold")
+
+
+@query("copurchase_degree_powerlaw")
+def copurchase_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R100: degree-distribution power-law fit — the Hill maximum-
+    likelihood estimator α = 1 + n / Σ ln(dᵢ/d_min) over co-purchase
+    degrees ≥ d_min = 2 (the scale-free-ness check that decides
+    whether hub-aware strategies like R56's orientation or skew
+    salting are even needed). The ln sum goes through the fixed-point
+    lnq table (floor(ln·1e6) per degree, exact integer sum — the L42
+    Zipf discipline); α closes in one mirrored IEEE chain.
+
+    Scale: degree count (one groupBy) → |distinct degrees| rows →
+    grid-bounded arithmetic.
+    """
+    deg, _corners = _copurchase_tri(spark, sf_dir)
+    dmin = 2
+    d = deg.filter(F.col("deg") >= dmin)
+    lnq6 = F.floor(
+        F.log(F.col("deg").cast("double") / F.lit(float(dmin)))
+        * F.lit(1000000.0)
+    ).cast("long")
+    g = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.sum(lnq6).cast("long").alias("sum_lnq"),
+        F.max("deg").cast("long").alias("max_degree"),
+    )
+    alpha = F.lit(1.0) + F.try_divide(
+        F.col("n_tail").cast("double") * F.lit(1000000.0),
+        F.col("sum_lnq").cast("double"),
+    )
+    return g.select("n_tail", "max_degree", "sum_lnq", alpha.alias("alpha_hill"))
+
+
+@query("embedding_silhouette")
+def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L81: simplified-silhouette clustering quality per label — for
+    every vector, a = cosine distance to its OWN label centroid, b =
+    min distance to any other label centroid, s = (b−a)/max(a,b); the
+    per-label mean says which classes are coherent vs smeared (the
+    geometry read-out beside L54's pairwise centroid table and L56's
+    nearest-centroid confusion). Centroids are the L51 fixed-point
+    exact coordinate sums (Σv·1e6 per dim / count, one deterministic
+    division per coordinate); distances are fixed-dim double chains
+    mirrored verbatim; the per-label mean is davg-exact.
+
+    Scale: centroid build is one scan-local quantized aggregate to
+    |labels|×dim; scoring is a broadcast |labels|-row join against the
+    corpus — no pairwise work anywhere.
+    """
+    from dimagi_data_platform_spark.operators.similarity import (
+        label_centroids_fixed,
+        silhouette_scores,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = label_centroids_fixed(emb)
+    scores = silhouette_scores(emb, cents)
+    return (
+        scores.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            qsum("sil", digits=6).alias("sum_sil"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            (F.col("sum_sil") / F.col("n_vectors").cast("double")).alias(
+                "mean_silhouette"
+            ),
+        )
+        .orderBy("label")
+    )
