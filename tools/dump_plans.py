@@ -178,6 +178,58 @@ SHOW = [
     ("order_value_twoway_anova",
      "fact x broadcast dim -> one 25-cell conditional aggregate -> "
      "grid-bounded assembly"),
+    # r8 additions
+    ("order_value_welch_ttest",
+     "one conditional-aggregate row; every float a fixed chain over "
+     "six exact scalars"),
+    ("daily_revenue_acf",
+     "day-grain shuffle once; 8-lag self-join on metadata-scale rows; "
+     "exact-integer moments via int_to_double"),
+    ("lang_id_cohen_kappa",
+     "scan-local predict -> |langs|^2 aggregate -> grid arithmetic"),
+    ("event_type_dispersion",
+     "(type, day) aggregate + zero-filled spine; |types|-row close"),
+    ("part_k_core",
+     "6 peel rounds: degree count + two semi-joins on the shrinking "
+     "edge set, checkpointed"),
+    ("copurchase_adamic_adar",
+     "degree-ordered wedges as packed longs; weight rides the key; "
+     "anti-join on the packed edge set"),
+    ("customer_hazard_na",
+     "per-duration aggregate + metadata-scale prefix window; pure "
+     "integer step hazards"),
+    ("doc_rake_keywords",
+     "scan-local regex segmentation; vocab-sized word stats; <=4x "
+     "phrase-word join fan-out"),
+    ("source_pass_at_k",
+     "scan-local classification -> |sources|-row aggregate -> "
+     "fixed k-factor product"),
+    ("ann_recall_eval",
+     "two deterministic rankings (broadcast-query kernels), "
+     "metadata-sized rank join"),
+    ("rolling_median_revenue",
+     "day-grain window; explicit 7-element frame sort, exact cents"),
+    ("fd_audit",
+     "per-candidate two-level exact counts, stacked; map-side partials"),
+    ("part_hits_authority",
+     "two mutual-reinforcement rounds: edge join vs vertex frontier + "
+     "map-side-combined groupBy; broadcast 1-row max normalizers"),
+    ("user_burst_detection",
+     "user-partitioned RANGE window on exact epoch micros"),
+    ("source_lexical_diversity",
+     "(doc, word) aggregate -> doc grain -> |sources| rollup, exact "
+     "ppm integer chains"),
+    ("matryoshka_recall_eval",
+     "16-dim truncated kernel (4x cheaper scan) vs full-dim ground "
+     "truth; metadata-sized join"),
+    ("quality_pr_curve",
+     "scan-local score x broadcast 10-threshold literal -> one "
+     "aggregate row per threshold"),
+    ("copurchase_degree_powerlaw",
+     "degree groupBy -> |degrees| rows -> fixed-point lnq Hill close"),
+    ("embedding_silhouette",
+     "fixed-point centroid aggregate -> broadcast |labels| join; no "
+     "pairwise work"),
 ]
 
 MARKERS = (
