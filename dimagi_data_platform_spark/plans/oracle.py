@@ -6852,3 +6852,76 @@ SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
        ({sql_qsum('sil', 6)}) / CAST(COUNT(*) AS DOUBLE) AS mean_silhouette
 FROM sil GROUP BY label ORDER BY label
 """
+
+
+# L82: SQ reconstruction-error report -- identical literal-scale
+# quantize (the knn_sq_flat idiom), exact ppb integer error chains.
+ORACLE["sq_quantization_error"] = """
+WITH cells AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(UNNEST(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+e AS (
+  SELECT label,
+         CAST(FLOOR(ABS(x - CAST(GREATEST(-127, LEAST(127,
+                CAST(round(x / 0.013385826771653543) AS INT))) AS DOUBLE)
+                * 0.013385826771653543) * 1000000000.0) AS BIGINT) AS eq
+  FROM cells),
+g AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(eq) AS BIGINT) AS sum_err,
+         CAST(MAX(eq) AS BIGINT) AS max_err_ppb
+  FROM e GROUP BY label)
+SELECT label, n_cells,
+       CAST(sum_err // n_cells AS BIGINT) AS mean_err_ppb,
+       max_err_ppb,
+       CAST(CAST(sum_err // n_cells AS BIGINT) AS DOUBLE) / 1000000000.0
+         AS mean_abs_err
+FROM g ORDER BY label
+"""
+
+# L83: token-budget selection -- per-language greedy prefix on
+# (tokens DESC, doc_id), window cumsum (test scale; the Spark side is
+# the distributed prefix sum).
+ORACLE["corpus_token_budget"] = f"""
+WITH d AS (
+  SELECT lang, doc_id,
+         CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
+           AS tokens
+  FROM documents),
+cum AS (
+  SELECT lang, doc_id, tokens,
+         CAST(SUM(tokens) OVER (PARTITION BY lang
+                ORDER BY tokens DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_lang
+  FROM d),
+sel AS (SELECT * FROM cum WHERE cum_lang <= 2000),
+g AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_selected,
+         CAST(MAX(cum_lang) AS BIGINT) AS tokens_selected
+  FROM sel GROUP BY lang)
+SELECT lang, n_selected, tokens_selected,
+       CAST(2000 AS BIGINT) AS budget,
+       CAST((1000000 * tokens_selected) // 2000 AS BIGINT) AS fill_ppm
+FROM g ORDER BY lang
+"""
+
+# P96: double-fire audit -- exact microsecond lag gaps per (user, type).
+ORACLE["event_double_fire_audit"] = """
+WITH x AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 60000000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_double_fired
+  FROM x GROUP BY event_type)
+SELECT event_type, n_events, n_double_fired,
+       CAST((1000000 * n_double_fired) // n_events AS BIGINT)
+         AS double_fire_ppm
+FROM g ORDER BY event_type
+"""

@@ -11252,3 +11252,136 @@ def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query("sq_quantization_error")
+def sq_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L82: int8 scalar-quantization error report — per label, the
+    mean and max absolute reconstruction error of the L7i quantizer
+    (FIXED literal scale 1.7/127, the same constant the knn_sq_flat
+    serve path uses), in parts-per-billion of the embedding scale. The
+    "is int8 good enough for this corpus" report every SQ deployment
+    reads before trading 4× memory for recall. Per-cell errors
+    quantize to exact integers (floor(|x − code·s|·1e9)); means are
+    integer DIV.
+
+    Scale: scan-local quantize/dequantize per cell, one |labels|-row
+    aggregate.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    scale = 1.7 / 127.0
+    x = F.col("x").cast("double")
+    code = F.greatest(
+        F.lit(-127), F.least(F.lit(127), F.round(x / F.lit(scale)).cast("int"))
+    )
+    err_q = F.floor(
+        F.abs(x - code.cast("double") * F.lit(scale)) * F.lit(1000000000.0)
+    ).cast("long")
+    cells = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select("label", err_q.alias("eq"))
+    g = cells.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("eq").cast("long").alias("sum_err"),
+        F.max("eq").cast("long").alias("max_err_ppb"),
+    )
+    return g.select(
+        "label",
+        "n_cells",
+        F.expr("CAST(sum_err DIV n_cells AS LONG)").alias("mean_err_ppb"),
+        "max_err_ppb",
+        (
+            F.expr("CAST(sum_err DIV n_cells AS LONG)").cast("double")
+            / F.lit(1000000000.0)
+        ).alias("mean_abs_err"),
+    ).orderBy("label")
+
+
+@query("corpus_token_budget")
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L83: token-budget selection — per language, greedily take the
+    largest documents (BPE-ish token count DESC, doc_id tiebreak)
+    until a 2000-token budget fills: the mixture-planning step between
+    computing target weights (L31) and actually materializing a
+    training slice. The within-language running total comes from ONE
+    global distributed prefix sum over (lang, −tokens, doc_id) minus
+    each language's broadcast start offset — groupwise cumsums with NO
+    per-language table-scale window.
+
+    Scale: one distributed prefix sum (frozen range buckets +
+    broadcast offsets) + a |langs|-row offset join.
+    """
+    from dimagi_data_platform_spark.operators.linkage import (
+        global_prefix_sums,
+    )
+
+    budget = 2000
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        "doc_id",
+        bpe_token_count("text").alias("tokens"),
+    ).withColumn("neg_tokens", -F.col("tokens"))
+    cum = global_prefix_sums(d, ["lang", "neg_tokens", "doc_id"], ["tokens"])
+    lang_tot = d.groupBy("lang").agg(F.sum("tokens").cast("long").alias("t"))
+    w_off = Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = lang_tot.select(
+        "lang", F.coalesce(F.sum("t").over(w_off), F.lit(0)).alias("off")
+    )
+    sel = (
+        cum.join(F.broadcast(offsets), "lang")
+        .withColumn("cum_lang", (F.col("cum_tokens") - F.col("off")).cast("long"))
+        .filter(F.col("cum_lang") <= budget)
+    )
+    g = sel.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_selected"),
+        F.max("cum_lang").cast("long").alias("tokens_selected"),
+    )
+    return g.select(
+        "lang",
+        "n_selected",
+        "tokens_selected",
+        F.lit(budget).cast("long").alias("budget"),
+        F.expr(f"CAST((1000000 * tokens_selected) DIV {budget} AS LONG)").alias(
+            "fill_ppm"
+        ),
+    ).orderBy("lang")
+
+
+@query("event_double_fire_audit")
+def event_double_fire_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P96: ingestion double-fire audit — per event type, how many
+    events arrive within 60 s of the SAME user's previous event of the
+    same type (client retries / double-submits that latest-wins dedup
+    (P1) by id cannot catch because the ids differ). Exact microsecond
+    gaps off one lag; per-type share in ppm by integer division.
+
+    Scale: one window partitioned by (user, type) — the P2
+    sessionization contract — then a |types|-row aggregate.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    x = ev.withColumn("gap_us", gap)
+    g = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            (
+                F.col("gap_us").isNotNull()
+                & (F.col("gap_us") <= 60_000_000)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_double_fired"),
+    )
+    return g.select(
+        "event_type",
+        "n_events",
+        "n_double_fired",
+        F.expr("CAST((1000000 * n_double_fired) DIV n_events AS LONG)").alias(
+            "double_fire_ppm"
+        ),
+    ).orderBy("event_type")
