@@ -6925,3 +6925,116 @@ SELECT event_type, n_events, n_double_fired,
          AS double_fire_ppm
 FROM g ORDER BY event_type
 """
+
+
+# R101: ABC-XYZ matrix -- R82's prefix-sum ABC x exact cross-multiplied
+# CV^2 classes over the fixed global week span (zeros never
+# materialized).
+ORACLE["part_abc_xyz"] = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey),
+cum AS (
+  SELECT l_partkey, cents,
+         CAST(SUM(cents) OVER (ORDER BY -cents, l_partkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_cents
+  FROM per_part),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM per_part),
+abc AS (
+  SELECT l_partkey, cents,
+         CASE WHEN cum_cents * 100 <= total * 80 THEN 'A'
+              WHEN cum_cents * 100 <= total * 95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM cum, tot),
+weekly AS (
+  SELECT l_partkey,
+         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) // 7
+           AS week,
+         CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2),
+span AS (
+  SELECT CAST(MAX(date_diff('day', DATE '1970-01-01',
+                            CAST(l_shipdate AS DATE)) // 7)
+              - MIN(date_diff('day', DATE '1970-01-01',
+                              CAST(l_shipdate AS DATE)) // 7) + 1
+              AS BIGINT) AS w
+  FROM lineitem),
+mom AS (
+  SELECT l_partkey,
+         SUM(CAST(q AS HUGEINT)) AS s,
+         SUM(CAST(q AS HUGEINT) * q) AS qq
+  FROM weekly GROUP BY l_partkey),
+xyz AS (
+  SELECT l_partkey,
+         CASE WHEN 4 * (w * (w * qq - s * s)) <= (w - 1) * (s * s) THEN 'X'
+              WHEN w * (w * qq - s * s) <= (w - 1) * (s * s) THEN 'Y'
+              ELSE 'Z' END AS xyz
+  FROM mom, span)
+SELECT abc.abc, xyz.xyz,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(CAST(SUM(abc.cents) AS BIGINT) AS DOUBLE) / 100.0 AS revenue
+FROM abc JOIN xyz USING (l_partkey)
+GROUP BY abc.abc, xyz.xyz
+ORDER BY abc.abc, xyz.xyz
+"""
+
+# R102: per-brand discount/quantity correlation -- exact moments,
+# int_to_double close (R95 discipline).
+ORACLE["brand_discount_quantity_corr"] = """
+WITH j AS (
+  SELECT p.p_brand,
+         CAST(FLOOR(l.l_discount * 10000.0) AS BIGINT) AS x,
+         CAST(FLOOR(l.l_quantity) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+agg AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM j GROUP BY p_brand),
+z AS (
+  SELECT p_brand, n_lines,
+         CAST(n_lines AS HUGEINT) * sxy - sx * sy AS num,
+         CAST(n_lines AS HUGEINT) * sxx - sx * sx AS denx,
+         CAST(n_lines AS HUGEINT) * syy - sy * sy AS deny
+  FROM agg)
+SELECT p_brand, n_lines,
+       CASE WHEN denx > 0 AND deny > 0 THEN
+         (CASE WHEN (num) < 0 THEN -1.0 ELSE 1.0 END) * (CAST(ABS(num) // 4294967296 AS DOUBLE) * 4294967296.0 + CAST(ABS(num) % 4294967296 AS DOUBLE))
+           / sqrt((CASE WHEN (denx) < 0 THEN -1.0 ELSE 1.0 END) * (CAST(ABS(denx) // 4294967296 AS DOUBLE) * 4294967296.0 + CAST(ABS(denx) % 4294967296 AS DOUBLE)) * (CASE WHEN (deny) < 0 THEN -1.0 ELSE 1.0 END) * (CAST(ABS(deny) // 4294967296 AS DOUBLE) * 4294967296.0 + CAST(ABS(deny) % 4294967296 AS DOUBLE)))
+       END AS discount_qty_corr
+FROM z ORDER BY p_brand
+"""
+
+ORACLE["supplier_return_outliers"] = """
+WITH per AS (
+  SELECT l_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_returned
+  FROM lineitem GROUP BY l_suppkey),
+tot AS (
+  SELECT CAST(SUM(n_lines) AS BIGINT) AS nt,
+         CAST(SUM(n_returned) AS BIGINT) AS rt
+  FROM per)
+SELECT l_suppkey, n_lines, n_returned,
+       CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE) AS return_rate,
+       CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE) AS overall_rate,
+       CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE)
+         > CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE)
+           + 3.0 * sqrt((CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE))
+                * (1.0 - CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE))
+                / CAST(n_lines AS DOUBLE)) AS flag_high,
+       CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE)
+         < CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE)
+           - 3.0 * sqrt((CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE))
+                * (1.0 - CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE))
+                / CAST(n_lines AS DOUBLE)) AS flag_low
+FROM per, tot ORDER BY l_suppkey
+"""

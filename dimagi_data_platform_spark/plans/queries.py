@@ -11385,3 +11385,172 @@ def event_double_fire_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "double_fire_ppm"
         ),
     ).orderBy("event_type")
+
+
+@query("part_abc_xyz")
+def part_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R101: ABC–XYZ inventory matrix — R82's Pareto revenue classes
+    crossed with demand-variability classes (X: weekly CV ≤ 0.5,
+    Y: ≤ 1.0, Z: above — the forecastability axis). The CV² cut is
+    EXACT integer cross-multiplication over weekly demand moments WITH
+    zero weeks counted but never materialized: over the fixed global
+    week span W, var and mean derive from the observed-week Σq/Σq²
+    alone (zeros contribute nothing), so X ⇔ 4·W·(W·Q − S²) ≤
+    (W−1)·S² — no per-part zero-fill blow-up at any scale.
+
+    Scale: one part-grain aggregate + the R82 distributed prefix sum
+    for ABC; the matrix close is ≤ 9 rows.
+    """
+    from dimagi_data_platform_spark.operators.linkage import (
+        global_prefix_sums,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * F.lit(100.0)).cast("long")
+        ).alias("cents")
+    ).withColumn("neg_cents", -F.col("cents"))
+    cum = global_prefix_sums(
+        per_part, ["neg_cents", "l_partkey"], ["cents"], out_prefix="cum_"
+    )
+    tot = per_part.groupBy().agg(F.sum("cents").cast("long").alias("total"))
+    abc = cum.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "cents",
+        F.when(F.col("cum_cents") * 100 <= F.col("total") * 80, F.lit("A"))
+        .when(F.col("cum_cents") * 100 <= F.col("total") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc"),
+    )
+    wk = F.floor(F.unix_date(F.to_date("l_shipdate")) / F.lit(7)).cast("long")
+    weekly = li.groupBy("l_partkey", wk.alias("week")).agg(
+        F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("q")
+    )
+    span = li.agg(
+        (
+            F.max(F.floor(F.unix_date(F.to_date("l_shipdate")) / F.lit(7)))
+            - F.min(F.floor(F.unix_date(F.to_date("l_shipdate")) / F.lit(7)))
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("w")
+    )
+    dec = "decimal(38,0)"
+    mom = weekly.groupBy("l_partkey").agg(
+        F.sum(F.col("q").cast(dec)).alias("s"),
+        F.sum(F.col("q").cast("decimal(19,0)") * F.col("q")).alias("qq"),
+    )
+    lhs = F.col("w").cast(dec) * (
+        F.col("w").cast(dec) * F.col("qq") - F.col("s") * F.col("s")
+    )
+    rhs = (F.col("w") - 1).cast(dec) * (F.col("s") * F.col("s"))
+    xyz = mom.crossJoin(F.broadcast(span)).select(
+        "l_partkey",
+        F.when(F.lit(4) * lhs <= rhs, F.lit("X"))
+        .when(lhs <= rhs, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+        .alias("xyz"),
+    )
+    m = abc.join(xyz, "l_partkey")
+    return (
+        m.groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("class_cents"),
+        )
+        .select(
+            "abc",
+            "xyz",
+            "n_parts",
+            (F.col("class_cents").cast("double") / F.lit(100.0)).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("abc", "xyz")
+    )
+
+
+@query("brand_discount_quantity_corr")
+def brand_discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R102: per-brand correlation of discount (bps) vs quantity — the
+    price-sensitivity proxy behind markdown planning (does discounting
+    move volume for THIS brand?). The per-group sibling of the global
+    moment-correlation family (R37/R53/R60/R95): exact integer moments
+    per brand, num/den assembled as exact integers, ONE int_to_double
+    conversion each (the >2^53-safe discipline from R95).
+
+    Scale: fact scan ⋈ broadcast part dim → |brands|-row moment
+    aggregate (map-side combined) → grid-bounded close.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        F.floor(F.col("l_discount") * F.lit(10000.0)).cast("long").alias("x"),
+        F.floor("l_quantity").cast("long").alias("y"),
+    )
+    agg = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("x").cast("decimal(20,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(20,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n_lines").cast("decimal(20,0)")
+    num = int_to_double(nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+    denx = int_to_double(nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+    deny = int_to_double(nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    return (
+        agg.select(
+            "p_brand",
+            "n_lines",
+            F.when(
+                (denx > 0) & (deny > 0), num / F.sqrt(denx * deny)
+            ).alias("discount_qty_corr"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query("supplier_return_outliers")
+def supplier_return_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P97: supplier quality outliers — each supplier's return rate vs
+    the 3σ binomial band around the corpus-wide rate (the per-ENTITY
+    sibling of the per-DAY p-chart P73): the supplier-scorecard screen
+    purchasing teams run. Counts are exact integers; rate, band, and
+    flag close in one mirrored IEEE chain per supplier.
+
+    Scale: one |suppliers|-row aggregate off the fact scan + a
+    broadcast 1-row overall rate.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum((F.col("l_returnflag") == "R").cast("long"))
+        .cast("long")
+        .alias("n_returned"),
+    )
+    tot = per.agg(
+        F.sum("n_lines").cast("long").alias("nt"),
+        F.sum("n_returned").cast("long").alias("rt"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    p = F.col("rt").cast("double") / F.col("nt").cast("double")
+    rate = F.col("n_returned").cast("double") / F.col("n_lines").cast("double")
+    sigma = F.sqrt(
+        p * (F.lit(1.0) - p) / F.col("n_lines").cast("double")
+    )
+    return j.select(
+        "l_suppkey",
+        "n_lines",
+        "n_returned",
+        rate.alias("return_rate"),
+        p.alias("overall_rate"),
+        (rate > p + F.lit(3.0) * sigma).alias("flag_high"),
+        (rate < p - F.lit(3.0) * sigma).alias("flag_low"),
+    ).orderBy("l_suppkey")

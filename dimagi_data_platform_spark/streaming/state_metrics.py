@@ -117,3 +117,77 @@ def run_to_sink_with_metrics(
     )
     q.awaitTermination()
     return state_metrics_df(stream_df.sparkSession, q)
+
+
+class MetricsToParquetListener:
+    """StreamingQueryListener that persists every progress's state-
+    operator rows to a parquet directory — the always-on companion to
+    :func:`state_metrics_df` (whose source, ``recentProgress``, keeps
+    only the last ~100 entries): attach once per session and the full
+    state-size / eviction history of every query becomes a durable
+    table, one file per progress event (idempotent by (query, batch)
+    path, so a replayed progress overwrites itself instead of
+    duplicating).
+
+    Read it back with ``read_metrics(spark, path)`` — the same schema
+    as ``state_metrics_df`` plus (query_id, query_name).
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        self._spark = spark
+        self._path = path
+
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                outer._write(event.progress)
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        self._listener = _L()
+
+    def attach(self) -> "MetricsToParquetListener":
+        self._spark.streams.addListener(self._listener)
+        return self
+
+    def detach(self) -> None:
+        self._spark.streams.removeListener(self._listener)
+
+    def _write(self, progress) -> None:
+        p = progress
+        if isinstance(p, str):
+            p = json.loads(p)
+        elif not isinstance(p, dict):
+            p = json.loads(p.json)
+        rows = _progress_rows(p)
+        if not rows:
+            return
+        qid = str(p.get("id", "unknown"))
+        name = p.get("name")
+        batch = rows[0][0]
+        df = self._spark.createDataFrame(rows, STATE_METRICS_SCHEMA)
+        (
+            df.withColumn("query_id", F.lit(qid))
+            .withColumn("query_name", F.lit(name).cast("string"))
+            .write.mode("overwrite")
+            .parquet(f"{self._path}/query_id={qid}/batch={batch}")
+        )
+
+
+def read_metrics(spark: SparkSession, path: str) -> DataFrame:
+    """Read a MetricsToParquetListener sink back as one DataFrame
+    (query_id and batch surface as partition columns)."""
+    df = spark.read.parquet(path)
+    return df.withColumn(
+        "watermark", F.to_timestamp("watermark", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    )

@@ -1102,3 +1102,48 @@ def test_state_metrics_dedup_eviction(spark, tmp_path):
         before = prev.rows_total if prev else 0
         assert cur.rows_total == before + cur.rows_updated - cur.rows_removed
     assert sum(r.rows_removed for r in rows) > 0
+
+
+def test_metrics_listener_persists_state_history(spark, tmp_path):
+    """The always-on listener writes every progress's state rows to
+    parquet; reading the sink back reproduces the recentProgress-based
+    metrics for the drained query."""
+    from dimagi_data_platform_spark.streaming.events_stream import streaming_dedup
+    from dimagi_data_platform_spark.streaming.state_metrics import (
+        MetricsToParquetListener,
+        read_metrics,
+        run_to_sink_with_metrics,
+    )
+
+    in_dir, ev = _dump_events_as_json(spark, tmp_path, n_files=2)
+    sink = str(tmp_path / "metrics_sink")
+    lst = MetricsToParquetListener(spark, sink).attach()
+    try:
+        direct = run_to_sink_with_metrics(
+            streaming_dedup(read_event_stream(spark, in_dir, fmt="json", max_files=1)),
+            str(tmp_path / "ml_out"),
+            str(tmp_path / "ml_ckpt"),
+        )
+        # listener delivery is async; queries are done but events may
+        # still be in flight — poll briefly for the sink to catch up
+        import time as _time
+
+        want = {
+            (r.batch_id, r.operator_idx, r.rows_total, r.rows_removed)
+            for r in direct.collect()
+        }
+        got = set()
+        for _ in range(40):
+            try:
+                got = {
+                    (r.batch_id, r.operator_idx, r.rows_total, r.rows_removed)
+                    for r in read_metrics(spark, sink).collect()
+                }
+            except Exception:
+                got = set()
+            if want <= got:
+                break
+            _time.sleep(0.5)
+        assert want <= got and want
+    finally:
+        lst.detach()
