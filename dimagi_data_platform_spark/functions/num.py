@@ -84,28 +84,44 @@ def sql_davg(expr: str) -> str:
 
 
 def int_to_double(col: Column) -> Column:
-    """Correctly-rounded DOUBLE of an exact integer-valued DECIMAL
-    column, portable across engines. Needed past 2^53: the JVM's
+    """Deterministic DOUBLE of an exact integer-valued DECIMAL column,
+    portable across engines. Needed past 2^53: the JVM's
     Decimal→double rounds to nearest, but DuckDB's HUGEINT/DECIMAL →
     DOUBLE casts TRUNCATE, so the two engines disagree by one ulp on
-    large moment sums. Split |x| = hi·2^32 + lo (hi exact in double
-    for |x| < 2^85, lo < 2^32), rebuild as hi·2^32 + lo in doubles —
-    the scale by 2^32 is exact and the single add rounds to nearest
-    identically everywhere. Pair with :func:`sql_int_to_double`.
+    large moment sums. Split |x| = hi2·2^64 + hi·2^32 + lo (each limb
+    < 2^53 for |x| < 2^117, so each converts exactly), rebuild with
+    exact power-of-two scales and two fixed-order adds — every step is
+    the same IEEE op on both engines. Correctly rounded through 2^85
+    (hi2 = 0 there, identical to the two-limb split); beyond that,
+    deterministic to the fixed association (what the parity gate
+    needs). Pair with :func:`sql_int_to_double`.
     """
-    m = 4294967296
+    from decimal import Decimal
+
+    m32 = 4294967296
+    m64 = F.lit(Decimal(18446744073709551616))
     a = F.abs(col)
-    hi = ((a - (a % F.lit(m))) / F.lit(m)).cast("decimal(38,0)").cast("double")
-    lo = (a % F.lit(m)).cast("double")
+    hi2 = ((a - (a % m64)) / m64).cast("decimal(38,0)").cast("double")
+    rem = (a % m64).cast("decimal(38,0)")
+    hi = ((rem - (rem % F.lit(m32))) / F.lit(m32)).cast("decimal(38,0)").cast(
+        "double"
+    )
+    lo = (rem % F.lit(m32)).cast("double")
     sign = F.when(col < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
-    return sign * (hi * F.lit(4294967296.0) + lo)
+    return sign * (
+        (hi2 * F.lit(18446744073709551616.0) + hi * F.lit(4294967296.0)) + lo
+    )
 
 
 def sql_int_to_double(expr: str) -> str:
     """DuckDB twin of :func:`int_to_double` for HUGEINT/BIGINT exprs
-    (`//` is DuckDB's integer division; exact on the divisible hi part)."""
+    (`//` is DuckDB's integer division; exact on each limb)."""
+    a = f"ABS({expr})"
     return (
         f"(CASE WHEN ({expr}) < 0 THEN -1.0 ELSE 1.0 END)"
-        f" * (CAST(ABS({expr}) // 4294967296 AS DOUBLE) * 4294967296.0"
-        f" + CAST(ABS({expr}) % 4294967296 AS DOUBLE))"
+        f" * ((CAST({a} // 18446744073709551616 AS DOUBLE)"
+        f" * 18446744073709551616.0"
+        f" + CAST(({a} % 18446744073709551616) // 4294967296 AS DOUBLE)"
+        f" * 4294967296.0)"
+        f" + CAST({a} % 4294967296 AS DOUBLE))"
     )

@@ -7038,3 +7038,93 @@ SELECT l_suppkey, n_lines, n_returned,
                 / CAST(n_lines AS DOUBLE)) AS flag_low
 FROM per, tot ORDER BY l_suppkey
 """
+
+
+# R103: higher moments -- exact HUGEINT raw moments (whole dollars),
+# three-limb int_to_double, mirrored central-moment chains.
+ORACLE["segment_value_moments"] = """
+WITH j AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(FLOOR(o.o_totalprice) AS BIGINT) AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+g AS (
+  SELECT segment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(v AS HUGEINT)) AS s1,
+         SUM(CAST(v AS HUGEINT) * v) AS s2,
+         SUM(CAST(v AS HUGEINT) * v * v) AS s3,
+         SUM(CAST(v AS HUGEINT) * v * v * v) AS s4
+  FROM j GROUP BY segment),
+r AS (
+  SELECT segment, n,
+         (CASE WHEN (s1) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(s1) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(s1) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(s1) % 4294967296 AS DOUBLE)) / CAST(n AS DOUBLE) AS r1,
+         (CASE WHEN (s2) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(s2) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(s2) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(s2) % 4294967296 AS DOUBLE)) / CAST(n AS DOUBLE) AS r2,
+         (CASE WHEN (s3) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(s3) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(s3) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(s3) % 4294967296 AS DOUBLE)) / CAST(n AS DOUBLE) AS r3,
+         (CASE WHEN (s4) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(s4) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(s4) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(s4) % 4294967296 AS DOUBLE)) / CAST(n AS DOUBLE) AS r4
+  FROM g),
+m AS (
+  SELECT segment, n, r1,
+         r2 - r1 * r1 AS mu2,
+         r3 - 3.0 * r1 * r2 + 2.0 * r1 * r1 * r1 AS mu3,
+         r4 - 4.0 * r1 * r3 + 6.0 * r1 * r1 * r2
+            - 3.0 * r1 * r1 * r1 * r1 AS mu4
+  FROM r),
+z AS (
+  SELECT segment, n, r1,
+         CASE WHEN sqrt(mu2) * mu2 != 0
+              THEN mu3 / (sqrt(mu2) * mu2) END AS skew,
+         CASE WHEN mu2 * mu2 != 0 THEN mu4 / (mu2 * mu2) END AS kurt
+  FROM m)
+SELECT segment, n, r1 AS mean_value, skew AS skewness,
+       kurt - 3.0 AS excess_kurtosis,
+       CASE WHEN kurt != 0 THEN (skew * skew + 1.0) / kurt END
+         AS bimodality_coeff
+FROM z ORDER BY segment
+"""
+
+# R104: md5-seeded randomization test -- the portable 15-hex-digit
+# parity idiom, exact group sums, mirrored gap chains.
+ORACLE["order_value_permutation_test"] = """
+WITH base AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS k,
+         o_orderpriority = '1-URGENT' AS g_obs,
+         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS v
+  FROM orders),
+obs AS (
+  SELECT ABS(
+    CASE WHEN SUM(CASE WHEN g_obs THEN 1 ELSE 0 END) > 0 THEN
+      ((CASE WHEN (SUM(CAST(CASE WHEN g_obs THEN v ELSE 0 END AS HUGEINT))) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(SUM(CAST(CASE WHEN g_obs THEN v ELSE 0 END AS HUGEINT))) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(SUM(CAST(CASE WHEN g_obs THEN v ELSE 0 END AS HUGEINT))) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(SUM(CAST(CASE WHEN g_obs THEN v ELSE 0 END AS HUGEINT))) % 4294967296 AS DOUBLE)))
+      / CAST(SUM(CASE WHEN g_obs THEN 1 ELSE 0 END) AS DOUBLE) END
+    -
+    CASE WHEN SUM(CASE WHEN g_obs THEN 0 ELSE 1 END) > 0 THEN
+      ((CASE WHEN (SUM(CAST(CASE WHEN g_obs THEN 0 ELSE v END AS HUGEINT))) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(SUM(CAST(CASE WHEN g_obs THEN 0 ELSE v END AS HUGEINT))) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(SUM(CAST(CASE WHEN g_obs THEN 0 ELSE v END AS HUGEINT))) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(SUM(CAST(CASE WHEN g_obs THEN 0 ELSE v END AS HUGEINT))) % 4294967296 AS DOUBLE)))
+      / CAST(SUM(CASE WHEN g_obs THEN 0 ELSE 1 END) AS DOUBLE) END
+  ) AS gap_obs
+  FROM base),
+perms AS (SELECT CAST(UNNEST(range(1, 20)) AS INT) AS perm),
+ex AS (
+  SELECT p.perm, b.v,
+         CAST(('0x' || substr(md5(b.k || ':' || CAST(p.perm AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 2 = 1 AS g
+  FROM base b CROSS JOIN perms p),
+gaps AS (
+  SELECT perm, ABS(
+    CASE WHEN SUM(CASE WHEN g THEN 1 ELSE 0 END) > 0 THEN
+      ((CASE WHEN (SUM(CAST(CASE WHEN g THEN v ELSE 0 END AS HUGEINT))) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(SUM(CAST(CASE WHEN g THEN v ELSE 0 END AS HUGEINT))) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(SUM(CAST(CASE WHEN g THEN v ELSE 0 END AS HUGEINT))) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(SUM(CAST(CASE WHEN g THEN v ELSE 0 END AS HUGEINT))) % 4294967296 AS DOUBLE)))
+      / CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS DOUBLE) END
+    -
+    CASE WHEN SUM(CASE WHEN g THEN 0 ELSE 1 END) > 0 THEN
+      ((CASE WHEN (SUM(CAST(CASE WHEN g THEN 0 ELSE v END AS HUGEINT))) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(SUM(CAST(CASE WHEN g THEN 0 ELSE v END AS HUGEINT))) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(SUM(CAST(CASE WHEN g THEN 0 ELSE v END AS HUGEINT))) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(SUM(CAST(CASE WHEN g THEN 0 ELSE v END AS HUGEINT))) % 4294967296 AS DOUBLE)))
+      / CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS DOUBLE) END
+  ) AS gap
+  FROM ex GROUP BY perm)
+SELECT obs.gap_obs / 100.0 AS observed_gap,
+       CAST(COUNT(*) AS BIGINT) AS n_perms,
+       CAST(SUM(CASE WHEN gaps.gap >= obs.gap_obs THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_as_extreme,
+       CAST(CAST(SUM(CASE WHEN gaps.gap >= obs.gap_obs THEN 1 ELSE 0 END)
+            AS BIGINT) + 1 AS DOUBLE)
+         / CAST(CAST(COUNT(*) AS BIGINT) + 1 AS DOUBLE) AS p_value
+FROM gaps, obs
+GROUP BY obs.gap_obs
+"""

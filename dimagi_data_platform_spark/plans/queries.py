@@ -11554,3 +11554,152 @@ def supplier_return_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rate > p + F.lit(3.0) * sigma).alias("flag_high"),
         (rate < p - F.lit(3.0) * sigma).alias("flag_low"),
     ).orderBy("l_suppkey")
+
+
+@query("segment_value_moments")
+def segment_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R103: higher-moment distribution profile per market segment —
+    skewness, excess kurtosis, and the bimodality coefficient
+    (skew²+1)/kurtosis (SAS/Ellison convention; > 5/9 hints at two
+    modes) of order values. Raw moments Σv..Σv⁴ accumulate as EXACT
+    decimal integers on whole-dollar quantized values (v⁴ sums pass
+    2^85 at scale — the three-limb int_to_double conversion handles
+    them, functions/num.py); the central-moment chains are fixed
+    left-associated IEEE mirrored verbatim.
+
+    Scale: one fact ⋈ broadcast dim join, one |segments|-row moment
+    aggregate (map-side combined), grid-bounded arithmetic.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    v = F.floor("o_totalprice").cast("long")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(F.col("c_mktsegment").alias("segment"), v.alias("v"))
+    dec19 = "decimal(19,0)"
+    g = j.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("v").cast("decimal(20,0)")).alias("s1"),
+        F.sum(F.col("v").cast(dec19) * F.col("v")).alias("s2"),
+        F.sum(
+            (F.col("v").cast(dec19) * F.col("v")).cast("decimal(25,0)")
+            * F.col("v")
+        ).alias("s3"),
+        F.sum(
+            (
+                (F.col("v").cast(dec19) * F.col("v")).cast("decimal(25,0)")
+                * F.col("v")
+            ).cast("decimal(31,0)")
+            * F.col("v")
+        ).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    r1 = int_to_double(F.col("s1")) / n
+    r2 = int_to_double(F.col("s2")) / n
+    r3 = int_to_double(F.col("s3")) / n
+    r4 = int_to_double(F.col("s4")) / n
+    mu2 = r2 - r1 * r1
+    mu3 = r3 - F.lit(3.0) * r1 * r2 + F.lit(2.0) * r1 * r1 * r1
+    mu4 = (
+        r4
+        - F.lit(4.0) * r1 * r3
+        + F.lit(6.0) * r1 * r1 * r2
+        - F.lit(3.0) * r1 * r1 * r1 * r1
+    )
+    skew = F.try_divide(mu3, F.sqrt(mu2) * mu2)
+    kurt = F.try_divide(mu4, mu2 * mu2)
+    bc = F.try_divide(skew * skew + F.lit(1.0), kurt)
+    return g.select(
+        "segment",
+        "n",
+        r1.alias("mean_value"),
+        skew.alias("skewness"),
+        (kurt - F.lit(3.0)).alias("excess_kurtosis"),
+        bc.alias("bimodality_coeff"),
+    ).orderBy("segment")
+
+
+@query("order_value_permutation_test")
+def order_value_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R104: deterministic randomization test — is the urgent-vs-other
+    mean order-value gap bigger than chance? 19 md5-seeded pseudo-
+    random reassignments of orders to two groups (portable, no RNG
+    state — the R88 Poisson-bootstrap discipline applied to
+    hypothesis testing) rebuild the mean gap under the null; the
+    Monte-Carlo p-value is (1 + #{|gapᵢ| ≥ |gap_obs|}) / 20. All
+    group sums are exact integers; gaps are mirrored IEEE chains; the
+    ≥ comparison is on identically-computed doubles.
+
+    Scale: a 19× literal explode of the fact scan into ONE
+    (perm)-keyed aggregate — map-side combined, no shuffle growth
+    beyond the 20-row result.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    base = orders.select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("g_obs"),
+        cents.alias("v"),
+    )
+    perms = spark.range(1, 20).select(F.col("id").cast("int").alias("perm"))
+    ex = base.crossJoin(F.broadcast(perms))
+    g_perm = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("k"), F.col("perm"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        )
+        == 1
+    )
+
+    def gap(df, gcol):
+        # integer sums + int_to_double: DuckDB truncates DECIMAL→DOUBLE
+        # past 2^53 (functions/num.py), so the means must convert
+        # through the portable limb split on both sides
+        a = df.groupBy(F.col("perm")).agg(
+            F.sum(
+                F.when(gcol, F.col("v")).otherwise(F.lit(0)).cast("decimal(38,0)")
+            ).alias("sa"),
+            F.sum(gcol.cast("long")).cast("long").alias("na"),
+            F.sum(
+                F.when(~gcol, F.col("v")).otherwise(F.lit(0)).cast("decimal(38,0)")
+            ).alias("sb"),
+            F.sum((~gcol).cast("long")).cast("long").alias("nb"),
+        )
+        return a.select(
+            "perm",
+            F.abs(
+                F.try_divide(int_to_double(F.col("sa")), F.col("na").cast("double"))
+                - F.try_divide(
+                    int_to_double(F.col("sb")), F.col("nb").cast("double")
+                )
+            ).alias("gap"),
+        )
+
+    obs = gap(base.withColumn("perm", F.lit(0)), F.col("g_obs")).select(
+        F.col("gap").alias("gap_obs")
+    )
+    null_gaps = gap(ex, g_perm)
+    cmpd = null_gaps.crossJoin(F.broadcast(obs))
+    agg = cmpd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_perms"),
+        F.sum((F.col("gap") >= F.col("gap_obs")).cast("long"))
+        .cast("long")
+        .alias("n_as_extreme"),
+        F.max("gap_obs").alias("gap_obs_cents"),
+    )
+    return agg.select(
+        (F.col("gap_obs_cents") / F.lit(100.0)).alias("observed_gap"),
+        "n_perms",
+        "n_as_extreme",
+        (
+            (F.col("n_as_extreme") + F.lit(1)).cast("double")
+            / (F.col("n_perms") + F.lit(1)).cast("double")
+        ).alias("p_value"),
+    )

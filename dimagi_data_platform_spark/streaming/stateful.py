@@ -132,3 +132,112 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double"
+)
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+class SessionFinalizeProcessor(StatefulProcessor):
+    """Event-time-TIMER sessionization (the capability vendored
+    protobuf unlocked): per user, an open session accumulates in a
+    typed value state; every batch re-registers ONE timer at
+    last_event + gap, and the session row is emitted ONLY from
+    ``handleExpiredTimer`` when the watermark passes that instant —
+    i.e. exactly when no in-order event can extend it. Contrast
+    ``session_windows`` (declarative session_window aggregation, emits
+    on watermark too) — this is the imperative surface for session
+    payloads the built-in aggregate can't express (custom structs,
+    model state). An event past the gap starts a new session in place.
+
+    State: one (start, end, n, total) struct + one timer per user with
+    an OPEN session — closed sessions leave the store immediately.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState("session", _SESSION_STATE_SCHEMA)
+
+    def _emit(self, key, start_ms, end_ms, n, total) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                "n_events": [n],
+                "total_value": [total],
+            }
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        if self._sess.exists():
+            start, end, n, total = self._sess.get()
+        else:
+            start, end, n, total = None, None, 0, 0.0
+        closed = []
+        events = []
+        for pdf in rows:
+            for ts, val in zip(pdf["ts"], pdf["value"]):
+                events.append((int(pd.Timestamp(ts).value // 1_000_000), float(val)))
+        events.sort()
+        for ms, val in events:
+            if start is None:
+                start, end, n, total = ms, ms, 1, val
+            elif ms - end > SESSION_GAP_MS:
+                closed.append((start, end, n, total))
+                start, end, n, total = ms, ms, 1, val
+            else:
+                end, n, total = max(end, ms), n + 1, total + val
+        if start is not None:
+            self._sess.update((start, end, n, total))
+            # one live timer per key: re-arm at the new horizon
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(end + SESSION_GAP_MS)
+        for c in closed:
+            yield self._emit(key, *c)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        if self._sess.exists():
+            start, end, n, total = self._sess.get()
+            # the watermark passed end + gap: nothing in-order can
+            # extend this session — emit and clear
+            if expiredTimerInfo.getExpiryTimeInMs() >= end + SESSION_GAP_MS:
+                self._sess.clear()
+                yield self._emit(key, start, end, n, total)
+
+    def close(self) -> None:
+        pass
+
+
+def session_finalize_tws(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Timer-driven session stream: rows appear exactly once per
+    CLOSED session (gap-based, 30 min), emitted when the event-time
+    watermark proves the session can no longer grow."""
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionFinalizeProcessor(),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )

@@ -111,3 +111,85 @@ def test_transform_with_state_totals_converge_to_batch(spark, tmp_path):
     g = {r.user_id: (r.n_events, round(r.total_value, 6), r.last_ts) for r in final.collect()}
     b = {r.user_id: (r.n_events, round(r.total_value, 6), r.last_ts) for r in batch.collect()}
     assert g == b
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python runner protocol needs google.protobuf",
+)
+def test_session_finalize_tws_emits_closed_sessions_once(spark, tmp_path):
+    """Timer-driven sessionization: every emitted row is exactly one
+    CLOSED batch-equivalent session (same 30-min gap rule), emitted
+    exactly once, and sessions provably closed by the final watermark
+    are all present."""
+    from pyspark.sql import Window
+
+    from dimagi_data_platform_spark.streaming.stateful import (
+        SESSION_GAP_MS,
+        session_finalize_tws,
+    )
+
+    in_dir, ev = _dump_events_as_json(spark, tmp_path, n_files=3)
+    stream = read_event_stream(spark, in_dir, fmt="json", max_files=1)
+    out = str(tmp_path / "tws_sess_out")
+
+    def _write(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    (
+        session_finalize_tws(stream, watermark="1 minute")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "tws_sess_ckpt"))
+        .trigger(availableNow=True)
+        .foreachBatch(_write)
+        .start()
+        .awaitTermination()
+    )
+    got_rows = spark.read.parquet(out).collect()
+    got = [
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.total_value, 6))
+        for r in got_rows
+    ]
+    assert len(got) == len(set(got)), "duplicate session emission"
+    assert got, "no sessions emitted"
+
+    # batch truth: 30-min-gap sessionization over all events
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_ms = SESSION_GAP_MS
+    s = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev").isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros("prev")
+                    > gap_ms * 1000
+                )
+            ).cast("int"),
+        )
+        .withColumn("sid", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    want = {
+        (
+            r.user_id,
+            # TWS state keeps millisecond session bounds
+            r.session_start.replace(microsecond=r.session_start.microsecond // 1000 * 1000),
+            r.session_end.replace(microsecond=r.session_end.microsecond // 1000 * 1000),
+            r.n_events,
+            round(r.total_value, 6),
+        )
+        for r in s.collect()
+    }
+    for row in got:
+        assert row in want, f"emitted session not in batch truth: {row}"
+    # coverage: at least half of all batch sessions must have closed
+    # (event times span months; only the per-user tail stays open)
+    assert len(got) >= len(want) // 2
