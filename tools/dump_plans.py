@@ -230,6 +230,25 @@ SHOW = [
     ("embedding_silhouette",
      "fixed-point centroid aggregate -> broadcast |labels| join; no "
      "pairwise work"),
+    ("sq_quantization_error",
+     "scan-local quantize/dequantize per cell; |labels|-row close"),
+    ("corpus_token_budget",
+     "ONE global distributed prefix sum + broadcast language offsets; "
+     "no per-language table-scale window"),
+    ("event_double_fire_audit",
+     "(user, type)-partitioned lag window; |types|-row close"),
+    ("part_abc_xyz",
+     "R82 prefix-sum ABC x cross-multiplied CV^2 XYZ; zero weeks "
+     "counted, never materialized"),
+    ("brand_discount_quantity_corr",
+     "fact x broadcast part dim -> |brands|-row exact moments"),
+    ("supplier_return_outliers",
+     "|suppliers|-row aggregate + broadcast overall rate"),
+    ("segment_value_moments",
+     "one |segments|-row raw-moment aggregate; three-limb exact "
+     "conversions"),
+    ("order_value_permutation_test",
+     "19x literal explode folded into ONE perm-keyed aggregate"),
 ]
 
 MARKERS = (
