@@ -7128,3 +7128,153 @@ SELECT obs.gap_obs / 100.0 AS observed_gap,
 FROM gaps, obs
 GROUP BY obs.gap_obs
 """
+
+
+# R105: Holm step-down over the P30 z-tests -- shared literal critical
+# values (stdlib inverse normal, computed once in python), 5-row
+# ranking + running-AND step-down.
+ORACLE["holm_segment_tests"] = """
+WITH buyers AS (
+  SELECT c_custkey, c_mktsegment FROM customer
+  WHERE c_custkey IN (SELECT o_custkey FROM orders)),
+per AS (
+  SELECT c.c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(MAX(b.k), 0) AS BIGINT) AS k
+  FROM customer c
+  LEFT JOIN (SELECT c_mktsegment, COUNT(*) AS k FROM buyers
+             GROUP BY c_mktsegment) b USING (c_mktsegment)
+  GROUP BY c.c_mktsegment),
+t AS (
+  SELECT *, CAST(SUM(n) OVER () AS BIGINT) AS tot_n,
+            CAST(SUM(k) OVER () AS BIGINT) AS tot_k
+  FROM per),
+z AS (
+  SELECT c_mktsegment, n, k,
+    CASE WHEN tot_n > n AND tot_k > 0 AND tot_k < tot_n THEN
+      (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+       - CAST(tot_k - k AS DOUBLE) / CAST(tot_n - n AS DOUBLE))
+      / sqrt((CAST(tot_k AS DOUBLE) / CAST(tot_n AS DOUBLE))
+             * (1.0 - CAST(tot_k AS DOUBLE) / CAST(tot_n AS DOUBLE))
+             * (1.0 / CAST(n AS DOUBLE)
+                + 1.0 / CAST(tot_n - n AS DOUBLE)))
+    END AS z
+  FROM t),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY ABS(z) DESC, c_mktsegment)
+                 AS BIGINT) AS holm_rank
+  FROM z),
+c AS (
+  SELECT r.*, ([2.5758293035489, 2.4977054744123737, 2.3939797998185104, 2.2414027276049464, 1.9599639845400536])[CAST(holm_rank AS INT)] AS z_crit
+  FROM r)
+SELECT c_mktsegment, n, k, z, holm_rank, z_crit,
+       CAST(MIN(CASE WHEN ABS(z) >= z_crit THEN 1 ELSE 0 END)
+              OVER (ORDER BY holm_rank
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+            AS BOOLEAN) AS reject
+FROM c ORDER BY holm_rank
+"""
+
+# R106: naive-1 vs seasonal-naive-7 MAE on the zero-filled spine.
+ORACLE["daily_forecast_baselines"] = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS day_num,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1),
+span AS (SELECT MIN(day_num) AS d0, MAX(day_num) AS d1 FROM daily),
+spine AS (SELECT UNNEST(range(d0, d1 + 1)) AS day_num FROM span),
+series AS (
+  SELECT s.day_num, COALESCE(d.rev, 0) AS rev
+  FROM spine s LEFT JOIN daily d USING (day_num)),
+x AS (
+  SELECT day_num, rev,
+         LAG(rev, 1) OVER (ORDER BY day_num) AS p1,
+         LAG(rev, 7) OVER (ORDER BY day_num) AS p7
+  FROM series),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(ABS(rev - p1)) AS BIGINT) AS ae1,
+         CAST(SUM(ABS(rev - p7)) AS BIGINT) AS ae7
+  FROM x WHERE p7 IS NOT NULL)
+SELECT n_days,
+       CAST(CAST(ae1 // n_days AS BIGINT) AS DOUBLE) / 100.0 AS mae_naive1,
+       CAST(CAST(ae7 // n_days AS BIGINT) AS DOUBLE) / 100.0 AS mae_naive7,
+       CASE WHEN ae1 > 0 THEN CAST(ae7 AS DOUBLE) / CAST(ae1 AS DOUBLE) END
+         AS seasonal_vs_naive_ratio
+FROM g
+"""
+
+# L84: gains/lift deciles on the score ranking (window rank at test
+# scale; the Spark side is the distributed frozen-boundary rank).
+ORACLE["quality_gains_table"] = f"""
+WITH x AS (
+  SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS is_pos,
+    CAST({_NWORDS} AS BIGINT) AS n_words,
+    CAST(len(regexp_extract_all(text, '{_PUNCT_RE}')) AS DOUBLE)
+      / length(text) AS punct_ratio,
+    CAST(len(regexp_extract_all(lower(text), '{_STOP}')) AS DOUBLE)
+      / {_NWORDS} AS stopword_ratio
+  FROM documents),
+sc AS (
+  SELECT doc_id, is_pos,
+         -(0.4 * stopword_ratio + 0.3 * (1.0 - punct_ratio)
+           + 0.3 * LEAST(1.0, n_words / 100.0)) AS neg_s
+  FROM x),
+r AS (
+  SELECT is_pos,
+         CAST(ROW_NUMBER() OVER (ORDER BY neg_s, doc_id) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_total,
+         CAST(SUM(is_pos) OVER () AS BIGINT) AS pos_total
+  FROM sc),
+d AS (
+  SELECT ((rn - 1) * 10) // n_total + 1 AS decile, is_pos,
+         n_total, pos_total
+  FROM r),
+per AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+         CAST(MAX(n_total) AS BIGINT) AS n_total,
+         CAST(MAX(pos_total) AS BIGINT) AS pos_total
+  FROM d GROUP BY decile),
+cum AS (
+  SELECT *, CAST(SUM(n_docs) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_docs,
+            CAST(SUM(n_pos) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_pos
+  FROM per)
+SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_pos, cum_pos,
+       CAST(cum_pos AS DOUBLE) / CAST(pos_total AS DOUBLE) AS cum_capture,
+       (CAST(cum_pos AS DOUBLE) / CAST(cum_docs AS DOUBLE))
+         / (CAST(pos_total AS DOUBLE) / CAST(n_total AS DOUBLE)) AS cum_lift
+FROM cum ORDER BY decile
+"""
+
+# P100: monthly priority-mix chi2 vs the all-time mix, quantized
+# cell sums, literal df=4 critical value.
+ORACLE["priority_mix_shift"] = """
+WITH cells AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+         o_orderpriority, CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders GROUP BY 1, 2),
+overall AS (
+  SELECT o_orderpriority, CAST(SUM(o) AS BIGINT) AS k_all
+  FROM cells GROUP BY o_orderpriority),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n_all FROM cells),
+mt AS (SELECT month, CAST(SUM(o) AS BIGINT) AS m_total
+       FROM cells GROUP BY month),
+j AS (
+  SELECT c.month, c.o, ov.k_all, m.m_total, t.n_all
+  FROM cells c
+  JOIN overall ov USING (o_orderpriority)
+  JOIN mt m USING (month), tot t),
+g AS (
+  SELECT month, CAST(MAX(m_total) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(floor(((CAST(o AS DOUBLE) - CAST(m_total AS DOUBLE) * CAST(k_all AS DOUBLE) / CAST(n_all AS DOUBLE)) * (CAST(o AS DOUBLE) - CAST(m_total AS DOUBLE) * CAST(k_all AS DOUBLE) / CAST(n_all AS DOUBLE)) / (CAST(m_total AS DOUBLE) * CAST(k_all AS DOUBLE) / CAST(n_all AS DOUBLE))) * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000.0 AS chi2
+  FROM j GROUP BY month)
+SELECT month, n_orders, chi2, chi2 > 9.487729036781154 AS mix_shifted
+FROM g ORDER BY month
+"""

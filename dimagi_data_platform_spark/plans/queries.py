@@ -11703,3 +11703,259 @@ def order_value_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_perms") + F.lit(1)).cast("double")
         ).alias("p_value"),
     )
+
+
+# Holm step-down critical values for m=5 two-sided tests at α=0.05:
+# z_crit(i) = Φ⁻¹(1 − 0.05 / (2·(5−i))) for rank i = 0..4 — computed
+# once with the stdlib NormalDist and interpolated as LITERALS into
+# both engines (no erf⁻¹ in either engine's hot path).
+from statistics import NormalDist as _ND  # noqa: E402
+
+HOLM_Z_CRITS = tuple(
+    _ND().inv_cdf(1.0 - 0.05 / (2.0 * (5 - i))) for i in range(5)
+)
+
+
+@query("holm_segment_tests")
+def holm_segment_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R105: Holm–Bonferroni step-down multiple-testing correction over
+    the five per-segment conversion z-tests (P30 runs them marginally;
+    testing five segments at α=0.05 each inflates family-wise error to
+    ~23% — this is the correction every dashboard of per-segment tests
+    needs). Ordering is by |z| descending; rank i compares against the
+    literal critical value Φ⁻¹(1−α/(2(m−i+1))), and the step-down
+    rule (reject only while every earlier rank rejected) is a running
+    AND over the 5-row ranking. The inverse-normal never runs in
+    either engine — the five critical values are shared literals.
+
+    Scale: the P30 aggregate (segment-keyed + one broadcast totals
+    row) + a 5-row window.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    buyers = cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_semi",
+    ).select("c_custkey", "c_mktsegment")
+    per = (
+        cust.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(
+            buyers.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("k")),
+            "c_mktsegment",
+            "left",
+        )
+        .withColumn("k", F.coalesce("k", F.lit(0)))
+    )
+    w = Window.partitionBy()
+    per = per.withColumn("tot_n", F.sum("n").over(w)).withColumn(
+        "tot_k", F.sum("k").over(w)
+    )
+    n1 = F.col("n").cast("double")
+    k1 = F.col("k").cast("double")
+    n2 = (F.col("tot_n") - F.col("n")).cast("double")
+    k2 = (F.col("tot_k") - F.col("k")).cast("double")
+    pooled = F.col("tot_k").cast("double") / F.col("tot_n").cast("double")
+    z = F.when(
+        (F.col("tot_n") > F.col("n"))
+        & (F.col("tot_k") > 0)
+        & (F.col("tot_k") < F.col("tot_n")),
+        (k1 / n1 - k2 / n2)
+        / F.sqrt(
+            pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / n1 + F.lit(1.0) / n2)
+        ),
+    )
+    ranked = per.withColumn("z", z).withColumn(
+        "holm_rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc(F.abs("z")), "c_mktsegment"))
+        .cast("long"),
+    )
+    crit = F.element_at(
+        F.array(*[F.lit(float(c)) for c in HOLM_Z_CRITS]),
+        F.col("holm_rank").cast("int"),
+    )
+    # CASE-shaped indicator (NULL z -> 0, mirroring the SQL CASE): at
+    # SFs where every customer buys, every z is undefined and the
+    # step-down must report reject=False, not NULL
+    ind = F.when(F.abs("z") >= crit, F.lit(1)).otherwise(F.lit(0))
+    stepped = ranked.withColumn("z_crit", crit).withColumn(
+        "reject",
+        (
+            F.min(ind).over(
+                Window.orderBy("holm_rank").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            == 1
+        ),
+    )
+    return stepped.select(
+        "c_mktsegment", "n", "k", "z", "holm_rank", "z_crit", "reject"
+    ).orderBy("holm_rank")
+
+
+@query("daily_forecast_baselines")
+def daily_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R106: forecast-baseline comparison — MAE of the naive-1
+    (yesterday) vs seasonal-naive-7 (same weekday last week)
+    predictors of daily revenue on the zero-filled spine: the sanity
+    floor every real forecasting model (R74 Holt, R58 EWMA) must beat,
+    and the denominator of MASE. Absolute errors are exact integer
+    cents; MAEs are exact integer DIV; one IEEE ratio closes.
+
+    Scale: day-grain aggregate + two lags on the metadata-scale spine.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    daily = orders.groupBy(F.unix_date(F.to_date("o_orderdate")).alias("day_num")).agg(
+        F.sum(cents).cast("long").alias("rev")
+    )
+    span = daily.agg(F.min("day_num").alias("d0"), F.max("day_num").alias("d1"))
+    spine = span.select(F.explode(F.sequence("d0", "d1")).alias("day_num"))
+    series = spine.join(daily, "day_num", "left").select(
+        "day_num", F.coalesce("rev", F.lit(0)).alias("rev")
+    )
+    w = Window.orderBy("day_num")
+    x = series.select(
+        "day_num",
+        "rev",
+        F.lag("rev", 1).over(w).alias("p1"),
+        F.lag("rev", 7).over(w).alias("p7"),
+    ).filter(F.col("p7").isNotNull())
+    g = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.abs(F.col("rev") - F.col("p1"))).cast("long").alias("ae1"),
+        F.sum(F.abs(F.col("rev") - F.col("p7"))).cast("long").alias("ae7"),
+    )
+    mae1 = F.expr("CAST(ae1 DIV n_days AS LONG)")
+    mae7 = F.expr("CAST(ae7 DIV n_days AS LONG)")
+    return g.select(
+        "n_days",
+        (mae1.cast("double") / F.lit(100.0)).alias("mae_naive1"),
+        (mae7.cast("double") / F.lit(100.0)).alias("mae_naive7"),
+        F.try_divide(F.col("ae7").cast("double"), F.col("ae1").cast("double")).alias(
+            "seasonal_vs_naive_ratio"
+        ),
+    )
+
+
+@query("quality_gains_table")
+def quality_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L84: cumulative gains / lift table of the quality filter — rank
+    docs by score descending into deciles (DISTRIBUTED frozen-boundary
+    rank, never an NTILE single-task window) and report each decile's
+    positives plus the cumulative capture rate and lift vs the base
+    rate: the "how much of the good data do the top-k% hold" read that
+    decides filter cutoffs, beside the threshold sweep (L80) and rank
+    AUC (L66). Counts exact; shares/lift one mirrored IEEE chain per
+    decile row.
+
+    Scale: scan-local score, one distributed rank, a 10-row rollup.
+    """
+    from dimagi_data_platform_spark.operators.linkage import global_row_number
+
+    docs = _t(spark, sf_dir, "documents")
+    n_words = ws_token_count("text")
+    punct_ratio = punct_count("text").cast("double") / F.length("text")
+    stop_ratio = stopword_count("text").cast("double") / n_words
+    score = (
+        F.lit(0.4) * stop_ratio
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(F.lit(1.0), n_words / F.lit(100.0))
+    )
+    scored = docs.select(
+        "doc_id",
+        (-score).alias("neg_s"),
+        (F.col("lang") == "en").cast("long").alias("is_pos"),
+    )
+    ranked = global_row_number(scored, ["neg_s", "doc_id"])
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("is_pos").cast("long").alias("pos_total"),
+    )
+    d = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "decile",
+        F.expr("CAST(((rn - 1) * 10) DIV n_total AS LONG)") + F.lit(1),
+    )
+    per = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_pos").cast("long").alias("n_pos"),
+        F.max("n_total").alias("n_total"),
+        F.max("pos_total").alias("pos_total"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.withColumn("cum_docs", F.sum("n_docs").over(wc).cast("long")).withColumn(
+        "cum_pos", F.sum("n_pos").over(wc).cast("long")
+    )
+    # try_divide: a corpus with zero positives (single-row suite) must
+    # yield NULL capture/lift, not raise under ANSI
+    capture = F.try_divide(
+        F.col("cum_pos").cast("double"), F.col("pos_total").cast("double")
+    )
+    base = F.try_divide(
+        F.col("pos_total").cast("double"), F.col("n_total").cast("double")
+    )
+    lift = F.try_divide(
+        F.col("cum_pos").cast("double") / F.col("cum_docs").cast("double"),
+        base,
+    )
+    return cum.select(
+        "decile",
+        "n_docs",
+        "n_pos",
+        "cum_pos",
+        capture.alias("cum_capture"),
+        lift.alias("cum_lift"),
+    ).orderBy("decile")
+
+
+@query("priority_mix_shift")
+def priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P100: category-mix drift monitor — each month's order-priority
+    mix tested against the all-time mix with a chi-square statistic
+    (the input-drift alarm for categorical features, beside P88's PSI
+    for numeric ones). Expected counts are exact rationals evaluated
+    in ONE mirrored IEEE chain per cell (month_total · overall_k / N);
+    months flag when χ² exceeds the literal df=4 95% critical value
+    9.487729036781154.
+
+    Scale: one (month × priority) aggregate, a |priorities|-row
+    broadcast of overall counts, |months|-row close.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.to_date("o_orderdate")).alias("month")
+    cells = orders.groupBy(month, F.col("o_orderpriority")).agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    overall = cells.groupBy("o_orderpriority").agg(
+        F.sum("o").cast("long").alias("k_all")
+    )
+    tot = cells.agg(F.sum("o").cast("long").alias("n_all"))
+    mt = cells.groupBy("month").agg(F.sum("o").cast("long").alias("m_total"))
+    j = (
+        cells.join(F.broadcast(overall), "o_orderpriority")
+        .join(F.broadcast(mt), "month")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (
+        F.col("m_total").cast("double")
+        * F.col("k_all").cast("double")
+        / F.col("n_all").cast("double")
+    )
+    cell_chi2 = (F.col("o").cast("double") - e) * (
+        F.col("o").cast("double") - e
+    ) / e
+    # per-cell χ² contributions quantize (floor·1e9) before summing —
+    # a float SUM across cells would be accumulation-order-dependent
+    g = j.groupBy("month").agg(
+        F.max("m_total").alias("n_orders"),
+        qsum(cell_chi2, digits=9).alias("chi2"),
+    )
+    return g.select(
+        "month",
+        "n_orders",
+        "chi2",
+        (F.col("chi2") > F.lit(9.487729036781154)).alias("mix_shifted"),
+    ).orderBy("month")

@@ -249,6 +249,16 @@ SHOW = [
      "conversions"),
     ("order_value_permutation_test",
      "19x literal explode folded into ONE perm-keyed aggregate"),
+    ("holm_segment_tests",
+     "P30 aggregate + broadcast totals; 5-row ranking window"),
+    ("daily_forecast_baselines",
+     "day-grain spine, two lags, one-row close"),
+    ("quality_gains_table",
+     "scan-local score -> distributed frozen-boundary rank -> 10-row "
+     "rollup (no NTILE single-task window)"),
+    ("priority_mix_shift",
+     "(month x priority) aggregate + broadcast overall mix; quantized "
+     "cell sums"),
 ]
 
 MARKERS = (
