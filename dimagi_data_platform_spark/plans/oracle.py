@@ -7278,3 +7278,65 @@ g AS (
 SELECT month, n_orders, chi2, chi2 > 9.487729036781154 AS mix_shifted
 FROM g ORDER BY month
 """
+
+
+# P101: cross-brand substitution candidates -- (type,size)-blocked
+# triangular pairs, exact integer 10% band.
+ORACLE["part_substitution_candidates"] = """
+WITH p AS (
+  SELECT p_partkey, p_brand, p_type, p_size,
+         CAST(FLOOR(p_retailprice * 100.0) AS BIGINT) AS cents
+  FROM part)
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       a.p_type, a.p_size,
+       CAST(a.cents AS DOUBLE) / 100.0 AS price_a,
+       CAST(b.cents AS DOUBLE) / 100.0 AS price_b,
+       CAST(ABS(a.cents - b.cents) AS BIGINT) AS price_gap_cents
+FROM p a JOIN p b
+  ON a.p_type = b.p_type AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+ AND a.p_brand != b.p_brand
+ AND 100 * ABS(a.cents - b.cents) <= 10 * GREATEST(a.cents, b.cents)
+ORDER BY price_gap_cents, part_a, part_b
+LIMIT 100
+"""
+
+# L85: per-source language-mix entropy -- fixed-point lnq chains.
+ORACLE["source_language_entropy"] = """
+WITH sl AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, lang),
+g AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_langs,
+         CAST(SUM(c * CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000.0)
+                           AS BIGINT)) AS BIGINT) AS hsum
+  FROM sl GROUP BY source)
+SELECT source, n_docs, n_langs,
+       CAST(n_docs * CAST(FLOOR(ln(CAST(n_docs AS DOUBLE)) * 1000000.0)
+                          AS BIGINT) - hsum AS DOUBLE)
+         / (CAST(n_docs AS DOUBLE) * 1000000.0) AS lang_entropy_nats
+FROM g ORDER BY source
+"""
+
+# R107: weekday-uniformity chi2 -- epoch-day dow, quantized cells,
+# literal df=6 critical value.
+ORACLE["weekday_uniformity_test"] = """
+WITH per AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 7
+           AS dow_epoch,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n_all FROM per),
+g AS (
+  SELECT CAST(MAX(n_all) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(floor(((CAST(o AS DOUBLE) - CAST(n_all AS DOUBLE) / 7.0) * (CAST(o AS DOUBLE) - CAST(n_all AS DOUBLE) / 7.0) / (CAST(n_all AS DOUBLE) / 7.0)) * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000.0 AS chi2
+  FROM per, tot)
+SELECT p.dow_epoch, p.o,
+       CAST(p.o AS DOUBLE) / CAST(t.n_all AS DOUBLE) AS share,
+       g.n_orders, g.chi2,
+       g.chi2 > 12.591587243743977 AS weekday_effect
+FROM per p, tot t, g
+ORDER BY p.dow_epoch
+"""

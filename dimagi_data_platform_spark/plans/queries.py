@@ -11959,3 +11959,139 @@ def priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chi2",
         (F.col("chi2") > F.lit(9.487729036781154)).alias("mix_shifted"),
     ).orderBy("month")
+
+
+@query("part_substitution_candidates")
+def part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P101: substitute-product candidates — cross-brand part pairs of
+    the SAME type and size whose retail prices sit within 10% of each
+    other: the assortment-planning / out-of-stock-fallback table (the
+    numeric-attribute sibling of the token-Jaccard catalog near-dups
+    P78). Blocked on (type, size) so the pair stream is bounded by
+    block sizes, never all-pairs; the 10% band is the exact integer
+    cross-multiplication 100·|pa−pb| ≤ 10·max(pa,pb) on cent prices.
+
+    Scale: one self-join inside (type, size) blocks (hash join on the
+    block key), triangular by partkey; deterministic top-100.
+    """
+    part = _t(spark, sf_dir, "part")
+    cents = F.floor(F.col("p_retailprice") * F.lit(100.0)).cast("long")
+    p = part.select(
+        "p_partkey", "p_brand", "p_type", "p_size", cents.alias("cents")
+    )
+    a = p.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_brand").alias("brand_a"),
+        "p_type",
+        "p_size",
+        F.col("cents").alias("ca"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_brand").alias("brand_b"),
+        "p_type",
+        "p_size",
+        F.col("cents").alias("cb"),
+    )
+    j = (
+        a.join(b, ["p_type", "p_size"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .filter(F.col("brand_a") != F.col("brand_b"))
+        .filter(
+            F.lit(100) * F.abs(F.col("ca") - F.col("cb"))
+            <= F.lit(10) * F.greatest("ca", "cb")
+        )
+    )
+    return (
+        j.select(
+            "part_a",
+            "part_b",
+            "p_type",
+            "p_size",
+            (F.col("ca").cast("double") / F.lit(100.0)).alias("price_a"),
+            (F.col("cb").cast("double") / F.lit(100.0)).alias("price_b"),
+            F.abs(F.col("ca") - F.col("cb")).alias("price_gap_cents"),
+        )
+        .orderBy("price_gap_cents", "part_a", "part_b")
+        .limit(100)
+    )
+
+
+@query("source_language_entropy")
+def source_language_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L85: per-source language-mix entropy — how monolingual is each
+    source? (Corpus-mixing planners weight monolingual sources
+    differently from mixed crawls; composes the L8 gold labels with
+    the P74 fixed-point entropy discipline: Σc·lnq(c) exact integers,
+    one closing division.)
+
+    Scale: one (source, lang) aggregate, one |sources|-row rollup.
+    """
+
+    def lnq(c):
+        return F.floor(F.log(c.cast("double")) * F.lit(1000000.0)).cast("long")
+
+    docs = _t(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    g = sl.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.sum(F.col("c") * lnq(F.col("c"))).cast("long").alias("hsum"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        (
+            (F.col("n_docs") * lnq(F.col("n_docs")) - F.col("hsum"))
+            .cast("double")
+            / (F.col("n_docs").cast("double") * F.lit(1000000.0))
+        ).alias("lang_entropy_nats"),
+    ).orderBy("source")
+
+
+@query("weekday_uniformity_test")
+def weekday_uniformity_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R107: weekday-effect test — order volume by day of week with a
+    χ² test against the uniform-weekday null (the "is there a weekly
+    cycle at all" gate before seasonal modeling like R69/P76).
+    Per-weekday counts exact; expected = n/7 enters each cell as ONE
+    mirrored IEEE chain; contributions quantize (floor·1e9) before the
+    order-independent sum; literal df=6 95% critical value 12.59.
+
+    Scale: one 7-row aggregate off the scan.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    # portable epoch-day weekday (0=Thu epoch anchor), the P48 idiom:
+    # no locale/WEEKDAY() divergence between engines
+    dow = F.pmod(F.unix_date(F.to_date("o_orderdate")), F.lit(7))
+    per = orders.groupBy(dow.alias("dow_epoch")).agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    tot = per.agg(F.sum("o").cast("long").alias("n_all"))
+    j = per.crossJoin(F.broadcast(tot))
+    e = F.col("n_all").cast("double") / F.lit(7.0)
+    cell = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    g = j.agg(
+        F.max("n_all").alias("n_orders"),
+        qsum(cell, digits=9).alias("chi2"),
+    )
+    out = g.select(
+        "n_orders",
+        "chi2",
+        (F.col("chi2") > F.lit(12.591587243743977)).alias("weekday_effect"),
+    )
+    shares = (
+        j.select(
+            "dow_epoch",
+            "o",
+            (F.col("o").cast("double") / F.col("n_all").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy("dow_epoch")
+    )
+    # single result set: per-weekday rows + the test as extra columns
+    return shares.crossJoin(F.broadcast(out))

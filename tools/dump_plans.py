@@ -259,6 +259,12 @@ SHOW = [
     ("priority_mix_shift",
      "(month x priority) aggregate + broadcast overall mix; quantized "
      "cell sums"),
+    ("part_substitution_candidates",
+     "(type,size)-blocked triangular self-join; integer price band"),
+    ("source_language_entropy",
+     "(source, lang) aggregate -> |sources| rollup, fixed-point lnq"),
+    ("weekday_uniformity_test",
+     "7-row aggregate + broadcast total; quantized chi2 cells"),
 ]
 
 MARKERS = (
