@@ -102,6 +102,8 @@ HEADLINE = [
     "daily_revenue_acf",
     "doc_rake_keywords",
     "ann_recall_eval",
+    "part_hits_authority",
+    "order_value_permutation_test",
 ]
 
 
@@ -124,7 +126,11 @@ def _control_reference(name: str) -> float | None:
         try:
             with open(p) as f:
                 rec = json.load(f)
-            v = rec.get("queries", {}).get(name)
+            # driver-recorded rounds wrap the bench line in "parsed"
+            q = rec.get("queries") or (rec.get("parsed") or {}).get(
+                "queries", {}
+            )
+            v = q.get(name)
         except (OSError, json.JSONDecodeError):
             continue
         if v:
