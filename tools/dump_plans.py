@@ -265,6 +265,13 @@ SHOW = [
      "(source, lang) aggregate -> |sources| rollup, fixed-point lnq"),
     ("weekday_uniformity_test",
      "7-row aggregate + broadcast total; quantized chi2 cells"),
+    ("trend_heteroscedasticity_test",
+     "day-grain spine + broadcast OLS scalars; quantized residual "
+     "moments, one-row close"),
+    ("trend_autocorrelation_dw",
+     "same OLS backbone; one lag window on the metadata-scale spine"),
+    ("dedup_savings_by_source",
+     "content-hash groupBy (the L1 shuffle) + |sources| rollup"),
 ]
 
 MARKERS = (
