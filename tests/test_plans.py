@@ -273,3 +273,50 @@ def test_rank_rewrites_have_no_table_scale_single_task_window(spark):
             # offsets window: partition-count rows, ordered by __pid;
             # in-bucket window: partitioned by __pid
             assert "__pid" in args, f"{name}: unpartitioned window {args}"
+
+
+def test_token_budget_has_no_per_language_table_window(spark):
+    """corpus_token_budget's groupwise cumsums ride ONE distributed
+    prefix sum: every remaining window partitions by the range bucket
+    (__pid) or runs on bucket/offset metadata — never a per-language
+    window over the document table."""
+    plan = plan_str(spark, "corpus_token_budget")
+    for args in _table_scale_windows(plan):
+        assert "__pid" in args or "lang" in args and "doc_id" not in args, (
+            f"table-scale window: {args}"
+        )
+
+
+def test_gains_table_rank_is_distributed(spark):
+    """quality_gains_table deciles come from the frozen-boundary rank,
+    not an NTILE/unpartitioned row_number over documents."""
+    plan = plan_str(spark, "quality_gains_table")
+    assert "ntile" not in plan.lower()
+    for args in _table_scale_windows(plan):
+        # the 10-row decile rollup window is grid-bounded metadata
+        assert "__pid" in args or "decile" in args, (
+            f"unpartitioned window: {args}"
+        )
+
+
+def test_adamic_adar_broadcasts_only_metadata_sides(spark):
+    """The wedge pipeline broadcasts the degree/pack tables (vertex-
+    sized) while the pair stream itself moves through shuffle
+    aggregation — no cartesian, no corpus-scale broadcast."""
+    plan = plan_str(spark, "copurchase_adamic_adar")
+    assert "CartesianProduct" not in plan
+    # the packed-key aggregate exists (wedges shuffle through hash agg)
+    assert "HashAggregate" in plan
+
+
+def test_hits_rounds_stay_jvm_side(spark):
+    """part_hits_authority's mutual-reinforcement rounds are joins +
+    aggregates in codegen — no Python stages anywhere."""
+    plan = plan_str(spark, "part_hits_authority")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_k_core_rounds_stay_jvm_side(spark):
+    plan = plan_str(spark, "part_k_core")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
