@@ -7479,3 +7479,71 @@ SELECT source, n_docs, n_removed, total_bytes, bytes_removed,
          AS bytes_removed_ppm
 FROM g ORDER BY source
 """
+
+
+# R110: per-segment Gini -- segment-leading global rank re-based by
+# broadcast per-segment offsets; exact-sum closed form.
+ORACLE["segment_spend_gini"] = """
+WITH spend AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+within AS (
+  SELECT segment, cents,
+         CAST(ROW_NUMBER() OVER (PARTITION BY segment
+                ORDER BY cents, o_custkey) AS BIGINT) AS r
+  FROM spend),
+g AS (
+  SELECT segment,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS t,
+         SUM(CAST(r AS HUGEINT) * cents) AS s_rank
+  FROM within GROUP BY segment)
+SELECT segment, n_customers,
+       CAST(t AS DOUBLE) / 100.0 AS total_spend,
+       CASE WHEN CAST(n_customers AS DOUBLE) * CAST(t AS DOUBLE) != 0 THEN
+         ((CASE WHEN (2 * s_rank - CAST(n_customers + 1 AS HUGEINT) * t) < 0 THEN -1.0 ELSE 1.0 END) * ((CAST(ABS(2 * s_rank - CAST(n_customers + 1 AS HUGEINT) * t) // 18446744073709551616 AS DOUBLE) * 18446744073709551616.0 + CAST((ABS(2 * s_rank - CAST(n_customers + 1 AS HUGEINT) * t) % 18446744073709551616) // 4294967296 AS DOUBLE) * 4294967296.0) + CAST(ABS(2 * s_rank - CAST(n_customers + 1 AS HUGEINT) * t) % 4294967296 AS DOUBLE)))
+           / (CAST(n_customers AS DOUBLE) * CAST(t AS DOUBLE)) END AS gini
+FROM g ORDER BY segment
+"""
+
+# P102: daily error budget -- P75's Wilson chain on the day grain.
+ORACLE["daily_error_budget"] = """
+WITH g AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_errors
+  FROM events GROUP BY 1),
+w AS (
+  SELECT day_num, n_events, n_errors,
+         CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) AS p,
+         CAST(n_events AS DOUBLE) AS n
+  FROM g)
+SELECT day_num, n_events, n_errors,
+       p AS error_rate,
+       (p + (CAST(1.959963984540054 AS DOUBLE) * CAST(1.959963984540054 AS DOUBLE)) / (2.0 * n))
+         / (1.0 + (CAST(1.959963984540054 AS DOUBLE) * CAST(1.959963984540054 AS DOUBLE)) / n)
+       - CAST(1.959963984540054 AS DOUBLE)
+         * sqrt(p * (1.0 - p) / n
+                + (CAST(1.959963984540054 AS DOUBLE) * CAST(1.959963984540054 AS DOUBLE)) / (4.0 * n * n))
+         / (1.0 + (CAST(1.959963984540054 AS DOUBLE) * CAST(1.959963984540054 AS DOUBLE)) / n)
+         AS wilson_lower,
+       (p + (CAST(1.959963984540054 AS DOUBLE) * CAST(1.959963984540054 AS DOUBLE)) / (2.0 * n))
+         / (1.0 + (CAST(1.959963984540054 AS DOUBLE) * CAST(1.959963984540054 AS DOUBLE)) / n)
+       + CAST(1.959963984540054 AS DOUBLE)
+         * sqrt(p * (1.0 - p) / n
+                + (CAST(1.959963984540054 AS DOUBLE) * CAST(1.959963984540054 AS DOUBLE)) / (4.0 * n * n))
+         / (1.0 + (CAST(1.959963984540054 AS DOUBLE) * CAST(1.959963984540054 AS DOUBLE)) / n)
+         AS wilson_upper,
+       (p + (CAST(1.959963984540054 AS DOUBLE) * CAST(1.959963984540054 AS DOUBLE)) / (2.0 * n))
+         / (1.0 + (CAST(1.959963984540054 AS DOUBLE) * CAST(1.959963984540054 AS DOUBLE)) / n)
+       - CAST(1.959963984540054 AS DOUBLE)
+         * sqrt(p * (1.0 - p) / n
+                + (CAST(1.959963984540054 AS DOUBLE) * CAST(1.959963984540054 AS DOUBLE)) / (4.0 * n * n))
+         / (1.0 + (CAST(1.959963984540054 AS DOUBLE) * CAST(1.959963984540054 AS DOUBLE)) / n)
+         > 0.05 AS budget_burned
+FROM w ORDER BY day_num
+"""

@@ -12280,3 +12280,111 @@ def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * bytes_removed) DIV total_bytes AS LONG)"
         ).alias("bytes_removed_ppm"),
     ).orderBy("source")
+
+
+@query("segment_spend_gini")
+def segment_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R110: per-segment Gini concentration of customer spend — does
+    the whale concentration P42 measures globally differ by market
+    segment? Group-ified with the order_value_percentiles trick: ONE
+    distributed global rank with the SEGMENT as the leading key, then
+    per-segment offsets (broadcast, |segments| rows) turn the global
+    rank into within-segment ranks — no per-segment table-scale
+    window. Gini closed form per segment from exact integer sums,
+    one IEEE division each.
+
+    Scale: one customer-grain aggregate, one distributed rank, a
+    |segments|-row close.
+    """
+    from dimagi_data_platform_spark.operators.linkage import (
+        global_row_number,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+            ).alias("cents")
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(F.col("c_mktsegment").alias("segment"), "o_custkey", "cents")
+    )
+    ranked = global_row_number(
+        spend, ["segment", "cents", "o_custkey"], out_col="rn"
+    )
+    seg_offsets = (
+        ranked.groupBy("segment")
+        .agg(F.min("rn").alias("rn0"))
+    )
+    within = ranked.join(F.broadcast(seg_offsets), "segment").withColumn(
+        "r", (F.col("rn") - F.col("rn0") + F.lit(1)).cast("long")
+    )
+    g = within.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("t"),
+        F.sum(F.col("r").cast("decimal(19,0)") * F.col("cents")).alias(
+            "s_rank"
+        ),
+    )
+    gini = F.try_divide(
+        int_to_double(
+            F.lit(2).cast("decimal(19,0)") * F.col("s_rank")
+            - ((F.col("n_customers") + 1).cast("decimal(20,0)") * F.col("t"))
+        ),
+        (F.col("n_customers").cast("double") * F.col("t").cast("double")),
+    )
+    return g.select(
+        "segment",
+        "n_customers",
+        (F.col("t").cast("double") / F.lit(100.0)).alias("total_spend"),
+        gini.alias("gini"),
+    ).orderBy("segment")
+
+
+@query("daily_error_budget")
+def daily_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P102: error-budget monitor — each day's error-event share with
+    its Wilson 95% interval (the small-n-safe CI, P75's machinery on
+    the time axis) and a burn flag when the LOWER bound clears the 5%
+    objective: the SRE-style "is the error rate provably above budget
+    today" read, robust on low-traffic days where a naive ratio
+    flaps. Counts exact; the Wilson chain is one mirrored IEEE
+    expression per day row.
+
+    Scale: one day-grain conditional aggregate; everything after is
+    per-row arithmetic on metadata-scale rows.
+    """
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(F.unix_date(F.to_date("ts")).alias("day_num")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    n = F.col("n_events").cast("double")
+    p = F.col("n_errors").cast("double") / n
+    z = F.lit(1.959963984540054)
+    z2 = z * z
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = (
+        z
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+        / denom
+    )
+    lo = center - half
+    return g.select(
+        "day_num",
+        "n_events",
+        "n_errors",
+        p.alias("error_rate"),
+        lo.alias("wilson_lower"),
+        (center + half).alias("wilson_upper"),
+        (lo > F.lit(0.05)).alias("budget_burned"),
+    ).orderBy("day_num")

@@ -272,6 +272,11 @@ SHOW = [
      "same OLS backbone; one lag window on the metadata-scale spine"),
     ("dedup_savings_by_source",
      "content-hash groupBy (the L1 shuffle) + |sources| rollup"),
+    ("segment_spend_gini",
+     "ONE segment-leading distributed rank + broadcast per-segment "
+     "offsets; no per-segment table window"),
+    ("daily_error_budget",
+     "day-grain conditional aggregate; per-row Wilson arithmetic"),
 ]
 
 MARKERS = (
