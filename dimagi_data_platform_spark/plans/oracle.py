@@ -7547,3 +7547,198 @@ SELECT day_num, n_events, n_errors,
          > 0.05 AS budget_burned
 FROM w ORDER BY day_num
 """
+
+# L87: nprobe sweep -- three literal-quantizer rankings vs the
+# brute-force ground truth, exact ppm recalls.
+ORACLE["ivf_nprobe_sweep"] = """
+WITH exact AS (
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+s AS (
+  SELECT q_id, neighbor_id, (0.0 + CAST(q_vec[1] AS DOUBLE)*CAST(c_vec[1] AS DOUBLE) + CAST(q_vec[2] AS DOUBLE)*CAST(c_vec[2] AS DOUBLE) + CAST(q_vec[3] AS DOUBLE)*CAST(c_vec[3] AS DOUBLE) + CAST(q_vec[4] AS DOUBLE)*CAST(c_vec[4] AS DOUBLE) + CAST(q_vec[5] AS DOUBLE)*CAST(c_vec[5] AS DOUBLE) + CAST(q_vec[6] AS DOUBLE)*CAST(c_vec[6] AS DOUBLE) + CAST(q_vec[7] AS DOUBLE)*CAST(c_vec[7] AS DOUBLE) + CAST(q_vec[8] AS DOUBLE)*CAST(c_vec[8] AS DOUBLE) + CAST(q_vec[9] AS DOUBLE)*CAST(c_vec[9] AS DOUBLE) + CAST(q_vec[10] AS DOUBLE)*CAST(c_vec[10] AS DOUBLE) + CAST(q_vec[11] AS DOUBLE)*CAST(c_vec[11] AS DOUBLE) + CAST(q_vec[12] AS DOUBLE)*CAST(c_vec[12] AS DOUBLE) + CAST(q_vec[13] AS DOUBLE)*CAST(c_vec[13] AS DOUBLE) + CAST(q_vec[14] AS DOUBLE)*CAST(c_vec[14] AS DOUBLE) + CAST(q_vec[15] AS DOUBLE)*CAST(c_vec[15] AS DOUBLE) + CAST(q_vec[16] AS DOUBLE)*CAST(c_vec[16] AS DOUBLE) + CAST(q_vec[17] AS DOUBLE)*CAST(c_vec[17] AS DOUBLE) + CAST(q_vec[18] AS DOUBLE)*CAST(c_vec[18] AS DOUBLE) + CAST(q_vec[19] AS DOUBLE)*CAST(c_vec[19] AS DOUBLE) + CAST(q_vec[20] AS DOUBLE)*CAST(c_vec[20] AS DOUBLE) + CAST(q_vec[21] AS DOUBLE)*CAST(c_vec[21] AS DOUBLE) + CAST(q_vec[22] AS DOUBLE)*CAST(c_vec[22] AS DOUBLE) + CAST(q_vec[23] AS DOUBLE)*CAST(c_vec[23] AS DOUBLE) + CAST(q_vec[24] AS DOUBLE)*CAST(c_vec[24] AS DOUBLE) + CAST(q_vec[25] AS DOUBLE)*CAST(c_vec[25] AS DOUBLE) + CAST(q_vec[26] AS DOUBLE)*CAST(c_vec[26] AS DOUBLE) + CAST(q_vec[27] AS DOUBLE)*CAST(c_vec[27] AS DOUBLE) + CAST(q_vec[28] AS DOUBLE)*CAST(c_vec[28] AS DOUBLE) + CAST(q_vec[29] AS DOUBLE)*CAST(c_vec[29] AS DOUBLE) + CAST(q_vec[30] AS DOUBLE)*CAST(c_vec[30] AS DOUBLE) + CAST(q_vec[31] AS DOUBLE)*CAST(c_vec[31] AS DOUBLE) + CAST(q_vec[32] AS DOUBLE)*CAST(c_vec[32] AS DOUBLE) + CAST(q_vec[33] AS DOUBLE)*CAST(c_vec[33] AS DOUBLE) + CAST(q_vec[34] AS DOUBLE)*CAST(c_vec[34] AS DOUBLE) + CAST(q_vec[35] AS DOUBLE)*CAST(c_vec[35] AS DOUBLE) + CAST(q_vec[36] AS DOUBLE)*CAST(c_vec[36] AS DOUBLE) + CAST(q_vec[37] AS DOUBLE)*CAST(c_vec[37] AS DOUBLE) + CAST(q_vec[38] AS DOUBLE)*CAST(c_vec[38] AS DOUBLE) + CAST(q_vec[39] AS DOUBLE)*CAST(c_vec[39] AS DOUBLE) + CAST(q_vec[40] AS DOUBLE)*CAST(c_vec[40] AS DOUBLE) + CAST(q_vec[41] AS DOUBLE)*CAST(c_vec[41] AS DOUBLE) + CAST(q_vec[42] AS DOUBLE)*CAST(c_vec[42] AS DOUBLE) + CAST(q_vec[43] AS DOUBLE)*CAST(c_vec[43] AS DOUBLE) + CAST(q_vec[44] AS DOUBLE)*CAST(c_vec[44] AS DOUBLE) + CAST(q_vec[45] AS DOUBLE)*CAST(c_vec[45] AS DOUBLE) + CAST(q_vec[46] AS DOUBLE)*CAST(c_vec[46] AS DOUBLE) + CAST(q_vec[47] AS DOUBLE)*CAST(c_vec[47] AS DOUBLE) + CAST(q_vec[48] AS DOUBLE)*CAST(c_vec[48] AS DOUBLE) + CAST(q_vec[49] AS DOUBLE)*CAST(c_vec[49] AS DOUBLE) + CAST(q_vec[50] AS DOUBLE)*CAST(c_vec[50] AS DOUBLE) + CAST(q_vec[51] AS DOUBLE)*CAST(c_vec[51] AS DOUBLE) + CAST(q_vec[52] AS DOUBLE)*CAST(c_vec[52] AS DOUBLE) + CAST(q_vec[53] AS DOUBLE)*CAST(c_vec[53] AS DOUBLE) + CAST(q_vec[54] AS DOUBLE)*CAST(c_vec[54] AS DOUBLE) + CAST(q_vec[55] AS DOUBLE)*CAST(c_vec[55] AS DOUBLE) + CAST(q_vec[56] AS DOUBLE)*CAST(c_vec[56] AS DOUBLE) + CAST(q_vec[57] AS DOUBLE)*CAST(c_vec[57] AS DOUBLE) + CAST(q_vec[58] AS DOUBLE)*CAST(c_vec[58] AS DOUBLE) + CAST(q_vec[59] AS DOUBLE)*CAST(c_vec[59] AS DOUBLE) + CAST(q_vec[60] AS DOUBLE)*CAST(c_vec[60] AS DOUBLE) + CAST(q_vec[61] AS DOUBLE)*CAST(c_vec[61] AS DOUBLE) + CAST(q_vec[62] AS DOUBLE)*CAST(c_vec[62] AS DOUBLE) + CAST(q_vec[63] AS DOUBLE)*CAST(c_vec[63] AS DOUBLE) + CAST(q_vec[64] AS DOUBLE)*CAST(c_vec[64] AS DOUBLE)) / (sqrt((0.0 + CAST(q_vec[1] AS DOUBLE)*CAST(q_vec[1] AS DOUBLE) + CAST(q_vec[2] AS DOUBLE)*CAST(q_vec[2] AS DOUBLE) + CAST(q_vec[3] AS DOUBLE)*CAST(q_vec[3] AS DOUBLE) + CAST(q_vec[4] AS DOUBLE)*CAST(q_vec[4] AS DOUBLE) + CAST(q_vec[5] AS DOUBLE)*CAST(q_vec[5] AS DOUBLE) + CAST(q_vec[6] AS DOUBLE)*CAST(q_vec[6] AS DOUBLE) + CAST(q_vec[7] AS DOUBLE)*CAST(q_vec[7] AS DOUBLE) + CAST(q_vec[8] AS DOUBLE)*CAST(q_vec[8] AS DOUBLE) + CAST(q_vec[9] AS DOUBLE)*CAST(q_vec[9] AS DOUBLE) + CAST(q_vec[10] AS DOUBLE)*CAST(q_vec[10] AS DOUBLE) + CAST(q_vec[11] AS DOUBLE)*CAST(q_vec[11] AS DOUBLE) + CAST(q_vec[12] AS DOUBLE)*CAST(q_vec[12] AS DOUBLE) + CAST(q_vec[13] AS DOUBLE)*CAST(q_vec[13] AS DOUBLE) + CAST(q_vec[14] AS DOUBLE)*CAST(q_vec[14] AS DOUBLE) + CAST(q_vec[15] AS DOUBLE)*CAST(q_vec[15] AS DOUBLE) + CAST(q_vec[16] AS DOUBLE)*CAST(q_vec[16] AS DOUBLE) + CAST(q_vec[17] AS DOUBLE)*CAST(q_vec[17] AS DOUBLE) + CAST(q_vec[18] AS DOUBLE)*CAST(q_vec[18] AS DOUBLE) + CAST(q_vec[19] AS DOUBLE)*CAST(q_vec[19] AS DOUBLE) + CAST(q_vec[20] AS DOUBLE)*CAST(q_vec[20] AS DOUBLE) + CAST(q_vec[21] AS DOUBLE)*CAST(q_vec[21] AS DOUBLE) + CAST(q_vec[22] AS DOUBLE)*CAST(q_vec[22] AS DOUBLE) + CAST(q_vec[23] AS DOUBLE)*CAST(q_vec[23] AS DOUBLE) + CAST(q_vec[24] AS DOUBLE)*CAST(q_vec[24] AS DOUBLE) + CAST(q_vec[25] AS DOUBLE)*CAST(q_vec[25] AS DOUBLE) + CAST(q_vec[26] AS DOUBLE)*CAST(q_vec[26] AS DOUBLE) + CAST(q_vec[27] AS DOUBLE)*CAST(q_vec[27] AS DOUBLE) + CAST(q_vec[28] AS DOUBLE)*CAST(q_vec[28] AS DOUBLE) + CAST(q_vec[29] AS DOUBLE)*CAST(q_vec[29] AS DOUBLE) + CAST(q_vec[30] AS DOUBLE)*CAST(q_vec[30] AS DOUBLE) + CAST(q_vec[31] AS DOUBLE)*CAST(q_vec[31] AS DOUBLE) + CAST(q_vec[32] AS DOUBLE)*CAST(q_vec[32] AS DOUBLE) + CAST(q_vec[33] AS DOUBLE)*CAST(q_vec[33] AS DOUBLE) + CAST(q_vec[34] AS DOUBLE)*CAST(q_vec[34] AS DOUBLE) + CAST(q_vec[35] AS DOUBLE)*CAST(q_vec[35] AS DOUBLE) + CAST(q_vec[36] AS DOUBLE)*CAST(q_vec[36] AS DOUBLE) + CAST(q_vec[37] AS DOUBLE)*CAST(q_vec[37] AS DOUBLE) + CAST(q_vec[38] AS DOUBLE)*CAST(q_vec[38] AS DOUBLE) + CAST(q_vec[39] AS DOUBLE)*CAST(q_vec[39] AS DOUBLE) + CAST(q_vec[40] AS DOUBLE)*CAST(q_vec[40] AS DOUBLE) + CAST(q_vec[41] AS DOUBLE)*CAST(q_vec[41] AS DOUBLE) + CAST(q_vec[42] AS DOUBLE)*CAST(q_vec[42] AS DOUBLE) + CAST(q_vec[43] AS DOUBLE)*CAST(q_vec[43] AS DOUBLE) + CAST(q_vec[44] AS DOUBLE)*CAST(q_vec[44] AS DOUBLE) + CAST(q_vec[45] AS DOUBLE)*CAST(q_vec[45] AS DOUBLE) + CAST(q_vec[46] AS DOUBLE)*CAST(q_vec[46] AS DOUBLE) + CAST(q_vec[47] AS DOUBLE)*CAST(q_vec[47] AS DOUBLE) + CAST(q_vec[48] AS DOUBLE)*CAST(q_vec[48] AS DOUBLE) + CAST(q_vec[49] AS DOUBLE)*CAST(q_vec[49] AS DOUBLE) + CAST(q_vec[50] AS DOUBLE)*CAST(q_vec[50] AS DOUBLE) + CAST(q_vec[51] AS DOUBLE)*CAST(q_vec[51] AS DOUBLE) + CAST(q_vec[52] AS DOUBLE)*CAST(q_vec[52] AS DOUBLE) + CAST(q_vec[53] AS DOUBLE)*CAST(q_vec[53] AS DOUBLE) + CAST(q_vec[54] AS DOUBLE)*CAST(q_vec[54] AS DOUBLE) + CAST(q_vec[55] AS DOUBLE)*CAST(q_vec[55] AS DOUBLE) + CAST(q_vec[56] AS DOUBLE)*CAST(q_vec[56] AS DOUBLE) + CAST(q_vec[57] AS DOUBLE)*CAST(q_vec[57] AS DOUBLE) + CAST(q_vec[58] AS DOUBLE)*CAST(q_vec[58] AS DOUBLE) + CAST(q_vec[59] AS DOUBLE)*CAST(q_vec[59] AS DOUBLE) + CAST(q_vec[60] AS DOUBLE)*CAST(q_vec[60] AS DOUBLE) + CAST(q_vec[61] AS DOUBLE)*CAST(q_vec[61] AS DOUBLE) + CAST(q_vec[62] AS DOUBLE)*CAST(q_vec[62] AS DOUBLE) + CAST(q_vec[63] AS DOUBLE)*CAST(q_vec[63] AS DOUBLE) + CAST(q_vec[64] AS DOUBLE)*CAST(q_vec[64] AS DOUBLE))) * sqrt((0.0 + CAST(c_vec[1] AS DOUBLE)*CAST(c_vec[1] AS DOUBLE) + CAST(c_vec[2] AS DOUBLE)*CAST(c_vec[2] AS DOUBLE) + CAST(c_vec[3] AS DOUBLE)*CAST(c_vec[3] AS DOUBLE) + CAST(c_vec[4] AS DOUBLE)*CAST(c_vec[4] AS DOUBLE) + CAST(c_vec[5] AS DOUBLE)*CAST(c_vec[5] AS DOUBLE) + CAST(c_vec[6] AS DOUBLE)*CAST(c_vec[6] AS DOUBLE) + CAST(c_vec[7] AS DOUBLE)*CAST(c_vec[7] AS DOUBLE) + CAST(c_vec[8] AS DOUBLE)*CAST(c_vec[8] AS DOUBLE) + CAST(c_vec[9] AS DOUBLE)*CAST(c_vec[9] AS DOUBLE) + CAST(c_vec[10] AS DOUBLE)*CAST(c_vec[10] AS DOUBLE) + CAST(c_vec[11] AS DOUBLE)*CAST(c_vec[11] AS DOUBLE) + CAST(c_vec[12] AS DOUBLE)*CAST(c_vec[12] AS DOUBLE) + CAST(c_vec[13] AS DOUBLE)*CAST(c_vec[13] AS DOUBLE) + CAST(c_vec[14] AS DOUBLE)*CAST(c_vec[14] AS DOUBLE) + CAST(c_vec[15] AS DOUBLE)*CAST(c_vec[15] AS DOUBLE) + CAST(c_vec[16] AS DOUBLE)*CAST(c_vec[16] AS DOUBLE) + CAST(c_vec[17] AS DOUBLE)*CAST(c_vec[17] AS DOUBLE) + CAST(c_vec[18] AS DOUBLE)*CAST(c_vec[18] AS DOUBLE) + CAST(c_vec[19] AS DOUBLE)*CAST(c_vec[19] AS DOUBLE) + CAST(c_vec[20] AS DOUBLE)*CAST(c_vec[20] AS DOUBLE) + CAST(c_vec[21] AS DOUBLE)*CAST(c_vec[21] AS DOUBLE) + CAST(c_vec[22] AS DOUBLE)*CAST(c_vec[22] AS DOUBLE) + CAST(c_vec[23] AS DOUBLE)*CAST(c_vec[23] AS DOUBLE) + CAST(c_vec[24] AS DOUBLE)*CAST(c_vec[24] AS DOUBLE) + CAST(c_vec[25] AS DOUBLE)*CAST(c_vec[25] AS DOUBLE) + CAST(c_vec[26] AS DOUBLE)*CAST(c_vec[26] AS DOUBLE) + CAST(c_vec[27] AS DOUBLE)*CAST(c_vec[27] AS DOUBLE) + CAST(c_vec[28] AS DOUBLE)*CAST(c_vec[28] AS DOUBLE) + CAST(c_vec[29] AS DOUBLE)*CAST(c_vec[29] AS DOUBLE) + CAST(c_vec[30] AS DOUBLE)*CAST(c_vec[30] AS DOUBLE) + CAST(c_vec[31] AS DOUBLE)*CAST(c_vec[31] AS DOUBLE) + CAST(c_vec[32] AS DOUBLE)*CAST(c_vec[32] AS DOUBLE) + CAST(c_vec[33] AS DOUBLE)*CAST(c_vec[33] AS DOUBLE) + CAST(c_vec[34] AS DOUBLE)*CAST(c_vec[34] AS DOUBLE) + CAST(c_vec[35] AS DOUBLE)*CAST(c_vec[35] AS DOUBLE) + CAST(c_vec[36] AS DOUBLE)*CAST(c_vec[36] AS DOUBLE) + CAST(c_vec[37] AS DOUBLE)*CAST(c_vec[37] AS DOUBLE) + CAST(c_vec[38] AS DOUBLE)*CAST(c_vec[38] AS DOUBLE) + CAST(c_vec[39] AS DOUBLE)*CAST(c_vec[39] AS DOUBLE) + CAST(c_vec[40] AS DOUBLE)*CAST(c_vec[40] AS DOUBLE) + CAST(c_vec[41] AS DOUBLE)*CAST(c_vec[41] AS DOUBLE) + CAST(c_vec[42] AS DOUBLE)*CAST(c_vec[42] AS DOUBLE) + CAST(c_vec[43] AS DOUBLE)*CAST(c_vec[43] AS DOUBLE) + CAST(c_vec[44] AS DOUBLE)*CAST(c_vec[44] AS DOUBLE) + CAST(c_vec[45] AS DOUBLE)*CAST(c_vec[45] AS DOUBLE) + CAST(c_vec[46] AS DOUBLE)*CAST(c_vec[46] AS DOUBLE) + CAST(c_vec[47] AS DOUBLE)*CAST(c_vec[47] AS DOUBLE) + CAST(c_vec[48] AS DOUBLE)*CAST(c_vec[48] AS DOUBLE) + CAST(c_vec[49] AS DOUBLE)*CAST(c_vec[49] AS DOUBLE) + CAST(c_vec[50] AS DOUBLE)*CAST(c_vec[50] AS DOUBLE) + CAST(c_vec[51] AS DOUBLE)*CAST(c_vec[51] AS DOUBLE) + CAST(c_vec[52] AS DOUBLE)*CAST(c_vec[52] AS DOUBLE) + CAST(c_vec[53] AS DOUBLE)*CAST(c_vec[53] AS DOUBLE) + CAST(c_vec[54] AS DOUBLE)*CAST(c_vec[54] AS DOUBLE) + CAST(c_vec[55] AS DOUBLE)*CAST(c_vec[55] AS DOUBLE) + CAST(c_vec[56] AS DOUBLE)*CAST(c_vec[56] AS DOUBLE) + CAST(c_vec[57] AS DOUBLE)*CAST(c_vec[57] AS DOUBLE) + CAST(c_vec[58] AS DOUBLE)*CAST(c_vec[58] AS DOUBLE) + CAST(c_vec[59] AS DOUBLE)*CAST(c_vec[59] AS DOUBLE) + CAST(c_vec[60] AS DOUBLE)*CAST(c_vec[60] AS DOUBLE) + CAST(c_vec[61] AS DOUBLE)*CAST(c_vec[61] AS DOUBLE) + CAST(c_vec[62] AS DOUBLE)*CAST(c_vec[62] AS DOUBLE) + CAST(c_vec[63] AS DOUBLE)*CAST(c_vec[63] AS DOUBLE) + CAST(c_vec[64] AS DOUBLE)*CAST(c_vec[64] AS DOUBLE)))) AS cos_sim
+  FROM q, c WHERE q_id <> neighbor_id),
+r AS (
+  SELECT q_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM s)
+SELECT q_id, neighbor_id, cos_sim, "rank" FROM r WHERE "rank" <= 5
+)
+SELECT * FROM (
+SELECT CAST(1 AS BIGINT) AS nprobe,
+       ne.n_exact,
+       CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST((1000000 * COALESCE(nh.n_hits, 0)) // ne.n_exact AS BIGINT)
+         AS recall_ppm,
+       CAST(CAST((1000000 * COALESCE(nh.n_hits, 0)) // ne.n_exact AS BIGINT)
+            AS DOUBLE) / 1000000.0 AS mean_recall_at_5
+FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact) ne,
+     (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM exact e SEMI JOIN (
+        
+WITH base AS (
+  SELECT vec_id, embedding,
+         (0.0 + CAST(embedding[1] AS DOUBLE) * (2.1699867207380645) + CAST(embedding[2] AS DOUBLE) * (-1.1079786469680795) + CAST(embedding[3] AS DOUBLE) * (0.32589852902934197) + CAST(embedding[4] AS DOUBLE) * (-0.2613181260001577) + CAST(embedding[5] AS DOUBLE) * (-0.8792737317600035) + CAST(embedding[6] AS DOUBLE) * (-0.5738432527438687) + CAST(embedding[7] AS DOUBLE) * (-0.5189988677338094) + CAST(embedding[8] AS DOUBLE) * (-0.09930180207886077) + CAST(embedding[9] AS DOUBLE) * (0.3865300173736704) + CAST(embedding[10] AS DOUBLE) * (1.0132288958817026) + CAST(embedding[11] AS DOUBLE) * (0.1993937448867829) + CAST(embedding[12] AS DOUBLE) * (1.083652184372391) + CAST(embedding[13] AS DOUBLE) * (0.41838593160240717) + CAST(embedding[14] AS DOUBLE) * (0.06563800441896446) + CAST(embedding[15] AS DOUBLE) * (-0.2600355441139246) + CAST(embedding[16] AS DOUBLE) * (-1.0129882532193426) + CAST(embedding[17] AS DOUBLE) * (-1.6227835267832889) + CAST(embedding[18] AS DOUBLE) * (-0.12908990923609442) + CAST(embedding[19] AS DOUBLE) * (-0.21779878046596632) + CAST(embedding[20] AS DOUBLE) * (0.26667982053102357) + CAST(embedding[21] AS DOUBLE) * (0.27541138031975404) + CAST(embedding[22] AS DOUBLE) * (-1.3050186513030222) + CAST(embedding[23] AS DOUBLE) * (-0.7617561033214943) + CAST(embedding[24] AS DOUBLE) * (-1.1662421256928086) + CAST(embedding[25] AS DOUBLE) * (0.9333744438300192) + CAST(embedding[26] AS DOUBLE) * (-0.17358590709943209) + CAST(embedding[27] AS DOUBLE) * (0.058939725195320716) + CAST(embedding[28] AS DOUBLE) * (-0.9572998593896521) + CAST(embedding[29] AS DOUBLE) * (-1.3218914690449026) + CAST(embedding[30] AS DOUBLE) * (-0.6429267245125667) + CAST(embedding[31] AS DOUBLE) * (-0.16666669030021375) + CAST(embedding[32] AS DOUBLE) * (0.38922269236616275) + CAST(embedding[33] AS DOUBLE) * (-1.5698649077430762) + CAST(embedding[34] AS DOUBLE) * (0.2580906391925216) + CAST(embedding[35] AS DOUBLE) * (-0.9174271914240806) + CAST(embedding[36] AS DOUBLE) * (-0.5871590042364816) + CAST(embedding[37] AS DOUBLE) * (-0.3967328554866439) + CAST(embedding[38] AS DOUBLE) * (-0.4944293277464607) + CAST(embedding[39] AS DOUBLE) * (0.3836936908556341) + CAST(embedding[40] AS DOUBLE) * (0.7963452140503653) + CAST(embedding[41] AS DOUBLE) * (0.2653578014361696) + CAST(embedding[42] AS DOUBLE) * (-0.6040877453680568) + CAST(embedding[43] AS DOUBLE) * (0.34311174030663366) + CAST(embedding[44] AS DOUBLE) * (0.2998265924250336) + CAST(embedding[45] AS DOUBLE) * (0.7790426349105024) + CAST(embedding[46] AS DOUBLE) * (0.19446738261662008) + CAST(embedding[47] AS DOUBLE) * (-1.6632085503210128) + CAST(embedding[48] AS DOUBLE) * (-0.8189728069149812) + CAST(embedding[49] AS DOUBLE) * (-0.46707926266240857) + CAST(embedding[50] AS DOUBLE) * (0.8395293649822554) + CAST(embedding[51] AS DOUBLE) * (-0.20417990201901623) + CAST(embedding[52] AS DOUBLE) * (0.8278803215597093) + CAST(embedding[53] AS DOUBLE) * (0.2176122939560562) + CAST(embedding[54] AS DOUBLE) * (-1.2430574445381901) + CAST(embedding[55] AS DOUBLE) * (-0.025168925059448097) + CAST(embedding[56] AS DOUBLE) * (0.47538289273474205) + CAST(embedding[57] AS DOUBLE) * (0.3304218683244367) + CAST(embedding[58] AS DOUBLE) * (-1.5319811285805112) + CAST(embedding[59] AS DOUBLE) * (0.34938270914619535) + CAST(embedding[60] AS DOUBLE) * (-0.6493215352430751) + CAST(embedding[61] AS DOUBLE) * (-2.1497412615528795) + CAST(embedding[62] AS DOUBLE) * (-0.6315801328620507) + CAST(embedding[63] AS DOUBLE) * (-2.014360452151887) + CAST(embedding[64] AS DOUBLE) * (-1.3267366695720195)) AS d0,
+         (0.0 + CAST(embedding[1] AS DOUBLE) * (1.3493736079095395) + CAST(embedding[2] AS DOUBLE) * (2.3574281217314046) + CAST(embedding[3] AS DOUBLE) * (0.974146861617726) + CAST(embedding[4] AS DOUBLE) * (0.357087420914038) + CAST(embedding[5] AS DOUBLE) * (1.8016409257375818) + CAST(embedding[6] AS DOUBLE) * (0.26638405191451425) + CAST(embedding[7] AS DOUBLE) * (-1.0370842279937875) + CAST(embedding[8] AS DOUBLE) * (-2.4906909937084873) + CAST(embedding[9] AS DOUBLE) * (0.8254096438714261) + CAST(embedding[10] AS DOUBLE) * (-2.2943036014164484) + CAST(embedding[11] AS DOUBLE) * (-2.8931104935975456) + CAST(embedding[12] AS DOUBLE) * (-0.7156833317563337) + CAST(embedding[13] AS DOUBLE) * (-0.005708669074363964) + CAST(embedding[14] AS DOUBLE) * (-0.9217913295819) + CAST(embedding[15] AS DOUBLE) * (0.9602720655965147) + CAST(embedding[16] AS DOUBLE) * (-0.1558601247108059) + CAST(embedding[17] AS DOUBLE) * (0.1385213470528602) + CAST(embedding[18] AS DOUBLE) * (0.37233344158813425) + CAST(embedding[19] AS DOUBLE) * (-0.6466728025715587) + CAST(embedding[20] AS DOUBLE) * (0.14046778335765708) + CAST(embedding[21] AS DOUBLE) * (2.241058348597844) + CAST(embedding[22] AS DOUBLE) * (-0.9936560252826314) + CAST(embedding[23] AS DOUBLE) * (0.09924581890662353) + CAST(embedding[24] AS DOUBLE) * (0.45680624649786206) + CAST(embedding[25] AS DOUBLE) * (-0.5997515566709185) + CAST(embedding[26] AS DOUBLE) * (-0.11039093342551126) + CAST(embedding[27] AS DOUBLE) * (-1.7623232504526851) + CAST(embedding[28] AS DOUBLE) * (-0.4958115189101038) + CAST(embedding[29] AS DOUBLE) * (-0.0201379494688227) + CAST(embedding[30] AS DOUBLE) * (1.0464692871649537) + CAST(embedding[31] AS DOUBLE) * (0.8809726108343329) + CAST(embedding[32] AS DOUBLE) * (-0.6327352439223559) + CAST(embedding[33] AS DOUBLE) * (-1.1621814459462878) + CAST(embedding[34] AS DOUBLE) * (1.7625781817792587) + CAST(embedding[35] AS DOUBLE) * (0.8282498279041635) + CAST(embedding[36] AS DOUBLE) * (-1.9557748532393313) + CAST(embedding[37] AS DOUBLE) * (-0.3933080562650607) + CAST(embedding[38] AS DOUBLE) * (-0.9536681309415094) + CAST(embedding[39] AS DOUBLE) * (-0.6594392644762228) + CAST(embedding[40] AS DOUBLE) * (-1.7626492943072107) + CAST(embedding[41] AS DOUBLE) * (-0.472197460916041) + CAST(embedding[42] AS DOUBLE) * (-0.5672394944152519) + CAST(embedding[43] AS DOUBLE) * (-0.2879880583495375) + CAST(embedding[44] AS DOUBLE) * (0.9854077784688751) + CAST(embedding[45] AS DOUBLE) * (0.17319721429439905) + CAST(embedding[46] AS DOUBLE) * (-1.2644298905718279) + CAST(embedding[47] AS DOUBLE) * (-1.7804125913447617) + CAST(embedding[48] AS DOUBLE) * (-0.577718169360636) + CAST(embedding[49] AS DOUBLE) * (1.0971025606641962) + CAST(embedding[50] AS DOUBLE) * (0.8897058942385211) + CAST(embedding[51] AS DOUBLE) * (-0.6343255841530552) + CAST(embedding[52] AS DOUBLE) * (1.1120537078981618) + CAST(embedding[53] AS DOUBLE) * (0.38607355508082786) + CAST(embedding[54] AS DOUBLE) * (-0.6495553124107992) + CAST(embedding[55] AS DOUBLE) * (0.38593414967709216) + CAST(embedding[56] AS DOUBLE) * (-0.12134036219142272) + CAST(embedding[57] AS DOUBLE) * (-1.1557145875624628) + CAST(embedding[58] AS DOUBLE) * (-0.47464504737753843) + CAST(embedding[59] AS DOUBLE) * (0.12008435874037364) + CAST(embedding[60] AS DOUBLE) * (1.2772627323647865) + CAST(embedding[61] AS DOUBLE) * (-1.0743630492761616) + CAST(embedding[62] AS DOUBLE) * (0.19986415492529624) + CAST(embedding[63] AS DOUBLE) * (-0.017542016902101762) + CAST(embedding[64] AS DOUBLE) * (-0.08713110155989824)) AS d1,
+         (0.0 + CAST(embedding[1] AS DOUBLE) * (-1.2577899221671323) + CAST(embedding[2] AS DOUBLE) * (1.2238452093167131) + CAST(embedding[3] AS DOUBLE) * (1.263096024693588) + CAST(embedding[4] AS DOUBLE) * (1.5637409056484606) + CAST(embedding[5] AS DOUBLE) * (0.4346549890366623) + CAST(embedding[6] AS DOUBLE) * (1.4481024662776967) + CAST(embedding[7] AS DOUBLE) * (0.507100012249707) + CAST(embedding[8] AS DOUBLE) * (0.9675054979514186) + CAST(embedding[9] AS DOUBLE) * (-0.3651744157515609) + CAST(embedding[10] AS DOUBLE) * (0.19320234038107062) + CAST(embedding[11] AS DOUBLE) * (-0.3561747033097989) + CAST(embedding[12] AS DOUBLE) * (-1.0870443640097944) + CAST(embedding[13] AS DOUBLE) * (-0.465399551284373) + CAST(embedding[14] AS DOUBLE) * (-1.1544247120052649) + CAST(embedding[15] AS DOUBLE) * (-1.1476073231678856) + CAST(embedding[16] AS DOUBLE) * (-0.42027133190649063) + CAST(embedding[17] AS DOUBLE) * (-0.6330853856097824) + CAST(embedding[18] AS DOUBLE) * (2.0444062851033893) + CAST(embedding[19] AS DOUBLE) * (1.7516585550837993) + CAST(embedding[20] AS DOUBLE) * (1.056693813220963) + CAST(embedding[21] AS DOUBLE) * (0.7676403805488081) + CAST(embedding[22] AS DOUBLE) * (-0.8878444326095933) + CAST(embedding[23] AS DOUBLE) * (0.25208493059671166) + CAST(embedding[24] AS DOUBLE) * (-1.4745464839005809) + CAST(embedding[25] AS DOUBLE) * (-0.6559112954973413) + CAST(embedding[26] AS DOUBLE) * (-0.5092626329019135) + CAST(embedding[27] AS DOUBLE) * (-0.3929214550556583) + CAST(embedding[28] AS DOUBLE) * (0.8398049213708733) + CAST(embedding[29] AS DOUBLE) * (-0.8159739708198376) + CAST(embedding[30] AS DOUBLE) * (2.399401534052994) + CAST(embedding[31] AS DOUBLE) * (-0.537288680108295) + CAST(embedding[32] AS DOUBLE) * (0.8318037860239111) + CAST(embedding[33] AS DOUBLE) * (-1.6112314486636563) + CAST(embedding[34] AS DOUBLE) * (0.8915986994252159) + CAST(embedding[35] AS DOUBLE) * (-1.2579555057468832) + CAST(embedding[36] AS DOUBLE) * (0.17694713662863804) + CAST(embedding[37] AS DOUBLE) * (-0.027799675848140755) + CAST(embedding[38] AS DOUBLE) * (0.806772028799457) + CAST(embedding[39] AS DOUBLE) * (0.5931122307963466) + CAST(embedding[40] AS DOUBLE) * (0.3716502220952085) + CAST(embedding[41] AS DOUBLE) * (-0.17044108877256595) + CAST(embedding[42] AS DOUBLE) * (1.9482546830194398) + CAST(embedding[43] AS DOUBLE) * (-0.4836175932225871) + CAST(embedding[44] AS DOUBLE) * (-0.0075057864212346405) + CAST(embedding[45] AS DOUBLE) * (-0.49385748676794844) + CAST(embedding[46] AS DOUBLE) * (0.11783361787735049) + CAST(embedding[47] AS DOUBLE) * (-0.9887567934156685) + CAST(embedding[48] AS DOUBLE) * (-0.4354688770225977) + CAST(embedding[49] AS DOUBLE) * (0.48738439368472414) + CAST(embedding[50] AS DOUBLE) * (-0.602248233707375) + CAST(embedding[51] AS DOUBLE) * (0.4466700731791106) + CAST(embedding[52] AS DOUBLE) * (-0.6078380273189347) + CAST(embedding[53] AS DOUBLE) * (1.4097234509113148) + CAST(embedding[54] AS DOUBLE) * (-0.1546127976471008) + CAST(embedding[55] AS DOUBLE) * (1.749526258188258) + CAST(embedding[56] AS DOUBLE) * (0.4807392105214751) + CAST(embedding[57] AS DOUBLE) * (-0.15217871610095032) + CAST(embedding[58] AS DOUBLE) * (0.9361867677371898) + CAST(embedding[59] AS DOUBLE) * (1.1532396953425783) + CAST(embedding[60] AS DOUBLE) * (1.5176908046780375) + CAST(embedding[61] AS DOUBLE) * (1.3803800500086394) + CAST(embedding[62] AS DOUBLE) * (0.8805727241350567) + CAST(embedding[63] AS DOUBLE) * (-1.1960999758221535) + CAST(embedding[64] AS DOUBLE) * (0.9190929105729782)) AS d2,
+         (0.0 + CAST(embedding[1] AS DOUBLE) * (-0.10792485825603078) + CAST(embedding[2] AS DOUBLE) * (0.3890662859329336) + CAST(embedding[3] AS DOUBLE) * (1.25611361970282) + CAST(embedding[4] AS DOUBLE) * (-0.7410543634213287) + CAST(embedding[5] AS DOUBLE) * (1.3219520960862796) + CAST(embedding[6] AS DOUBLE) * (2.393301535353535) + CAST(embedding[7] AS DOUBLE) * (0.5400220323247202) + CAST(embedding[8] AS DOUBLE) * (-0.3341185904146626) + CAST(embedding[9] AS DOUBLE) * (1.3642857310773209) + CAST(embedding[10] AS DOUBLE) * (0.16451609607500065) + CAST(embedding[11] AS DOUBLE) * (1.040910589547841) + CAST(embedding[12] AS DOUBLE) * (1.2446772140820774) + CAST(embedding[13] AS DOUBLE) * (-1.541449720077563) + CAST(embedding[14] AS DOUBLE) * (0.30534870637785144) + CAST(embedding[15] AS DOUBLE) * (-1.5538648135614217) + CAST(embedding[16] AS DOUBLE) * (-0.7287070272880077) + CAST(embedding[17] AS DOUBLE) * (0.5912253194840534) + CAST(embedding[18] AS DOUBLE) * (-1.223766592640582) + CAST(embedding[19] AS DOUBLE) * (-0.7469985407047881) + CAST(embedding[20] AS DOUBLE) * (-0.48331609778728823) + CAST(embedding[21] AS DOUBLE) * (0.29323698553435634) + CAST(embedding[22] AS DOUBLE) * (0.32880305059786946) + CAST(embedding[23] AS DOUBLE) * (0.42292750142841234) + CAST(embedding[24] AS DOUBLE) * (-0.5316968847836061) + CAST(embedding[25] AS DOUBLE) * (-0.7815327894493503) + CAST(embedding[26] AS DOUBLE) * (0.3885821285897724) + CAST(embedding[27] AS DOUBLE) * (-0.9019256859772758) + CAST(embedding[28] AS DOUBLE) * (-0.8431287655483993) + CAST(embedding[29] AS DOUBLE) * (0.6772483102750041) + CAST(embedding[30] AS DOUBLE) * (-0.8287843545557869) + CAST(embedding[31] AS DOUBLE) * (-0.9384932157294542) + CAST(embedding[32] AS DOUBLE) * (1.1071798435579583) + CAST(embedding[33] AS DOUBLE) * (-0.07440455496353912) + CAST(embedding[34] AS DOUBLE) * (-2.2775948085229505) + CAST(embedding[35] AS DOUBLE) * (-0.79017412740223) + CAST(embedding[36] AS DOUBLE) * (1.930574431303024) + CAST(embedding[37] AS DOUBLE) * (2.8226402963339505) + CAST(embedding[38] AS DOUBLE) * (-0.3307794847808993) + CAST(embedding[39] AS DOUBLE) * (0.6730651408558647) + CAST(embedding[40] AS DOUBLE) * (0.7095176547927833) + CAST(embedding[41] AS DOUBLE) * (0.28316427614264444) + CAST(embedding[42] AS DOUBLE) * (-1.864358022953004) + CAST(embedding[43] AS DOUBLE) * (0.9718854661777622) + CAST(embedding[44] AS DOUBLE) * (0.24638743285914722) + CAST(embedding[45] AS DOUBLE) * (-0.27244905984874274) + CAST(embedding[46] AS DOUBLE) * (-1.66304355295086) + CAST(embedding[47] AS DOUBLE) * (-0.6709920247726548) + CAST(embedding[48] AS DOUBLE) * (-0.1503908533056657) + CAST(embedding[49] AS DOUBLE) * (-0.28949208451087605) + CAST(embedding[50] AS DOUBLE) * (0.19196836969485986) + CAST(embedding[51] AS DOUBLE) * (-0.4235170800033746) + CAST(embedding[52] AS DOUBLE) * (0.9672949728957527) + CAST(embedding[53] AS DOUBLE) * (0.590253985117911) + CAST(embedding[54] AS DOUBLE) * (-1.1964754181940807) + CAST(embedding[55] AS DOUBLE) * (-0.6452014455967686) + CAST(embedding[56] AS DOUBLE) * (0.38505006237926204) + CAST(embedding[57] AS DOUBLE) * (-0.5943814896782081) + CAST(embedding[58] AS DOUBLE) * (1.3669637123527583) + CAST(embedding[59] AS DOUBLE) * (-0.5807502167189974) + CAST(embedding[60] AS DOUBLE) * (0.20719471705297313) + CAST(embedding[61] AS DOUBLE) * (0.570329499551438) + CAST(embedding[62] AS DOUBLE) * (-1.1785388641264671) + CAST(embedding[63] AS DOUBLE) * (1.2141881064610243) + CAST(embedding[64] AS DOUBLE) * (-0.25129379946410557)) AS d3,
+         (0.0 + CAST(embedding[1] AS DOUBLE) * (-0.7560079060022217) + CAST(embedding[2] AS DOUBLE) * (-0.7378716810667721) + CAST(embedding[3] AS DOUBLE) * (-1.742103590024213) + CAST(embedding[4] AS DOUBLE) * (-1.4098247094809109) + CAST(embedding[5] AS DOUBLE) * (1.4606447943546157) + CAST(embedding[6] AS DOUBLE) * (-0.17250578728386445) + CAST(embedding[7] AS DOUBLE) * (-0.3257948499277712) + CAST(embedding[8] AS DOUBLE) * (0.15270946996446674) + CAST(embedding[9] AS DOUBLE) * (0.5350676819345033) + CAST(embedding[10] AS DOUBLE) * (-0.8408099477723523) + CAST(embedding[11] AS DOUBLE) * (-0.25358510438853565) + CAST(embedding[12] AS DOUBLE) * (0.23089693522171328) + CAST(embedding[13] AS DOUBLE) * (0.9723717677086743) + CAST(embedding[14] AS DOUBLE) * (0.21176691849489224) + CAST(embedding[15] AS DOUBLE) * (1.622072076161329) + CAST(embedding[16] AS DOUBLE) * (-0.259737305653496) + CAST(embedding[17] AS DOUBLE) * (-0.3803284367555525) + CAST(embedding[18] AS DOUBLE) * (-1.4364123113950473) + CAST(embedding[19] AS DOUBLE) * (-0.08705007687666258) + CAST(embedding[20] AS DOUBLE) * (0.6015317838054497) + CAST(embedding[21] AS DOUBLE) * (-0.29001595831040544) + CAST(embedding[22] AS DOUBLE) * (-0.2173328068914763) + CAST(embedding[23] AS DOUBLE) * (-1.0226848930297348) + CAST(embedding[24] AS DOUBLE) * (-0.631809466748631) + CAST(embedding[25] AS DOUBLE) * (-0.49060269685145164) + CAST(embedding[26] AS DOUBLE) * (-0.1342081390565126) + CAST(embedding[27] AS DOUBLE) * (1.0316457343628445) + CAST(embedding[28] AS DOUBLE) * (0.46658264248356673) + CAST(embedding[29] AS DOUBLE) * (0.8737551066402791) + CAST(embedding[30] AS DOUBLE) * (1.1348800686150466) + CAST(embedding[31] AS DOUBLE) * (-0.5087715850370743) + CAST(embedding[32] AS DOUBLE) * (1.296037404449276) + CAST(embedding[33] AS DOUBLE) * (0.0018052562936504235) + CAST(embedding[34] AS DOUBLE) * (-1.36565838460654) + CAST(embedding[35] AS DOUBLE) * (-0.6500127193478521) + CAST(embedding[36] AS DOUBLE) * (-0.13071091507238033) + CAST(embedding[37] AS DOUBLE) * (-1.5837538403030738) + CAST(embedding[38] AS DOUBLE) * (2.2628369079538735) + CAST(embedding[39] AS DOUBLE) * (-0.09521879011087905) + CAST(embedding[40] AS DOUBLE) * (0.8124042003523465) + CAST(embedding[41] AS DOUBLE) * (-1.255509101479582) + CAST(embedding[42] AS DOUBLE) * (0.0530108005322944) + CAST(embedding[43] AS DOUBLE) * (0.21182726651582146) + CAST(embedding[44] AS DOUBLE) * (-0.8092799626437538) + CAST(embedding[45] AS DOUBLE) * (0.20626903737753405) + CAST(embedding[46] AS DOUBLE) * (-0.04907170187196181) + CAST(embedding[47] AS DOUBLE) * (0.3258436076148109) + CAST(embedding[48] AS DOUBLE) * (-1.2571816902337878) + CAST(embedding[49] AS DOUBLE) * (0.4688023114122624) + CAST(embedding[50] AS DOUBLE) * (-0.33539208585959696) + CAST(embedding[51] AS DOUBLE) * (-0.9039221037915418) + CAST(embedding[52] AS DOUBLE) * (-2.2507551654725955) + CAST(embedding[53] AS DOUBLE) * (-0.24311613959906464) + CAST(embedding[54] AS DOUBLE) * (-0.4234778923387934) + CAST(embedding[55] AS DOUBLE) * (2.3241261682014445) + CAST(embedding[56] AS DOUBLE) * (-1.2599687399625334) + CAST(embedding[57] AS DOUBLE) * (1.437920339605771) + CAST(embedding[58] AS DOUBLE) * (1.2018382309577607) + CAST(embedding[59] AS DOUBLE) * (0.3616923881852431) + CAST(embedding[60] AS DOUBLE) * (0.19685995196008332) + CAST(embedding[61] AS DOUBLE) * (0.44871021855705817) + CAST(embedding[62] AS DOUBLE) * (-1.5310097755490863) + CAST(embedding[63] AS DOUBLE) * (1.3629990284110212) + CAST(embedding[64] AS DOUBLE) * (-0.37575527691480226)) AS d4,
+         (0.0 + CAST(embedding[1] AS DOUBLE) * (-0.7947778644467747) + CAST(embedding[2] AS DOUBLE) * (-0.05852227728787731) + CAST(embedding[3] AS DOUBLE) * (-2.8045415901619384) + CAST(embedding[4] AS DOUBLE) * (-1.3817059570353538) + CAST(embedding[5] AS DOUBLE) * (-1.234285363554774) + CAST(embedding[6] AS DOUBLE) * (-1.6260875570033846) + CAST(embedding[7] AS DOUBLE) * (0.5283780595294192) + CAST(embedding[8] AS DOUBLE) * (1.541627876647064) + CAST(embedding[9] AS DOUBLE) * (-0.04380232236531185) + CAST(embedding[10] AS DOUBLE) * (-0.3808693638733885) + CAST(embedding[11] AS DOUBLE) * (0.26569696955107225) + CAST(embedding[12] AS DOUBLE) * (-0.5628030454699816) + CAST(embedding[13] AS DOUBLE) * (0.07242262333062274) + CAST(embedding[14] AS DOUBLE) * (0.34797569121261673) + CAST(embedding[15] AS DOUBLE) * (-0.28899664155805754) + CAST(embedding[16] AS DOUBLE) * (-0.47273353990752054) + CAST(embedding[17] AS DOUBLE) * (0.008928680217665505) + CAST(embedding[18] AS DOUBLE) * (-0.0013740579127432837) + CAST(embedding[19] AS DOUBLE) * (0.6161441992327087) + CAST(embedding[20] AS DOUBLE) * (-1.5708830259208595) + CAST(embedding[21] AS DOUBLE) * (-1.181197430345938) + CAST(embedding[22] AS DOUBLE) * (-0.5494965129653983) + CAST(embedding[23] AS DOUBLE) * (0.4223235129329929) + CAST(embedding[24] AS DOUBLE) * (-1.3582479165312398) + CAST(embedding[25] AS DOUBLE) * (1.1434705589262233) + CAST(embedding[26] AS DOUBLE) * (1.3711530838883825) + CAST(embedding[27] AS DOUBLE) * (-0.8041058814045516) + CAST(embedding[28] AS DOUBLE) * (1.0518710262188335) + CAST(embedding[29] AS DOUBLE) * (-2.1584687113921723) + CAST(embedding[30] AS DOUBLE) * (-0.1689834391167954) + CAST(embedding[31] AS DOUBLE) * (-1.6827624623764945) + CAST(embedding[32] AS DOUBLE) * (1.004328081148524) + CAST(embedding[33] AS DOUBLE) * (0.7737494782789223) + CAST(embedding[34] AS DOUBLE) * (0.43687846229075655) + CAST(embedding[35] AS DOUBLE) * (-0.658512441565811) + CAST(embedding[36] AS DOUBLE) * (-1.2081362876944632) + CAST(embedding[37] AS DOUBLE) * (0.33760528864078715) + CAST(embedding[38] AS DOUBLE) * (-0.5934512271284091) + CAST(embedding[39] AS DOUBLE) * (0.5951157345614863) + CAST(embedding[40] AS DOUBLE) * (-1.679699071166524) + CAST(embedding[41] AS DOUBLE) * (0.34202596439694716) + CAST(embedding[42] AS DOUBLE) * (0.42926377823421663) + CAST(embedding[43] AS DOUBLE) * (-2.3607228054565166) + CAST(embedding[44] AS DOUBLE) * (-1.3620562678720927) + CAST(embedding[45] AS DOUBLE) * (-0.7983500770069416) + CAST(embedding[46] AS DOUBLE) * (-0.6926084979201165) + CAST(embedding[47] AS DOUBLE) * (-1.8194963117993583) + CAST(embedding[48] AS DOUBLE) * (-0.07854544950212143) + CAST(embedding[49] AS DOUBLE) * (-1.2284275858154199) + CAST(embedding[50] AS DOUBLE) * (-0.17315255289660084) + CAST(embedding[51] AS DOUBLE) * (-1.9322142868596925) + CAST(embedding[52] AS DOUBLE) * (-1.2829044054762906) + CAST(embedding[53] AS DOUBLE) * (0.5952853448404123) + CAST(embedding[54] AS DOUBLE) * (-1.8166389063657566) + CAST(embedding[55] AS DOUBLE) * (-0.13762472518828797) + CAST(embedding[56] AS DOUBLE) * (1.346990270951265) + CAST(embedding[57] AS DOUBLE) * (0.705411932804584) + CAST(embedding[58] AS DOUBLE) * (-1.426605036010627) + CAST(embedding[59] AS DOUBLE) * (2.120494170569089) + CAST(embedding[60] AS DOUBLE) * (-0.6623332053082052) + CAST(embedding[61] AS DOUBLE) * (0.8284020450783798) + CAST(embedding[62] AS DOUBLE) * (0.8562258373216443) + CAST(embedding[63] AS DOUBLE) * (-0.42454557593913733) + CAST(embedding[64] AS DOUBLE) * (0.5281384850286454)) AS d5,
+         (0.0 + CAST(embedding[1] AS DOUBLE) * (-2.867178892919951) + CAST(embedding[2] AS DOUBLE) * (-0.014412160718381457) + CAST(embedding[3] AS DOUBLE) * (0.05234612813163368) + CAST(embedding[4] AS DOUBLE) * (-0.4539318170208948) + CAST(embedding[5] AS DOUBLE) * (0.013701766992264827) + CAST(embedding[6] AS DOUBLE) * (0.9606269994654866) + CAST(embedding[7] AS DOUBLE) * (0.8327750862020745) + CAST(embedding[8] AS DOUBLE) * (-0.7328008429279502) + CAST(embedding[9] AS DOUBLE) * (0.6805314377419137) + CAST(embedding[10] AS DOUBLE) * (1.065252544549058) + CAST(embedding[11] AS DOUBLE) * (0.0048729387265171184) + CAST(embedding[12] AS DOUBLE) * (0.2795742562054778) + CAST(embedding[13] AS DOUBLE) * (-2.5594752096923545) + CAST(embedding[14] AS DOUBLE) * (-1.6851241814078173) + CAST(embedding[15] AS DOUBLE) * (0.26466288962501844) + CAST(embedding[16] AS DOUBLE) * (-1.6109355687952482) + CAST(embedding[17] AS DOUBLE) * (0.7376584319939369) + CAST(embedding[18] AS DOUBLE) * (1.051484392930078) + CAST(embedding[19] AS DOUBLE) * (-1.1004340464023763) + CAST(embedding[20] AS DOUBLE) * (-1.279068917041472) + CAST(embedding[21] AS DOUBLE) * (-0.31261795810011056) + CAST(embedding[22] AS DOUBLE) * (0.10877375391194066) + CAST(embedding[23] AS DOUBLE) * (0.7059803345572462) + CAST(embedding[24] AS DOUBLE) * (-0.3447156772701103) + CAST(embedding[25] AS DOUBLE) * (-0.08120720538357118) + CAST(embedding[26] AS DOUBLE) * (-1.1141969123870266) + CAST(embedding[27] AS DOUBLE) * (0.1655998241668755) + CAST(embedding[28] AS DOUBLE) * (-0.8926007260578619) + CAST(embedding[29] AS DOUBLE) * (0.8836023148699121) + CAST(embedding[30] AS DOUBLE) * (0.5801154661864193) + CAST(embedding[31] AS DOUBLE) * (-1.759705839340602) + CAST(embedding[32] AS DOUBLE) * (0.2221101930249379) + CAST(embedding[33] AS DOUBLE) * (-1.2190700721734948) + CAST(embedding[34] AS DOUBLE) * (0.8424955329791077) + CAST(embedding[35] AS DOUBLE) * (-1.1579934780764047) + CAST(embedding[36] AS DOUBLE) * (1.139089755685921) + CAST(embedding[37] AS DOUBLE) * (0.9439159185507873) + CAST(embedding[38] AS DOUBLE) * (1.8304775554308583) + CAST(embedding[39] AS DOUBLE) * (0.20583113624178975) + CAST(embedding[40] AS DOUBLE) * (-0.07499538209307) + CAST(embedding[41] AS DOUBLE) * (1.0925066694797367) + CAST(embedding[42] AS DOUBLE) * (-1.3480225719696288) + CAST(embedding[43] AS DOUBLE) * (-0.16584562030131741) + CAST(embedding[44] AS DOUBLE) * (-0.44313981341190406) + CAST(embedding[45] AS DOUBLE) * (-0.1847504751802749) + CAST(embedding[46] AS DOUBLE) * (-1.7087477710841579) + CAST(embedding[47] AS DOUBLE) * (-1.8059707894328) + CAST(embedding[48] AS DOUBLE) * (-1.835201970038044) + CAST(embedding[49] AS DOUBLE) * (1.339074565462185) + CAST(embedding[50] AS DOUBLE) * (-0.4636362240881753) + CAST(embedding[51] AS DOUBLE) * (0.49650648104102196) + CAST(embedding[52] AS DOUBLE) * (-0.2528953507577495) + CAST(embedding[53] AS DOUBLE) * (-0.36709714971435986) + CAST(embedding[54] AS DOUBLE) * (1.1724477771919464) + CAST(embedding[55] AS DOUBLE) * (-2.446486246367169) + CAST(embedding[56] AS DOUBLE) * (-0.3509582401849051) + CAST(embedding[57] AS DOUBLE) * (-0.9154003343631736) + CAST(embedding[58] AS DOUBLE) * (-1.050769234423314) + CAST(embedding[59] AS DOUBLE) * (-1.7456655979827571) + CAST(embedding[60] AS DOUBLE) * (-1.6657081932238365) + CAST(embedding[61] AS DOUBLE) * (-1.3293466137499275) + CAST(embedding[62] AS DOUBLE) * (0.9605050948599068) + CAST(embedding[63] AS DOUBLE) * (-0.8203851403567584) + CAST(embedding[64] AS DOUBLE) * (-0.5972739542453126)) AS d6,
+         (0.0 + CAST(embedding[1] AS DOUBLE) * (-0.3065241704037289) + CAST(embedding[2] AS DOUBLE) * (0.4896361685534745) + CAST(embedding[3] AS DOUBLE) * (0.902841462015473) + CAST(embedding[4] AS DOUBLE) * (0.06196851579279813) + CAST(embedding[5] AS DOUBLE) * (-0.1277036103461595) + CAST(embedding[6] AS DOUBLE) * (0.3912936543923712) + CAST(embedding[7] AS DOUBLE) * (-0.9258198733492586) + CAST(embedding[8] AS DOUBLE) * (0.08470690411887269) + CAST(embedding[9] AS DOUBLE) * (1.5566867966361193) + CAST(embedding[10] AS DOUBLE) * (-0.7808313528887589) + CAST(embedding[11] AS DOUBLE) * (-0.9854699391548791) + CAST(embedding[12] AS DOUBLE) * (-1.6683336560385666) + CAST(embedding[13] AS DOUBLE) * (-0.07676378939745575) + CAST(embedding[14] AS DOUBLE) * (0.49125802572320415) + CAST(embedding[15] AS DOUBLE) * (-0.5544581959512096) + CAST(embedding[16] AS DOUBLE) * (-0.45690176428784984) + CAST(embedding[17] AS DOUBLE) * (1.0473897506741645) + CAST(embedding[18] AS DOUBLE) * (-0.09867944161778038) + CAST(embedding[19] AS DOUBLE) * (0.5668522899972447) + CAST(embedding[20] AS DOUBLE) * (-0.4926806964875525) + CAST(embedding[21] AS DOUBLE) * (1.1678215007051747) + CAST(embedding[22] AS DOUBLE) * (0.7800953667303611) + CAST(embedding[23] AS DOUBLE) * (-0.27005431883325964) + CAST(embedding[24] AS DOUBLE) * (-0.7201201782050053) + CAST(embedding[25] AS DOUBLE) * (2.4101526094836845) + CAST(embedding[26] AS DOUBLE) * (-1.1938702258857508) + CAST(embedding[27] AS DOUBLE) * (-1.0837671518955354) + CAST(embedding[28] AS DOUBLE) * (-2.605430611221645) + CAST(embedding[29] AS DOUBLE) * (0.5631159272889905) + CAST(embedding[30] AS DOUBLE) * (-0.05979369278736619) + CAST(embedding[31] AS DOUBLE) * (-0.20377928571933876) + CAST(embedding[32] AS DOUBLE) * (-1.642884187312021) + CAST(embedding[33] AS DOUBLE) * (-0.10347895122531219) + CAST(embedding[34] AS DOUBLE) * (-0.9049566453366972) + CAST(embedding[35] AS DOUBLE) * (-1.2828102907396286) + CAST(embedding[36] AS DOUBLE) * (-0.3580340226410346) + CAST(embedding[37] AS DOUBLE) * (0.19100384998267478) + CAST(embedding[38] AS DOUBLE) * (-0.2630523883776923) + CAST(embedding[39] AS DOUBLE) * (-0.615741925059664) + CAST(embedding[40] AS DOUBLE) * (0.614134732768068) + CAST(embedding[41] AS DOUBLE) * (0.1285628495320423) + CAST(embedding[42] AS DOUBLE) * (-0.48111949365043144) + CAST(embedding[43] AS DOUBLE) * (0.4585404724321882) + CAST(embedding[44] AS DOUBLE) * (0.1872047376906648) + CAST(embedding[45] AS DOUBLE) * (0.797192492326439) + CAST(embedding[46] AS DOUBLE) * (0.7120455700242393) + CAST(embedding[47] AS DOUBLE) * (0.6225385345312664) + CAST(embedding[48] AS DOUBLE) * (-0.6999147038257569) + CAST(embedding[49] AS DOUBLE) * (1.1982937931859536) + CAST(embedding[50] AS DOUBLE) * (0.8838890781065778) + CAST(embedding[51] AS DOUBLE) * (-0.6459344655986408) + CAST(embedding[52] AS DOUBLE) * (1.1296765027760798) + CAST(embedding[53] AS DOUBLE) * (-0.01645034361594869) + CAST(embedding[54] AS DOUBLE) * (-1.1031497528717316) + CAST(embedding[55] AS DOUBLE) * (-0.14576797065044073) + CAST(embedding[56] AS DOUBLE) * (-1.3826115321466308) + CAST(embedding[57] AS DOUBLE) * (1.0117615755188765) + CAST(embedding[58] AS DOUBLE) * (-1.3602385683642157) + CAST(embedding[59] AS DOUBLE) * (1.3472380540651037) + CAST(embedding[60] AS DOUBLE) * (-0.9633846161181444) + CAST(embedding[61] AS DOUBLE) * (-0.2383014785117158) + CAST(embedding[62] AS DOUBLE) * (1.1610250601941312) + CAST(embedding[63] AS DOUBLE) * (0.24445652009324711) + CAST(embedding[64] AS DOUBLE) * (-1.7353167618425036)) AS d7,
+         (0.0 + CAST(embedding[1] AS DOUBLE)*CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)*CAST(embedding[2] AS DOUBLE) + CAST(embedding[3] AS DOUBLE)*CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE)*CAST(embedding[4] AS DOUBLE) + CAST(embedding[5] AS DOUBLE)*CAST(embedding[5] AS DOUBLE) + CAST(embedding[6] AS DOUBLE)*CAST(embedding[6] AS DOUBLE) + CAST(embedding[7] AS DOUBLE)*CAST(embedding[7] AS DOUBLE) + CAST(embedding[8] AS DOUBLE)*CAST(embedding[8] AS DOUBLE) + CAST(embedding[9] AS DOUBLE)*CAST(embedding[9] AS DOUBLE) + CAST(embedding[10] AS DOUBLE)*CAST(embedding[10] AS DOUBLE) + CAST(embedding[11] AS DOUBLE)*CAST(embedding[11] AS DOUBLE) + CAST(embedding[12] AS DOUBLE)*CAST(embedding[12] AS DOUBLE) + CAST(embedding[13] AS DOUBLE)*CAST(embedding[13] AS DOUBLE) + CAST(embedding[14] AS DOUBLE)*CAST(embedding[14] AS DOUBLE) + CAST(embedding[15] AS DOUBLE)*CAST(embedding[15] AS DOUBLE) + CAST(embedding[16] AS DOUBLE)*CAST(embedding[16] AS DOUBLE) + CAST(embedding[17] AS DOUBLE)*CAST(embedding[17] AS DOUBLE) + CAST(embedding[18] AS DOUBLE)*CAST(embedding[18] AS DOUBLE) + CAST(embedding[19] AS DOUBLE)*CAST(embedding[19] AS DOUBLE) + CAST(embedding[20] AS DOUBLE)*CAST(embedding[20] AS DOUBLE) + CAST(embedding[21] AS DOUBLE)*CAST(embedding[21] AS DOUBLE) + CAST(embedding[22] AS DOUBLE)*CAST(embedding[22] AS DOUBLE) + CAST(embedding[23] AS DOUBLE)*CAST(embedding[23] AS DOUBLE) + CAST(embedding[24] AS DOUBLE)*CAST(embedding[24] AS DOUBLE) + CAST(embedding[25] AS DOUBLE)*CAST(embedding[25] AS DOUBLE) + CAST(embedding[26] AS DOUBLE)*CAST(embedding[26] AS DOUBLE) + CAST(embedding[27] AS DOUBLE)*CAST(embedding[27] AS DOUBLE) + CAST(embedding[28] AS DOUBLE)*CAST(embedding[28] AS DOUBLE) + CAST(embedding[29] AS DOUBLE)*CAST(embedding[29] AS DOUBLE) + CAST(embedding[30] AS DOUBLE)*CAST(embedding[30] AS DOUBLE) + CAST(embedding[31] AS DOUBLE)*CAST(embedding[31] AS DOUBLE) + CAST(embedding[32] AS DOUBLE)*CAST(embedding[32] AS DOUBLE) + CAST(embedding[33] AS DOUBLE)*CAST(embedding[33] AS DOUBLE) + CAST(embedding[34] AS DOUBLE)*CAST(embedding[34] AS DOUBLE) + CAST(embedding[35] AS DOUBLE)*CAST(embedding[35] AS DOUBLE) + CAST(embedding[36] AS DOUBLE)*CAST(embedding[36] AS DOUBLE) + CAST(embedding[37] AS DOUBLE)*CAST(embedding[37] AS DOUBLE) + CAST(embedding[38] AS DOUBLE)*CAST(embedding[38] AS DOUBLE) + CAST(embedding[39] AS DOUBLE)*CAST(embedding[39] AS DOUBLE) + CAST(embedding[40] AS DOUBLE)*CAST(embedding[40] AS DOUBLE) + CAST(embedding[41] AS DOUBLE)*CAST(embedding[41] AS DOUBLE) + CAST(embedding[42] AS DOUBLE)*CAST(embedding[42] AS DOUBLE) + CAST(embedding[43] AS DOUBLE)*CAST(embedding[43] AS DOUBLE) + CAST(embedding[44] AS DOUBLE)*CAST(embedding[44] AS DOUBLE) + CAST(embedding[45] AS DOUBLE)*CAST(embedding[45] AS DOUBLE) + CAST(embedding[46] AS DOUBLE)*CAST(embedding[46] AS DOUBLE) + CAST(embedding[47] AS DOUBLE)*CAST(embedding[47] AS DOUBLE) + CAST(embedding[48] AS DOUBLE)*CAST(embedding[48] AS DOUBLE) + CAST(embedding[49] AS DOUBLE)*CAST(embedding[49] AS DOUBLE) + CAST(embedding[50] AS DOUBLE)*CAST(embedding[50] AS DOUBLE) + CAST(embedding[51] AS DOUBLE)*CAST(embedding[51] AS DOUBLE) + CAST(embedding[52] AS DOUBLE)*CAST(embedding[52] AS DOUBLE) + CAST(embedding[53] AS DOUBLE)*CAST(embedding[53] AS DOUBLE) + CAST(embedding[54] AS DOUBLE)*CAST(embedding[54] AS DOUBLE) + CAST(embedding[55] AS DOUBLE)*CAST(embedding[55] AS DOUBLE) + CAST(embedding[56] AS DOUBLE)*CAST(embedding[56] AS DOUBLE) + CAST(embedding[57] AS DOUBLE)*CAST(embedding[57] AS DOUBLE) + CAST(embedding[58] AS DOUBLE)*CAST(embedding[58] AS DOUBLE) + CAST(embedding[59] AS DOUBLE)*CAST(embedding[59] AS DOUBLE) + CAST(embedding[60] AS DOUBLE)*CAST(embedding[60] AS DOUBLE) + CAST(embedding[61] AS DOUBLE)*CAST(embedding[61] AS DOUBLE) + CAST(embedding[62] AS DOUBLE)*CAST(embedding[62] AS DOUBLE) + CAST(embedding[63] AS DOUBLE)*CAST(embedding[63] AS DOUBLE) + CAST(embedding[64] AS DOUBLE)*CAST(embedding[64] AS DOUBLE)) AS nrm2
+  FROM embeddings),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_vec, sqrt(nrm2) AS c_norm,
+         CASE WHEN d0 >= d1 AND d0 >= d2 AND d0 >= d3 AND d0 >= d4 AND d0 >= d5 AND d0 >= d6 AND d0 >= d7 THEN 0 WHEN d1 >= d0 AND d1 >= d2 AND d1 >= d3 AND d1 >= d4 AND d1 >= d5 AND d1 >= d6 AND d1 >= d7 THEN 1 WHEN d2 >= d0 AND d2 >= d1 AND d2 >= d3 AND d2 >= d4 AND d2 >= d5 AND d2 >= d6 AND d2 >= d7 THEN 2 WHEN d3 >= d0 AND d3 >= d1 AND d3 >= d2 AND d3 >= d4 AND d3 >= d5 AND d3 >= d6 AND d3 >= d7 THEN 3 WHEN d4 >= d0 AND d4 >= d1 AND d4 >= d2 AND d4 >= d3 AND d4 >= d5 AND d4 >= d6 AND d4 >= d7 THEN 4 WHEN d5 >= d0 AND d5 >= d1 AND d5 >= d2 AND d5 >= d3 AND d5 >= d4 AND d5 >= d6 AND d5 >= d7 THEN 5 WHEN d6 >= d0 AND d6 >= d1 AND d6 >= d2 AND d6 >= d3 AND d6 >= d4 AND d6 >= d5 AND d6 >= d7 THEN 6 ELSE 7 END AS list_id
+  FROM base),
+qd AS (SELECT * FROM base WHERE vec_id < 10),
+qs AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, sqrt(nrm2) AS q_norm,
+         i AS list_id, CASE i WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2 WHEN 3 THEN d3 WHEN 4 THEN d4 WHEN 5 THEN d5 WHEN 6 THEN d6 WHEN 7 THEN d7 END AS cd
+  FROM qd CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS i)),
+probes AS (
+  SELECT q_id, q_vec, q_norm, list_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cd DESC, list_id) AS pr FROM qs)
+  WHERE pr <= 1),
+scored AS (
+  SELECT q_id, neighbor_id,
+         (0.0 + CAST(q_vec[1] AS DOUBLE)*CAST(c_vec[1] AS DOUBLE) + CAST(q_vec[2] AS DOUBLE)*CAST(c_vec[2] AS DOUBLE) + CAST(q_vec[3] AS DOUBLE)*CAST(c_vec[3] AS DOUBLE) + CAST(q_vec[4] AS DOUBLE)*CAST(c_vec[4] AS DOUBLE) + CAST(q_vec[5] AS DOUBLE)*CAST(c_vec[5] AS DOUBLE) + CAST(q_vec[6] AS DOUBLE)*CAST(c_vec[6] AS DOUBLE) + CAST(q_vec[7] AS DOUBLE)*CAST(c_vec[7] AS DOUBLE) + CAST(q_vec[8] AS DOUBLE)*CAST(c_vec[8] AS DOUBLE) + CAST(q_vec[9] AS DOUBLE)*CAST(c_vec[9] AS DOUBLE) + CAST(q_vec[10] AS DOUBLE)*CAST(c_vec[10] AS DOUBLE) + CAST(q_vec[11] AS DOUBLE)*CAST(c_vec[11] AS DOUBLE) + CAST(q_vec[12] AS DOUBLE)*CAST(c_vec[12] AS DOUBLE) + CAST(q_vec[13] AS DOUBLE)*CAST(c_vec[13] AS DOUBLE) + CAST(q_vec[14] AS DOUBLE)*CAST(c_vec[14] AS DOUBLE) + CAST(q_vec[15] AS DOUBLE)*CAST(c_vec[15] AS DOUBLE) + CAST(q_vec[16] AS DOUBLE)*CAST(c_vec[16] AS DOUBLE) + CAST(q_vec[17] AS DOUBLE)*CAST(c_vec[17] AS DOUBLE) + CAST(q_vec[18] AS DOUBLE)*CAST(c_vec[18] AS DOUBLE) + CAST(q_vec[19] AS DOUBLE)*CAST(c_vec[19] AS DOUBLE) + CAST(q_vec[20] AS DOUBLE)*CAST(c_vec[20] AS DOUBLE) + CAST(q_vec[21] AS DOUBLE)*CAST(c_vec[21] AS DOUBLE) + CAST(q_vec[22] AS DOUBLE)*CAST(c_vec[22] AS DOUBLE) + CAST(q_vec[23] AS DOUBLE)*CAST(c_vec[23] AS DOUBLE) + CAST(q_vec[24] AS DOUBLE)*CAST(c_vec[24] AS DOUBLE) + CAST(q_vec[25] AS DOUBLE)*CAST(c_vec[25] AS DOUBLE) + CAST(q_vec[26] AS DOUBLE)*CAST(c_vec[26] AS DOUBLE) + CAST(q_vec[27] AS DOUBLE)*CAST(c_vec[27] AS DOUBLE) + CAST(q_vec[28] AS DOUBLE)*CAST(c_vec[28] AS DOUBLE) + CAST(q_vec[29] AS DOUBLE)*CAST(c_vec[29] AS DOUBLE) + CAST(q_vec[30] AS DOUBLE)*CAST(c_vec[30] AS DOUBLE) + CAST(q_vec[31] AS DOUBLE)*CAST(c_vec[31] AS DOUBLE) + CAST(q_vec[32] AS DOUBLE)*CAST(c_vec[32] AS DOUBLE) + CAST(q_vec[33] AS DOUBLE)*CAST(c_vec[33] AS DOUBLE) + CAST(q_vec[34] AS DOUBLE)*CAST(c_vec[34] AS DOUBLE) + CAST(q_vec[35] AS DOUBLE)*CAST(c_vec[35] AS DOUBLE) + CAST(q_vec[36] AS DOUBLE)*CAST(c_vec[36] AS DOUBLE) + CAST(q_vec[37] AS DOUBLE)*CAST(c_vec[37] AS DOUBLE) + CAST(q_vec[38] AS DOUBLE)*CAST(c_vec[38] AS DOUBLE) + CAST(q_vec[39] AS DOUBLE)*CAST(c_vec[39] AS DOUBLE) + CAST(q_vec[40] AS DOUBLE)*CAST(c_vec[40] AS DOUBLE) + CAST(q_vec[41] AS DOUBLE)*CAST(c_vec[41] AS DOUBLE) + CAST(q_vec[42] AS DOUBLE)*CAST(c_vec[42] AS DOUBLE) + CAST(q_vec[43] AS DOUBLE)*CAST(c_vec[43] AS DOUBLE) + CAST(q_vec[44] AS DOUBLE)*CAST(c_vec[44] AS DOUBLE) + CAST(q_vec[45] AS DOUBLE)*CAST(c_vec[45] AS DOUBLE) + CAST(q_vec[46] AS DOUBLE)*CAST(c_vec[46] AS DOUBLE) + CAST(q_vec[47] AS DOUBLE)*CAST(c_vec[47] AS DOUBLE) + CAST(q_vec[48] AS DOUBLE)*CAST(c_vec[48] AS DOUBLE) + CAST(q_vec[49] AS DOUBLE)*CAST(c_vec[49] AS DOUBLE) + CAST(q_vec[50] AS DOUBLE)*CAST(c_vec[50] AS DOUBLE) + CAST(q_vec[51] AS DOUBLE)*CAST(c_vec[51] AS DOUBLE) + CAST(q_vec[52] AS DOUBLE)*CAST(c_vec[52] AS DOUBLE) + CAST(q_vec[53] AS DOUBLE)*CAST(c_vec[53] AS DOUBLE) + CAST(q_vec[54] AS DOUBLE)*CAST(c_vec[54] AS DOUBLE) + CAST(q_vec[55] AS DOUBLE)*CAST(c_vec[55] AS DOUBLE) + CAST(q_vec[56] AS DOUBLE)*CAST(c_vec[56] AS DOUBLE) + CAST(q_vec[57] AS DOUBLE)*CAST(c_vec[57] AS DOUBLE) + CAST(q_vec[58] AS DOUBLE)*CAST(c_vec[58] AS DOUBLE) + CAST(q_vec[59] AS DOUBLE)*CAST(c_vec[59] AS DOUBLE) + CAST(q_vec[60] AS DOUBLE)*CAST(c_vec[60] AS DOUBLE) + CAST(q_vec[61] AS DOUBLE)*CAST(c_vec[61] AS DOUBLE) + CAST(q_vec[62] AS DOUBLE)*CAST(c_vec[62] AS DOUBLE) + CAST(q_vec[63] AS DOUBLE)*CAST(c_vec[63] AS DOUBLE) + CAST(q_vec[64] AS DOUBLE)*CAST(c_vec[64] AS DOUBLE)) / (q_norm * c_norm) AS cos_sim
+  FROM probes JOIN c USING (list_id)
+  WHERE q_id <> neighbor_id),
+r AS (
+  SELECT q_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS "rank"
+  FROM scored)
+SELECT q_id, neighbor_id, cos_sim, "rank" FROM r WHERE "rank" <= 5
+
+      ) a ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id) nh
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS nprobe,
+       ne.n_exact,
+       CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST((1000000 * COALESCE(nh.n_hits, 0)) // ne.n_exact AS BIGINT)
+         AS recall_ppm,
+       CAST(CAST((1000000 * COALESCE(nh.n_hits, 0)) // ne.n_exact AS BIGINT)
+            AS DOUBLE) / 1000000.0 AS mean_recall_at_5
+FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact) ne,
+     (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM exact e SEMI JOIN (
+        
+WITH base AS (
+  SELECT vec_id, embedding,
+         (0.0 + CAST(embedding[1] AS DOUBLE) * (2.1699867207380645) + CAST(embedding[2] AS DOUBLE) * (-1.1079786469680795) + CAST(embedding[3] AS DOUBLE) * (0.32589852902934197) + CAST(embedding[4] AS DOUBLE) * (-0.2613181260001577) + CAST(embedding[5] AS DOUBLE) * (-0.8792737317600035) + CAST(embedding[6] AS DOUBLE) * (-0.5738432527438687) + CAST(embedding[7] AS DOUBLE) * (-0.5189988677338094) + CAST(embedding[8] AS DOUBLE) * (-0.09930180207886077) + CAST(embedding[9] AS DOUBLE) * (0.3865300173736704) + CAST(embedding[10] AS DOUBLE) * (1.0132288958817026) + CAST(embedding[11] AS DOUBLE) * (0.1993937448867829) + CAST(embedding[12] AS DOUBLE) * (1.083652184372391) + CAST(embedding[13] AS DOUBLE) * (0.41838593160240717) + CAST(embedding[14] AS DOUBLE) * (0.06563800441896446) + CAST(embedding[15] AS DOUBLE) * (-0.2600355441139246) + CAST(embedding[16] AS DOUBLE) * (-1.0129882532193426) + CAST(embedding[17] AS DOUBLE) * (-1.6227835267832889) + CAST(embedding[18] AS DOUBLE) * (-0.12908990923609442) + CAST(embedding[19] AS DOUBLE) * (-0.21779878046596632) + CAST(embedding[20] AS DOUBLE) * (0.26667982053102357) + CAST(embedding[21] AS DOUBLE) * (0.27541138031975404) + CAST(embedding[22] AS DOUBLE) * (-1.3050186513030222) + CAST(embedding[23] AS DOUBLE) * (-0.7617561033214943) + CAST(embedding[24] AS DOUBLE) * (-1.1662421256928086) + CAST(embedding[25] AS DOUBLE) * (0.9333744438300192) + CAST(embedding[26] AS DOUBLE) * (-0.17358590709943209) + CAST(embedding[27] AS DOUBLE) * (0.058939725195320716) + CAST(embedding[28] AS DOUBLE) * (-0.9572998593896521) + CAST(embedding[29] AS DOUBLE) * (-1.3218914690449026) + CAST(embedding[30] AS DOUBLE) * (-0.6429267245125667) + CAST(embedding[31] AS DOUBLE) * (-0.16666669030021375) + CAST(embedding[32] AS DOUBLE) * (0.38922269236616275) + CAST(embedding[33] AS DOUBLE) * (-1.5698649077430762) + CAST(embedding[34] AS DOUBLE) * (0.2580906391925216) + CAST(embedding[35] AS DOUBLE) * (-0.9174271914240806) + CAST(embedding[36] AS DOUBLE) * (-0.5871590042364816) + CAST(embedding[37] AS DOUBLE) * (-0.3967328554866439) + CAST(embedding[38] AS DOUBLE) * (-0.4944293277464607) + CAST(embedding[39] AS DOUBLE) * (0.3836936908556341) + CAST(embedding[40] AS DOUBLE) * (0.7963452140503653) + CAST(embedding[41] AS DOUBLE) * (0.2653578014361696) + CAST(embedding[42] AS DOUBLE) * (-0.6040877453680568) + CAST(embedding[43] AS DOUBLE) * (0.34311174030663366) + CAST(embedding[44] AS DOUBLE) * (0.2998265924250336) + CAST(embedding[45] AS DOUBLE) * (0.7790426349105024) + CAST(embedding[46] AS DOUBLE) * (0.19446738261662008) + CAST(embedding[47] AS DOUBLE) * (-1.6632085503210128) + CAST(embedding[48] AS DOUBLE) * (-0.8189728069149812) + CAST(embedding[49] AS DOUBLE) * (-0.46707926266240857) + CAST(embedding[50] AS DOUBLE) * (0.8395293649822554) + CAST(embedding[51] AS DOUBLE) * (-0.20417990201901623) + CAST(embedding[52] AS DOUBLE) * (0.8278803215597093) + CAST(embedding[53] AS DOUBLE) * (0.2176122939560562) + CAST(embedding[54] AS DOUBLE) * (-1.2430574445381901) + CAST(embedding[55] AS DOUBLE) * (-0.025168925059448097) + CAST(embedding[56] AS DOUBLE) * (0.47538289273474205) + CAST(embedding[57] AS DOUBLE) * (0.3304218683244367) + CAST(embedding[58] AS DOUBLE) * (-1.5319811285805112) + CAST(embedding[59] AS DOUBLE) * (0.34938270914619535) + CAST(embedding[60] AS DOUBLE) * (-0.6493215352430751) + CAST(embedding[61] AS DOUBLE) * (-2.1497412615528795) + CAST(embedding[62] AS DOUBLE) * (-0.6315801328620507) + CAST(embedding[63] AS DOUBLE) * (-2.014360452151887) + CAST(embedding[64] AS DOUBLE) * (-1.3267366695720195)) AS d0,
+         (0.0 + CAST(embedding[1] AS DOUBLE) * (1.3493736079095395) + CAST(embedding[2] AS DOUBLE) * (2.3574281217314046) + CAST(embedding[3] AS DOUBLE) * (0.974146861617726) + CAST(embedding[4] AS DOUBLE) * (0.357087420914038) + CAST(embedding[5] AS DOUBLE) * (1.8016409257375818) + CAST(embedding[6] AS DOUBLE) * (0.26638405191451425) + CAST(embedding[7] AS DOUBLE) * (-1.0370842279937875) + CAST(embedding[8] AS DOUBLE) * (-2.4906909937084873) + CAST(embedding[9] AS DOUBLE) * (0.8254096438714261) + CAST(embedding[10] AS DOUBLE) * (-2.2943036014164484) + CAST(embedding[11] AS DOUBLE) * (-2.8931104935975456) + CAST(embedding[12] AS DOUBLE) * (-0.7156833317563337) + CAST(embedding[13] AS DOUBLE) * (-0.005708669074363964) + CAST(embedding[14] AS DOUBLE) * (-0.9217913295819) + CAST(embedding[15] AS DOUBLE) * (0.9602720655965147) + CAST(embedding[16] AS DOUBLE) * (-0.1558601247108059) + CAST(embedding[17] AS DOUBLE) * (0.1385213470528602) + CAST(embedding[18] AS DOUBLE) * (0.37233344158813425) + CAST(embedding[19] AS DOUBLE) * (-0.6466728025715587) + CAST(embedding[20] AS DOUBLE) * (0.14046778335765708) + CAST(embedding[21] AS DOUBLE) * (2.241058348597844) + CAST(embedding[22] AS DOUBLE) * (-0.9936560252826314) + CAST(embedding[23] AS DOUBLE) * (0.09924581890662353) + CAST(embedding[24] AS DOUBLE) * (0.45680624649786206) + CAST(embedding[25] AS DOUBLE) * (-0.5997515566709185) + CAST(embedding[26] AS DOUBLE) * (-0.11039093342551126) + CAST(embedding[27] AS DOUBLE) * (-1.7623232504526851) + CAST(embedding[28] AS DOUBLE) * (-0.4958115189101038) + CAST(embedding[29] AS DOUBLE) * (-0.0201379494688227) + CAST(embedding[30] AS DOUBLE) * (1.0464692871649537) + CAST(embedding[31] AS DOUBLE) * (0.8809726108343329) + CAST(embedding[32] AS DOUBLE) * (-0.6327352439223559) + CAST(embedding[33] AS DOUBLE) * (-1.1621814459462878) + CAST(embedding[34] AS DOUBLE) * (1.7625781817792587) + CAST(embedding[35] AS DOUBLE) * (0.8282498279041635) + CAST(embedding[36] AS DOUBLE) * (-1.9557748532393313) + CAST(embedding[37] AS DOUBLE) * (-0.3933080562650607) + CAST(embedding[38] AS DOUBLE) * (-0.9536681309415094) + CAST(embedding[39] AS DOUBLE) * (-0.6594392644762228) + CAST(embedding[40] AS DOUBLE) * (-1.7626492943072107) + CAST(embedding[41] AS DOUBLE) * (-0.472197460916041) + CAST(embedding[42] AS DOUBLE) * (-0.5672394944152519) + CAST(embedding[43] AS DOUBLE) * (-0.2879880583495375) + CAST(embedding[44] AS DOUBLE) * (0.9854077784688751) + CAST(embedding[45] AS DOUBLE) * (0.17319721429439905) + CAST(embedding[46] AS DOUBLE) * (-1.2644298905718279) + CAST(embedding[47] AS DOUBLE) * (-1.7804125913447617) + CAST(embedding[48] AS DOUBLE) * (-0.577718169360636) + CAST(embedding[49] AS DOUBLE) * (1.0971025606641962) + CAST(embedding[50] AS DOUBLE) * (0.8897058942385211) + CAST(embedding[51] AS DOUBLE) * (-0.6343255841530552) + CAST(embedding[52] AS DOUBLE) * (1.1120537078981618) + CAST(embedding[53] AS DOUBLE) * (0.38607355508082786) + CAST(embedding[54] AS DOUBLE) * (-0.6495553124107992) + CAST(embedding[55] AS DOUBLE) * (0.38593414967709216) + CAST(embedding[56] AS DOUBLE) * (-0.12134036219142272) + CAST(embedding[57] AS DOUBLE) * (-1.1557145875624628) + CAST(embedding[58] AS DOUBLE) * (-0.47464504737753843) + CAST(embedding[59] AS DOUBLE) * (0.12008435874037364) + CAST(embedding[60] AS DOUBLE) * (1.2772627323647865) + CAST(embedding[61] AS DOUBLE) * (-1.0743630492761616) + CAST(embedding[62] AS DOUBLE) * (0.19986415492529624) + CAST(embedding[63] AS DOUBLE) * (-0.017542016902101762) + CAST(embedding[64] AS DOUBLE) * (-0.08713110155989824)) AS d1,
+         (0.0 + CAST(embedding[1] AS DOUBLE) * (-1.2577899221671323) + CAST(embedding[2] AS DOUBLE) * (1.2238452093167131) + CAST(embedding[3] AS DOUBLE) * (1.263096024693588) + CAST(embedding[4] AS DOUBLE) * (1.5637409056484606) + CAST(embedding[5] AS DOUBLE) * (0.4346549890366623) + CAST(embedding[6] AS DOUBLE) * (1.4481024662776967) + CAST(embedding[7] AS DOUBLE) * (0.507100012249707) + CAST(embedding[8] AS DOUBLE) * (0.9675054979514186) + CAST(embedding[9] AS DOUBLE) * (-0.3651744157515609) + CAST(embedding[10] AS DOUBLE) * (0.19320234038107062) + CAST(embedding[11] AS DOUBLE) * (-0.3561747033097989) + CAST(embedding[12] AS DOUBLE) * (-1.0870443640097944) + CAST(embedding[13] AS DOUBLE) * (-0.465399551284373) + CAST(embedding[14] AS DOUBLE) * (-1.1544247120052649) + CAST(embedding[15] AS DOUBLE) * (-1.1476073231678856) + CAST(embedding[16] AS DOUBLE) * (-0.42027133190649063) + CAST(embedding[17] AS DOUBLE) * (-0.6330853856097824) + CAST(embedding[18] AS DOUBLE) * (2.0444062851033893) + CAST(embedding[19] AS DOUBLE) * (1.7516585550837993) + CAST(embedding[20] AS DOUBLE) * (1.056693813220963) + CAST(embedding[21] AS DOUBLE) * (0.7676403805488081) + CAST(embedding[22] AS DOUBLE) * (-0.8878444326095933) + CAST(embedding[23] AS DOUBLE) * (0.25208493059671166) + CAST(embedding[24] AS DOUBLE) * (-1.4745464839005809) + CAST(embedding[25] AS DOUBLE) * (-0.6559112954973413) + CAST(embedding[26] AS DOUBLE) * (-0.5092626329019135) + CAST(embedding[27] AS DOUBLE) * (-0.3929214550556583) + CAST(embedding[28] AS DOUBLE) * (0.8398049213708733) + CAST(embedding[29] AS DOUBLE) * (-0.8159739708198376) + CAST(embedding[30] AS DOUBLE) * (2.399401534052994) + CAST(embedding[31] AS DOUBLE) * (-0.537288680108295) + CAST(embedding[32] AS DOUBLE) * (0.8318037860239111) + CAST(embedding[33] AS DOUBLE) * (-1.6112314486636563) + CAST(embedding[34] AS DOUBLE) * (0.8915986994252159) + CAST(embedding[35] AS DOUBLE) * (-1.2579555057468832) + CAST(embedding[36] AS DOUBLE) * (0.17694713662863804) + CAST(embedding[37] AS DOUBLE) * (-0.027799675848140755) + CAST(embedding[38] AS DOUBLE) * (0.806772028799457) + CAST(embedding[39] AS DOUBLE) * (0.5931122307963466) + CAST(embedding[40] AS DOUBLE) * (0.3716502220952085) + CAST(embedding[41] AS DOUBLE) * (-0.17044108877256595) + CAST(embedding[42] AS DOUBLE) * (1.9482546830194398) + CAST(embedding[43] AS DOUBLE) * (-0.4836175932225871) + CAST(embedding[44] AS DOUBLE) * (-0.0075057864212346405) + CAST(embedding[45] AS DOUBLE) * (-0.49385748676794844) + CAST(embedding[46] AS DOUBLE) * (0.11783361787735049) + CAST(embedding[47] AS DOUBLE) * (-0.9887567934156685) + CAST(embedding[48] AS DOUBLE) * (-0.4354688770225977) + CAST(embedding[49] AS DOUBLE) * (0.48738439368472414) + CAST(embedding[50] AS DOUBLE) * (-0.602248233707375) + CAST(embedding[51] AS DOUBLE) * (0.4466700731791106) + CAST(embedding[52] AS DOUBLE) * (-0.6078380273189347) + CAST(embedding[53] AS DOUBLE) * (1.4097234509113148) + CAST(embedding[54] AS DOUBLE) * (-0.1546127976471008) + CAST(embedding[55] AS DOUBLE) * (1.749526258188258) + CAST(embedding[56] AS DOUBLE) * (0.4807392105214751) + CAST(embedding[57] AS DOUBLE) * (-0.15217871610095032) + CAST(embedding[58] AS DOUBLE) * (0.9361867677371898) + CAST(embedding[59] AS DOUBLE) * (1.1532396953425783) + CAST(embedding[60] AS DOUBLE) * (1.5176908046780375) + CAST(embedding[61] AS DOUBLE) * (1.3803800500086394) + CAST(embedding[62] AS DOUBLE) * (0.8805727241350567) + CAST(embedding[63] AS DOUBLE) * (-1.1960999758221535) + CAST(embedding[64] AS DOUBLE) * (0.9190929105729782)) AS d2,
+         (0.0 + CAST(embedding[1] AS DOUBLE) * (-0.10792485825603078) + CAST(embedding[2] AS DOUBLE) * (0.3890662859329336) + CAST(embedding[3] AS DOUBLE) * (1.25611361970282) + CAST(embedding[4] AS DOUBLE) * (-0.7410543634213287) + CAST(embedding[5] AS DOUBLE) * (1.3219520960862796) + CAST(embedding[6] AS DOUBLE) * (2.393301535353535) + CAST(embedding[7] AS DOUBLE) * (0.5400220323247202) + CAST(embedding[8] AS DOUBLE) * (-0.3341185904146626) + CAST(embedding[9] AS DOUBLE) * (1.3642857310773209) + CAST(embedding[10] AS DOUBLE) * (0.16451609607500065) + CAST(embedding[11] AS DOUBLE) * (1.040910589547841) + CAST(embedding[12] AS DOUBLE) * (1.2446772140820774) + CAST(embedding[13] AS DOUBLE) * (-1.541449720077563) + CAST(embedding[14] AS DOUBLE) * (0.30534870637785144) + CAST(embedding[15] AS DOUBLE) * (-1.5538648135614217) + CAST(embedding[16] AS DOUBLE) * (-0.7287070272880077) + CAST(embedding[17] AS DOUBLE) * (0.5912253194840534) + CAST(embedding[18] AS DOUBLE) * (-1.223766592640582) + CAST(embedding[19] AS DOUBLE) * (-0.7469985407047881) + CAST(embedding[20] AS DOUBLE) * (-0.48331609778728823) + CAST(embedding[21] AS DOUBLE) * (0.29323698553435634) + CAST(embedding[22] AS DOUBLE) * (0.32880305059786946) + CAST(embedding[23] AS DOUBLE) * (0.42292750142841234) + CAST(embedding[24] AS DOUBLE) * (-0.5316968847836061) + CAST(embedding[25] AS DOUBLE) * (-0.7815327894493503) + CAST(embedding[26] AS DOUBLE) * (0.3885821285897724) + CAST(embedding[27] AS DOUBLE) * (-0.9019256859772758) + CAST(embedding[28] AS DOUBLE) * (-0.8431287655483993) + CAST(embedding[29] AS DOUBLE) * (0.6772483102750041) + CAST(embedding[30] AS DOUBLE) * (-0.8287843545557869) + CAST(embedding[31] AS DOUBLE) * (-0.9384932157294542) + CAST(embedding[32] AS DOUBLE) * (1.1071798435579583) + CAST(embedding[33] AS DOUBLE) * (-0.07440455496353912) + CAST(embedding[34] AS DOUBLE) * (-2.2775948085229505) + CAST(embedding[35] AS DOUBLE) * (-0.79017412740223) + CAST(embedding[36] AS DOUBLE) * (1.930574431303024) + CAST(embedding[37] AS DOUBLE) * (2.8226402963339505) + CAST(embedding[38] AS DOUBLE) * (-0.3307794847808993) + CAST(embedding[39] AS DOUBLE) * (0.6730651408558647) + CAST(embedding[40] AS DOUBLE) * (0.7095176547927833) + CAST(embedding[41] AS DOUBLE) * (0.28316427614264444) + CAST(embedding[42] AS DOUBLE) * (-1.864358022953004) + CAST(embedding[43] AS DOUBLE) * (0.9718854661777622) + CAST(embedding[44] AS DOUBLE) * (0.24638743285914722) + CAST(embedding[45] AS DOUBLE) * (-0.27244905984874274) + CAST(embedding[46] AS DOUBLE) * (-1.66304355295086) + CAST(embedding[47] AS DOUBLE) * (-0.6709920247726548) + CAST(embedding[48] AS DOUBLE) * (-0.1503908533056657) + CAST(embedding[49] AS DOUBLE) * (-0.28949208451087605) + CAST(embedding[50] AS DOUBLE) * (0.19196836969485986) + CAST(embedding[51] AS DOUBLE) * (-0.4235170800033746) + CAST(embedding[52] AS DOUBLE) * (0.9672949728957527) + CAST(embedding[53] AS DOUBLE) * (0.590253985117911) + CAST(embedding[54] AS DOUBLE) * (-1.1964754181940807) + CAST(embedding[55] AS DOUBLE) * (-0.6452014455967686) + CAST(embedding[56] AS DOUBLE) * (0.38505006237926204) + CAST(embedding[57] AS DOUBLE) * (-0.5943814896782081) + CAST(embedding[58] AS DOUBLE) * (1.3669637123527583) + CAST(embedding[59] AS DOUBLE) * (-0.5807502167189974) + CAST(embedding[60] AS DOUBLE) * (0.20719471705297313) + CAST(embedding[61] AS DOUBLE) * (0.570329499551438) + CAST(embedding[62] AS DOUBLE) * (-1.1785388641264671) + CAST(embedding[63] AS DOUBLE) * (1.2141881064610243) + CAST(embedding[64] AS DOUBLE) * (-0.25129379946410557)) AS d3,
+         (0.0 + CAST(embedding[1] AS DOUBLE) * (-0.7560079060022217) + CAST(embedding[2] AS DOUBLE) * (-0.7378716810667721) + CAST(embedding[3] AS DOUBLE) * (-1.742103590024213) + CAST(embedding[4] AS DOUBLE) * (-1.4098247094809109) + CAST(embedding[5] AS DOUBLE) * (1.4606447943546157) + CAST(embedding[6] AS DOUBLE) * (-0.17250578728386445) + CAST(embedding[7] AS DOUBLE) * (-0.3257948499277712) + CAST(embedding[8] AS DOUBLE) * (0.15270946996446674) + CAST(embedding[9] AS DOUBLE) * (0.5350676819345033) + CAST(embedding[10] AS DOUBLE) * (-0.8408099477723523) + CAST(embedding[11] AS DOUBLE) * (-0.25358510438853565) + CAST(embedding[12] AS DOUBLE) * (0.23089693522171328) + CAST(embedding[13] AS DOUBLE) * (0.9723717677086743) + CAST(embedding[14] AS DOUBLE) * (0.21176691849489224) + CAST(embedding[15] AS DOUBLE) * (1.622072076161329) + CAST(embedding[16] AS DOUBLE) * (-0.259737305653496) + CAST(embedding[17] AS DOUBLE) * (-0.3803284367555525) + CAST(embedding[18] AS DOUBLE) * (-1.4364123113950473) + CAST(embedding[19] AS DOUBLE) * (-0.08705007687666258) + CAST(embedding[20] AS DOUBLE) * (0.6015317838054497) + CAST(embedding[21] AS DOUBLE) * (-0.29001595831040544) + CAST(embedding[22] AS DOUBLE) * (-0.2173328068914763) + CAST(embedding[23] AS DOUBLE) * (-1.0226848930297348) + CAST(embedding[24] AS DOUBLE) * (-0.631809466748631) + CAST(embedding[25] AS DOUBLE) * (-0.49060269685145164) + CAST(embedding[26] AS DOUBLE) * (-0.1342081390565126) + CAST(embedding[27] AS DOUBLE) * (1.0316457343628445) + CAST(embedding[28] AS DOUBLE) * (0.46658264248356673) + CAST(embedding[29] AS DOUBLE) * (0.8737551066402791) + CAST(embedding[30] AS DOUBLE) * (1.1348800686150466) + CAST(embedding[31] AS DOUBLE) * (-0.5087715850370743) + CAST(embedding[32] AS DOUBLE) * (1.296037404449276) + CAST(embedding[33] AS DOUBLE) * (0.0018052562936504235) + CAST(embedding[34] AS DOUBLE) * (-1.36565838460654) + CAST(embedding[35] AS DOUBLE) * (-0.6500127193478521) + CAST(embedding[36] AS DOUBLE) * (-0.13071091507238033) + CAST(embedding[37] AS DOUBLE) * (-1.5837538403030738) + CAST(embedding[38] AS DOUBLE) * (2.2628369079538735) + CAST(embedding[39] AS DOUBLE) * (-0.09521879011087905) + CAST(embedding[40] AS DOUBLE) * (0.8124042003523465) + CAST(embedding[41] AS DOUBLE) * (-1.255509101479582) + CAST(embedding[42] AS DOUBLE) * (0.0530108005322944) + CAST(embedding[43] AS DOUBLE) * (0.21182726651582146) + CAST(embedding[44] AS DOUBLE) * (-0.8092799626437538) + CAST(embedding[45] AS DOUBLE) * (0.20626903737753405) + CAST(embedding[46] AS DOUBLE) * (-0.04907170187196181) + CAST(embedding[47] AS DOUBLE) * (0.3258436076148109) + CAST(embedding[48] AS DOUBLE) * (-1.2571816902337878) + CAST(embedding[49] AS DOUBLE) * (0.4688023114122624) + CAST(embedding[50] AS DOUBLE) * (-0.33539208585959696) + CAST(embedding[51] AS DOUBLE) * (-0.9039221037915418) + CAST(embedding[52] AS DOUBLE) * (-2.2507551654725955) + CAST(embedding[53] AS DOUBLE) * (-0.24311613959906464) + CAST(embedding[54] AS DOUBLE) * (-0.4234778923387934) + CAST(embedding[55] AS DOUBLE) * (2.3241261682014445) + CAST(embedding[56] AS DOUBLE) * (-1.2599687399625334) + CAST(embedding[57] AS DOUBLE) * (1.437920339605771) + CAST(embedding[58] AS DOUBLE) * (1.2018382309577607) + CAST(embedding[59] AS DOUBLE) * (0.3616923881852431) + CAST(embedding[60] AS DOUBLE) * (0.19685995196008332) + CAST(embedding[61] AS DOUBLE) * (0.44871021855705817) + CAST(embedding[62] AS DOUBLE) * (-1.5310097755490863) + CAST(embedding[63] AS DOUBLE) * (1.3629990284110212) + CAST(embedding[64] AS DOUBLE) * (-0.37575527691480226)) AS d4,
+         (0.0 + CAST(embedding[1] AS DOUBLE) * (-0.7947778644467747) + CAST(embedding[2] AS DOUBLE) * (-0.05852227728787731) + CAST(embedding[3] AS DOUBLE) * (-2.8045415901619384) + CAST(embedding[4] AS DOUBLE) * (-1.3817059570353538) + CAST(embedding[5] AS DOUBLE) * (-1.234285363554774) + CAST(embedding[6] AS DOUBLE) * (-1.6260875570033846) + CAST(embedding[7] AS DOUBLE) * (0.5283780595294192) + CAST(embedding[8] AS DOUBLE) * (1.541627876647064) + CAST(embedding[9] AS DOUBLE) * (-0.04380232236531185) + CAST(embedding[10] AS DOUBLE) * (-0.3808693638733885) + CAST(embedding[11] AS DOUBLE) * (0.26569696955107225) + CAST(embedding[12] AS DOUBLE) * (-0.5628030454699816) + CAST(embedding[13] AS DOUBLE) * (0.07242262333062274) + CAST(embedding[14] AS DOUBLE) * (0.34797569121261673) + CAST(embedding[15] AS DOUBLE) * (-0.28899664155805754) + CAST(embedding[16] AS DOUBLE) * (-0.47273353990752054) + CAST(embedding[17] AS DOUBLE) * (0.008928680217665505) + CAST(embedding[18] AS DOUBLE) * (-0.0013740579127432837) + CAST(embedding[19] AS DOUBLE) * (0.6161441992327087) + CAST(embedding[20] AS DOUBLE) * (-1.5708830259208595) + CAST(embedding[21] AS DOUBLE) * (-1.181197430345938) + CAST(embedding[22] AS DOUBLE) * (-0.5494965129653983) + CAST(embedding[23] AS DOUBLE) * (0.4223235129329929) + CAST(embedding[24] AS DOUBLE) * (-1.3582479165312398) + CAST(embedding[25] AS DOUBLE) * (1.1434705589262233) + CAST(embedding[26] AS DOUBLE) * (1.3711530838883825) + CAST(embedding[27] AS DOUBLE) * (-0.8041058814045516) + CAST(embedding[28] AS DOUBLE) * (1.0518710262188335) + CAST(embedding[29] AS DOUBLE) * (-2.1584687113921723) + CAST(embedding[30] AS DOUBLE) * (-0.1689834391167954) + CAST(embedding[31] AS DOUBLE) * (-1.6827624623764945) + CAST(embedding[32] AS DOUBLE) * (1.004328081148524) + CAST(embedding[33] AS DOUBLE) * (0.7737494782789223) + CAST(embedding[34] AS DOUBLE) * (0.43687846229075655) + CAST(embedding[35] AS DOUBLE) * (-0.658512441565811) + CAST(embedding[36] AS DOUBLE) * (-1.2081362876944632) + CAST(embedding[37] AS DOUBLE) * (0.33760528864078715) + CAST(embedding[38] AS DOUBLE) * (-0.5934512271284091) + CAST(embedding[39] AS DOUBLE) * (0.5951157345614863) + CAST(embedding[40] AS DOUBLE) * (-1.679699071166524) + CAST(embedding[41] AS DOUBLE) * (0.34202596439694716) + CAST(embedding[42] AS DOUBLE) * (0.42926377823421663) + CAST(embedding[43] AS DOUBLE) * (-2.3607228054565166) + CAST(embedding[44] AS DOUBLE) * (-1.3620562678720927) + CAST(embedding[45] AS DOUBLE) * (-0.7983500770069416) + CAST(embedding[46] AS DOUBLE) * (-0.6926084979201165) + CAST(embedding[47] AS DOUBLE) * (-1.8194963117993583) + CAST(embedding[48] AS DOUBLE) * (-0.07854544950212143) + CAST(embedding[49] AS DOUBLE) * (-1.2284275858154199) + CAST(embedding[50] AS DOUBLE) * (-0.17315255289660084) + CAST(embedding[51] AS DOUBLE) * (-1.9322142868596925) + CAST(embedding[52] AS DOUBLE) * (-1.2829044054762906) + CAST(embedding[53] AS DOUBLE) * (0.5952853448404123) + CAST(embedding[54] AS DOUBLE) * (-1.8166389063657566) + CAST(embedding[55] AS DOUBLE) * (-0.13762472518828797) + CAST(embedding[56] AS DOUBLE) * (1.346990270951265) + CAST(embedding[57] AS DOUBLE) * (0.705411932804584) + CAST(embedding[58] AS DOUBLE) * (-1.426605036010627) + CAST(embedding[59] AS DOUBLE) * (2.120494170569089) + CAST(embedding[60] AS DOUBLE) * (-0.6623332053082052) + CAST(embedding[61] AS DOUBLE) * (0.8284020450783798) + CAST(embedding[62] AS DOUBLE) * (0.8562258373216443) + CAST(embedding[63] AS DOUBLE) * (-0.42454557593913733) + CAST(embedding[64] AS DOUBLE) * (0.5281384850286454)) AS d5,
+         (0.0 + CAST(embedding[1] AS DOUBLE) * (-2.867178892919951) + CAST(embedding[2] AS DOUBLE) * (-0.014412160718381457) + CAST(embedding[3] AS DOUBLE) * (0.05234612813163368) + CAST(embedding[4] AS DOUBLE) * (-0.4539318170208948) + CAST(embedding[5] AS DOUBLE) * (0.013701766992264827) + CAST(embedding[6] AS DOUBLE) * (0.9606269994654866) + CAST(embedding[7] AS DOUBLE) * (0.8327750862020745) + CAST(embedding[8] AS DOUBLE) * (-0.7328008429279502) + CAST(embedding[9] AS DOUBLE) * (0.6805314377419137) + CAST(embedding[10] AS DOUBLE) * (1.065252544549058) + CAST(embedding[11] AS DOUBLE) * (0.0048729387265171184) + CAST(embedding[12] AS DOUBLE) * (0.2795742562054778) + CAST(embedding[13] AS DOUBLE) * (-2.5594752096923545) + CAST(embedding[14] AS DOUBLE) * (-1.6851241814078173) + CAST(embedding[15] AS DOUBLE) * (0.26466288962501844) + CAST(embedding[16] AS DOUBLE) * (-1.6109355687952482) + CAST(embedding[17] AS DOUBLE) * (0.7376584319939369) + CAST(embedding[18] AS DOUBLE) * (1.051484392930078) + CAST(embedding[19] AS DOUBLE) * (-1.1004340464023763) + CAST(embedding[20] AS DOUBLE) * (-1.279068917041472) + CAST(embedding[21] AS DOUBLE) * (-0.31261795810011056) + CAST(embedding[22] AS DOUBLE) * (0.10877375391194066) + CAST(embedding[23] AS DOUBLE) * (0.7059803345572462) + CAST(embedding[24] AS DOUBLE) * (-0.3447156772701103) + CAST(embedding[25] AS DOUBLE) * (-0.08120720538357118) + CAST(embedding[26] AS DOUBLE) * (-1.1141969123870266) + CAST(embedding[27] AS DOUBLE) * (0.1655998241668755) + CAST(embedding[28] AS DOUBLE) * (-0.8926007260578619) + CAST(embedding[29] AS DOUBLE) * (0.8836023148699121) + CAST(embedding[30] AS DOUBLE) * (0.5801154661864193) + CAST(embedding[31] AS DOUBLE) * (-1.759705839340602) + CAST(embedding[32] AS DOUBLE) * (0.2221101930249379) + CAST(embedding[33] AS DOUBLE) * (-1.2190700721734948) + CAST(embedding[34] AS DOUBLE) * (0.8424955329791077) + CAST(embedding[35] AS DOUBLE) * (-1.1579934780764047) + CAST(embedding[36] AS DOUBLE) * (1.139089755685921) + CAST(embedding[37] AS DOUBLE) * (0.9439159185507873) + CAST(embedding[38] AS DOUBLE) * (1.8304775554308583) + CAST(embedding[39] AS DOUBLE) * (0.20583113624178975) + CAST(embedding[40] AS DOUBLE) * (-0.07499538209307) + CAST(embedding[41] AS DOUBLE) * (1.0925066694797367) + CAST(embedding[42] AS DOUBLE) * (-1.3480225719696288) + CAST(embedding[43] AS DOUBLE) * (-0.16584562030131741) + CAST(embedding[44] AS DOUBLE) * (-0.44313981341190406) + CAST(embedding[45] AS DOUBLE) * (-0.1847504751802749) + CAST(embedding[46] AS DOUBLE) * (-1.7087477710841579) + CAST(embedding[47] AS DOUBLE) * (-1.8059707894328) + CAST(embedding[48] AS DOUBLE) * (-1.835201970038044) + CAST(embedding[49] AS DOUBLE) * (1.339074565462185) + CAST(embedding[50] AS DOUBLE) * (-0.4636362240881753) + CAST(embedding[51] AS DOUBLE) * (0.49650648104102196) + CAST(embedding[52] AS DOUBLE) * (-0.2528953507577495) + CAST(embedding[53] AS DOUBLE) * (-0.36709714971435986) + CAST(embedding[54] AS DOUBLE) * (1.1724477771919464) + CAST(embedding[55] AS DOUBLE) * (-2.446486246367169) + CAST(embedding[56] AS DOUBLE) * (-0.3509582401849051) + CAST(embedding[57] AS DOUBLE) * (-0.9154003343631736) + CAST(embedding[58] AS DOUBLE) * (-1.050769234423314) + CAST(embedding[59] AS DOUBLE) * (-1.7456655979827571) + CAST(embedding[60] AS DOUBLE) * (-1.6657081932238365) + CAST(embedding[61] AS DOUBLE) * (-1.3293466137499275) + CAST(embedding[62] AS DOUBLE) * (0.9605050948599068) + CAST(embedding[63] AS DOUBLE) * (-0.8203851403567584) + CAST(embedding[64] AS DOUBLE) * (-0.5972739542453126)) AS d6,
+         (0.0 + CAST(embedding[1] AS DOUBLE) * (-0.3065241704037289) + CAST(embedding[2] AS DOUBLE) * (0.4896361685534745) + CAST(embedding[3] AS DOUBLE) * (0.902841462015473) + CAST(embedding[4] AS DOUBLE) * (0.06196851579279813) + CAST(embedding[5] AS DOUBLE) * (-0.1277036103461595) + CAST(embedding[6] AS DOUBLE) * (0.3912936543923712) + CAST(embedding[7] AS DOUBLE) * (-0.9258198733492586) + CAST(embedding[8] AS DOUBLE) * (0.08470690411887269) + CAST(embedding[9] AS DOUBLE) * (1.5566867966361193) + CAST(embedding[10] AS DOUBLE) * (-0.7808313528887589) + CAST(embedding[11] AS DOUBLE) * (-0.9854699391548791) + CAST(embedding[12] AS DOUBLE) * (-1.6683336560385666) + CAST(embedding[13] AS DOUBLE) * (-0.07676378939745575) + CAST(embedding[14] AS DOUBLE) * (0.49125802572320415) + CAST(embedding[15] AS DOUBLE) * (-0.5544581959512096) + CAST(embedding[16] AS DOUBLE) * (-0.45690176428784984) + CAST(embedding[17] AS DOUBLE) * (1.0473897506741645) + CAST(embedding[18] AS DOUBLE) * (-0.09867944161778038) + CAST(embedding[19] AS DOUBLE) * (0.5668522899972447) + CAST(embedding[20] AS DOUBLE) * (-0.4926806964875525) + CAST(embedding[21] AS DOUBLE) * (1.1678215007051747) + CAST(embedding[22] AS DOUBLE) * (0.7800953667303611) + CAST(embedding[23] AS DOUBLE) * (-0.27005431883325964) + CAST(embedding[24] AS DOUBLE) * (-0.7201201782050053) + CAST(embedding[25] AS DOUBLE) * (2.4101526094836845) + CAST(embedding[26] AS DOUBLE) * (-1.1938702258857508) + CAST(embedding[27] AS DOUBLE) * (-1.0837671518955354) + CAST(embedding[28] AS DOUBLE) * (-2.605430611221645) + CAST(embedding[29] AS DOUBLE) * (0.5631159272889905) + CAST(embedding[30] AS DOUBLE) * (-0.05979369278736619) + CAST(embedding[31] AS DOUBLE) * (-0.20377928571933876) + CAST(embedding[32] AS DOUBLE) * (-1.642884187312021) + CAST(embedding[33] AS DOUBLE) * (-0.10347895122531219) + CAST(embedding[34] AS DOUBLE) * (-0.9049566453366972) + CAST(embedding[35] AS DOUBLE) * (-1.2828102907396286) + CAST(embedding[36] AS DOUBLE) * (-0.3580340226410346) + CAST(embedding[37] AS DOUBLE) * (0.19100384998267478) + CAST(embedding[38] AS DOUBLE) * (-0.2630523883776923) + CAST(embedding[39] AS DOUBLE) * (-0.615741925059664) + CAST(embedding[40] AS DOUBLE) * (0.614134732768068) + CAST(embedding[41] AS DOUBLE) * (0.1285628495320423) + CAST(embedding[42] AS DOUBLE) * (-0.48111949365043144) + CAST(embedding[43] AS DOUBLE) * (0.4585404724321882) + CAST(embedding[44] AS DOUBLE) * (0.1872047376906648) + CAST(embedding[45] AS DOUBLE) * (0.797192492326439) + CAST(embedding[46] AS DOUBLE) * (0.7120455700242393) + CAST(embedding[47] AS DOUBLE) * (0.6225385345312664) + CAST(embedding[48] AS DOUBLE) * (-0.6999147038257569) + CAST(embedding[49] AS DOUBLE) * (1.1982937931859536) + CAST(embedding[50] AS DOUBLE) * (0.8838890781065778) + CAST(embedding[51] AS DOUBLE) * (-0.6459344655986408) + CAST(embedding[52] AS DOUBLE) * (1.1296765027760798) + CAST(embedding[53] AS DOUBLE) * (-0.01645034361594869) + CAST(embedding[54] AS DOUBLE) * (-1.1031497528717316) + CAST(embedding[55] AS DOUBLE) * (-0.14576797065044073) + CAST(embedding[56] AS DOUBLE) * (-1.3826115321466308) + CAST(embedding[57] AS DOUBLE) * (1.0117615755188765) + CAST(embedding[58] AS DOUBLE) * (-1.3602385683642157) + CAST(embedding[59] AS DOUBLE) * (1.3472380540651037) + CAST(embedding[60] AS DOUBLE) * (-0.9633846161181444) + CAST(embedding[61] AS DOUBLE) * (-0.2383014785117158) + CAST(embedding[62] AS DOUBLE) * (1.1610250601941312) + CAST(embedding[63] AS DOUBLE) * (0.24445652009324711) + CAST(embedding[64] AS DOUBLE) * (-1.7353167618425036)) AS d7,
+         (0.0 + CAST(embedding[1] AS DOUBLE)*CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)*CAST(embedding[2] AS DOUBLE) + CAST(embedding[3] AS DOUBLE)*CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE)*CAST(embedding[4] AS DOUBLE) + CAST(embedding[5] AS DOUBLE)*CAST(embedding[5] AS DOUBLE) + CAST(embedding[6] AS DOUBLE)*CAST(embedding[6] AS DOUBLE) + CAST(embedding[7] AS DOUBLE)*CAST(embedding[7] AS DOUBLE) + CAST(embedding[8] AS DOUBLE)*CAST(embedding[8] AS DOUBLE) + CAST(embedding[9] AS DOUBLE)*CAST(embedding[9] AS DOUBLE) + CAST(embedding[10] AS DOUBLE)*CAST(embedding[10] AS DOUBLE) + CAST(embedding[11] AS DOUBLE)*CAST(embedding[11] AS DOUBLE) + CAST(embedding[12] AS DOUBLE)*CAST(embedding[12] AS DOUBLE) + CAST(embedding[13] AS DOUBLE)*CAST(embedding[13] AS DOUBLE) + CAST(embedding[14] AS DOUBLE)*CAST(embedding[14] AS DOUBLE) + CAST(embedding[15] AS DOUBLE)*CAST(embedding[15] AS DOUBLE) + CAST(embedding[16] AS DOUBLE)*CAST(embedding[16] AS DOUBLE) + CAST(embedding[17] AS DOUBLE)*CAST(embedding[17] AS DOUBLE) + CAST(embedding[18] AS DOUBLE)*CAST(embedding[18] AS DOUBLE) + CAST(embedding[19] AS DOUBLE)*CAST(embedding[19] AS DOUBLE) + CAST(embedding[20] AS DOUBLE)*CAST(embedding[20] AS DOUBLE) + CAST(embedding[21] AS DOUBLE)*CAST(embedding[21] AS DOUBLE) + CAST(embedding[22] AS DOUBLE)*CAST(embedding[22] AS DOUBLE) + CAST(embedding[23] AS DOUBLE)*CAST(embedding[23] AS DOUBLE) + CAST(embedding[24] AS DOUBLE)*CAST(embedding[24] AS DOUBLE) + CAST(embedding[25] AS DOUBLE)*CAST(embedding[25] AS DOUBLE) + CAST(embedding[26] AS DOUBLE)*CAST(embedding[26] AS DOUBLE) + CAST(embedding[27] AS DOUBLE)*CAST(embedding[27] AS DOUBLE) + CAST(embedding[28] AS DOUBLE)*CAST(embedding[28] AS DOUBLE) + CAST(embedding[29] AS DOUBLE)*CAST(embedding[29] AS DOUBLE) + CAST(embedding[30] AS DOUBLE)*CAST(embedding[30] AS DOUBLE) + CAST(embedding[31] AS DOUBLE)*CAST(embedding[31] AS DOUBLE) + CAST(embedding[32] AS DOUBLE)*CAST(embedding[32] AS DOUBLE) + CAST(embedding[33] AS DOUBLE)*CAST(embedding[33] AS DOUBLE) + CAST(embedding[34] AS DOUBLE)*CAST(embedding[34] AS DOUBLE) + CAST(embedding[35] AS DOUBLE)*CAST(embedding[35] AS DOUBLE) + CAST(embedding[36] AS DOUBLE)*CAST(embedding[36] AS DOUBLE) + CAST(embedding[37] AS DOUBLE)*CAST(embedding[37] AS DOUBLE) + CAST(embedding[38] AS DOUBLE)*CAST(embedding[38] AS DOUBLE) + CAST(embedding[39] AS DOUBLE)*CAST(embedding[39] AS DOUBLE) + CAST(embedding[40] AS DOUBLE)*CAST(embedding[40] AS DOUBLE) + CAST(embedding[41] AS DOUBLE)*CAST(embedding[41] AS DOUBLE) + CAST(embedding[42] AS DOUBLE)*CAST(embedding[42] AS DOUBLE) + CAST(embedding[43] AS DOUBLE)*CAST(embedding[43] AS DOUBLE) + CAST(embedding[44] AS DOUBLE)*CAST(embedding[44] AS DOUBLE) + CAST(embedding[45] AS DOUBLE)*CAST(embedding[45] AS DOUBLE) + CAST(embedding[46] AS DOUBLE)*CAST(embedding[46] AS DOUBLE) + CAST(embedding[47] AS DOUBLE)*CAST(embedding[47] AS DOUBLE) + CAST(embedding[48] AS DOUBLE)*CAST(embedding[48] AS DOUBLE) + CAST(embedding[49] AS DOUBLE)*CAST(embedding[49] AS DOUBLE) + CAST(embedding[50] AS DOUBLE)*CAST(embedding[50] AS DOUBLE) + CAST(embedding[51] AS DOUBLE)*CAST(embedding[51] AS DOUBLE) + CAST(embedding[52] AS DOUBLE)*CAST(embedding[52] AS DOUBLE) + CAST(embedding[53] AS DOUBLE)*CAST(embedding[53] AS DOUBLE) + CAST(embedding[54] AS DOUBLE)*CAST(embedding[54] AS DOUBLE) + CAST(embedding[55] AS DOUBLE)*CAST(embedding[55] AS DOUBLE) + CAST(embedding[56] AS DOUBLE)*CAST(embedding[56] AS DOUBLE) + CAST(embedding[57] AS DOUBLE)*CAST(embedding[57] AS DOUBLE) + CAST(embedding[58] AS DOUBLE)*CAST(embedding[58] AS DOUBLE) + CAST(embedding[59] AS DOUBLE)*CAST(embedding[59] AS DOUBLE) + CAST(embedding[60] AS DOUBLE)*CAST(embedding[60] AS DOUBLE) + CAST(embedding[61] AS DOUBLE)*CAST(embedding[61] AS DOUBLE) + CAST(embedding[62] AS DOUBLE)*CAST(embedding[62] AS DOUBLE) + CAST(embedding[63] AS DOUBLE)*CAST(embedding[63] AS DOUBLE) + CAST(embedding[64] AS DOUBLE)*CAST(embedding[64] AS DOUBLE)) AS nrm2
+  FROM embeddings),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_vec, sqrt(nrm2) AS c_norm,
+         CASE WHEN d0 >= d1 AND d0 >= d2 AND d0 >= d3 AND d0 >= d4 AND d0 >= d5 AND d0 >= d6 AND d0 >= d7 THEN 0 WHEN d1 >= d0 AND d1 >= d2 AND d1 >= d3 AND d1 >= d4 AND d1 >= d5 AND d1 >= d6 AND d1 >= d7 THEN 1 WHEN d2 >= d0 AND d2 >= d1 AND d2 >= d3 AND d2 >= d4 AND d2 >= d5 AND d2 >= d6 AND d2 >= d7 THEN 2 WHEN d3 >= d0 AND d3 >= d1 AND d3 >= d2 AND d3 >= d4 AND d3 >= d5 AND d3 >= d6 AND d3 >= d7 THEN 3 WHEN d4 >= d0 AND d4 >= d1 AND d4 >= d2 AND d4 >= d3 AND d4 >= d5 AND d4 >= d6 AND d4 >= d7 THEN 4 WHEN d5 >= d0 AND d5 >= d1 AND d5 >= d2 AND d5 >= d3 AND d5 >= d4 AND d5 >= d6 AND d5 >= d7 THEN 5 WHEN d6 >= d0 AND d6 >= d1 AND d6 >= d2 AND d6 >= d3 AND d6 >= d4 AND d6 >= d5 AND d6 >= d7 THEN 6 ELSE 7 END AS list_id
+  FROM base),
+qd AS (SELECT * FROM base WHERE vec_id < 10),
+qs AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, sqrt(nrm2) AS q_norm,
+         i AS list_id, CASE i WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2 WHEN 3 THEN d3 WHEN 4 THEN d4 WHEN 5 THEN d5 WHEN 6 THEN d6 WHEN 7 THEN d7 END AS cd
+  FROM qd CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS i)),
+probes AS (
+  SELECT q_id, q_vec, q_norm, list_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cd DESC, list_id) AS pr FROM qs)
+  WHERE pr <= 2),
+scored AS (
+  SELECT q_id, neighbor_id,
+         (0.0 + CAST(q_vec[1] AS DOUBLE)*CAST(c_vec[1] AS DOUBLE) + CAST(q_vec[2] AS DOUBLE)*CAST(c_vec[2] AS DOUBLE) + CAST(q_vec[3] AS DOUBLE)*CAST(c_vec[3] AS DOUBLE) + CAST(q_vec[4] AS DOUBLE)*CAST(c_vec[4] AS DOUBLE) + CAST(q_vec[5] AS DOUBLE)*CAST(c_vec[5] AS DOUBLE) + CAST(q_vec[6] AS DOUBLE)*CAST(c_vec[6] AS DOUBLE) + CAST(q_vec[7] AS DOUBLE)*CAST(c_vec[7] AS DOUBLE) + CAST(q_vec[8] AS DOUBLE)*CAST(c_vec[8] AS DOUBLE) + CAST(q_vec[9] AS DOUBLE)*CAST(c_vec[9] AS DOUBLE) + CAST(q_vec[10] AS DOUBLE)*CAST(c_vec[10] AS DOUBLE) + CAST(q_vec[11] AS DOUBLE)*CAST(c_vec[11] AS DOUBLE) + CAST(q_vec[12] AS DOUBLE)*CAST(c_vec[12] AS DOUBLE) + CAST(q_vec[13] AS DOUBLE)*CAST(c_vec[13] AS DOUBLE) + CAST(q_vec[14] AS DOUBLE)*CAST(c_vec[14] AS DOUBLE) + CAST(q_vec[15] AS DOUBLE)*CAST(c_vec[15] AS DOUBLE) + CAST(q_vec[16] AS DOUBLE)*CAST(c_vec[16] AS DOUBLE) + CAST(q_vec[17] AS DOUBLE)*CAST(c_vec[17] AS DOUBLE) + CAST(q_vec[18] AS DOUBLE)*CAST(c_vec[18] AS DOUBLE) + CAST(q_vec[19] AS DOUBLE)*CAST(c_vec[19] AS DOUBLE) + CAST(q_vec[20] AS DOUBLE)*CAST(c_vec[20] AS DOUBLE) + CAST(q_vec[21] AS DOUBLE)*CAST(c_vec[21] AS DOUBLE) + CAST(q_vec[22] AS DOUBLE)*CAST(c_vec[22] AS DOUBLE) + CAST(q_vec[23] AS DOUBLE)*CAST(c_vec[23] AS DOUBLE) + CAST(q_vec[24] AS DOUBLE)*CAST(c_vec[24] AS DOUBLE) + CAST(q_vec[25] AS DOUBLE)*CAST(c_vec[25] AS DOUBLE) + CAST(q_vec[26] AS DOUBLE)*CAST(c_vec[26] AS DOUBLE) + CAST(q_vec[27] AS DOUBLE)*CAST(c_vec[27] AS DOUBLE) + CAST(q_vec[28] AS DOUBLE)*CAST(c_vec[28] AS DOUBLE) + CAST(q_vec[29] AS DOUBLE)*CAST(c_vec[29] AS DOUBLE) + CAST(q_vec[30] AS DOUBLE)*CAST(c_vec[30] AS DOUBLE) + CAST(q_vec[31] AS DOUBLE)*CAST(c_vec[31] AS DOUBLE) + CAST(q_vec[32] AS DOUBLE)*CAST(c_vec[32] AS DOUBLE) + CAST(q_vec[33] AS DOUBLE)*CAST(c_vec[33] AS DOUBLE) + CAST(q_vec[34] AS DOUBLE)*CAST(c_vec[34] AS DOUBLE) + CAST(q_vec[35] AS DOUBLE)*CAST(c_vec[35] AS DOUBLE) + CAST(q_vec[36] AS DOUBLE)*CAST(c_vec[36] AS DOUBLE) + CAST(q_vec[37] AS DOUBLE)*CAST(c_vec[37] AS DOUBLE) + CAST(q_vec[38] AS DOUBLE)*CAST(c_vec[38] AS DOUBLE) + CAST(q_vec[39] AS DOUBLE)*CAST(c_vec[39] AS DOUBLE) + CAST(q_vec[40] AS DOUBLE)*CAST(c_vec[40] AS DOUBLE) + CAST(q_vec[41] AS DOUBLE)*CAST(c_vec[41] AS DOUBLE) + CAST(q_vec[42] AS DOUBLE)*CAST(c_vec[42] AS DOUBLE) + CAST(q_vec[43] AS DOUBLE)*CAST(c_vec[43] AS DOUBLE) + CAST(q_vec[44] AS DOUBLE)*CAST(c_vec[44] AS DOUBLE) + CAST(q_vec[45] AS DOUBLE)*CAST(c_vec[45] AS DOUBLE) + CAST(q_vec[46] AS DOUBLE)*CAST(c_vec[46] AS DOUBLE) + CAST(q_vec[47] AS DOUBLE)*CAST(c_vec[47] AS DOUBLE) + CAST(q_vec[48] AS DOUBLE)*CAST(c_vec[48] AS DOUBLE) + CAST(q_vec[49] AS DOUBLE)*CAST(c_vec[49] AS DOUBLE) + CAST(q_vec[50] AS DOUBLE)*CAST(c_vec[50] AS DOUBLE) + CAST(q_vec[51] AS DOUBLE)*CAST(c_vec[51] AS DOUBLE) + CAST(q_vec[52] AS DOUBLE)*CAST(c_vec[52] AS DOUBLE) + CAST(q_vec[53] AS DOUBLE)*CAST(c_vec[53] AS DOUBLE) + CAST(q_vec[54] AS DOUBLE)*CAST(c_vec[54] AS DOUBLE) + CAST(q_vec[55] AS DOUBLE)*CAST(c_vec[55] AS DOUBLE) + CAST(q_vec[56] AS DOUBLE)*CAST(c_vec[56] AS DOUBLE) + CAST(q_vec[57] AS DOUBLE)*CAST(c_vec[57] AS DOUBLE) + CAST(q_vec[58] AS DOUBLE)*CAST(c_vec[58] AS DOUBLE) + CAST(q_vec[59] AS DOUBLE)*CAST(c_vec[59] AS DOUBLE) + CAST(q_vec[60] AS DOUBLE)*CAST(c_vec[60] AS DOUBLE) + CAST(q_vec[61] AS DOUBLE)*CAST(c_vec[61] AS DOUBLE) + CAST(q_vec[62] AS DOUBLE)*CAST(c_vec[62] AS DOUBLE) + CAST(q_vec[63] AS DOUBLE)*CAST(c_vec[63] AS DOUBLE) + CAST(q_vec[64] AS DOUBLE)*CAST(c_vec[64] AS DOUBLE)) / (q_norm * c_norm) AS cos_sim
+  FROM probes JOIN c USING (list_id)
+  WHERE q_id <> neighbor_id),
+r AS (
+  SELECT q_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS "rank"
+  FROM scored)
+SELECT q_id, neighbor_id, cos_sim, "rank" FROM r WHERE "rank" <= 5
+
+      ) a ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id) nh
+UNION ALL
+SELECT CAST(4 AS BIGINT) AS nprobe,
+       ne.n_exact,
+       CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST((1000000 * COALESCE(nh.n_hits, 0)) // ne.n_exact AS BIGINT)
+         AS recall_ppm,
+       CAST(CAST((1000000 * COALESCE(nh.n_hits, 0)) // ne.n_exact AS BIGINT)
+            AS DOUBLE) / 1000000.0 AS mean_recall_at_5
+FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact) ne,
+     (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM exact e SEMI JOIN (
+        
+WITH base AS (
+  SELECT vec_id, embedding,
+         (0.0 + CAST(embedding[1] AS DOUBLE) * (2.1699867207380645) + CAST(embedding[2] AS DOUBLE) * (-1.1079786469680795) + CAST(embedding[3] AS DOUBLE) * (0.32589852902934197) + CAST(embedding[4] AS DOUBLE) * (-0.2613181260001577) + CAST(embedding[5] AS DOUBLE) * (-0.8792737317600035) + CAST(embedding[6] AS DOUBLE) * (-0.5738432527438687) + CAST(embedding[7] AS DOUBLE) * (-0.5189988677338094) + CAST(embedding[8] AS DOUBLE) * (-0.09930180207886077) + CAST(embedding[9] AS DOUBLE) * (0.3865300173736704) + CAST(embedding[10] AS DOUBLE) * (1.0132288958817026) + CAST(embedding[11] AS DOUBLE) * (0.1993937448867829) + CAST(embedding[12] AS DOUBLE) * (1.083652184372391) + CAST(embedding[13] AS DOUBLE) * (0.41838593160240717) + CAST(embedding[14] AS DOUBLE) * (0.06563800441896446) + CAST(embedding[15] AS DOUBLE) * (-0.2600355441139246) + CAST(embedding[16] AS DOUBLE) * (-1.0129882532193426) + CAST(embedding[17] AS DOUBLE) * (-1.6227835267832889) + CAST(embedding[18] AS DOUBLE) * (-0.12908990923609442) + CAST(embedding[19] AS DOUBLE) * (-0.21779878046596632) + CAST(embedding[20] AS DOUBLE) * (0.26667982053102357) + CAST(embedding[21] AS DOUBLE) * (0.27541138031975404) + CAST(embedding[22] AS DOUBLE) * (-1.3050186513030222) + CAST(embedding[23] AS DOUBLE) * (-0.7617561033214943) + CAST(embedding[24] AS DOUBLE) * (-1.1662421256928086) + CAST(embedding[25] AS DOUBLE) * (0.9333744438300192) + CAST(embedding[26] AS DOUBLE) * (-0.17358590709943209) + CAST(embedding[27] AS DOUBLE) * (0.058939725195320716) + CAST(embedding[28] AS DOUBLE) * (-0.9572998593896521) + CAST(embedding[29] AS DOUBLE) * (-1.3218914690449026) + CAST(embedding[30] AS DOUBLE) * (-0.6429267245125667) + CAST(embedding[31] AS DOUBLE) * (-0.16666669030021375) + CAST(embedding[32] AS DOUBLE) * (0.38922269236616275) + CAST(embedding[33] AS DOUBLE) * (-1.5698649077430762) + CAST(embedding[34] AS DOUBLE) * (0.2580906391925216) + CAST(embedding[35] AS DOUBLE) * (-0.9174271914240806) + CAST(embedding[36] AS DOUBLE) * (-0.5871590042364816) + CAST(embedding[37] AS DOUBLE) * (-0.3967328554866439) + CAST(embedding[38] AS DOUBLE) * (-0.4944293277464607) + CAST(embedding[39] AS DOUBLE) * (0.3836936908556341) + CAST(embedding[40] AS DOUBLE) * (0.7963452140503653) + CAST(embedding[41] AS DOUBLE) * (0.2653578014361696) + CAST(embedding[42] AS DOUBLE) * (-0.6040877453680568) + CAST(embedding[43] AS DOUBLE) * (0.34311174030663366) + CAST(embedding[44] AS DOUBLE) * (0.2998265924250336) + CAST(embedding[45] AS DOUBLE) * (0.7790426349105024) + CAST(embedding[46] AS DOUBLE) * (0.19446738261662008) + CAST(embedding[47] AS DOUBLE) * (-1.6632085503210128) + CAST(embedding[48] AS DOUBLE) * (-0.8189728069149812) + CAST(embedding[49] AS DOUBLE) * (-0.46707926266240857) + CAST(embedding[50] AS DOUBLE) * (0.8395293649822554) + CAST(embedding[51] AS DOUBLE) * (-0.20417990201901623) + CAST(embedding[52] AS DOUBLE) * (0.8278803215597093) + CAST(embedding[53] AS DOUBLE) * (0.2176122939560562) + CAST(embedding[54] AS DOUBLE) * (-1.2430574445381901) + CAST(embedding[55] AS DOUBLE) * (-0.025168925059448097) + CAST(embedding[56] AS DOUBLE) * (0.47538289273474205) + CAST(embedding[57] AS DOUBLE) * (0.3304218683244367) + CAST(embedding[58] AS DOUBLE) * (-1.5319811285805112) + CAST(embedding[59] AS DOUBLE) * (0.34938270914619535) + CAST(embedding[60] AS DOUBLE) * (-0.6493215352430751) + CAST(embedding[61] AS DOUBLE) * (-2.1497412615528795) + CAST(embedding[62] AS DOUBLE) * (-0.6315801328620507) + CAST(embedding[63] AS DOUBLE) * (-2.014360452151887) + CAST(embedding[64] AS DOUBLE) * (-1.3267366695720195)) AS d0,
+         (0.0 + CAST(embedding[1] AS DOUBLE) * (1.3493736079095395) + CAST(embedding[2] AS DOUBLE) * (2.3574281217314046) + CAST(embedding[3] AS DOUBLE) * (0.974146861617726) + CAST(embedding[4] AS DOUBLE) * (0.357087420914038) + CAST(embedding[5] AS DOUBLE) * (1.8016409257375818) + CAST(embedding[6] AS DOUBLE) * (0.26638405191451425) + CAST(embedding[7] AS DOUBLE) * (-1.0370842279937875) + CAST(embedding[8] AS DOUBLE) * (-2.4906909937084873) + CAST(embedding[9] AS DOUBLE) * (0.8254096438714261) + CAST(embedding[10] AS DOUBLE) * (-2.2943036014164484) + CAST(embedding[11] AS DOUBLE) * (-2.8931104935975456) + CAST(embedding[12] AS DOUBLE) * (-0.7156833317563337) + CAST(embedding[13] AS DOUBLE) * (-0.005708669074363964) + CAST(embedding[14] AS DOUBLE) * (-0.9217913295819) + CAST(embedding[15] AS DOUBLE) * (0.9602720655965147) + CAST(embedding[16] AS DOUBLE) * (-0.1558601247108059) + CAST(embedding[17] AS DOUBLE) * (0.1385213470528602) + CAST(embedding[18] AS DOUBLE) * (0.37233344158813425) + CAST(embedding[19] AS DOUBLE) * (-0.6466728025715587) + CAST(embedding[20] AS DOUBLE) * (0.14046778335765708) + CAST(embedding[21] AS DOUBLE) * (2.241058348597844) + CAST(embedding[22] AS DOUBLE) * (-0.9936560252826314) + CAST(embedding[23] AS DOUBLE) * (0.09924581890662353) + CAST(embedding[24] AS DOUBLE) * (0.45680624649786206) + CAST(embedding[25] AS DOUBLE) * (-0.5997515566709185) + CAST(embedding[26] AS DOUBLE) * (-0.11039093342551126) + CAST(embedding[27] AS DOUBLE) * (-1.7623232504526851) + CAST(embedding[28] AS DOUBLE) * (-0.4958115189101038) + CAST(embedding[29] AS DOUBLE) * (-0.0201379494688227) + CAST(embedding[30] AS DOUBLE) * (1.0464692871649537) + CAST(embedding[31] AS DOUBLE) * (0.8809726108343329) + CAST(embedding[32] AS DOUBLE) * (-0.6327352439223559) + CAST(embedding[33] AS DOUBLE) * (-1.1621814459462878) + CAST(embedding[34] AS DOUBLE) * (1.7625781817792587) + CAST(embedding[35] AS DOUBLE) * (0.8282498279041635) + CAST(embedding[36] AS DOUBLE) * (-1.9557748532393313) + CAST(embedding[37] AS DOUBLE) * (-0.3933080562650607) + CAST(embedding[38] AS DOUBLE) * (-0.9536681309415094) + CAST(embedding[39] AS DOUBLE) * (-0.6594392644762228) + CAST(embedding[40] AS DOUBLE) * (-1.7626492943072107) + CAST(embedding[41] AS DOUBLE) * (-0.472197460916041) + CAST(embedding[42] AS DOUBLE) * (-0.5672394944152519) + CAST(embedding[43] AS DOUBLE) * (-0.2879880583495375) + CAST(embedding[44] AS DOUBLE) * (0.9854077784688751) + CAST(embedding[45] AS DOUBLE) * (0.17319721429439905) + CAST(embedding[46] AS DOUBLE) * (-1.2644298905718279) + CAST(embedding[47] AS DOUBLE) * (-1.7804125913447617) + CAST(embedding[48] AS DOUBLE) * (-0.577718169360636) + CAST(embedding[49] AS DOUBLE) * (1.0971025606641962) + CAST(embedding[50] AS DOUBLE) * (0.8897058942385211) + CAST(embedding[51] AS DOUBLE) * (-0.6343255841530552) + CAST(embedding[52] AS DOUBLE) * (1.1120537078981618) + CAST(embedding[53] AS DOUBLE) * (0.38607355508082786) + CAST(embedding[54] AS DOUBLE) * (-0.6495553124107992) + CAST(embedding[55] AS DOUBLE) * (0.38593414967709216) + CAST(embedding[56] AS DOUBLE) * (-0.12134036219142272) + CAST(embedding[57] AS DOUBLE) * (-1.1557145875624628) + CAST(embedding[58] AS DOUBLE) * (-0.47464504737753843) + CAST(embedding[59] AS DOUBLE) * (0.12008435874037364) + CAST(embedding[60] AS DOUBLE) * (1.2772627323647865) + CAST(embedding[61] AS DOUBLE) * (-1.0743630492761616) + CAST(embedding[62] AS DOUBLE) * (0.19986415492529624) + CAST(embedding[63] AS DOUBLE) * (-0.017542016902101762) + CAST(embedding[64] AS DOUBLE) * (-0.08713110155989824)) AS d1,
+         (0.0 + CAST(embedding[1] AS DOUBLE) * (-1.2577899221671323) + CAST(embedding[2] AS DOUBLE) * (1.2238452093167131) + CAST(embedding[3] AS DOUBLE) * (1.263096024693588) + CAST(embedding[4] AS DOUBLE) * (1.5637409056484606) + CAST(embedding[5] AS DOUBLE) * (0.4346549890366623) + CAST(embedding[6] AS DOUBLE) * (1.4481024662776967) + CAST(embedding[7] AS DOUBLE) * (0.507100012249707) + CAST(embedding[8] AS DOUBLE) * (0.9675054979514186) + CAST(embedding[9] AS DOUBLE) * (-0.3651744157515609) + CAST(embedding[10] AS DOUBLE) * (0.19320234038107062) + CAST(embedding[11] AS DOUBLE) * (-0.3561747033097989) + CAST(embedding[12] AS DOUBLE) * (-1.0870443640097944) + CAST(embedding[13] AS DOUBLE) * (-0.465399551284373) + CAST(embedding[14] AS DOUBLE) * (-1.1544247120052649) + CAST(embedding[15] AS DOUBLE) * (-1.1476073231678856) + CAST(embedding[16] AS DOUBLE) * (-0.42027133190649063) + CAST(embedding[17] AS DOUBLE) * (-0.6330853856097824) + CAST(embedding[18] AS DOUBLE) * (2.0444062851033893) + CAST(embedding[19] AS DOUBLE) * (1.7516585550837993) + CAST(embedding[20] AS DOUBLE) * (1.056693813220963) + CAST(embedding[21] AS DOUBLE) * (0.7676403805488081) + CAST(embedding[22] AS DOUBLE) * (-0.8878444326095933) + CAST(embedding[23] AS DOUBLE) * (0.25208493059671166) + CAST(embedding[24] AS DOUBLE) * (-1.4745464839005809) + CAST(embedding[25] AS DOUBLE) * (-0.6559112954973413) + CAST(embedding[26] AS DOUBLE) * (-0.5092626329019135) + CAST(embedding[27] AS DOUBLE) * (-0.3929214550556583) + CAST(embedding[28] AS DOUBLE) * (0.8398049213708733) + CAST(embedding[29] AS DOUBLE) * (-0.8159739708198376) + CAST(embedding[30] AS DOUBLE) * (2.399401534052994) + CAST(embedding[31] AS DOUBLE) * (-0.537288680108295) + CAST(embedding[32] AS DOUBLE) * (0.8318037860239111) + CAST(embedding[33] AS DOUBLE) * (-1.6112314486636563) + CAST(embedding[34] AS DOUBLE) * (0.8915986994252159) + CAST(embedding[35] AS DOUBLE) * (-1.2579555057468832) + CAST(embedding[36] AS DOUBLE) * (0.17694713662863804) + CAST(embedding[37] AS DOUBLE) * (-0.027799675848140755) + CAST(embedding[38] AS DOUBLE) * (0.806772028799457) + CAST(embedding[39] AS DOUBLE) * (0.5931122307963466) + CAST(embedding[40] AS DOUBLE) * (0.3716502220952085) + CAST(embedding[41] AS DOUBLE) * (-0.17044108877256595) + CAST(embedding[42] AS DOUBLE) * (1.9482546830194398) + CAST(embedding[43] AS DOUBLE) * (-0.4836175932225871) + CAST(embedding[44] AS DOUBLE) * (-0.0075057864212346405) + CAST(embedding[45] AS DOUBLE) * (-0.49385748676794844) + CAST(embedding[46] AS DOUBLE) * (0.11783361787735049) + CAST(embedding[47] AS DOUBLE) * (-0.9887567934156685) + CAST(embedding[48] AS DOUBLE) * (-0.4354688770225977) + CAST(embedding[49] AS DOUBLE) * (0.48738439368472414) + CAST(embedding[50] AS DOUBLE) * (-0.602248233707375) + CAST(embedding[51] AS DOUBLE) * (0.4466700731791106) + CAST(embedding[52] AS DOUBLE) * (-0.6078380273189347) + CAST(embedding[53] AS DOUBLE) * (1.4097234509113148) + CAST(embedding[54] AS DOUBLE) * (-0.1546127976471008) + CAST(embedding[55] AS DOUBLE) * (1.749526258188258) + CAST(embedding[56] AS DOUBLE) * (0.4807392105214751) + CAST(embedding[57] AS DOUBLE) * (-0.15217871610095032) + CAST(embedding[58] AS DOUBLE) * (0.9361867677371898) + CAST(embedding[59] AS DOUBLE) * (1.1532396953425783) + CAST(embedding[60] AS DOUBLE) * (1.5176908046780375) + CAST(embedding[61] AS DOUBLE) * (1.3803800500086394) + CAST(embedding[62] AS DOUBLE) * (0.8805727241350567) + CAST(embedding[63] AS DOUBLE) * (-1.1960999758221535) + CAST(embedding[64] AS DOUBLE) * (0.9190929105729782)) AS d2,
+         (0.0 + CAST(embedding[1] AS DOUBLE) * (-0.10792485825603078) + CAST(embedding[2] AS DOUBLE) * (0.3890662859329336) + CAST(embedding[3] AS DOUBLE) * (1.25611361970282) + CAST(embedding[4] AS DOUBLE) * (-0.7410543634213287) + CAST(embedding[5] AS DOUBLE) * (1.3219520960862796) + CAST(embedding[6] AS DOUBLE) * (2.393301535353535) + CAST(embedding[7] AS DOUBLE) * (0.5400220323247202) + CAST(embedding[8] AS DOUBLE) * (-0.3341185904146626) + CAST(embedding[9] AS DOUBLE) * (1.3642857310773209) + CAST(embedding[10] AS DOUBLE) * (0.16451609607500065) + CAST(embedding[11] AS DOUBLE) * (1.040910589547841) + CAST(embedding[12] AS DOUBLE) * (1.2446772140820774) + CAST(embedding[13] AS DOUBLE) * (-1.541449720077563) + CAST(embedding[14] AS DOUBLE) * (0.30534870637785144) + CAST(embedding[15] AS DOUBLE) * (-1.5538648135614217) + CAST(embedding[16] AS DOUBLE) * (-0.7287070272880077) + CAST(embedding[17] AS DOUBLE) * (0.5912253194840534) + CAST(embedding[18] AS DOUBLE) * (-1.223766592640582) + CAST(embedding[19] AS DOUBLE) * (-0.7469985407047881) + CAST(embedding[20] AS DOUBLE) * (-0.48331609778728823) + CAST(embedding[21] AS DOUBLE) * (0.29323698553435634) + CAST(embedding[22] AS DOUBLE) * (0.32880305059786946) + CAST(embedding[23] AS DOUBLE) * (0.42292750142841234) + CAST(embedding[24] AS DOUBLE) * (-0.5316968847836061) + CAST(embedding[25] AS DOUBLE) * (-0.7815327894493503) + CAST(embedding[26] AS DOUBLE) * (0.3885821285897724) + CAST(embedding[27] AS DOUBLE) * (-0.9019256859772758) + CAST(embedding[28] AS DOUBLE) * (-0.8431287655483993) + CAST(embedding[29] AS DOUBLE) * (0.6772483102750041) + CAST(embedding[30] AS DOUBLE) * (-0.8287843545557869) + CAST(embedding[31] AS DOUBLE) * (-0.9384932157294542) + CAST(embedding[32] AS DOUBLE) * (1.1071798435579583) + CAST(embedding[33] AS DOUBLE) * (-0.07440455496353912) + CAST(embedding[34] AS DOUBLE) * (-2.2775948085229505) + CAST(embedding[35] AS DOUBLE) * (-0.79017412740223) + CAST(embedding[36] AS DOUBLE) * (1.930574431303024) + CAST(embedding[37] AS DOUBLE) * (2.8226402963339505) + CAST(embedding[38] AS DOUBLE) * (-0.3307794847808993) + CAST(embedding[39] AS DOUBLE) * (0.6730651408558647) + CAST(embedding[40] AS DOUBLE) * (0.7095176547927833) + CAST(embedding[41] AS DOUBLE) * (0.28316427614264444) + CAST(embedding[42] AS DOUBLE) * (-1.864358022953004) + CAST(embedding[43] AS DOUBLE) * (0.9718854661777622) + CAST(embedding[44] AS DOUBLE) * (0.24638743285914722) + CAST(embedding[45] AS DOUBLE) * (-0.27244905984874274) + CAST(embedding[46] AS DOUBLE) * (-1.66304355295086) + CAST(embedding[47] AS DOUBLE) * (-0.6709920247726548) + CAST(embedding[48] AS DOUBLE) * (-0.1503908533056657) + CAST(embedding[49] AS DOUBLE) * (-0.28949208451087605) + CAST(embedding[50] AS DOUBLE) * (0.19196836969485986) + CAST(embedding[51] AS DOUBLE) * (-0.4235170800033746) + CAST(embedding[52] AS DOUBLE) * (0.9672949728957527) + CAST(embedding[53] AS DOUBLE) * (0.590253985117911) + CAST(embedding[54] AS DOUBLE) * (-1.1964754181940807) + CAST(embedding[55] AS DOUBLE) * (-0.6452014455967686) + CAST(embedding[56] AS DOUBLE) * (0.38505006237926204) + CAST(embedding[57] AS DOUBLE) * (-0.5943814896782081) + CAST(embedding[58] AS DOUBLE) * (1.3669637123527583) + CAST(embedding[59] AS DOUBLE) * (-0.5807502167189974) + CAST(embedding[60] AS DOUBLE) * (0.20719471705297313) + CAST(embedding[61] AS DOUBLE) * (0.570329499551438) + CAST(embedding[62] AS DOUBLE) * (-1.1785388641264671) + CAST(embedding[63] AS DOUBLE) * (1.2141881064610243) + CAST(embedding[64] AS DOUBLE) * (-0.25129379946410557)) AS d3,
+         (0.0 + CAST(embedding[1] AS DOUBLE) * (-0.7560079060022217) + CAST(embedding[2] AS DOUBLE) * (-0.7378716810667721) + CAST(embedding[3] AS DOUBLE) * (-1.742103590024213) + CAST(embedding[4] AS DOUBLE) * (-1.4098247094809109) + CAST(embedding[5] AS DOUBLE) * (1.4606447943546157) + CAST(embedding[6] AS DOUBLE) * (-0.17250578728386445) + CAST(embedding[7] AS DOUBLE) * (-0.3257948499277712) + CAST(embedding[8] AS DOUBLE) * (0.15270946996446674) + CAST(embedding[9] AS DOUBLE) * (0.5350676819345033) + CAST(embedding[10] AS DOUBLE) * (-0.8408099477723523) + CAST(embedding[11] AS DOUBLE) * (-0.25358510438853565) + CAST(embedding[12] AS DOUBLE) * (0.23089693522171328) + CAST(embedding[13] AS DOUBLE) * (0.9723717677086743) + CAST(embedding[14] AS DOUBLE) * (0.21176691849489224) + CAST(embedding[15] AS DOUBLE) * (1.622072076161329) + CAST(embedding[16] AS DOUBLE) * (-0.259737305653496) + CAST(embedding[17] AS DOUBLE) * (-0.3803284367555525) + CAST(embedding[18] AS DOUBLE) * (-1.4364123113950473) + CAST(embedding[19] AS DOUBLE) * (-0.08705007687666258) + CAST(embedding[20] AS DOUBLE) * (0.6015317838054497) + CAST(embedding[21] AS DOUBLE) * (-0.29001595831040544) + CAST(embedding[22] AS DOUBLE) * (-0.2173328068914763) + CAST(embedding[23] AS DOUBLE) * (-1.0226848930297348) + CAST(embedding[24] AS DOUBLE) * (-0.631809466748631) + CAST(embedding[25] AS DOUBLE) * (-0.49060269685145164) + CAST(embedding[26] AS DOUBLE) * (-0.1342081390565126) + CAST(embedding[27] AS DOUBLE) * (1.0316457343628445) + CAST(embedding[28] AS DOUBLE) * (0.46658264248356673) + CAST(embedding[29] AS DOUBLE) * (0.8737551066402791) + CAST(embedding[30] AS DOUBLE) * (1.1348800686150466) + CAST(embedding[31] AS DOUBLE) * (-0.5087715850370743) + CAST(embedding[32] AS DOUBLE) * (1.296037404449276) + CAST(embedding[33] AS DOUBLE) * (0.0018052562936504235) + CAST(embedding[34] AS DOUBLE) * (-1.36565838460654) + CAST(embedding[35] AS DOUBLE) * (-0.6500127193478521) + CAST(embedding[36] AS DOUBLE) * (-0.13071091507238033) + CAST(embedding[37] AS DOUBLE) * (-1.5837538403030738) + CAST(embedding[38] AS DOUBLE) * (2.2628369079538735) + CAST(embedding[39] AS DOUBLE) * (-0.09521879011087905) + CAST(embedding[40] AS DOUBLE) * (0.8124042003523465) + CAST(embedding[41] AS DOUBLE) * (-1.255509101479582) + CAST(embedding[42] AS DOUBLE) * (0.0530108005322944) + CAST(embedding[43] AS DOUBLE) * (0.21182726651582146) + CAST(embedding[44] AS DOUBLE) * (-0.8092799626437538) + CAST(embedding[45] AS DOUBLE) * (0.20626903737753405) + CAST(embedding[46] AS DOUBLE) * (-0.04907170187196181) + CAST(embedding[47] AS DOUBLE) * (0.3258436076148109) + CAST(embedding[48] AS DOUBLE) * (-1.2571816902337878) + CAST(embedding[49] AS DOUBLE) * (0.4688023114122624) + CAST(embedding[50] AS DOUBLE) * (-0.33539208585959696) + CAST(embedding[51] AS DOUBLE) * (-0.9039221037915418) + CAST(embedding[52] AS DOUBLE) * (-2.2507551654725955) + CAST(embedding[53] AS DOUBLE) * (-0.24311613959906464) + CAST(embedding[54] AS DOUBLE) * (-0.4234778923387934) + CAST(embedding[55] AS DOUBLE) * (2.3241261682014445) + CAST(embedding[56] AS DOUBLE) * (-1.2599687399625334) + CAST(embedding[57] AS DOUBLE) * (1.437920339605771) + CAST(embedding[58] AS DOUBLE) * (1.2018382309577607) + CAST(embedding[59] AS DOUBLE) * (0.3616923881852431) + CAST(embedding[60] AS DOUBLE) * (0.19685995196008332) + CAST(embedding[61] AS DOUBLE) * (0.44871021855705817) + CAST(embedding[62] AS DOUBLE) * (-1.5310097755490863) + CAST(embedding[63] AS DOUBLE) * (1.3629990284110212) + CAST(embedding[64] AS DOUBLE) * (-0.37575527691480226)) AS d4,
+         (0.0 + CAST(embedding[1] AS DOUBLE) * (-0.7947778644467747) + CAST(embedding[2] AS DOUBLE) * (-0.05852227728787731) + CAST(embedding[3] AS DOUBLE) * (-2.8045415901619384) + CAST(embedding[4] AS DOUBLE) * (-1.3817059570353538) + CAST(embedding[5] AS DOUBLE) * (-1.234285363554774) + CAST(embedding[6] AS DOUBLE) * (-1.6260875570033846) + CAST(embedding[7] AS DOUBLE) * (0.5283780595294192) + CAST(embedding[8] AS DOUBLE) * (1.541627876647064) + CAST(embedding[9] AS DOUBLE) * (-0.04380232236531185) + CAST(embedding[10] AS DOUBLE) * (-0.3808693638733885) + CAST(embedding[11] AS DOUBLE) * (0.26569696955107225) + CAST(embedding[12] AS DOUBLE) * (-0.5628030454699816) + CAST(embedding[13] AS DOUBLE) * (0.07242262333062274) + CAST(embedding[14] AS DOUBLE) * (0.34797569121261673) + CAST(embedding[15] AS DOUBLE) * (-0.28899664155805754) + CAST(embedding[16] AS DOUBLE) * (-0.47273353990752054) + CAST(embedding[17] AS DOUBLE) * (0.008928680217665505) + CAST(embedding[18] AS DOUBLE) * (-0.0013740579127432837) + CAST(embedding[19] AS DOUBLE) * (0.6161441992327087) + CAST(embedding[20] AS DOUBLE) * (-1.5708830259208595) + CAST(embedding[21] AS DOUBLE) * (-1.181197430345938) + CAST(embedding[22] AS DOUBLE) * (-0.5494965129653983) + CAST(embedding[23] AS DOUBLE) * (0.4223235129329929) + CAST(embedding[24] AS DOUBLE) * (-1.3582479165312398) + CAST(embedding[25] AS DOUBLE) * (1.1434705589262233) + CAST(embedding[26] AS DOUBLE) * (1.3711530838883825) + CAST(embedding[27] AS DOUBLE) * (-0.8041058814045516) + CAST(embedding[28] AS DOUBLE) * (1.0518710262188335) + CAST(embedding[29] AS DOUBLE) * (-2.1584687113921723) + CAST(embedding[30] AS DOUBLE) * (-0.1689834391167954) + CAST(embedding[31] AS DOUBLE) * (-1.6827624623764945) + CAST(embedding[32] AS DOUBLE) * (1.004328081148524) + CAST(embedding[33] AS DOUBLE) * (0.7737494782789223) + CAST(embedding[34] AS DOUBLE) * (0.43687846229075655) + CAST(embedding[35] AS DOUBLE) * (-0.658512441565811) + CAST(embedding[36] AS DOUBLE) * (-1.2081362876944632) + CAST(embedding[37] AS DOUBLE) * (0.33760528864078715) + CAST(embedding[38] AS DOUBLE) * (-0.5934512271284091) + CAST(embedding[39] AS DOUBLE) * (0.5951157345614863) + CAST(embedding[40] AS DOUBLE) * (-1.679699071166524) + CAST(embedding[41] AS DOUBLE) * (0.34202596439694716) + CAST(embedding[42] AS DOUBLE) * (0.42926377823421663) + CAST(embedding[43] AS DOUBLE) * (-2.3607228054565166) + CAST(embedding[44] AS DOUBLE) * (-1.3620562678720927) + CAST(embedding[45] AS DOUBLE) * (-0.7983500770069416) + CAST(embedding[46] AS DOUBLE) * (-0.6926084979201165) + CAST(embedding[47] AS DOUBLE) * (-1.8194963117993583) + CAST(embedding[48] AS DOUBLE) * (-0.07854544950212143) + CAST(embedding[49] AS DOUBLE) * (-1.2284275858154199) + CAST(embedding[50] AS DOUBLE) * (-0.17315255289660084) + CAST(embedding[51] AS DOUBLE) * (-1.9322142868596925) + CAST(embedding[52] AS DOUBLE) * (-1.2829044054762906) + CAST(embedding[53] AS DOUBLE) * (0.5952853448404123) + CAST(embedding[54] AS DOUBLE) * (-1.8166389063657566) + CAST(embedding[55] AS DOUBLE) * (-0.13762472518828797) + CAST(embedding[56] AS DOUBLE) * (1.346990270951265) + CAST(embedding[57] AS DOUBLE) * (0.705411932804584) + CAST(embedding[58] AS DOUBLE) * (-1.426605036010627) + CAST(embedding[59] AS DOUBLE) * (2.120494170569089) + CAST(embedding[60] AS DOUBLE) * (-0.6623332053082052) + CAST(embedding[61] AS DOUBLE) * (0.8284020450783798) + CAST(embedding[62] AS DOUBLE) * (0.8562258373216443) + CAST(embedding[63] AS DOUBLE) * (-0.42454557593913733) + CAST(embedding[64] AS DOUBLE) * (0.5281384850286454)) AS d5,
+         (0.0 + CAST(embedding[1] AS DOUBLE) * (-2.867178892919951) + CAST(embedding[2] AS DOUBLE) * (-0.014412160718381457) + CAST(embedding[3] AS DOUBLE) * (0.05234612813163368) + CAST(embedding[4] AS DOUBLE) * (-0.4539318170208948) + CAST(embedding[5] AS DOUBLE) * (0.013701766992264827) + CAST(embedding[6] AS DOUBLE) * (0.9606269994654866) + CAST(embedding[7] AS DOUBLE) * (0.8327750862020745) + CAST(embedding[8] AS DOUBLE) * (-0.7328008429279502) + CAST(embedding[9] AS DOUBLE) * (0.6805314377419137) + CAST(embedding[10] AS DOUBLE) * (1.065252544549058) + CAST(embedding[11] AS DOUBLE) * (0.0048729387265171184) + CAST(embedding[12] AS DOUBLE) * (0.2795742562054778) + CAST(embedding[13] AS DOUBLE) * (-2.5594752096923545) + CAST(embedding[14] AS DOUBLE) * (-1.6851241814078173) + CAST(embedding[15] AS DOUBLE) * (0.26466288962501844) + CAST(embedding[16] AS DOUBLE) * (-1.6109355687952482) + CAST(embedding[17] AS DOUBLE) * (0.7376584319939369) + CAST(embedding[18] AS DOUBLE) * (1.051484392930078) + CAST(embedding[19] AS DOUBLE) * (-1.1004340464023763) + CAST(embedding[20] AS DOUBLE) * (-1.279068917041472) + CAST(embedding[21] AS DOUBLE) * (-0.31261795810011056) + CAST(embedding[22] AS DOUBLE) * (0.10877375391194066) + CAST(embedding[23] AS DOUBLE) * (0.7059803345572462) + CAST(embedding[24] AS DOUBLE) * (-0.3447156772701103) + CAST(embedding[25] AS DOUBLE) * (-0.08120720538357118) + CAST(embedding[26] AS DOUBLE) * (-1.1141969123870266) + CAST(embedding[27] AS DOUBLE) * (0.1655998241668755) + CAST(embedding[28] AS DOUBLE) * (-0.8926007260578619) + CAST(embedding[29] AS DOUBLE) * (0.8836023148699121) + CAST(embedding[30] AS DOUBLE) * (0.5801154661864193) + CAST(embedding[31] AS DOUBLE) * (-1.759705839340602) + CAST(embedding[32] AS DOUBLE) * (0.2221101930249379) + CAST(embedding[33] AS DOUBLE) * (-1.2190700721734948) + CAST(embedding[34] AS DOUBLE) * (0.8424955329791077) + CAST(embedding[35] AS DOUBLE) * (-1.1579934780764047) + CAST(embedding[36] AS DOUBLE) * (1.139089755685921) + CAST(embedding[37] AS DOUBLE) * (0.9439159185507873) + CAST(embedding[38] AS DOUBLE) * (1.8304775554308583) + CAST(embedding[39] AS DOUBLE) * (0.20583113624178975) + CAST(embedding[40] AS DOUBLE) * (-0.07499538209307) + CAST(embedding[41] AS DOUBLE) * (1.0925066694797367) + CAST(embedding[42] AS DOUBLE) * (-1.3480225719696288) + CAST(embedding[43] AS DOUBLE) * (-0.16584562030131741) + CAST(embedding[44] AS DOUBLE) * (-0.44313981341190406) + CAST(embedding[45] AS DOUBLE) * (-0.1847504751802749) + CAST(embedding[46] AS DOUBLE) * (-1.7087477710841579) + CAST(embedding[47] AS DOUBLE) * (-1.8059707894328) + CAST(embedding[48] AS DOUBLE) * (-1.835201970038044) + CAST(embedding[49] AS DOUBLE) * (1.339074565462185) + CAST(embedding[50] AS DOUBLE) * (-0.4636362240881753) + CAST(embedding[51] AS DOUBLE) * (0.49650648104102196) + CAST(embedding[52] AS DOUBLE) * (-0.2528953507577495) + CAST(embedding[53] AS DOUBLE) * (-0.36709714971435986) + CAST(embedding[54] AS DOUBLE) * (1.1724477771919464) + CAST(embedding[55] AS DOUBLE) * (-2.446486246367169) + CAST(embedding[56] AS DOUBLE) * (-0.3509582401849051) + CAST(embedding[57] AS DOUBLE) * (-0.9154003343631736) + CAST(embedding[58] AS DOUBLE) * (-1.050769234423314) + CAST(embedding[59] AS DOUBLE) * (-1.7456655979827571) + CAST(embedding[60] AS DOUBLE) * (-1.6657081932238365) + CAST(embedding[61] AS DOUBLE) * (-1.3293466137499275) + CAST(embedding[62] AS DOUBLE) * (0.9605050948599068) + CAST(embedding[63] AS DOUBLE) * (-0.8203851403567584) + CAST(embedding[64] AS DOUBLE) * (-0.5972739542453126)) AS d6,
+         (0.0 + CAST(embedding[1] AS DOUBLE) * (-0.3065241704037289) + CAST(embedding[2] AS DOUBLE) * (0.4896361685534745) + CAST(embedding[3] AS DOUBLE) * (0.902841462015473) + CAST(embedding[4] AS DOUBLE) * (0.06196851579279813) + CAST(embedding[5] AS DOUBLE) * (-0.1277036103461595) + CAST(embedding[6] AS DOUBLE) * (0.3912936543923712) + CAST(embedding[7] AS DOUBLE) * (-0.9258198733492586) + CAST(embedding[8] AS DOUBLE) * (0.08470690411887269) + CAST(embedding[9] AS DOUBLE) * (1.5566867966361193) + CAST(embedding[10] AS DOUBLE) * (-0.7808313528887589) + CAST(embedding[11] AS DOUBLE) * (-0.9854699391548791) + CAST(embedding[12] AS DOUBLE) * (-1.6683336560385666) + CAST(embedding[13] AS DOUBLE) * (-0.07676378939745575) + CAST(embedding[14] AS DOUBLE) * (0.49125802572320415) + CAST(embedding[15] AS DOUBLE) * (-0.5544581959512096) + CAST(embedding[16] AS DOUBLE) * (-0.45690176428784984) + CAST(embedding[17] AS DOUBLE) * (1.0473897506741645) + CAST(embedding[18] AS DOUBLE) * (-0.09867944161778038) + CAST(embedding[19] AS DOUBLE) * (0.5668522899972447) + CAST(embedding[20] AS DOUBLE) * (-0.4926806964875525) + CAST(embedding[21] AS DOUBLE) * (1.1678215007051747) + CAST(embedding[22] AS DOUBLE) * (0.7800953667303611) + CAST(embedding[23] AS DOUBLE) * (-0.27005431883325964) + CAST(embedding[24] AS DOUBLE) * (-0.7201201782050053) + CAST(embedding[25] AS DOUBLE) * (2.4101526094836845) + CAST(embedding[26] AS DOUBLE) * (-1.1938702258857508) + CAST(embedding[27] AS DOUBLE) * (-1.0837671518955354) + CAST(embedding[28] AS DOUBLE) * (-2.605430611221645) + CAST(embedding[29] AS DOUBLE) * (0.5631159272889905) + CAST(embedding[30] AS DOUBLE) * (-0.05979369278736619) + CAST(embedding[31] AS DOUBLE) * (-0.20377928571933876) + CAST(embedding[32] AS DOUBLE) * (-1.642884187312021) + CAST(embedding[33] AS DOUBLE) * (-0.10347895122531219) + CAST(embedding[34] AS DOUBLE) * (-0.9049566453366972) + CAST(embedding[35] AS DOUBLE) * (-1.2828102907396286) + CAST(embedding[36] AS DOUBLE) * (-0.3580340226410346) + CAST(embedding[37] AS DOUBLE) * (0.19100384998267478) + CAST(embedding[38] AS DOUBLE) * (-0.2630523883776923) + CAST(embedding[39] AS DOUBLE) * (-0.615741925059664) + CAST(embedding[40] AS DOUBLE) * (0.614134732768068) + CAST(embedding[41] AS DOUBLE) * (0.1285628495320423) + CAST(embedding[42] AS DOUBLE) * (-0.48111949365043144) + CAST(embedding[43] AS DOUBLE) * (0.4585404724321882) + CAST(embedding[44] AS DOUBLE) * (0.1872047376906648) + CAST(embedding[45] AS DOUBLE) * (0.797192492326439) + CAST(embedding[46] AS DOUBLE) * (0.7120455700242393) + CAST(embedding[47] AS DOUBLE) * (0.6225385345312664) + CAST(embedding[48] AS DOUBLE) * (-0.6999147038257569) + CAST(embedding[49] AS DOUBLE) * (1.1982937931859536) + CAST(embedding[50] AS DOUBLE) * (0.8838890781065778) + CAST(embedding[51] AS DOUBLE) * (-0.6459344655986408) + CAST(embedding[52] AS DOUBLE) * (1.1296765027760798) + CAST(embedding[53] AS DOUBLE) * (-0.01645034361594869) + CAST(embedding[54] AS DOUBLE) * (-1.1031497528717316) + CAST(embedding[55] AS DOUBLE) * (-0.14576797065044073) + CAST(embedding[56] AS DOUBLE) * (-1.3826115321466308) + CAST(embedding[57] AS DOUBLE) * (1.0117615755188765) + CAST(embedding[58] AS DOUBLE) * (-1.3602385683642157) + CAST(embedding[59] AS DOUBLE) * (1.3472380540651037) + CAST(embedding[60] AS DOUBLE) * (-0.9633846161181444) + CAST(embedding[61] AS DOUBLE) * (-0.2383014785117158) + CAST(embedding[62] AS DOUBLE) * (1.1610250601941312) + CAST(embedding[63] AS DOUBLE) * (0.24445652009324711) + CAST(embedding[64] AS DOUBLE) * (-1.7353167618425036)) AS d7,
+         (0.0 + CAST(embedding[1] AS DOUBLE)*CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)*CAST(embedding[2] AS DOUBLE) + CAST(embedding[3] AS DOUBLE)*CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE)*CAST(embedding[4] AS DOUBLE) + CAST(embedding[5] AS DOUBLE)*CAST(embedding[5] AS DOUBLE) + CAST(embedding[6] AS DOUBLE)*CAST(embedding[6] AS DOUBLE) + CAST(embedding[7] AS DOUBLE)*CAST(embedding[7] AS DOUBLE) + CAST(embedding[8] AS DOUBLE)*CAST(embedding[8] AS DOUBLE) + CAST(embedding[9] AS DOUBLE)*CAST(embedding[9] AS DOUBLE) + CAST(embedding[10] AS DOUBLE)*CAST(embedding[10] AS DOUBLE) + CAST(embedding[11] AS DOUBLE)*CAST(embedding[11] AS DOUBLE) + CAST(embedding[12] AS DOUBLE)*CAST(embedding[12] AS DOUBLE) + CAST(embedding[13] AS DOUBLE)*CAST(embedding[13] AS DOUBLE) + CAST(embedding[14] AS DOUBLE)*CAST(embedding[14] AS DOUBLE) + CAST(embedding[15] AS DOUBLE)*CAST(embedding[15] AS DOUBLE) + CAST(embedding[16] AS DOUBLE)*CAST(embedding[16] AS DOUBLE) + CAST(embedding[17] AS DOUBLE)*CAST(embedding[17] AS DOUBLE) + CAST(embedding[18] AS DOUBLE)*CAST(embedding[18] AS DOUBLE) + CAST(embedding[19] AS DOUBLE)*CAST(embedding[19] AS DOUBLE) + CAST(embedding[20] AS DOUBLE)*CAST(embedding[20] AS DOUBLE) + CAST(embedding[21] AS DOUBLE)*CAST(embedding[21] AS DOUBLE) + CAST(embedding[22] AS DOUBLE)*CAST(embedding[22] AS DOUBLE) + CAST(embedding[23] AS DOUBLE)*CAST(embedding[23] AS DOUBLE) + CAST(embedding[24] AS DOUBLE)*CAST(embedding[24] AS DOUBLE) + CAST(embedding[25] AS DOUBLE)*CAST(embedding[25] AS DOUBLE) + CAST(embedding[26] AS DOUBLE)*CAST(embedding[26] AS DOUBLE) + CAST(embedding[27] AS DOUBLE)*CAST(embedding[27] AS DOUBLE) + CAST(embedding[28] AS DOUBLE)*CAST(embedding[28] AS DOUBLE) + CAST(embedding[29] AS DOUBLE)*CAST(embedding[29] AS DOUBLE) + CAST(embedding[30] AS DOUBLE)*CAST(embedding[30] AS DOUBLE) + CAST(embedding[31] AS DOUBLE)*CAST(embedding[31] AS DOUBLE) + CAST(embedding[32] AS DOUBLE)*CAST(embedding[32] AS DOUBLE) + CAST(embedding[33] AS DOUBLE)*CAST(embedding[33] AS DOUBLE) + CAST(embedding[34] AS DOUBLE)*CAST(embedding[34] AS DOUBLE) + CAST(embedding[35] AS DOUBLE)*CAST(embedding[35] AS DOUBLE) + CAST(embedding[36] AS DOUBLE)*CAST(embedding[36] AS DOUBLE) + CAST(embedding[37] AS DOUBLE)*CAST(embedding[37] AS DOUBLE) + CAST(embedding[38] AS DOUBLE)*CAST(embedding[38] AS DOUBLE) + CAST(embedding[39] AS DOUBLE)*CAST(embedding[39] AS DOUBLE) + CAST(embedding[40] AS DOUBLE)*CAST(embedding[40] AS DOUBLE) + CAST(embedding[41] AS DOUBLE)*CAST(embedding[41] AS DOUBLE) + CAST(embedding[42] AS DOUBLE)*CAST(embedding[42] AS DOUBLE) + CAST(embedding[43] AS DOUBLE)*CAST(embedding[43] AS DOUBLE) + CAST(embedding[44] AS DOUBLE)*CAST(embedding[44] AS DOUBLE) + CAST(embedding[45] AS DOUBLE)*CAST(embedding[45] AS DOUBLE) + CAST(embedding[46] AS DOUBLE)*CAST(embedding[46] AS DOUBLE) + CAST(embedding[47] AS DOUBLE)*CAST(embedding[47] AS DOUBLE) + CAST(embedding[48] AS DOUBLE)*CAST(embedding[48] AS DOUBLE) + CAST(embedding[49] AS DOUBLE)*CAST(embedding[49] AS DOUBLE) + CAST(embedding[50] AS DOUBLE)*CAST(embedding[50] AS DOUBLE) + CAST(embedding[51] AS DOUBLE)*CAST(embedding[51] AS DOUBLE) + CAST(embedding[52] AS DOUBLE)*CAST(embedding[52] AS DOUBLE) + CAST(embedding[53] AS DOUBLE)*CAST(embedding[53] AS DOUBLE) + CAST(embedding[54] AS DOUBLE)*CAST(embedding[54] AS DOUBLE) + CAST(embedding[55] AS DOUBLE)*CAST(embedding[55] AS DOUBLE) + CAST(embedding[56] AS DOUBLE)*CAST(embedding[56] AS DOUBLE) + CAST(embedding[57] AS DOUBLE)*CAST(embedding[57] AS DOUBLE) + CAST(embedding[58] AS DOUBLE)*CAST(embedding[58] AS DOUBLE) + CAST(embedding[59] AS DOUBLE)*CAST(embedding[59] AS DOUBLE) + CAST(embedding[60] AS DOUBLE)*CAST(embedding[60] AS DOUBLE) + CAST(embedding[61] AS DOUBLE)*CAST(embedding[61] AS DOUBLE) + CAST(embedding[62] AS DOUBLE)*CAST(embedding[62] AS DOUBLE) + CAST(embedding[63] AS DOUBLE)*CAST(embedding[63] AS DOUBLE) + CAST(embedding[64] AS DOUBLE)*CAST(embedding[64] AS DOUBLE)) AS nrm2
+  FROM embeddings),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_vec, sqrt(nrm2) AS c_norm,
+         CASE WHEN d0 >= d1 AND d0 >= d2 AND d0 >= d3 AND d0 >= d4 AND d0 >= d5 AND d0 >= d6 AND d0 >= d7 THEN 0 WHEN d1 >= d0 AND d1 >= d2 AND d1 >= d3 AND d1 >= d4 AND d1 >= d5 AND d1 >= d6 AND d1 >= d7 THEN 1 WHEN d2 >= d0 AND d2 >= d1 AND d2 >= d3 AND d2 >= d4 AND d2 >= d5 AND d2 >= d6 AND d2 >= d7 THEN 2 WHEN d3 >= d0 AND d3 >= d1 AND d3 >= d2 AND d3 >= d4 AND d3 >= d5 AND d3 >= d6 AND d3 >= d7 THEN 3 WHEN d4 >= d0 AND d4 >= d1 AND d4 >= d2 AND d4 >= d3 AND d4 >= d5 AND d4 >= d6 AND d4 >= d7 THEN 4 WHEN d5 >= d0 AND d5 >= d1 AND d5 >= d2 AND d5 >= d3 AND d5 >= d4 AND d5 >= d6 AND d5 >= d7 THEN 5 WHEN d6 >= d0 AND d6 >= d1 AND d6 >= d2 AND d6 >= d3 AND d6 >= d4 AND d6 >= d5 AND d6 >= d7 THEN 6 ELSE 7 END AS list_id
+  FROM base),
+qd AS (SELECT * FROM base WHERE vec_id < 10),
+qs AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, sqrt(nrm2) AS q_norm,
+         i AS list_id, CASE i WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2 WHEN 3 THEN d3 WHEN 4 THEN d4 WHEN 5 THEN d5 WHEN 6 THEN d6 WHEN 7 THEN d7 END AS cd
+  FROM qd CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS i)),
+probes AS (
+  SELECT q_id, q_vec, q_norm, list_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cd DESC, list_id) AS pr FROM qs)
+  WHERE pr <= 4),
+scored AS (
+  SELECT q_id, neighbor_id,
+         (0.0 + CAST(q_vec[1] AS DOUBLE)*CAST(c_vec[1] AS DOUBLE) + CAST(q_vec[2] AS DOUBLE)*CAST(c_vec[2] AS DOUBLE) + CAST(q_vec[3] AS DOUBLE)*CAST(c_vec[3] AS DOUBLE) + CAST(q_vec[4] AS DOUBLE)*CAST(c_vec[4] AS DOUBLE) + CAST(q_vec[5] AS DOUBLE)*CAST(c_vec[5] AS DOUBLE) + CAST(q_vec[6] AS DOUBLE)*CAST(c_vec[6] AS DOUBLE) + CAST(q_vec[7] AS DOUBLE)*CAST(c_vec[7] AS DOUBLE) + CAST(q_vec[8] AS DOUBLE)*CAST(c_vec[8] AS DOUBLE) + CAST(q_vec[9] AS DOUBLE)*CAST(c_vec[9] AS DOUBLE) + CAST(q_vec[10] AS DOUBLE)*CAST(c_vec[10] AS DOUBLE) + CAST(q_vec[11] AS DOUBLE)*CAST(c_vec[11] AS DOUBLE) + CAST(q_vec[12] AS DOUBLE)*CAST(c_vec[12] AS DOUBLE) + CAST(q_vec[13] AS DOUBLE)*CAST(c_vec[13] AS DOUBLE) + CAST(q_vec[14] AS DOUBLE)*CAST(c_vec[14] AS DOUBLE) + CAST(q_vec[15] AS DOUBLE)*CAST(c_vec[15] AS DOUBLE) + CAST(q_vec[16] AS DOUBLE)*CAST(c_vec[16] AS DOUBLE) + CAST(q_vec[17] AS DOUBLE)*CAST(c_vec[17] AS DOUBLE) + CAST(q_vec[18] AS DOUBLE)*CAST(c_vec[18] AS DOUBLE) + CAST(q_vec[19] AS DOUBLE)*CAST(c_vec[19] AS DOUBLE) + CAST(q_vec[20] AS DOUBLE)*CAST(c_vec[20] AS DOUBLE) + CAST(q_vec[21] AS DOUBLE)*CAST(c_vec[21] AS DOUBLE) + CAST(q_vec[22] AS DOUBLE)*CAST(c_vec[22] AS DOUBLE) + CAST(q_vec[23] AS DOUBLE)*CAST(c_vec[23] AS DOUBLE) + CAST(q_vec[24] AS DOUBLE)*CAST(c_vec[24] AS DOUBLE) + CAST(q_vec[25] AS DOUBLE)*CAST(c_vec[25] AS DOUBLE) + CAST(q_vec[26] AS DOUBLE)*CAST(c_vec[26] AS DOUBLE) + CAST(q_vec[27] AS DOUBLE)*CAST(c_vec[27] AS DOUBLE) + CAST(q_vec[28] AS DOUBLE)*CAST(c_vec[28] AS DOUBLE) + CAST(q_vec[29] AS DOUBLE)*CAST(c_vec[29] AS DOUBLE) + CAST(q_vec[30] AS DOUBLE)*CAST(c_vec[30] AS DOUBLE) + CAST(q_vec[31] AS DOUBLE)*CAST(c_vec[31] AS DOUBLE) + CAST(q_vec[32] AS DOUBLE)*CAST(c_vec[32] AS DOUBLE) + CAST(q_vec[33] AS DOUBLE)*CAST(c_vec[33] AS DOUBLE) + CAST(q_vec[34] AS DOUBLE)*CAST(c_vec[34] AS DOUBLE) + CAST(q_vec[35] AS DOUBLE)*CAST(c_vec[35] AS DOUBLE) + CAST(q_vec[36] AS DOUBLE)*CAST(c_vec[36] AS DOUBLE) + CAST(q_vec[37] AS DOUBLE)*CAST(c_vec[37] AS DOUBLE) + CAST(q_vec[38] AS DOUBLE)*CAST(c_vec[38] AS DOUBLE) + CAST(q_vec[39] AS DOUBLE)*CAST(c_vec[39] AS DOUBLE) + CAST(q_vec[40] AS DOUBLE)*CAST(c_vec[40] AS DOUBLE) + CAST(q_vec[41] AS DOUBLE)*CAST(c_vec[41] AS DOUBLE) + CAST(q_vec[42] AS DOUBLE)*CAST(c_vec[42] AS DOUBLE) + CAST(q_vec[43] AS DOUBLE)*CAST(c_vec[43] AS DOUBLE) + CAST(q_vec[44] AS DOUBLE)*CAST(c_vec[44] AS DOUBLE) + CAST(q_vec[45] AS DOUBLE)*CAST(c_vec[45] AS DOUBLE) + CAST(q_vec[46] AS DOUBLE)*CAST(c_vec[46] AS DOUBLE) + CAST(q_vec[47] AS DOUBLE)*CAST(c_vec[47] AS DOUBLE) + CAST(q_vec[48] AS DOUBLE)*CAST(c_vec[48] AS DOUBLE) + CAST(q_vec[49] AS DOUBLE)*CAST(c_vec[49] AS DOUBLE) + CAST(q_vec[50] AS DOUBLE)*CAST(c_vec[50] AS DOUBLE) + CAST(q_vec[51] AS DOUBLE)*CAST(c_vec[51] AS DOUBLE) + CAST(q_vec[52] AS DOUBLE)*CAST(c_vec[52] AS DOUBLE) + CAST(q_vec[53] AS DOUBLE)*CAST(c_vec[53] AS DOUBLE) + CAST(q_vec[54] AS DOUBLE)*CAST(c_vec[54] AS DOUBLE) + CAST(q_vec[55] AS DOUBLE)*CAST(c_vec[55] AS DOUBLE) + CAST(q_vec[56] AS DOUBLE)*CAST(c_vec[56] AS DOUBLE) + CAST(q_vec[57] AS DOUBLE)*CAST(c_vec[57] AS DOUBLE) + CAST(q_vec[58] AS DOUBLE)*CAST(c_vec[58] AS DOUBLE) + CAST(q_vec[59] AS DOUBLE)*CAST(c_vec[59] AS DOUBLE) + CAST(q_vec[60] AS DOUBLE)*CAST(c_vec[60] AS DOUBLE) + CAST(q_vec[61] AS DOUBLE)*CAST(c_vec[61] AS DOUBLE) + CAST(q_vec[62] AS DOUBLE)*CAST(c_vec[62] AS DOUBLE) + CAST(q_vec[63] AS DOUBLE)*CAST(c_vec[63] AS DOUBLE) + CAST(q_vec[64] AS DOUBLE)*CAST(c_vec[64] AS DOUBLE)) / (q_norm * c_norm) AS cos_sim
+  FROM probes JOIN c USING (list_id)
+  WHERE q_id <> neighbor_id),
+r AS (
+  SELECT q_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS "rank"
+  FROM scored)
+SELECT q_id, neighbor_id, cos_sim, "rank" FROM r WHERE "rank" <= 5
+
+      ) a ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id) nh
+) ORDER BY nprobe
+"""
+
+# P103: growth accounting -- first-order-month split, exact cents.
+ORACLE["monthly_growth_accounting"] = """
+WITH first AS (
+  SELECT o_custkey,
+         MIN(date_trunc('month', CAST(o_orderdate AS DATE))) AS first_month
+  FROM orders GROUP BY o_custkey),
+x AS (
+  SELECT o.o_custkey,
+         date_trunc('month', CAST(o.o_orderdate AS DATE)) AS month,
+         CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT) AS v,
+         f.first_month
+  FROM orders o JOIN first f USING (o_custkey)),
+g AS (
+  SELECT month,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CASE WHEN month = first_month THEN v ELSE 0 END)
+              AS BIGINT) AS new_cents,
+         CAST(SUM(CASE WHEN month != first_month THEN v ELSE 0 END)
+              AS BIGINT) AS ret_cents,
+         CAST(SUM(CASE WHEN month = first_month THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_new_orders
+  FROM x GROUP BY month)
+SELECT month, n_orders, n_new_orders,
+       CAST(new_cents AS DOUBLE) / 100.0 AS new_revenue,
+       CAST(ret_cents AS DOUBLE) / 100.0 AS returning_revenue,
+       CAST((1000000 * new_cents) // (new_cents + ret_cents) AS BIGINT)
+         AS new_share_ppm
+FROM g ORDER BY month
+"""

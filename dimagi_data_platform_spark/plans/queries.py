@@ -12388,3 +12388,107 @@ def daily_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         (center + half).alias("wilson_upper"),
         (lo > F.lit(0.05)).alias("budget_burned"),
     ).orderBy("day_num")
+
+
+@query("ivf_nprobe_sweep")
+def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L87: IVF probe-budget sweep — mean recall@5 of the IVF-Flat
+    serve path at nprobe ∈ {1, 2, 4} against brute-force ground truth:
+    the recall-vs-cost CURVE an index deployment tunes on (L77 is one
+    point of it). Each nprobe level runs the identical literal-
+    quantizer pipeline; hits are exact rank-set intersections; mean
+    recall is an exact integer ppm division per level.
+
+    Scale: three probed scans (each the ~nprobe/nlist fraction) + one
+    brute-force ground truth; rank joins are metadata-sized.
+    """
+    from dimagi_data_platform_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivf_flat,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = knn_bruteforce(emb, q, k=5).select("q_id", "neighbor_id")
+    n_exact = exact.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    out = None
+    for nprobe in (1, 2, 4):
+        approx = knn_ivf_flat(emb, q, k=5, nprobe=nprobe).select(
+            "q_id", F.col("neighbor_id").alias("a_id")
+        )
+        hits = exact.join(
+            approx,
+            (exact.q_id == approx.q_id) & (exact.neighbor_id == approx.a_id),
+            "left_semi",
+        )
+        row = (
+            hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .crossJoin(F.broadcast(n_exact))
+            .select(
+                F.lit(nprobe).cast("long").alias("nprobe"),
+                "n_exact",
+                "n_hits",
+                # nullif: empty corpora (degenerate suite) yield NULL
+                F.expr(
+                    "CAST((1000000 * n_hits) DIV nullif(n_exact, 0) AS LONG)"
+                ).alias("recall_ppm"),
+                (
+                    F.expr(
+                        "CAST((1000000 * n_hits) DIV nullif(n_exact, 0)"
+                        " AS LONG)"
+                    ).cast("double")
+                    / F.lit(1000000.0)
+                ).alias("mean_recall_at_5"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("nprobe")
+
+
+@query("monthly_growth_accounting")
+def monthly_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P103: growth accounting — each month's revenue split into NEW
+    customers (first-ever order that month) vs RETURNING: the
+    new-vs-retained decomposition every growth dashboard leads with
+    (the revenue-side sibling of the P5 retention counts). First-order
+    month per customer is one aggregate; the split is exact cents; the
+    new-share closes with one ppm division.
+
+    Scale: one customer-grain first-month aggregate joined back
+    broadcast-eligible, one month-grain rollup.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.to_date("o_orderdate"))
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    first = orders.groupBy("o_custkey").agg(
+        F.min(month).alias("first_month")
+    )
+    x = orders.select(
+        "o_custkey", month.alias("month"), cents.alias("v")
+    ).join(first, "o_custkey")
+    g = x.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("month") == F.col("first_month"), F.col("v")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("new_cents"),
+        F.sum(F.when(F.col("month") != F.col("first_month"), F.col("v")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("ret_cents"),
+        F.sum(
+            (F.col("month") == F.col("first_month")).cast("long")
+        ).cast("long").alias("n_new_orders"),
+    )
+    total = F.col("new_cents") + F.col("ret_cents")
+    return g.select(
+        "month",
+        "n_orders",
+        "n_new_orders",
+        (F.col("new_cents").cast("double") / F.lit(100.0)).alias("new_revenue"),
+        (F.col("ret_cents").cast("double") / F.lit(100.0)).alias(
+            "returning_revenue"
+        ),
+        F.expr(
+            "CAST((1000000 * new_cents)"
+            " DIV nullif(new_cents + ret_cents, 0) AS LONG)"
+        ).alias("new_share_ppm"),
+    ).orderBy("month")

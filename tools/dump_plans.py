@@ -277,6 +277,11 @@ SHOW = [
      "offsets; no per-segment table window"),
     ("daily_error_budget",
      "day-grain conditional aggregate; per-row Wilson arithmetic"),
+    ("ivf_nprobe_sweep",
+     "three probed-fraction scans + one ground truth; rank joins "
+     "metadata-sized"),
+    ("monthly_growth_accounting",
+     "customer-grain first-month aggregate joined back; month rollup"),
 ]
 
 MARKERS = (
