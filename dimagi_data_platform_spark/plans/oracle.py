@@ -7742,3 +7742,95 @@ SELECT month, n_orders, n_new_orders,
          AS new_share_ppm
 FROM g ORDER BY month
 """
+
+
+# R111: Tukey fences -- rank-at-ceil quartiles, integer
+# cross-multiplied fence tests (window rank at test scale; Spark uses
+# the distributed rank).
+ORACLE["order_value_iqr_outliers"] = """
+WITH v AS (
+  SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS v, o_orderkey
+  FROM orders),
+r AS (
+  SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v, o_orderkey) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM v),
+q AS (
+  SELECT CAST(MIN(v) AS BIGINT) AS q1, CAST(MAX(v) AS BIGINT) AS q3
+  FROM r WHERE rn = (n + 3) // 4 OR rn = (3 * n + 3) // 4),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(MAX(q.q1) AS BIGINT) AS q1c,
+         CAST(MAX(q.q3) AS BIGINT) AS q3c,
+         CAST(SUM(CASE WHEN 2 * v.v < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+         CAST(SUM(CASE WHEN 2 * v.v > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+  FROM v, q)
+SELECT n_orders,
+       CAST(q1c AS DOUBLE) / 100.0 AS q1,
+       CAST(q3c AS DOUBLE) / 100.0 AS q3,
+       CAST(q3c - q1c AS DOUBLE) / 100.0 AS iqr,
+       n_low_outliers, n_high_outliers
+FROM g
+"""
+
+# R112: per-segment quartiles -- the same rank-at-ceil picks within
+# segment partitions.
+ORACLE["segment_value_quartiles"] = """
+WITH x AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT) AS v,
+         o.o_orderkey
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+w AS (
+  SELECT segment, v,
+         CAST(ROW_NUMBER() OVER (PARTITION BY segment
+                ORDER BY v, o_orderkey) AS BIGINT) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n_s
+  FROM x),
+picks AS (
+  SELECT segment, n_s, v,
+         CASE WHEN r = (n_s + 3) // 4 THEN 'q1'
+              WHEN r = (2 * n_s + 3) // 4 THEN 'median'
+              ELSE 'q3' END AS which
+  FROM w
+  WHERE r = (n_s + 3) // 4 OR r = (2 * n_s + 3) // 4
+     OR r = (3 * n_s + 3) // 4)
+SELECT segment,
+       CAST(MAX(n_s) AS BIGINT) AS n_orders,
+       CAST(MIN(CASE WHEN which = 'q1' THEN v END) AS DOUBLE) / 100.0 AS q1,
+       CAST(MIN(CASE WHEN which = 'median' THEN v END) AS DOUBLE) / 100.0
+         AS median,
+       CAST(MIN(CASE WHEN which = 'q3' THEN v END) AS DOUBLE) / 100.0 AS q3
+FROM picks GROUP BY segment ORDER BY segment
+"""
+
+# L88: shingle document-frequency histogram on the L2 shingle grain.
+ORACLE["shingle_df_histogram"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+sh_all AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3),
+dfs AS (
+  SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+  FROM sh_all GROUP BY shingle),
+b AS (
+  SELECT df, CAST(FLOOR(log2(CAST(df AS DOUBLE))) AS BIGINT)
+           AS df_log2_bucket
+  FROM dfs),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_shingles_total FROM b),
+g AS (
+  SELECT df_log2_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(MIN(df) AS BIGINT) AS min_df,
+         CAST(MAX(df) AS BIGINT) AS max_df
+  FROM b GROUP BY df_log2_bucket)
+SELECT df_log2_bucket, n_shingles, min_df, max_df,
+       CAST((1000000 * n_shingles) // t.n_shingles_total AS BIGINT)
+         AS share_ppm
+FROM g, tot t ORDER BY df_log2_bucket
+"""

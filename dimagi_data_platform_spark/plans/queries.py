@@ -12492,3 +12492,166 @@ def monthly_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV nullif(new_cents + ret_cents, 0) AS LONG)"
         ).alias("new_share_ppm"),
     ).orderBy("month")
+
+
+@query("order_value_iqr_outliers")
+def order_value_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R111: Tukey-fence outlier counts — order values beyond
+    Q1 − 1.5·IQR / Q3 + 1.5·IQR, the boxplot rule beside the
+    median/MAD screen (R50). Quartiles are EXACT rank-at-ceil
+    selections on the distributed global rank; the fences never
+    materialize as floats — the outlier test is the integer
+    cross-multiplication 2v < 2·Q1 − 3·(Q3−Q1) (resp. >) on cents.
+
+    Scale: one distributed rank, two broadcast quartile scalars, one
+    conditional aggregate.
+    """
+    from dimagi_data_platform_spark.operators.linkage import (
+        global_row_number,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    v = orders.select(cents.alias("v"), "o_orderkey")
+    ranked = global_row_number(v, ["v", "o_orderkey"], out_col="rn")
+    tot = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    q = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("rn") == F.expr("CAST((n + 3) DIV 4 AS LONG)"))
+            | (F.col("rn") == F.expr("CAST((3 * n + 3) DIV 4 AS LONG)"))
+        )
+        .groupBy()
+        .agg(
+            F.min("v").cast("long").alias("q1"),
+            F.max("v").cast("long").alias("q3"),
+        )
+    )
+    j = v.crossJoin(F.broadcast(q))
+    lo_out = F.lit(2) * F.col("v") < F.lit(2) * F.col("q1") - F.lit(3) * (
+        F.col("q3") - F.col("q1")
+    )
+    hi_out = F.lit(2) * F.col("v") > F.lit(2) * F.col("q3") + F.lit(3) * (
+        F.col("q3") - F.col("q1")
+    )
+    g = j.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.max("q1").alias("q1c"),
+        F.max("q3").alias("q3c"),
+        F.sum(lo_out.cast("long")).cast("long").alias("n_low_outliers"),
+        F.sum(hi_out.cast("long")).cast("long").alias("n_high_outliers"),
+    )
+    return g.select(
+        "n_orders",
+        (F.col("q1c").cast("double") / F.lit(100.0)).alias("q1"),
+        (F.col("q3c").cast("double") / F.lit(100.0)).alias("q3"),
+        ((F.col("q3c") - F.col("q1c")).cast("double") / F.lit(100.0)).alias(
+            "iqr"
+        ),
+        "n_low_outliers",
+        "n_high_outliers",
+    )
+
+
+@query("segment_value_quartiles")
+def segment_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R112: per-segment exact quartiles of order value — Q1/median/Q3
+    per market segment from ONE segment-leading distributed global
+    rank re-based by broadcast per-segment offsets (the R110/
+    order_value_percentiles group-ification trick; never a
+    per-segment table-scale window). Rank-at-ceil selection keeps
+    every quartile an exact data value.
+
+    Scale: one fact ⋈ broadcast dim, one distributed rank, a
+    |segments|-row close.
+    """
+    from dimagi_data_platform_spark.operators.linkage import (
+        global_row_number,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    x = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        cents.alias("v"),
+        "o_orderkey",
+    )
+    ranked = global_row_number(x, ["segment", "v", "o_orderkey"], out_col="rn")
+    seg = ranked.groupBy("segment").agg(
+        F.min("rn").alias("rn0"), F.count(F.lit(1)).cast("long").alias("n_s")
+    )
+    w = ranked.join(F.broadcast(seg), "segment").withColumn(
+        "r", (F.col("rn") - F.col("rn0") + F.lit(1)).cast("long")
+    )
+    picks = w.filter(
+        (F.col("r") == F.expr("CAST((n_s + 3) DIV 4 AS LONG)"))
+        | (F.col("r") == F.expr("CAST((2 * n_s + 3) DIV 4 AS LONG)"))
+        | (F.col("r") == F.expr("CAST((3 * n_s + 3) DIV 4 AS LONG)"))
+    ).withColumn(
+        "which",
+        F.when(F.col("r") == F.expr("CAST((n_s + 3) DIV 4 AS LONG)"), F.lit("q1"))
+        .when(F.col("r") == F.expr("CAST((2 * n_s + 3) DIV 4 AS LONG)"), F.lit("median"))
+        .otherwise(F.lit("q3")),
+    )
+    # a rank can satisfy two quartile indexes in tiny groups — keep the
+    # first label deterministically via min aggregation per (seg, which)
+    g = picks.groupBy("segment").agg(
+        F.max("n_s").alias("n_orders"),
+        F.min(F.when(F.col("which") == "q1", F.col("v"))).cast("long").alias("q1c"),
+        F.min(F.when(F.col("which") == "median", F.col("v"))).cast("long").alias("mc"),
+        F.min(F.when(F.col("which") == "q3", F.col("v"))).cast("long").alias("q3c"),
+    )
+    return g.select(
+        "segment",
+        "n_orders",
+        (F.col("q1c").cast("double") / F.lit(100.0)).alias("q1"),
+        (F.col("mc").cast("double") / F.lit(100.0)).alias("median"),
+        (F.col("q3c").cast("double") / F.lit(100.0)).alias("q3"),
+    ).orderBy("segment")
+
+
+@query("shingle_df_histogram")
+def shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L88: shingle document-frequency histogram — how many word-3-gram
+    shingles occur in 1, 2, 4, 8… documents (log2 buckets): the
+    distribution the MinHash/Jaccard family's df cap (MAX_SHINGLE_DF)
+    is tuned against — a heavy high-df tail means stopword-shingle
+    skew, the exact hot-bucket hazard the cap exists to bound. Bucket
+    boundaries are exact powers of two (log2 of an exact power is
+    exact IEEE in both engines; non-boundary values can't flip).
+
+    Scale: one (shingle → distinct-doc count) aggregate (the L2
+    shuffle), one |buckets|-row rollup.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles_from_tokens(tokens("text"), 3)).alias("s")
+    ).distinct()
+    df_tab = sh.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    b = df_tab.withColumn(
+        "df_log2_bucket",
+        F.floor(F.log2(F.col("df").cast("double"))).cast("long"),
+    )
+    tot = b.agg(F.count(F.lit(1)).cast("long").alias("n_shingles_total"))
+    g = b.groupBy("df_log2_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.min("df").cast("long").alias("min_df"),
+        F.max("df").cast("long").alias("max_df"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "df_log2_bucket",
+            "n_shingles",
+            "min_df",
+            "max_df",
+            F.expr(
+                "CAST((1000000 * n_shingles) DIV n_shingles_total AS LONG)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("df_log2_bucket")
+    )

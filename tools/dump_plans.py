@@ -282,6 +282,14 @@ SHOW = [
      "metadata-sized"),
     ("monthly_growth_accounting",
      "customer-grain first-month aggregate joined back; month rollup"),
+    ("order_value_iqr_outliers",
+     "distributed rank + broadcast quartile scalars; integer fence "
+     "tests in one conditional aggregate"),
+    ("segment_value_quartiles",
+     "ONE segment-leading distributed rank + broadcast offsets; "
+     "rank-at-ceil picks"),
+    ("shingle_df_histogram",
+     "the L2 shingle shuffle -> |buckets| rollup"),
 ]
 
 MARKERS = (
