@@ -1833,3 +1833,245 @@ def silhouette_scores(
             / F.greatest(F.col("a"), F.col("b"))
         ).alias("sil"),
     )
+
+
+def build_ivfpq_index(
+    items: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    m_sub: int = 8,
+    ksub: int = 16,
+    sample_rows: int = 4096,
+    seed: int = 7,
+) -> None:
+    """Persist the FAISS-style IVF-PQ index :func:`knn_ivfpq` computes
+    inline — write once, serve many (the same posture as
+    :func:`build_ivf_index` / :func:`build_sq_codes`, completing the
+    persisted-index trio). Layout:
+
+    - ``{path}/centroids``  — nlist coarse centroids (driver-tiny),
+    - ``{path}/codebooks``  — m_sub × ksub residual codebook rows,
+    - ``{path}/codes``      — (id, pq_code) ``partitionBy(list_id)``:
+      m_sub bytes per vector instead of 4·dim — the 32× scan shrink is
+      the point; probed-list pruning becomes PARTITION pruning,
+    - ``{path}/vectors``    — full-precision (id, vector) for the
+      exact rerank (candidate-sized random access, never scanned).
+
+    Training sample = lowest ``sample_rows`` ids (deterministic), so a
+    rebuild over base ∪ appended-higher-ids trains identically — the
+    property the append-equivalence tests pin.
+    """
+    spark = items.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    sample = _train_sample(items, id_col, vec_col, sample_rows)
+    X = _matrix(sample)
+    C = _kmeans_centroids(X, nlist, seed=seed)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    books = _pq_codebooks(X - C[d2.argmin(axis=1)], m_sub, ksub, seed)
+
+    cent_rows = [
+        (int(i), [float(v) for v in C[i]]) for i in range(len(C))
+    ]
+    spark.createDataFrame(
+        cent_rows, "list_id long, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    book_rows = [
+        (int(m), int(j), [float(v) for v in books[m][j]])
+        for m in range(books.shape[0])
+        for j in range(books.shape[1])
+    ]
+    spark.createDataFrame(
+        book_rows, "m long, j long, codeword array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+    _ivfpq_encode_append(
+        items.repartition(par), path, C, books, id_col, vec_col, "overwrite"
+    )
+
+
+def _ivfpq_encode_append(
+    new_items: DataFrame,
+    path: str,
+    C,
+    books,
+    id_col: str,
+    vec_col: str,
+    mode: str,
+) -> int:
+    spark = new_items.sparkSession
+    bc = spark.sparkContext.broadcast((C, books))
+
+    def encode(batches):
+        Cm, Bm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _matrix(pdf[vec_col])
+            dd = ((V[:, None, :] - Cm[None, :, :]) ** 2).sum(axis=2)
+            assign = dd.argmin(axis=1)
+            codes = _pq_encode(V - Cm[assign], Bm)
+            out = pdf[[id_col, vec_col]].copy()
+            out["list_id"] = assign.astype("int64")
+            out["pq_code"] = [row.tolist() for row in codes]
+            yield out
+
+    encoded = new_items.mapInPandas(
+        encode,
+        schema=f"{id_col} long, {vec_col} array<float>, "
+        "list_id long, pq_code array<int>",
+    ).localCheckpoint()
+    n = encoded.count()
+    encoded.select(id_col, "list_id", "pq_code").write.partitionBy(
+        "list_id"
+    ).mode(mode).parquet(f"{path}/codes")
+    encoded.select(id_col, vec_col).write.mode(
+        "append" if mode == "append" else "overwrite"
+    ).parquet(f"{path}/vectors")
+    return n
+
+
+def append_to_ivfpq_index(
+    new_items: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental IVF-PQ maintenance — the PQ member of the append
+    family (:func:`append_to_ivf_index` / :func:`append_to_sq_codes`):
+    encode ONLY the new batch against the STORED coarse centroids and
+    codebooks and append to the list partitions + vector table.
+    Quantizers stay fixed (retrain on drift, the FAISS posture), so
+    index+append ≡ a rebuild whose training sample lies in the base.
+    Returns appended rows."""
+    spark = new_items.sparkSession
+    cent = spark.read.parquet(f"{path}/centroids").orderBy("list_id").toPandas()
+    C = np.stack([np.asarray(v, dtype=np.float64) for v in cent["centroid"]])
+    bk = spark.read.parquet(f"{path}/codebooks").orderBy("m", "j").toPandas()
+    m_sub = int(bk["m"].max()) + 1
+    ksub = int(bk["j"].max()) + 1
+    dsub = len(bk["codeword"].iloc[0])
+    books = np.zeros((m_sub, ksub, dsub))
+    for _, row in bk.iterrows():
+        books[int(row["m"]), int(row["j"])] = np.asarray(row["codeword"])
+    return _ivfpq_encode_append(
+        new_items, path, C, books, id_col, vec_col, "append"
+    )
+
+
+def knn_ivfpq_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank_factor: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve top-k from a persisted IVF-PQ index: probed lists prune as
+    PARTITIONS of the code table (never a full scan), scoring is the
+    ADC table-gather over m_sub-byte codes, and the exact rerank joins
+    the candidate-sized survivor set back to the stored full-precision
+    vectors — reported cos_sim is bitwise the brute-force chain."""
+    cent = spark.read.parquet(f"{path}/centroids").orderBy("list_id").toPandas()
+    C = np.stack([np.asarray(v, dtype=np.float64) for v in cent["centroid"]])
+    bk = spark.read.parquet(f"{path}/codebooks").orderBy("m", "j").toPandas()
+    m_sub = int(bk["m"].max()) + 1
+    ksub = int(bk["j"].max()) + 1
+    dsub = len(bk["codeword"].iloc[0])
+    books = np.zeros((m_sub, ksub, dsub))
+    for _, row in bk.iterrows():
+        books[int(row["m"]), int(row["j"])] = np.asarray(row["codeword"])
+
+    q_pdf = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).toPandas()
+    Q = _matrix(q_pdf["q_vec"])
+    qd2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(qd2, axis=1)[:, :nprobe]
+    lut = np.einsum("qmd,mjd->qmj", Q.reshape(len(Q), m_sub, dsub), books)
+    qc_dot = Q @ C.T
+    bc_q = spark.sparkContext.broadcast(
+        (q_pdf["q_id"].to_numpy(), probes, lut, qc_dot)
+    )
+    probe_union = sorted({int(p) for p in probes.ravel()})
+    pruned = spark.read.parquet(f"{path}/codes").filter(
+        F.col("list_id").isin(probe_union)
+    )
+    r = rerank_factor * k
+
+    def adc_score(batches):
+        q_ids, probe_lists, LUT, QC = bc_q.value
+        probing: dict[int, list[int]] = {}
+        for qi, pl in enumerate(probe_lists):
+            for li in pl:
+                probing.setdefault(int(li), []).append(qi)
+        m_idx = np.arange(LUT.shape[1])
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            lists = pdf["list_id"].to_numpy()
+            codes = np.stack([np.asarray(c) for c in pdf["pq_code"]])
+            for li in np.unique(lists):
+                qis = probing.get(int(li))
+                if not qis:
+                    continue
+                rmask = lists == li
+                ids_s, codes_s = ids[rmask], codes[rmask]
+                gathered = LUT[qis][:, m_idx[None, :], codes_s]
+                for row_i, qi in enumerate(qis):
+                    score = gathered[row_i].sum(axis=1) + QC[qi, li]
+                    not_self = ids_s != q_ids[qi]
+                    sc, cands_ = score[not_self], ids_s[not_self]
+                    if not len(sc):
+                        continue
+                    top = np.lexsort((cands_, -sc))[: min(r, len(sc))]
+                    yield pd.DataFrame(
+                        {
+                            "q_id": q_ids[qi],
+                            "neighbor_id": cands_[top],
+                            "adc_score": sc[top],
+                        }
+                    )
+
+    cands = pruned.mapInPandas(
+        adc_score, schema="q_id long, neighbor_id long, adc_score double"
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.desc("adc_score"), F.col("neighbor_id")
+    )
+    survivors = (
+        cands.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= r)
+        .select("q_id", "neighbor_id")
+    )
+    vectors = spark.read.parquet(f"{path}/vectors")
+    exact = (
+        survivors.join(
+            vectors.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("c_vec"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+                )
+            ),
+            "q_id",
+        )
+        .withColumn("cos_sim", cosine("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -803,3 +803,65 @@ def test_sq_codes_append_equals_full_rebuild(spark, tmp_path):
     got = sorted(map(tuple, knn_sq_from_codes(spark, inc, queries, k=5).collect()))
     want = sorted(map(tuple, knn_sq_from_codes(spark, full, queries, k=5).collect()))
     assert got == want and got
+
+
+def test_ivfpq_index_roundtrip_and_append(spark, tmp_path):
+    """Persisted IVF-PQ index (the third member of the build/serve/
+    append trio): serving from the index matches the inline knn_ivfpq
+    with the same parameters, append+serve ≡ full rebuild on the union
+    (training sample inside the base), appended vectors reachable, and
+    probed-list pruning survives the persisted layout."""
+    from dimagi_data_platform_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        knn_ivfpq,
+        knn_ivfpq_from_index,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    queries = emb.filter(F.col("vec_id") < 10)
+    kw = dict(nlist=8, m_sub=8, ksub=16, sample_rows=256)
+
+    inc = str(tmp_path / "pq_inc")
+    build_ivfpq_index(base, inc, **kw)
+    n = append_to_ivfpq_index(batch, inc)
+    assert n == batch.count() and n > 0
+
+    full = str(tmp_path / "pq_full")
+    build_ivfpq_index(emb, full, **kw)
+
+    got = sorted(
+        map(tuple, knn_ivfpq_from_index(spark, inc, queries, k=5, nprobe=4).collect())
+    )
+    want = sorted(
+        map(tuple, knn_ivfpq_from_index(spark, full, queries, k=5, nprobe=4).collect())
+    )
+    assert got == want and got
+
+    # persisted serve == inline operator with identical params
+    inline = sorted(
+        map(
+            tuple,
+            knn_ivfpq(
+                emb, queries, k=5, nprobe=4, nlist=8, m_sub=8, ksub=16,
+                sample_rows=256, seed=7,
+            ).collect(),
+        )
+    )
+    assert got == inline
+
+    # appended rows reachable from appended-batch queries
+    q2 = emb.filter(F.col("vec_id") >= 490)
+    res = knn_ivfpq_from_index(spark, inc, q2, k=5, nprobe=8).collect()
+    assert {r.q_id for r in res} == set(range(490, 500))
+
+    # partition pruning on the persisted code layout
+    plan = (
+        knn_ivfpq_from_index(spark, inc, queries, k=5, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
