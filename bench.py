@@ -150,7 +150,9 @@ def _bench_ivf_append(spark, sf_dir: str) -> dict:
     from dimagi_data_platform_spark.catalog import load_table
     from dimagi_data_platform_spark.operators.similarity import (
         append_to_ivf_index,
+        append_to_ivfpq_index,
         build_ivf_index,
+        build_ivfpq_index,
     )
     from pyspark.sql import functions as F
 
@@ -168,6 +170,12 @@ def _bench_ivf_append(spark, sf_dir: str) -> dict:
         t0 = time.perf_counter()
         append_to_ivf_index(batch, f"{d}/idx")
         append_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        build_ivfpq_index(base, f"{d}/pq", nlist=16)
+        pq_build_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        append_to_ivfpq_index(batch, f"{d}/pq")
+        pq_append_sec = time.perf_counter() - t0
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return {
@@ -175,6 +183,8 @@ def _bench_ivf_append(spark, sf_dir: str) -> dict:
         "ivf_append_rows": batch_sz,
         "ivf_build_sec": round(build_sec, 3),
         "ivf_append_sec": round(append_sec, 3),
+        "ivfpq_build_sec": round(pq_build_sec, 3),
+        "ivfpq_append_sec": round(pq_append_sec, 3),
     }
 
 
