@@ -7834,3 +7834,57 @@ SELECT df_log2_bucket, n_shingles, min_df, max_df,
          AS share_ppm
 FROM g, tot t ORDER BY df_log2_bucket
 """
+
+
+# P104: audience-overlap Jaccard matrix -- exact counts off the
+# distinct (user, type) grain.
+ORACLE["event_type_audience_overlap"] = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+sizes AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM ut GROUP BY event_type),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT i.type_a, i.type_b,
+       sa.n_users AS na, sb.n_users AS nb, i.n_both,
+       CAST((1000000 * i.n_both) // (sa.n_users + sb.n_users - i.n_both)
+            AS BIGINT) AS jaccard_ppm
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+ORDER BY i.type_a, i.type_b
+"""
+
+# L89: per-language token-length quartiles, rank-at-ceil picks.
+ORACLE["doc_length_quartiles_by_lang"] = """
+WITH x AS (
+  SELECT lang,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS v,
+         doc_id
+  FROM documents),
+w AS (
+  SELECT lang, v,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v, doc_id)
+              AS BIGINT) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_s
+  FROM x),
+picks AS (
+  SELECT lang, n_s, v,
+         CASE WHEN r = (n_s + 3) // 4 THEN 'q1'
+              WHEN r = (2 * n_s + 3) // 4 THEN 'median'
+              ELSE 'q3' END AS which
+  FROM w
+  WHERE r = (n_s + 3) // 4 OR r = (2 * n_s + 3) // 4
+     OR r = (3 * n_s + 3) // 4)
+SELECT lang,
+       CAST(MAX(n_s) AS BIGINT) AS n_docs,
+       CAST(MIN(CASE WHEN which = 'q1' THEN v END) AS BIGINT) AS q1_tokens,
+       CAST(MIN(CASE WHEN which = 'median' THEN v END) AS BIGINT)
+         AS median_tokens,
+       CAST(MIN(CASE WHEN which = 'q3' THEN v END) AS BIGINT) AS q3_tokens
+FROM picks GROUP BY lang ORDER BY lang
+"""

@@ -12655,3 +12655,101 @@ def shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("df_log2_bucket")
     )
+
+
+@query("event_type_audience_overlap")
+def event_type_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P104: audience-overlap matrix — Jaccard similarity of the USER
+    sets behind each pair of event types (do the people who click also
+    purchase, or are they disjoint populations?): the segmentation
+    read under funnel design, the user-grain complement of the
+    event-grain transition matrix (P38). Distinct audiences and pair
+    intersections are exact counts off one (user, type) distinct
+    grain; Jaccard closes in one ppm integer division.
+
+    Scale: one distinct (user, type) aggregate; the |types|²-bounded
+    pair join runs on user-keyed partitions with map-side combine.
+    """
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("na")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("nb")
+    )
+    j = inter.join(F.broadcast(sa), "type_a").join(F.broadcast(sb), "type_b")
+    return j.select(
+        "type_a",
+        "type_b",
+        "na",
+        "nb",
+        "n_both",
+        F.expr(
+            "CAST((1000000 * n_both) DIV (na + nb - n_both) AS LONG)"
+        ).alias("jaccard_ppm"),
+    ).orderBy("type_a", "type_b")
+
+
+@query("doc_length_quartiles_by_lang")
+def doc_length_quartiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L89: document-length profile per language — exact Q1/median/Q3
+    of token counts via ONE language-leading distributed rank with
+    broadcast per-language offsets (the R112 group-ification applied
+    to the corpus): the length-distribution read behind chunking (L15)
+    and packing (L25) budgets, where per-language medians differ and a
+    global average misleads.
+
+    Scale: scan-local token counts, one distributed rank, a
+    |langs|-row close.
+    """
+    from dimagi_data_platform_spark.operators.linkage import (
+        global_row_number,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    x = docs.select(
+        "lang", ws_token_count("text").alias("v"), "doc_id"
+    )
+    ranked = global_row_number(x, ["lang", "v", "doc_id"], out_col="rn")
+    seg = ranked.groupBy("lang").agg(
+        F.min("rn").alias("rn0"), F.count(F.lit(1)).cast("long").alias("n_s")
+    )
+    w = ranked.join(F.broadcast(seg), "lang").withColumn(
+        "r", (F.col("rn") - F.col("rn0") + F.lit(1)).cast("long")
+    )
+    picks = w.filter(
+        (F.col("r") == F.expr("CAST((n_s + 3) DIV 4 AS LONG)"))
+        | (F.col("r") == F.expr("CAST((2 * n_s + 3) DIV 4 AS LONG)"))
+        | (F.col("r") == F.expr("CAST((3 * n_s + 3) DIV 4 AS LONG)"))
+    ).withColumn(
+        "which",
+        F.when(
+            F.col("r") == F.expr("CAST((n_s + 3) DIV 4 AS LONG)"), F.lit("q1")
+        )
+        .when(
+            F.col("r") == F.expr("CAST((2 * n_s + 3) DIV 4 AS LONG)"),
+            F.lit("median"),
+        )
+        .otherwise(F.lit("q3")),
+    )
+    g = picks.groupBy("lang").agg(
+        F.max("n_s").alias("n_docs"),
+        F.min(F.when(F.col("which") == "q1", F.col("v"))).cast("long").alias("q1_tokens"),
+        F.min(F.when(F.col("which") == "median", F.col("v"))).cast("long").alias("median_tokens"),
+        F.min(F.when(F.col("which") == "q3", F.col("v"))).cast("long").alias("q3_tokens"),
+    )
+    return g.select(
+        "lang", "n_docs", "q1_tokens", "median_tokens", "q3_tokens"
+    ).orderBy("lang")

@@ -290,6 +290,10 @@ SHOW = [
      "rank-at-ceil picks"),
     ("shingle_df_histogram",
      "the L2 shingle shuffle -> |buckets| rollup"),
+    ("event_type_audience_overlap",
+     "distinct (user, type) grain; |types|^2-bounded pair join"),
+    ("doc_length_quartiles_by_lang",
+     "ONE language-leading distributed rank + broadcast offsets"),
 ]
 
 MARKERS = (
