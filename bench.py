@@ -1,12 +1,24 @@
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact JSON line LAST (under 2000 bytes — the driver's
+stdout tail capture is 2000 chars; the r8 full per-query line overflowed
+it and the round's structured bench signal was lost, VERDICT r8 item 1):
   {"metric": "headline_queries_total", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+   "queries": {<frozen core-12 only>}, "sf": 0.1, ...summary...}
+
+The FULL per-query map + extras are written to bench_detail.json next to
+this file (committed per-round so the judge can read every timing).
 
 Execution is a noop-sink write so the full plan runs (scan → shuffle →
 sink) without driver-side collect overhead.
+
+Bench protocol (VERDICT r8 item 8 — pinned):
+  - CORE12 is FROZEN since round 1; cross-round comparisons and the
+    vs-baseline ratio are computed ONLY on it.
+  - SHOWCASE is capped at SHOWCASE_CAP entries. A new query may enter
+    only by REPLACING an existing entry (the replaced name is noted in
+    the commit); the cap never grows, so showcase_sec stays comparable.
 """
 
 from __future__ import annotations
@@ -22,7 +34,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from dimagi_data_platform_spark.plans.queries import QUERIES
 from dimagi_data_platform_spark.session import get_spark
 
-HEADLINE = [
+# FROZEN since round 1 — never reorder, never grow. The driver's
+# vs-baseline check and all cross-round trend lines read exactly these.
+CORE12 = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
@@ -35,6 +49,11 @@ HEADLINE = [
     "minhash_lsh_dedup",
     "knn_bruteforce",
     "embedding_near_dup",
+]
+
+SHOWCASE_CAP = 44  # frozen at the r8 size; rotate in-place only
+
+SHOWCASE = [
     # per-family breadth: dedup variants, composite pipeline, ANN index
     # path, pairs->clusters graph stage
     "simhash_dedup",
@@ -105,6 +124,13 @@ HEADLINE = [
     "part_hits_authority",
     "order_value_permutation_test",
 ]
+
+assert len(SHOWCASE) <= SHOWCASE_CAP, (
+    f"showcase has {len(SHOWCASE)} entries — the cap is {SHOWCASE_CAP}; "
+    "rotate an existing entry out instead of growing the list"
+)
+
+HEADLINE = CORE12 + SHOWCASE
 
 
 # never-touched control plans for the host-drift index; fallback
@@ -257,25 +283,43 @@ def main() -> None:
     extras = _bench_ivf_append(spark, sf_dir)
 
     # Standing reference line (BASELINE.md): the round-1 total over the
-    # original 12 headline queries at this same sf0.1/local[32] setup.
-    # The ratio is the mechanical "within 2x of baseline" check.
-    shared12 = HEADLINE[:12]
-    shared12_sec = round(sum(times[n] for n in shared12), 3)
-    out = {
+    # frozen core-12 at this same sf0.1/local[32] setup. The ratio is
+    # the mechanical "within 2x of baseline" check.
+    shared12_sec = round(sum(times[n] for n in CORE12), 3)
+    showcase_sec = round(sum(times[n] for n in SHOWCASE), 3)
+    summary = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
-        "queries": times,
+        # compact line carries ONLY the frozen core-12 timings so it
+        # stays well under the driver's 2000-char stdout tail capture;
+        # the full map is in bench_detail.json
+        "queries": {n: times[n] for n in CORE12},
         "sf": sf,
         "baseline_shared12_sec": 13.614,
         "shared12_sec": shared12_sec,
         "vs_baseline_shared12": round(shared12_sec / 13.614, 3),
+        "showcase_sec": showcase_sec,
+        "n_showcase": len(SHOWCASE),
         "protocol": "min_of_3_after_warm",
         "host_drift": host_drift,
         "host_drift_controls": CONTROLS,
-        "extras": extras,
+        "detail_file": "bench_detail.json",
     }
-    print(json.dumps(out))
+    detail = dict(summary)
+    detail["queries"] = times  # full per-query map
+    detail["extras"] = extras
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    line = json.dumps(summary)
+    # hard guarantee: the driver's tail capture is 2000 chars; never let
+    # the summary line approach it again
+    assert len(line) < 1900, f"summary line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -6402,6 +6402,64 @@ ORDER BY aa_fixed DESC, part_a, part_b
 LIMIT 20
 """
 
+# R97b: hub-capped Adamic-Adar — centers with oriented out-degree > 64
+# leave the wedge stream; the excluded mass (choose(outdeg,2) wedges
+# per dropped center) is reported on every row.
+ORACLE["copurchase_adamic_adar_capped"] = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+allv AS (
+  SELECT u AS p FROM e0 UNION ALL SELECT v FROM e0),
+deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS deg FROM allv GROUP BY p),
+packed AS (
+  SELECT e0.u, e0.v,
+         du.deg * 1099511627776 + e0.u AS ku,
+         dv.deg * 1099511627776 + e0.v AS kv
+  FROM e0 JOIN deg du ON du.p = e0.u JOIN deg dv ON dv.p = e0.v),
+directed AS (
+  SELECT CASE WHEN ku < kv THEN u ELSE v END AS src,
+         CASE WHEN ku < kv THEN v ELSE u END AS dst
+  FROM packed),
+od AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+  FROM directed GROUP BY src),
+droppedm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS dropped_centers,
+         CAST(COALESCE(SUM(outdeg * (outdeg - 1) // 2), 0) AS BIGINT)
+           AS dropped_wedges
+  FROM od WHERE outdeg > 64),
+kept AS (SELECT src FROM od WHERE outdeg >= 2 AND outdeg <= 64),
+cw AS (
+  SELECT p AS src,
+         CAST(FLOOR(1000000000000.0
+              / FLOOR(ln(CAST(deg AS DOUBLE)) * 1000000.0)) AS BIGINT)
+           AS w_center
+  FROM deg),
+wedges AS (
+  SELECT d1.dst AS u, d2.dst AS v,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         CAST(SUM(cw.w_center) AS BIGINT) AS aa_fixed
+  FROM directed d1
+  JOIN directed d2 ON d1.src = d2.src AND d1.dst < d2.dst
+  JOIN kept k ON k.src = d1.src
+  JOIN cw ON cw.src = d1.src
+  GROUP BY 1, 2),
+pred AS (
+  SELECT w.u, w.v, w.n_common, w.aa_fixed
+  FROM wedges w ANTI JOIN e0 ON e0.u = w.u AND e0.v = w.v)
+SELECT u AS part_a, v AS part_b, n_common, aa_fixed,
+       CAST(aa_fixed AS DOUBLE) / 1000000.0 AS aa_score,
+       dropped_centers, dropped_wedges
+FROM (SELECT * FROM pred
+      ORDER BY aa_fixed DESC, u, v
+      LIMIT 20)
+CROSS JOIN droppedm
+ORDER BY aa_fixed DESC, part_a, part_b
+"""
+
 # P93: Nelson-Aalen — the P46 risk-set machinery with the pure
 # integer floor(1e6*d/n) step hazard.
 ORACLE["customer_hazard_na"] = """

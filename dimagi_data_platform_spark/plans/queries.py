@@ -4046,6 +4046,25 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{path}/edges")
 
 
+def _assert_pair_packable(edges: DataFrame) -> None:
+    """Guard for the packed-long pair key a·2^32 + b (ADVICE r8): a
+    vertex id at or above 2^32 would silently wrap into a colliding
+    key. One bounded-scalar check per build against the (cheap,
+    persisted) edge artifact — the same idiom as the convergence
+    certificates; a larger id space now fails loudly with the fix
+    spelled out instead of corrupting pair keys."""
+    hi = edges.agg(
+        F.greatest(F.max("u"), F.max("v")).alias("hi")
+    ).first()["hi"]
+    if hi is not None and hi >= (1 << 32):
+        raise ValueError(
+            f"max co-purchase vertex id {hi} >= 2^32: the packed-long "
+            "pair key (a*2^32 + b) would collide — widen the pair key "
+            "to a two-field struct (or 2 longs) before running on this "
+            "id space"
+        )
+
+
 def _copurchase_tri(spark: SparkSession, sf_dir: str):
     """Shared triangle machinery for R56/R61: returns (deg, corners) —
     the undirected co-purchase degree table and the per-triangle corner
@@ -7517,6 +7536,7 @@ def copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     deg, _corners = _copurchase_tri(spark, sf_dir)
     edges = _copurchase_edges(spark, sf_dir)
+    _assert_pair_packable(edges)
     pack = 1 << 40
     du = deg.select(
         F.col("p").alias("u"), (F.col("deg") * pack + F.col("u")).alias("ku")
@@ -10549,6 +10569,7 @@ def copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     deg, _corners = _copurchase_tri(spark, sf_dir)
     edges = _copurchase_edges(spark, sf_dir)
+    _assert_pair_packable(edges)
     pack = 1 << 40
     du = deg.select(
         F.col("p").alias("u"), (F.col("deg") * pack + F.col("u")).alias("ku")
@@ -10612,6 +10633,112 @@ def copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("aa_fixed"), "part_a", "part_b")
         .limit(20)
+    )
+
+
+# hub cap for the wedge family (VERDICT r8 item 3) — the MAX_SHINGLE_DF
+# discipline applied to graph centers: an adversarial hub (a part in
+# every basket) makes the exact wedge stream quadratic in its degree;
+# capping center out-degree bounds the worst case, and the dropped mass
+# is REPORTED in the result instead of silently vanishing.
+MAX_WEDGE_OUTDEG = 64
+
+
+@query("copurchase_adamic_adar_capped")
+def copurchase_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R97b: Adamic–Adar with an explicit hub cap — identical wedge
+    machinery to ``copurchase_adamic_adar`` (degree-ordered orientation,
+    packed-long pair keys, exact fixed-point 1/ln(deg) weights), but
+    centers with oriented out-degree > MAX_WEDGE_OUTDEG are DROPPED
+    before the triangular expansion, bounding the per-center wedge cost
+    at choose(64, 2) regardless of how adversarial the degree
+    distribution gets (the exact variant's Σ outdeg² is O(m^1.5) by
+    orientation, but a single planted hub still dominates it). The
+    honest-cap discipline from MAX_SHINGLE_DF (operators/minhash.py):
+    every result row carries ``dropped_centers`` / ``dropped_wedges`` —
+    the exact mass the cap excluded — so a consumer can see when the
+    cap is biting and fall back to the exact sibling.
+
+    This is the 100 TB serving path: the exact variant stays registered
+    for parity, this one runs in the headline bench.
+    """
+    deg, _corners = _copurchase_tri(spark, sf_dir)
+    edges = _copurchase_edges(spark, sf_dir)
+    _assert_pair_packable(edges)
+    pack = 1 << 40
+    du = deg.select(
+        F.col("p").alias("u"), (F.col("deg") * pack + F.col("u")).alias("ku")
+    )
+    dv = deg.select(
+        F.col("p").alias("v"), (F.col("deg") * pack + F.col("v")).alias("kv")
+    )
+    e = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    u_first = F.col("ku") < F.col("kv")
+    directed = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    wsrc = F.floor(
+        F.lit(1000000000000.0)
+        / F.floor(F.log(F.col("deg").cast("double")) * F.lit(1000000.0))
+    ).cast("long")
+    adj = (
+        directed.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .join(
+            F.broadcast(deg.select(F.col("p").alias("src"), "deg")), "src"
+        )
+        .withColumn("w_center", wsrc)
+        .withColumn("outdeg", F.size("nbrs").cast("long"))
+    )
+    # the cap: hub centers leave the wedge stream, their exact excluded
+    # mass (choose(outdeg, 2) wedges each) becomes a 1-row aggregate
+    # that rides every output row
+    dropped = adj.filter(F.col("outdeg") > MAX_WEDGE_OUTDEG).agg(
+        F.count(F.lit(1)).cast("long").alias("dropped_centers"),
+        F.coalesce(
+            F.sum(F.expr("outdeg * (outdeg - 1) DIV 2")), F.lit(0)
+        )
+        .cast("long")
+        .alias("dropped_wedges"),
+    )
+    kept = adj.filter(
+        (F.col("outdeg") >= 2) & (F.col("outdeg") <= MAX_WEDGE_OUTDEG)
+    )
+    pair_longs = F.flatten(
+        F.transform(
+            "nbrs",
+            lambda x, i: F.transform(
+                F.slice(F.col("nbrs"), (i + 2).cast("int"), F.size("nbrs")),
+                lambda y: x * F.lit(4294967296) + y,
+            ),
+        )
+    )
+    wedges = (
+        kept.select(F.col("w_center"), F.explode(pair_longs).alias("pk"))
+        .groupBy("pk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("w_center").cast("long").alias("aa_fixed"),
+        )
+    )
+    edge_pk = edges.select(
+        (F.col("u") * F.lit(4294967296) + F.col("v")).alias("pk")
+    )
+    return (
+        wedges.join(edge_pk, "pk", "left_anti")
+        .select(
+            F.expr("CAST(pk DIV 4294967296 AS LONG)").alias("part_a"),
+            (F.col("pk") % F.lit(4294967296)).cast("long").alias("part_b"),
+            "n_common",
+            "aa_fixed",
+            (F.col("aa_fixed").cast("double") / F.lit(1000000.0)).alias(
+                "aa_score"
+            ),
+        )
+        .orderBy(F.desc("aa_fixed"), "part_a", "part_b")
+        .limit(20)
+        .crossJoin(F.broadcast(dropped))  # 1-row scalar join idiom
     )
 
 

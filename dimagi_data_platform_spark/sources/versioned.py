@@ -357,13 +357,25 @@ def compact_version(
             continue
 
 
-def vacuum(path: str, keep_last: int) -> list[int]:
+def vacuum(
+    path: str, keep_last: int, stage_retention_sec: float = 86400.0
+) -> list[int]:
     """Drop all but the newest ``keep_last`` versions; returns the
     dropped version numbers. Commit-log entries (and the cache)
     truncate FIRST, file deletion follows — a crash leaves garbage
     directories, never a log entry pointing at deleted data. Also
     sweeps unreferenced staged directories (crashed or raced writers'
-    leftovers)."""
+    leftovers) — but ONLY those older than ``stage_retention_sec``
+    (mtime-based, default 24 h, the Delta-vacuum temp-file-retention
+    pattern): an IN-FLIGHT writer between its ``_stage_write`` and the
+    commit-log CAS also has an unreferenced stage dir, and sweeping it
+    would let the writer's commit succeed while its data is gone —
+    silent data loss under the multi-writer OCC contract. A stage dir
+    older than the retention window cannot belong to a live writer (a
+    single commit attempt stages and links within seconds); pass
+    ``stage_retention_sec=0`` only when no writer can be concurrent."""
+    import time as _time
+
     versions = history(path)
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -389,9 +401,15 @@ def vacuum(path: str, keep_last: int) -> list[int]:
         if v.get("dir"):
             shutil.rmtree(os.path.join(path, v["dir"]), ignore_errors=True)
         dropped.append(v["version"])
+    sweep_before = _time.time() - stage_retention_sec
     for name in os.listdir(path):
         if name.startswith(STAGE_PREFIX) and name not in live_dirs:
-            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+            try:
+                mtime = os.stat(os.path.join(path, name)).st_mtime
+            except OSError:
+                continue  # already gone (another vacuum)
+            if mtime <= sweep_before:
+                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
     return dropped
 
 

@@ -153,23 +153,34 @@ SESSION_GAP_MS = 30 * 60 * 1000
 
 class SessionFinalizeProcessor(StatefulProcessor):
     """Event-time-TIMER sessionization (the capability vendored
-    protobuf unlocked): per user, an open session accumulates in a
-    typed value state; every batch re-registers ONE timer at
-    last_event + gap, and the session row is emitted ONLY from
-    ``handleExpiredTimer`` when the watermark passes that instant —
-    i.e. exactly when no in-order event can extend it. Contrast
-    ``session_windows`` (declarative session_window aggregation, emits
-    on watermark too) — this is the imperative surface for session
-    payloads the built-in aggregate can't express (custom structs,
-    model state). An event past the gap starts a new session in place.
+    protobuf unlocked): per user, ALL not-yet-watermark-proven sessions
+    (the open one AND gap-closed ones) live in a typed LIST state; a
+    session row is emitted ONLY from ``handleExpiredTimer`` when the
+    watermark passes its end + gap — i.e. exactly when no
+    watermark-accepted event can extend or re-open it (rows older than
+    the watermark never reach the processor in eventTime mode, so an
+    accepted event always has ts >= watermark > end + gap). Contrast
+    ``session_windows`` (declarative session_window aggregation) —
+    this is the imperative surface for session payloads the built-in
+    aggregate can't express (custom structs, model state).
 
-    State: one (start, end, n, total) struct + one timer per user with
-    an OPEN session — closed sessions leave the store immediately.
+    Every batch MERGES the stored sessions with the new events as
+    intervals (two pieces closer than the gap coalesce, summing
+    n/total, min start / max end), so a late-but-within-watermark
+    event lands in the session it belongs to — including one EARLIER
+    than the open session's start (which correctly lowers
+    session_start) or one bridging two pending sessions (which
+    correctly coalesces them). This fixes the r8 ADVICE divergence
+    where gap-closed sessions were emitted eagerly from
+    handleInputRows and a late event silently started a fresh session.
+
+    State: a list of (start, end, n, total) structs per user + one
+    timer per pending session; emitted sessions leave the store.
     """
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._handle = handle
-        self._sess = handle.getValueState("session", _SESSION_STATE_SCHEMA)
+        self._sessions = handle.getListState("sessions", _SESSION_STATE_SCHEMA)
 
     def _emit(self, key, start_ms, end_ms, n, total) -> pd.DataFrame:
         return pd.DataFrame(
@@ -182,42 +193,60 @@ class SessionFinalizeProcessor(StatefulProcessor):
             }
         )
 
+    def _pending(self) -> list[tuple]:
+        if not self._sessions.exists():
+            return []
+        return [tuple(s) for s in self._sessions.get()]
+
+    def _rearm_timers(self, sessions: list[tuple]) -> None:
+        """One timer per pending session at its close-proof instant."""
+        want = {end + SESSION_GAP_MS for _, end, _, _ in sessions}
+        have = set(self._handle.listTimers())
+        for t in have - want:
+            self._handle.deleteTimer(t)
+        for t in want - have:
+            self._handle.registerTimer(t)
+
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
-        if self._sess.exists():
-            start, end, n, total = self._sess.get()
-        else:
-            start, end, n, total = None, None, 0, 0.0
-        closed = []
-        events = []
+        pieces = [
+            (s, e, n, t) for s, e, n, t in self._pending()
+        ]
         for pdf in rows:
             for ts, val in zip(pdf["ts"], pdf["value"]):
-                events.append((int(pd.Timestamp(ts).value // 1_000_000), float(val)))
-        events.sort()
-        for ms, val in events:
-            if start is None:
-                start, end, n, total = ms, ms, 1, val
-            elif ms - end > SESSION_GAP_MS:
-                closed.append((start, end, n, total))
-                start, end, n, total = ms, ms, 1, val
+                ms = int(pd.Timestamp(ts).value // 1_000_000)
+                pieces.append((ms, ms, 1, float(val)))
+        if not pieces:
+            return
+            yield  # pragma: no cover - make this a generator
+        # interval-merge: pieces within the gap coalesce (associative
+        # aggregates, so stored sessions and raw events mix freely)
+        pieces.sort(key=lambda p: (p[0], p[1]))
+        merged: list[tuple] = []
+        for s, e, n, t in pieces:
+            if merged and s - merged[-1][1] <= SESSION_GAP_MS:
+                ps, pe, pn, pt = merged[-1]
+                merged[-1] = (ps, max(pe, e), pn + n, pt + t)
             else:
-                end, n, total = max(end, ms), n + 1, total + val
-        if start is not None:
-            self._sess.update((start, end, n, total))
-            # one live timer per key: re-arm at the new horizon
-            for t in self._handle.listTimers():
-                self._handle.deleteTimer(t)
-            self._handle.registerTimer(end + SESSION_GAP_MS)
-        for c in closed:
-            yield self._emit(key, *c)
+                merged.append((s, e, n, t))
+        self._sessions.put(merged)
+        self._rearm_timers(merged)
+        return
+        yield  # pragma: no cover - emission happens only on timers
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-        if self._sess.exists():
-            start, end, n, total = self._sess.get()
-            # the watermark passed end + gap: nothing in-order can
-            # extend this session — emit and clear
-            if expiredTimerInfo.getExpiryTimeInMs() >= end + SESSION_GAP_MS:
-                self._sess.clear()
-                yield self._emit(key, start, end, n, total)
+        expiry = expiredTimerInfo.getExpiryTimeInMs()
+        keep: list[tuple] = []
+        for s, e, n, t in self._pending():
+            # the watermark passed end + gap: nothing accepted by the
+            # watermark can extend this session — emit and drop
+            if expiry >= e + SESSION_GAP_MS:
+                yield self._emit(key, s, e, n, t)
+            else:
+                keep.append((s, e, n, t))
+        if keep:
+            self._sessions.put(keep)
+        else:
+            self._sessions.clear()
 
     def close(self) -> None:
         pass

@@ -748,6 +748,40 @@ def test_versioned_vacuum_keeps_manifest_consistent(spark, tmp_path):
         read_version(spark, p, 1)
 
 
+def test_versioned_vacuum_spares_inflight_stage_dirs(spark, tmp_path):
+    """ADVICE r8: an unreferenced stage dir may belong to an IN-FLIGHT
+    writer between _stage_write and its commit CAS — vacuum must sweep
+    only stage dirs older than the retention window (mtime-based), or
+    a concurrent vacuum silently deletes a committing writer's data."""
+    import os as _os
+
+    from dimagi_data_platform_spark.sources.versioned import (
+        STAGE_PREFIX,
+        vacuum,
+        write_version,
+    )
+
+    p = str(tmp_path / "tbl")
+    for i in range(1, 4):
+        write_version(
+            spark.createDataFrame([(i,)], "id long"),
+            p, commit_ts=f"2024-0{i}-01T00:00:00",
+        )
+    # a fresh unreferenced stage dir = a writer mid-commit
+    fresh = _os.path.join(p, f"{STAGE_PREFIX}inflight")
+    _os.makedirs(fresh)
+    # an old unreferenced stage dir = crashed-writer garbage
+    stale = _os.path.join(p, f"{STAGE_PREFIX}crashed")
+    _os.makedirs(stale)
+    _os.utime(stale, (0, 0))  # epoch mtime, far past any retention
+    vacuum(p, keep_last=1)  # default 24 h retention
+    assert _os.path.isdir(fresh), "in-flight stage dir must survive vacuum"
+    assert not _os.path.exists(stale), "stale stage dir must be swept"
+    # retention 0 sweeps everything unreferenced (single-writer mode)
+    vacuum(p, keep_last=1, stage_retention_sec=0)
+    assert not _os.path.exists(fresh)
+
+
 def test_versioned_write_recovers_from_crashed_commit(spark, tmp_path):
     """A crash between the parquet write and the manifest commit leaves
     an unreferenced v=N directory; the next write must overwrite it,

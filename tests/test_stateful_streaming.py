@@ -193,3 +193,66 @@ def test_session_finalize_tws_emits_closed_sessions_once(spark, tmp_path):
     # coverage: at least half of all batch sessions must have closed
     # (event times span months; only the per-user tail stays open)
     assert len(got) >= len(want) // 2
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python runner protocol needs google.protobuf",
+)
+def test_session_finalize_tws_merges_late_in_watermark_event(spark, tmp_path):
+    """ADVICE r8: a late-but-within-watermark event belonging to an
+    earlier session must merge into it (even bridging two pending
+    sessions into one), never start a fresh session — which requires
+    closed-but-unproven sessions to STAY in state until the watermark
+    passes (emission only from handleExpiredTimer)."""
+    import json as _json
+
+    from dimagi_data_platform_spark.streaming.events_stream import (
+        read_event_stream,
+    )
+    from dimagi_data_platform_spark.streaming.stateful import (
+        session_finalize_tws,
+    )
+
+    d = tmp_path / "late_in"
+    d.mkdir()
+
+    def _w(name, rows):
+        with open(d / name, "w") as f:
+            for i, (uid, ts, val) in enumerate(rows):
+                f.write(_json.dumps({
+                    "event_id": hash((name, i)) % 10**9,
+                    "ts": ts, "user_id": uid,
+                    "event_type": "click", "value": val, "props": "{}",
+                }) + "\n")
+
+    t0 = "2024-01-01T00:00:00.000000"
+    # batch 1: user 1 at t0 and t0+40min -> TWO pending sessions
+    _w("b1.json", [(1, t0, 1.0), (1, "2024-01-01T00:40:00.000000", 2.0)])
+    # batch 2: late event at t0+10min (within the 1h watermark delay).
+    # It is <=30min from BOTH pending sessions -> bridges them into ONE.
+    _w("b2.json", [(1, "2024-01-01T00:10:00.000000", 4.0)])
+    # batch 3: another user far in the future pushes the watermark past
+    # the merged session's close-proof instant (end + gap)
+    _w("b3.json", [(2, "2024-01-01T06:00:00.000000", 0.5)])
+
+    stream = read_event_stream(spark, str(d), fmt="json", max_files=1)
+    out = str(tmp_path / "late_out")
+
+    def _write(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    (
+        session_finalize_tws(stream, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .trigger(availableNow=True)
+        .foreachBatch(_write)
+        .start()
+        .awaitTermination()
+    )
+    rows = [r for r in spark.read.parquet(out).collect() if r.user_id == 1]
+    assert len(rows) == 1, f"expected ONE coalesced session, got {rows}"
+    r = rows[0]
+    assert r.n_events == 3 and round(r.total_value, 6) == 7.0
+    assert r.session_start.minute == 0 and r.session_end.minute == 40
