@@ -117,7 +117,10 @@ SHOWCASE = [
     "term_collocations",
     # r8 additions
     "part_k_core",
-    "copurchase_adamic_adar",
+    # r9 rotation: the hub-CAPPED Adamic-Adar replaces the exact
+    # variant (VERDICT r8 item 3) — the exact sibling stays registered
+    # and oracle-gated; this is the bounded 100 TB serving path
+    "copurchase_adamic_adar_capped",
     "daily_revenue_acf",
     "doc_rake_keywords",
     "ann_recall_eval",

@@ -180,12 +180,29 @@ def _promote(path: str, stage: str, version: int) -> None:
 
 
 def _commit_staged(
-    path: str, stage: str, n_rows: int, commit_ts: str, extra: dict | None
+    path: str,
+    stage: str,
+    n_rows: int,
+    commit_ts: str,
+    extra: dict | None,
+    expect_version: int | None = None,
 ) -> int:
     """One optimistic commit attempt of already-staged data at the
-    next version number; raises CommitConflictError on a lost race."""
-    versions = history(path)
-    n = versions[-1]["version"] + 1 if versions else 1
+    next version number; raises CommitConflictError on a lost race.
+
+    A writer whose result DEPENDS on the snapshot it read (merge,
+    compact, DV merge) must pass ``expect_version = base_version + 1``
+    so the CAS lands on exactly the number its read entitles it to — a
+    concurrent commit in the read→commit window then surfaces as a
+    conflict instead of this writer committing at a HIGHER number and
+    silently erasing the interleaved change. Blind snapshot commits
+    (write_version) have no read dependency and may take whatever
+    number is next."""
+    if expect_version is not None:
+        n = expect_version
+    else:
+        versions = history(path)
+        n = versions[-1]["version"] + 1 if versions else 1
     entry = {
         "version": n,
         "commit_ts": commit_ts,
@@ -226,6 +243,37 @@ def write_version(
             continue  # blind snapshot: retry at the next number
 
 
+def _resolve_snapshot(
+    spark: SparkSession, path: str, by_n: dict[int, dict], version: int
+) -> DataFrame:
+    """Logical rows of ``version``: a materialized (copy-on-write)
+    version is one pruned parquet scan; a merge-on-read (DV) version
+    resolves its base chain, anti-joins the deletion-vector keys, and
+    unions the delta files — read-time merge, the Delta deletion-vector
+    / Iceberg v2 position-delete read path. Chain depth is bounded by
+    the merges since the last compaction (compact_version folds the
+    whole chain into a materialized snapshot)."""
+    e = by_n[version]
+    if not e.get("dv"):
+        return spark.read.parquet(_data_dir(path, e))
+    base_n = e["base_version"]
+    if base_n not in by_n:
+        raise ValueError(
+            f"version {version} is a merge-on-read commit over version "
+            f"{base_n}, which is no longer live — vacuum retention must "
+            "keep DV base chains (this is a corrupted table state)"
+        )
+    base = _resolve_snapshot(spark, path, by_n, base_n)
+    d = _data_dir(path, e)
+    keys = e["keys"]
+    dv = spark.read.parquet(os.path.join(d, "dv"))
+    delta = spark.read.parquet(os.path.join(d, "delta"))
+    kept = base.join(dv, keys, "left_anti")
+    return _null_fill_missing(kept, delta).unionByName(
+        _null_fill_missing(delta, kept)
+    )
+
+
 def read_version(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
@@ -240,7 +288,7 @@ def read_version(
         raise ValueError(
             f"version {version} not in manifest (live: {sorted(by_n)})"
         )
-    return spark.read.parquet(_data_dir(path, by_n[version]))
+    return _resolve_snapshot(spark, path, by_n, version)
 
 
 def read_asof(spark: SparkSession, path: str, ts: str) -> DataFrame:
@@ -298,7 +346,8 @@ def merge_version(
     from pyspark.sql import Window
 
     while True:
-        base = read_version(spark, path)
+        base_n = history(path)[-1]["version"]
+        base = read_version(spark, path, base_n)
         # additive-only evolution: updates may ADD columns (base rows
         # read NULL there), but an update missing a base column is
         # schema DRIFT — null-filling it would silently erase data on
@@ -325,11 +374,112 @@ def merge_version(
         )
         stage, n_rows = _stage_write(merged, path)
         try:
-            return _commit_staged(path, stage, n_rows, commit_ts, extra)
+            return _commit_staged(
+                path, stage, n_rows, commit_ts, extra,
+                expect_version=base_n + 1,
+            )
         except CommitConflictError:
             # lost the race: this merge read a stale base — drop the
             # staged result and recompute against the new snapshot
             shutil.rmtree(os.path.join(path, stage), ignore_errors=True)
+            continue
+
+
+def merge_version_dv(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str,
+    commit_ts: str,
+    extra: dict | None = None,
+) -> int:
+    """MERGE as **merge-on-read** (VERDICT r8 item 4 — the Delta
+    deletion-vector / Iceberg v2 position-delete pattern): instead of
+    rewriting the whole snapshot (``merge_version``'s copy-on-write),
+    the commit writes only
+
+    - ``dv/``    — a deletion-vector sidecar: the KEYS of base rows
+      superseded by a winning update (read-time anti-join), and
+    - ``delta/`` — the winning update rows themselves (updates that
+      lose latest-wins against the base are dropped here, at write
+      time, so the read path needs no ordering logic).
+
+    Write cost scales with the UPDATE BATCH (plus one column-pruned
+    key/order scan of the base to decide latest-wins), not the table —
+    the rewrite amplification a copy-on-write MERGE pays on every
+    small upsert is gone. Read cost grows by one anti-join + union per
+    un-compacted DV commit; ``compact_version`` folds the whole chain
+    back into a materialized snapshot (Delta OPTIMIZE discipline: DV
+    merges between compactions, compaction on a schedule).
+
+    Semantics are IDENTICAL to ``merge_version`` (latest-wins by
+    ``order_col`` per ``keys``, tie → update wins, additive-only schema
+    evolution) — pinned by an equivalence test. Same OCC loser-retry
+    protocol; CDF reads (``read_changes``) resolve through the DV
+    chain transparently because they read logical snapshots."""
+    from pyspark.sql import Window
+
+    while True:
+        versions = history(path)
+        base_n = versions[-1]["version"]
+        base = read_version(spark, path, base_n)
+        dropped_cols = [c for c in base.columns if c not in updates.columns]
+        if dropped_cols:
+            raise ValueError(
+                f"updates are missing base column(s) {dropped_cols} — "
+                "schema evolution is additive only (drift would NULL "
+                "matched rows)"
+            )
+        # latest-wins WITHIN the update batch first (one key-grain
+        # shuffle over the batch, never the table)
+        w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+        u = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # ...then against the base: column-pruned scan of keys +
+        # order_col only (the ONLY base read this merge pays)
+        b_keys = base.select(*keys, F.col(order_col).alias("__b_ord"))
+        j = u.join(b_keys, keys, "left")
+        winners = j.filter(
+            F.col("__b_ord").isNull()
+            | (F.col(order_col) >= F.col("__b_ord"))
+        ).drop("__b_ord")
+        # tombstone exactly the matched winners' base rows
+        dv = (
+            j.filter(
+                F.col("__b_ord").isNotNull()
+                & (F.col(order_col) >= F.col("__b_ord"))
+            )
+            .select(*keys)
+        )
+        os.makedirs(path, exist_ok=True)
+        stage = f"{STAGE_PREFIX}{uuid.uuid4().hex}"
+        sdir = os.path.join(path, stage)
+        winners.write.mode("overwrite").parquet(os.path.join(sdir, "delta"))
+        dv.write.mode("overwrite").parquet(os.path.join(sdir, "dv"))
+        n_delta = spark.read.parquet(os.path.join(sdir, "delta")).count()
+        n_dv = spark.read.parquet(os.path.join(sdir, "dv")).count()
+        # unique-key invariant: each tombstone kills exactly one base row
+        n_rows = versions[-1]["n_rows"] - n_dv + n_delta
+        entry_extra = {
+            "dv": True,
+            "base_version": base_n,
+            "keys": list(keys),
+            "n_deleted": n_dv,
+            "n_delta": n_delta,
+        }
+        if extra:
+            entry_extra.update(extra)
+        try:
+            return _commit_staged(
+                path, stage, n_rows, commit_ts, entry_extra,
+                expect_version=base_n + 1,
+            )
+        except CommitConflictError:
+            shutil.rmtree(sdir, ignore_errors=True)
             continue
 
 
@@ -341,16 +491,22 @@ def compact_version(
 ) -> int:
     """Small-file compaction as a no-op-logical rewrite: the latest
     snapshot coalesced to ``target_files`` parquet files, committed as
-    the next version (Delta OPTIMIZE shape). Runs concurrently with
-    ingest MERGEs under the same optimistic protocol — a compaction
-    that loses the CAS recompacts the winner's snapshot, so neither
-    writer's rows are ever lost."""
+    the next version (Delta OPTIMIZE shape). Because it reads the
+    LOGICAL snapshot, it also folds any merge-on-read DV chain
+    (``merge_version_dv``) back into a materialized version — after a
+    compaction, reads are one parquet scan again and vacuum can
+    retire the chain. Runs concurrently with ingest MERGEs under the
+    same optimistic protocol — a compaction that loses the CAS
+    recompacts the winner's snapshot, so neither writer's rows are
+    ever lost."""
     while True:
-        snap = read_version(spark, path).coalesce(target_files)
+        base_n = history(path)[-1]["version"]
+        snap = read_version(spark, path, base_n).coalesce(target_files)
         stage, n_rows = _stage_write(snap, path)
         try:
             return _commit_staged(
-                path, stage, n_rows, commit_ts, {"compaction": True}
+                path, stage, n_rows, commit_ts, {"compaction": True},
+                expect_version=base_n + 1,
             )
         except CommitConflictError:
             shutil.rmtree(os.path.join(path, stage), ignore_errors=True)
@@ -379,8 +535,20 @@ def vacuum(
     versions = history(path)
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    drop = versions[:-keep_last]
-    keep = versions[-keep_last:]
+    keep_ns = {v["version"] for v in versions[-keep_last:]}
+    # a merge-on-read (DV) version reads THROUGH its base chain: every
+    # transitively-referenced base must stay live (entry AND data), or
+    # the kept version becomes unreadable — expand to the closure
+    by_n = {v["version"]: v for v in versions}
+    frontier = list(keep_ns)
+    while frontier:
+        e = by_n[frontier.pop()]
+        b = e.get("base_version")
+        if e.get("dv") and b is not None and b not in keep_ns:
+            keep_ns.add(b)
+            frontier.append(b)
+    drop = [v for v in versions if v["version"] not in keep_ns]
+    keep = [v for v in versions if v["version"] in keep_ns]
     live_dirs = {f"v={v['version']}" for v in keep} | {
         v.get("dir") for v in keep if v.get("dir")
     }

@@ -280,3 +280,62 @@ def streaming_interval_join_outer(
         "click_id",
         "click_ts",
     )
+
+
+def streaming_interval_join_full(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream FULL OUTER time-interval join (VERDICT r8 item 2):
+    the attribution-RECONCILIATION feed. Matched purchase×click pairs
+    emit as they join; an unmatched purchase emits with NULL click
+    columns once the watermark proves no attributable click can still
+    arrive; an unmatched click emits with NULL purchase columns once
+    the watermark proves no purchase it could attribute to can still
+    arrive. Between them every row of BOTH streams is accounted for
+    exactly — the streaming twin of the R48 batch full-outer reconcile
+    (daily_click_purchase_reconcile), proven batch-equivalent in tests.
+
+    NULL emission on each side is watermark-proven, same as the LEFT
+    OUTER variant (P53): Spark holds a row in state until the global
+    watermark passes the farthest instant the other side's match could
+    carry, so "unmatched" is a fact, not an arrival-order artifact.
+    State stays bounded by watermark + gap on both sides — the eviction
+    schedule is identical to the inner join's; the outer variants defer
+    only EMISSION, not cleanup.
+    """
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}")
+        )
+    )
+    return p.join(c, cond, "fullOuter").select(
+        F.coalesce("p_user", "c_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )

@@ -677,6 +677,91 @@ def test_streaming_interval_join_outer_emits_unmatched(spark, tmp_path):
     assert overdue <= got_unmatched and len(got_unmatched) > 0
 
 
+def test_streaming_interval_join_full_reconciles_both_sides(spark, tmp_path):
+    """FULL OUTER stream-stream join (VERDICT r8 item 2): matched pairs
+    equal the batch inner join; NULL-click rows are genuinely
+    unmatched purchases and NULL-purchase rows genuinely unmatched
+    clicks; and on BOTH sides every first-file row the final watermark
+    provably closed is present — the streaming twin of the R48 batch
+    full-outer reconcile."""
+    from dimagi_data_platform_spark.streaming.events_stream import (
+        streaming_interval_join_full,
+    )
+
+    in_dir, ev = _dump_events_as_json(spark, tmp_path, n_files=3)
+    purch_s = read_event_stream(spark, in_dir, fmt="json", max_files=1).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks_s = read_event_stream(spark, in_dir, fmt="json", max_files=1).filter(
+        F.col("event_type") == "click"
+    )
+    out = str(tmp_path / "ssjf_out")
+    run_to_sink(
+        streaming_interval_join_full(purch_s, clicks_s),
+        out,
+        str(tmp_path / "ssjf_ckpt"),
+    )
+    rows = spark.read.parquet(out).collect()
+    got_matched = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in rows
+        if r.click_id is not None and r.purchase_id is not None
+    }
+    got_null_click = {r.purchase_id for r in rows if r.click_id is None}
+    got_null_purch = {r.click_id for r in rows if r.purchase_id is None}
+    # a full-outer row never has BOTH sides NULL
+    assert all(
+        r.purchase_id is not None or r.click_id is not None for r in rows
+    )
+    # and user_id is populated from whichever side exists
+    assert all(r.user_id is not None for r in rows)
+
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour"))
+    )
+    inner = c.join(p, cond).collect()
+    want_matched = {(r.p_user, r.purchase_id, r.click_id) for r in inner}
+    assert got_matched == want_matched and len(want_matched) > 0
+
+    matched_p = {pid for _, pid, _ in want_matched}
+    matched_c = {cid for _, _, cid in want_matched}
+    want_null_click = {r.purchase_id for r in p.collect()} - matched_p
+    want_null_purch = {r.click_id for r in c.collect()} - matched_c
+    # soundness: every NULL row is genuinely unmatched in batch truth
+    assert got_null_click <= want_null_click
+    assert got_null_purch <= want_null_purch
+    # completeness where the watermark provably passed: first-file rows
+    # are far below the final applied watermark on both sides
+    first_file = spark.read.json(
+        in_dir + "/part0.json",
+        schema="event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    first_p = {
+        r.event_id
+        for r in first_file.filter(F.col("event_type") == "purchase").collect()
+    }
+    first_c = {
+        r.event_id
+        for r in first_file.filter(F.col("event_type") == "click").collect()
+    }
+    assert (want_null_click & first_p) <= got_null_click
+    assert (want_null_purch & first_c) <= got_null_purch
+    assert got_null_click and got_null_purch
+
+
 def test_streaming_cms_merged_equals_batch_sketch(spark, tmp_path):
     """CMS cells are additive, so the merged per-batch sketches must be
     BITWISE-equal to a one-shot batch sketch of the same rows — and the

@@ -1,0 +1,202 @@
+"""P62d: merge-on-read deletion vectors (VERDICT r8 item 4).
+
+merge_version_dv writes a deletion-vector sidecar + delta files instead
+of rewriting the snapshot; reads resolve the chain (anti-join + union);
+compaction folds it back to a materialized version; vacuum keeps DV
+base chains live; OCC semantics are preserved — including the
+read→commit TOCTOU window where a content-changing concurrent commit
+must surface as a conflict, never a silently lost update.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dimagi_data_platform_spark.sources import versioned as V
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def _content(spark, p, version=None):
+    return {
+        r.id: (r.ver, r.v)
+        for r in V.read_version(spark, p, version).collect()
+    }
+
+
+BASE = [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")]
+UPD = [(2, 2, "b2"), (3, 1, "c2"), (4, 1, "d")]  # update, tie-win, insert
+SCHEMA = "id long, ver long, v string"
+
+
+def test_dv_merge_equals_cow_merge(spark, tmp_path):
+    """Same base + same updates through merge_version (copy-on-write)
+    and merge_version_dv (merge-on-read) must produce IDENTICAL logical
+    rows — only the physical layout differs (dv/ + delta/ sidecars vs a
+    full rewrite)."""
+    cow, dv = str(tmp_path / "cow"), str(tmp_path / "dv")
+    for p in (cow, dv):
+        V.write_version(_mk(spark, BASE, SCHEMA), p, "2024-01-01")
+    V.merge_version(spark, cow, _mk(spark, UPD, SCHEMA), ["id"], "ver", "2024-02-01")
+    n = V.merge_version_dv(
+        spark, dv, _mk(spark, UPD, SCHEMA), ["id"], "ver", "2024-02-01"
+    )
+    assert n == 2
+    assert _content(spark, cow) == _content(spark, dv) == {
+        1: (1, "a"), 2: (2, "b2"), 3: (1, "c2"), 4: (1, "d")
+    }
+    e = V.history(dv)[-1]
+    assert e["dv"] is True and e["base_version"] == 1
+    assert e["n_deleted"] == 2 and e["n_delta"] == 3  # keys 2,3 replaced
+    assert e["n_rows"] == 4
+    # physical: the DV commit's data dir holds ONLY the sidecars — the
+    # write scales with the batch, not the table
+    d = V._data_dir(dv, e)
+    assert sorted(x for x in os.listdir(d) if not x.startswith(".")) == [
+        "delta", "dv",
+    ]
+    assert spark.read.parquet(os.path.join(d, "dv")).count() == 2
+    assert spark.read.parquet(os.path.join(d, "delta")).count() == 3
+
+
+def test_dv_losing_updates_are_dropped_at_write_time(spark, tmp_path):
+    """An update OLDER than the base row must not tombstone it."""
+    p = str(tmp_path / "tbl")
+    V.write_version(_mk(spark, [(1, 5, "new")], SCHEMA), p, "2024-01-01")
+    V.merge_version_dv(
+        spark, p, _mk(spark, [(1, 2, "stale")], SCHEMA), ["id"], "ver", "2024-02-01"
+    )
+    assert _content(spark, p) == {1: (5, "new")}
+    e = V.history(p)[-1]
+    assert e["n_deleted"] == 0 and e["n_delta"] == 0 and e["n_rows"] == 1
+
+
+def test_dv_chain_stacks_and_timetravel_resolves_each_link(spark, tmp_path):
+    """Two stacked DV merges: latest resolves through both links, and
+    time travel pins any intermediate logical snapshot."""
+    p = str(tmp_path / "tbl")
+    V.write_version(_mk(spark, BASE, SCHEMA), p, "2024-01-01")
+    V.merge_version_dv(
+        spark, p, _mk(spark, [(2, 2, "b2")], SCHEMA), ["id"], "ver", "2024-02-01"
+    )
+    V.merge_version_dv(
+        spark, p, _mk(spark, [(2, 3, "b3"), (5, 1, "e")], SCHEMA),
+        ["id"], "ver", "2024-03-01",
+    )
+    assert _content(spark, p, 1) == {1: (1, "a"), 2: (1, "b"), 3: (1, "c")}
+    assert _content(spark, p, 2) == {1: (1, "a"), 2: (2, "b2"), 3: (1, "c")}
+    assert _content(spark, p) == {
+        1: (1, "a"), 2: (3, "b3"), 3: (1, "c"), 5: (1, "e")
+    }
+
+
+def test_cdf_across_dv_commit(spark, tmp_path):
+    """read_changes spanning a DV commit classifies exactly like the
+    copy-on-write path (it reads logical snapshots)."""
+    p = str(tmp_path / "tbl")
+    V.write_version(_mk(spark, BASE, SCHEMA), p, "2024-01-01")
+    V.merge_version_dv(
+        spark, p, _mk(spark, UPD, SCHEMA), ["id"], "ver", "2024-02-01"
+    )
+    ch = {
+        (r.id, r._change_type): (r.ver, r.v)
+        for r in V.read_changes(spark, p, 1, 2, ["id"]).collect()
+    }
+    assert ch == {
+        (2, "update_preimage"): (1, "b"),
+        (2, "update_postimage"): (2, "b2"),
+        (3, "update_preimage"): (1, "c"),
+        (3, "update_postimage"): (1, "c2"),
+        (4, "insert"): (1, "d"),
+    }
+
+
+def test_compaction_folds_dv_chain_then_vacuum_retires_it(spark, tmp_path):
+    """compact_version materializes the DV chain; vacuum(keep_last=1)
+    can then retire every chain link and the table stays readable as
+    one plain parquet scan."""
+    p = str(tmp_path / "tbl")
+    V.write_version(_mk(spark, BASE, SCHEMA), p, "2024-01-01")
+    V.merge_version_dv(
+        spark, p, _mk(spark, UPD, SCHEMA), ["id"], "ver", "2024-02-01"
+    )
+    want = _content(spark, p)
+    n = V.compact_version(spark, p, "2024-03-01")
+    assert n == 3 and not V.history(p)[-1].get("dv")
+    V.vacuum(p, keep_last=1, stage_retention_sec=0)
+    assert [h["version"] for h in V.history(p)] == [3]
+    assert _content(spark, p) == want
+
+
+def test_vacuum_keeps_dv_base_chain_live(spark, tmp_path):
+    """vacuum(keep_last=1) with a DV head must keep the transitive base
+    chain (entries AND data) or the head becomes unreadable."""
+    p = str(tmp_path / "tbl")
+    V.write_version(_mk(spark, BASE, SCHEMA), p, "2024-01-01")
+    V.merge_version_dv(
+        spark, p, _mk(spark, [(2, 2, "b2")], SCHEMA), ["id"], "ver", "2024-02-01"
+    )
+    V.merge_version_dv(
+        spark, p, _mk(spark, [(5, 1, "e")], SCHEMA), ["id"], "ver", "2024-03-01"
+    )
+    want = _content(spark, p)
+    dropped = V.vacuum(p, keep_last=1, stage_retention_sec=0)
+    # nothing droppable: v3 reads through v2 reads through v1
+    assert dropped == []
+    assert [h["version"] for h in V.history(p)] == [1, 2, 3]
+    assert _content(spark, p) == want
+
+
+def test_dv_merge_schema_evolution_additive(spark, tmp_path):
+    """A widened update batch through the DV path: old rows read NULL
+    in the new column, exactly like the copy-on-write path."""
+    p = str(tmp_path / "tbl")
+    V.write_version(_mk(spark, [(1, 1, "a"), (2, 1, "b")], SCHEMA), p, "2024-01-01")
+    V.merge_version_dv(
+        spark, p,
+        _mk(spark, [(2, 2, "b2", 7), (3, 1, "c", 9)],
+            "id long, ver long, v string, w long"),
+        ["id"], "ver", "2024-02-01",
+    )
+    got = {r.id: (r.v, r.w) for r in V.read_version(spark, p).collect()}
+    assert got == {1: ("a", None), 2: ("b2", 7), 3: ("c", 9)}
+
+
+def test_content_changing_race_surfaces_as_conflict(spark, tmp_path, monkeypatch):
+    """The read→commit TOCTOU window: a CONTENT-CHANGING concurrent
+    commit (not a no-op compaction) lands between the merge's base read
+    and its commit. The merge must detect the conflict via its pinned
+    expected version, RECOMPUTE against the winner's snapshot, and
+    commit on top — never commit its stale result at a higher number
+    (the silently-lost-update failure)."""
+    for mergefn in (V.merge_version, V.merge_version_dv):
+        p = str(tmp_path / f"tbl_{mergefn.__name__}")
+        V.write_version(_mk(spark, [(1, 1, "a")], SCHEMA), p, "2024-01-01")
+
+        state = {"injected": False}
+        real_commit = V._commit
+
+        def racing_commit(path, entry, _state=state):
+            if not _state["injected"]:
+                _state["injected"] = True
+                # the racer REPLACES the table contents at version 2
+                V.write_version(
+                    _mk(spark, [(9, 1, "z")], SCHEMA), path, "2024-01-02"
+                )
+            real_commit(path, entry)
+
+        monkeypatch.setattr(V, "_commit", racing_commit)
+        n = mergefn(
+            spark, p, _mk(spark, [(2, 1, "c")], SCHEMA),
+            ["id"], "ver", "2024-01-03",
+        )
+        monkeypatch.setattr(V, "_commit", real_commit)
+        assert n == 3 and state["injected"]
+        # serializable outcome: the merge applied AFTER the racer, so
+        # the racer's snapshot {9} is the base — key 1 must NOT
+        # resurrect from the merge's stale first read
+        assert _content(spark, p) == {9: (1, "z"), 2: (1, "c")}
