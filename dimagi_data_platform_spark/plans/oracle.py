@@ -7865,7 +7865,7 @@ FROM picks GROUP BY segment ORDER BY segment
 """
 
 # L88: shingle document-frequency histogram on the L2 shingle grain.
-ORACLE["shingle_df_histogram"] = """
+ORACLE["shingle_df_histogram"] = r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
   FROM documents),
@@ -7918,7 +7918,7 @@ ORDER BY i.type_a, i.type_b
 """
 
 # L89: per-language token-length quartiles, rank-at-ceil picks.
-ORACLE["doc_length_quartiles_by_lang"] = """
+ORACLE["doc_length_quartiles_by_lang"] = r"""
 WITH x AS (
   SELECT lang,
          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS v,
