@@ -30,4 +30,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE)
+    out = dict(ORACLE)
+    # artifact-replay oracles for the trained-quantizer queries: the
+    # deterministic trainers re-run outside Spark and interpolate their
+    # trained values as literals (VERDICT r8 item 7). Generated for the
+    # driver's sf0.01 gate by default; tests/parity.py retargets via
+    # SPARK_GRAFT_ORACLE_SF. If generation fails (e.g. missing
+    # embeddings parquet) the affected queries degrade to the old
+    # rows-only check instead of breaking every oracle.
+    try:
+        import os
+
+        from dimagi_data_platform_spark.plans.trained_oracle import (
+            generate_trained_oracles,
+        )
+
+        out.update(
+            generate_trained_oracles(
+                os.environ.get(
+                    "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+                )
+            )
+        )
+    except Exception as e:  # pragma: no cover - degraded mode
+        import sys
+
+        print(f"trained-oracle generation skipped: {e}", file=sys.stderr)
+    return out

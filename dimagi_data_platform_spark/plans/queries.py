@@ -1107,8 +1107,11 @@ def _ensure_artifact(path: str, subdirs: tuple[str, ...], build_fn) -> None:
 
 @query("knn_ivf")
 def knn_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L7b: IVF ANN served from the persisted index (rows-only check;
-    recall vs L6 in tests) — the write-once/query-many posture: the
+    """L7b: IVF ANN served from the persisted index — HASH-GATED since
+    r9 via the artifact-replay oracle (plans/trained_oracle.py: the
+    deterministic trainer re-runs outside Spark, assignments/probes
+    interpolate as literals, scoring+ranking replay in SQL); recall vs
+    L6 also in tests. The write-once/query-many posture: the
     k-means train + full-table list assignment runs ONCE per sf_dir
     (lazily, cached under .artifacts/), and every query after that is
     a partition-pruned scan of only the probed lists. nlist=64 with
@@ -1129,9 +1132,12 @@ def knn_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L33: SemDeDup-style semantic dedup — k-means clusters over the
     embedding space, then per-cluster cosine pruning keeps the min-id
-    representative of each near-dup group (rows-only check: k-means is
-    not SQL-expressible; within-cluster semantics verified against the
-    exact pair set in tests/test_llm_ops.py)."""
+    representative of each near-dup group. HASH-GATED since r9: the
+    deterministic k-means replays in the generated oracle (trained
+    cluster assignments as literals, the >=threshold lower-id
+    best-match + keep rule in SQL — plans/trained_oracle.py);
+    within-cluster semantics also verified against the exact pair set
+    in tests/test_llm_ops.py."""
     emb = _t(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, threshold=EMBED_NEAR_DUP_THRESHOLD)
 
@@ -1182,9 +1188,11 @@ def knn_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("knn_sq_rerank")
 def knn_sq_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L7d: int8 scalar-quantized ANN + exact rerank (rows-only check;
-    recall + bitwise-exact rerank scores vs brute force verified in
-    tests/test_llm_ops.py) — the memory-bandwidth scale path, fully
+    """L7d: int8 scalar-quantized ANN + exact rerank — HASH-GATED since
+    r9 (generated oracle with the TRAINED per-dimension scales as
+    literals; quantize, integer-dot candidates, and exact rerank all
+    replay in SQL — plans/trained_oracle.py; recall + bitwise-exact
+    rerank scores vs brute force also in tests/test_llm_ops.py) — the memory-bandwidth scale path, fully
     whole-stage-codegen on both passes. Served from the persisted
     code table (L7e), built lazily once per sf_dir like the IVF
     index: query batches quantize only themselves with the stored
@@ -1199,8 +1207,11 @@ def knn_sq_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("knn_ivfpq")
 def knn_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L7f: IVF-PQ ANN (rows-only check; recall + bitwise-exact rerank
-    scores vs brute force verified in tests/test_llm_ops.py) — the
+    """L7f: IVF-PQ ANN — HASH-GATED since r9 (artifact-replay oracle:
+    the trained coarse+PQ selection replays in numpy, survivor sets
+    interpolate as literals, the exact rerank + ranking replay in SQL
+    — plans/trained_oracle.py; recall + bitwise-exact rerank scores vs
+    brute force also in tests/test_llm_ops.py) — the
     FAISS-style layout for a 100 TB corpus: coarse lists prune the
     scan (partition pruning when persisted), m_sub-byte product codes
     replace the float column in the scoring scan (32x less bandwidth

@@ -128,6 +128,9 @@ def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, 
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # trained-quantizer oracles are generated per-sf (artifact replay);
+    # point the generator at the sf being checked
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
     oracles = entrymod.oracle_sql()
     con = duck_con(sf_dir)
     results: dict[str, list[str]] = {}
