@@ -217,6 +217,43 @@ def _bench_ivf_append(spark, sf_dir: str) -> dict:
     }
 
 
+def _bench_dv_merge(spark, sf_dir: str) -> dict:
+    """Copy-on-write MERGE vs merge-on-read (deletion-vector) MERGE of
+    the same small update batch into the same orders-sized versioned
+    table — measured per-round so the 'small-upsert cost scales with
+    the delta, not the table' claim is a number, not an assertion
+    (VERDICT r8 item 4)."""
+    import shutil
+    import tempfile
+
+    from dimagi_data_platform_spark.catalog import load_table
+    from dimagi_data_platform_spark.sources.versioned import (
+        merge_version,
+        merge_version_dv,
+        write_version,
+    )
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    batch = orders.orderBy(F.desc("o_orderkey")).limit(max(1, n // 100))
+    batch = batch.withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    out = {"dv_table_rows": n, "dv_batch_rows": max(1, n // 100)}
+    for label, fn in (("cow_merge_sec", merge_version), ("dv_merge_sec", merge_version_dv)):
+        d = tempfile.mkdtemp(prefix="bench_dv_")
+        try:
+            write_version(orders, f"{d}/t", "2024-01-01")
+            t0 = time.perf_counter()
+            fn(
+                spark, f"{d}/t", batch, ["o_orderkey"], "o_totalprice",
+                "2024-02-01",
+            )
+            out[label] = round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -284,6 +321,7 @@ def main() -> None:
     # against the stored centroids — append must scale with the batch,
     # not the corpus.
     extras = _bench_ivf_append(spark, sf_dir)
+    extras.update(_bench_dv_merge(spark, sf_dir))
 
     # Standing reference line (BASELINE.md): the round-1 total over the
     # frozen core-12 at this same sf0.1/local[32] setup. The ratio is

@@ -1,0 +1,194 @@
+"""Full-registry sf1 evidence sweep (VERDICT r8 item 5): every
+registered query runs at sf0.1 AND sf1 (10x data) in one session, and
+every oracle-backed query hash-compares against DuckDB at sf1 — with a
+per-oracle interrupt timeout so pair-quadratic oracles (infeasible in
+one DuckDB node at sf1, verified at sf<=0.1 instead) record an honest
+``oracle_timeout`` status instead of hanging the sweep.
+
+    python tools/full_sf1_sweep.py [--out SF1_SWEEP.json] [--timeout 240]
+
+Output JSON: per query {t_sf01, t_sf1, scale_x, parity: hash_ok |
+rows_only | oracle_timeout | FAIL <details>}, plus a summary block
+(counts, worst scale factors). Timing protocol: single run per query
+per sf in one warmed session — the sf0.1 pass doubles as the janino/
+worker warmup for the sf1 pass, so scale_x = t_sf1/t_sf01 measures the
+data path, not compile cost. Scale target: at 10x data a healthy plan
+stays at or below ~10x (linear); the summary lists every query above
+it for audit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(REPO, ".artifacts", "sf1")
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def release_checkpoints(spark) -> None:
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+
+
+def oracle_with_timeout(sf_dir: str, sql: str, timeout: float):
+    """Run one oracle on a fresh connection; interrupt() on timeout.
+    Returns (pdf | None, status)."""
+    import duckdb
+
+    from dimagi_data_platform_spark.catalog import TABLES, table_path
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = table_path(sf_dir, t)
+        if os.path.exists(p):
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}'")
+    out: dict = {}
+
+    def work():
+        try:
+            out["pdf"] = con.execute(sql).fetchdf()
+        except Exception as e:  # interrupted or real error
+            out["err"] = str(e)
+
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    th.join(timeout)
+    if th.is_alive():
+        con.interrupt()
+        th.join(30)
+        return None, "oracle_timeout"
+    if "err" in out:
+        return None, f"oracle_error: {out['err'][:200]}"
+    return out["pdf"], "ok"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(REPO, "SF1_SWEEP.json"))
+    ap.add_argument("--timeout", type=float, default=240.0)
+    ap.add_argument("--skip-parity", action="store_true")
+    args = ap.parse_args()
+
+    if not os.path.isdir(SF1):
+        raise SystemExit("build .artifacts/sf1 first: python tools/make_scaled_sf.py")
+
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = SF1
+    import __spark_entry__ as entrymod
+    from dimagi_data_platform_spark.session import get_spark
+    from tests.parity import compare
+
+    spark = get_spark("sf1_sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = sorted(qs)
+
+    results: dict[str, dict] = {}
+    # pass 1: sf0.1 single-run timings (doubles as session warmup)
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            run_noop(qs[name](spark, SF01))
+            results[name] = {"t_sf01": round(time.perf_counter() - t0, 3)}
+        except Exception as e:
+            results[name] = {"t_sf01": None, "err_sf01": str(e)[:200]}
+        release_checkpoints(spark)
+        print(f"[sf0.1] {name}: {results[name].get('t_sf01')}", flush=True)
+
+    # pass 2: sf1 timings
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            run_noop(qs[name](spark, SF1))
+            results[name]["t_sf1"] = round(time.perf_counter() - t0, 3)
+        except Exception as e:
+            results[name]["t_sf1"] = None
+            results[name]["err_sf1"] = str(e)[:200]
+        release_checkpoints(spark)
+        t01, t1 = results[name].get("t_sf01"), results[name].get("t_sf1")
+        if t01 and t1:
+            results[name]["scale_x"] = round(t1 / max(t01, 1e-9), 2)
+        print(
+            f"[sf1] {name}: {t1} ({results[name].get('scale_x')}x)",
+            flush=True,
+        )
+
+    # pass 3: sf1 parity (hash gate) with oracle interrupt timeout
+    if not args.skip_parity:
+        for name in names:
+            if name not in oracles:
+                results[name]["parity"] = "rows_only"
+                continue
+            try:
+                sdf = qs[name](spark, SF1).toPandas()
+            except Exception as e:
+                results[name]["parity"] = f"spark_error: {str(e)[:200]}"
+                continue
+            release_checkpoints(spark)
+            odf, status = oracle_with_timeout(
+                SF1, oracles[name], args.timeout
+            )
+            if odf is None:
+                results[name]["parity"] = status
+            else:
+                errs = compare(sdf, odf)
+                results[name]["parity"] = (
+                    "hash_ok" if not errs else f"FAIL: {errs[:3]}"
+                )
+            print(f"[parity] {name}: {results[name]['parity']}", flush=True)
+
+    scale_flagged = sorted(
+        (
+            (n, r["scale_x"])
+            for n, r in results.items()
+            if r.get("scale_x", 0) > 10 and r.get("t_sf1", 0) > 2.0
+        ),
+        key=lambda t: -t[1],
+    )
+    summary = {
+        "n_queries": len(names),
+        "data_multiple": 10,
+        "protocol": "single run per sf in one warmed session",
+        "n_hash_ok": sum(
+            1 for r in results.values() if r.get("parity") == "hash_ok"
+        ),
+        "n_rows_only": sum(
+            1 for r in results.values() if r.get("parity") == "rows_only"
+        ),
+        "n_oracle_timeout": sum(
+            1
+            for r in results.values()
+            if r.get("parity") == "oracle_timeout"
+        ),
+        "n_fail": sum(
+            1
+            for r in results.values()
+            if str(r.get("parity", "")).startswith(("FAIL", "spark_error", "oracle_error"))
+        ),
+        "over_10x_and_over_2s": scale_flagged,
+        "total_sf1_sec": round(
+            sum(r.get("t_sf1") or 0 for r in results.values()), 1
+        ),
+        "total_sf01_sec": round(
+            sum(r.get("t_sf01") or 0 for r in results.values()), 1
+        ),
+    }
+    with open(args.out, "w") as f:
+        json.dump({"summary": summary, "queries": results}, f, indent=1, sort_keys=True)
+    print(json.dumps(summary, indent=1))
+
+
+if __name__ == "__main__":
+    main()
