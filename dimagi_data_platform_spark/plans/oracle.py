@@ -4418,6 +4418,52 @@ ORDER BY n_common DESC, part_a, part_b
 LIMIT 20
 """
 
+# R79b: hub-capped common-neighbors — centers with oriented outdeg > 64
+# excluded, dropped mass reported on every row.
+ORACLE["copurchase_link_prediction_capped"] = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+allv AS (
+  SELECT u AS p FROM e0 UNION ALL SELECT v FROM e0),
+deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS deg FROM allv GROUP BY p),
+packed AS (
+  SELECT e0.u, e0.v,
+         du.deg * 1099511627776 + e0.u AS ku,
+         dv.deg * 1099511627776 + e0.v AS kv
+  FROM e0 JOIN deg du ON du.p = e0.u JOIN deg dv ON dv.p = e0.v),
+directed AS (
+  SELECT CASE WHEN ku < kv THEN u ELSE v END AS src,
+         CASE WHEN ku < kv THEN v ELSE u END AS dst
+  FROM packed),
+od AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+  FROM directed GROUP BY src),
+droppedm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS dropped_centers,
+         CAST(COALESCE(SUM(outdeg * (outdeg - 1) // 2), 0) AS BIGINT)
+           AS dropped_wedges
+  FROM od WHERE outdeg > 64),
+kept AS (SELECT src FROM od WHERE outdeg >= 2 AND outdeg <= 64),
+wedges AS (
+  SELECT d1.dst AS u, d2.dst AS v, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM directed d1 JOIN directed d2
+    ON d1.src = d2.src AND d1.dst < d2.dst
+  JOIN kept k ON k.src = d1.src
+  GROUP BY 1, 2),
+pred AS (
+  SELECT w.u, w.v, w.n_common
+  FROM wedges w ANTI JOIN e0 ON e0.u = w.u AND e0.v = w.v)
+SELECT u AS part_a, v AS part_b, n_common, dropped_centers, dropped_wedges
+FROM (SELECT * FROM pred
+      ORDER BY n_common DESC, u, v
+      LIMIT 20)
+CROSS JOIN droppedm
+ORDER BY n_common DESC, part_a, part_b
+"""
+
 
 # R80: quantile transform (empirical percentile per order).
 ORACLE["order_value_quantile_transform"] = """

@@ -7600,6 +7600,77 @@ def copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("copurchase_link_prediction_capped")
+def copurchase_link_prediction_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R79b: common-neighbors link prediction with the explicit hub cap
+    (VERDICT r8 item 3, the second wedge query): centers with oriented
+    out-degree > MAX_WEDGE_OUTDEG leave the wedge stream before the
+    triangular expansion, and the exact excluded mass rides on every
+    row as ``dropped_centers`` / ``dropped_wedges`` — same honest-cap
+    discipline as ``copurchase_adamic_adar_capped`` (see there for the
+    scale argument); the exact sibling stays registered."""
+    deg, _corners = _copurchase_tri(spark, sf_dir)
+    edges = _copurchase_edges(spark, sf_dir)
+    _assert_pair_packable(edges)
+    pack = 1 << 40
+    du = deg.select(
+        F.col("p").alias("u"), (F.col("deg") * pack + F.col("u")).alias("ku")
+    )
+    dv = deg.select(
+        F.col("p").alias("v"), (F.col("deg") * pack + F.col("v")).alias("kv")
+    )
+    e = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    u_first = F.col("ku") < F.col("kv")
+    directed = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    adj = directed.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    ).withColumn("outdeg", F.size("nbrs").cast("long"))
+    dropped = adj.filter(F.col("outdeg") > MAX_WEDGE_OUTDEG).agg(
+        F.count(F.lit(1)).cast("long").alias("dropped_centers"),
+        F.coalesce(
+            F.sum(F.expr("outdeg * (outdeg - 1) DIV 2")), F.lit(0)
+        )
+        .cast("long")
+        .alias("dropped_wedges"),
+    )
+    kept = adj.filter(
+        (F.col("outdeg") >= 2) & (F.col("outdeg") <= MAX_WEDGE_OUTDEG)
+    )
+    pair_longs = F.flatten(
+        F.transform(
+            "nbrs",
+            lambda x, i: F.transform(
+                F.slice(F.col("nbrs"), (i + 2).cast("int"), F.size("nbrs")),
+                lambda y: x * F.lit(4294967296) + y,
+            ),
+        )
+    )
+    wedges = (
+        kept.select(F.explode(pair_longs).alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    edge_pk = edges.select(
+        (F.col("u") * F.lit(4294967296) + F.col("v")).alias("pk")
+    )
+    return (
+        wedges.join(edge_pk, "pk", "left_anti")
+        .select(
+            F.expr("CAST(pk DIV 4294967296 AS LONG)").alias("part_a"),
+            (F.col("pk") % F.lit(4294967296)).cast("long").alias("part_b"),
+            "n_common",
+        )
+        .orderBy(F.desc("n_common"), "part_a", "part_b")
+        .limit(20)
+        .crossJoin(F.broadcast(dropped))
+    )
+
+
 @query("order_value_quantile_transform")
 def order_value_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R80: quantile (rank) transform — every order's value mapped to
