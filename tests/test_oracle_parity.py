@@ -5,6 +5,8 @@ at least execute."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 import __spark_entry__ as entrymod
@@ -12,6 +14,9 @@ from tests.conftest import SF_SMALL
 from tests.parity import compare, duck_con
 
 QUERIES = entrymod.queries()
+# trained-quantizer oracles are generated per-sf (artifact replay) —
+# point the generator at the sf this suite checks BEFORE fetching
+os.environ["SPARK_GRAFT_ORACLE_SF"] = SF_SMALL
 ORACLES = entrymod.oracle_sql()
 
 
