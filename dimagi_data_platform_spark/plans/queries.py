@@ -3238,11 +3238,29 @@ def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     key_a < key_b). The entity-resolution step a warehouse runs before
     merging records from multiple sources.
 
-    Scale: the self-join is confined to the blocking key (candidates
-    per block = block_size², never corpus²) and levenshtein runs
-    codegen'd JVM-side during the join probe. At larger blocks swap
-    the blocking key for sorted-neighborhood windows or the q-gram
-    LSH machinery (operators/minhash.py) — same pair-generation shape."""
+    Scale (rewritten in r9 after the full sf1 sweep caught this): the
+    blocking key has only ~25 distinct values, so the join's INPUT is
+    tiny while its OUTPUT is block² pairs — AQE coalesced the exchange
+    to almost no tasks and one thread ground through ~900M levenshtein
+    probes at sf1. Two fixes: (1) the A side carries a 16-way SALT in
+    the join key and the B side replicates across all salts, so each
+    block's pair stream fans out over block×16 tasks regardless of how
+    few blocks exist (the skew-salting idiom from salted_join_enrich
+    applied to a self-join explosion — output pairs are identical,
+    each pair lands in exactly one (block, salt_a) group); (2)
+    levenshtein runs with the THRESHOLD form (Spark >= 3.5:
+    early-exits the DP band past distance 2 and short-circuits on
+    length gaps), which is O(k·len) per pair instead of O(len²).
+    The B side broadcasts (block-replica-sized), so the PROBE side's
+    task count is the parallelism — and a 150k-row dimension is one
+    file split, i.e. ONE task grinding every pair. The probe side
+    therefore carries an explicit user repartition on (block, salt)
+    (user repartitions are never AQE-coalesced), fanning the pair
+    stream over 64 tasks no matter how few file splits the dimension
+    scan has. Past this, swap the blocking key for sorted-neighborhood
+    windows or the q-gram LSH machinery (operators/minhash.py) — the
+    pair COUNT is inherent to nation-blocking semantics."""
+    n_salt = 16
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
@@ -3250,19 +3268,23 @@ def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("custkey_a"),
         F.col("c_name").alias("name_a"),
         F.col("c_nationkey").alias("nk"),
-    )
+        (F.col("c_custkey") % n_salt).cast("int").alias("_salt"),
+    ).repartition(64, "nk", "_salt")
     b = cust.select(
         F.col("c_custkey").alias("custkey_b"),
         F.col("c_name").alias("name_b"),
         F.col("c_nationkey").alias("nk"),
+    ).withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     )
     return (
-        a.join(b, "nk")
+        a.join(b, ["nk", "_salt"])
         .filter(F.col("custkey_a") < F.col("custkey_b"))
         .withColumn(
-            "edit_dist", F.levenshtein("name_a", "name_b").cast("long")
+            "edit_dist",
+            F.levenshtein("name_a", "name_b", threshold=2).cast("long"),
         )
-        .filter(F.col("edit_dist") <= 2)
+        .filter(F.col("edit_dist") >= 0)
         .select("custkey_a", "custkey_b", "edit_dist")
     )
 

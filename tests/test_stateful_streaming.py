@@ -214,8 +214,11 @@ def test_session_finalize_tws_merges_late_in_watermark_event(spark, tmp_path):
         session_finalize_tws,
     )
 
+    import os as _os
+
     d = tmp_path / "late_in"
     d.mkdir()
+    mtime = [1_700_000_000]
 
     def _w(name, rows):
         with open(d / name, "w") as f:
@@ -225,6 +228,11 @@ def test_session_finalize_tws_merges_late_in_watermark_event(spark, tmp_path):
                     "ts": ts, "user_id": uid,
                     "event_type": "click", "value": val, "props": "{}",
                 }) + "\n")
+        # the file source orders batches by (mtime, path); same-second
+        # writes make batch order nondeterministic and a wrong order
+        # advances the watermark past the late event — pin it
+        mtime[0] += 60
+        _os.utime(d / name, (mtime[0], mtime[0]))
 
     t0 = "2024-01-01T00:00:00.000000"
     # batch 1: user 1 at t0 and t0+40min -> TWO pending sessions

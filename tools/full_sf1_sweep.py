@@ -37,6 +37,35 @@ def run_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def timed_spark(spark, fn, timeout: float):
+    """Run fn() under a job group; cancel the group on timeout.
+    Returns (seconds | None, err | None)."""
+    import uuid
+
+    group = f"sweep-{uuid.uuid4().hex[:8]}"
+    out: dict = {}
+
+    def work():
+        spark.sparkContext.setJobGroup(group, "sf1 sweep", True)
+        try:
+            t0 = time.perf_counter()
+            fn()
+            out["sec"] = round(time.perf_counter() - t0, 3)
+        except Exception as e:
+            out["err"] = str(e)[:200]
+        finally:
+            spark.sparkContext.clearJobGroup()
+
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    th.join(timeout)
+    if th.is_alive():
+        spark.sparkContext.cancelJobGroup(group)
+        th.join(60)
+        return None, f"spark_timeout(>{timeout:.0f}s)"
+    return out.get("sec"), out.get("err")
+
+
 def release_checkpoints(spark) -> None:
     for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
         rdd.unpersist()
@@ -78,6 +107,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(REPO, "SF1_SWEEP.json"))
     ap.add_argument("--timeout", type=float, default=240.0)
+    ap.add_argument("--spark-timeout", type=float, default=300.0)
     ap.add_argument("--skip-parity", action="store_true")
     args = ap.parse_args()
 
@@ -98,24 +128,23 @@ def main() -> None:
     results: dict[str, dict] = {}
     # pass 1: sf0.1 single-run timings (doubles as session warmup)
     for name in names:
-        t0 = time.perf_counter()
-        try:
-            run_noop(qs[name](spark, SF01))
-            results[name] = {"t_sf01": round(time.perf_counter() - t0, 3)}
-        except Exception as e:
-            results[name] = {"t_sf01": None, "err_sf01": str(e)[:200]}
+        sec, err = timed_spark(
+            spark, lambda: run_noop(qs[name](spark, SF01)), args.spark_timeout
+        )
+        results[name] = {"t_sf01": sec}
+        if err:
+            results[name]["err_sf01"] = err
         release_checkpoints(spark)
         print(f"[sf0.1] {name}: {results[name].get('t_sf01')}", flush=True)
 
     # pass 2: sf1 timings
     for name in names:
-        t0 = time.perf_counter()
-        try:
-            run_noop(qs[name](spark, SF1))
-            results[name]["t_sf1"] = round(time.perf_counter() - t0, 3)
-        except Exception as e:
-            results[name]["t_sf1"] = None
-            results[name]["err_sf1"] = str(e)[:200]
+        sec, err = timed_spark(
+            spark, lambda: run_noop(qs[name](spark, SF1)), args.spark_timeout
+        )
+        results[name]["t_sf1"] = sec
+        if err:
+            results[name]["err_sf1"] = err
         release_checkpoints(spark)
         t01, t1 = results[name].get("t_sf01"), results[name].get("t_sf1")
         if t01 and t1:
@@ -131,11 +160,16 @@ def main() -> None:
             if name not in oracles:
                 results[name]["parity"] = "rows_only"
                 continue
-            try:
-                sdf = qs[name](spark, SF1).toPandas()
-            except Exception as e:
-                results[name]["parity"] = f"spark_error: {str(e)[:200]}"
+            box: dict = {}
+
+            def fetch():
+                box["sdf"] = qs[name](spark, SF1).toPandas()
+
+            _, err = timed_spark(spark, fetch, args.spark_timeout)
+            if err or "sdf" not in box:
+                results[name]["parity"] = f"spark_error: {err}"
                 continue
+            sdf = box["sdf"]
             release_checkpoints(spark)
             odf, status = oracle_with_timeout(
                 SF1, oracles[name], args.timeout
