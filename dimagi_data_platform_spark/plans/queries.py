@@ -12203,7 +12203,13 @@ def part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplication 100·|pa−pb| ≤ 10·max(pa,pb) on cent prices.
 
     Scale: one self-join inside (type, size) blocks (hash join on the
-    block key), triangular by partkey; deterministic top-100.
+    block key), triangular by partkey; deterministic top-100. The dim
+    side broadcasts, so probe parallelism = the A side's task count —
+    a dimension small enough to be ONE file split would grind the
+    whole block² pair stream in one task (caught by the r9 sf1 sweep:
+    19 s single-task → ~1 s at 64-way). The explicit user
+    repartition(64) below fans the probe out and is never
+    AQE-coalesced.
     """
     part = _t(spark, sf_dir, "part")
     cents = F.floor(F.col("p_retailprice") * F.lit(100.0)).cast("long")
@@ -12216,7 +12222,7 @@ def part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_type",
         "p_size",
         F.col("cents").alias("ca"),
-    )
+    ).repartition(64)
     b = p.select(
         F.col("p_partkey").alias("part_b"),
         F.col("p_brand").alias("brand_b"),
@@ -12855,26 +12861,38 @@ def shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries are exact powers of two (log2 of an exact power is
     exact IEEE in both engines; non-boundary values can't flip).
 
-    Scale: one (shingle → distinct-doc count) aggregate (the L2
-    shuffle), one |buckets|-row rollup.
+    Scale: ONE (shingle → doc count) aggregate — the r9 sf1 sweep
+    caught this query at 91 s / heaviest-in-registry and the rewrite
+    removed three compounding wastes: tokens() was passed INLINE into
+    the shingle HOF (re-running the regex split ~3n times per shingle
+    — the exact hazard shingles_from_tokens' docstring warns about),
+    a .distinct() re-shuffled pairs that are already distinct
+    (shingles_from_tokens array_distincts per doc), and the total
+    rode in via a crossJoin against a second full recomputation of
+    the pipeline instead of a window over the ~30-row bucket table.
+    91 s → ~8 s at sf1, same rows.
     """
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(shingles_from_tokens(tokens("text"), 3)).alias("s")
-    ).distinct()
+    sh = docs.withColumn("toks", tokens("text")).select(
+        "doc_id", F.explode(shingles_from_tokens("toks", 3)).alias("s")
+    )
     df_tab = sh.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("df"))
     b = df_tab.withColumn(
         "df_log2_bucket",
         F.floor(F.log2(F.col("df").cast("double"))).cast("long"),
     )
-    tot = b.agg(F.count(F.lit(1)).cast("long").alias("n_shingles_total"))
     g = b.groupBy("df_log2_bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_shingles"),
         F.min("df").cast("long").alias("min_df"),
         F.max("df").cast("long").alias("max_df"),
     )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
-        g.crossJoin(F.broadcast(tot))
+        g.withColumn(
+            "n_shingles_total", F.sum("n_shingles").over(w).cast("long")
+        )
         .select(
             "df_log2_bucket",
             "n_shingles",
