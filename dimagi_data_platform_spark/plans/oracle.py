@@ -3578,7 +3578,13 @@ FROM daily GROUP BY 2
 # L54: class geometry — integer fixed-point centroid sums (the 1/(n·1e6)
 # scalar cancels in cosine), HUGEINT lifts where int64 would overflow,
 # 1e9-quantized member cosines before the mean.
-ORACLE["label_centroid_separation"] = """
+from dimagi_data_platform_spark.functions.num import sql_int_to_double as _sitd
+
+# dab is SIGNED and exceeds 2^53 at sf>=1: DuckDB's negative
+# HUGEINT->DOUBLE truncates toward zero (1 ulp off; positives round
+# correctly), so the cast goes through the portable limb split — the
+# Spark side mirrors with int_to_double (caught by the r9 sf1 sweep).
+ORACLE["label_centroid_separation"] = f"""
 WITH cells AS (
   SELECT vec_id, CAST(label AS BIGINT) AS label,
          CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
@@ -3599,7 +3605,7 @@ dots AS (
   GROUP BY 1, 2),
 between_rows AS (
   SELECT label_a, label_b, 'between' AS kind,
-         CAST(dab AS DOUBLE)
+         {_sitd('dab')}
            / (sqrt(CAST(na.s2 AS DOUBLE)) * sqrt(CAST(nb.s2 AS DOUBLE))) AS cosine,
          CAST(na.n_vecs + nb.n_vecs AS BIGINT) AS n
   FROM dots

@@ -6304,8 +6304,14 @@ def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label_a",
             "label_b",
             F.lit("between").alias("kind"),
+            # dab is SIGNED and exceeds 2^53 at sf1 — DuckDB's negative
+            # HUGEINT→DOUBLE truncates toward zero (1 ulp off correct
+            # rounding; positives round fine), so the cast goes through
+            # the portable limb split on BOTH engines (caught by the r9
+            # full sf1 parity sweep; a2/b2 are positive and both
+            # engines round those correctly)
             (
-                F.col("dab").cast("double")
+                int_to_double(F.col("dab"))
                 / (
                     F.sqrt(F.col("a2").cast("double"))
                     * F.sqrt(F.col("b2").cast("double"))
