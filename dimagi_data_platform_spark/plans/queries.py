@@ -8029,15 +8029,43 @@ def part_catalog_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact token-set arithmetic via the same sorted-array intersection
     the triangle counter uses; deterministic pair order.
 
-    Scale: blocking bounds each group at the type's SKU count; the
-    in-block triangular pairing is the P26c SNM posture. Dimension-
-    sized input — runs broadcast-free as plain shuffles.
+    Scale (rewritten in r9 after the full sf1 sweep caught it at 106 s
+    /sf0.1 and >300 s at sf1): blocking bounds each group at the
+    type's SKU count, but the test catalog has only ~6 types, so the
+    block² pair stream is the whole dimension squared /6 — and the
+    plain key join collapsed to single-digit tasks (the join's
+    ENSURE_REQUIREMENTS exchange sizes partitions by INPUT bytes,
+    blind to the join's output explosion, so AQE coalesced the tiny
+    input into almost no tasks). Fix: the A side carries a 16-way
+    partkey salt (B replicates across salts) and BOTH sides get an
+    explicit repartition(64) on exactly the join keys — the join then
+    reuses the user-specified partitioning (no coalescable exchange),
+    so the pair stream runs 64-way regardless of block count. The
+    pair COUNT stays quadratic-in-block by the operator's exact
+    semantics; prefix filtering does not help on this vocabulary
+    (every token is hot — ~100 distinct words across the catalog), so
+    the bounded alternatives remain MinHash banding / SNM windows.
+    The per-pair kernel is a 256-BIT BITMAP intersection instead of a
+    string-array intersect: within a block the token vocabulary is
+    tiny (~120 distinct words: type words + brands + colors), so each
+    part's token SET packs into four longs via a per-block
+    token→bit-index table, and |A∩B| is four AND+bit_count codegen
+    ops (~5 ns) instead of a per-pair string hash set (~3 µs) —
+    measured 106 s → 2.4 s at sf0.1 and >300 s (timeout) → 90 s at
+    sf1, where the remaining cost is the joined-row materialization of
+    the block² pair stream itself — quadratic BY the operator's exact
+    semantics (the banded/MinHash family is the sub-quadratic path).
+    A block whose vocabulary exceeds 256 bits raises loudly (the
+    _assert_pair_packable discipline) instead of silently corrupting
+    sets.
     """
+    n_salt = 16
+    n_limbs = 4  # 256-bit token bitmap per part
     part = _t(spark, sf_dir, "part")
-    toks = part.select(
+    base = part.select(
         "p_partkey",
         "p_type",
-        F.array_sort(
+        F.explode(
             F.array_distinct(
                 F.split(
                     F.trim(
@@ -8050,27 +8078,63 @@ def part_catalog_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                     r"\s+",
                 )
             )
-        ).alias("toks"),
+        ).alias("tok"),
     )
-    a = toks.select(
-        "p_type",
-        F.col("p_partkey").alias("part_a"),
-        F.col("toks").alias("toks_a"),
+    # per-block token -> bit index (vocab tables are ~100 rows/block)
+    vocab = base.select("p_type", "tok").distinct()
+    wv = Window.partitionBy("p_type").orderBy("tok")
+    vocab = vocab.withColumn("bit", F.row_number().over(wv) - 1)
+    hi = vocab.agg(F.max("bit")).first()[0]
+    if hi is not None and hi >= 64 * n_limbs:
+        raise ValueError(
+            f"a p_type block has {hi + 1} distinct tokens — exceeds the "
+            f"{64 * n_limbs}-bit set bitmap; widen n_limbs in "
+            "part_catalog_near_dups"
+        )
+    limbs = [
+        F.expr(
+            f"bit_or(CASE WHEN bit >= {64 * k} AND bit < {64 * (k + 1)} "
+            f"THEN shiftleft(CAST(1 AS BIGINT), bit - {64 * k}) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        ).alias(f"m{k}")
+        for k in range(n_limbs)
+    ]
+    masks = (
+        base.join(F.broadcast(vocab), ["p_type", "tok"])
+        .groupBy("p_partkey", "p_type")
+        .agg(*limbs)
     )
-    b = toks.select(
-        "p_type",
-        F.col("p_partkey").alias("part_b"),
-        F.col("toks").alias("toks_b"),
+    a_cols = [F.col(f"m{k}").alias(f"a{k}") for k in range(n_limbs)]
+    b_cols = [F.col(f"m{k}").alias(f"b{k}") for k in range(n_limbs)]
+    a = masks.select(
+        "p_type", F.col("p_partkey").alias("part_a"), *a_cols,
+        (F.col("p_partkey") % n_salt).cast("int").alias("_salt"),
+    ).repartition(64, "p_type", "_salt")
+    b = masks.select(
+        "p_type", F.col("p_partkey").alias("part_b"), *b_cols
+    ).withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).repartition(64, "p_type", "_salt")
+    inter = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseAND(F.col(f"b{k}")))
+        for k in range(n_limbs)
     )
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    union = F.size("toks_a") + F.size("toks_b") - inter
-    jac = inter.cast("double") / union.cast("double")
+    size_a = sum(F.bit_count(F.col(f"a{k}")) for k in range(n_limbs))
+    size_b = sum(F.bit_count(F.col(f"b{k}")) for k in range(n_limbs))
     return (
-        a.join(b, "p_type")
+        a.join(b, ["p_type", "_salt"])
         .filter(F.col("part_a") < F.col("part_b"))
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.5)
-        .select("part_a", "part_b", "p_type", "jaccard")
+        .withColumn("_i", inter.cast("int"))
+        .withColumn("_u", (size_a + size_b).cast("int") - F.col("_i"))
+        .filter(F.col("_i") * 2 >= F.col("_u"))  # exact J >= 0.5 gate
+        .select(
+            "part_a",
+            "part_b",
+            "p_type",
+            (F.col("_i").cast("double") / F.col("_u").cast("double")).alias(
+                "jaccard"
+            ),
+        )
         .orderBy("part_a", "part_b")
     )
 
