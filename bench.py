@@ -234,6 +234,8 @@ def _bench_dv_merge(spark, sf_dir: str) -> dict:
     )
     from pyspark.sql import functions as F
 
+    import os as _os
+
     orders = load_table(spark, sf_dir, "orders")
     n = orders.count()
     batch = orders.orderBy(F.desc("o_orderkey")).limit(max(1, n // 100))
@@ -243,12 +245,23 @@ def _bench_dv_merge(spark, sf_dir: str) -> dict:
         d = tempfile.mkdtemp(prefix="bench_dv_")
         try:
             write_version(orders, f"{d}/t", "2024-01-01")
+            before = sum(
+                _os.path.getsize(_os.path.join(r, f))
+                for r, _, fs in _os.walk(f"{d}/t") for f in fs
+            )
             t0 = time.perf_counter()
             fn(
                 spark, f"{d}/t", batch, ["o_orderkey"], "o_totalprice",
                 "2024-02-01",
             )
             out[label] = round(time.perf_counter() - t0, 3)
+            after = sum(
+                _os.path.getsize(_os.path.join(r, f))
+                for r, _, fs in _os.walk(f"{d}/t") for f in fs
+            )
+            # write amplification is the structural claim (wall time on
+            # local NVMe hides it; on object storage it IS the cost)
+            out[label.replace("_sec", "_bytes_written")] = after - before
         finally:
             shutil.rmtree(d, ignore_errors=True)
     return out
