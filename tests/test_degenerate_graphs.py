@@ -158,8 +158,13 @@ def test_capped_adamic_adar_reports_dropped_hub_mass(spark, hub_sf):
     exact = QUERIES["copurchase_adamic_adar"](spark, hub_sf).collect()
     assert (1, 70) in {(x.part_a, x.part_b) for x in exact}
     assert MAX_WEDGE_OUTDEG == 64  # the literal the oracle mirrors
+    # the second capped wedge variant must report the same dropped mass
+    lp = QUERIES["copurchase_link_prediction_capped"](spark, hub_sf).collect()
+    assert [(r.part_a, r.part_b, r.n_common) for r in lp] == [(1, 70, 1)]
+    assert (lp[0].dropped_centers, lp[0].dropped_wedges) == (2, 2 * (65 * 64 // 2))
     res = run_parity(
         spark, hub_sf,
-        ["copurchase_adamic_adar_capped", "copurchase_adamic_adar"],
+        ["copurchase_adamic_adar_capped", "copurchase_adamic_adar",
+         "copurchase_link_prediction_capped"],
     )
     assert all(not errs for errs in res.values()), res
