@@ -138,12 +138,16 @@ def sorted_neighborhood_pairs(
     order_cols: list[str],
     id_col: str,
     window: int = 3,
+    sample: list[tuple] | None = None,
 ) -> DataFrame:
     """Candidate pairs (id_a, id_b, rank_dist) for every two records
     within ``window`` positions of each other in the global
     (order_cols) sort. One distributed rank + one equi-join on the
-    anchor rank — shuffle volume n*window rows."""
-    ranked = global_row_number(df, order_cols).select(
+    anchor rank — shuffle volume n*window rows. ``sample`` (tuples in
+    order_cols order) skips the boundary-sampling jobs — multi-pass
+    SNM callers collect ONE wide sample and derive each pass's tuples
+    locally (see frozen_range_pid)."""
+    ranked = global_row_number(df, order_cols, sample=sample).select(
         F.col(id_col).alias("__id"), "rn"
     )
     anchors = ranked.select(

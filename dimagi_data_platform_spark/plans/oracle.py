@@ -7998,3 +7998,100 @@ SELECT lang,
        CAST(MIN(CASE WHEN which = 'q3' THEN v END) AS BIGINT) AS q3_tokens
 FROM picks GROUP BY lang ORDER BY lang
 """
+
+
+# P26d: bounded-default fuzzy linkage — two in-block sorted-
+# neighborhood passes (name / reversed name, W=16), distinct
+# candidates, threshold levenshtein verify, exact compared/dropped
+# pair mass on every row. The oracle uses the plain global windows the
+# Spark side computes distributedly.
+ORACLE["customer_fuzzy_match_capped"] = """
+WITH ra AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         ROW_NUMBER() OVER (ORDER BY c_nationkey, c_name, c_custkey) AS rn
+  FROM customer),
+rb AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         ROW_NUMBER() OVER (ORDER BY c_nationkey, reverse(c_name), c_custkey)
+           AS rn
+  FROM customer),
+cand AS (
+  SELECT LEAST(a.c_custkey, b.c_custkey) AS ka,
+         GREATEST(a.c_custkey, b.c_custkey) AS kb
+  FROM ra a JOIN ra b
+    ON b.rn > a.rn AND b.rn <= a.rn + 16
+   AND a.c_nationkey = b.c_nationkey
+  UNION
+  SELECT LEAST(a.c_custkey, b.c_custkey),
+         GREATEST(a.c_custkey, b.c_custkey)
+  FROM rb a JOIN rb b
+    ON b.rn > a.rn AND b.rn <= a.rn + 16
+   AND a.c_nationkey = b.c_nationkey),
+mass AS (
+  SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS compared_pairs,
+         CAST((SELECT SUM(n * (n - 1) // 2) FROM
+                 (SELECT COUNT(*) AS n FROM customer GROUP BY c_nationkey))
+              AS BIGINT)
+           - CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS dropped_pairs)
+SELECT cand.ka AS custkey_a, cand.kb AS custkey_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist,
+       compared_pairs, dropped_pairs
+FROM cand
+JOIN customer a ON a.c_custkey = cand.ka
+JOIN customer b ON b.c_custkey = cand.kb
+CROSS JOIN mass
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
+# P78b: bounded-default catalog near-dups — two in-block SNM passes
+# over the canonical token string (sorted distinct tokens joined) and
+# its reverse, W=10, exact Jaccard >= 0.5 verify, exact mass columns.
+ORACLE["part_catalog_near_dups_capped"] = """
+WITH toks AS (
+  SELECT p_partkey, p_type,
+         list_sort(list_distinct(regexp_split_to_array(
+           trim(lower(p_name || ' ' || p_brand || ' ' || p_type)),
+           '\\s+'))) AS t
+  FROM part),
+keyed AS (
+  SELECT p_partkey, p_type, t, array_to_string(t, ' ') AS canon
+  FROM toks),
+ra AS (
+  SELECT p_partkey, p_type,
+         ROW_NUMBER() OVER (ORDER BY p_type, canon, p_partkey) AS rn
+  FROM keyed),
+rb AS (
+  SELECT p_partkey, p_type,
+         ROW_NUMBER() OVER (ORDER BY p_type, reverse(canon), p_partkey) AS rn
+  FROM keyed),
+cand AS (
+  SELECT LEAST(a.p_partkey, b.p_partkey) AS ka,
+         GREATEST(a.p_partkey, b.p_partkey) AS kb
+  FROM ra a JOIN ra b
+    ON b.rn > a.rn AND b.rn <= a.rn + 10 AND a.p_type = b.p_type
+  UNION
+  SELECT LEAST(a.p_partkey, b.p_partkey),
+         GREATEST(a.p_partkey, b.p_partkey)
+  FROM rb a JOIN rb b
+    ON b.rn > a.rn AND b.rn <= a.rn + 10 AND a.p_type = b.p_type),
+mass AS (
+  SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS compared_pairs,
+         CAST((SELECT SUM(n * (n - 1) // 2) FROM
+                 (SELECT COUNT(*) AS n FROM toks GROUP BY p_type))
+              AS BIGINT)
+           - CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS dropped_pairs)
+SELECT cand.ka AS part_a, cand.kb AS part_b,
+       a.p_type AS p_type,
+       CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+         / CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))
+                AS DOUBLE) AS jaccard,
+       compared_pairs, dropped_pairs
+FROM cand
+JOIN toks a ON a.p_partkey = cand.ka
+JOIN toks b ON b.p_partkey = cand.kb
+CROSS JOIN mass
+WHERE 2 * len(list_intersect(a.t, b.t))
+      >= len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))
+ORDER BY part_a, part_b
+"""
