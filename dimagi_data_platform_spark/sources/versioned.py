@@ -253,25 +253,34 @@ def _resolve_snapshot(
     / Iceberg v2 position-delete read path. Chain depth is bounded by
     the merges since the last compaction (compact_version folds the
     whole chain into a materialized snapshot)."""
+    # walk the DV chain ITERATIVELY (a recursive resolve hits Python's
+    # recursion limit near 1000 un-compacted links; the chain is also
+    # bounded operationally by DV_AUTO_COMPACT_DEPTH, but reads must
+    # never depend on writers having behaved)
+    chain: list[dict] = []
     e = by_n[version]
-    if not e.get("dv"):
-        return spark.read.parquet(_data_dir(path, e))
-    base_n = e["base_version"]
-    if base_n not in by_n:
-        raise ValueError(
-            f"version {version} is a merge-on-read commit over version "
-            f"{base_n}, which is no longer live — vacuum retention must "
-            "keep DV base chains (this is a corrupted table state)"
+    while e.get("dv"):
+        chain.append(e)
+        base_n = e["base_version"]
+        if base_n not in by_n:
+            raise ValueError(
+                f"version {e['version']} is a merge-on-read commit over "
+                f"version {base_n}, which is no longer live — vacuum "
+                "retention must keep DV base chains (this is a corrupted "
+                "table state)"
+            )
+        e = by_n[base_n]
+    out = spark.read.parquet(_data_dir(path, e))
+    for link in reversed(chain):
+        d = _data_dir(path, link)
+        keys = link["keys"]
+        dv = spark.read.parquet(os.path.join(d, "dv"))
+        delta = spark.read.parquet(os.path.join(d, "delta"))
+        kept = out.join(dv, keys, "left_anti")
+        out = _null_fill_missing(kept, delta).unionByName(
+            _null_fill_missing(delta, kept)
         )
-    base = _resolve_snapshot(spark, path, by_n, base_n)
-    d = _data_dir(path, e)
-    keys = e["keys"]
-    dv = spark.read.parquet(os.path.join(d, "dv"))
-    delta = spark.read.parquet(os.path.join(d, "delta"))
-    kept = base.join(dv, keys, "left_anti")
-    return _null_fill_missing(kept, delta).unionByName(
-        _null_fill_missing(delta, kept)
-    )
+    return out
 
 
 def read_version(
@@ -385,6 +394,29 @@ def merge_version(
             continue
 
 
+DV_AUTO_COMPACT_DEPTH = 32
+"""Un-compacted DV chain links tolerated before ``merge_version_dv``
+auto-folds the chain with ``compact_version`` (the Delta OPTIMIZE
+cadence as a guardrail constant): each link adds one anti-join + union
+to every read, so an unbounded chain silently turns O(1) snapshot reads
+into O(chain) plans. 32 keeps read plans shallow while amortizing one
+table rewrite per 32 batch-sized merges."""
+
+
+def _dv_chain_depth(by_n: dict[int, dict], version: int) -> int:
+    """Number of DV links between ``version`` and its nearest
+    materialized ancestor (0 for a copy-on-write/compacted version)."""
+    depth = 0
+    e = by_n[version]
+    while e.get("dv"):
+        depth += 1
+        b = e.get("base_version")
+        if b not in by_n:
+            break
+        e = by_n[b]
+    return depth
+
+
 def merge_version_dv(
     spark: SparkSession,
     path: str,
@@ -393,6 +425,7 @@ def merge_version_dv(
     order_col: str,
     commit_ts: str,
     extra: dict | None = None,
+    auto_compact_depth: int | None = DV_AUTO_COMPACT_DEPTH,
 ) -> int:
     """MERGE as **merge-on-read** (VERDICT r8 item 4 — the Delta
     deletion-vector / Iceberg v2 position-delete pattern): instead of
@@ -414,15 +447,32 @@ def merge_version_dv(
     merges between compactions, compaction on a schedule).
 
     Semantics are IDENTICAL to ``merge_version`` (latest-wins by
-    ``order_col`` per ``keys``, tie → update wins, additive-only schema
-    evolution) — pinned by an equivalence test. Same OCC loser-retry
-    protocol; CDF reads (``read_changes``) resolve through the DV
-    chain transparently because they read logical snapshots."""
+    ``order_col`` per ``keys``, tie → update wins — including a base
+    row whose order_col is NULL losing to any update, desc-nulls-last —
+    additive-only schema evolution) — pinned by an equivalence test.
+    Same OCC loser-retry protocol; CDF reads (``read_changes``) resolve
+    through the DV chain transparently because they read logical
+    snapshots.
+
+    Guardrails: the first DV merge over a base this function has not
+    itself produced VERIFIES the unique-key invariant (one cheap
+    duplicate probe over the pruned key scan — without it, a base
+    seeded with duplicate keys would make the incremental n_rows
+    bookkeeping silently wrong and the anti-join delete all
+    duplicates); the verification is stamped (``keys_unique``) so
+    stacked DV merges skip it. When the un-compacted chain reaches
+    ``auto_compact_depth`` links, the commit auto-folds the chain with
+    ``compact_version`` (read plans stay O(1); pass ``None`` to manage
+    compaction externally). The chain depth each commit leaves behind
+    is recorded in its entry (``dv_depth``) for history()
+    observability."""
     from pyspark.sql import Window
 
     while True:
         versions = history(path)
-        base_n = versions[-1]["version"]
+        by_n = {v["version"]: v for v in versions}
+        base_entry = versions[-1]
+        base_n = base_entry["version"]
         base = read_version(spark, path, base_n)
         dropped_cols = [c for c in base.columns if c not in updates.columns]
         if dropped_cols:
@@ -440,18 +490,46 @@ def merge_version_dv(
             .drop("__rn")
         )
         # ...then against the base: column-pruned scan of keys +
-        # order_col only (the ONLY base read this merge pays)
-        b_keys = base.select(*keys, F.col(order_col).alias("__b_ord"))
+        # order_col only (the ONLY base read this merge pays). The
+        # presence marker is SEPARATE from __b_ord: a base row whose
+        # order_col is NULL must still match (and lose latest-wins,
+        # desc-nulls-last) — conflating "no base row" with "NULL-order
+        # base row" would insert a duplicate key instead of tombstoning
+        b_keys = base.select(
+            *keys, F.col(order_col).alias("__b_ord")
+        ).withColumn("__b_present", F.lit(True))
+        verified = base_entry.get("keys_unique") and base_entry.get(
+            "keys"
+        ) == list(keys)
+        if not verified:
+            dup = (
+                b_keys.groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    f"base version {base_n} at {path} has duplicate rows "
+                    f"per key {keys} — merge_version_dv requires the "
+                    "unique-key invariant (seed the table via a merge, or "
+                    "dedup before write_version)"
+                )
         j = u.join(b_keys, keys, "left")
-        winners = j.filter(
+        upd_wins = F.col("__b_present").isNull() | (
             F.col("__b_ord").isNull()
             | (F.col(order_col) >= F.col("__b_ord"))
-        ).drop("__b_ord")
+        )
+        winners = j.filter(upd_wins).drop("__b_ord", "__b_present")
         # tombstone exactly the matched winners' base rows
         dv = (
             j.filter(
-                F.col("__b_ord").isNotNull()
-                & (F.col(order_col) >= F.col("__b_ord"))
+                F.col("__b_present").isNotNull()
+                & (
+                    F.col("__b_ord").isNull()
+                    | (F.col(order_col) >= F.col("__b_ord"))
+                )
             )
             .select(*keys)
         )
@@ -462,25 +540,35 @@ def merge_version_dv(
         dv.write.mode("overwrite").parquet(os.path.join(sdir, "dv"))
         n_delta = spark.read.parquet(os.path.join(sdir, "delta")).count()
         n_dv = spark.read.parquet(os.path.join(sdir, "dv")).count()
-        # unique-key invariant: each tombstone kills exactly one base row
-        n_rows = versions[-1]["n_rows"] - n_dv + n_delta
+        # unique-key invariant (verified above): each tombstone kills
+        # exactly one base row
+        n_rows = base_entry["n_rows"] - n_dv + n_delta
+        depth = _dv_chain_depth(by_n, base_n) + 1
         entry_extra = {
             "dv": True,
             "base_version": base_n,
             "keys": list(keys),
             "n_deleted": n_dv,
             "n_delta": n_delta,
+            "keys_unique": True,
+            "dv_depth": depth,
         }
         if extra:
             entry_extra.update(extra)
         try:
-            return _commit_staged(
+            n = _commit_staged(
                 path, stage, n_rows, commit_ts, entry_extra,
                 expect_version=base_n + 1,
             )
         except CommitConflictError:
             shutil.rmtree(sdir, ignore_errors=True)
             continue
+        if auto_compact_depth is not None and depth >= auto_compact_depth:
+            # fold the chain back to one materialized snapshot; a lost
+            # compaction race is retried inside compact_version, so
+            # this never undoes the merge that just committed
+            compact_version(spark, path, commit_ts)
+        return n
 
 
 def compact_version(

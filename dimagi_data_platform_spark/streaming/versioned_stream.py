@@ -2,15 +2,27 @@
 commits (streaming twin of sources/versioned.py).
 
 Each micro-batch MERGEs into the versioned table (latest-wins on the
-key, Delta-style copy-on-write) and commits as the next version; the
-micro-batch id is recorded in the manifest entry, and a replayed batch
-(foreachBatch re-delivery after a crash is AT-LEAST-ONCE) is detected
-and SKIPPED — idempotent sink + at-least-once delivery = exactly-once
-table state, the same protocol Delta's txn-id dance implements.
+key) and commits as the next version; the micro-batch id is recorded
+in the manifest entry, and a replayed batch (foreachBatch re-delivery
+after a crash is AT-LEAST-ONCE) is detected and SKIPPED — idempotent
+sink + at-least-once delivery = exactly-once table state, the same
+protocol Delta's txn-id dance implements.
 
-Scale: per batch, one copy-on-write merge (read latest version +
-batch-keyed window); history grows one manifest entry per batch —
-vacuum on a retention schedule. Single writer, like the batch module.
+Merge mode (VERDICT r9 item 2): the DEFAULT per-batch commit is the
+**merge-on-read DV path** (``merge_version_dv``) — small frequent
+micro-batches are exactly where copy-on-write's rewrite amplification
+hurts most (bench extras measured 58x: 2.39 MB COW rewrite vs 41 KB of
+DV sidecars for a 1% batch), so per-batch write bytes scale with the
+BATCH, not the table. Chain growth is bounded by the DV
+auto-compaction guardrail (one fold per DV_AUTO_COMPACT_DEPTH
+batches); pass ``merge_mode="cow"`` to rewrite snapshots every batch
+instead. Both modes commit through the same atomic batch-id-stamped
+swap, so exactly-once semantics are mode-independent.
+
+Scale: per batch, one batch-keyed window + one pruned key/order scan
+of the base (DV) or a full snapshot rewrite (COW); history grows one
+manifest entry per batch — vacuum on a retention schedule. Single
+writer, like the batch module.
 """
 
 from __future__ import annotations
@@ -19,8 +31,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dimagi_data_platform_spark.sources.versioned import (
+    DV_AUTO_COMPACT_DEPTH,
     history,
     merge_version,
+    merge_version_dv,
     read_version,
     write_version,
 )
@@ -37,11 +51,20 @@ def versioned_sink(
     keys: list[str],
     order_col: str,
     ts_col: str = "ts",
+    merge_mode: str = "dv",
+    auto_compact_depth: int | None = DV_AUTO_COMPACT_DEPTH,
 ):
     """Build a ``foreachBatch`` function committing each micro-batch as
     a new version of the table at ``path``. The commit timestamp is
     the batch's max ``ts_col`` (event time — deterministic, replayable;
     never the wall clock), so ``read_asof`` time-travels in event time.
+
+    ``merge_mode``: ``"dv"`` (default) commits each batch as
+    merge-on-read sidecars with scheduled auto-compaction every
+    ``auto_compact_depth`` links; ``"cow"`` rewrites the snapshot per
+    batch (the pre-r10 behavior). Logical table state is identical
+    (pinned by the batch-twin equivalence test); only write
+    amplification differs.
 
     Crash consistency: the batch id is stamped into the manifest entry
     IN the version's atomic commit swap (``write_version(extra=...)``),
@@ -52,6 +75,9 @@ def versioned_sink(
     batch is skipped. There is no window where table state exists
     without its replay marker (the pre-r6 two-swap protocol had one).
     """
+
+    if merge_mode not in ("dv", "cow"):
+        raise ValueError(f"merge_mode must be 'dv' or 'cow', got {merge_mode!r}")
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -69,10 +95,17 @@ def versioned_sink(
         except FileNotFoundError:
             exists = False
         if exists:
-            merge_version(
-                spark, path, batch, keys=keys, order_col=order_col,
-                commit_ts=commit_ts, extra=stamp,
-            )
+            if merge_mode == "dv":
+                merge_version_dv(
+                    spark, path, batch, keys=keys, order_col=order_col,
+                    commit_ts=commit_ts, extra=stamp,
+                    auto_compact_depth=auto_compact_depth,
+                )
+            else:
+                merge_version(
+                    spark, path, batch, keys=keys, order_col=order_col,
+                    commit_ts=commit_ts, extra=stamp,
+                )
         else:
             # first batch: latest-wins WITHIN the batch, then write v1
             from pyspark.sql import Window
@@ -95,11 +128,14 @@ def run_stream_to_versioned(
     keys: list[str],
     order_col: str,
     ts_col: str = "ts",
+    merge_mode: str = "dv",
 ) -> None:
     """Drain ``stream`` into the versioned table with availableNow
     (test/backfill trigger; drop the trigger for continuous runs)."""
     q = (
-        stream.writeStream.foreachBatch(versioned_sink(path, keys, order_col, ts_col))
+        stream.writeStream.foreachBatch(
+            versioned_sink(path, keys, order_col, ts_col, merge_mode=merge_mode)
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -1232,3 +1232,53 @@ def test_metrics_listener_persists_state_history(spark, tmp_path):
         assert want <= got and want
     finally:
         lst.detach()
+
+
+def test_versioned_sink_dv_mode_physical_and_cow_equivalence(spark, tmp_path):
+    """VERDICT r9 item 2: the sink's default DV mode commits each
+    micro-batch as merge-on-read sidecars (per-batch bytes scale with
+    the BATCH, not the table), the cow flag preserves the old physical
+    layout, and both modes produce the IDENTICAL logical table."""
+    import os as _os
+
+    from dimagi_data_platform_spark.sources import versioned as V
+    from dimagi_data_platform_spark.streaming.versioned_stream import (
+        run_stream_to_versioned,
+    )
+
+    mk_stream = _crash_stream_fixture(spark, tmp_path)
+    dv_tbl, cow_tbl = str(tmp_path / "dv_tbl"), str(tmp_path / "cow_tbl")
+    run_stream_to_versioned(
+        mk_stream(), dv_tbl, str(tmp_path / "ck_dv"),
+        keys=["id"], order_col="ver",
+    )
+    run_stream_to_versioned(
+        mk_stream(), cow_tbl, str(tmp_path / "ck_cow"),
+        keys=["id"], order_col="ver", merge_mode="cow",
+    )
+    want = {1: "b2", 2: "b1", 3: "b2"}
+    for tbl in (dv_tbl, cow_tbl):
+        got = {r.id: r.who for r in V.read_version(spark, tbl).collect()}
+        assert got == want, tbl
+        assert [h["batch_id"] for h in V.history(tbl)] == [0, 1]
+    # physical: batch 1's DV commit holds ONLY sidecars; the COW commit
+    # is a full snapshot rewrite
+    dv_e, cow_e = V.history(dv_tbl)[-1], V.history(cow_tbl)[-1]
+    assert dv_e.get("dv") is True and dv_e.get("dv_depth") == 1
+    assert not cow_e.get("dv")
+    d = V._data_dir(dv_tbl, dv_e)
+    assert sorted(x for x in _os.listdir(d) if not x.startswith(".")) == [
+        "delta", "dv",
+    ]
+    # exactly-once is mode-independent: replaying batch 1 is a no-op
+    from dimagi_data_platform_spark.streaming.versioned_stream import (
+        versioned_sink,
+    )
+
+    replay = spark.createDataFrame(
+        [(9, 9, "dup", "2024-03-01T00:00:00")],
+        "id long, ver long, who string, ts string",
+    )
+    versioned_sink(dv_tbl, keys=["id"], order_col="ver")(replay, 1)
+    assert len(V.history(dv_tbl)) == 2
+    assert {r.id for r in V.read_version(spark, dv_tbl).collect()} == {1, 2, 3}

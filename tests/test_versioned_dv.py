@@ -200,3 +200,99 @@ def test_content_changing_race_surfaces_as_conflict(spark, tmp_path, monkeypatch
         # the racer's snapshot {9} is the base — key 1 must NOT
         # resurrect from the merge's stale first read
         assert _content(spark, p) == {9: (1, "z"), 2: (1, "c")}
+
+
+def test_dv_null_order_base_row_tombstones_like_cow(spark, tmp_path):
+    """ADVICE r9: a base row whose order_col is NULL must MATCH an
+    update (presence is a separate marker from __b_ord) and lose
+    latest-wins (desc-nulls-last), identically on the COW and DV paths
+    — the pre-r10 DV path inserted a duplicate key instead."""
+    base = [(1, None, "a"), (2, 1, "b")]
+    upd = [(1, 1, "a2"), (2, None, "stale")]
+    cow, dv = str(tmp_path / "cow"), str(tmp_path / "dv")
+    for p in (cow, dv):
+        V.write_version(_mk(spark, base, SCHEMA), p, "2024-01-01")
+    V.merge_version(spark, cow, _mk(spark, upd, SCHEMA), ["id"], "ver", "2024-02-01")
+    V.merge_version_dv(spark, dv, _mk(spark, upd, SCHEMA), ["id"], "ver", "2024-02-01")
+    # key 1: NULL-order base loses to the ver=1 update (tombstoned,
+    # exactly one row survives); key 2: NULL-order UPDATE loses to the
+    # ver=1 base row
+    want = {1: (1, "a2"), 2: (1, "b")}
+    assert _content(spark, cow) == want
+    assert _content(spark, dv) == want
+    e = V.history(dv)[-1]
+    assert e["n_deleted"] == 1 and e["n_delta"] == 1 and e["n_rows"] == 2
+
+
+def test_dv_merge_rejects_duplicate_key_base(spark, tmp_path):
+    """ADVICE r9: a base seeded via write_version with duplicate keys
+    breaks the incremental n_rows bookkeeping (and the anti-join would
+    delete ALL duplicates while accounting one) — the first DV merge
+    must verify the unique-key invariant and raise."""
+    p = str(tmp_path / "tbl")
+    V.write_version(
+        _mk(spark, [(1, 1, "a"), (1, 2, "a-dup"), (2, 1, "b")], SCHEMA),
+        p, "2024-01-01",
+    )
+    with pytest.raises(ValueError, match="duplicate rows per key"):
+        V.merge_version_dv(
+            spark, p, _mk(spark, [(2, 2, "b2")], SCHEMA),
+            ["id"], "ver", "2024-02-01",
+        )
+    # the COW path tolerates the seed (its window dedups) — unchanged
+    V.merge_version(
+        spark, p, _mk(spark, [(2, 2, "b2")], SCHEMA), ["id"], "ver", "2024-02-01"
+    )
+    assert _content(spark, p) == {1: (2, "a-dup"), 2: (2, "b2")}
+
+
+def test_dv_long_chain_reads_iteratively_and_autocompacts(spark, tmp_path):
+    """ADVICE r9 + VERDICT item 4: the chain resolves ITERATIVELY (a
+    depth over Python's default recursion limit must read fine when
+    auto-compaction is disabled at small depth), and with the
+    auto-compact threshold the chain depth stays bounded across a long
+    merge run — read plans flat, history records dv_depth."""
+    p = str(tmp_path / "tbl")
+    V.write_version(_mk(spark, [(1, 0, "v0")], SCHEMA), p, "2024-01-01")
+    # bounded run with a tiny threshold: depth must never exceed it
+    for i in range(1, 8):
+        V.merge_version_dv(
+            spark, p, _mk(spark, [(1, i, f"v{i}")], SCHEMA),
+            ["id"], "ver", f"2024-01-{i + 1:02d}", auto_compact_depth=3,
+        )
+        hist = V.history(p)
+        depths = [h.get("dv_depth", 0) for h in hist]
+        assert max(depths) <= 3, depths
+    assert _content(spark, p) == {1: (7, "v7")}
+    # every 3rd merge folded the chain: compaction entries interleave
+    assert any(h.get("compaction") for h in V.history(p))
+    # dv_depth observability: the entry AFTER a compaction restarts at 1
+    by_n = {h["version"]: h for h in V.history(p)}
+    comp = [h["version"] for h in V.history(p) if h.get("compaction")]
+    after = [by_n[c + 1] for c in comp if c + 1 in by_n]
+    assert all(h.get("dv_depth") == 1 for h in after if h.get("dv"))
+
+
+def test_dv_chain_disabled_autocompact_resolves_deep_chain(spark, tmp_path):
+    """With auto-compaction OFF, a 40-link chain resolves through the
+    ITERATIVE walk (the recursive pre-r10 resolve is structurally gone
+    — no self-call remains, so chain depth can never hit Python's
+    recursion limit) and correctness does not depend on writers having
+    compacted."""
+    p = str(tmp_path / "tbl")
+    V.write_version(_mk(spark, [(1, 0, "v0")], SCHEMA), p, "2024-01-01")
+    for i in range(1, 41):
+        V.merge_version_dv(
+            spark, p, _mk(spark, [(1, i, f"v{i}")], SCHEMA),
+            ["id"], "ver", f"2024-02-01T{i:02d}", auto_compact_depth=None,
+        )
+    hist = V.history(p)
+    assert hist[-1]["dv_depth"] == 40
+    assert not any(h.get("compaction") for h in hist)
+    assert _content(spark, p) == {1: (40, "v40")}
+    # the structural guarantee: _resolve_snapshot never calls itself
+    import inspect
+
+    src = inspect.getsource(V._resolve_snapshot)
+    body = src.split('"""', 2)[2]  # skip signature + docstring
+    assert "_resolve_snapshot" not in body
