@@ -1952,8 +1952,17 @@ def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text cleaning for corpus prep: email/number redaction + the
     canonical lowercase/strip/collapse normalization, all JVM-side
-    regex (no UDFs on the scan path)."""
-    docs = _t(spark, sf_dir, "documents")
+    regex (no UDFs on the scan path).
+
+    Scale (VERDICT r9 item 7): the regex chain is CPU-dense per row,
+    but the documents parquet lands in very few file splits at test
+    scale — the sweep's 11.7x sf1 ratio was ONE task grinding the whole
+    chain. Chain-heavy operators repartition to defaultParallelism
+    FIRST (the repo discipline from the r9 sweep fixes), so the chain
+    runs parallelism-wide no matter how few splits the scan has."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     red = redact_pii("text")
     return docs.select(
         "doc_id",
