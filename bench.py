@@ -69,10 +69,11 @@ SHOWCASE = [
     # round-2 additions: ingest-time near-dup dedup + semantic dedup
     "incremental_minhash_dedup",
     "semantic_dedup",
-    # round-3 additions: positional search + asymmetric containment +
-    # int8-quantized ANN rerank
+    # round-3 additions: positional search + int8-quantized ANN rerank
+    # (ngram_containment_pairs rotated out in r10 — its sibling
+    # ngram_jaccard_pairs is in the frozen core-12, so the n-gram pair
+    # family keeps a bench line; the sweep still times it every round)
     "phrase_search",
-    "ngram_containment_pairs",
     "knn_sq_rerank",
     # round-4 additions: distributed sweep-line/prefix-sum family,
     # scan-local char-histogram signals, DSIR selection weights, and
@@ -89,9 +90,10 @@ SHOWCASE = [
     "item_item_cosine",
     "customer_rfm",
     "copurchase_bfs_hops",
-    # dedup paths whose hidden cost the round-4 sweep fixed (winnow
-    # 15.2s->1.8s, LSH-blocked near-dup 18.6s->2.7s) — keep them timed
-    "winnow_shared_fingerprints",
+    # dedup path whose hidden cost the round-4 sweep fixed (LSH-blocked
+    # near-dup 18.6s->2.7s) — keep it timed; winnow_shared_fingerprints
+    # rotated out in r10 (its r4 fix has been stable for 6 rounds and
+    # the full sweep still times it every round)
     "embedding_near_dup_lsh",
     # round-4 final additions: PQ-coded ANN and the distributed
     # prefix-sum rank-statistics family
@@ -126,6 +128,11 @@ SHOWCASE = [
     "ann_recall_eval",
     "part_hits_authority",
     "order_value_permutation_test",
+    # r10 rotation: the bounded-default SNM linkage variants (VERDICT
+    # r9 item 1) — the 100 TB serving paths for the two block-squared
+    # exact kernels; the exact siblings stay registered and oracle-gated
+    "customer_fuzzy_match_capped",
+    "part_catalog_near_dups_capped",
 ]
 
 assert len(SHOWCASE) <= SHOWCASE_CAP, (

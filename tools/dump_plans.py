@@ -294,6 +294,19 @@ SHOW = [
      "distinct (user, type) grain; |types|^2-bounded pair join"),
     ("doc_length_quartiles_by_lang",
      "ONE language-leading distributed rank + broadcast offsets"),
+    # r9 showcase rotations that predate this list (VERDICT r9 item 5)
+    ("copurchase_adamic_adar_capped",
+     "hub-capped wedge stream: choose(64,2) per-center bound, packed "
+     "long pair keys, exact dropped mass as a broadcast 1-row scalar"),
+    ("copurchase_link_prediction_capped",
+     "same capped wedge machinery, unweighted common-neighbor counts"),
+    # r10 additions: the bounded-default SNM linkage family
+    ("customer_fuzzy_match_capped",
+     "two distributed-rank SNM passes (2nW linear candidates), "
+     "threshold levenshtein verify, dropped-pair mass broadcast"),
+    ("part_catalog_near_dups_capped",
+     "canonical-token SNM passes + exact Jaccard on the linear "
+     "candidate set; block-squared stream gone from the default path"),
 ]
 
 MARKERS = (
@@ -338,10 +351,60 @@ def main() -> None:
         out.extend(plan.splitlines()[:30])
         out.append("```")
         out.append("")
+    out.extend(_dv_read_plan_section(spark))
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out) + "\n")
     print("wrote PLANS.md")
+
+
+def _dv_read_plan_section(spark) -> list[str]:
+    """Audit the merge-on-read read path (VERDICT r9 item 5): build a
+    tiny versioned table with one DV commit in a temp dir and dump the
+    logical-snapshot read plan — the anti-join + union the chain adds
+    per un-compacted link (bounded by DV_AUTO_COMPACT_DEPTH)."""
+    import shutil
+    import tempfile
+
+    from dimagi_data_platform_spark.sources import versioned as V
+
+    d = tempfile.mkdtemp(prefix="plans-dv-")
+    try:
+        tbl = os.path.join(d, "tbl")
+        V.write_version(
+            spark.createDataFrame(
+                [(1, 1, "a"), (2, 1, "b")], "id long, ver long, v string"
+            ),
+            tbl, "2024-01-01",
+        )
+        V.merge_version_dv(
+            spark,
+            tbl,
+            spark.createDataFrame([(2, 2, "b2")], "id long, ver long, v string"),
+            ["id"], "ver", "2024-02-01",
+        )
+        df = V.read_version(spark, tbl)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        hits = sorted({m for m in MARKERS if m in plan})
+        return [
+            "## versioned table: merge-on-read (DV) snapshot read",
+            "",
+            "*Why it matters:* one base scan + per-link (anti-join dv, "
+            "union delta) — write cost scales with the batch, read cost "
+            "with chain depth, bounded by DV_AUTO_COMPACT_DEPTH "
+            "auto-compaction.",
+            f"*Markers present:* {', '.join(hits) or 'none'}.",
+            "",
+            "```",
+            *plan.splitlines()[:30],
+            "```",
+            "",
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 if __name__ == "__main__":
