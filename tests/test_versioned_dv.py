@@ -264,6 +264,11 @@ def test_dv_long_chain_reads_iteratively_and_autocompacts(spark, tmp_path):
         depths = [h.get("dv_depth", 0) for h in hist]
         assert max(depths) <= 3, depths
     assert _content(spark, p) == {1: (7, "v7")}
+    # read-cost flatness: the latest snapshot's plan carries at most
+    # auto_compact_depth chain links (one Union per un-compacted DV
+    # commit) no matter how many merges ran
+    plan = V.read_version(spark, p)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Union") <= 3, plan
     # every 3rd merge folded the chain: compaction entries interleave
     assert any(h.get("compaction") for h in V.history(p))
     # dv_depth observability: the entry AFTER a compaction restarts at 1
