@@ -54,7 +54,13 @@ def timed_spark(spark, fn, timeout: float):
         except Exception as e:
             out["err"] = str(e)[:200]
         finally:
-            spark.sparkContext.clearJobGroup()
+            # PySpark 4 dropped SparkContext.clearJobGroup; the JVM
+            # method is still there (a raise here is harmless to the
+            # recorded timing but floods the log)
+            try:
+                spark.sparkContext._jsc.clearJobGroup()
+            except Exception:
+                pass
 
     th = threading.Thread(target=work, daemon=True)
     th.start()
