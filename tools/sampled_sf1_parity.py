@@ -254,8 +254,21 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.path.join(REPO, ".artifacts", "sf1"))
     ap.add_argument("--out", default=os.path.join(REPO, "SAMPLED_SF1_PARITY.json"))
     ap.add_argument("--patch-sweep", default=os.path.join(REPO, "SF1_SWEEP.json"))
+    ap.add_argument(
+        "--patch-only",
+        action="store_true",
+        help="merge an existing --out artifact into --patch-sweep "
+        "without re-running the checks (after a fresh sweep rewrite)",
+    )
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
+
+    if args.patch_only:
+        with open(args.out) as f:
+            results = json.load(f)
+        _patch_sweep(args.patch_sweep, results)
+        print(f"patched {args.patch_sweep} from {args.out}")
+        return
 
     from dimagi_data_platform_spark.session import get_spark
     from tests.parity import compare, duck_con
@@ -286,18 +299,22 @@ def main() -> None:
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
     if args.patch_sweep and os.path.exists(args.patch_sweep) and not args.queries:
-        with open(args.patch_sweep) as f:
-            sweep = json.load(f)
-        for name, r in results.items():
-            if name in sweep.get("queries", {}):
-                sweep["queries"][name]["sampled_sf1"] = (
-                    f"{r['status']} ({r['n_rows']} rows; {r['sample']})"
-                )
-        sweep.setdefault("summary", {})["sampled_sf1_parity"] = {
-            n: r["status"] for n, r in results.items()
-        }
-        with open(args.patch_sweep, "w") as f:
-            json.dump(sweep, f, indent=1, sort_keys=True)
+        _patch_sweep(args.patch_sweep, results)
+
+
+def _patch_sweep(sweep_path: str, results: dict) -> None:
+    with open(sweep_path) as f:
+        sweep = json.load(f)
+    for name, r in results.items():
+        if name in sweep.get("queries", {}):
+            sweep["queries"][name]["sampled_sf1"] = (
+                f"{r['status']} ({r['n_rows']} rows; {r['sample']})"
+            )
+    sweep.setdefault("summary", {})["sampled_sf1_parity"] = {
+        n: r["status"] for n, r in results.items()
+    }
+    with open(sweep_path, "w") as f:
+        json.dump(sweep, f, indent=1, sort_keys=True)
 
 
 if __name__ == "__main__":
