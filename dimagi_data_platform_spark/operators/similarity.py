@@ -421,7 +421,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = DEFAULT_DIM,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine >= threshold (exact).
 
@@ -433,13 +433,21 @@ def embedding_near_dup_pairs(
     one group, so the result is exact and duplicate-free while total
     compare work stays O(n²/2) spread over B(B+1)/2 independent tasks.
 
-    Sizing at scale: max group holds ~2n/B rows, so pick
-    B ≈ 2n·dim·8 / executor_budget_bytes to bound per-task memory
-    (B=8 suits the test SFs; a 10⁹-row table wants B in the thousands
-    — or the LSH path below, which prunes candidates instead of
-    partitioning the full O(n²) work).
+    Sizing at scale: ``n_blocks=None`` (default) SIZES B FROM THE DATA
+    — one count, then B = ceil(n / 3000) (min 8), bounding each task's
+    cosine matrix at ~3000² float64 ≈ 72 MB no matter how large the
+    table grows. The r10 sf10 probe caught the fixed B=8 default
+    OOM-killing the JVM at 200k vectors (25k-row blocks → multi-GB
+    per-task matrices × 32 concurrent tasks); the pair scores are
+    blockcount-invariant (per-cell kernel), so B only moves memory,
+    never values. A 10⁹-row table still wants the LSH path below,
+    which prunes candidates instead of partitioning the full O(n²)
+    work.
     """
     spark = items.sparkSession
+    if n_blocks is None:
+        n_rows = items.count()
+        n_blocks = max(8, -(-n_rows // 3000))
     pair_rows = [
         (i * n_blocks + j, i, j)
         for i in range(n_blocks)
@@ -475,17 +483,22 @@ def embedding_near_dup_pairs(
         # in IEEE754, so scores are bitwise-equal to the single-matrix
         # kernel regardless of which side of the pair lands in A
         cos = _fold_cosine(A, B, _fold_norms(B))
+        # threshold first, THEN pair-id arithmetic on the (sparse)
+        # matches only — materializing full lo/hi id matrices beside
+        # the cosine matrix tripled per-task memory for nothing
+        mask = cos >= threshold
         if bi == bj:
             # same block on both sides: triangular mask, else every
             # unordered pair appears at cells [x,y] AND [y,x]
-            valid = a_ids[:, None] < b_ids[None, :]
-        else:
-            valid = np.ones_like(cos, dtype=bool)  # blocks are disjoint
-        lo = np.minimum(a_ids[:, None], b_ids[None, :])
-        hi = np.maximum(a_ids[:, None], b_ids[None, :])
-        ai, bix = np.nonzero(valid & (cos >= threshold))
+            mask &= a_ids[:, None] < b_ids[None, :]
+        ai, bix = np.nonzero(mask)
+        am, bm = a_ids[ai], b_ids[bix]
         return pd.DataFrame(
-            {"id_a": lo[ai, bix], "id_b": hi[ai, bix], "cos_sim": cos[ai, bix]}
+            {
+                "id_a": np.minimum(am, bm),
+                "id_b": np.maximum(am, bm),
+                "cos_sim": cos[ai, bix],
+            }
         )
 
     return (

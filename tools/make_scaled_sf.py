@@ -60,7 +60,55 @@ STRIDE = {
 }
 
 
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _gen_words(n: int) -> list[str]:
+    """Per-replica name-suffix words for ANY mult: the first 20 are the
+    frozen literals above (so an sf1 rebuild stays byte-identical),
+    the rest are doubled-letter base-26 codes with a parity digit (two
+    distinct codes differ in >= 2 digit positions, so the doubled
+    6-char words differ in >= 4 character positions). The pairwise
+    edit-distance >= 4 contract the blocked-linkage queries depend on
+    is VERIFIED at generation time, including against the literals."""
+    words = list(WORDS)
+    i = 0
+    while len(words) < n:
+        d1, d2 = (i // 26) % 26, i % 26
+        p = (d1 + d2) % 26
+        words.append("".join(2 * chr(97 + d) for d in (d1, d2, p)))
+        i += 1
+    ws = [w for w in words[:n] if w]
+    for x in range(len(ws)):
+        for y in range(x + 1, len(ws)):
+            assert _lev(ws[x], ws[y]) >= 4, (ws[x], ws[y])
+    return words[:n]
+
+
+def _rletter(r: int) -> str:
+    """Replica token-suffix code: base-26 letters (matches the legacy
+    single chr(97+r) for r < 26, stays alphabetic for any r)."""
+    if r == 0:
+        return "a"
+    s = ""
+    while r:
+        s = chr(97 + r % 26) + s
+        r //= 26
+    return s
+
+
 def build(out: str, mult: int) -> None:
+    global WORDS
+    WORDS = _gen_words(max(mult, 1))
     con = duckdb.connect()
     os.makedirs(out, exist_ok=True)
     for t in ("region", "nation"):
@@ -69,7 +117,7 @@ def build(out: str, mult: int) -> None:
         )
 
     def reps(sql_tpl: str, name: str) -> None:
-        parts = " UNION ALL ".join(sql_tpl.format(r=r, rl=chr(97 + r)) for r in range(mult))
+        parts = " UNION ALL ".join(sql_tpl.format(r=r, rl=_rletter(r)) for r in range(mult))
         con.execute(
             f"COPY ({parts}) TO '{out}/{name}.parquet' (FORMAT PARQUET)"
         )
@@ -157,8 +205,8 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--out", default=os.path.join(REPO, ".artifacts", "sf1"))
     a = ap.parse_args()
-    if a.mult >= len(WORDS):
-        raise SystemExit(f"--mult must be < {len(WORDS)}")
+    if not 1 <= a.mult <= 500:
+        raise SystemExit("--mult must be in [1, 500]")
     build(a.out, a.mult)
     print("done:", a.out)
 
