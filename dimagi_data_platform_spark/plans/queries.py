@@ -801,14 +801,22 @@ def _shingle_intersections(spark: SparkSession, sf_dir: str, sh: DataFrame | Non
 @query("ngram_jaccard_pairs")
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: exact word-3-gram Jaccard similarity pairs via shingle join
-    (pipeline + scale notes: :func:`_shingle_intersections`)."""
+    (pipeline + scale notes: :func:`_shingle_intersections`).
+
+    The size-table joins mark sa/sb as the EXPLICIT broadcast side:
+    downstream of the checkpointed shingle table the planner's
+    estimates are garbage, and at sf10 the 100x probe caught it
+    electing the multi-10M-row PAIR stream as the build side (>1 GB
+    broadcast collect -> maxResultSize abort). The size table is one
+    row per doc — broadcastable far up the scale curve; past that,
+    swap the hint for shuffle_hash on the same keys."""
     inter, sz = _shingle_intersections(spark, sf_dir)
     sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", "jaccard")
@@ -840,8 +848,9 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     cont = F.col("n_common").cast("double") / F.col("n_a").cast("double")
+    # explicit broadcast side: same wrong-build-side hazard as L4
     return (
-        directed.join(sa, "doc_a")
+        directed.join(F.broadcast(sa), "doc_a")
         .withColumn("containment", cont)
         .filter(F.col("containment") >= NGRAM_CONTAINMENT_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", "containment")
