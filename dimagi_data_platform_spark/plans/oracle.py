@@ -520,26 +520,37 @@ ORACLE["minhash_lsh_dedup"] = _minhash_oracle()
 
 
 def _simhash_oracle() -> str:
-    """SimHash twin: token bits from the same md5 slices as the Spark
-    side. The pigeonhole chunk-blocking needs NO mirroring — it has
-    exact recall by construction, so the oracle is the semantic
-    definition itself: every pair with bit_count(xor(fp)) <= 6."""
+    """SimHash twin: 128 token bits from the same md5 slices as the
+    Spark side (h1 = digest chars 1-15 → global bits 0-59, h2 = chars
+    16-30 → bits 60-119, h3 = chars 31-32 → bits 120-127 — the layout
+    operators/simhash.py assembles into hA/hB). The pigeonhole
+    chunk-blocking needs NO mirroring — it has exact recall by
+    construction, so the oracle is the semantic definition itself:
+    every pair with 128-bit hamming <= 6, fingerprints carried as two
+    longs exactly like the engine's (fp1 = bits 0-63, fp2 = 64-127)."""
+
+    def _bit(i: int) -> str:
+        if i < 60:
+            return f"(h1 >> {i}) & 1"
+        if i < 120:
+            return f"(h2 >> {i - 60}) & 1"
+        return f"(h3 >> {i - 120}) & 1"
+
     bit_aggs = ",\n  ".join(
-        (
-            f"SUM(CASE WHEN (h1 >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
-            if i < 60
-            else f"SUM(CASE WHEN (h2 >> {i - 60}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
-        )
-        for i in range(64)
+        f"SUM(CASE WHEN {_bit(i)} = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(128)
     )
-    fp_terms = " + ".join(
-        (
-            f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)"
-            if i < 63
-            else f"(CASE WHEN b{i} > 0 THEN -9223372036854775808 ELSE 0 END)"
+
+    def _fp_terms(lo: int) -> str:
+        return " + ".join(
+            (
+                f"(CASE WHEN b{lo + j} > 0 THEN {1 << j} ELSE 0 END)"
+                if j < 63
+                else f"(CASE WHEN b{lo + j} > 0 THEN -9223372036854775808 ELSE 0 END)"
+            )
+            for j in range(64)
         )
-        for i in range(64)
-    )
+
     return rf"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
@@ -547,16 +558,17 @@ tok AS (SELECT DISTINCT doc_id, u.term FROM toks, UNNEST(t) AS u(term)),
 h AS (
   SELECT doc_id,
          CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h1,
-         CAST(('0x' || substr(md5(term), 16, 15)) AS BIGINT) AS h2
+         CAST(('0x' || substr(md5(term), 16, 15)) AS BIGINT) AS h2,
+         CAST(('0x' || substr(md5(term), 31, 2)) AS BIGINT) AS h3
   FROM tok),
 bits AS (SELECT doc_id,
   {bit_aggs}
   FROM h GROUP BY doc_id),
-fp AS (SELECT doc_id, {fp_terms} AS fingerprint FROM bits)
+fp AS (SELECT doc_id, {_fp_terms(0)} AS fp1, {_fp_terms(64)} AS fp2 FROM bits)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT) AS hamming
+       CAST(bit_count(xor(a.fp1, b.fp1)) + bit_count(xor(a.fp2, b.fp2)) AS INT) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 6
+WHERE bit_count(xor(a.fp1, b.fp1)) + bit_count(xor(a.fp2, b.fp2)) <= 6
 """
 
 

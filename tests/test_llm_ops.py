@@ -324,12 +324,48 @@ def test_semantic_dedup_matches_exact_within_cluster_semantics(spark):
 
 def test_simhash_identical_docs_distance_zero(spark):
     docs = _near_dup_corpus(spark)
-    fps = {r.doc_id: r.fingerprint for r in simhash_fingerprints(docs).collect()}
+    fps = {r.doc_id: (r.fp1, r.fp2) for r in simhash_fingerprints(docs).collect()}
     assert fps[1] == fps[3]
+    # 128-bit hamming thresholds double vs the old 64-bit layout: a
+    # one-token change lands around 2x the bit flips (13 here)
     pairs = {(r.id_a, r.id_b): r.hamming for r in
-             simhash_near_dup_pairs(docs, max_hamming=10, n_chunks=16).collect()}
+             simhash_near_dup_pairs(docs, max_hamming=20, n_chunks=21).collect()}
     assert pairs[(1, 3)] == 0
-    assert (1, 2) in pairs  # near-dup within hamming 10
+    assert (1, 2) in pairs  # near-dup within hamming 20
+
+
+def test_simhash_pigeonhole_exact_recall_vs_bruteforce(spark):
+    """The chunk-blocked pair set must EQUAL the brute-force 128-bit
+    hamming-threshold pair set (pigeonhole exactness, d+1 chunks), and
+    chunks that straddle the fp1/fp2 long boundary must not lose
+    candidates."""
+    rows = [
+        (i, f"shared base tokens alpha beta gamma delta epsilon zeta "
+            f"eta theta iota kappa variant{i % 4} extra{i % 3}")
+        for i in range(24)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    fps = {r.doc_id: (r.fp1, r.fp2)
+           for r in simhash_fingerprints(docs).collect()}
+
+    def ham(a, b):
+        m = (1 << 64) - 1
+        return (bin((a[0] ^ b[0]) & m).count("1")
+                + bin((a[1] ^ b[1]) & m).count("1"))
+
+    for d in (6, 20):
+        want = {
+            (a, b): ham(fps[a], fps[b])
+            for a in fps for b in fps
+            if a < b and ham(fps[a], fps[b]) <= d
+        }
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_near_dup_pairs(
+                docs, max_hamming=d, n_chunks=d + 1
+            ).collect()
+        }
+        assert got == want
 
 
 def test_knn_lsh_subset_of_bruteforce_scores(spark):
