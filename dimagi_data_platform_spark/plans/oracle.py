@@ -630,6 +630,68 @@ s AS (SELECT id_a, id_b, {_COS_AB} AS cos_sim FROM cand)
 SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.35
 """
 
+# L5c: the bounded default — eight sorted-neighborhood passes over
+# (2-plane sign bucket, norm-scaled 1-D projection, id) orders, W=16
+# neighbors per pass, exact cosine verify, honest-cap mass columns
+# (compared = distinct candidates, dropped = choose(n,2) − compared)
+# on every row. Bucket planes use the engine's seed + 101*t space,
+# projection planes seed + 101*t + 5000; the projection divides by
+# the vector norm so the order tracks ANGULAR closeness.
+
+
+def _sql_projection(col: str, seed: int, dim: int = 64) -> str:
+    from dimagi_data_platform_spark.operators.similarity import _planes
+
+    (plane,) = _planes(dim, 1, seed)
+    dot = " + ".join(
+        f"CAST({col}[{j + 1}] AS DOUBLE)*({p!r})" for j, p in enumerate(plane)
+    )
+    return f"(0.0 + {dot})"
+
+
+_CAPPED_T = 8  # mirrors embedding_near_dup_capped's n_tables
+_CAPPED_B = [_sql_bucket("embedding", 2, 7 + 101 * t) for t in range(_CAPPED_T)]
+_PRJ = [
+    f"({_sql_projection('embedding', 7 + 101 * t + 5000)}"
+    f" / sqrt({_vdot('embedding', 'embedding')}))"
+    for t in range(_CAPPED_T)
+]
+
+_SNM_PASSES = "\nUNION\n".join(
+    f"""SELECT LEAST(a.id, b.id) AS id_a, GREATEST(a.id, b.id) AS id_b
+  FROM r{t} a JOIN r{t} b ON b.rn > a.rn AND b.rn <= a.rn + 16"""
+    for t in range(_CAPPED_T)
+)
+
+_CAPPED_COLS = ",\n         ".join(
+    f"{_CAPPED_B[t]} AS b{t}, {_PRJ[t]} AS p{t}" for t in range(_CAPPED_T)
+)
+_CAPPED_RANKS = ",\n".join(
+    f"r{t} AS (SELECT id, ROW_NUMBER() OVER (ORDER BY b{t}, p{t}, id)"
+    f" AS rn FROM e)"
+    for t in range(_CAPPED_T)
+)
+
+ORACLE["embedding_near_dup_capped"] = f"""
+WITH e AS (
+  SELECT vec_id AS id, embedding AS vec,
+         {_CAPPED_COLS}
+  FROM embeddings),
+{_CAPPED_RANKS},
+cand AS (
+  {_SNM_PASSES}),
+mass AS (
+  SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS compared_pairs,
+         CAST((SELECT COUNT(*) * (COUNT(*) - 1) // 2 FROM e) AS BIGINT)
+           - CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS dropped_pairs),
+p AS (
+  SELECT cand.id_a, cand.id_b, a.vec AS vec_a, b.vec AS vec_b
+  FROM cand JOIN e a ON a.id = cand.id_a JOIN e b ON b.id = cand.id_b),
+s AS (SELECT id_a, id_b, {_COS_AB} AS cos_sim FROM p)
+SELECT id_a, id_b, cos_sim, compared_pairs, dropped_pairs
+FROM s CROSS JOIN mass WHERE cos_sim >= 0.35
+"""
+
 ORACLE["multimodal_features"] = """
 WITH x AS (
   SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -2151,6 +2151,27 @@ def embedding_near_dup_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_lsh(emb, EMBED_NEAR_DUP_THRESHOLD)
 
 
+@query("embedding_near_dup_capped")
+def embedding_near_dup_capped_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5c: BOUNDED-default embedding near-dup (VERDICT r10 item 1) —
+    four sorted-neighborhood passes over (hyperplane bucket, 1-D plane
+    projection, id) orders on the DISTRIBUTED frozen-boundary rank,
+    W=16 neighbors per pass (n·W·4 LINEAR candidates), exact cosine
+    verify, honest-cap mass columns (compared_pairs / dropped_pairs =
+    choose(n,2) − compared on every row, the P26d/P78b discipline).
+    The exact-quadratic sibling ``embedding_near_dup`` stays
+    registered for total recall; its O(n²/2) hit 40x wall per decade
+    at sf10 — and the fixed-plane LSH join is only a constant 2^-6
+    reduction of the same quadratic, which is why the bounded default
+    is SNM, not a bigger LSH."""
+    from dimagi_data_platform_spark.operators.similarity import (
+        embedding_near_dup_capped,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_capped(emb, EMBED_NEAR_DUP_THRESHOLD)
+
+
 @query("salted_join_enrich")
 def salted_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew-join: events (big, hot-user skew) x per-user dim,

@@ -543,6 +543,49 @@ def test_embedding_near_dup_lsh_contained_in_exact(spark):
         assert (qid, qid + 10000) in got
 
 
+def test_embedding_near_dup_capped_pairs_and_honest_mass(spark):
+    """The bounded default: every emitted pair is a true near-dup with
+    the exact cosine, candidate volume is LINEAR (<= n*W*tables), the
+    mass columns are exact (compared + dropped == choose(n, 2)), and
+    planted cosine-1 twins are recovered (sort adjacency)."""
+    from dimagi_data_platform_spark.operators.similarity import (
+        embedding_near_dup_capped,
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n = emb.count()
+    exact = {(r.id_a, r.id_b): r.cos_sim
+             for r in embedding_near_dup_pairs(emb, 0.3).collect()}
+    rows = embedding_near_dup_capped(emb, 0.3).collect()
+    capped = {(r.id_a, r.id_b): r.cos_sim for r in rows}
+    for k, v in capped.items():
+        assert k in exact and exact[k] == v  # exact kernel, true pairs
+    masses = {(r.compared_pairs, r.dropped_pairs) for r in rows}
+    assert len(masses) == 1  # one scalar mass broadcast to every row
+    compared, dropped = masses.pop()
+    assert compared + dropped == n * (n - 1) // 2
+    assert compared <= n * 16 * 8  # linear candidate bound (n*W*T)
+    assert compared >= len(capped)  # kernel verified all candidates
+    assert dropped > 0  # the cap actually pruned at this corpus
+
+    # recall property: an identical-direction twin has the same bucket
+    # bits and projection value on every pass, so it sorts IMMEDIATELY
+    # adjacent and must be recovered
+    planted = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.000001)).alias(
+            "embedding"
+        ),
+        F.col("label"),
+    )
+    corpus = emb.unionByName(planted)
+    got = {(r.id_a, r.id_b)
+           for r in embedding_near_dup_capped(corpus, 0.99).collect()}
+    for qid in range(5):
+        assert (qid, qid + 10000) in got
+
+
 def test_ivf_index_roundtrip(spark, tmp_path):
     """Persisted IVF index serves the same results as the inline path,
     and the probe filter lands on the partition column (pruned scan)."""
