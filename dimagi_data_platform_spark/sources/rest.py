@@ -131,6 +131,59 @@ def fetch_records(
             offset += cfg.page_size
 
 
+def http_get_json(
+    url: str,
+    timeout: float = 30.0,
+    max_retries: int = 5,
+    backoff_base_s: float = 0.5,
+    sleeper: Callable[[float], None] | None = None,
+    opener: Callable[[str, float], bytes] | None = None,
+):
+    """GET ``url`` and parse JSON, retrying transient failures with the
+    SAME exponential-backoff schedule as ``fetch_records`` — the shared
+    transport for the DISTRIBUTED Python Data Source readers
+    (rest_datasource / rest_stream_datasource), which run page fetches
+    on executors where one flaky 503 must not fail the whole ingest
+    task (VERDICT r10 item 4).
+
+    Transient = HTTP 429/5xx (RETRYABLE) or a socket-level
+    URLError/timeout; a permanent 4xx raises immediately. ``opener``
+    injects the raw byte fetch for tests (the container has no
+    network); default is urllib.
+    """
+    import json
+    import time
+    import urllib.error
+
+    sleep = sleeper if sleeper is not None else time.sleep
+
+    def _default_opener(u: str, t: float) -> bytes:
+        import urllib.request
+
+        with urllib.request.urlopen(u, timeout=t) as resp:
+            return resp.read()
+
+    fetch = opener if opener is not None else _default_opener
+    delays = [backoff_base_s * (2**i) for i in range(max_retries)]
+    for attempt, delay in enumerate(delays):
+        try:
+            return json.loads(fetch(url, timeout))
+        except urllib.error.HTTPError as exc:
+            if exc.code not in RETRYABLE:
+                raise RuntimeError(
+                    f"permanent failure {exc.code} from {url}"
+                ) from exc
+            last = f"status {exc.code}"
+        except (urllib.error.URLError, TimeoutError, OSError) as exc:
+            last = repr(exc)
+        if attempt == len(delays) - 1:
+            raise RuntimeError(
+                f"giving up on {url} after {max_retries} attempts "
+                f"(last: {last})"
+            )
+        sleep(delay)
+
+
 def ingest(
     spark: SparkSession,
     transport: Transport,

@@ -73,6 +73,8 @@ class RestPagesReader(DataSourceReader):
         self.per_part = int(options.get("pages_per_partition", "8"))
         self.base_url = options.get("base_url")
         self.fixture_dir = options.get("fixture_dir")
+        self.max_retries = int(options.get("max_retries", "5"))
+        self.backoff_base_s = float(options.get("backoff_base_s", "0.5"))
         if not (self.base_url or self.fixture_dir):
             raise ValueError("rest_pages requires base_url or fixture_dir")
         if self.n_pages <= 0:
@@ -89,11 +91,17 @@ class RestPagesReader(DataSourceReader):
             p = os.path.join(self.fixture_dir, f"page-{page}.json")
             with open(p) as fh:
                 return json.load(fh)
-        import urllib.request
+        # shared retrying transport (sources/rest.py): executor-side
+        # page fetches back off on 429/5xx/socket errors with the same
+        # exponential schedule the driver-side puller uses — one flaky
+        # page must not fail a whole task-worth of pages
+        from dimagi_data_platform_spark.sources.rest import http_get_json
 
-        url = self.base_url.format(page=page)
-        with urllib.request.urlopen(url, timeout=30) as resp:
-            return json.loads(resp.read())
+        return http_get_json(
+            self.base_url.format(page=page),
+            max_retries=self.max_retries,
+            backoff_base_s=self.backoff_base_s,
+        )
 
     def read(self, partition: PageRange):
         for page in range(partition.start, partition.end):

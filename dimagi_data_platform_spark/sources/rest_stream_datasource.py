@@ -76,6 +76,8 @@ class RestPagesStreamReader(SimpleDataSourceStreamReader):
             )
         self.start_page = int(options.get("start_page", "0"))
         self.max_pages = int(options.get("max_pages_per_batch", "16"))
+        self.max_retries = int(options.get("max_retries", "5"))
+        self.backoff_base_s = float(options.get("backoff_base_s", "0.5"))
 
     # -- offset bookkeeping ------------------------------------------------
     def initialOffset(self) -> dict:
@@ -90,10 +92,18 @@ class RestPagesStreamReader(SimpleDataSourceStreamReader):
             ):
                 n += 1
             return n
-        import urllib.request
+        # shared retrying transport (sources/rest.py) — same
+        # exponential-backoff posture as the batch datasource: a flaky
+        # page-count probe or page fetch backs off instead of failing
+        # the micro-batch
+        from dimagi_data_platform_spark.sources.rest import http_get_json
 
-        with urllib.request.urlopen(self.n_pages_url, timeout=30) as resp:
-            return int(json.loads(resp.read())["n_pages"])
+        body = http_get_json(
+            self.n_pages_url,
+            max_retries=self.max_retries,
+            backoff_base_s=self.backoff_base_s,
+        )
+        return int(body["n_pages"])
 
     def _fetch(self, page: int) -> list[dict]:
         if self.fixture_dir:
@@ -101,11 +111,13 @@ class RestPagesStreamReader(SimpleDataSourceStreamReader):
                 os.path.join(self.fixture_dir, f"page-{page}.json")
             ) as fh:
                 return json.load(fh)
-        import urllib.request
+        from dimagi_data_platform_spark.sources.rest import http_get_json
 
-        url = self.base_url.format(page=page)
-        with urllib.request.urlopen(url, timeout=30) as resp:
-            return json.loads(resp.read())
+        return http_get_json(
+            self.base_url.format(page=page),
+            max_retries=self.max_retries,
+            backoff_base_s=self.backoff_base_s,
+        )
 
     def _rows(self, start: int, end: int):
         for page in range(start, end):

@@ -147,3 +147,171 @@ def test_stream_reads_pages_incrementally(spark, tmp_path):
     assert len(ids) == len(set(ids))
     # value column intact through the stream
     assert all(r.value == r.id * 3 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Shared retrying transport (VERDICT r10 item 4): the DISTRIBUTED
+# readers' page fetches must survive transient 429/5xx/socket failures
+# with the same exponential-backoff contract as the driver-side puller.
+# ---------------------------------------------------------------------------
+
+
+def _flaky_opener(payload, fail_first=0, exc_factory=None):
+    """Byte-level fake server for http_get_json's injected opener."""
+    import urllib.error
+
+    calls = {"n": 0}
+
+    def opener(url, timeout):
+        calls["n"] += 1
+        if calls["n"] <= fail_first:
+            if exc_factory is not None:
+                raise exc_factory()
+            raise urllib.error.HTTPError(url, 503, "flaky", None, None)
+        return json.dumps(payload).encode()
+
+    return opener, calls
+
+
+def test_http_get_json_retries_transient_with_backoff():
+    from dimagi_data_platform_spark.sources.rest import http_get_json
+
+    opener, calls = _flaky_opener([{"id": 7}], fail_first=3)
+    slept = []
+    got = http_get_json(
+        "https://api.example/pages/0", opener=opener, sleeper=slept.append
+    )
+    assert got == [{"id": 7}]
+    assert slept == [0.5, 1.0, 2.0]  # the fetch_records schedule, shared
+    assert calls["n"] == 4
+
+
+def test_http_get_json_retries_socket_errors_too():
+    import urllib.error
+
+    from dimagi_data_platform_spark.sources.rest import http_get_json
+
+    opener, calls = _flaky_opener(
+        {"n_pages": 3},
+        fail_first=2,
+        exc_factory=lambda: urllib.error.URLError("connection reset"),
+    )
+    got = http_get_json(
+        "https://api.example/n_pages", opener=opener, sleeper=lambda s: None
+    )
+    assert got == {"n_pages": 3}
+    assert calls["n"] == 3
+
+
+def test_http_get_json_gives_up_and_permanent_4xx_raises():
+    import urllib.error
+
+    from dimagi_data_platform_spark.sources.rest import http_get_json
+
+    opener, calls = _flaky_opener([], fail_first=99)
+    with pytest.raises(RuntimeError, match="giving up"):
+        http_get_json(
+            "https://api.example/pages/0",
+            max_retries=3,
+            opener=opener,
+            sleeper=lambda s: None,
+        )
+    assert calls["n"] == 3
+
+    def forbidden(url, timeout):
+        raise urllib.error.HTTPError(url, 403, "forbidden", None, None)
+
+    with pytest.raises(RuntimeError, match="permanent failure 403"):
+        http_get_json(
+            "https://api.example/pages/0", opener=forbidden, sleeper=lambda s: None
+        )
+
+
+def test_batch_datasource_fetch_survives_flaky_server(monkeypatch):
+    """End-to-end through RestPagesReader._fetch: the urllib layer
+    throws 503 twice, the shared transport backs off and the page
+    arrives — the contract the executor-side read path runs under."""
+    import urllib.error
+    import urllib.request
+
+    from pyspark.sql.types import StructType
+
+    import dimagi_data_platform_spark.sources.rest as rest_mod
+
+    reader = RestPagesReader(
+        StructType([]),
+        {"schema_ddl": "id INT", "n_pages": "1",
+         "base_url": "https://api.example/pages/{page}"},
+    )
+    state = {"n": 0}
+
+    class _Resp:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self):
+            return json.dumps([{"id": 42}]).encode()
+
+    def fake_urlopen(url, timeout=None):
+        state["n"] += 1
+        assert url == "https://api.example/pages/0"
+        if state["n"] <= 2:
+            raise urllib.error.HTTPError(url, 503, "flaky", None, None)
+        return _Resp()
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    import time as _time
+
+    monkeypatch.setattr(_time, "sleep", lambda s: None)
+    assert reader._fetch(0) == [{"id": 42}]
+    assert state["n"] == 3
+
+
+def test_stream_datasource_fetch_and_page_count_survive_flaky_server(monkeypatch):
+    import urllib.error
+    import urllib.request
+
+    from pyspark.sql.types import StructType
+
+    from dimagi_data_platform_spark.sources.rest_stream_datasource import (
+        RestPagesStreamReader,
+    )
+
+    reader = RestPagesStreamReader(
+        StructType([]),
+        {"schema_ddl": "id INT",
+         "base_url": "https://api.example/pages/{page}",
+         "n_pages_url": "https://api.example/n_pages"},
+    )
+    state = {"n": 0}
+
+    class _Resp:
+        def __init__(self, body):
+            self.body = body
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self):
+            return json.dumps(self.body).encode()
+
+    def fake_urlopen(url, timeout=None):
+        state["n"] += 1
+        if state["n"] % 2 == 1:  # every other call fails transiently
+            raise urllib.error.HTTPError(url, 429, "slow down", None, None)
+        if url.endswith("n_pages"):
+            return _Resp({"n_pages": 2})
+        return _Resp([{"id": int(url.rsplit("/", 1)[1])}])
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    import time as _time
+
+    monkeypatch.setattr(_time, "sleep", lambda s: None)
+    assert reader._available_pages() == 2
+    assert reader._fetch(1) == [{"id": 1}]
