@@ -301,3 +301,65 @@ def personalized_pagerank(
         if (it + 1) % ckpt_every == 0 or it == n_iter - 1:
             ranks = ranks.localCheckpoint()
     return ranks.select("id", "r")
+
+
+def k_core_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    checkpoint_every: int = 3,
+    verify_converged: bool = True,
+) -> DataFrame:
+    """Synchronous k-core peel over a DIRECTED-symmetrized edge list
+    (``src``, ``dst`` columns, both orientations present): each round
+    drops every vertex with degree < k and keeps edges whose endpoints
+    both survive, for exactly ``rounds`` rounds — FIXED so an oracle's
+    unrolled recurrence replays bit-for-bit. Returns the surviving
+    edge stream.
+
+    Fixed-point guard (VERDICT r10 item 7, the connected-components
+    discipline from operators/components.py): a fixed unroll certified
+    on TEST graphs can silently return a non-converged core on a
+    denser production graph — one more O(m) degree aggregate checks
+    whether round ``rounds``+1 would still peel anything, and FAILS
+    LOUDLY with the observed shortfall instead. The check is a bounded
+    scalar count off the already-checkpointed final edge set (one
+    extra map-side-combined aggregate, ~one round's cost); pass
+    ``verify_converged=False`` only where a caller replays a certified
+    prefix on a pinned graph.
+
+    Scale: each round is one map-side-combined degree count plus two
+    semi-joins on the shrinking edge set — O(m) per round like
+    pagerank(); lineage checkpointed every ``checkpoint_every`` rounds.
+    """
+    e = edges
+    for r in range(rounds):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        e = e.join(keep, "src", "semi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "semi"
+        )
+        if r % checkpoint_every == checkpoint_every - 1:
+            e = e.localCheckpoint()
+    if r % checkpoint_every != checkpoint_every - 1:
+        e = e.localCheckpoint()
+    if verify_converged:
+        still_peelable = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") < k)
+            .count()
+        )
+        if still_peelable:
+            raise RuntimeError(
+                f"k_core_peel(k={k}): {still_peelable} vertices would "
+                f"still be peeled after {rounds} rounds — the unroll is "
+                f"NOT a fixed point on this graph; raise `rounds` "
+                f"(each adds one O(m) pass) instead of consuming a "
+                f"non-converged core"
+            )
+    return e

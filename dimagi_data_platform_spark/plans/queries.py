@@ -10735,30 +10735,23 @@ def part_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     spam/bot ring detection, graph sparsification). Six synchronous
     peel rounds, run as FIXED rounds on both engines so the oracle's
     unrolled MATERIALIZED recurrence replays bit-for-bit; a unit test
-    certifies round 6 is a fixed point on the test graphs, so the
-    fixed unroll IS the converged core there.
+    certifies round 6 is a fixed point on the test graphs, AND the
+    peel now verifies convergence on every run (operators/graph.py
+    k_core_peel — one extra O(m) degree aggregate that FAILS LOUDLY
+    if a denser graph would still peel at round 7, VERDICT r10
+    item 7), so a non-converged core can never be silently returned.
 
     Scale: each round is one map-side-combined degree count plus two
     semi-joins on the shrinking edge set — O(m) per round like
     PageRank (R57), lineage checkpointed every third round.
     """
+    from dimagi_data_platform_spark.operators.graph import k_core_peel
+
     e0 = _copurchase_edges(spark, sf_dir)
     e = e0.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
         e0.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
-    k = 3
-    for r in range(6):
-        keep = (
-            e.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select("src")
-        )
-        e = e.join(keep, "src", "semi").join(
-            keep.withColumnRenamed("src", "dst"), "dst", "semi"
-        )
-        if r % 3 == 2:
-            e = e.localCheckpoint()
+    e = k_core_peel(e, k=3, rounds=6)
     return (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))

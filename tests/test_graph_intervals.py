@@ -378,3 +378,31 @@ def test_k_core_six_rounds_is_fixed_point(spark):
         return sorted(map(tuple, e.collect()))
 
     assert peel(e, 6) == peel(e, 7)
+
+
+def test_k_core_peel_guard_fails_loudly_when_not_converged(spark):
+    """VERDICT r10 item 7: a denser graph can need more peel rounds
+    than the fixed unroll — the guard must RAISE, never silently
+    return a non-converged core. Hub-and-path construction: endpoints
+    peel first and the cascade drains two path vertices per round, so
+    a 13-vertex path (plus a hub keeping internal degree 3) is still
+    mid-cascade after 6 rounds."""
+    import pytest as _pytest
+
+    from dimagi_data_platform_spark.operators.graph import k_core_peel
+
+    n = 13
+    hub = 100
+    und = [(i, i + 1) for i in range(n - 1)] + [(i, hub) for i in range(n)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src long, dst long",
+    )
+    with _pytest.raises(RuntimeError, match="NOT a fixed point"):
+        k_core_peel(edges, k=3, rounds=6).count()
+    # enough rounds: the whole graph drains (no 3-core) and the guard
+    # passes on the converged (empty) result
+    assert k_core_peel(edges, k=3, rounds=8).count() == 0
+    # verify_converged=False replays the certified prefix without the
+    # extra aggregate (the pinned-oracle path)
+    assert k_core_peel(edges, k=3, rounds=6, verify_converged=False).count() > 0
