@@ -1,0 +1,214 @@
+"""Seeded-sample sf10 parity for the HEAVY tail of the scale curve
+(VERDICT r10 item 5): the r10 sf10 probe re-timed the headline
+operators at 100x the driver default but asserted correctness there
+only by "the plan didn't change" plus sf1 parity. This closes the same
+induction gap one decade up, with the r10 seeded-sample protocol
+(tools/sampled_sf1_parity.py): the Spark engine runs its NORMAL full
+plan at sf10 and the comparison restricts both sides to the same
+deterministic md5-selected subset, so the DuckDB oracle's cost
+collapses while the engine's sf10 behavior is the thing verified.
+Exact value compare (tests/parity.compare), no tolerance.
+
+Covered queries (the five heaviest probe entries, per
+SCALE_CURVE_SF10.json wall times):
+
+- part_k_core / part_pagerank: output is a bounded top-k, so the
+  compare is FULL — the oracle replays the complete unrolled
+  recurrence over the sf10 co-purchase graph (linear per round,
+  MATERIALIZED per round).
+- simhash_dedup: pairs whose id_a satisfies md5(id||'#sh42')%199==0
+  (~0.5% of docs); the oracle builds ALL fingerprints (linear) and
+  joins sample x corpus instead of corpus².
+- part_catalog_near_dups_capped: pairs whose part_a satisfies
+  md5(k||'#cat42')%199==0. Candidates and the MASS COLUMNS stay
+  GLOBAL (compared_pairs is a count over the full candidate union —
+  cheap); only the per-pair Jaccard verify is restricted.
+- substring_dedup_clean: docs with md5(doc_id||'#sub42')%101==0. The
+  gram/first-occurrence CTEs stay GLOBAL (the winner rule is
+  cross-doc); coverage expansion and reassembly restrict to sampled
+  docs.
+
+Usage:
+    python tools/sampled_sf10_parity.py [--sf-dir .artifacts/sf10] \
+        [--out SAMPLED_SF10_PARITY.json] [queries...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _md5_mod(col, tag: str, mod: int):
+    """The repo's portable md5 selector (identical in DuckDB)."""
+    tagged = F.concat(col.cast("string"), F.lit(tag))
+    return (
+        F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long") % mod
+    )
+
+
+def _md5_mod_sql(expr: str, tag: str, mod: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR) || '{tag}'), 1, 15)) "
+        f"AS BIGINT) % {mod}"
+    )
+
+
+def _simhash_sampled_sql() -> str:
+    from dimagi_data_platform_spark.plans.oracle import ORACLE
+
+    sql = ORACLE["simhash_dedup"]
+    needle = "FROM fp a JOIN fp b ON a.doc_id < b.doc_id"
+    assert needle in sql, "simhash oracle shape drifted"
+    # materialize fingerprints once (the pair join probes them twice)
+    # and restrict the LEFT side to the sample
+    return sql.replace(
+        "fp AS (SELECT", "fp AS MATERIALIZED (SELECT"
+    ).replace(
+        needle,
+        "FROM (SELECT * FROM fp WHERE "
+        + _md5_mod_sql("doc_id", "#sh42", 199)
+        + " = 0) a JOIN fp b ON a.doc_id < b.doc_id",
+    )
+
+
+def _catalog_sampled_sql() -> str:
+    from dimagi_data_platform_spark.plans.oracle import ORACLE
+
+    sql = ORACLE["part_catalog_near_dups_capped"]
+    needle = "FROM cand\nJOIN toks a ON a.p_partkey = cand.ka"
+    assert needle in sql, "catalog-capped oracle shape drifted"
+    # mass (compared/dropped) is computed over the FULL cand; only the
+    # per-pair token verify narrows to the sample
+    return sql.replace(
+        needle,
+        "FROM (SELECT * FROM cand WHERE "
+        + _md5_mod_sql("ka", "#cat42", 199)
+        + " = 0) cand\nJOIN toks a ON a.p_partkey = cand.ka",
+    )
+
+
+def _substring_sampled_sql() -> str:
+    from dimagi_data_platform_spark.plans.oracle import ORACLE
+
+    sql = ORACLE["substring_dedup_clean"]
+    sample = _md5_mod_sql("doc_id", "#sub42", 101)
+    # gram index + first-occurrence (g, f) stay global — the winner
+    # rule is cross-doc; everything that only feeds sampled docs'
+    # output narrows: dup coverage, token reassembly, final projection
+    needle_dup = "WHERE g.doc_id * 1048576 + g.pos <> f.first_pk"
+    assert needle_dup in sql, "substring oracle shape drifted (dup)"
+    sql = sql.replace(
+        needle_dup,
+        f"WHERE {_md5_mod_sql('g.doc_id', '#sub42', 101)} = 0 "
+        "AND g.doc_id * 1048576 + g.pos <> f.first_pk",
+    )
+    needle_ts = "ts AS (\n  SELECT doc_id, u.i AS pos, toks[u.i] AS tok\n  FROM t,"
+    assert needle_ts in sql, "substring oracle shape drifted (ts)"
+    sql = sql.replace(
+        needle_ts,
+        "ts AS (\n  SELECT doc_id, u.i AS pos, toks[u.i] AS tok\n"
+        f"  FROM (SELECT * FROM t WHERE {sample} = 0) t,",
+    )
+    needle_out = "FROM t LEFT JOIN cl USING (doc_id)"
+    assert needle_out in sql, "substring oracle shape drifted (out)"
+    return sql.replace(
+        needle_out,
+        f"FROM (SELECT * FROM t WHERE {sample} = 0) t "
+        "LEFT JOIN cl USING (doc_id)",
+    )
+
+
+def sampled_checks(spark, sf_dir: str) -> dict[str, tuple]:
+    """{query: (spark_df_subset, oracle_sql_subset, sample_desc)}."""
+    from dimagi_data_platform_spark.plans.oracle import ORACLE
+    from dimagi_data_platform_spark.plans.queries import QUERIES
+
+    return {
+        "part_k_core": (
+            QUERIES["part_k_core"](spark, sf_dir),
+            ORACLE["part_k_core"],
+            "FULL top-50 compare (bounded output; full unrolled oracle)",
+        ),
+        "part_pagerank": (
+            QUERIES["part_pagerank"](spark, sf_dir),
+            ORACLE["part_pagerank"],
+            "FULL top-20 compare (bounded output; full unrolled oracle)",
+        ),
+        "simhash_dedup": (
+            QUERIES["simhash_dedup"](spark, sf_dir).filter(
+                _md5_mod(F.col("id_a"), "#sh42", 199) == 0
+            ),
+            _simhash_sampled_sql(),
+            "pairs whose id_a is md5-sampled (~0.5% of docs); "
+            "fingerprints global",
+        ),
+        "part_catalog_near_dups_capped": (
+            QUERIES["part_catalog_near_dups_capped"](spark, sf_dir).filter(
+                _md5_mod(F.col("part_a"), "#cat42", 199) == 0
+            ),
+            _catalog_sampled_sql(),
+            "pairs whose part_a is md5-sampled (~0.5%); candidates and "
+            "mass columns global",
+        ),
+        "substring_dedup_clean": (
+            QUERIES["substring_dedup_clean"](spark, sf_dir).filter(
+                _md5_mod(F.col("doc_id"), "#sub42", 101) == 0
+            ),
+            _substring_sampled_sql(),
+            "docs md5-sampled (~1%); gram index + first-occurrence "
+            "winners global",
+        ),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.path.join(REPO, ".artifacts", "sf10"))
+    ap.add_argument(
+        "--out", default=os.path.join(REPO, "SAMPLED_SF10_PARITY.json")
+    )
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    from dimagi_data_platform_spark.session import get_spark
+    from tests.parity import compare, duck_con
+
+    spark = get_spark("sampled-sf10")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_con(args.sf_dir)
+    results: dict[str, dict] = {}
+    for name, (sdf_q, sql, desc) in sampled_checks(spark, args.sf_dir).items():
+        if args.queries and name not in args.queries:
+            continue
+        t0 = time.time()
+        sdf = sdf_q.toPandas()
+        t_spark = round(time.time() - t0, 3)
+        t0 = time.time()
+        odf = con.execute(sql).fetchdf()
+        t_oracle = round(time.time() - t0, 3)
+        errs = compare(sdf, odf)
+        results[name] = {
+            "status": "hash_ok" if not errs else f"FAIL {errs[:3]}",
+            "n_rows": len(sdf),
+            "sample": desc,
+            "t_spark": t_spark,
+            "t_oracle": t_oracle,
+        }
+        print(json.dumps({"query": name, **results[name]}), flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -38,9 +38,9 @@ PROBE = [
     "minhash_lsh_dedup", "knn_bruteforce", "embedding_near_dup",
     # iterative graph family
     "part_k_core", "part_pagerank", "copurchase_bfs_hops",
-    # capped serving paths (r9/r10)
+    # capped serving paths (r9/r10/r11)
     "copurchase_adamic_adar_capped", "customer_fuzzy_match_capped",
-    "part_catalog_near_dups_capped",
+    "part_catalog_near_dups_capped", "embedding_near_dup_capped",
     # distributed-rank statistics + sweep-line
     "customer_rfm", "order_value_ks_test", "max_concurrent_visits",
     # dedup breadth + the end-to-end composite
