@@ -307,6 +307,9 @@ SHOW = [
     ("part_catalog_near_dups_capped",
      "canonical-token SNM passes + exact Jaccard on the linear "
      "candidate set; block-squared stream gone from the default path"),
+    ("embedding_near_dup_capped",
+     "8 projection-order SNM ranks off ONE Arrow featurize pass "
+     "(n·W·8 linear candidates), exact cosine verify, mass broadcast"),
 ]
 
 MARKERS = (
