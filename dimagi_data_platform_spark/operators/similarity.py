@@ -929,6 +929,67 @@ def plane_projection(vec_col: str, dim: int, seed: int):
 _PROJ_SEED_OFFSET = 5000
 
 
+def project_features(
+    items: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+    n_tables: int = 8,
+    bucket_bits: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, vec, b0, p0, ..): per-pass hyperplane sign bucket + the
+    norm-scaled 1-D projection, computed in ONE Arrow pass — the
+    shared featurizer of ``embedding_near_dup_capped`` and the
+    ingest-time embedding dedup index. All plane dots fold per
+    dimension IN ORDER, bitwise-equal to the SQL oracle's left-folded
+    term chains (the _score_pairs_exact discipline); as Spark
+    expressions the 24 dot trees blew the JVM's 64 KB
+    whole-stage-codegen method limit and deopted the hot scan."""
+    bucket_planes = [
+        _planes(dim, bucket_bits, seed + 101 * t) for t in range(n_tables)
+    ]
+    proj_planes = [
+        _planes(dim, 1, seed + 101 * t + _PROJ_SEED_OFFSET)[0]
+        for t in range(n_tables)
+    ]
+    feat_schema = ", ".join(
+        ["id long", "vec array<float>"]
+        + [f"b{t} int, p{t} double" for t in range(n_tables)]
+    )
+
+    def featurize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _matrix(pdf[vec_col])
+            n = len(V)
+            nrm = np.zeros(n)
+            for i in range(dim):
+                nrm += V[:, i] * V[:, i]
+            nrm = np.sqrt(nrm)
+            out = {"id": pdf[id_col], "vec": pdf[vec_col]}
+            for t in range(n_tables):
+                bits = np.zeros(n, dtype=np.int32)
+                for k, plane in enumerate(bucket_planes[t]):
+                    acc = np.zeros(n)
+                    for i in range(dim):
+                        acc += V[:, i] * plane[i]
+                    bits |= (acc > 0).astype(np.int32) << k
+                acc = np.zeros(n)
+                for i in range(dim):
+                    acc += V[:, i] * proj_planes[t][i]
+                out[f"b{t}"] = bits
+                # normalized projection: adjacency tracks ANGULAR
+                # closeness even when norms vary
+                out[f"p{t}"] = acc / nrm
+            yield pd.DataFrame(out)
+
+    return items.select(
+        F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
+    ).mapInPandas(featurize, schema=feat_schema)
+
+
 def embedding_near_dup_capped(
     items: DataFrame,
     threshold: float,
@@ -981,54 +1042,9 @@ def embedding_near_dup_capped(
     candidate union, two hash joins to re-attach vectors, one
     Arrow-batched scoring pass, one broadcast 1-row scalar join for
     the mass columns."""
-    bucket_planes = [
-        _planes(dim, bucket_bits, seed + 101 * t) for t in range(n_tables)
-    ]
-    proj_planes = [
-        _planes(dim, 1, seed + 101 * t + _PROJ_SEED_OFFSET)[0]
-        for t in range(n_tables)
-    ]
-    feat_schema = ", ".join(
-        ["id long", "vec array<float>"]
-        + [f"b{t} int, p{t} double" for t in range(n_tables)]
-    )
-
-    def featurize(batches):
-        # ONE Arrow pass for all 8 (bucket, projection) pairs: 24
-        # plane-dot left-folds in one Project blew the JVM's 64 KB
-        # whole-stage-codegen method limit (interpreted fallback on
-        # the hot scan), so the folds run here in numpy — per
-        # dimension IN ORDER, bitwise-equal to the SQL oracle's
-        # left-folded term chains (the _score_pairs_exact discipline).
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = _matrix(pdf[vec_col])
-            n = len(V)
-            nrm = np.zeros(n)
-            for i in range(dim):
-                nrm += V[:, i] * V[:, i]
-            nrm = np.sqrt(nrm)
-            out = {"id": pdf[id_col], "vec": pdf[vec_col]}
-            for t in range(n_tables):
-                bits = np.zeros(n, dtype=np.int32)
-                for k, plane in enumerate(bucket_planes[t]):
-                    acc = np.zeros(n)
-                    for i in range(dim):
-                        acc += V[:, i] * plane[i]
-                    bits |= (acc > 0).astype(np.int32) << k
-                acc = np.zeros(n)
-                for i in range(dim):
-                    acc += V[:, i] * proj_planes[t][i]
-                out[f"b{t}"] = bits
-                # normalized projection: adjacency tracks ANGULAR
-                # closeness even when norms vary
-                out[f"p{t}"] = acc / nrm
-            yield pd.DataFrame(out)
-
-    feats = items.select(
-        F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
-    ).mapInPandas(featurize, schema=feat_schema).localCheckpoint()
+    feats = project_features(
+        items, id_col, vec_col, dim, n_tables, bucket_bits, seed
+    ).localCheckpoint()
     order_flat = [c for t in range(n_tables) for c in (f"b{t}", f"p{t}")]
     wide = _order_sample(feats, order_flat + ["id"])
     from dimagi_data_platform_spark.operators.linkage import (

@@ -1282,3 +1282,61 @@ def test_versioned_sink_dv_mode_physical_and_cow_equivalence(spark, tmp_path):
     versioned_sink(dv_tbl, keys=["id"], order_col="ver")(replay, 1)
     assert len(V.history(dv_tbl)) == 2
     assert {r.id for r in V.read_version(spark, dv_tbl).collect()} == {1, 2, 3}
+
+
+def test_streaming_ingest_embed_dedup_grows_index_across_batches(spark, tmp_path):
+    """P27b (vector sibling of P27): batch 1 drops its in-batch
+    near-identical twin; batch 2's twin of a batch-1 SURVIVOR is
+    dropped by the grid-index probe; distinct vectors pass. The index
+    then holds exactly the survivors' features, and drops happened
+    only on verified exact cosine — never on grid adjacency alone."""
+    import numpy as np
+
+    from dimagi_data_platform_spark.streaming.ingest_embed_dedup import (
+        run_ingest_embed_dedup,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.rand(64).astype("float32")
+    other = rng.rand(64).astype("float32")
+    third = rng.rand(64).astype("float32")
+
+    def rows(pairs):
+        return [
+            (int(i), [float(x) for x in v]) for i, v in pairs
+        ]
+
+    in_dir = tmp_path / "embin"
+    in_dir.mkdir()
+
+    def write_file(name, pairs):
+        with open(in_dir / name, "w") as f:
+            for vid, v in rows(pairs):
+                f.write(json.dumps({"vec_id": vid, "embedding": v}) + "\n")
+
+    # batch 1: 2 is a scaled twin of 1 (cosine exactly ~1, dropped
+    # in-batch); 3 is independent
+    write_file("b1.json", [(1, base), (2, base * 1.000001), (3, other)])
+    # batch 2: 4 twins survivor 1 (dropped via the persisted index),
+    # 5 is fresh
+    write_file("b2.json", [(4, base * 0.999999), (5, third)])
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    index, out, ckpt = (
+        str(tmp_path / "proj_idx"),
+        str(tmp_path / "vec_out"),
+        str(tmp_path / "emb_ckpt"),
+    )
+    run_ingest_embed_dedup(stream, index, out, ckpt, threshold=0.99)
+
+    kept = {r.vec_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3, 5}
+    indexed = {r.id for r in spark.read.parquet(index).collect()}
+    assert indexed == {1, 3, 5}
+    # independent uniform vectors cross the grid but never the exact
+    # cosine gate at 0.99 — both survived, proving drops require the
+    # verified kernel, not mere cell adjacency
