@@ -27,6 +27,17 @@ SCALE_CURVE_SF10.json wall times):
   gram/first-occurrence CTEs stay GLOBAL (the winner rule is
   cross-doc); coverage expansion and reassembly restrict to sampled
   docs.
+- embedding_near_dup_capped (r11 bounded default): pairs whose id_a
+  satisfies md5(id||'#enc42')%29==0. Features, all 8 SNM candidate
+  passes, and the MASS columns stay GLOBAL (compared/dropped_pairs
+  are counts over the full linear candidate union); only the exact
+  fold-ordered cosine verify narrows to the sampled pairs.
+- ngram_jaccard_pairs (the r10 sf10 broadcast-defect fix, commit
+  12985f7): pairs whose doc_a satisfies md5(doc_id||'#ng42')%199==0.
+  The capped shingle index and doc sizes stay GLOBAL (the
+  MAX_SHINGLE_DF cap is corpus-wide); the pair join restricts its
+  smaller-id side to the sample — the engine still runs the FULL
+  fixed plan (explicit doc-size broadcast side) at sf10.
 
 Usage:
     python tools/sampled_sf10_parity.py [--sf-dir .artifacts/sf10] \
@@ -128,6 +139,46 @@ def _substring_sampled_sql() -> str:
     )
 
 
+def _emb_capped_sampled_sql() -> str:
+    from dimagi_data_platform_spark.plans.oracle import ORACLE
+
+    sql = ORACLE["embedding_near_dup_capped"]
+    needle = (
+        "p AS (\n"
+        "  SELECT cand.id_a, cand.id_b, a.vec AS vec_a, b.vec AS vec_b\n"
+        "  FROM cand JOIN e a ON a.id = cand.id_a"
+    )
+    assert needle in sql, "embedding_near_dup_capped oracle shape drifted"
+    # mass stays over the FULL cand (the kernel's honest-cap counts);
+    # only the exact cosine verify narrows to the sampled pairs
+    return sql.replace(
+        needle,
+        "p AS (\n"
+        "  SELECT cand.id_a, cand.id_b, a.vec AS vec_a, b.vec AS vec_b\n"
+        "  FROM (SELECT * FROM cand WHERE "
+        + _md5_mod_sql("id_a", "#enc42", 29)
+        + " = 0) cand JOIN e a ON a.id = cand.id_a",
+    )
+
+
+def _ngram_sampled_sql() -> str:
+    from dimagi_data_platform_spark.plans.oracle import ORACLE
+
+    sql = ORACLE["ngram_jaccard_pairs"]
+    needle = (
+        "FROM sh a JOIN sh b USING (shingle)\n  WHERE a.doc_id < b.doc_id"
+    )
+    assert needle in sql, "ngram_jaccard_pairs oracle shape drifted"
+    # the shingle index (with its corpus-wide DF cap) and the size
+    # table stay GLOBAL; only the pair join's smaller-id side narrows
+    return sql.replace(
+        needle,
+        "FROM (SELECT * FROM sh WHERE "
+        + _md5_mod_sql("doc_id", "#ng42", 199)
+        + " = 0) a JOIN sh b USING (shingle)\n  WHERE a.doc_id < b.doc_id",
+    )
+
+
 def sampled_checks(spark, sf_dir: str) -> dict[str, tuple]:
     """{query: (spark_df_subset, oracle_sql_subset, sample_desc)}."""
     from dimagi_data_platform_spark.plans.oracle import ORACLE
@@ -167,6 +218,22 @@ def sampled_checks(spark, sf_dir: str) -> dict[str, tuple]:
             _substring_sampled_sql(),
             "docs md5-sampled (~1%); gram index + first-occurrence "
             "winners global",
+        ),
+        "embedding_near_dup_capped": (
+            QUERIES["embedding_near_dup_capped"](spark, sf_dir).filter(
+                _md5_mod(F.col("id_a"), "#enc42", 29) == 0
+            ),
+            _emb_capped_sampled_sql(),
+            "pairs whose id_a is md5-sampled (~3.4%); features, SNM "
+            "candidates and mass columns global",
+        ),
+        "ngram_jaccard_pairs": (
+            QUERIES["ngram_jaccard_pairs"](spark, sf_dir).filter(
+                _md5_mod(F.col("doc_a"), "#ng42", 199) == 0
+            ),
+            _ngram_sampled_sql(),
+            "pairs whose doc_a is md5-sampled (~0.5%); capped shingle "
+            "index + doc sizes global; engine runs the full fixed plan",
         ),
     }
 
