@@ -253,6 +253,16 @@ def main() -> None:
     spark = get_spark("sampled-sf10")
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_con(args.sf_dir)
+    # the sf10 k-core/pagerank oracles MATERIALIZE per-round edge sets;
+    # unbounded they OOM the host next to the live JVM — cap the oracle
+    # and let it spill (the JVM heap is set small for the same reason)
+    tmp = os.path.join(REPO, ".artifacts", "duck_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute(
+        f"SET memory_limit='{os.environ.get('DUCK_MEM_LIMIT', '48GB')}'"
+    )
+    con.execute("SET preserve_insertion_order=false")
     results: dict[str, dict] = {}
     for name, (sdf_q, sql, desc) in sampled_checks(spark, args.sf_dir).items():
         if args.queries and name not in args.queries:
