@@ -250,26 +250,36 @@ def main() -> None:
     from dimagi_data_platform_spark.session import get_spark
     from tests.parity import compare, duck_con
 
+    # Two phases so the JVM and the oracle never share the host's
+    # memory: the sf10 k-core Spark plan needs a ~48 GB heap
+    # (AlwaysPreTouch keeps it resident) while the full k-core/pagerank
+    # oracles MATERIALIZE per-round edge sets and grew past 70 GB —
+    # together they OOM-killed two runs. Phase 1 collects every Spark
+    # result, stops the session; phase 2 runs the oracles with a
+    # memory cap + disk spill.
     spark = get_spark("sampled-sf10")
     spark.sparkContext.setLogLevel("ERROR")
-    con = duck_con(args.sf_dir)
-    # the sf10 k-core/pagerank oracles MATERIALIZE per-round edge sets;
-    # unbounded they OOM the host next to the live JVM — cap the oracle
-    # and let it spill (the JVM heap is set small for the same reason)
-    tmp = os.path.join(REPO, ".artifacts", "duck_tmp")
-    os.makedirs(tmp, exist_ok=True)
-    con.execute(f"SET temp_directory='{tmp}'")
-    con.execute(
-        f"SET memory_limit='{os.environ.get('DUCK_MEM_LIMIT', '48GB')}'"
-    )
-    con.execute("SET preserve_insertion_order=false")
-    results: dict[str, dict] = {}
+    spark_out: dict[str, tuple] = {}
     for name, (sdf_q, sql, desc) in sampled_checks(spark, args.sf_dir).items():
         if args.queries and name not in args.queries:
             continue
         t0 = time.time()
         sdf = sdf_q.toPandas()
         t_spark = round(time.time() - t0, 3)
+        print(json.dumps({"query": name, "t_spark": t_spark}), flush=True)
+        spark_out[name] = (sdf, sql, desc, t_spark)
+    spark.stop()
+
+    con = duck_con(args.sf_dir)
+    tmp = os.path.join(REPO, ".artifacts", "duck_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute(
+        f"SET memory_limit='{os.environ.get('DUCK_MEM_LIMIT', '80GB')}'"
+    )
+    con.execute("SET preserve_insertion_order=false")
+    results: dict[str, dict] = {}
+    for name, (sdf, sql, desc, t_spark) in spark_out.items():
         t0 = time.time()
         odf = con.execute(sql).fetchdf()
         t_oracle = round(time.time() - t0, 3)
