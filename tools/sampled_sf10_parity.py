@@ -275,7 +275,7 @@ def main() -> None:
     os.makedirs(tmp, exist_ok=True)
     con.execute(f"SET temp_directory='{tmp}'")
     con.execute(
-        f"SET memory_limit='{os.environ.get('DUCK_MEM_LIMIT', '80GB')}'"
+        f"SET memory_limit='{os.environ.get('DUCK_MEM_LIMIT', '52GB')}'"
     )
     con.execute("SET preserve_insertion_order=false")
     results: dict[str, dict] = {}
