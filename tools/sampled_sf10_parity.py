@@ -238,48 +238,83 @@ def sampled_checks(spark, sf_dir: str) -> dict[str, tuple]:
     }
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf-dir", default=os.path.join(REPO, ".artifacts", "sf10"))
-    ap.add_argument(
-        "--out", default=os.path.join(REPO, "SAMPLED_SF10_PARITY.json")
-    )
-    ap.add_argument("queries", nargs="*")
-    args = ap.parse_args()
-
+def _spark_phase(sf_dir: str, queries: list[str], pickle_path: str) -> None:
+    """Collect every Spark result and pickle them — run in a CHILD
+    process so the 48 GB pre-touched JVM (which outlives spark.stop();
+    the py4j gateway keeps the process) is fully released before the
+    oracle phase. The sf10 k-core oracle needs >52 GB of pinned
+    working memory even with spill, and the host kills any process
+    near ~73 GB — the two phases cannot share the machine."""
     from dimagi_data_platform_spark.session import get_spark
-    from tests.parity import compare, duck_con
 
-    # Two phases so the JVM and the oracle never share the host's
-    # memory: the sf10 k-core Spark plan needs a ~48 GB heap
-    # (AlwaysPreTouch keeps it resident) while the full k-core/pagerank
-    # oracles MATERIALIZE per-round edge sets and grew past 70 GB —
-    # together they OOM-killed two runs. Phase 1 collects every Spark
-    # result, stops the session; phase 2 runs the oracles with a
-    # memory cap + disk spill.
     spark = get_spark("sampled-sf10")
     spark.sparkContext.setLogLevel("ERROR")
     spark_out: dict[str, tuple] = {}
-    for name, (sdf_q, sql, desc) in sampled_checks(spark, args.sf_dir).items():
-        if args.queries and name not in args.queries:
+    for name, (sdf_q, sql, desc) in sampled_checks(spark, sf_dir).items():
+        if queries and name not in queries:
             continue
         t0 = time.time()
         sdf = sdf_q.toPandas()
         t_spark = round(time.time() - t0, 3)
         print(json.dumps({"query": name, "t_spark": t_spark}), flush=True)
         spark_out[name] = (sdf, sql, desc, t_spark)
-    spark.stop()
+    import pickle
+
+    with open(pickle_path, "wb") as f:
+        pickle.dump(spark_out, f)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.path.join(REPO, ".artifacts", "sf10"))
+    ap.add_argument(
+        "--out", default=os.path.join(REPO, "SAMPLED_SF10_PARITY.json")
+    )
+    ap.add_argument("--spark-phase-pickle", default="", help=argparse.SUPPRESS)
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    if args.spark_phase_pickle:
+        _spark_phase(args.sf_dir, args.queries, args.spark_phase_pickle)
+        return
+
+    import pickle
+    import subprocess
+
+    work = os.path.join(REPO, ".artifacts")
+    os.makedirs(work, exist_ok=True)
+    pkl = os.path.join(work, "sampled_sf10_spark.pkl")
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__),
+         "--sf-dir", args.sf_dir, "--spark-phase-pickle", pkl,
+         *args.queries],
+        check=True,
+    )
+    with open(pkl, "rb") as f:
+        spark_out = pickle.load(f)
+
+    from tests.parity import compare, duck_con
 
     con = duck_con(args.sf_dir)
     tmp = os.path.join(REPO, ".artifacts", "duck_tmp")
     os.makedirs(tmp, exist_ok=True)
     con.execute(f"SET temp_directory='{tmp}'")
     con.execute(
-        f"SET memory_limit='{os.environ.get('DUCK_MEM_LIMIT', '52GB')}'"
+        f"SET memory_limit='{os.environ.get('DUCK_MEM_LIMIT', '64GB')}'"
     )
+    # per-thread operator state is the pinned (unspillable) part —
+    # fewer threads keeps the k-core unroll under the cap
+    con.execute(f"SET threads={int(os.environ.get('DUCK_THREADS', '8'))}")
     con.execute("SET preserve_insertion_order=false")
     results: dict[str, dict] = {}
-    for name, (sdf, sql, desc, t_spark) in spark_out.items():
+    # cheapest-oracle-first (k-core last): partial results persist
+    # per-query, so a memory abort in the heaviest oracle keeps the
+    # others' evidence on disk
+    order = sorted(
+        spark_out, key=lambda n: (n == "part_k_core", n == "part_pagerank")
+    )
+    for name in order:
+        sdf, sql, desc, t_spark = spark_out[name]
         t0 = time.time()
         odf = con.execute(sql).fetchdf()
         t_oracle = round(time.time() - t0, 3)
@@ -292,9 +327,8 @@ def main() -> None:
             "t_oracle": t_oracle,
         }
         print(json.dumps({"query": name, **results[name]}), flush=True)
-
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=1, sort_keys=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
 
 
 if __name__ == "__main__":
