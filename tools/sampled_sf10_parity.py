@@ -179,6 +179,69 @@ def _ngram_sampled_sql() -> str:
     )
 
 
+def _split_ctes(sql: str):
+    """Split a generated ``WITH a AS (...), b AS (...) SELECT ...``
+    oracle into ordered (name, body) pairs plus the final SELECT, by
+    paren-depth walk (quote-aware). Used to run the unrolled-recurrence
+    oracles STEPWISE: the SQL text of every step is byte-identical to
+    the registered oracle's CTE body — only the execution is staged."""
+    import re
+
+    head = sql.index("WITH")
+    s = sql[head + 4 :]
+    ctes = []
+    i = 0
+    while True:
+        m = re.match(r"\s*([A-Za-z_0-9]+)\s+AS\s+(?:MATERIALIZED\s+)?\(", s[i:])
+        assert m, f"oracle CTE parse failed near: {s[i:i+80]!r}"
+        name = m.group(1)
+        j = i + m.end()
+        depth, k, quote = 1, j, None
+        while depth:
+            c = s[k]
+            if quote:
+                if c == quote:
+                    quote = None
+            elif c in ("'", '"'):
+                quote = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            k += 1
+        ctes.append((name, s[j : k - 1]))
+        t = re.match(r"\s*,", s[k:])
+        if not t:
+            return ctes, s[k:]
+        i = k + t.end()
+
+
+def _run_stepwise(con, sql: str):
+    """Execute an unrolled-recurrence oracle one CTE at a time via
+    temp tables, dropping each table once no remaining step references
+    it — the 20-round pagerank / 6-round k-core unrolls pin >64 GB as
+    ONE plan at sf10 but fit easily one round at a time."""
+    import re
+
+    ctes, final = _split_ctes(sql)
+    remaining = [b for _, b in ctes] + [final]
+    for idx, (name, body) in enumerate(ctes):
+        con.execute(f'CREATE OR REPLACE TEMP TABLE "{name}" AS {body}')
+        tail = remaining[idx + 1 :]
+        for prev, _ in ctes[: idx + 1]:
+            if not any(re.search(rf"\b{prev}\b", t) for t in tail):
+                con.execute(f'DROP TABLE IF EXISTS "{prev}"')
+    odf = con.execute(final).fetchdf()
+    for name, _ in ctes:
+        con.execute(f'DROP TABLE IF EXISTS "{name}"')
+    return odf
+
+
+# unrolled-recurrence oracles whose single-plan execution pins more
+# memory than the host allows at sf10 — run stepwise by construction
+STEPWISE = {"part_pagerank", "part_k_core"}
+
+
 def sampled_checks(spark, sf_dir: str) -> dict[str, tuple]:
     """{query: (spark_df_subset, oracle_sql_subset, sample_desc)}."""
     from dimagi_data_platform_spark.plans.oracle import ORACLE
@@ -316,7 +379,10 @@ def main() -> None:
     for name in order:
         sdf, sql, desc, t_spark = spark_out[name]
         t0 = time.time()
-        odf = con.execute(sql).fetchdf()
+        if name in STEPWISE:
+            odf = _run_stepwise(con, sql)
+        else:
+            odf = con.execute(sql).fetchdf()
         t_oracle = round(time.time() - t0, 3)
         errs = compare(sdf, odf)
         results[name] = {
