@@ -2,28 +2,38 @@
 corpus — the vector sibling of :mod:`streaming.ingest_dedup` (P27) and
 the ingest companion of ``embedding_near_dup_capped`` (L5c).
 
-Each micro-batch of incoming vectors is projection-featurized (the
-shared ``project_features`` Arrow pass of operators/similarity.py),
-probed against the persisted corpus projection index through a GRID
-join — for every pass t, a batch row touches the corpus rows whose
-quantized projection cell floor(p_t/eps) is within one cell of its
-own, a banded range join in projection space (the P13 idiom), so only
-grid-adjacent corpus rows shuffle — and split: rows whose exact
-fold-ordered cosine against any matched corpus row reaches the
-threshold are dropped, survivors append to the corpus sink AND their
-features to the index, so later batches dedup against everything
-accepted so far. Work per batch scales with the BATCH times the
-occupancy of the touched cells, never with corpus².
+Each micro-batch of incoming vectors is sign-bucket-featurized (the
+shared ``project_features`` Arrow pass of operators/similarity.py,
+run at ``bucket_bits`` planes per table — multi-table hyperplane LSH,
+the same family as ``embedding_near_dup_lsh``), probed against the
+persisted corpus feature index by an equi-join on (table, bucket),
+and split: rows whose exact fold-ordered cosine against any matched
+corpus row reaches the threshold are dropped, survivors append to the
+corpus sink AND their features to the index, so later batches dedup
+against everything accepted so far.
 
-Exactness split (the capped-family contract): candidate RECALL is
-approximate (grid-bounded, like L5c's window), but every DROP is
-exact — a row is only dropped on a verified cosine >= threshold.
+Why sign buckets and not a projection grid: the first design joined
+on a quantized 1-D projection cell (±1 neighborhood). A fixed grid
+has O(100) usable cells per pass, so cell occupancy — and therefore
+per-batch candidate volume and exact-cosine work — grows LINEARLY
+with the corpus; the three-decade ingest certification
+(tools/ingest_scale_cert.py) measured 5x per-batch cost per corpus
+decade. A ``bucket_bits``-plane sign bucket has 2^bits buckets per
+table; occupancy is corpus/2^bits, so ``bucket_bits`` is the
+log-corpus knob: 16 bits holds expected occupancy ~3 at 200k vectors,
+and at a 100 TB corpus (~10^10 vectors) 32-34 bits keeps candidates
+batch-proportional. Recall at threshold 0.99 (angle ~8.1 deg,
+per-plane flip p = theta/pi ~ 0.045): per-table (1-p)^16 ~ 0.48,
+across 8 tables 1-(1-0.48)^8 ~ 0.995; EXACT duplicates always agree
+on every bucket. Drops stay exact either way — a row is only dropped
+on a verified cosine >= threshold (the capped-family contract: recall
+is approximate, drops are exact).
 
 Idempotence: both sink and index writes go to overwrite-by-batch_id
 subdirectories (same pattern as ingest_dedup / events_stream), so a
 batch that retries after writing replaces its earlier partial output.
 
-In-batch duplicates: survivors are also grid-probed against each
+In-batch duplicates: survivors are also bucket-probed against each
 other (keep the lowest id of each near-dup pair) — without this, two
 copies arriving in ONE batch would both pass the corpus probe.
 """
@@ -38,61 +48,82 @@ from dimagi_data_platform_spark.operators.similarity import (
     project_features,
 )
 
-# grid cell width in normalized-projection units: near-dups at high
-# cosine project within a fraction of a cell; the width trades probe
-# fan-in (3 cells per pass) against recall for moderate thresholds
-DEFAULT_CELL = 0.25
+# planes per hyperplane table: 2^bits buckets/table. The log-corpus
+# knob — see the module docstring for the occupancy/recall math.
+DEFAULT_BUCKET_BITS = 16
 N_TABLES = 8
 
 
-def _cells(feats: DataFrame, cell: float, n_tables: int = N_TABLES):
-    """(id, vec, t, cell) — one row per (row, pass) with the quantized
-    projection cell; the probe explodes batch rows to (cell-1, cell,
-    cell+1) so adjacency across a cell boundary is never missed."""
+def _bucket_entries(feats: DataFrame, n_tables: int = N_TABLES):
+    """(id, vec, t, bucket) — one row per (row, table) with the
+    sign-pattern bucket (the ``b{t}`` columns project_features already
+    computes); the probe joins on (t, bucket) exactly, no
+    neighborhood explode."""
     entries = F.array(
         *[
             F.struct(
-                F.lit(t).alias("t"),
-                F.floor(F.col(f"p{t}") / F.lit(cell)).cast("long").alias(
-                    "cell"
-                ),
+                F.lit(t).alias("t"), F.col(f"b{t}").cast("long").alias("bucket")
             )
             for t in range(n_tables)
         ]
     )
     return feats.select(
         "id", "vec", F.explode(entries).alias("e")
-    ).select("id", "vec", F.col("e.t").alias("t"), F.col("e.cell").alias("cell"))
+    ).select("id", "vec", F.col("e.t").alias("t"), F.col("e.bucket").alias("bucket"))
 
 
-def _grid_matches(
+def _bucket_matches(
     index_feats: DataFrame,
     batch_feats: DataFrame,
     threshold: float,
-    cell: float = DEFAULT_CELL,
 ) -> DataFrame:
     """(id_a=corpus/lower id, id_b=batch id, cos_sim) for every
-    grid-adjacent cross pair whose EXACT cosine reaches threshold.
-    The batch side explodes to its 3-cell neighborhood (3x the BATCH,
-    never the corpus) and the join runs on (t, cell)."""
-    b = _cells(batch_feats, cell)
-    probe = b.select(
-        F.col("id").alias("id_b"),
-        F.col("vec").alias("vec_b"),
-        "t",
-        F.explode(
-            F.array(F.col("cell") - 1, F.col("cell"), F.col("cell") + 1)
-        ).alias("cell"),
+    bucket-colliding cross pair whose EXACT cosine reaches threshold.
+    The batch side is BROADCAST (bounded: one ingest batch x
+    n_tables), so the corpus index never shuffles — its band entries
+    stream map-side through the join, the P27 incremental_lsh_matches
+    discipline."""
+    b = _bucket_entries(batch_feats).select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "t", "bucket"
     )
-    c = _cells(index_feats, cell).select(
-        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "t", "cell"
+    c = _bucket_entries(index_feats).select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "t", "bucket"
     )
     cand = (
-        probe.join(c, ["t", "cell"])
+        c.join(F.broadcast(b), ["t", "bucket"])
         .select("id_a", "id_b", "vec_a", "vec_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     return _score_pairs_exact(cand, threshold)
+
+
+def _check_index_bits(index_path: str, bucket_bits: int) -> None:
+    """An index and its probes MUST share ``bucket_bits`` — a mismatch
+    does not error, it silently matches NOTHING (different plane
+    counts produce disjoint bucket values), which would wave every
+    duplicate through. A `_bits.json` sidecar written with the first
+    batch makes the mismatch LOUD (the customer_entity_resolution
+    fail-loudly discipline). Local-filesystem sidecar: the test/bench
+    harness shape; object-store deployments would pin the same value
+    in the table's metadata."""
+    import json as _json
+    import os as _os
+
+    marker = _os.path.join(index_path, "_bits.json")
+    if _os.path.exists(marker):
+        with open(marker) as f:
+            stored = _json.load(f)["bucket_bits"]
+        if stored != bucket_bits:
+            raise ValueError(
+                f"ingest index at {index_path} was built with "
+                f"bucket_bits={stored}; probing with {bucket_bits} "
+                "would silently match nothing — rebuild the index or "
+                "pass the index's bucket_bits"
+            )
+    else:
+        _os.makedirs(index_path, exist_ok=True)
+        with open(marker, "w") as f:
+            _json.dump({"bucket_bits": bucket_bits}, f)
 
 
 def ingest_batch_embed_dedup(
@@ -104,19 +135,22 @@ def ingest_batch_embed_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.99,
-    cell: float = DEFAULT_CELL,
+    bucket_bits: int = DEFAULT_BUCKET_BITS,
 ) -> None:
     """Process one micro-batch: drop exact-cosine near-dups of the
-    current index (grid-candidates, exact verify), drop intra-batch
-    near-dups (lowest id survives), then append the survivors to
-    ``out_path`` and their projection features to ``index_path``
+    current index (sign-bucket candidates, exact verify), drop
+    intra-batch near-dups (lowest id survives), then append the
+    survivors to ``out_path`` and their features to ``index_path``
     (both under overwrite-by-batch_id subdirs)."""
     from pyspark.errors import AnalysisException
 
-    feats = project_features(batch_df, id_col, vec_col).localCheckpoint()
+    _check_index_bits(index_path, bucket_bits)
+    feats = project_features(
+        batch_df, id_col, vec_col, bucket_bits=bucket_bits
+    ).localCheckpoint()
     try:
         index = spark.read.parquet(index_path)
-        matches = _grid_matches(index, feats, threshold, cell)
+        matches = _bucket_matches(index, feats, threshold)
         dup_ids = matches.select(F.col("id_b").alias("id")).distinct()
     except AnalysisException:  # first batch: index doesn't exist yet
         dup_ids = None
@@ -124,7 +158,7 @@ def ingest_batch_embed_dedup(
     survivors = feats
     if dup_ids is not None:
         survivors = survivors.join(dup_ids, "id", "left_anti")
-    intra = _grid_matches(survivors, survivors, threshold, cell).filter(
+    intra = _bucket_matches(survivors, survivors, threshold).filter(
         F.col("id_a") != F.col("id_b")
     )
     # in-batch: a row is dropped iff it near-dups ANY lower id — the
@@ -151,7 +185,7 @@ def run_ingest_embed_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.99,
-    cell: float = DEFAULT_CELL,
+    bucket_bits: int = DEFAULT_BUCKET_BITS,
 ) -> None:
     """Drain ``stream`` through the ingest dedup with availableNow
     (test/backfill trigger; drop the trigger for continuous runs)."""
@@ -168,7 +202,7 @@ def run_ingest_embed_dedup(
             id_col=id_col,
             vec_col=vec_col,
             threshold=threshold,
-            cell=cell,
+            bucket_bits=bucket_bits,
         )
 
     q = (

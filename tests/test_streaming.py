@@ -1337,6 +1337,28 @@ def test_streaming_ingest_embed_dedup_grows_index_across_batches(spark, tmp_path
     assert kept == {1, 3, 5}
     indexed = {r.id for r in spark.read.parquet(index).collect()}
     assert indexed == {1, 3, 5}
-    # independent uniform vectors cross the grid but never the exact
-    # cosine gate at 0.99 — both survived, proving drops require the
-    # verified kernel, not mere cell adjacency
+    # independent uniform vectors can share a sign bucket but never
+    # cross the exact cosine gate at 0.99 — both survived, proving
+    # drops require the verified kernel, not mere bucket collision
+
+
+def test_ingest_embed_dedup_bucket_bits_mismatch_fails_loudly(spark, tmp_path):
+    """An index probed at a different bucket_bits silently matches
+    NOTHING (disjoint bucket values) — the sidecar guard must turn
+    that into a loud error instead of waving duplicates through."""
+    import numpy as np
+    import pytest
+
+    from dimagi_data_platform_spark.streaming.ingest_embed_dedup import (
+        ingest_batch_embed_dedup,
+    )
+
+    rng = np.random.RandomState(5)
+    batch = spark.createDataFrame(
+        [(1, [float(x) for x in rng.rand(64)])],
+        "vec_id long, embedding array<float>",
+    )
+    index, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    ingest_batch_embed_dedup(spark, batch, 0, index, out, bucket_bits=16)
+    with pytest.raises(ValueError, match="bucket_bits=16"):
+        ingest_batch_embed_dedup(spark, batch, 1, index, out, bucket_bits=8)

@@ -161,6 +161,7 @@ def cert_embed(spark, work: str) -> dict:
         project_features,
     )
     from dimagi_data_platform_spark.streaming.ingest_embed_dedup import (
+        DEFAULT_BUCKET_BITS,
         ingest_batch_embed_dedup,
     )
 
@@ -174,9 +175,11 @@ def cert_embed(spark, work: str) -> dict:
         corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         n_vecs = corpus.count()
         t0 = time.time()
-        project_features(corpus).write.mode("overwrite").parquet(
-            f"{idx}/batch_id=0"
-        )
+        # seed at the ingest path's bucket width — an index and its
+        # probes must share bucket_bits for the bucket join to match
+        project_features(
+            corpus, bucket_bits=DEFAULT_BUCKET_BITS
+        ).write.mode("overwrite").parquet(f"{idx}/batch_id=0")
         t_seed = round(time.time() - t0, 3)
         t_batches = []
         for b, bdf in enumerate(batches, start=1):
