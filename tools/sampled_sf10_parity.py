@@ -161,6 +161,24 @@ def _emb_capped_sampled_sql() -> str:
     )
 
 
+def _minhash_sampled_sql() -> str:
+    from dimagi_data_platform_spark.plans.oracle import ORACLE
+
+    sql = ORACLE["minhash_lsh_dedup"]
+    needle = "FROM sig a JOIN sig b ON a.doc_id < b.doc_id"
+    assert needle in sql, "minhash oracle shape drifted"
+    # signatures stay global (linear); only the banded pair join's
+    # smaller-id side narrows to the sample
+    return sql.replace(
+        "sig AS (SELECT", "sig AS MATERIALIZED (SELECT"
+    ).replace(
+        needle,
+        "FROM (SELECT * FROM sig WHERE "
+        + _md5_mod_sql("doc_id", "#mh42", 199)
+        + " = 0) a JOIN sig b ON a.doc_id < b.doc_id",
+    )
+
+
 def _ngram_sampled_sql() -> str:
     from dimagi_data_platform_spark.plans.oracle import ORACLE
 
@@ -297,6 +315,14 @@ def sampled_checks(spark, sf_dir: str) -> dict[str, tuple]:
             _ngram_sampled_sql(),
             "pairs whose doc_a is md5-sampled (~0.5%); capped shingle "
             "index + doc sizes global; engine runs the full fixed plan",
+        ),
+        "minhash_lsh_dedup": (
+            QUERIES["minhash_lsh_dedup"](spark, sf_dir).filter(
+                _md5_mod(F.col("id_a"), "#mh42", 199) == 0
+            ),
+            _minhash_sampled_sql(),
+            "pairs whose id_a is md5-sampled (~0.5%); signatures "
+            "global; engine runs the full banded plan",
         ),
     }
 
