@@ -9,8 +9,9 @@ deterministic md5-selected subset, so the DuckDB oracle's cost
 collapses while the engine's sf10 behavior is the thing verified.
 Exact value compare (tests/parity.compare), no tolerance.
 
-Covered queries (the five heaviest probe entries, per
-SCALE_CURVE_SF10.json wall times):
+Covered queries (the heaviest probe entries per SCALE_CURVE_SF10.json
+wall times, plus the r11-changed operators — 8 total, all hash_ok in
+the committed SAMPLED_SF10_PARITY.json):
 
 - part_k_core / part_pagerank: output is a bounded top-k, so the
   compare is FULL — the oracle replays the complete unrolled
