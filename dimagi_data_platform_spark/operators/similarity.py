@@ -946,6 +946,15 @@ def project_features(
     term chains (the _score_pairs_exact discipline); as Spark
     expressions the 24 dot trees blew the JVM's 64 KB
     whole-stage-codegen method limit and deopted the hot scan."""
+    if not 1 <= bucket_bits <= 62:
+        # buckets are int64 bit patterns: bit k set via `1 << k`, so 62
+        # is the last shift that can't touch the sign bit. Silent
+        # overflow here would produce platform-dependent buckets at
+        # exactly the >=2^31-bucket scale the knob targets.
+        raise ValueError(
+            f"bucket_bits={bucket_bits} out of range [1, 62] for the "
+            "int64 sign-bucket encoding"
+        )
     bucket_planes = [
         _planes(dim, bucket_bits, seed + 101 * t) for t in range(n_tables)
     ]
@@ -955,7 +964,7 @@ def project_features(
     ]
     feat_schema = ", ".join(
         ["id long", "vec array<float>"]
-        + [f"b{t} int, p{t} double" for t in range(n_tables)]
+        + [f"b{t} bigint, p{t} double" for t in range(n_tables)]
     )
 
     def featurize(batches):
@@ -970,12 +979,12 @@ def project_features(
             nrm = np.sqrt(nrm)
             out = {"id": pdf[id_col], "vec": pdf[vec_col]}
             for t in range(n_tables):
-                bits = np.zeros(n, dtype=np.int32)
+                bits = np.zeros(n, dtype=np.int64)
                 for k, plane in enumerate(bucket_planes[t]):
                     acc = np.zeros(n)
                     for i in range(dim):
                         acc += V[:, i] * plane[i]
-                    bits |= (acc > 0).astype(np.int32) << k
+                    bits |= (acc > 0).astype(np.int64) << np.int64(k)
                 acc = np.zeros(n)
                 for i in range(dim):
                     acc += V[:, i] * proj_planes[t][i]

@@ -50,8 +50,18 @@ from dimagi_data_platform_spark.operators.similarity import (
 
 # planes per hyperplane table: 2^bits buckets/table. The log-corpus
 # knob — see the module docstring for the occupancy/recall math.
+# Buckets are int64 bit patterns (project_features validates
+# bucket_bits <= 62), so the 32-34 bit recommendation for ~10^10
+# vectors is representable without sign-bit overflow.
 DEFAULT_BUCKET_BITS = 16
 N_TABLES = 8
+
+# above this many batch rows the probe's batch side stops being
+# broadcast (rows x n_tables entries x full vectors can exceed the
+# driver/executor broadcast limits under an availableNow backfill that
+# arrives as one giant batch) and falls back to a shuffle join, which
+# completes at any size.
+BROADCAST_ROW_LIMIT = 100_000
 
 
 def _bucket_entries(feats: DataFrame, n_tables: int = N_TABLES):
@@ -76,21 +86,29 @@ def _bucket_matches(
     index_feats: DataFrame,
     batch_feats: DataFrame,
     threshold: float,
+    batch_rows: int | None = None,
 ) -> DataFrame:
     """(id_a=corpus/lower id, id_b=batch id, cos_sim) for every
     bucket-colliding cross pair whose EXACT cosine reaches threshold.
-    The batch side is BROADCAST (bounded: one ingest batch x
-    n_tables), so the corpus index never shuffles — its band entries
-    stream map-side through the join, the P27 incremental_lsh_matches
-    discipline."""
+    The batch side is BROADCAST when small (the common ingest shape:
+    one bounded micro-batch x n_tables), so the corpus index never
+    shuffles — its band entries stream map-side through the join, the
+    P27 incremental_lsh_matches discipline. Above
+    ``BROADCAST_ROW_LIMIT`` batch rows (an availableNow backfill can
+    deliver the whole source as ONE batch) the broadcast hint is
+    dropped: a shuffle join completes where an over-limit broadcast
+    (rows x n_tables entries including full float vectors) would fail
+    the job."""
     b = _bucket_entries(batch_feats).select(
         F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "t", "bucket"
     )
     c = _bucket_entries(index_feats).select(
         F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "t", "bucket"
     )
+    if batch_rows is None or batch_rows <= BROADCAST_ROW_LIMIT:
+        b = F.broadcast(b)
     cand = (
-        c.join(F.broadcast(b), ["t", "bucket"])
+        c.join(b, ["t", "bucket"])
         .select("id_a", "id_b", "vec_a", "vec_b")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -126,6 +144,27 @@ def _check_index_bits(index_path: str, bucket_bits: int) -> None:
             _json.dump({"bucket_bits": bucket_bits}, f)
 
 
+def seed_embed_dedup_index(
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_bits: int = DEFAULT_BUCKET_BITS,
+    batch_id: int = 0,
+) -> None:
+    """Pre-seed the ingest index from an existing corpus — the ONLY
+    supported way to build an index outside the streaming path.
+    Writes the features under ``batch_id=`` AND the ``_bits.json``
+    sidecar, so a later probe at a different ``bucket_bits`` fails
+    loudly instead of silently matching nothing (an externally-written
+    parquet index has no sidecar, and the first probe would otherwise
+    stamp its OWN parameter and accept the mismatch)."""
+    _check_index_bits(index_path, bucket_bits)
+    project_features(
+        corpus, id_col, vec_col, bucket_bits=bucket_bits
+    ).write.mode("overwrite").parquet(f"{index_path}/batch_id={batch_id}")
+
+
 def ingest_batch_embed_dedup(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -148,9 +187,10 @@ def ingest_batch_embed_dedup(
     feats = project_features(
         batch_df, id_col, vec_col, bucket_bits=bucket_bits
     ).localCheckpoint()
+    n_batch = feats.count()  # cheap: checkpointed; sizes the broadcast
     try:
         index = spark.read.parquet(index_path)
-        matches = _bucket_matches(index, feats, threshold)
+        matches = _bucket_matches(index, feats, threshold, batch_rows=n_batch)
         dup_ids = matches.select(F.col("id_b").alias("id")).distinct()
     except AnalysisException:  # first batch: index doesn't exist yet
         dup_ids = None
@@ -158,9 +198,9 @@ def ingest_batch_embed_dedup(
     survivors = feats
     if dup_ids is not None:
         survivors = survivors.join(dup_ids, "id", "left_anti")
-    intra = _bucket_matches(survivors, survivors, threshold).filter(
-        F.col("id_a") != F.col("id_b")
-    )
+    intra = _bucket_matches(
+        survivors, survivors, threshold, batch_rows=n_batch
+    ).filter(F.col("id_a") != F.col("id_b"))
     # in-batch: a row is dropped iff it near-dups ANY lower id — the
     # min-representative rule of semantic_dedup / ingest_dedup
     losers = intra.select(

@@ -1362,3 +1362,118 @@ def test_ingest_embed_dedup_bucket_bits_mismatch_fails_loudly(spark, tmp_path):
     ingest_batch_embed_dedup(spark, batch, 0, index, out, bucket_bits=16)
     with pytest.raises(ValueError, match="bucket_bits=16"):
         ingest_batch_embed_dedup(spark, batch, 1, index, out, bucket_bits=8)
+
+
+def test_seed_embed_dedup_index_writes_sidecar_and_guards(spark, tmp_path):
+    """An externally seeded index must carry the _bits.json sidecar so
+    a mismatched probe fails loudly — without the seed helper, the
+    first probe would stamp its OWN bucket_bits over a pre-existing
+    parquet index and silently accept a seed/probe mismatch (the exact
+    match-nothing failure the guard exists to prevent)."""
+    import numpy as np
+    import pytest
+
+    from dimagi_data_platform_spark.streaming.ingest_embed_dedup import (
+        ingest_batch_embed_dedup,
+        seed_embed_dedup_index,
+    )
+
+    rng = np.random.RandomState(9)
+    base = [float(x) for x in rng.rand(64)]
+    corpus = spark.createDataFrame(
+        [(1, base)], "vec_id long, embedding array<float>"
+    )
+    index, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    seed_embed_dedup_index(corpus, index, bucket_bits=16)
+    # probe at a different width: loud, not silent
+    probe = spark.createDataFrame(
+        [(10, base)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="bucket_bits=16"):
+        ingest_batch_embed_dedup(spark, probe, 1, index, out, bucket_bits=8)
+    # probe at the seeded width: the seeded twin is caught
+    ingest_batch_embed_dedup(spark, probe, 1, index, out, bucket_bits=16)
+    assert spark.read.parquet(out).count() == 0  # dup of seeded row 1
+
+
+def test_ingest_embed_dedup_shuffle_fallback_above_broadcast_limit(
+    spark, tmp_path, monkeypatch
+):
+    """Above BROADCAST_ROW_LIMIT batch rows the probe must drop the
+    broadcast hint (an availableNow backfill can arrive as ONE giant
+    batch that exceeds broadcast limits) and still produce identical
+    results through the shuffle join."""
+    import numpy as np
+
+    from dimagi_data_platform_spark.streaming import ingest_embed_dedup as mod
+
+    rng = np.random.RandomState(3)
+    base = rng.rand(64)
+    rows = [(1, [float(x) for x in base])] + [
+        (int(i), [float(x) for x in rng.rand(64)]) for i in range(2, 8)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    index, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    mod.seed_embed_dedup_index(corpus, index, bucket_bits=16)
+    # force every batch over the limit so the shuffle path runs
+    monkeypatch.setattr(mod, "BROADCAST_ROW_LIMIT", 0)
+    probe = spark.createDataFrame(
+        [
+            (10, [float(x) for x in base * 1.000001]),  # dup of seeded 1
+            (11, [float(x) for x in rng.rand(64)]),  # fresh
+            (12, [float(x) for x in rng.rand(64)]),  # fresh
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    mod.ingest_batch_embed_dedup(spark, probe, 1, index, out, bucket_bits=16)
+    kept = {r.vec_id for r in spark.read.parquet(out).collect()}
+    assert kept == {11, 12}
+
+
+def test_project_features_rejects_overflowing_bucket_bits(spark):
+    """bucket_bits >= 63 would shift into/past the int64 sign bit —
+    silent platform-dependent buckets at exactly the >=2^31-bucket
+    scale the knob targets. The featurizer must refuse."""
+    import pytest
+
+    from dimagi_data_platform_spark.operators.similarity import (
+        project_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="bucket_bits=63"):
+        project_features(df, bucket_bits=63)
+    with pytest.raises(ValueError, match="bucket_bits=0"):
+        project_features(df, bucket_bits=0)
+
+
+def test_project_features_wide_buckets_are_int64_clean(spark):
+    """At bucket_bits=34 (the ~10^10-vector recommendation) bucket
+    values must be exact int64 bit patterns — non-negative, within
+    2^34, and stable across two runs (no overflow nondeterminism)."""
+    import numpy as np
+
+    from dimagi_data_platform_spark.operators.similarity import (
+        project_features,
+    )
+
+    rng = np.random.RandomState(21)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.rand(64)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    f1 = project_features(df, bucket_bits=34).select("id", "b0", "b7")
+    rows1 = {r.id: (r.b0, r.b7) for r in f1.collect()}
+    rows2 = {
+        r.id: (r.b0, r.b7)
+        for r in project_features(df, bucket_bits=34)
+        .select("id", "b0", "b7")
+        .collect()
+    }
+    assert rows1 == rows2
+    for b0, b7 in rows1.values():
+        assert 0 <= b0 < (1 << 34) and 0 <= b7 < (1 << 34)

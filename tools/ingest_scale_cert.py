@@ -157,12 +157,10 @@ def cert_minhash(spark, work: str) -> dict:
 
 
 def cert_embed(spark, work: str) -> dict:
-    from dimagi_data_platform_spark.operators.similarity import (
-        project_features,
-    )
     from dimagi_data_platform_spark.streaming.ingest_embed_dedup import (
         DEFAULT_BUCKET_BITS,
         ingest_batch_embed_dedup,
+        seed_embed_dedup_index,
     )
 
     batches = _fixed_vec_batches(spark)
@@ -175,11 +173,12 @@ def cert_embed(spark, work: str) -> dict:
         corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         n_vecs = corpus.count()
         t0 = time.time()
-        # seed at the ingest path's bucket width — an index and its
-        # probes must share bucket_bits for the bucket join to match
-        project_features(
-            corpus, bucket_bits=DEFAULT_BUCKET_BITS
-        ).write.mode("overwrite").parquet(f"{idx}/batch_id=0")
+        # the seed helper writes features AND the _bits.json sidecar,
+        # so a probe at a mismatched bucket_bits fails loudly instead
+        # of silently matching nothing
+        seed_embed_dedup_index(
+            corpus, idx, bucket_bits=DEFAULT_BUCKET_BITS
+        )
         t_seed = round(time.time() - t0, 3)
         t_batches = []
         for b, bdf in enumerate(batches, start=1):
@@ -234,13 +233,27 @@ def main() -> None:
         report["minhash"] = cert_minhash(spark, args.work)
     if not args.paths or "embed" in args.paths:
         report["embed"] = cert_embed(spark, args.work)
+    # MERGE into any existing artifact rather than overwrite: the
+    # committed JSON can carry sections (historical probes, decades or
+    # paths not in this run's subset) that a fresh run would otherwise
+    # silently destroy, replacing a full certification with a partial
+    # one.
+    merged: dict = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            merged = json.load(f)
+    for key, val in report.items():
+        if key in ("minhash", "embed") and isinstance(merged.get(key), dict):
+            merged[key].update(val)  # per-decade merge
+        else:
+            merged[key] = val
     for path in ("minhash", "embed"):
-        if path in report and "sf10" in report[path] and "sf0.1" in report[path]:
-            d = report[path]
+        d = merged.get(path, {})
+        if "sf10" in d and "sf0.1" in d:
             r = round(d["sf10"]["t_batch_min"] / d["sf0.1"]["t_batch_min"], 2)
-            report[f"{path}_batch_cost_x_at_100x_corpus"] = r
+            merged[f"{path}_batch_cost_x_at_100x_corpus"] = r
     with open(args.out, "w") as f:
-        json.dump(report, f, indent=1, sort_keys=True)
+        json.dump(merged, f, indent=1, sort_keys=True)
     print("wrote", args.out)
 
 
