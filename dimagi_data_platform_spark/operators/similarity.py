@@ -999,6 +999,28 @@ def project_features(
     ).mapInPandas(featurize, schema=feat_schema)
 
 
+def adaptive_snm_window(n_rows: int) -> int:
+    """Corpus-adaptive sorted-neighborhood window for
+    ``embedding_near_dup_capped``: W(n) = clamp(16, 64,
+    16·(⌊log2 n⌋ − 7)). Rationale (the P27b log-corpus-knob lesson):
+    at FIXED W the bounded candidate set n·W·T shrinks relative to the
+    ~n² true pair mass, so recall decays a decade per decade (measured
+    0.68 → 0.25 at sf0.01 → sf0.1, threshold 0.35). Scaling W with
+    log(corpus) buys recall back where it is cheap (small corpora pay
+    nothing: W=16 below 512 rows) while the 64 ceiling — reached by
+    ~4k rows — pins candidate growth back to linear-in-n above it, so
+    the three-decade probe profile (≤ ~4×/decade) is preserved on the
+    measured sf1 → sf10 decade. ⌊log2 n⌋ is integer-robust across
+    engines: a faithfully-rounded log2 is exact at powers of two and
+    ≥ 2⁻⁴⁰ from an integer everywhere else, so Python's math.log2 and
+    the oracle's SQL LOG2 floor identically."""
+    import math
+
+    if n_rows < 2:
+        return 16
+    return min(64, max(16, 16 * (math.floor(math.log2(n_rows)) - 7)))
+
+
 def embedding_near_dup_capped(
     items: DataFrame,
     threshold: float,
@@ -1006,7 +1028,7 @@ def embedding_near_dup_capped(
     vec_col: str = "embedding",
     dim: int = DEFAULT_DIM,
     n_tables: int = 8,
-    window: int = 16,
+    window: int | None = None,
     bucket_bits: int = 2,
     seed: int = 7,
 ) -> DataFrame:
@@ -1039,10 +1061,18 @@ def embedding_near_dup_capped(
     (distinct candidate pairs the kernel verified — exact) and
     ``dropped_pairs`` (choose(n,2) − compared — the exact pair mass
     the cap excluded). Because the true pair set grows ~n² while
-    bounded candidates grow ~n, recall NECESSARILY decays with scale
-    (measured on this corpus at threshold 0.35: 0.68 at sf0.01, 0.25
-    at sf0.1) — dropped_pairs makes that decay visible on every row,
-    and the exact sibling stays registered for total recall.
+    bounded candidates grow ~n, recall NECESSARILY decays with scale —
+    at FIXED W=16 it fell 0.68 (sf0.01) → 0.25 (sf0.1) at threshold
+    0.35. The default ``window=None`` is therefore CORPUS-ADAPTIVE
+    (``adaptive_snm_window``): W grows with log2(corpus) up to a
+    ceiling of 64, which bought recall back to 0.563 at sf0.1 at the
+    SAME wall (13.3 s vs 14.2 s — the extra candidates ride the same
+    Arrow verify pass; RECALL_EVAL.json) while keeping candidate
+    growth linear-in-n above ~4k rows. ``embedding_near_dup_recall_eval``
+    is the registered harness that measures this recall/cost point
+    against the exact sibling; dropped_pairs keeps the residual decay
+    visible on every row, and the exact sibling stays registered for
+    total recall.
 
     Plan shape: ONE materialized feature projection (``n_tables``
     plane expressions over one scan), ONE bounded boundary-sample
@@ -1054,6 +1084,11 @@ def embedding_near_dup_capped(
     feats = project_features(
         items, id_col, vec_col, dim, n_tables, bucket_bits, seed
     ).localCheckpoint()
+    if window is None:
+        # corpus-adaptive default — see adaptive_snm_window. The count
+        # is cheap (feats is checkpointed) and deterministic, so the
+        # DuckDB twin recomputes the same W from COUNT(*).
+        window = adaptive_snm_window(feats.count())
     order_flat = [c for t in range(n_tables) for c in (f"b{t}", f"p{t}")]
     wide = _order_sample(feats, order_flat + ["id"])
     from dimagi_data_platform_spark.operators.linkage import (
@@ -1067,28 +1102,42 @@ def embedding_near_dup_capped(
             feats, [f"b{t}", f"p{t}", "id"], "id", window=window, sample=smp
         ).select("id_a", "id_b")
         cand = p if cand is None else cand.union(p)
-    cand = cand.select(
-        F.least("id_a", "id_b").alias("id_a"),
-        F.greatest("id_a", "id_b").alias("id_b"),
-    ).distinct()
+    # materialize the ID PAIRS ONLY (2 longs/row), never the pairs
+    # with both vectors attached: the r12 sf10 probe measured the old
+    # pairs-with-vectors checkpoint at ~100 GB for 102M candidates
+    # (pair rows × 2 × dim floats) — the vectors re-attach lazily
+    # below and stream straight into the Arrow verify pass. DISK_ONLY
+    # (serialized, ~16 B/row) rather than localCheckpoint's
+    # deserialized in-memory rows, which at 102M pairs GC-thrashed an
+    # 8 GB local heap.
+    from pyspark import StorageLevel
+
+    cand = (
+        cand.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    n_rows = feats.count()  # cheap: checkpointed
+    n_cand = cand.count()  # exact compared-pair mass (joins below are FK)
     a = feats.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
     b = feats.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
-    cand_v = cand.join(a, "id_a").join(b, "id_b").localCheckpoint()
-    total = items.agg(F.count(F.lit(1)).alias("n")).select(
-        F.expr("n * (n - 1) DIV 2").cast("long").alias("all_pairs")
-    )
-    mass = (
-        cand_v.agg(F.count(F.lit(1)).cast("long").alias("compared_pairs"))
-        .crossJoin(F.broadcast(total))  # 1-row scalar join idiom
-        .select(
-            "compared_pairs",
-            (F.col("all_pairs") - F.col("compared_pairs"))
-            .cast("long")
-            .alias("dropped_pairs"),
+    if n_rows <= 2_000_000:
+        # the vector map is a few hundred MB at most here — broadcast
+        # both sides so the candidate stream never shuffles. Beyond
+        # that, fall through to shuffle joins (a 10^9+-vector corpus
+        # should be on the LSH/ingest-index paths anyway).
+        a, b = F.broadcast(a), F.broadcast(b)
+    cand_v = cand.join(a, "id_a").join(b, "id_b")
+    all_pairs = n_rows * (n_rows - 1) // 2
+    return (
+        _score_pairs_exact(cand_v, threshold)
+        .withColumn("compared_pairs", F.lit(n_cand).cast("long"))
+        .withColumn(
+            "dropped_pairs", F.lit(all_pairs - n_cand).cast("long")
         )
-    )
-    return _score_pairs_exact(cand_v, threshold).crossJoin(
-        F.broadcast(mass)  # 1-row scalar join idiom
     )
 
 

@@ -657,9 +657,19 @@ _PRJ = [
     for t in range(_CAPPED_T)
 ]
 
+# corpus-adaptive sorted-neighborhood window — the SQL twin of
+# operators.similarity.adaptive_snm_window: clamp(16, 64,
+# 16*(floor(log2 n) - 7)). FLOOR(LOG2(n)) is cross-engine robust
+# (exact at powers of two, >= 2^-40 from an integer elsewhere).
+_SNM_W = (
+    "LEAST(64, GREATEST(16, 16 * ("
+    "CAST(FLOOR(LOG2(CAST((SELECT COUNT(*) FROM e) AS DOUBLE))) AS INTEGER)"
+    " - 7)))"
+)
+
 _SNM_PASSES = "\nUNION\n".join(
     f"""SELECT LEAST(a.id, b.id) AS id_a, GREATEST(a.id, b.id) AS id_b
-  FROM r{t} a JOIN r{t} b ON b.rn > a.rn AND b.rn <= a.rn + 16"""
+  FROM r{t} a JOIN r{t} b ON b.rn > a.rn AND b.rn <= a.rn + {_SNM_W}"""
     for t in range(_CAPPED_T)
 )
 
@@ -6530,8 +6540,16 @@ LIMIT 20
 
 # R97b: hub-capped Adamic-Adar — centers with oriented out-degree > 64
 # leave the wedge stream; the excluded mass (choose(outdeg,2) wedges
-# per dropped center) is reported on every row.
-ORACLE["copurchase_adamic_adar_capped"] = """
+# per dropped center) is reported on every row. r12: linear wedge
+# budget max(4M, 2·E) with deterministic md5 center thinning at the
+# smallest power-of-two rate that fits (contributions reweighted
+# ×thin_rate); rate is 1 — exact — at every driver-gate scale.
+_AA_THIN_CASE = "\n              ".join(
+    f"WHEN kept_mass <= {r} * wedge_budget THEN {r}"
+    for r in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+) + "\n              ELSE 8192"
+
+ORACLE["copurchase_adamic_adar_capped"] = f"""
 WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e0 AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -6557,7 +6575,19 @@ droppedm AS (
          CAST(COALESCE(SUM(outdeg * (outdeg - 1) // 2), 0) AS BIGINT)
            AS dropped_wedges
   FROM od WHERE outdeg > 64),
-kept AS (SELECT src FROM od WHERE outdeg >= 2 AND outdeg <= 64),
+keptod AS (SELECT src, outdeg FROM od WHERE outdeg >= 2 AND outdeg <= 64),
+thin AS (
+  SELECT kept_mass, wedge_budget,
+         CAST(CASE {_AA_THIN_CASE} END AS BIGINT) AS thin_rate
+  FROM (SELECT CAST(COALESCE(SUM(outdeg * (outdeg - 1) // 2), 0) AS BIGINT)
+            AS kept_mass,
+          GREATEST(4000000, 2 * (SELECT COUNT(*) FROM e0)) AS wedge_budget
+        FROM keptod)),
+kept AS (
+  SELECT k.src FROM keptod k CROSS JOIN thin
+  WHERE thin.thin_rate = 1
+     OR CAST(('0x' || substr(md5(CAST(k.src AS VARCHAR)), 1, 15)) AS BIGINT)
+        % thin.thin_rate = 0),
 cw AS (
   SELECT p AS src,
          CAST(FLOOR(1000000000000.0
@@ -6566,8 +6596,10 @@ cw AS (
   FROM deg),
 wedges AS (
   SELECT d1.dst AS u, d2.dst AS v,
-         CAST(COUNT(*) AS BIGINT) AS n_common,
-         CAST(SUM(cw.w_center) AS BIGINT) AS aa_fixed
+         CAST(COUNT(*) * (SELECT thin_rate FROM thin) AS BIGINT)
+           AS n_common,
+         CAST(SUM(cw.w_center) * (SELECT thin_rate FROM thin) AS BIGINT)
+           AS aa_fixed
   FROM directed d1
   JOIN directed d2 ON d1.src = d2.src AND d1.dst < d2.dst
   JOIN kept k ON k.src = d1.src
@@ -6578,7 +6610,9 @@ pred AS (
   FROM wedges w ANTI JOIN e0 ON e0.u = w.u AND e0.v = w.v)
 SELECT u AS part_a, v AS part_b, n_common, aa_fixed,
        CAST(aa_fixed AS DOUBLE) / 1000000.0 AS aa_score,
-       dropped_centers, dropped_wedges
+       dropped_centers, dropped_wedges,
+       (SELECT wedge_budget FROM thin) AS wedge_budget,
+       (SELECT thin_rate FROM thin) AS thin_rate
 FROM (SELECT * FROM pred
       ORDER BY aa_fixed DESC, u, v
       LIMIT 20)
@@ -8168,4 +8202,118 @@ CROSS JOIN mass
 WHERE 2 * len(list_intersect(a.t, b.t))
       >= len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))
 ORDER BY part_a, part_b
+"""
+
+
+# R16d/P91b: form-XML payload synthesis (identical string construction
+# to _form_xml_payload) + a regex/TRY_CAST twin of from_xml's
+# PERMISSIVE semantics on those payload classes: truncated -> corrupt;
+# <k> present but not castable to INT -> WHOLE row corrupt; <k> absent
+# -> only k NULL; corrupt rows NULL every extracted field.
+_XML_PAYLOAD = """
+  SELECT event_id, event_type,
+         CASE event_id % 11
+           WHEN 0 THEN '<form><meta><username>u' || CAST(user_id AS VARCHAR)
+                       || '</username>'
+           WHEN 1 THEN '<form><meta><username>u' || CAST(user_id AS VARCHAR)
+                       || '</username></meta><type>' || event_type
+                       || '</type></form>'
+           WHEN 2 THEN '<form><meta><username>u' || CAST(user_id AS VARCHAR)
+                       || '</username></meta><k>x'
+                       || json_extract_string(props, '$.k')
+                       || '</k><type>' || event_type || '</type></form>'
+           ELSE '<form><meta><username>u' || CAST(user_id AS VARCHAR)
+                || '</username></meta><k>'
+                || json_extract_string(props, '$.k')
+                || '</k><type>' || event_type || '</type></form>'
+         END AS payload
+  FROM events
+"""
+
+_XML_CORRUPT = """
+  (NOT regexp_matches(payload, '^<form>.*</form>$')
+   OR (regexp_matches(payload, '<k>[^<]*</k>')
+       AND TRY_CAST(NULLIF(regexp_extract(payload, '<k>([^<]*)</k>', 1), '')
+                    AS INTEGER) IS NULL))
+"""
+
+ORACLE["props_xml_extract"] = f"""
+WITH src AS ({_XML_PAYLOAD}),
+cls AS (
+  SELECT event_id, payload,
+         regexp_matches(payload, '^<form>.*</form>$') AS wf,
+         {_XML_CORRUPT} AS corrupt
+  FROM src)
+SELECT event_id,
+       -- PERMISSIVE keeps fields parsed BEFORE the failure point:
+       -- username (first in document order) survives a later bad <k>,
+       -- but a truncated document nulls everything
+       CASE WHEN NOT wf THEN NULL
+            ELSE NULLIF(regexp_extract(payload,
+                 '<username>([^<]*)</username>', 1), '') END AS username,
+       TRY_CAST(NULLIF(regexp_extract(payload,
+                 '<k>([^<]*)</k>', 1), '') AS INTEGER) AS k_xml,
+       -- <type> follows <k>, so any corrupt row nulls it
+       CASE WHEN corrupt THEN NULL
+            ELSE NULLIF(regexp_extract(payload,
+                 '<type>([^<]*)</type>', 1), '') END AS form_type,
+       NOT corrupt AS xml_ok
+FROM cls
+"""
+
+ORACLE["xml_quarantine_report"] = f"""
+WITH src AS ({_XML_PAYLOAD}),
+cls AS (
+  SELECT event_type AS src, payload, {_XML_CORRUPT} AS corrupt FROM src),
+reasons AS (
+  SELECT src,
+         CASE WHEN corrupt THEN 'malformed_xml'
+              WHEN TRY_CAST(NULLIF(regexp_extract(payload,
+                   '<k>([^<]*)</k>', 1), '') AS INTEGER) IS NULL
+                   THEN 'missing_field_k'
+              ELSE 'accepted' END AS reason
+  FROM cls),
+per AS (
+  SELECT src, reason, CAST(COUNT(*) AS BIGINT) AS n
+  FROM reasons GROUP BY src, reason),
+tot AS (
+  SELECT src, CAST(SUM(n) AS BIGINT) AS n_src FROM per GROUP BY src)
+SELECT per.src, reason, n, n_src,
+       CAST(n AS DOUBLE) / CAST(n_src AS DOUBLE) AS share
+FROM per JOIN tot USING (src)
+ORDER BY src, reason
+"""
+
+
+# L5d: recall-vs-cost eval — capped found-pair count over the exact
+# all-pairs truth, plus the adaptive window and honest-cap mass.
+ORACLE["embedding_near_dup_recall_eval"] = f"""
+WITH e AS (
+  SELECT vec_id AS id, embedding AS vec,
+         {_CAPPED_COLS}
+  FROM embeddings),
+{_CAPPED_RANKS},
+cand AS (
+  {_SNM_PASSES}),
+p AS (
+  SELECT cand.id_a, cand.id_b, a.vec AS vec_a, b.vec AS vec_b
+  FROM cand JOIN e a ON a.id = cand.id_a JOIN e b ON b.id = cand.id_b),
+s AS (SELECT id_a, id_b, {_COS_AB} AS cos_sim FROM p),
+ex AS (
+  SELECT a.embedding AS vec_a, b.embedding AS vec_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+met AS (
+  SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_vectors,
+         CAST({_SNM_W} AS BIGINT) AS window_used,
+         CAST((SELECT COUNT(*) FROM ex WHERE {_COS_AB} >= 0.35) AS BIGINT)
+           AS true_pairs,
+         CAST((SELECT COUNT(*) FROM s WHERE cos_sim >= 0.35) AS BIGINT)
+           AS found_pairs,
+         CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS compared_pairs)
+SELECT n_vectors, window_used, true_pairs, found_pairs,
+       CAST(found_pairs AS DOUBLE) / CAST(true_pairs AS DOUBLE) AS recall,
+       compared_pairs,
+       CAST((SELECT COUNT(*) * (COUNT(*) - 1) // 2 FROM e) AS BIGINT)
+         - compared_pairs AS dropped_pairs
+FROM met
 """

@@ -198,3 +198,76 @@ def read_text_lines(
     df = spark.read.text(path, wholetext=whole_text)
     out = df.withColumnRenamed("value", line_col) if line_col != "value" else df
     return out.withColumn("source_file", F.input_file_name())
+
+
+def _avro_available(spark: SparkSession) -> bool:
+    """True iff the external spark-avro connector module is on the
+    session's classpath. Avro has been an EXTERNAL module since Spark
+    2.4 — the core avro-*.jar files that ship inside pyspark are the
+    serialization library, NOT the DataSource, so probing for the
+    provider class is the only reliable check."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.avro.AvroFileFormat"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _require_avro(spark: SparkSession) -> None:
+    if not _avro_available(spark):
+        raise RuntimeError(
+            "Avro read/write needs the external spark-avro connector "
+            "(org.apache.spark:spark-avro_2.13:<spark-version>) on the "
+            "classpath — add it via spark.jars.packages. This "
+            "container ships only the core avro serialization jars, "
+            "which do NOT provide the 'avro' DataSource."
+        )
+
+
+def avro_reader(spark: SparkSession, path: str, avro_schema: str | None = None):
+    """The exact configured DataFrameReader for an Avro read — split
+    from :func:`read_avro` so the option contract is testable without
+    the connector (the Kafka CONFIG-ONLY pattern of sources/stream.py).
+    ``avro_schema`` is an Avro-JSON reader schema: records written with
+    an older schema resolve against it (field renames via aliases,
+    added-with-default fields filled) — Avro schema evolution, decided
+    at read time."""
+    r = spark.read.format("avro")
+    if avro_schema is not None:
+        r = r.option("avroSchema", avro_schema)
+    return r, path
+
+
+def read_avro(
+    spark: SparkSession, path: str, avro_schema: str | None = None
+) -> DataFrame:
+    """Avro source (row-major; the interchange format of Kafka/log
+    pipelines — read it once, write parquet for repeated analytics).
+    Raises a clear error if the external connector is absent."""
+    _require_avro(spark)
+    r, p = avro_reader(spark, path, avro_schema)
+    return r.load(p)
+
+
+def avro_writer(df: DataFrame, compression: str = "snappy",
+                partition_by: list[str] | None = None):
+    """Configured DataFrameWriter for an Avro write (testable without
+    the connector)."""
+    w = df.write.mode("overwrite").format("avro").option(
+        "compression", compression
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    return w
+
+
+def write_avro(
+    df: DataFrame,
+    path: str,
+    compression: str = "snappy",
+    partition_by: list[str] | None = None,
+) -> None:
+    _require_avro(df.sparkSession)
+    avro_writer(df, compression, partition_by).save(path)

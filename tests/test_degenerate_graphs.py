@@ -154,6 +154,10 @@ def test_capped_adamic_adar_reports_dropped_hub_mass(spark, hub_sf):
     # one over-cap center per clique, each dropping choose(65, 2) wedges
     assert r.dropped_centers == 2
     assert r.dropped_wedges == 2 * (65 * 64 // 2)
+    # r12 wedge-budget columns: the tiny graph is far under the 4M
+    # floor, so thinning must NOT engage and values stay exact
+    assert r.thin_rate == 1
+    assert r.wedge_budget >= 4_000_000
     # the exact sibling still enumerates everything (no dropped columns)
     exact = QUERIES["copurchase_adamic_adar"](spark, hub_sf).collect()
     assert (1, 70) in {(x.part_a, x.part_b) for x in exact}
