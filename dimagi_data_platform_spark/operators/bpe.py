@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dimagi_data_platform_spark.operators.loop import loop_checkpoint
+
 SEP = "  "  # double-space symbol separator (symbols never contain spaces)
 
 
@@ -93,6 +95,7 @@ def bpe_train(
     n_merges: int,
     word_col: str = "w",
     freq_col: str = "freq",
+    reliable: bool = False,
 ) -> DataFrame:
     """Run ``n_merges`` BPE merge iterations over a (word, freq) table.
 
@@ -101,7 +104,8 @@ def bpe_train(
     to contain at least one multi-symbol word per round (true for any
     real corpus and n_merges << total pair mass).
     """
-    cur = segment_words(wordfreq, word_col, freq_col).localCheckpoint()
+    ck = lambda df: loop_checkpoint(df, reliable)  # noqa: E731
+    cur = ck(segment_words(wordfreq, word_col, freq_col))
     merge_rows: list[DataFrame] = []
     for step in range(1, n_merges + 1):
         pc = (
@@ -109,8 +113,8 @@ def bpe_train(
             .groupBy("a", "b")
             .agg(F.sum("freq").cast("long").alias("pair_count"))
         )
-        best = (
-            pc.orderBy(F.desc("pair_count"), "a", "b").limit(1).localCheckpoint()
+        best = ck(
+            pc.orderBy(F.desc("pair_count"), "a", "b").limit(1)
         )
         merge_rows.append(
             best.select(
@@ -121,7 +125,7 @@ def bpe_train(
                 "pair_count",
             )
         )
-        cur = apply_merge(cur, best).localCheckpoint()
+        cur = ck(apply_merge(cur, best))
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionAll(m)
@@ -133,22 +137,22 @@ def bpe_train_apply(
     n_merges: int,
     word_col: str = "w",
     freq_col: str = "freq",
+    reliable: bool = False,
 ) -> DataFrame:
     """Train ``n_merges`` BPE merges AND return the re-segmented
     vocabulary (seg, freq) under the learned merges — train + encode
     as one lazy program (the merge argmaxes stay broadcast 1-row
     limits, never driver literals)."""
-    cur = segment_words(wordfreq, word_col, freq_col).localCheckpoint()
+    ck = lambda df: loop_checkpoint(df, reliable)  # noqa: E731
+    cur = ck(segment_words(wordfreq, word_col, freq_col))
     for _ in range(n_merges):
         pc = (
             adjacent_pairs(cur)
             .groupBy("a", "b")
             .agg(F.sum("freq").cast("long").alias("pair_count"))
         )
-        best = (
-            pc.orderBy(F.desc("pair_count"), "a", "b").limit(1).localCheckpoint()
-        )
-        cur = apply_merge(cur, best).localCheckpoint()
+        best = ck(pc.orderBy(F.desc("pair_count"), "a", "b").limit(1))
+        cur = ck(apply_merge(cur, best))
     return cur
 
 

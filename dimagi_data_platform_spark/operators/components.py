@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dimagi_data_platform_spark.operators.loop import loop_checkpoint
+
 
 def connected_components(
     vertices: DataFrame,
@@ -37,6 +39,7 @@ def connected_components(
     dst_col: str = "dst",
     max_iter: int = 25,
     algorithm: str = "propagate",
+    reliable: bool = False,
 ) -> DataFrame:
     """Label every vertex with the MIN vertex id reachable from it.
 
@@ -52,23 +55,27 @@ def connected_components(
     """
     if algorithm == "star":
         labels, _rounds = _star_components(
-            vertices, edges, id_col, src_col, dst_col, max_iter
+            vertices, edges, id_col, src_col, dst_col, max_iter,
+            reliable=reliable,
         )
         return labels
     if algorithm != "propagate":
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    ck = lambda df: loop_checkpoint(df, reliable)  # noqa: E731
     # Materialize the (possibly expensive) upstream edge plan ONCE —
     # every round joins sym, and without truncation the similarity-pair
     # computation that produced the edges would re-execute per round.
     # Checkpoint BEFORE the symmetric union: union's two branches are
     # separate plan subtrees, so uniting the raw edge plan with itself
     # would execute the upstream similarity computation twice.
-    one_way = edges.select(
-        F.col(src_col).alias("id"), F.col(dst_col).alias("nbr")
-    ).localCheckpoint()
-    sym = one_way.union(
-        one_way.select(F.col("nbr").alias("id"), F.col("id").alias("nbr"))
-    ).localCheckpoint()
+    one_way = ck(
+        edges.select(F.col(src_col).alias("id"), F.col(dst_col).alias("nbr"))
+    )
+    sym = ck(
+        one_way.union(
+            one_way.select(F.col("nbr").alias("id"), F.col("id").alias("nbr"))
+        )
+    )
 
     # Only edge-incident vertices can ever change label; iterate over
     # that (usually far smaller) subgraph and union the untouched
@@ -80,7 +87,7 @@ def connected_components(
     labels = (
         base.join(edge_ids, "id", "left_semi")
         .select("id", F.col("id").alias("component"))
-        .localCheckpoint()
+        .transform(ck)
     )
     singletons = base.join(edge_ids, "id", "left_anti").select(
         "id", F.col("id").alias("component")
@@ -103,7 +110,7 @@ def connected_components(
                     F.col("component"), F.coalesce("min_nbr", "component")
                 ).alias("component"),
             )
-            .localCheckpoint()
+            .transform(ck)
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -168,6 +175,7 @@ def _star_components(
     src_col: str,
     dst_col: str,
     max_iter: int,
+    reliable: bool = False,
 ) -> tuple[DataFrame, int]:
     """Alternating large-star/small-star until the edge set is a fixed
     point. A star maps to itself under both operators, so set equality
@@ -175,17 +183,18 @@ def _star_components(
     (count, endpoint-sum) precheck gates the exact exceptAll probe.
     Each round is a constant number of shuffles; rounds = O(log n)
     even on paths, vs O(n) for label propagation. Lineage truncated
-    per round with localCheckpoint."""
+    per round via the shared loop contract (operators/loop.py)."""
+    ck = lambda df: loop_checkpoint(df, reliable)  # noqa: E731
     e = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .transform(ck)
     )
     prev_metrics, prev_e = None, e
     rounds = 0
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = ck(_small_star(_large_star(e)))
         rounds += 1
         cnt, ssum = e.agg(
             F.count(F.lit(1)), F.sum(F.col("u") + F.col("v"))

@@ -18,7 +18,11 @@ Spark-first shape (mirrors operators/components.py):
   ``broadcast_max_vertices``; above that the join falls back to a
   keyed shuffle — at that scale, persist the edge list bucketed by
   src so the edge side's exchange disappears.
-- the rank frontier is localCheckpointed on a bounded cadence to
+- every loop truncates lineage via the shared operators/loop.py
+  contract: localCheckpoint by default, ``reliable=True`` for
+  cluster-durable ``checkpoint()`` blocks that survive executor loss
+  (a multi-hour 100 TB PageRank should not restart from round zero);
+- the rank frontier is checkpointed on a bounded cadence to
   truncate lineage (10 iterations would otherwise nest 10 shuffles
   deep in one plan);
 - ``materialize_edges`` controls whether the edge list is
@@ -34,6 +38,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from dimagi_data_platform_spark.operators.loop import loop_checkpoint
 
 PR_SCALE = 10**15
 
@@ -51,6 +57,7 @@ def pagerank(
     id_col: str = "id",
     materialize_edges: bool = True,
     broadcast_max_vertices: int = BROADCAST_MAX_VERTICES,
+    reliable: bool = False,
 ) -> DataFrame:
     """Ranks after ``n_iter`` power iterations; returns (id, r) with
     ``r`` the fixed-point rank (true rank ≈ r / scale).
@@ -64,12 +71,13 @@ def pagerank(
         r'(v)     = teleport + (num * inflow(v)) DIV den
     """
     dnum, dden = damping
+    ck = lambda df: loop_checkpoint(df, reliable)  # noqa: E731
     edges = edges.select("src", "dst")
     if materialize_edges:
         # the edge list is consumed every iteration — materialize it
         # once when its upstream plan is expensive (joins/explodes);
         # skip when it is already a cheap columnar scan
-        edges = edges.localCheckpoint()
+        edges = ck(edges)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # ONE upfront checkpoint job: the per-vertex base table carries
     # outdeg so the loop never re-joins ranks ⋈ outdeg, and counting
@@ -79,7 +87,7 @@ def pagerank(
         vertices.select(F.col(id_col).alias("id"))
         .join(outdeg, F.col("id") == F.col("src"), "left")
         .select("id", "outdeg")
-        .localCheckpoint()
+        .transform(ck)
     )
     n = base.count()
     if n == 0:
@@ -138,7 +146,7 @@ def pagerank(
             .select("id", "outdeg", "r")
         )
         if (it + 1) % ckpt_every == 0 or it == n_iter - 1:
-            ranks = ranks.localCheckpoint()
+            ranks = ck(ranks)
     return ranks.select("id", "r")
 
 
@@ -148,6 +156,7 @@ def bfs_distances(
     n_rounds: int,
     materialize_edges: bool = True,
     broadcast_frontier: bool = False,
+    reliable: bool = False,
 ) -> DataFrame:
     """Unweighted shortest-path distances from ``source`` vertices via
     ``n_rounds`` of frontier relaxation — the BFS/SSSP building block
@@ -176,13 +185,14 @@ def bfs_distances(
     directions for undirected graphs. ``source`` must have column
     ``id`` (dist 0 seeds).
     """
+    ck = lambda df: loop_checkpoint(df, reliable)  # noqa: E731
     edges = edges.select("src", "dst")
     if materialize_edges:
-        edges = edges.localCheckpoint()
+        edges = ck(edges)
     hint = F.broadcast if broadcast_frontier else (lambda df: df)
-    reached = source.select(
-        "id", F.lit(0).cast("long").alias("dist")
-    ).localCheckpoint()
+    reached = ck(
+        source.select("id", F.lit(0).cast("long").alias("dist"))
+    )
     frontier = reached
     for _ in range(n_rounds):
         if not frontier.head(1):
@@ -195,9 +205,9 @@ def bfs_distances(
             .groupBy("id")
             .agg(F.min("dist").cast("long").alias("dist"))
         )
-        frontier = cand.join(
-            hint(reached.select("id")), "id", "left_anti"
-        ).localCheckpoint()
+        frontier = ck(
+            cand.join(hint(reached.select("id")), "id", "left_anti")
+        )
         # reached is a union of ALREADY-checkpointed frontiers — its
         # lineage is one union node per round, so materializing it
         # again would only add a job per round
@@ -215,6 +225,7 @@ def personalized_pagerank(
     id_col: str = "id",
     materialize_edges: bool = True,
     broadcast_max_vertices: int = BROADCAST_MAX_VERTICES,
+    reliable: bool = False,
 ) -> DataFrame:
     """Personalized PageRank: teleport mass restarts at the SEED set
     instead of uniformly — the similarity-to-seeds measure behind
@@ -233,9 +244,10 @@ def personalized_pagerank(
     while provably small, bounded checkpoint cadence.
     """
     dnum, dden = damping
+    ck = lambda df: loop_checkpoint(df, reliable)  # noqa: E731
     edges = edges.select("src", "dst")
     if materialize_edges:
-        edges = edges.localCheckpoint()
+        edges = ck(edges)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     base = (
         vertices.select(F.col(id_col).alias("id"))
@@ -248,7 +260,7 @@ def personalized_pagerank(
             "left",
         )
         .select("id", "outdeg", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
-        .localCheckpoint()
+        .transform(ck)
     )
     n = base.count()
     n_s = base.filter("is_seed").count()
@@ -299,7 +311,7 @@ def personalized_pagerank(
             .select("id", "outdeg", "is_seed", "r")
         )
         if (it + 1) % ckpt_every == 0 or it == n_iter - 1:
-            ranks = ranks.localCheckpoint()
+            ranks = ck(ranks)
     return ranks.select("id", "r")
 
 
@@ -309,6 +321,7 @@ def k_core_peel(
     rounds: int,
     checkpoint_every: int = 3,
     verify_converged: bool = True,
+    reliable: bool = False,
 ) -> DataFrame:
     """Synchronous k-core peel over a DIRECTED-symmetrized edge list
     (``src``, ``dst`` columns, both orientations present): each round
@@ -332,6 +345,7 @@ def k_core_peel(
     semi-joins on the shrinking edge set — O(m) per round like
     pagerank(); lineage checkpointed every ``checkpoint_every`` rounds.
     """
+    ck = lambda df: loop_checkpoint(df, reliable)  # noqa: E731
     e = edges
     for r in range(rounds):
         keep = (
@@ -344,9 +358,9 @@ def k_core_peel(
             keep.withColumnRenamed("src", "dst"), "dst", "semi"
         )
         if r % checkpoint_every == checkpoint_every - 1:
-            e = e.localCheckpoint()
+            e = ck(e)
     if r % checkpoint_every != checkpoint_every - 1:
-        e = e.localCheckpoint()
+        e = ck(e)
     if verify_converged:
         still_peelable = (
             e.groupBy("src")

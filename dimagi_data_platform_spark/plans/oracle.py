@@ -8311,7 +8311,9 @@ met AS (
            AS found_pairs,
          CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS compared_pairs)
 SELECT n_vectors, window_used, true_pairs, found_pairs,
-       CAST(found_pairs AS DOUBLE) / CAST(true_pairs AS DOUBLE) AS recall,
+       CASE WHEN true_pairs > 0
+            THEN CAST(found_pairs AS DOUBLE) / CAST(true_pairs AS DOUBLE)
+       END AS recall,
        compared_pairs,
        CAST((SELECT COUNT(*) * (COUNT(*) - 1) // 2 FROM e) AS BIGINT)
          - compared_pairs AS dropped_pairs

@@ -13649,9 +13649,12 @@ def embedding_near_dup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFram
             F.lit(w_used).cast("long").alias("window_used"),
             "true_pairs",
             "found_pairs",
-            (
+            # NULL, not a division error, when the corpus has no true
+            # pairs at the threshold (empty/one-row inputs)
+            F.when(
+                F.col("true_pairs") > 0,
                 F.col("found_pairs").cast("double")
-                / F.col("true_pairs").cast("double")
+                / F.col("true_pairs").cast("double"),
             ).alias("recall"),
             "compared_pairs",
             "dropped_pairs",

@@ -201,14 +201,15 @@ def read_text_lines(
 
 
 def _avro_available(spark: SparkSession) -> bool:
-    """True iff the external spark-avro connector module is on the
-    session's classpath. Avro has been an EXTERNAL module since Spark
-    2.4 — the core avro-*.jar files that ship inside pyspark are the
-    serialization library, NOT the DataSource, so probing for the
-    provider class is the only reliable check."""
+    """True iff the 'avro' DataSource actually resolves in this
+    session. Avro has been an EXTERNAL module since Spark 2.4, and a
+    bare class probe is NOT sufficient: Spark 4's core jars ship some
+    org.apache.spark.sql.avro classes (for from_avro/to_avro) while
+    the DataSource registration still needs the external spark-avro
+    module — so ask the real resolver."""
     try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.spark.sql.avro.AvroFileFormat"
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
         )
         return True
     except Exception:
@@ -226,18 +227,26 @@ def _require_avro(spark: SparkSession) -> None:
         )
 
 
-def avro_reader(spark: SparkSession, path: str, avro_schema: str | None = None):
-    """The exact configured DataFrameReader for an Avro read — split
-    from :func:`read_avro` so the option contract is testable without
-    the connector (the Kafka CONFIG-ONLY pattern of sources/stream.py).
-    ``avro_schema`` is an Avro-JSON reader schema: records written with
-    an older schema resolve against it (field renames via aliases,
+def avro_read_options(avro_schema: str | None = None) -> dict[str, str]:
+    """The exact option map handed to the Avro reader — a pure
+    function so the config contract is testable without the connector
+    (the kafka_options pattern of sources/stream.py). ``avro_schema``
+    is an Avro-JSON reader schema: records written with an older
+    schema resolve against it (field renames via aliases,
     added-with-default fields filled) — Avro schema evolution, decided
     at read time."""
-    r = spark.read.format("avro")
+    opts: dict[str, str] = {}
     if avro_schema is not None:
-        r = r.option("avroSchema", avro_schema)
-    return r, path
+        opts["avroSchema"] = avro_schema
+    return opts
+
+
+def avro_reader(spark: SparkSession, path: str, avro_schema: str | None = None):
+    """Configured DataFrameReader for an Avro read (options from
+    :func:`avro_read_options`)."""
+    return spark.read.format("avro").options(
+        **avro_read_options(avro_schema)
+    ), path
 
 
 def read_avro(
@@ -251,12 +260,17 @@ def read_avro(
     return r.load(p)
 
 
+def avro_write_options(compression: str = "snappy") -> dict[str, str]:
+    """Writer option map twin of :func:`avro_read_options`."""
+    return {"compression": compression}
+
+
 def avro_writer(df: DataFrame, compression: str = "snappy",
                 partition_by: list[str] | None = None):
-    """Configured DataFrameWriter for an Avro write (testable without
-    the connector)."""
-    w = df.write.mode("overwrite").format("avro").option(
-        "compression", compression
+    """Configured DataFrameWriter for an Avro write (options from
+    :func:`avro_write_options`)."""
+    w = df.write.mode("overwrite").format("avro").options(
+        **avro_write_options(compression)
     )
     if partition_by:
         w = w.partitionBy(*partition_by)

@@ -406,3 +406,100 @@ def test_k_core_peel_guard_fails_loudly_when_not_converged(spark):
     # verify_converged=False replays the certified prefix without the
     # extra aggregate (the pinned-oracle path)
     assert k_core_peel(edges, k=3, rounds=6, verify_converged=False).count() > 0
+
+
+def test_reliable_checkpoint_identical(spark, tmp_path):
+    """reliable=True swaps localCheckpoint for cluster-durable
+    checkpoint() blocks through the shared loop contract
+    (operators/loop.py) — results must be bitwise identical for every
+    iterative operator, and the checkpoint dir must actually receive
+    data (proof the reliable path ran, not the local one)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dimagi_data_platform_spark.operators.bpe import bpe_train
+    from dimagi_data_platform_spark.operators.components import (
+        connected_components,
+    )
+    from dimagi_data_platform_spark.operators.graph import (
+        bfs_distances,
+        k_core_peel,
+        pagerank,
+    )
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3), (4, 5), (5, 4)],
+        "src long, dst long",
+    )
+    verts = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+
+    pr_a = {(r.id, r.r) for r in pagerank(verts, edges, n_iter=4).collect()}
+    pr_b = {
+        (r.id, r.r)
+        for r in pagerank(verts, edges, n_iter=4, reliable=True).collect()
+    }
+    assert pr_a == pr_b
+
+    src = spark.createDataFrame([(1,)], "id long")
+    bfs_a = {(r.id, r.dist) for r in bfs_distances(edges, src, 3).collect()}
+    bfs_b = {
+        (r.id, r.dist)
+        for r in bfs_distances(edges, src, 3, reliable=True).collect()
+    }
+    assert bfs_a == bfs_b
+
+    cc_a = {
+        (r.id, r.component)
+        for r in connected_components(verts, edges).collect()
+    }
+    cc_b = {
+        (r.id, r.component)
+        for r in connected_components(verts, edges, reliable=True).collect()
+    }
+    assert cc_a == cc_b
+
+    kc_a = {
+        (r.src, r.dst)
+        for r in k_core_peel(edges, 2, 3, verify_converged=False).collect()
+    }
+    kc_b = {
+        (r.src, r.dst)
+        for r in k_core_peel(
+            edges, 2, 3, verify_converged=False, reliable=True
+        ).collect()
+    }
+    assert kc_a == kc_b
+
+    wf = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 3)], "w string, freq long"
+    )
+    m_a = [
+        (r.step, r.a, r.b, r.merged)
+        for r in bpe_train(wf, 3).orderBy("step").collect()
+    ]
+    m_b = [
+        (r.step, r.a, r.b, r.merged)
+        for r in bpe_train(wf, 3, reliable=True).orderBy("step").collect()
+    ]
+    assert m_a == m_b
+
+    # the reliable path must have written real checkpoint data
+    ckpt_files = []
+    for root, _dirs, files in os.walk(str(tmp_path / "ckpt")):
+        ckpt_files.extend(files)
+    assert ckpt_files, "reliable=True never touched the checkpoint dir"
+
+    # star algorithm too (separate loop body)
+    cs_a = {
+        (r.id, r.component)
+        for r in connected_components(verts, edges, algorithm="star").collect()
+    }
+    cs_b = {
+        (r.id, r.component)
+        for r in connected_components(
+            verts, edges, algorithm="star", reliable=True
+        ).collect()
+    }
+    assert cs_a == cs_b

@@ -196,3 +196,35 @@ def test_propagate_raises_at_round_cap_instead_of_wrong_labels(spark):
         verts, edges, max_iter=12, algorithm="star"
     ).collect()
     assert {r.component for r in star} == {0} and len(star) == 60
+
+
+def test_wedge_thin_rate_matches_oracle_case_chain():
+    """The Python rate picker and the oracle's CASE chain must agree at
+    every boundary — a divergence silently hash-breaks the capped
+    Adamic-Adar at exactly the scales the driver never samples."""
+    from dimagi_data_platform_spark.plans.queries import (
+        MAX_THIN_RATE,
+        _wedge_thin_rate,
+    )
+
+    B = 4_000_000
+    assert _wedge_thin_rate(0, B) == 1
+    assert _wedge_thin_rate(B, B) == 1  # <= is kept, not <
+    assert _wedge_thin_rate(B + 1, B) == 2
+    assert _wedge_thin_rate(2 * B, B) == 2
+    assert _wedge_thin_rate(2 * B + 1, B) == 4
+    # the chain is capped so a pathological mass can't loop forever
+    assert _wedge_thin_rate(10**18, B) == MAX_THIN_RATE
+    # SQL chain equivalence over a dense sweep
+    def sql_case(mass, budget):
+        for r in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096):
+            if mass <= r * budget:
+                return r
+        return 8192
+
+    for mass in range(1, 200):
+        for budget in (1, 3, 7, 50):
+            assert _wedge_thin_rate(mass, budget) == sql_case(mass, budget), (
+                mass,
+                budget,
+            )
