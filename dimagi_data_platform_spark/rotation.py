@@ -8,8 +8,14 @@ presents queries whose LAST sample failed and is now fixable first
 rotation), then never-sampled queries, then stalest-sampled (ascending
 last-sampled round), with registration order as the tie-break.  A
 ``no_oracle`` err on a query that STILL has no oracle entry is
-by-design rows-only, not a failure — it stays in normal staleness
-order so it doesn't burn a sample slot every round.  The evidence
+by-design rows-only, not a failure — once it has driver evidence it
+moves to the BACK of the order (VERDICT r11 item 8): re-sampling it
+can only re-record the same ``err: no_oracle`` ledger line (the
+rows-only check adds nothing beyond its in-repo exact-reference
+tests), so the sample slot goes to an oracle-backed query instead.
+It stays registered and ordered (never hidden): a fresh clone with no
+ledger, or a new rows-only query, still gets its first driver sample
+through the never-sampled tier.  The evidence
 source is the union of ``CORRECTNESS_r*.json`` files committed at the
 repo root — if none are readable (fresh clone without round artifacts)
 the order degrades gracefully to registration order.
@@ -69,11 +75,25 @@ def needs_resample(name: str, rec: dict) -> bool:
     return True
 
 
+def _is_rows_only(name: str, rec: dict) -> bool:
+    """Sampled before, recorded as no_oracle, and STILL has no oracle
+    entry: by-design rows-only with standing driver evidence."""
+    if rec.get("err") != "no_oracle":
+        return False
+    try:
+        from dimagi_data_platform_spark.plans.oracle import ORACLE
+    except Exception:  # pragma: no cover - defensive import guard
+        return False
+    return name not in ORACLE
+
+
 def sample_order(names: list[str], repo: str = _REPO) -> list[str]:
     """Rotation order: fixable-failure resamples first, then
-    never-sampled, then stalest round; registration order ties."""
+    never-sampled, then stalest round, then (last) rows-only queries
+    that already carry driver evidence; registration order ties."""
     ledger = _ledger(repo)
     pos = {n: i for i, n in enumerate(names)}
+    back = 10**6  # after every real round number
 
     def key(n: str) -> tuple[int, int]:
         if n not in ledger:
@@ -81,6 +101,8 @@ def sample_order(names: list[str], repo: str = _REPO) -> list[str]:
         rnd, rec = ledger[n]
         if needs_resample(n, rec):
             return (-2, pos[n])
+        if _is_rows_only(n, rec):
+            return (back + rnd, pos[n])
         return (rnd, pos[n])
 
     return sorted(names, key=key)

@@ -50,6 +50,12 @@ class StreamSource:
     topic: str | None = None
     starting_offsets: str = "earliest"
     fail_on_data_loss: bool = False
+    # reader format for the kafka kind — the injected-transport seam
+    # (P58 discipline): tests point it at the fake_kafka Python data
+    # source, which serves the identical wire frame and enforces the
+    # same option contract, so the production path below runs
+    # unchanged end to end without a broker
+    kafka_format: str = "kafka"
     # extra reader options (either kind), applied last
     options: dict = field(default_factory=dict)
 
@@ -104,7 +110,7 @@ def open_stream(spark: SparkSession, src: StreamSource) -> DataFrame:
     if src.kind == "kafka":
         opts = kafka_options(src)
         try:
-            reader = spark.readStream.format("kafka")
+            reader = spark.readStream.format(src.kafka_format)
             for k, v in opts.items():
                 reader = reader.option(k, v)
             raw = reader.load()

@@ -49,16 +49,30 @@ def test_entry_surface_is_rotated_and_complete():
         # every tier may be empty except the clean tail (VERDICT r7
         # item 1: the old prefix-slice assertion was vacuously false
         # in exactly that state).
+        from dimagi_data_platform_spark.rotation import _is_rows_only
+
         def tier(n: str) -> int:
             if n not in seen:
                 return 1
-            return 0 if needs_resample(n, ledger[n][1]) else 2
+            if needs_resample(n, ledger[n][1]):
+                return 0
+            # evidenced rows-only queries sort behind every oracle-
+            # backed query (VERDICT r11 item 8): a re-sample can only
+            # re-record err: no_oracle
+            return 3 if _is_rows_only(n, ledger[n][1]) else 2
 
         tiers = [tier(n) for n in names]
         assert tiers == sorted(tiers)
-        # within the sampled-clean tail, order is by staleness
-        clean_rounds = [seen[n] for n, t in zip(names, tiers) if t == 2]
-        assert clean_rounds == sorted(clean_rounds)
+        # within the sampled-clean and rows-only tails, order is by
+        # staleness
+        for t_want in (2, 3):
+            rounds = [seen[n] for n, t in zip(names, tiers) if t == t_want]
+            assert rounds == sorted(rounds)
+        # the rows-only tail is exactly the no-oracle set with evidence
+        rows_only = [n for n, t in zip(names, tiers) if t == 3]
+        assert rows_only, "expected at least one evidenced rows-only query"
+        from dimagi_data_platform_spark.plans.oracle import ORACLE
+        assert all(n not in ORACLE for n in rows_only)
 
 
 def test_complete_all_green_ledger_orders_by_staleness(tmp_path):

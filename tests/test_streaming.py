@@ -1477,3 +1477,103 @@ def test_project_features_wide_buckets_are_int64_clean(spark):
     assert rows1 == rows2
     for b0, b7 in rows1.values():
         assert 0 <= b0 < (1 << 34) and 0 <= b7 < (1 << 34)
+
+
+def test_kafka_open_stream_drains_typed_rows_via_fake_broker(spark, tmp_path):
+    """P57 contract test against the injected fake broker (P58
+    discipline): open_stream(kind='kafka') builds the production
+    reader+parse path verbatim — only the format points at the
+    fake_kafka Python data source, which serves the IDENTICAL wire
+    frame and refuses to load unless the full Kafka option map
+    arrived. Drains typed rows incl. malformed->NULL and the broker
+    timestamp; a second drain from the same checkpoint reprocesses
+    nothing (offset contract)."""
+    import json as _json
+
+    from dimagi_data_platform_spark.sources.fake_kafka import (
+        FakeKafkaDataSource,
+    )
+    from dimagi_data_platform_spark.sources.stream import (
+        StreamSource,
+        open_stream,
+    )
+
+    spark.dataSource.register(FakeKafkaDataSource)
+    log = tmp_path / "broker"
+    log.mkdir()
+    (log / "seg-0.json").write_text(
+        _json.dumps(
+            [
+                {"key": "a", "value": '{"id": 1, "name": "x"}', "ts_ms": 1000},
+                {"key": None, "value": "not json at all", "ts_ms": 2000},
+            ]
+        )
+    )
+    (log / "seg-1.json").write_text(
+        _json.dumps(
+            [{"key": "b", "value": '{"id": 2, "name": "y"}', "ts_ms": 3000}]
+        )
+    )
+    src = StreamSource(
+        kind="kafka",
+        schema="id INT, name STRING",
+        bootstrap_servers="broker-1:9092",
+        topic="events",
+        kafka_format="fake_kafka",
+        options={"fake.broker.log": str(log)},
+    )
+    stream = open_stream(spark, src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3
+    by_id = {r.id: r for r in rows}
+    assert by_id[1].name == "x" and by_id[2].name == "y"
+    # malformed value -> NULL row, never a crash
+    assert None in by_id and by_id[None].name is None
+    assert all(r.kafka_ts is not None for r in rows)
+    # same checkpoint, no new segments: nothing reprocessed
+    drain()
+    assert spark.read.parquet(out).count() == 3
+    # a third segment published later IS picked up from the cursor
+    (log / "seg-2.json").write_text(
+        _json.dumps(
+            [{"key": "c", "value": '{"id": 3, "name": "z"}', "ts_ms": 4000}]
+        )
+    )
+    drain()
+    assert spark.read.parquet(out).count() == 4
+
+
+def test_fake_kafka_enforces_option_contract(spark, tmp_path):
+    """The double must refuse to run when open_stream fails to deliver
+    the Kafka option map — that's what upgrades the drain test from
+    'rows flowed' to 'the option contract held'."""
+    import pytest
+
+    from dimagi_data_platform_spark.sources.fake_kafka import (
+        FakeKafkaStreamReader,
+    )
+
+    with pytest.raises(ValueError, match="bootstrap"):
+        FakeKafkaStreamReader({"subscribe": "t", "fake.broker.log": "/x"})
+    with pytest.raises(ValueError, match="subscribe"):
+        FakeKafkaStreamReader(
+            {"kafka.bootstrap.servers": "b:9092", "fake.broker.log": "/x"}
+        )
+    with pytest.raises(ValueError, match="fake.broker.log"):
+        FakeKafkaStreamReader(
+            {"kafka.bootstrap.servers": "b:9092", "subscribe": "t"}
+        )
