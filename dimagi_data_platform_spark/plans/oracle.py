@@ -8319,3 +8319,61 @@ SELECT n_vectors, window_used, true_pairs, found_pairs,
          - compared_pairs AS dropped_pairs
 FROM met
 """
+
+
+def _byte_bpe_oracle() -> str:
+    """L38c twin: the identical pretokenize → byte-map → merge-chain
+    encode, generated from the same committed vocabulary. The byte
+    mapping is a 256-row VALUES lookup joined positionally
+    (generate_subscripts keeps byte order; string_agg ORDER BY i
+    rebuilds the segment string); the merge chain is the same 64
+    nested REPLACEs the Spark plan runs."""
+    from dimagi_data_platform_spark.functions.bytebpe import (
+        _HEX_TO_SYM,
+        PRETOKEN_RE,
+        SEP,
+        VOCAB_MERGES,
+    )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    lookup = ",\n    ".join(
+        f"({q(hx)}, {q(sym)})" for hx, sym in _HEX_TO_SYM.items()
+    )
+    seg_expr = "seg"
+    for a, b in VOCAB_MERGES:
+        pat = " " + a + SEP + b + " "
+        rep = " " + a + b + " "
+        seg_expr = f"REPLACE({seg_expr}, {q(pat)}, {q(rep)})"
+    return f"""
+WITH bl(hx, sym) AS (VALUES
+    {lookup}),
+words AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, {q(PRETOKEN_RE)})) AS w
+  FROM documents),
+wc AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM words GROUP BY doc_id, w),
+dw AS (SELECT DISTINCT w FROM wc),
+hx AS (
+  SELECT w, regexp_extract_all(hex(encode(w)), '..') AS ps FROM dw),
+bytes AS (
+  SELECT w, unnest(ps) AS p, generate_subscripts(ps, 1) AS i FROM hx),
+seg0 AS (
+  SELECT bytes.w,
+         '  ' || string_agg(bl.sym, '  ' ORDER BY bytes.i) || '  ' AS seg
+  FROM bytes JOIN bl ON bl.hx = bytes.p
+  GROUP BY bytes.w),
+tok AS (
+  SELECT w, CAST(len(string_split(trim({seg_expr}), '  ')) AS BIGINT) AS nt
+  FROM seg0)
+SELECT wc.doc_id,
+       CAST(SUM(wc.c) AS BIGINT) AS n_pretokens,
+       CAST(SUM(wc.c * tok.nt) AS BIGINT) AS n_tokens
+FROM wc JOIN tok ON tok.w = wc.w
+GROUP BY wc.doc_id
+"""
+
+
+ORACLE["byte_bpe_token_counts"] = _byte_bpe_oracle()

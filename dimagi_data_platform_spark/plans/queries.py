@@ -13660,3 +13660,48 @@ def embedding_near_dup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFram
             "dropped_pairs",
         )
     )
+
+
+@query("byte_bpe_token_counts")
+def byte_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L38c: production-grade token counting — byte-level BPE ENCODE
+    under the committed fixed vocabulary (functions/bytebpe.py: GPT-2
+    byte alphabet, 64 public-fixture merges, lookahead-free GPT-2
+    pretokenizer shared verbatim with the DuckDB twin). Per document:
+    pretoken count and exact BPE token count.
+
+    Scale (the vocabulary trick, same posture as the L38 trainers):
+    the merge chain runs once per DISTINCT word — |vocab| × 64 string
+    ops — never once per corpus occurrence; per-doc counts come back
+    through one hash join on the word. The whole encode is JVM-side
+    (hex → map-literal byte mapping → replace chain), no Python in
+    the plan."""
+    from dimagi_data_platform_spark.functions.bytebpe import (
+        PRETOKEN_RE,
+        byte_bpe_encode_words,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("text", F.lit(PRETOKEN_RE), 0)
+        ).alias("w"),
+    )
+    wc = words.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    toks = byte_bpe_encode_words(wc.select("w").distinct()).select(
+        "w", "n_tokens"
+    )
+    return (
+        wc.join(toks, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_pretokens"),
+            F.sum(F.col("c") * F.col("n_tokens"))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .select("doc_id", "n_pretokens", "n_tokens")
+    )

@@ -106,3 +106,75 @@ def test_bpe_random_vocabs_match_reference(spark):
             for r in bpe_train(wf, n_merges).orderBy("step").collect()
         ]
         assert got == want, f"trial {trial}: vocab={vocab} n={n_merges}"
+
+
+def test_byte_bpe_encode_matches_reference_token_for_token(spark):
+    """L38c acceptance: the Spark replace-chain encoder must equal the
+    pure-Python min-rank reference EXACTLY (token for token) on a
+    fixture corpus spanning ASCII, accents, Cyrillic, CJK, emoji
+    (1-4 byte UTF-8), digits, punctuation, and space-attachment."""
+    from dimagi_data_platform_spark.functions.bytebpe import (
+        PRETOKEN_RE,
+        byte_bpe_encode_words,
+        encode_py,
+        encode_word_py,
+        pretokenize_py,
+    )
+    from pyspark.sql import functions as F
+
+    corpus = [
+        "All human beings are born free and equal in dignity.",
+        "The quick brown fox jumps over the lazy dog!",
+        "héllo wörld — Ж 中文 🙂 naïve café",
+        "acct#42: pay $3.50 now; 100% done?",
+        "and and and the the conscience brotherhood",
+        "  leading  and   trailing   spaces  ",
+        "tabs\tand\nnewlines\r\nmixed",
+    ]
+    # 1) Spark pretokenizer == python reference (regex semantics pin)
+    df = spark.createDataFrame([(s,) for s in corpus], "t string")
+    got = {
+        r.t: list(r.toks)
+        for r in df.select(
+            "t", F.regexp_extract_all("t", F.lit(PRETOKEN_RE), 0).alias("toks")
+        ).collect()
+    }
+    for s in corpus:
+        assert got[s] == pretokenize_py(s), s
+        assert "".join(pretokenize_py(s)) == s  # lossless
+
+    # 2) word-level encode == min-rank reference, token for token
+    words = sorted({w for s in corpus for w in pretokenize_py(s)})
+    wdf = spark.createDataFrame([(w,) for w in words], "w string")
+    enc = {r.w: list(r.symbols) for r in byte_bpe_encode_words(wdf).collect()}
+    for w in words:
+        assert enc[w] == encode_word_py(w), (w, enc[w], encode_word_py(w))
+
+    # 3) full-text counts line up through the composition
+    for s in corpus:
+        ref = encode_py(s)
+        got_n = sum(len(enc[w]) for w in pretokenize_py(s))
+        assert got_n == len(ref), s
+
+
+def test_byte_bpe_vocab_and_mapping_invariants():
+    """The committed vocab is deterministic and the byte alphabet is a
+    true bijection whose symbols never contain the separator space."""
+    from dimagi_data_platform_spark.functions.bytebpe import (
+        FIXTURE_CORPUS,
+        VOCAB_MERGES,
+        bytes_to_unicode,
+        encode_word_py,
+        train_byte_merges,
+        word_to_symbols,
+    )
+
+    m = bytes_to_unicode()
+    assert len(m) == 256 and len(set(m.values())) == 256
+    assert all(" " not in s and not s.isspace() for s in m.values())
+    assert train_byte_merges(FIXTURE_CORPUS, 64) == VOCAB_MERGES
+    assert len(VOCAB_MERGES) == 64
+    # encoding is lossless at the byte-symbol level: concatenated
+    # tokens reproduce the byte-mapped word
+    for w in ("conscience", " the", "🙂", "ß"):
+        assert "".join(encode_word_py(w)) == "".join(word_to_symbols(w))
