@@ -309,7 +309,20 @@ SHOW = [
      "candidate set; block-squared stream gone from the default path"),
     ("embedding_near_dup_capped",
      "8 projection-order SNM ranks off ONE Arrow featurize pass "
-     "(n·W·8 linear candidates), exact cosine verify, mass broadcast"),
+     "(n·W·8 linear candidates, W corpus-adaptive), id-only candidate "
+     "materialization, broadcast vector re-attach, exact cosine verify"),
+    # r12 additions
+    ("props_xml_extract",
+     "scan-local payload synthesis + ONE JVM-side from_xml per row; "
+     "no shuffle anywhere"),
+    ("xml_quarantine_report",
+     "scan-local classification -> |types|x3 aggregate"),
+    ("byte_bpe_token_counts",
+     "distinct-word grain encode (hex -> map-literal bytes -> 64 "
+     "codegen'd replaces), one hash join back, per-doc aggregate"),
+    ("embedding_near_dup_recall_eval",
+     "bounded candidates + exact block-pair truth, two 1-row scalar "
+     "aggregates crossed broadcast"),
 ]
 
 MARKERS = (
