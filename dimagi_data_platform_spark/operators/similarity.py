@@ -886,6 +886,65 @@ def _score_pairs_exact(cand: DataFrame, threshold: float) -> DataFrame:
     return cand.mapInPandas(score, schema="id_a long, id_b long, cos_sim double")
 
 
+def _score_pairs_exact_gather(
+    cand: DataFrame, feats: DataFrame, threshold: float
+) -> DataFrame:
+    """:func:`_score_pairs_exact` for an (id_a, id_b) candidate stream
+    with the VECTORS GATHERED from a broadcast corpus matrix instead of
+    joined onto every pair: the Arrow pipe then carries 16 bytes per
+    candidate, not 2·dim floats — at the r12 sf10 probe's 102M
+    candidates that is ~1.6 GB of worker traffic instead of ~52 GB,
+    and both vector re-attach joins disappear from the plan. Same
+    per-element float32→float64 cast and in-order per-dimension fold
+    as the join kernel, so scores are bitwise identical (pinned by
+    test). Use only when the corpus fits a driver collect
+    (``_GATHER_MAX_ROWS``); the join path remains the unbounded
+    fallback."""
+    pdf = feats.select("id", "vec").toPandas()
+    ids = pdf["id"].to_numpy()
+    order = np.argsort(ids)
+    ids_sorted = ids[order]
+    M = _matrix(pdf["vec"])[order]
+    sc = cand.sparkSession.sparkContext
+    b_ids = sc.broadcast(ids_sorted)
+    b_m = sc.broadcast(M)
+
+    def score(batches):
+        idx = b_ids.value
+        mat = b_m.value
+        for pdf_b in batches:
+            if not len(pdf_b):
+                continue
+            ia = np.searchsorted(idx, pdf_b["id_a"].to_numpy())
+            ib = np.searchsorted(idx, pdf_b["id_b"].to_numpy())
+            A = mat[ia]
+            B = mat[ib]
+            acc = np.zeros(len(A))
+            na = np.zeros(len(A))
+            nb = np.zeros(len(A))
+            for i in range(A.shape[1]):
+                acc += A[:, i] * B[:, i]
+                na += A[:, i] * A[:, i]
+                nb += B[:, i] * B[:, i]
+            cos = acc / (np.sqrt(na) * np.sqrt(nb))
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf_b["id_a"].to_numpy()[keep],
+                    "id_b": pdf_b["id_b"].to_numpy()[keep],
+                    "cos_sim": cos[keep],
+                }
+            )
+
+    return cand.mapInPandas(score, schema="id_a long, id_b long, cos_sim double")
+
+
+# corpus-size ceiling for the gather kernel's driver collect + matrix
+# broadcast (500k × 64 float64 ≈ 256 MB — comfortable under the 8 GB
+# local driver, one broadcast per executor on a cluster)
+_GATHER_MAX_ROWS = 500_000
+
+
 def embedding_near_dup_lsh(
     items: DataFrame,
     threshold: float,
@@ -1122,18 +1181,24 @@ def embedding_near_dup_capped(
     )
     n_rows = feats.count()  # cheap: checkpointed
     n_cand = cand.count()  # exact compared-pair mass (joins below are FK)
-    a = feats.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
-    b = feats.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
-    if n_rows <= 2_000_000:
-        # the vector map is a few hundred MB at most here — broadcast
-        # both sides so the candidate stream never shuffles. Beyond
-        # that, fall through to shuffle joins (a 10^9+-vector corpus
-        # should be on the LSH/ingest-index paths anyway).
-        a, b = F.broadcast(a), F.broadcast(b)
-    cand_v = cand.join(a, "id_a").join(b, "id_b")
     all_pairs = n_rows * (n_rows - 1) // 2
+    if n_rows <= _GATHER_MAX_ROWS:
+        # gather kernel: id-only Arrow traffic + broadcast corpus
+        # matrix — see _score_pairs_exact_gather for the measured
+        # 52 GB → 1.6 GB pipe reduction at sf10
+        scored = _score_pairs_exact_gather(cand, feats, threshold)
+    else:
+        a = feats.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+        b = feats.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+        if n_rows <= 2_000_000:
+            # the vector map is a few hundred MB here — broadcast both
+            # sides so the candidate stream never shuffles. Beyond
+            # that, fall through to shuffle joins (a 10^9+-vector
+            # corpus should be on the LSH/ingest-index paths anyway).
+            a, b = F.broadcast(a), F.broadcast(b)
+        scored = _score_pairs_exact(cand.join(a, "id_a").join(b, "id_b"), threshold)
     return (
-        _score_pairs_exact(cand_v, threshold)
+        scored
         .withColumn("compared_pairs", F.lit(n_cand).cast("long"))
         .withColumn(
             "dropped_pairs", F.lit(all_pairs - n_cand).cast("long")

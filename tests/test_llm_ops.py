@@ -944,3 +944,45 @@ def test_ivfpq_index_roundtrip_and_append(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan
+
+
+def test_gather_kernel_bitwise_equals_join_kernel(spark):
+    """The broadcast-matrix gather kernel must produce BITWISE the
+    same cos_sim as the join kernel (same float32→float64 casts, same
+    in-order fold) — a last-ulp divergence would hash-break the
+    capped oracle at exactly the corpus sizes the driver never gates."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dimagi_data_platform_spark.operators.similarity import (
+        _score_pairs_exact,
+        _score_pairs_exact_gather,
+        project_features,
+    )
+
+    rng = np.random.RandomState(17)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.rand(64)]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    feats = project_features(emb).localCheckpoint()
+    ids = [r.id for r in feats.select("id").collect()]
+    cand = spark.createDataFrame(
+        [(a, b) for a in ids[:20] for b in ids[20:40]],
+        "id_a long, id_b long",
+    )
+    a = feats.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = feats.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    joined = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in _score_pairs_exact(
+            cand.join(a, "id_a").join(b, "id_b"), -1.0
+        ).collect()
+    }
+    gathered = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in _score_pairs_exact_gather(cand, feats, -1.0).collect()
+    }
+    assert set(joined) == set(gathered) and len(joined) == 400
+    for k in joined:
+        assert joined[k] == gathered[k], (k, joined[k].hex(), gathered[k].hex())
