@@ -343,10 +343,24 @@ def k_core_peel(
 
     Scale: each round is one map-side-combined degree count plus two
     semi-joins on the shrinking edge set — O(m) per round like
-    pagerank(); lineage checkpointed every ``checkpoint_every`` rounds.
+    pagerank(); the edge set is materialized every ``checkpoint_every``
+    rounds. Unlike the VERTEX-sized loop state of pagerank/components,
+    this loop's state is EDGE-sized, so the default materialization is
+    ``disk_materialize`` (DISK_ONLY serialized blocks, predecessor
+    freed) rather than localCheckpoint: deserialized checkpoint blocks
+    of a 239M-edge graph starved the degree aggregates of execution
+    memory at the r12 sf10 probe (AGGREGATE_OUT_OF_MEMORY) — see
+    operators/loop.py. ``reliable=True`` still swaps in cluster-
+    durable ``checkpoint()`` blocks.
     """
-    ck = lambda df: loop_checkpoint(df, reliable)  # noqa: E731
+    from dimagi_data_platform_spark.operators.loop import disk_materialize
+
+    if reliable:
+        ck = lambda df, prev: loop_checkpoint(df, True)  # noqa: E731
+    else:
+        ck = disk_materialize
     e = edges
+    prev = None
     for r in range(rounds):
         keep = (
             e.groupBy("src")
@@ -358,9 +372,10 @@ def k_core_peel(
             keep.withColumnRenamed("src", "dst"), "dst", "semi"
         )
         if r % checkpoint_every == checkpoint_every - 1:
-            e = ck(e)
+            e = ck(e, prev)
+            prev = e
     if r % checkpoint_every != checkpoint_every - 1:
-        e = ck(e)
+        e = ck(e, prev)
     if verify_converged:
         still_peelable = (
             e.groupBy("src")

@@ -54,3 +54,29 @@ def loop_checkpoint(df: DataFrame, reliable: bool = False) -> DataFrame:
         ensure_checkpoint_dir(df.sparkSession)
         return df.checkpoint()
     return df.localCheckpoint()
+
+
+def disk_materialize(df: DataFrame, prev: DataFrame | None = None) -> DataFrame:
+    """EDGE-SCALE loop truncation: eager ``localCheckpoint`` at
+    ``DISK_ONLY`` (a Spark 4 capability), freeing ``prev`` (the
+    previous cadence's materialization) once the new one is on disk.
+
+    Why not the plain localCheckpoint default for edge-sized loop
+    state: default localCheckpoint blocks are DESERIALIZED rows in the
+    unified memory pool's storage region — six k-core rounds over a
+    239M-edge graph accumulate several multi-GB block sets there, and
+    the r12 sf10 probe measured the degree aggregates then dying with
+    AGGREGATE_OUT_OF_MEMORY (execution memory starved by loop state).
+    Why not a bare DISK_ONLY ``persist``: persist keeps lineage, so
+    every round's shuffle files stay referenced for the whole loop —
+    the same probe then filled 70+ GB of local disk. Checkpointing AT
+    DISK_ONLY cuts lineage (old shuffles become GC-reclaimable), keeps
+    blocks serialized on disk instead of in the memory pool, computes
+    once, and the predecessor unpersist caps live state at one
+    edge-set copy. Values are storage-level invariant."""
+    from pyspark import StorageLevel
+
+    out = df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    if prev is not None:
+        prev.unpersist()
+    return out
