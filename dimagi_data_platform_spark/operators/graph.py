@@ -315,6 +315,100 @@ def personalized_pagerank(
     return ranks.select("id", "r")
 
 
+#: a peel frontier / survivor vertex set is broadcast into the edge
+#: scan below this row count (longs: 50M ≈ 400 MB serialized — the
+#: usual small-side ceiling used across the graph operators); above
+#: it the round falls back to a shuffle semi-join.
+_KCORE_BROADCAST_MAX = 50_000_000
+
+
+def _k_core_degrees_state(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    verify_converged: bool,
+    reliable: bool,
+):
+    """Shared DELTA-peel loop of :func:`k_core_peel` /
+    :func:`k_core_degrees` — returns (materialized edge set, surviving
+    (v, deg) vertex table after ``rounds`` synchronous peel rounds).
+
+    r13 rewrite (VERDICT r12 item 2): the r12 peel recomputed EVERY
+    degree and rebuilt the EDGE set each round (one O(m) shuffle
+    aggregate + two O(m) semi-join shuffles, edge-sized loop state —
+    279.9 s at the sf10 probe). Delta peeling keeps the loop state
+    VERTEX-sized: degrees are counted once, then each round only the
+    removal frontier's incident edges touch the aggregate — round r
+    drops frontier_r = {v : deg_r(v) < k}, and deg_{r+1}(v) =
+    deg_r(v) − #edges(v → frontier_r) for survivors, which is exactly
+    the synchronous recount (an edge vanishes iff its other endpoint
+    was just removed), so the unrolled-oracle replay is bit-for-bit
+    unchanged. Per round: ONE pass over the materialized edge set as a
+    broadcast-hash probe against the frontier (no edge shuffle — only
+    the frontier-incident matches shuffle into a dst-count), plus
+    vertex-sized bookkeeping joins. Empty frontiers skip the scan
+    entirely (converged graphs pay nothing for trailing fixed rounds).
+
+    The edge set itself is materialized ONCE via ``disk_materialize``
+    (the r12 AGGREGATE_OOM lesson for edge-scale state, see
+    operators/loop.py) and never rebuilt; loop state (the degree
+    table) is vertex-sized, so plain eager localCheckpoint per round
+    is cheap. ``reliable=True`` swaps both for cluster-durable
+    ``checkpoint()`` blocks.
+    """
+    from dimagi_data_platform_spark.operators.loop import disk_materialize
+
+    if reliable:
+        ck = lambda df, prev: loop_checkpoint(df, True)  # noqa: E731
+        e_mat = loop_checkpoint(edges, True)
+    else:
+        ck = lambda df, prev: disk_materialize(df, prev)  # noqa: E731
+        e_mat = disk_materialize(edges)
+    deg = ck(
+        e_mat.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("src").alias("v"), "deg"),
+        None,
+    )
+    for _ in range(rounds):
+        frontier = deg.filter(F.col("deg") < k).select(
+            F.col("v").alias("src")
+        )
+        n_front = frontier.count()  # vertex-sized scan off checkpointed deg
+        if n_front == 0:
+            continue  # synchronous no-op round — deg is already a fixed point
+        if n_front <= _KCORE_BROADCAST_MAX:
+            frontier = F.broadcast(frontier)
+        dec = (
+            e_mat.join(frontier, "src")
+            .groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("dec"))
+            .select(F.col("dst").alias("v"), "dec")
+        )
+        deg = ck(
+            deg.filter(F.col("deg") >= k)
+            .join(dec, "v", "left")
+            .select(
+                "v",
+                (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0))).alias(
+                    "deg"
+                ),
+            ),
+            deg,
+        )
+    if verify_converged:
+        still_peelable = deg.filter(F.col("deg") < k).count()
+        if still_peelable:
+            raise RuntimeError(
+                f"k_core_peel(k={k}): {still_peelable} vertices would "
+                f"still be peeled after {rounds} rounds — the unroll is "
+                f"NOT a fixed point on this graph; raise `rounds` "
+                f"(each adds one frontier pass) instead of consuming a "
+                f"non-converged core"
+            )
+    return e_mat, deg
+
+
 def k_core_peel(
     edges: DataFrame,
     k: int,
@@ -328,67 +422,55 @@ def k_core_peel(
     drops every vertex with degree < k and keeps edges whose endpoints
     both survive, for exactly ``rounds`` rounds — FIXED so an oracle's
     unrolled recurrence replays bit-for-bit. Returns the surviving
-    edge stream.
+    edge stream (two broadcast semi-joins of the once-materialized
+    edge set against the surviving vertex set).
 
     Fixed-point guard (VERDICT r10 item 7, the connected-components
     discipline from operators/components.py): a fixed unroll certified
     on TEST graphs can silently return a non-converged core on a
-    denser production graph — one more O(m) degree aggregate checks
-    whether round ``rounds``+1 would still peel anything, and FAILS
-    LOUDLY with the observed shortfall instead. The check is a bounded
-    scalar count off the already-checkpointed final edge set (one
-    extra map-side-combined aggregate, ~one round's cost); pass
-    ``verify_converged=False`` only where a caller replays a certified
-    prefix on a pinned graph.
+    denser production graph — the guard checks whether round
+    ``rounds``+1 would still peel anything and FAILS LOUDLY with the
+    observed shortfall. Since the r13 delta rewrite the check is a
+    VERTEX-sized count off the checkpointed degree table (previously
+    one extra O(m) aggregate); pass ``verify_converged=False`` only
+    where a caller replays a certified prefix on a pinned graph.
 
-    Scale: each round is one map-side-combined degree count plus two
-    semi-joins on the shrinking edge set — O(m) per round like
-    pagerank(); the edge set is materialized every ``checkpoint_every``
-    rounds. Unlike the VERTEX-sized loop state of pagerank/components,
-    this loop's state is EDGE-sized, so the default materialization is
-    ``disk_materialize`` (DISK_ONLY serialized blocks, predecessor
-    freed) rather than localCheckpoint: deserialized checkpoint blocks
-    of a 239M-edge graph starved the degree aggregates of execution
-    memory at the r12 sf10 probe (AGGREGATE_OUT_OF_MEMORY) — see
-    operators/loop.py. ``reliable=True`` still swaps in cluster-
-    durable ``checkpoint()`` blocks.
+    Scale: see :func:`_k_core_degrees_state` — degrees counted once,
+    each round touches only the removal frontier's incident edges
+    (one broadcast-probe pass over the materialized edge set, zero
+    edge shuffles), loop state is vertex-sized. ``checkpoint_every``
+    is retained for signature compatibility; the vertex-sized state
+    is cheap enough to materialize every round.
     """
-    from dimagi_data_platform_spark.operators.loop import disk_materialize
-
-    if reliable:
-        ck = lambda df, prev: loop_checkpoint(df, True)  # noqa: E731
+    e_mat, deg = _k_core_degrees_state(
+        edges, k, rounds, verify_converged, reliable
+    )
+    alive = deg.select(F.col("v").alias("src"))
+    n_alive = deg.count()
+    if n_alive <= _KCORE_BROADCAST_MAX:
+        keep_src = F.broadcast(alive)
+        keep_dst = F.broadcast(alive.withColumnRenamed("src", "dst"))
     else:
-        ck = disk_materialize
-    e = edges
-    prev = None
-    for r in range(rounds):
-        keep = (
-            e.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select("src")
-        )
-        e = e.join(keep, "src", "semi").join(
-            keep.withColumnRenamed("src", "dst"), "dst", "semi"
-        )
-        if r % checkpoint_every == checkpoint_every - 1:
-            e = ck(e, prev)
-            prev = e
-    if r % checkpoint_every != checkpoint_every - 1:
-        e = ck(e, prev)
-    if verify_converged:
-        still_peelable = (
-            e.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") < k)
-            .count()
-        )
-        if still_peelable:
-            raise RuntimeError(
-                f"k_core_peel(k={k}): {still_peelable} vertices would "
-                f"still be peeled after {rounds} rounds — the unroll is "
-                f"NOT a fixed point on this graph; raise `rounds` "
-                f"(each adds one O(m) pass) instead of consuming a "
-                f"non-converged core"
-            )
-    return e
+        keep_src = alive
+        keep_dst = alive.withColumnRenamed("src", "dst")
+    return e_mat.join(keep_src, "src", "semi").join(keep_dst, "dst", "semi")
+
+
+def k_core_degrees(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    verify_converged: bool = True,
+    reliable: bool = False,
+) -> DataFrame:
+    """(v, core_degree) of the ``rounds``-round k-core — the peel's
+    degree table surfaced directly. Identical values to counting
+    degrees over :func:`k_core_peel`'s surviving edges (the delta
+    recurrence maintains exactly the survivors' degrees), but skips
+    rebuilding the edge set and re-aggregating it: callers that only
+    need per-vertex core degrees (e.g. the part_k_core query) save a
+    full O(m) pass plus an O(m) shuffle aggregate."""
+    _e_mat, deg = _k_core_degrees_state(
+        edges, k, rounds, verify_converged, reliable
+    )
+    return deg.select("v", F.col("deg").cast("long").alias("core_degree"))

@@ -1080,6 +1080,36 @@ def adaptive_snm_window(n_rows: int) -> int:
     return min(64, max(16, 16 * (math.floor(math.log2(n_rows)) - 7)))
 
 
+#: plane count the probe-pass SQL twin expands statically — the
+#: adaptive bit count gates a PREFIX of these planes (``_planes`` is
+#: prefix-stable: ``random.Random(seed)`` draws sequentially, so the
+#: first b planes of a 12-plane table equal ``_planes(dim, b, seed)``).
+#: 12 bits = 4096 buckets; corpora whose occupancy outgrows that are
+#: still SAFE (the window join caps candidates at n·W regardless of
+#: bucket size — bits only target recall, never cost) but callers can
+#: raise ``probe_bits`` explicitly for >10M-vector corpora.
+MAX_PROBE_BITS = 12
+
+
+def adaptive_bucket_bits(n_rows: int) -> int:
+    """Corpus-adaptive sign-bucket width for the near-dup PROBE passes
+    (the P27b ingest-index knob re-applied to batch dedup): bits(n) =
+    clamp(2, 12, ⌊log2 n⌋ − 6), i.e. expected bucket occupancy held in
+    [64, 128). Too few bits and a probe pass degenerates into the
+    coarse SNM order (no new recall); too many and the all-signs-match
+    probability (1 − θ/π)^bits kills per-pass recall at loose
+    thresholds. Occupancy ≈ the SNM window means one window-join pass
+    over the (bucket, projection, id) order covers essentially every
+    same-bucket pair while staying STRICTLY linear (n·W candidates)
+    even when real-embedding sign buckets skew hot. Same cross-engine
+    ⌊log2⌋ robustness argument as ``adaptive_snm_window``."""
+    import math
+
+    return min(
+        MAX_PROBE_BITS, max(2, math.floor(math.log2(max(n_rows, 2))) - 6)
+    )
+
+
 def embedding_near_dup_capped(
     items: DataFrame,
     threshold: float,
@@ -1090,6 +1120,8 @@ def embedding_near_dup_capped(
     window: int | None = None,
     bucket_bits: int = 2,
     seed: int = 7,
+    n_probe_tables: int = 8,
+    probe_bits: int | None = None,
 ) -> DataFrame:
     """BOUNDED-default embedding near-dup — ``embedding_near_dup``'s
     100 TB serving path with the honest-cap reporting discipline
@@ -1133,6 +1165,19 @@ def embedding_near_dup_capped(
     visible on every row, and the exact sibling stays registered for
     total recall.
 
+    r13 PROBE passes (VERDICT r12 item 1): ``n_probe_tables`` further
+    window-join passes whose sort key leads with a corpus-adaptive
+    FINE sign bucket (``adaptive_bucket_bits``: occupancy held near
+    the window) instead of the coarse 2-bit orthant — the P27b
+    ingest-index knob applied to batch dedup. With occupancy ≈ W one
+    pass covers essentially every same-fine-bucket pair, so per-pass
+    recall is the all-signs-match probability rather than
+    1-D-projection adjacency luck, and the passes compound: measured
+    0.563 → 0.828 recall at sf0.1/threshold 0.35 for 1.66× candidates
+    at 1.24× wall (RECALL_EVAL.json). Budget stays strictly linear —
+    every probe pass is the same n·W window join, so a hot bucket
+    still yields ≤ W candidates per row.
+
     Plan shape: ONE materialized feature projection (``n_tables``
     plane expressions over one scan), ONE bounded boundary-sample
     collect shared by all distributed ranks, ``n_tables`` n·W
@@ -1143,11 +1188,16 @@ def embedding_near_dup_capped(
     feats = project_features(
         items, id_col, vec_col, dim, n_tables, bucket_bits, seed
     ).localCheckpoint()
+    n_rows = feats.count()
     if window is None:
         # corpus-adaptive default — see adaptive_snm_window. The count
         # is cheap (feats is checkpointed) and deterministic, so the
         # DuckDB twin recomputes the same W from COUNT(*).
-        window = adaptive_snm_window(feats.count())
+        window = adaptive_snm_window(n_rows)
+    if probe_bits is None:
+        # corpus-adaptive fine buckets for the probe passes — see
+        # adaptive_bucket_bits. Same COUNT(*)-derived determinism as W.
+        probe_bits = adaptive_bucket_bits(n_rows)
     order_flat = [c for t in range(n_tables) for c in (f"b{t}", f"p{t}")]
     wide = _order_sample(feats, order_flat + ["id"])
     from dimagi_data_platform_spark.operators.linkage import (
@@ -1161,6 +1211,39 @@ def embedding_near_dup_capped(
             feats, [f"b{t}", f"p{t}", "id"], "id", window=window, sample=smp
         ).select("id_a", "id_b")
         cand = p if cand is None else cand.union(p)
+    if n_probe_tables:
+        # PROBE passes (r13, the P27b sign-bucket discipline): the same
+        # window-join machinery over ``n_probe_tables`` fresh orders
+        # whose PRIMARY key is a corpus-adaptive FINE sign bucket
+        # (occupancy ≈ W, adaptive_bucket_bits) instead of the coarse
+        # 2-bit orthant. With occupancy ~the window, one pass covers
+        # essentially every same-fine-bucket pair, so per-pass recall
+        # at threshold θ is ~(1 − θ̂/π)^bits per table — far better
+        # targeted than the coarse order, where a W-window spans
+        # mostly unrelated rows. Budget is UNCHANGED in shape: n·W per
+        # pass, window-capped, skew-immune (a hot bucket still yields
+        # ≤ W candidates per row). Probe tables continue the coarse
+        # seed schedule at indices n_tables..n_tables+n_probe_tables−1
+        # (bucket planes seed+101·T, projections +5000), so the SQL
+        # twin derives every plane from the same two seed lines.
+        # Featurized FROM the checkpointed feats (id, vec), not the
+        # raw input — one extra Arrow pass over local-checkpoint rows,
+        # never a recompute of the upstream plan.
+        pfeats = project_features(
+            feats, "id", "vec", dim, n_probe_tables, probe_bits,
+            seed + 101 * n_tables,
+        ).localCheckpoint()
+        porder_flat = [
+            c for t in range(n_probe_tables) for c in (f"b{t}", f"p{t}")
+        ]
+        pwide = _order_sample(pfeats, porder_flat + ["id"])
+        for t in range(n_probe_tables):
+            smp = [(r[2 * t], r[2 * t + 1], r[-1]) for r in pwide]
+            p = sorted_neighborhood_pairs(
+                pfeats, [f"b{t}", f"p{t}", "id"], "id",
+                window=window, sample=smp,
+            ).select("id_a", "id_b")
+            cand = cand.union(p)
     # materialize the ID PAIRS ONLY (2 longs/row), never the pairs
     # with both vectors attached: the r12 sf10 probe measured the old
     # pairs-with-vectors checkpoint at ~100 GB for 102M candidates
@@ -1179,7 +1262,6 @@ def embedding_near_dup_capped(
         .distinct()
         .persist(StorageLevel.DISK_ONLY)
     )
-    n_rows = feats.count()  # cheap: checkpointed
     n_cand = cand.count()  # exact compared-pair mass (joins below are FK)
     all_pairs = n_rows * (n_rows - 1) // 2
     if n_rows <= _GATHER_MAX_ROWS:

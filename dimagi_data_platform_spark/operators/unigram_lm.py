@@ -216,7 +216,15 @@ class _neg_lex(str):
 
 ENCODE_MAX_WORD = 12  # DP unroll depth (positions)
 ENCODE_MAX_PIECE = 4  # longest vocab piece
-_ENCODE_SENTINEL = 1_000_000_000  # packed "unreachable" cost
+# packed "unreachable" span cost. Must dominate any REAL packed path
+# sum — the r13 trainer's data-derived costs reach ~lnq(corpus)·16·12
+# ≈ 2.2e9 per word (vs the literal encode vocab's ~4e5), so the old
+# 1e9 sentinel could have LOST to a real path and leaked an
+# unreachable span into the DP; 1e15 dominates both while 12 chained
+# sentinels (1.2e16) still fit int64. The encode outputs are
+# unchanged (a sentinel only ever participates in min() comparisons
+# it loses).
+_ENCODE_SENTINEL = 10**15
 
 
 def flat_vocab() -> list[tuple[str, int]]:
@@ -276,8 +284,7 @@ def unigram_encode_flat(
     depends on corpus size, so the plan scales as groupBy(word) does.
     """
     spark = docs.sparkSession
-    L, P = ENCODE_MAX_WORD, ENCODE_MAX_PIECE
-    S = _ENCODE_SENTINEL
+    L = ENCODE_MAX_WORD
     words = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") <= L))
@@ -285,6 +292,31 @@ def unigram_encode_flat(
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
     vocab = spark.createDataFrame(flat_vocab(), "piece string, cost long")
+    cur = _flat_segment(words, vocab)
+    out = cur.select(
+        "w",
+        "freq",
+        F.expr("CAST(best DIV 16 AS BIGINT)").alias("total_cost"),
+        F.expr("CAST(best % 16 AS BIGINT)").alias("n_pieces"),
+        F.col(f"seg_{L}").alias("pieces"),
+    )
+    return out.orderBy(F.desc("freq"), "w").limit(top_n)
+
+
+def _flat_segment(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """The shared flat Viterbi DP of :func:`unigram_encode_flat` and
+    :func:`unigram_train_unrolled`: segment each (w, freq) row of
+    ``words`` (alphabetic, length <= ENCODE_MAX_WORD) under the
+    (piece, cost) table ``vocab`` (non-negative integer costs, pieces
+    <= ENCODE_MAX_PIECE chars), minimizing (total cost, piece count)
+    via the packed integer ``cost*16 + n_pieces``; remaining ties
+    break to the SHORTEST last piece (first-wins backtrack). Returns
+    the words grid with ``best`` (packed optimum) and ``seg_{L}``
+    (space-joined pieces). Span costs come from ONE broadcast join;
+    the unrolled DP + backtrack are scan-local integer codegen —
+    nothing depends on corpus size beyond the distinct-word grain."""
+    L, P = ENCODE_MAX_WORD, ENCODE_MAX_PIECE
+    S = _ENCODE_SENTINEL
     # spans: (word, start, len, piece) for every candidate piece slot
     spans = words.select(
         "w",
@@ -359,11 +391,100 @@ def unigram_encode_flat(
                 ).otherwise(F.concat(piece, F.lit(" "), F.col(f"seg_{k - 1}"))),
             ).otherwise(F.col(f"seg_{k - 1}")),
         ).withColumn(f"pos_{k}", (F.col(prev) - F.col(f"lk_{k}")).cast("int"))
-    out = cur.select(
-        "w",
-        "freq",
-        F.expr("CAST(best DIV 16 AS BIGINT)").alias("total_cost"),
-        F.expr("CAST(best % 16 AS BIGINT)").alias("n_pieces"),
-        F.col(f"seg_{L}").alias("pieces"),
+    return cur
+
+
+def unigram_train_unrolled(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 100,
+    n_iter: int = 2,
+    max_candidates: int = 2000,
+) -> DataFrame:
+    """L38e (VERDICT r12 item 3): unigram-LM tokenizer training as a
+    FULLY SQL-replayable unrolled recurrence — the driver-checkable
+    twin of :func:`unigram_train`, built from the L38b flat-Viterbi
+    machinery (:func:`_flat_segment`) by swapping its LITERAL cost
+    table for DATA-DERIVED costs re-estimated each EM iteration.
+
+    Bounded grain (documented, the ENCODE discipline): distinct
+    alphabetic words of length <= ENCODE_MAX_WORD (12), pieces <=
+    ENCODE_MAX_PIECE (4) chars. Init: every substring piece weighted
+    by word frequency — single chars always kept (fallback alphabet),
+    longer pieces keep the ``max_candidates`` heaviest (weight desc,
+    piece). Each hard-EM iteration: M-step costs are the exact
+    integers ``lnq(total) − lnq(weight)`` with lnq(x) =
+    floor(ln(x)·10⁶) — ln is only ever taken of an INTEGER, the
+    cross-engine-stable fixed-point trick used by the JS-divergence /
+    Adamic–Adar oracles, and the subtraction is exact — then the
+    E-step Viterbi-resegments every word under those costs (packed
+    (cost, piece-count) DP, shortest-last-piece tie-break) and
+    reweights pieces by segment occupancy; zero-count alphabet chars
+    keep weight 1 so every word stays segmentable.
+
+    Output after ``n_iter`` iterations: all single-char pieces + the
+    ``vocab_size`` heaviest multi-char pieces, as (piece, piece_count,
+    logp) with logp = lnq(weight) − lnq(total) (≤ 0), ordered
+    (piece_count desc, piece).
+
+    Scale: identical shape to :func:`unigram_encode_flat` per
+    iteration — everything runs at the DISTINCT-WORD grain, span
+    costs come from one broadcast join against the (≤ alphabet +
+    max_candidates)-row vocab, and the DP is scan-local codegen; the
+    only shuffles are the word grouping and the piece re-count. The
+    Python-Viterbi :func:`unigram_train` stays registered for
+    unbounded word lengths / sub-piece granularity."""
+    L, P = ENCODE_MAX_WORD, ENCODE_MAX_PIECE
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") <= L))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .localCheckpoint()
     )
-    return out.orderBy(F.desc("freq"), "w").limit(top_n)
+    counts = _candidate_pieces(words, P, max_candidates)
+    alphabet = counts.filter(F.length("piece") == 1).select("piece")
+    alphabet = alphabet.localCheckpoint()
+
+    def cost_table(cnts: DataFrame) -> DataFrame:
+        tot = cnts.agg(F.sum("weight").cast("long").alias("tot"))
+        return cnts.crossJoin(F.broadcast(tot)).select(
+            "piece",
+            (
+                F.floor(F.log(F.col("tot").cast("double")) * F.lit(1e6))
+                - F.floor(F.log(F.col("weight").cast("double")) * F.lit(1e6))
+            )
+            .cast("long")
+            .alias("cost"),
+        )
+
+    for _ in range(n_iter):
+        seg = _flat_segment(words, cost_table(counts))
+        counts = (
+            seg.select(
+                F.explode(F.split(F.col(f"seg_{L}"), " ")).alias("piece"),
+                "freq",
+            )
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("long").alias("weight"))
+        )
+        fallback = alphabet.join(counts, "piece", "left_anti").select(
+            "piece", F.lit(1).cast("long").alias("weight")
+        )
+        counts = counts.unionByName(fallback).localCheckpoint()
+    final = counts.join(cost_table(counts), "piece")
+    keep_chars = final.filter(F.length("piece") == 1)
+    keep_top = (
+        final.filter(F.length("piece") > 1)
+        .orderBy(F.desc("weight"), "piece")
+        .limit(vocab_size)
+    )
+    return (
+        keep_chars.unionByName(keep_top)
+        .select(
+            "piece",
+            F.col("weight").alias("piece_count"),
+            (-F.col("cost")).cast("long").alias("logp"),
+        )
+        .orderBy(F.desc("piece_count"), "piece")
+    )

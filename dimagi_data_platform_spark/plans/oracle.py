@@ -657,6 +657,49 @@ _PRJ = [
     for t in range(_CAPPED_T)
 ]
 
+# r13 PROBE passes — the corpus-adaptive fine-bucket orders
+# (operators/similarity.py adaptive_bucket_bits): bits(n) =
+# clamp(2, 12, floor(log2 n) - 6), computed once in the `fb` CTE.
+# The engine truncates its plane list to `bits`; here all 12 plane
+# sign terms are expanded statically and term j is gated by
+# `j < bits` — identical bucket values because _planes is
+# prefix-stable (random.Random(seed) draws planes sequentially).
+_PROBE_T = 8
+_MAX_PROBE_BITS = 12
+_FB = "(SELECT bits FROM fb)"
+
+
+def _sql_bucket_gated(col: str, seed: int, dim: int = 64) -> str:
+    from dimagi_data_platform_spark.operators.similarity import _planes
+
+    parts = []
+    for i, plane in enumerate(_planes(dim, _MAX_PROBE_BITS, seed)):
+        dot = "0.0 + " + " + ".join(
+            f"CAST({col}[{j + 1}] AS DOUBLE)*({p!r})" for j, p in enumerate(plane)
+        )
+        parts.append(
+            f"(CASE WHEN {i} < {_FB} AND ({dot}) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+_FB_CTE = (
+    "fb AS (SELECT LEAST(12, GREATEST(2, CAST(FLOOR(LOG2(CAST("
+    "GREATEST(COUNT(*), 2) AS DOUBLE))) AS INTEGER) - 6)) AS bits "
+    "FROM embeddings)"
+)
+# probe table t continues the coarse seed schedule at index 8 + t
+_PROBE_B = [
+    _sql_bucket_gated("embedding", 7 + 101 * (_CAPPED_T + t))
+    for t in range(_PROBE_T)
+]
+_PROBE_PRJ = [
+    f"({_sql_projection('embedding', 7 + 101 * (_CAPPED_T + t) + 5000)}"
+    f" / sqrt({_vdot('embedding', 'embedding')}))"
+    for t in range(_PROBE_T)
+]
+
 # corpus-adaptive sorted-neighborhood window — the SQL twin of
 # operators.similarity.adaptive_snm_window: clamp(16, 64,
 # 16*(floor(log2 n) - 7)). FLOOR(LOG2(n)) is cross-engine robust
@@ -668,27 +711,46 @@ _SNM_W = (
 )
 
 _SNM_PASSES = "\nUNION\n".join(
-    f"""SELECT LEAST(a.id, b.id) AS id_a, GREATEST(a.id, b.id) AS id_b
+    [
+        f"""SELECT LEAST(a.id, b.id) AS id_a, GREATEST(a.id, b.id) AS id_b
   FROM r{t} a JOIN r{t} b ON b.rn > a.rn AND b.rn <= a.rn + {_SNM_W}"""
-    for t in range(_CAPPED_T)
+        for t in range(_CAPPED_T)
+    ]
+    + [
+        f"""SELECT LEAST(a.id, b.id) AS id_a, GREATEST(a.id, b.id) AS id_b
+  FROM pr{t} a JOIN pr{t} b ON b.rn > a.rn AND b.rn <= a.rn + {_SNM_W}"""
+        for t in range(_PROBE_T)
+    ]
 )
 
 _CAPPED_COLS = ",\n         ".join(
-    f"{_CAPPED_B[t]} AS b{t}, {_PRJ[t]} AS p{t}" for t in range(_CAPPED_T)
+    [f"{_CAPPED_B[t]} AS b{t}, {_PRJ[t]} AS p{t}" for t in range(_CAPPED_T)]
+    + [
+        f"{_PROBE_B[t]} AS pb{t}, {_PROBE_PRJ[t]} AS pp{t}"
+        for t in range(_PROBE_T)
+    ]
 )
 _CAPPED_RANKS = ",\n".join(
-    f"r{t} AS (SELECT id, ROW_NUMBER() OVER (ORDER BY b{t}, p{t}, id)"
-    f" AS rn FROM e)"
-    for t in range(_CAPPED_T)
+    [
+        f"r{t} AS (SELECT id, ROW_NUMBER() OVER (ORDER BY b{t}, p{t}, id)"
+        f" AS rn FROM e)"
+        for t in range(_CAPPED_T)
+    ]
+    + [
+        f"pr{t} AS (SELECT id, ROW_NUMBER() OVER (ORDER BY pb{t}, pp{t}, id)"
+        f" AS rn FROM e)"
+        for t in range(_PROBE_T)
+    ]
 )
 
 ORACLE["embedding_near_dup_capped"] = f"""
-WITH e AS (
+WITH {_FB_CTE},
+e AS MATERIALIZED (
   SELECT vec_id AS id, embedding AS vec,
          {_CAPPED_COLS}
   FROM embeddings),
 {_CAPPED_RANKS},
-cand AS (
+cand AS MATERIALIZED (
   {_SNM_PASSES}),
 mass AS (
   SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS compared_pairs,
@@ -5010,26 +5072,28 @@ ORACLE["knn_ivfpq_flat"] = _ivfpq_flat_sql()
 # Spark operator uses; the packed-integer DP (cost*16 + n_pieces) and
 # the first-wins shortest-last-piece backtrack unroll identically, so
 # the whole segmentation is exact integer arithmetic on both engines.
-def _unigram_encode_flat_sql(top_n: int = 40) -> str:
-    from dimagi_data_platform_spark.operators.unigram_lm import (
-        ENCODE_MAX_PIECE,
-        ENCODE_MAX_WORD,
-        flat_vocab,
-    )
-
-    L, P, S = ENCODE_MAX_WORD, ENCODE_MAX_PIECE, 1_000_000_000
-    vocab_rows = ", ".join(f"('{p}', {c})" for p, c in flat_vocab())
-    ccols = ",\n         ".join(
+def _viterbi_span_ccols(L: int, P: int) -> str:
+    """Pivot expressions c_s_l for the flat Viterbi grid (shared by
+    the L38b encode twin and the L38e train twin)."""
+    return ",\n         ".join(
         f"MAX(CASE WHEN s = {s} AND l = {l} THEN cost END) AS c_{s}_{l}"
         for s in range(1, L + 1)
         for l in range(1, P + 1)
         if s + l - 1 <= L
     )
 
+
+def _viterbi_layers_sql(pfx: str, grid: str, L: int, P: int, S: int) -> str:
+    """The unrolled packed-cost DP + first-wins backtrack as a chain
+    of CTEs ``{pfx}d0..{pfx}t{L}`` reading from CTE ``grid`` — the SQL
+    twin of operators/unigram_lm._flat_segment, shared by the encode
+    and train oracles (CTE names are prefixed so the train twin can
+    instantiate one chain per EM iteration)."""
+
     def c(s: int, l: int) -> str:
         return f"COALESCE(c_{s}_{l} * 16 + 1, {S})"
 
-    layers = ["d0 AS (SELECT *, CAST(0 AS BIGINT) AS best_0 FROM grid)"]
+    layers = [f"{pfx}d0 AS (SELECT *, CAST(0 AS BIGINT) AS best_0 FROM {grid})"]
     for i in range(1, L + 1):
         cands = [
             f"best_{i - l} + {c(i - l + 1, l)}"
@@ -5037,40 +5101,55 @@ def _unigram_encode_flat_sql(top_n: int = 40) -> str:
         ]
         best = f"LEAST({', '.join(cands)})" if len(cands) > 1 else cands[0]
         layers.append(
-            f"d{i} AS (SELECT *, {best} AS best_{i} FROM "
-            + (f"b{i - 1})" if i > 1 else "d0)")
+            f"{pfx}d{i} AS (SELECT *, {best} AS best_{i} FROM "
+            + (f"{pfx}b{i - 1})" if i > 1 else f"{pfx}d0)")
         )
         bl = "CASE " + " ".join(
             f"WHEN best_{i} = best_{i - l} + {c(i - l + 1, l)} THEN {l}"
             for l in range(1, min(P, i) + 1)
         ) + " END"
-        layers.append(f"b{i} AS (SELECT *, {bl} AS bl_{i} FROM d{i})")
+        layers.append(f"{pfx}b{i} AS (SELECT *, {bl} AS bl_{i} FROM {pfx}d{i})")
     final_best = "CASE length(w) " + " ".join(
         f"WHEN {i} THEN best_{i}" for i in range(1, L + 1)
     ) + " END"
     layers.append(
-        f"fb AS (SELECT *, {final_best} AS best FROM b{L})"
+        f"{pfx}fb AS (SELECT *, {final_best} AS best FROM {pfx}b{L})"
     )
     layers.append(
-        "t0 AS (SELECT *, CAST(length(w) AS INT) AS pos_0, '' AS seg_0 FROM fb)"
+        f"{pfx}t0 AS (SELECT *, CAST(length(w) AS INT) AS pos_0,"
+        f" '' AS seg_0 FROM {pfx}fb)"
     )
     for k in range(1, L + 1):
         bl_at = "CASE pos_{p} ".format(p=k - 1) + " ".join(
             f"WHEN {i} THEN bl_{i}" for i in range(1, L + 1)
         ) + " ELSE 0 END"
         layers.append(
-            f"u{k} AS (SELECT *, CASE WHEN pos_{k - 1} > 0 THEN ({bl_at}) "
-            f"ELSE 0 END AS lk_{k} FROM t{k - 1})"
+            f"{pfx}u{k} AS (SELECT *, CASE WHEN pos_{k - 1} > 0 THEN ({bl_at}) "
+            f"ELSE 0 END AS lk_{k} FROM {pfx}t{k - 1})"
         )
         piece = f"substr(w, pos_{k - 1} - lk_{k} + 1, lk_{k})"
         layers.append(
-            f"t{k} AS (SELECT *, CASE WHEN lk_{k} > 0 THEN "
+            f"{pfx}t{k} AS (SELECT *, CASE WHEN lk_{k} > 0 THEN "
             f"(CASE WHEN seg_{k - 1} = '' THEN {piece} "
             f"ELSE {piece} || ' ' || seg_{k - 1} END) "
             f"ELSE seg_{k - 1} END AS seg_{k}, "
-            f"CAST(pos_{k - 1} - lk_{k} AS INT) AS pos_{k} FROM u{k})"
+            f"CAST(pos_{k - 1} - lk_{k} AS INT) AS pos_{k} FROM {pfx}u{k})"
         )
-    body = ",\n".join(layers)
+    return ",\n".join(layers)
+
+
+def _unigram_encode_flat_sql(top_n: int = 40) -> str:
+    from dimagi_data_platform_spark.operators.unigram_lm import (
+        _ENCODE_SENTINEL,
+        ENCODE_MAX_PIECE,
+        ENCODE_MAX_WORD,
+        flat_vocab,
+    )
+
+    L, P, S = ENCODE_MAX_WORD, ENCODE_MAX_PIECE, _ENCODE_SENTINEL
+    vocab_rows = ", ".join(f"('{p}', {c})" for p, c in flat_vocab())
+    ccols = _viterbi_span_ccols(L, P)
+    body = _viterbi_layers_sql("", "grid", L, P, S)
     return f"""
 WITH words AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
@@ -5102,6 +5181,114 @@ LIMIT {top_n}
 
 
 ORACLE["unigram_viterbi_encode"] = _unigram_encode_flat_sql()
+
+
+def _unigram_train_unrolled_sql(
+    vocab_size: int = 100, n_iter: int = 2, max_candidates: int = 2000
+) -> str:
+    """L38e twin: the FULL unrolled hard-EM recurrence of
+    operators/unigram_lm.unigram_train_unrolled — candidate init, then
+    per iteration one flat-Viterbi DP chain (one _viterbi_layers_sql
+    instantiation per EM pass, prefixed i{k}_) under costs
+    lnq(total) − lnq(weight) re-derived from the previous counts, with
+    the weight-1 alphabet fallback, then the final vocab projection.
+    ln is only ever taken of an INTEGER (the cross-engine fixed-point
+    lnq discipline). Word/piece CTEs are MATERIALIZED — each is read
+    by several downstream CTEs and DuckDB's default inlining would
+    re-evaluate the span pivots once per reference."""
+    from dimagi_data_platform_spark.operators.unigram_lm import (
+        _ENCODE_SENTINEL,
+        ENCODE_MAX_PIECE,
+        ENCODE_MAX_WORD,
+    )
+
+    L, P, S = ENCODE_MAX_WORD, ENCODE_MAX_PIECE, _ENCODE_SENTINEL
+    ccols = _viterbi_span_ccols(L, P)
+    lnq = "CAST(FLOOR(ln({x}) * 1000000.0) AS BIGINT)"
+    parts = [
+        f"""words AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents)
+  WHERE regexp_matches(w, '^[a-z]+$') AND length(w) <= {L}
+  GROUP BY w)""",
+        f"""cand AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS weight
+  FROM (SELECT substr(w, CAST(u.s AS INT), CAST(v.l AS INT)) AS piece, freq
+        FROM words,
+             UNNEST(range(1, length(w) + 1)) AS u(s),
+             UNNEST(range(1, least({P}, length(w) - CAST(u.s AS INT) + 1) + 1))
+               AS v(l))
+  GROUP BY piece)""",
+        """alpha AS MATERIALIZED (SELECT piece FROM cand WHERE length(piece) = 1)""",
+        f"""c0 AS MATERIALIZED (
+  SELECT piece, weight FROM cand WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, weight FROM (
+    SELECT piece, weight FROM cand WHERE length(piece) > 1
+    ORDER BY weight DESC, piece LIMIT {max_candidates}))""",
+    ]
+    for k in range(n_iter):
+        pfx = f"i{k}_"
+        parts.append(
+            f"""{pfx}vocab AS MATERIALIZED (
+  SELECT piece,
+         {lnq.format(x=f'(SELECT SUM(weight) FROM c{k})')}
+           - {lnq.format(x='weight')} AS cost
+  FROM c{k})"""
+        )
+        parts.append(
+            f"""{pfx}costed AS (
+  SELECT s.w, s.freq, s.s, s.l, v.cost
+  FROM (SELECT w, freq, CAST(u.s AS INT) AS s, CAST(v.l AS INT) AS l,
+               substr(w, CAST(u.s AS INT), CAST(v.l AS INT)) AS piece
+        FROM words,
+             UNNEST(range(1, length(w) + 1)) AS u(s),
+             UNNEST(range(1, least({P}, length(w) - CAST(u.s AS INT) + 1) + 1))
+               AS v(l)) s
+  JOIN {pfx}vocab v USING (piece))"""
+        )
+        parts.append(
+            f"""{pfx}grid AS MATERIALIZED (
+  SELECT w, freq, {ccols}
+  FROM {pfx}costed GROUP BY w, freq)"""
+        )
+        parts.append(_viterbi_layers_sql(pfx, f"{pfx}grid", L, P, S))
+        parts.append(
+            f"""{pfx}counts AS (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS weight
+  FROM (SELECT unnest(string_split(seg_{L}, ' ')) AS piece, freq
+        FROM {pfx}t{L})
+  GROUP BY piece)"""
+        )
+        parts.append(
+            f"""c{k + 1} AS MATERIALIZED (
+  SELECT piece, weight FROM {pfx}counts
+  UNION ALL
+  SELECT piece, CAST(1 AS BIGINT) AS weight FROM alpha
+  WHERE piece NOT IN (SELECT piece FROM {pfx}counts))"""
+        )
+    parts.append(
+        f"""fin AS (
+  SELECT c.piece, c.weight AS piece_count,
+         {lnq.format(x='c.weight')}
+           - {lnq.format(x=f'(SELECT SUM(weight) FROM c{n_iter})')} AS logp
+  FROM c{n_iter} c)"""
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT piece, piece_count, CAST(logp AS BIGINT) AS logp FROM (
+  SELECT piece, piece_count, logp FROM fin WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, piece_count, logp FROM (
+    SELECT piece, piece_count, logp FROM fin WHERE length(piece) > 1
+    ORDER BY piece_count DESC, piece LIMIT {vocab_size}))
+ORDER BY piece_count DESC, piece
+"""
+
+
+ORACLE["unigram_tokenizer_train_unrolled"] = _unigram_train_unrolled_sql()
 
 
 # L63: Gopher/C4 rule-based quality filtering. Every metric is an
@@ -8288,12 +8475,13 @@ ORDER BY src, reason
 # L5d: recall-vs-cost eval — capped found-pair count over the exact
 # all-pairs truth, plus the adaptive window and honest-cap mass.
 ORACLE["embedding_near_dup_recall_eval"] = f"""
-WITH e AS (
+WITH {_FB_CTE},
+e AS MATERIALIZED (
   SELECT vec_id AS id, embedding AS vec,
          {_CAPPED_COLS}
   FROM embeddings),
 {_CAPPED_RANKS},
-cand AS (
+cand AS MATERIALIZED (
   {_SNM_PASSES}),
 p AS (
   SELECT cand.id_a, cand.id_b, a.vec AS vec_a, b.vec AS vec_b
@@ -8305,12 +8493,13 @@ ex AS (
 met AS (
   SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_vectors,
          CAST({_SNM_W} AS BIGINT) AS window_used,
+         CAST({_FB} AS BIGINT) AS probe_bits_used,
          CAST((SELECT COUNT(*) FROM ex WHERE {_COS_AB} >= 0.35) AS BIGINT)
            AS true_pairs,
          CAST((SELECT COUNT(*) FROM s WHERE cos_sim >= 0.35) AS BIGINT)
            AS found_pairs,
          CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS compared_pairs)
-SELECT n_vectors, window_used, true_pairs, found_pairs,
+SELECT n_vectors, window_used, probe_bits_used, true_pairs, found_pairs,
        CASE WHEN true_pairs > 0
             THEN CAST(found_pairs AS DOUBLE) / CAST(true_pairs AS DOUBLE)
        END AS recall,

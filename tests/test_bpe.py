@@ -178,3 +178,96 @@ def test_byte_bpe_vocab_and_mapping_invariants():
     # tokens reproduce the byte-mapped word
     for w in ("conscience", " the", "🙂", "ß"):
         assert "".join(encode_word_py(w)) == "".join(word_to_symbols(w))
+
+
+def _ref_unigram_unrolled(
+    texts, vocab_size=100, n_iter=2, max_cand=2000, L=12, P=4
+):
+    """Independent pure-Python replay of unigram_train_unrolled (L38e):
+    bounded flat-Viterbi hard-EM with packed (cost, piece-count) min
+    and shortest-last-piece tie-break, fixed-point lnq costs."""
+    import math
+    import re
+    from collections import Counter
+
+    lnq = lambda x: math.floor(math.log(x) * 1e6)  # noqa: E731
+    words: Counter = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", (t or "").strip().lower()):
+            if w and re.fullmatch(r"[a-z]+", w) and len(w) <= L:
+                words[w] += 1
+    cand: Counter = Counter()
+    for w, f in words.items():
+        for i in range(len(w)):
+            for j in range(i + 1, min(len(w), i + P) + 1):
+                cand[w[i:j]] += f
+    chars = {p for p in cand if len(p) == 1}
+    longer = sorted(
+        ((p, c) for p, c in cand.items() if len(p) > 1),
+        key=lambda x: (-x[1], x[0]),
+    )[:max_cand]
+    counts = {p: c for p, c in cand.items() if len(p) == 1}
+    counts.update(dict(longer))
+
+    def segment(w, cost):
+        n = len(w)
+        best = [0] + [None] * n
+        back = [0] * (n + 1)
+        for i in range(1, n + 1):
+            b, blen = None, 0
+            for l in range(1, min(P, i) + 1):  # noqa: E741
+                c = cost.get(w[i - l : i])
+                if c is None or best[i - l] is None:
+                    continue
+                v = best[i - l] + c * 16 + 1
+                if b is None or v < b:  # first-wins: shortest last piece
+                    b, blen = v, l
+            best[i], back[i] = b, blen
+        out, pos = [], n
+        while pos > 0:
+            out.append(w[pos - back[pos] : pos])
+            pos -= back[pos]
+        return out
+
+    for _ in range(n_iter):
+        tot = sum(counts.values())
+        cost = {p: lnq(tot) - lnq(c) for p, c in counts.items()}
+        new: Counter = Counter()
+        for w, f in words.items():
+            for p in segment(w, cost):
+                new[p] += f
+        counts = dict(new)
+        for ch in chars:
+            counts.setdefault(ch, 1)
+    tot = sum(counts.values())
+    rows = [
+        (p, c, lnq(c) - lnq(tot))
+        for p, c in counts.items()
+        if len(p) == 1
+    ]
+    multi = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda x: (-x[1], x[0]),
+    )[:vocab_size]
+    rows += [(p, c, lnq(c) - lnq(tot)) for p, c in multi]
+    return sorted(rows, key=lambda x: (-x[1], x[0]))
+
+
+def test_unigram_train_unrolled_matches_python_reference(spark):
+    """L38e: the fully SQL-replayable trainer must reproduce an
+    independent Python replay piece-for-piece (counts AND fixed-point
+    logps) on the sf0.001 documents corpus — a third engine beside
+    the DuckDB twin."""
+    from dimagi_data_platform_spark.operators.unigram_lm import (
+        unigram_train_unrolled,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = [r.text for r in docs.select("text").collect()]
+    ref = _ref_unigram_unrolled(texts)
+    got = [
+        (r.piece, r.piece_count, r.logp)
+        for r in unigram_train_unrolled(docs).collect()
+    ]
+    assert sorted(got, key=lambda x: (-x[1], x[0])) == ref
+    assert len(ref) > 26  # multi-char pieces actually survived

@@ -565,7 +565,9 @@ def test_embedding_near_dup_capped_pairs_and_honest_mass(spark):
     assert len(masses) == 1  # one scalar mass broadcast to every row
     compared, dropped = masses.pop()
     assert compared + dropped == n * (n - 1) // 2
-    assert compared <= n * 16 * 8  # linear candidate bound (n*W*T)
+    # linear candidate bound: n*W*(coarse tables + fine-bucket probe
+    # tables) — window-join capped per pass, skew-immune
+    assert compared <= n * 16 * (8 + 8)
     assert compared >= len(capped)  # kernel verified all candidates
     assert dropped > 0  # the cap actually pruned at this corpus
 
