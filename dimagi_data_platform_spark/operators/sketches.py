@@ -243,3 +243,262 @@ def kmv_estimate(
         / (F.col("kth_hash").cast("double") / F.lit(float(2**60)))
     )
     return agg.withColumn("approx_distinct", est)
+
+
+# --------------------------------------------------------------------------
+# Exactness-banded DETERMINISTIC sketch companions (r13, VERDICT r12
+# item 4 — the R91 DDSketch discipline applied to the HLL / quantile /
+# heavy-hitter trio): each eval emits a sketch estimate NEXT TO the
+# exact value with the realized error, and the estimator itself is
+# md5-derived + integer/IEEE-arithmetic-only, so BOTH columns replay
+# bitwise in the DuckDB twin. The engine-native sketches above
+# (approx_count_distinct / percentile_approx / Misra-Gries partials)
+# stay registered rows-only for the native surface; these companions
+# make the approximation CONTRACT itself oracle-checkable.
+# --------------------------------------------------------------------------
+
+HLL_P_BITS = 8  # 256 registers; standard error ~1.04/sqrt(256) = 6.5%
+_HLL_M = 1 << HLL_P_BITS
+# alpha_256 (Flajolet et al. 2007) as a literal both engines parse
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_POW2_53 = float(1 << 53)
+
+
+def hll_distinct_eval(
+    df: DataFrame, group_cols: list[str], key: str
+) -> DataFrame:
+    """Deterministic HLL distinct-count per group WITH the exactness
+    band: (group, est_distinct, exact_distinct, rel_err, v_empty).
+
+    The sketch is a faithful HyperLogLog (Flajolet et al. 2007) whose
+    hash is md5 (engine-portable, the minhash/simhash discipline):
+    register = first 8 md5 hex bits, rho = leading-zero rank of the
+    next 52 bits (computed as 53 − bitlength via ``bin()``, no
+    floats). Register maxima aggregate exactly; the harmonic-mean
+    denominator Σ2^(−Mj) is computed as the EXACT integer
+    Σ2^(53−Mj) (Mj ≤ 53, so every term is a positive long), and the
+    estimate is a fixed left-to-right chain of IEEE +,*,/ on
+    exactly-derived inputs — bitwise identical across engines. The
+    small-range linear-counting branch m·ln(m/V) takes ln only from a
+    LITERAL integer lookup (``_ln_int_literal``). Mergeable by
+    construction: per-partition register maxima combine under max —
+    the same property the native HLL++ path relies on.
+
+    Scale: one distinct shuffle at (group, key) grain, then a
+    256-rows-per-group register aggregate; the exact column is the
+    correctness-gate cost, not the serving path's.
+    """
+    el = df.select(*group_cols, F.col(key).cast("string").alias("__k")).distinct()
+    h = F.md5(F.col("__k"))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
+    w = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
+    # rho = leading-zero rank of the 52-bit window, 1-indexed:
+    # 53 - bitlength(w); an all-zero window scores the cap 53.
+    rho = F.when(F.col("__w") == F.lit(0), F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(F.col("__w")))
+    )
+    regs = (
+        el.select(*group_cols, reg.alias("__reg"), w.alias("__w"))
+        .withColumn("__rho", rho.cast("long"))
+        .groupBy(*group_cols, "__reg")
+        .agg(F.max("__rho").alias("mj"))
+    )
+    per = regs.groupBy(*group_cols).agg(
+        F.sum(
+            # SQL-form shiftleft: the PySpark wrapper only takes a
+            # literal shift amount
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mj AS INT))")
+        )
+        .cast("long")
+        .alias("s_scaled"),
+        F.count(F.lit(1)).cast("long").alias("occupied"),
+    )
+    v = (F.lit(_HLL_M) - F.col("occupied")).cast("long")
+    # every EMPTY register contributes 2^-0 = 1 to the harmonic sum,
+    # i.e. 2^53 in the scaled-integer form
+    raw = (
+        F.lit(_HLL_ALPHA)
+        * F.lit(float(_HLL_M * _HLL_M))
+        * F.lit(_POW2_53)
+        / (
+            F.col("s_scaled") + F.col("v_empty") * F.lit(1 << 53).cast("long")
+        ).cast("double")
+    )
+    import math
+
+    ln_v = F.expr(
+        "CASE CAST(v_empty AS INT) "
+        + " ".join(
+            f"WHEN {x} THEN CAST({math.log(x)!r} AS DOUBLE)"
+            for x in range(1, _HLL_M)
+        )
+        + " END"
+    )
+    est = F.when(
+        (F.col("raw_est") <= F.lit(2.5 * _HLL_M)) & (F.col("v_empty") > 0),
+        F.lit(float(_HLL_M)) * (F.lit(math.log(_HLL_M)) - ln_v),
+    ).otherwise(F.col("raw_est"))
+    exact = df.groupBy(*group_cols).agg(
+        F.count_distinct(F.col(key)).cast("long").alias("exact_distinct")
+    )
+    return (
+        per.withColumn("v_empty", v)
+        .withColumn("raw_est", raw)
+        .withColumn("est_distinct", est)
+        .join(exact, group_cols)
+        .withColumn(
+            "rel_err",
+            F.col("est_distinct") / F.col("exact_distinct").cast("double")
+            - F.lit(1.0),
+        )
+        .select(
+            *group_cols, "est_distinct", "exact_distinct", "rel_err", "v_empty"
+        )
+    )
+
+
+def sampled_quantile_eval(
+    df: DataFrame,
+    group_cols: list[str],
+    value: str,
+    key: str,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+    pct_keep: int = 20,
+) -> DataFrame:
+    """Deterministic hash-sampled quantiles per group WITH the
+    exactness band: for each (group, q) emit the rank-at-ceil quantile
+    of an md5-Bernoulli sample (keep iff md5(key) mod 100 < pct_keep)
+    next to the exact quantile and the realized relative error. The
+    sample is the canonical bounded-memory quantile path when a
+    mergeable sketch is unavailable: deterministic (replayable,
+    mergeable by union), one scan, expected pct_keep% state.
+
+    Both quantiles ride per-(group, value) counts + a value-grain
+    running sum — never a row-grain sort window.
+    """
+    hsel = (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    base = df.select(
+        *group_cols, F.col(value).alias("v"), hsel.alias("__h")
+    )
+
+    def rank_quantiles(rows: DataFrame, est_name: str) -> DataFrame:
+        per_v = rows.groupBy(*group_cols, "v").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        wcum = (
+            Window.partitionBy(*group_cols)
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = per_v.withColumn("cum", F.sum("c").over(wcum).cast("long"))
+        tot = per_v.groupBy(*group_cols).agg(
+            F.sum("c").cast("long").alias("n")
+        )
+        probes = tot.select(
+            *group_cols,
+            "n",
+            F.explode(
+                F.array(*[F.lit(q) for q in percentiles])
+            ).alias("q"),
+        ).withColumn(
+            "target", F.expr("CAST((q * n + 99) DIV 100 AS BIGINT)")
+        )
+        return (
+            cum.join(probes, group_cols)
+            .filter(F.col("cum") >= F.col("target"))
+            .groupBy(*group_cols, "q", "n")
+            .agg(F.min("v").alias(est_name))
+        )
+
+    est = rank_quantiles(
+        base.filter(F.col("__h") < pct_keep), "est_value"
+    ).withColumnRenamed("n", "n_sample")
+    exact = rank_quantiles(base, "exact_value").withColumnRenamed(
+        "n", "n_total"
+    )
+    return (
+        est.join(exact, group_cols + ["q"])
+        .withColumn(
+            "rel_err",
+            F.col("est_value").cast("double")
+            / F.col("exact_value").cast("double")
+            - F.lit(1.0),
+        )
+        .select(
+            *group_cols, "q", "n_total", "n_sample", "est_value",
+            "exact_value", "rel_err",
+        )
+    )
+
+
+def frequent_summary_eval(
+    terms: DataFrame,
+    key: str,
+    owner: str,
+    n_shards: int = 32,
+    capacity: int = 64,
+    top_k: int = 20,
+) -> DataFrame:
+    """Deterministic Misra-Gries ("Frequent") heavy hitters WITH the
+    exactness band: (key, est_count, exact_count, underestimate,
+    bound_total). Classic MG is order-dependent (the decrement cascade
+    follows the stream); the batch-equivalent summary used here is
+    ORDER-INVARIANT and therefore engine-replayable: per deterministic
+    shard (md5 of the ``owner`` column mod ``n_shards``), count keys
+    exactly, keep the ``capacity`` heaviest (count desc, key), and
+    subtract the (capacity+1)-th count from each — the standard
+    offset form of the MG summary with the identical guarantee
+    true − thr ≤ est ≤ true per shard. Summaries merge by summing, so
+    global: exact − Σ_shard thr ≤ est ≤ exact; bound_total = Σ thr is
+    emitted so the realized underestimate is checkable against the
+    theoretical bound on every row.
+
+    Scale: the shuffle carries ≤ (capacity+1) rows per (shard) after
+    the per-shard aggregate — the same bounded-state contract as the
+    streaming MG partials; the exact column is the gate's cost.
+    """
+    shard = (
+        F.conv(F.substring(F.md5(F.col(owner).cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % n_shards
+    )
+    per = terms.select(F.col(key).alias("k"), shard.alias("shard")).groupBy(
+        "shard", "k"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wrk = Window.partitionBy("shard").orderBy(F.desc("c"), "k")
+    ranked = per.withColumn("rk", F.row_number().over(wrk))
+    thr = ranked.filter(F.col("rk") == capacity + 1).select(
+        "shard", F.col("c").alias("thr")
+    )
+    partials = (
+        ranked.filter(F.col("rk") <= capacity)
+        .join(thr, "shard", "left")
+        .select(
+            "k",
+            (F.col("c") - F.coalesce(F.col("thr"), F.lit(0))).alias("p"),
+        )
+        .filter(F.col("p") > 0)
+    )
+    est = partials.groupBy("k").agg(F.sum("p").cast("long").alias("est_count"))
+    exact = per.groupBy("k").agg(F.sum("c").cast("long").alias("exact_count"))
+    bound = thr.agg(F.sum("thr").cast("long").alias("bound_total"))
+    return (
+        est.join(exact, "k")
+        .crossJoin(F.broadcast(bound))
+        .withColumn(
+            "underestimate", (F.col("exact_count") - F.col("est_count")).cast("long")
+        )
+        .select(
+            F.col("k").alias(key),
+            "est_count",
+            "exact_count",
+            "underestimate",
+            F.coalesce(F.col("bound_total"), F.lit(0)).cast("long").alias("bound_total"),
+        )
+        .orderBy(F.desc("est_count"), key)
+        .limit(top_k)
+    )

@@ -1552,6 +1552,67 @@ def approx_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_percentiles_by(orders, ["o_orderpriority"], "o_totalprice")
 
 
+@query("hll_distinct_eval")
+def hll_distinct_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L17c (VERDICT r12 item 4): exactness-banded companion of the
+    HLL++ path — a DETERMINISTIC md5-based HyperLogLog (256 registers,
+    exact dyadic register sums, literal-ln linear-counting branch)
+    whose estimate AND exact distinct count AND realized relative
+    error all hash-check against the DuckDB twin. The native
+    approx_monthly_distinct_buyers stays registered rows-only for the
+    engine-sketch surface; this makes the approximation contract
+    itself oracle-checkable (the R91 DDSketch discipline)."""
+    from dimagi_data_platform_spark.operators.sketches import (
+        hll_distinct_eval,
+    )
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        # trunc() keeps DATE type — identical pandas dtype to the
+        # DuckDB twin's date_trunc over a DATE column
+        "month", F.trunc("o_orderdate", "month")
+    )
+    return hll_distinct_eval(orders, ["month"], "o_custkey")
+
+
+@query("quantile_sample_eval")
+def quantile_sample_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L17d (VERDICT r12 item 4): exactness-banded companion of the
+    KLL/percentile_approx path — deterministic md5-Bernoulli-sampled
+    quantiles (20% keep) per order priority, each next to the exact
+    rank-at-ceil quantile with realized relative error, fully
+    hash-checked. Both quantiles ride value-grain counts + running
+    sums, never a row-grain sort."""
+    from dimagi_data_platform_spark.operators.sketches import (
+        sampled_quantile_eval,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return sampled_quantile_eval(
+        orders, ["o_orderpriority"], "o_totalprice", "o_orderkey"
+    )
+
+
+@query("mg_heavy_hitter_eval")
+def mg_heavy_hitter_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L17e (VERDICT r12 item 4): exactness-banded companion of the
+    Misra-Gries path — the ORDER-INVARIANT batch form of the MG
+    summary (per md5-shard: keep the 64 heaviest terms minus the
+    65th count) merged across 32 deterministic shards, emitted next
+    to the exact counts, the realized underestimate, and the
+    theoretical bound Σ-shard-thresholds — every column
+    hash-checked. The stream-order-dependent native MG partials stay
+    rows-only (approx_heavy_hitter_terms)."""
+    from dimagi_data_platform_spark.operators.sketches import (
+        frequent_summary_eval,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    return frequent_summary_eval(terms, "term", "doc_id")
+
+
 @query("winnow_shared_fingerprints")
 def winnow_shared_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) fingerprint pairs — md5-based portable

@@ -181,3 +181,43 @@ def test_cms_estimates_one_sided_and_bounded(spark):
     full = {(r.row_id, r.bucket): r.cnt for r in sketch.collect()}
     got = {(r.row_id, r.bucket): r.cnt for r in merged.collect()}
     assert got == full
+
+
+def test_hll_distinct_eval_error_within_bound(spark):
+    """L17c: the deterministic md5-HLL estimate must land within ~4x
+    the standard error (1.04/sqrt(256) = 6.5%) of the exact distinct
+    count on every month — and the emitted rel_err column must be the
+    realized ratio of the two emitted value columns."""
+    from dimagi_data_platform_spark.plans.queries import QUERIES
+
+    rows = QUERIES["hll_distinct_eval"](spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert abs(r.rel_err) <= 4 * 1.04 / 16  # 26% — generous 4-sigma
+        assert r.rel_err == r.est_distinct / float(r.exact_distinct) - 1.0
+
+
+def test_mg_heavy_hitter_eval_bound_holds(spark):
+    """L17e: the Frequent-summary guarantee — every emitted estimate
+    is a lower bound on the exact count, short by at most the emitted
+    Σ-shard-threshold bound."""
+    from dimagi_data_platform_spark.plans.queries import QUERIES
+
+    rows = QUERIES["mg_heavy_hitter_eval"](spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.underestimate <= r.bound_total
+        assert r.est_count + r.underestimate == r.exact_count
+
+
+def test_quantile_sample_eval_sane(spark):
+    """L17d: the hash-sample is ~20% of the rows and the sampled
+    median lands within 15% of the exact median at sf0.01."""
+    from dimagi_data_platform_spark.plans.queries import QUERIES
+
+    rows = QUERIES["quantile_sample_eval"](spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert 0.1 <= r.n_sample / r.n_total <= 0.3
+        if r.q == 50:
+            assert abs(r.rel_err) <= 0.15
