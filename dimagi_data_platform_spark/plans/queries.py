@@ -1554,7 +1554,7 @@ def approx_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("hll_distinct_eval")
 def hll_distinct_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L17c (VERDICT r12 item 4): exactness-banded companion of the
+    """L17f (VERDICT r12 item 4): exactness-banded companion of the
     HLL++ path — a DETERMINISTIC md5-based HyperLogLog (256 registers,
     exact dyadic register sums, literal-ln linear-counting branch)
     whose estimate AND exact distinct count AND realized relative
