@@ -14,7 +14,7 @@ is inherited from the scan.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -30,12 +30,20 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
 
 
-def _fake_decode_bytes(payload: bytes) -> dict:
-    """DETERMINISTIC FAKE decoder (no codec libs in container).
+def fake_decode_bytes(payload: bytes) -> dict:
+    """DETERMINISTIC FAKE decoder (no codec libs in container) — the
+    DEFAULT value of every operator's ``decoder`` parameter.
 
     A real implementation would parse the container format; this derives
     stable pseudo-metadata from the byte stream so the full pipeline is
     testable end-to-end (and SQL-checkable).
+
+    Decoder contract (the r13 injection seam, VERDICT r12 item 7): a
+    PURE picklable callable ``bytes -> dict`` returning the keys
+    ``n_bytes, width, height, n_frames, first_byte`` as ints. It is
+    cloudpickled into executors by ``mapInPandas`` — pass a module-level
+    function (a PIL/ffmpeg wrapper in production), never a closure over
+    a SparkSession or other driver state.
     """
     n = len(payload)
     return {
@@ -47,12 +55,26 @@ def _fake_decode_bytes(payload: bytes) -> dict:
     }
 
 
-def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """mapInPandas feature extraction over the binary payload column."""
+#: backwards-compat alias (pre-r13 name)
+_fake_decode_bytes = fake_decode_bytes
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    decoder: Callable[[bytes], dict] = fake_decode_bytes,
+) -> DataFrame:
+    """mapInPandas feature extraction over the binary payload column.
+
+    ``decoder`` is the injection seam: any callable meeting the
+    :func:`fake_decode_bytes` contract (pure, picklable, returns the
+    FEATURE_SCHEMA metadata keys) — swap in a real PIL/ffmpeg decoder
+    without touching the plumbing; the fake stays the default so the
+    pipeline is deterministic and SQL-checkable in this container."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pd.DataFrame([_fake_decode_bytes(p) for p in pdf["payload"]])
+            feats = pd.DataFrame([decoder(p) for p in pdf["payload"]])
             feats.insert(0, "doc_id", pdf[id_col].values)
             yield feats
 
@@ -63,7 +85,10 @@ FRAME_SCHEMA = "doc_id long, frame_idx long, frame_off long, frame_sig long"
 
 
 def sample_frames(
-    df: DataFrame, every: int = 8, id_col: str = "doc_id"
+    df: DataFrame,
+    every: int = 8,
+    id_col: str = "doc_id",
+    decoder: Callable[[bytes], dict] = fake_decode_bytes,
 ) -> DataFrame:
     """Frame sampling: one output row per sampled frame of each payload
     (the video → frames explode pattern). Frame count comes from the
@@ -79,7 +104,7 @@ def sample_frames(
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "frame_off": [], "frame_sig": []}
             for did, payload in zip(pdf[id_col], pdf["payload"]):
-                meta = _fake_decode_bytes(payload)
+                meta = decoder(payload)
                 n = len(payload)
                 for idx in range(0, meta["n_frames"], every):
                     off = (idx * 997) % n if n else 0

@@ -94,3 +94,49 @@ def test_chunk_audio_offsets_and_coverage(spark):
     # doc 2: short clip -> one partial chunk; doc 3: empty -> no rows
     assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_bytes == 10
     assert 3 not in by_doc
+
+
+def test_decoder_injection_through_public_surface(spark):
+    """VERDICT r12 item 7: the decode callable is a documented
+    parameter of the public operators — inject a custom decoder and
+    observe its metadata end-to-end, without touching module
+    internals; the deterministic fake stays the default."""
+
+    def _stub_px_decoder(payload: bytes) -> dict:
+        # pure local callable meeting the fake_decode_bytes contract
+        # (cloudpickled by value — test modules aren't importable on
+        # executors): every payload becomes a fixed 2x2 'image'
+        # fingerprinted by its last byte
+        n = len(payload)
+        return {
+            "n_bytes": n,
+            "width": 2,
+            "height": 2,
+            "n_frames": 1,
+            "first_byte": payload[-1] if n else -1,
+        }
+
+    from dimagi_data_platform_spark.multimodal.binary_ops import (
+        attach_binary_payload,
+        extract_features,
+        fake_decode_bytes,
+        sample_frames,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    payloads = attach_binary_payload(docs)
+    got = {r.doc_id: r for r in
+           extract_features(payloads, decoder=_stub_px_decoder).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert got
+    for did, r in got.items():
+        raw = texts[did].encode("utf-8")
+        assert (r.width, r.height, r.n_frames) == (2, 2, 1)
+        assert r.first_byte == (raw[-1] if raw else -1)
+    # default is unchanged: the fake decoder's metadata
+    dflt = {r.doc_id: r for r in extract_features(payloads).collect()}
+    for did, r in dflt.items():
+        assert r.width == fake_decode_bytes(texts[did].encode())["width"]
+    # frames honor the injected frame count (1 frame -> 1 row per doc)
+    fr = sample_frames(payloads, decoder=_stub_px_decoder)
+    assert fr.count() == len(texts)
