@@ -87,11 +87,30 @@ def _is_rows_only(name: str, rec: dict) -> bool:
     return name not in ORACLE
 
 
+def touched_rounds(repo: str = _REPO) -> dict[str, int]:
+    """query name -> round in which its IMPLEMENTATION last changed
+    (committed ledger ``TOUCHED_QUERIES.json``, maintained alongside
+    any semantic edit to a registered query). A query touched after
+    its last driver sample carries STALE evidence — the green hash in
+    the ledger predates the code now running — so the rotation fronts
+    it for re-verification (r13; previously a changed query could hide
+    behind its old green sample for many rounds)."""
+    path = os.path.join(repo, "TOUCHED_QUERIES.json")
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    return {k: int(v) for k, v in data.items()}
+
+
 def sample_order(names: list[str], repo: str = _REPO) -> list[str]:
-    """Rotation order: fixable-failure resamples first, then
+    """Rotation order: fixable-failure resamples first, then queries
+    modified after their last driver sample (stale evidence), then
     never-sampled, then stalest round, then (last) rows-only queries
     that already carry driver evidence; registration order ties."""
     ledger = _ledger(repo)
+    touched = touched_rounds(repo)
     pos = {n: i for i, n in enumerate(names)}
     back = 10**6  # after every real round number
 
@@ -100,6 +119,8 @@ def sample_order(names: list[str], repo: str = _REPO) -> list[str]:
             return (-1, pos[n])
         rnd, rec = ledger[n]
         if needs_resample(n, rec):
+            return (-3, pos[n])
+        if touched.get(n, -1) > rnd:
             return (-2, pos[n])
         if _is_rows_only(n, rec):
             return (back + rnd, pos[n])

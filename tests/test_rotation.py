@@ -49,27 +49,34 @@ def test_entry_surface_is_rotated_and_complete():
         # every tier may be empty except the clean tail (VERDICT r7
         # item 1: the old prefix-slice assertion was vacuously false
         # in exactly that state).
-        from dimagi_data_platform_spark.rotation import _is_rows_only
+        from dimagi_data_platform_spark.rotation import (
+            _is_rows_only,
+            touched_rounds,
+        )
+
+        touched = touched_rounds()
 
         def tier(n: str) -> int:
             if n not in seen:
-                return 1
+                return 2  # never-sampled
             if needs_resample(n, ledger[n][1]):
                 return 0
+            if touched.get(n, -1) > ledger[n][0]:
+                return 1  # modified after last sample: stale evidence
             # evidenced rows-only queries sort behind every oracle-
             # backed query (VERDICT r11 item 8): a re-sample can only
             # re-record err: no_oracle
-            return 3 if _is_rows_only(n, ledger[n][1]) else 2
+            return 4 if _is_rows_only(n, ledger[n][1]) else 3
 
         tiers = [tier(n) for n in names]
         assert tiers == sorted(tiers)
         # within the sampled-clean and rows-only tails, order is by
         # staleness
-        for t_want in (2, 3):
+        for t_want in (3, 4):
             rounds = [seen[n] for n, t in zip(names, tiers) if t == t_want]
             assert rounds == sorted(rounds)
         # the rows-only tail is exactly the no-oracle set with evidence
-        rows_only = [n for n, t in zip(names, tiers) if t == 3]
+        rows_only = [n for n, t in zip(names, tiers) if t == 4]
         assert rows_only, "expected at least one evidenced rows-only query"
         from dimagi_data_platform_spark.plans.oracle import ORACLE
         assert all(n not in ORACLE for n in rows_only)
@@ -112,3 +119,27 @@ def test_failed_last_sample_resamples_first(tmp_path):
     # priority tier: bad (mismatch) and the now-oracled query, in
     # registration order; then never-sampled fresh; then staleness.
     assert order == [oracled, "bad", "fresh", "clean", "rows_only_forever"]
+
+
+def test_touched_queries_front_ahead_of_stale(tmp_path):
+    """A query modified AFTER its last driver sample carries stale
+    evidence and must re-front (after failures, before never-sampled
+    is acceptable either way — pinned here: failures, touched, never-
+    sampled, clean)."""
+    import json
+
+    from dimagi_data_platform_spark.rotation import sample_order
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "clean": {"rows_match": True, "schema_match": True, "hash_match": True},
+        "touched_q": {"rows_match": True, "schema_match": True, "hash_match": True},
+        "failed": {"rows_match": True, "schema_match": True, "hash_match": False},
+    }))
+    (tmp_path / "TOUCHED_QUERIES.json").write_text(json.dumps({
+        "touched_q": 2,
+        "clean": 1,  # touched in the same round it was sampled: NOT stale
+    }))
+    order = sample_order(
+        ["clean", "touched_q", "new_q", "failed"], repo=str(tmp_path)
+    )
+    assert order == ["failed", "touched_q", "new_q", "clean"]
