@@ -9,6 +9,12 @@ directory.
 
 `run` prints the result (or writes parquet with --out); --explain
 prints the formatted physical plan instead of executing.
+
+    python -m dimagi_data_platform_spark etl --config etl.json
+
+`etl` runs the composed platform pipeline (plans/etl.py) from a JSON
+config whose keys are PlatformEtlConfig fields — the declarative
+entrypoint the reference's scheduled job maps to.
 """
 
 from __future__ import annotations
@@ -29,6 +35,14 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument(
         "--explain", action="store_true", help="print the physical plan, don't execute"
     )
+    e = sub.add_parser(
+        "etl", help="run the composed platform ETL from a JSON config"
+    )
+    e.add_argument(
+        "--config", required=True,
+        help="JSON file of PlatformEtlConfig fields (source_events, "
+        "warehouse, optional jdbc_url/jdbc_driver/publish)",
+    )
     return p
 
 
@@ -39,6 +53,23 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "list":
         for name in sorted(QUERIES):
             print(name)
+        return 0
+    if args.cmd == "etl":
+        import json
+
+        from dimagi_data_platform_spark.plans.etl import (
+            PlatformEtlConfig,
+            run_platform_etl,
+        )
+        from dimagi_data_platform_spark.session import get_spark
+
+        with open(args.config) as fh:
+            raw = json.load(fh)
+        if "publish" in raw:
+            raw["publish"] = tuple(raw["publish"])
+        cfg = PlatformEtlConfig(**raw)
+        report = run_platform_etl(get_spark("cli:etl"), cfg)
+        print(json.dumps(report, default=str))
         return 0
     if args.query not in QUERIES:
         print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)

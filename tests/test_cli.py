@@ -22,3 +22,22 @@ def test_cli_run_writes_parquet(spark, tmp_path):
     out = str(tmp_path / "cli_out")
     assert main(["run", "q6_revenue_delta", "--sf-dir", SF_SMALL, "--out", out]) == 0
     assert spark.read.parquet(out).count() == 1
+
+
+def test_cli_etl_runs_from_json_config(spark, tmp_path, capsys):
+    """The declarative entrypoint: `etl --config x.json` drives the
+    composed pipeline and prints the run report."""
+    import json
+
+    from dimagi_data_platform_spark.catalog import load_table
+    from dimagi_data_platform_spark.sources.versioned import read_version
+
+    src = str(tmp_path / "ev")
+    load_table(spark, SF_SMALL, "events").write.parquet(src)
+    wh = str(tmp_path / "wh")
+    cfgp = tmp_path / "etl.json"
+    cfgp.write_text(json.dumps({"source_events": src, "warehouse": wh}))
+    assert main(["etl", "--config", str(cfgp)]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["rows_ingested"] > 0 and "watermark_after" in report
+    assert read_version(spark, f"{wh}/monthly_usage").count() > 0
