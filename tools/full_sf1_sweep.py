@@ -85,6 +85,18 @@ def oracle_with_timeout(sf_dir: str, sql: str, timeout: float):
     from dimagi_data_platform_spark.catalog import TABLES, table_path
 
     con = duckdb.connect()
+    # r13: cap DuckDB's memory and point its spill at the repo tmp dir.
+    # Without the cap, a pair-quadratic oracle at sf1 (e.g. the exact
+    # truth side of the near-dup recall eval: 20k² pairs × 64-dim fold
+    # chains) allocates faster than the interrupt timeout fires — the
+    # first r13 sweep died to the kernel OOM killer at ~99 GB RSS. With
+    # the cap the oracle spills (bounded by disk, cleaned on close) and
+    # the timeout path gets its chance to record an honest
+    # ``oracle_timeout``.
+    con.execute("SET memory_limit='24GB'")
+    tmpdir = os.path.join(REPO, ".tmp")
+    os.makedirs(tmpdir, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmpdir}'")
     for t in TABLES:
         p = table_path(sf_dir, t)
         if os.path.exists(p):
@@ -100,10 +112,22 @@ def oracle_with_timeout(sf_dir: str, sql: str, timeout: float):
     th = threading.Thread(target=work, daemon=True)
     th.start()
     th.join(timeout)
+
+    def _close():
+        # close releases the connection's temp spill files; an
+        # interrupted connection left open was how 68 GB of stale
+        # duckdb_temp_storage-* accumulated across earlier rounds
+        try:
+            con.close()
+        except Exception:
+            pass
+
     if th.is_alive():
         con.interrupt()
         th.join(30)
+        _close()
         return None, "oracle_timeout"
+    _close()
     if "err" in out:
         return None, f"oracle_error: {out['err'][:200]}"
     return out["pdf"], "ok"
