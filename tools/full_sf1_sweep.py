@@ -93,7 +93,11 @@ def oracle_with_timeout(sf_dir: str, sql: str, timeout: float):
     # the cap the oracle spills (bounded by disk, cleaned on close) and
     # the timeout path gets its chance to record an honest
     # ``oracle_timeout``.
-    con.execute("SET memory_limit='24GB'")
+    # 56 GB: large enough that attempt-1's in-RAM oracle speeds return
+    # (the 24 GB cap of the first fix spilled mid-size oracles and
+    # dropped parity throughput ~2.5x), small enough that python +
+    # the 24 GB JVM driver heap stay clear of the 125 GB host OOM line.
+    con.execute("SET memory_limit='56GB'")
     tmpdir = os.path.join(REPO, ".tmp")
     os.makedirs(tmpdir, exist_ok=True)
     con.execute(f"SET temp_directory='{tmpdir}'")
@@ -212,6 +216,13 @@ def main() -> None:
                     "hash_ok" if not errs else f"FAIL: {errs[:3]}"
                 )
             print(f"[parity] {name}: {results[name]['parity']}", flush=True)
+            done = sum(1 for r in results.values() if "parity" in r)
+            if done % 20 == 0:
+                # incremental partial dump: a killed/OOMed run keeps
+                # its evidence (r13 — the first sweep died at query
+                # ~86 of 315 with nothing on disk)
+                with open(args.out + ".partial", "w") as f:
+                    json.dump(results, f, indent=1, sort_keys=True)
 
     scale_flagged = sorted(
         (
