@@ -143,6 +143,11 @@ def main() -> None:
     ap.add_argument("--timeout", type=float, default=240.0)
     ap.add_argument("--spark-timeout", type=float, default=300.0)
     ap.add_argument("--skip-parity", action="store_true")
+    ap.add_argument(
+        "--parity-only", action="store_true",
+        help="skip the two timing passes (timings live in "
+        "SCALE_CURVE_SF10.json); run only the sf1 hash gate",
+    )
     args = ap.parse_args()
 
     if not os.path.isdir(SF1):
@@ -159,9 +164,9 @@ def main() -> None:
     oracles = entrymod.oracle_sql()
     names = sorted(qs)
 
-    results: dict[str, dict] = {}
+    results: dict[str, dict] = {name: {} for name in names}
     # pass 1: sf0.1 single-run timings (doubles as session warmup)
-    for name in names:
+    for name in names if not args.parity_only else []:
         sec, err = timed_spark(
             spark, lambda: run_noop(qs[name](spark, SF01)), args.spark_timeout
         )
@@ -172,7 +177,7 @@ def main() -> None:
         print(f"[sf0.1] {name}: {results[name].get('t_sf01')}", flush=True)
 
     # pass 2: sf1 timings
-    for name in names:
+    for name in names if not args.parity_only else []:
         sec, err = timed_spark(
             spark, lambda: run_noop(qs[name](spark, SF1)), args.spark_timeout
         )
