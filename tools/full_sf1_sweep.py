@@ -144,6 +144,11 @@ def main() -> None:
     ap.add_argument("--spark-timeout", type=float, default=300.0)
     ap.add_argument("--skip-parity", action="store_true")
     ap.add_argument(
+        "names", nargs="*",
+        help="restrict to these query names (delta sweeps: the "
+        "queries added/changed since the last full sweep)",
+    )
+    ap.add_argument(
         "--parity-only", action="store_true",
         help="skip the two timing passes (timings live in "
         "SCALE_CURVE_SF10.json); run only the sf1 hash gate",
@@ -162,7 +167,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = sorted(qs)
+    names = sorted(args.names) if args.names else sorted(qs)
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
 
     results: dict[str, dict] = {name: {} for name in names}
     # pass 1: sf0.1 single-run timings (doubles as session warmup)
