@@ -288,6 +288,32 @@ def hll_distinct_eval(
     256-rows-per-group register aggregate; the exact column is the
     correctness-gate cost, not the serving path's.
     """
+    regs = hll_registers(df, group_cols, key)
+    est = _hll_estimate(regs, group_cols)
+    exact = df.groupBy(*group_cols).agg(
+        F.count_distinct(F.col(key)).cast("long").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, group_cols)
+        .withColumn(
+            "rel_err",
+            F.col("est_distinct") / F.col("exact_distinct").cast("double")
+            - F.lit(1.0),
+        )
+        .select(
+            *group_cols, "est_distinct", "exact_distinct", "rel_err", "v_empty"
+        )
+    )
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], key: str
+) -> DataFrame:
+    """The deterministic HLL SKETCH itself: per group, the occupied
+    registers (``__reg``) with their rho maxima (``mj``) — md5 hash,
+    so identical in any engine. This IS the mergeable state: sketches
+    union by register-wise MAX (``hll_merge``), the property the
+    production hll_sketch_agg/hll_union_agg rollup relies on."""
     el = df.select(*group_cols, F.col(key).cast("string").alias("__k")).distinct()
     h = F.md5(F.col("__k"))
     reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
@@ -297,12 +323,28 @@ def hll_distinct_eval(
     rho = F.when(F.col("__w") == F.lit(0), F.lit(53)).otherwise(
         F.lit(53) - F.length(F.bin(F.col("__w")))
     )
-    regs = (
+    return (
         el.select(*group_cols, reg.alias("__reg"), w.alias("__w"))
         .withColumn("__rho", rho.cast("long"))
         .groupBy(*group_cols, "__reg")
         .agg(F.max("__rho").alias("mj"))
     )
+
+
+def hll_merge(regs: DataFrame, to_cols: list[str]) -> DataFrame:
+    """Union-merge sketches DOWN to a coarser grain: register-wise MAX
+    over the surviving group columns — exactly hll_union_agg's
+    semantics, and exactly equal to re-sketching the raw keys at the
+    coarse grain (max is associative), which is what makes persisted
+    fine-grain sketches answer any coarser distinct query without a
+    rescan."""
+    return regs.groupBy(*to_cols, "__reg").agg(F.max("mj").alias("mj"))
+
+
+def _hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group..., est_distinct, v_empty) from a register table — exact
+    dyadic harmonic sum, literal-ln linear-counting branch, fixed IEEE
+    op order (see hll_distinct_eval)."""
     per = regs.groupBy(*group_cols).agg(
         F.sum(
             # SQL-form shiftleft: the PySpark wrapper only takes a
@@ -338,21 +380,58 @@ def hll_distinct_eval(
         (F.col("raw_est") <= F.lit(2.5 * _HLL_M)) & (F.col("v_empty") > 0),
         F.lit(float(_HLL_M)) * (F.lit(math.log(_HLL_M)) - ln_v),
     ).otherwise(F.col("raw_est"))
-    exact = df.groupBy(*group_cols).agg(
-        F.count_distinct(F.col(key)).cast("long").alias("exact_distinct")
-    )
     return (
         per.withColumn("v_empty", v)
         .withColumn("raw_est", raw)
         .withColumn("est_distinct", est)
-        .join(exact, group_cols)
+        .select(*group_cols, "est_distinct", "v_empty")
+    )
+
+
+def hll_union_rollup_eval(
+    df: DataFrame,
+    fine_cols: list[str],
+    coarse_cols: list[str],
+    key: str,
+) -> DataFrame:
+    """L37b: the MERGEABLE-ROLLUP companion of segment_distinct_union
+    with the exactness band — persist deterministic HLL sketches at
+    the FINE grain, answer the COARSE-grain distinct query by
+    register-wise union-merge (never rescanning the keys), and emit
+    the merged estimate NEXT TO the exact coarse distinct count, the
+    realized relative error, and the number of fine sketches merged.
+    Because ``max`` is associative the merged registers are provably
+    identical to direct coarse-grain sketching — the property that
+    lets a 100 TB warehouse store per-(day, shard) sketches once and
+    serve any rollup; here that identity is hash-checked against the
+    DuckDB twin end to end rather than asserted."""
+    fine = hll_registers(df, fine_cols, key)
+    n_sketches = (
+        fine.select(*fine_cols)
+        .distinct()
+        .groupBy(*coarse_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_fine_sketches"))
+    )
+    merged = hll_merge(fine, coarse_cols)
+    est = _hll_estimate(merged, coarse_cols)
+    exact = df.groupBy(*coarse_cols).agg(
+        F.count_distinct(F.col(key)).cast("long").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, coarse_cols)
+        .join(n_sketches, coarse_cols)
         .withColumn(
             "rel_err",
             F.col("est_distinct") / F.col("exact_distinct").cast("double")
             - F.lit(1.0),
         )
         .select(
-            *group_cols, "est_distinct", "exact_distinct", "rel_err", "v_empty"
+            *coarse_cols,
+            "n_fine_sketches",
+            "est_distinct",
+            "exact_distinct",
+            "rel_err",
+            "v_empty",
         )
     )
 

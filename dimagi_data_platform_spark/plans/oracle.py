@@ -6419,6 +6419,61 @@ LIMIT 20
 """
 
 
+# L37b: mergeable-rollup companion — fine-grain register sketches,
+# register-wise MAX union-merge to the coarse grain (no key rescan),
+# then the same deterministic estimator as hll_distinct_eval.
+ORACLE["hll_union_rollup_eval"] = """
+WITH el AS (
+  SELECT DISTINCT c_mktsegment AS seg, c_nationkey AS nat,
+         CAST(c_custkey AS VARCHAR) AS k
+  FROM customer),
+rr AS (
+  SELECT seg, nat,
+         CAST(('0x' || substr(md5(k), 1, 2)) AS BIGINT) AS reg,
+         CAST(('0x' || substr(md5(k), 3, 13)) AS BIGINT) AS w
+  FROM el),
+fine AS MATERIALIZED (
+  SELECT seg, nat, reg,
+         MAX(CASE WHEN w = 0 THEN 53
+                  ELSE 53 - length(bin(w)) END) AS mj
+  FROM rr GROUP BY seg, nat, reg),
+ns AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_fine_sketches
+  FROM (SELECT DISTINCT seg, nat FROM fine) GROUP BY seg),
+merged AS (
+  SELECT seg, reg, MAX(mj) AS mj FROM fine GROUP BY seg, reg),
+per AS (
+  SELECT seg,
+         CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - mj AS INT)) AS BIGINT)
+           AS s_scaled,
+         CAST(COUNT(*) AS BIGINT) AS occupied
+  FROM merged GROUP BY seg),
+ex AS (
+  SELECT c_mktsegment AS seg,
+         CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_distinct
+  FROM customer GROUP BY 1),
+stage AS (
+  SELECT seg, s_scaled,
+         CAST(256 - occupied AS BIGINT) AS v_empty,
+         CAST(0.7182725932495458 AS DOUBLE) * CAST(65536.0 AS DOUBLE)
+           * CAST(9007199254740992.0 AS DOUBLE)
+           / CAST(s_scaled + (CAST(256 AS BIGINT) - occupied)
+                  * CAST(9007199254740992 AS BIGINT) AS DOUBLE) AS raw_est
+  FROM per),
+est AS (
+  SELECT seg, v_empty,
+         CASE WHEN raw_est <= CAST(640.0 AS DOUBLE) AND v_empty > 0
+              THEN CAST(256.0 AS DOUBLE)
+                   * (CAST(5.545177444479562 AS DOUBLE) - (CASE CAST(v_empty AS INT) WHEN 1 THEN CAST(0.0 AS DOUBLE) WHEN 2 THEN CAST(0.6931471805599453 AS DOUBLE) WHEN 3 THEN CAST(1.0986122886681098 AS DOUBLE) WHEN 4 THEN CAST(1.3862943611198906 AS DOUBLE) WHEN 5 THEN CAST(1.6094379124341003 AS DOUBLE) WHEN 6 THEN CAST(1.791759469228055 AS DOUBLE) WHEN 7 THEN CAST(1.9459101490553132 AS DOUBLE) WHEN 8 THEN CAST(2.0794415416798357 AS DOUBLE) WHEN 9 THEN CAST(2.1972245773362196 AS DOUBLE) WHEN 10 THEN CAST(2.302585092994046 AS DOUBLE) WHEN 11 THEN CAST(2.3978952727983707 AS DOUBLE) WHEN 12 THEN CAST(2.4849066497880004 AS DOUBLE) WHEN 13 THEN CAST(2.5649493574615367 AS DOUBLE) WHEN 14 THEN CAST(2.6390573296152584 AS DOUBLE) WHEN 15 THEN CAST(2.70805020110221 AS DOUBLE) WHEN 16 THEN CAST(2.772588722239781 AS DOUBLE) WHEN 17 THEN CAST(2.833213344056216 AS DOUBLE) WHEN 18 THEN CAST(2.8903717578961645 AS DOUBLE) WHEN 19 THEN CAST(2.9444389791664403 AS DOUBLE) WHEN 20 THEN CAST(2.995732273553991 AS DOUBLE) WHEN 21 THEN CAST(3.044522437723423 AS DOUBLE) WHEN 22 THEN CAST(3.091042453358316 AS DOUBLE) WHEN 23 THEN CAST(3.1354942159291497 AS DOUBLE) WHEN 24 THEN CAST(3.1780538303479458 AS DOUBLE) WHEN 25 THEN CAST(3.2188758248682006 AS DOUBLE) WHEN 26 THEN CAST(3.258096538021482 AS DOUBLE) WHEN 27 THEN CAST(3.295836866004329 AS DOUBLE) WHEN 28 THEN CAST(3.332204510175204 AS DOUBLE) WHEN 29 THEN CAST(3.367295829986474 AS DOUBLE) WHEN 30 THEN CAST(3.4011973816621555 AS DOUBLE) WHEN 31 THEN CAST(3.4339872044851463 AS DOUBLE) WHEN 32 THEN CAST(3.4657359027997265 AS DOUBLE) WHEN 33 THEN CAST(3.4965075614664802 AS DOUBLE) WHEN 34 THEN CAST(3.5263605246161616 AS DOUBLE) WHEN 35 THEN CAST(3.5553480614894135 AS DOUBLE) WHEN 36 THEN CAST(3.58351893845611 AS DOUBLE) WHEN 37 THEN CAST(3.6109179126442243 AS DOUBLE) WHEN 38 THEN CAST(3.6375861597263857 AS DOUBLE) WHEN 39 THEN CAST(3.6635616461296463 AS DOUBLE) WHEN 40 THEN CAST(3.6888794541139363 AS DOUBLE) WHEN 41 THEN CAST(3.713572066704308 AS DOUBLE) WHEN 42 THEN CAST(3.7376696182833684 AS DOUBLE) WHEN 43 THEN CAST(3.7612001156935624 AS DOUBLE) WHEN 44 THEN CAST(3.784189633918261 AS DOUBLE) WHEN 45 THEN CAST(3.8066624897703196 AS DOUBLE) WHEN 46 THEN CAST(3.828641396489095 AS DOUBLE) WHEN 47 THEN CAST(3.8501476017100584 AS DOUBLE) WHEN 48 THEN CAST(3.871201010907891 AS DOUBLE) WHEN 49 THEN CAST(3.8918202981106265 AS DOUBLE) WHEN 50 THEN CAST(3.912023005428146 AS DOUBLE) WHEN 51 THEN CAST(3.9318256327243257 AS DOUBLE) WHEN 52 THEN CAST(3.9512437185814275 AS DOUBLE) WHEN 53 THEN CAST(3.970291913552122 AS DOUBLE) WHEN 54 THEN CAST(3.9889840465642745 AS DOUBLE) WHEN 55 THEN CAST(4.007333185232471 AS DOUBLE) WHEN 56 THEN CAST(4.02535169073515 AS DOUBLE) WHEN 57 THEN CAST(4.04305126783455 AS DOUBLE) WHEN 58 THEN CAST(4.060443010546419 AS DOUBLE) WHEN 59 THEN CAST(4.07753744390572 AS DOUBLE) WHEN 60 THEN CAST(4.0943445622221 AS DOUBLE) WHEN 61 THEN CAST(4.110873864173311 AS DOUBLE) WHEN 62 THEN CAST(4.127134385045092 AS DOUBLE) WHEN 63 THEN CAST(4.143134726391533 AS DOUBLE) WHEN 64 THEN CAST(4.1588830833596715 AS DOUBLE) WHEN 65 THEN CAST(4.174387269895637 AS DOUBLE) WHEN 66 THEN CAST(4.189654742026425 AS DOUBLE) WHEN 67 THEN CAST(4.204692619390966 AS DOUBLE) WHEN 68 THEN CAST(4.219507705176107 AS DOUBLE) WHEN 69 THEN CAST(4.23410650459726 AS DOUBLE) WHEN 70 THEN CAST(4.248495242049359 AS DOUBLE) WHEN 71 THEN CAST(4.2626798770413155 AS DOUBLE) WHEN 72 THEN CAST(4.276666119016055 AS DOUBLE) WHEN 73 THEN CAST(4.290459441148391 AS DOUBLE) WHEN 74 THEN CAST(4.30406509320417 AS DOUBLE) WHEN 75 THEN CAST(4.31748811353631 AS DOUBLE) WHEN 76 THEN CAST(4.330733340286331 AS DOUBLE) WHEN 77 THEN CAST(4.343805421853684 AS DOUBLE) WHEN 78 THEN CAST(4.356708826689592 AS DOUBLE) WHEN 79 THEN CAST(4.3694478524670215 AS DOUBLE) WHEN 80 THEN CAST(4.382026634673881 AS DOUBLE) WHEN 81 THEN CAST(4.394449154672439 AS DOUBLE) WHEN 82 THEN CAST(4.406719247264253 AS DOUBLE) WHEN 83 THEN CAST(4.418840607796598 AS DOUBLE) WHEN 84 THEN CAST(4.430816798843313 AS DOUBLE) WHEN 85 THEN CAST(4.442651256490317 AS DOUBLE) WHEN 86 THEN CAST(4.454347296253507 AS DOUBLE) WHEN 87 THEN CAST(4.465908118654584 AS DOUBLE) WHEN 88 THEN CAST(4.477336814478207 AS DOUBLE) WHEN 89 THEN CAST(4.48863636973214 AS DOUBLE) WHEN 90 THEN CAST(4.499809670330265 AS DOUBLE) WHEN 91 THEN CAST(4.51085950651685 AS DOUBLE) WHEN 92 THEN CAST(4.5217885770490405 AS DOUBLE) WHEN 93 THEN CAST(4.532599493153256 AS DOUBLE) WHEN 94 THEN CAST(4.543294782270004 AS DOUBLE) WHEN 95 THEN CAST(4.553876891600541 AS DOUBLE) WHEN 96 THEN CAST(4.564348191467836 AS DOUBLE) WHEN 97 THEN CAST(4.574710978503383 AS DOUBLE) WHEN 98 THEN CAST(4.584967478670572 AS DOUBLE) WHEN 99 THEN CAST(4.59511985013459 AS DOUBLE) WHEN 100 THEN CAST(4.605170185988092 AS DOUBLE) WHEN 101 THEN CAST(4.61512051684126 AS DOUBLE) WHEN 102 THEN CAST(4.624972813284271 AS DOUBLE) WHEN 103 THEN CAST(4.634728988229636 AS DOUBLE) WHEN 104 THEN CAST(4.6443908991413725 AS DOUBLE) WHEN 105 THEN CAST(4.653960350157523 AS DOUBLE) WHEN 106 THEN CAST(4.663439094112067 AS DOUBLE) WHEN 107 THEN CAST(4.672828834461906 AS DOUBLE) WHEN 108 THEN CAST(4.68213122712422 AS DOUBLE) WHEN 109 THEN CAST(4.6913478822291435 AS DOUBLE) WHEN 110 THEN CAST(4.700480365792417 AS DOUBLE) WHEN 111 THEN CAST(4.709530201312334 AS DOUBLE) WHEN 112 THEN CAST(4.718498871295094 AS DOUBLE) WHEN 113 THEN CAST(4.727387818712341 AS DOUBLE) WHEN 114 THEN CAST(4.736198448394496 AS DOUBLE) WHEN 115 THEN CAST(4.74493212836325 AS DOUBLE) WHEN 116 THEN CAST(4.7535901911063645 AS DOUBLE) WHEN 117 THEN CAST(4.762173934797756 AS DOUBLE) WHEN 118 THEN CAST(4.770684624465665 AS DOUBLE) WHEN 119 THEN CAST(4.77912349311153 AS DOUBLE) WHEN 120 THEN CAST(4.787491742782046 AS DOUBLE) WHEN 121 THEN CAST(4.795790545596741 AS DOUBLE) WHEN 122 THEN CAST(4.804021044733257 AS DOUBLE) WHEN 123 THEN CAST(4.812184355372417 AS DOUBLE) WHEN 124 THEN CAST(4.820281565605037 AS DOUBLE) WHEN 125 THEN CAST(4.8283137373023015 AS DOUBLE) WHEN 126 THEN CAST(4.836281906951478 AS DOUBLE) WHEN 127 THEN CAST(4.844187086458591 AS DOUBLE) WHEN 128 THEN CAST(4.852030263919617 AS DOUBLE) WHEN 129 THEN CAST(4.859812404361672 AS DOUBLE) WHEN 130 THEN CAST(4.867534450455582 AS DOUBLE) WHEN 131 THEN CAST(4.875197323201151 AS DOUBLE) WHEN 132 THEN CAST(4.882801922586371 AS DOUBLE) WHEN 133 THEN CAST(4.890349128221754 AS DOUBLE) WHEN 134 THEN CAST(4.897839799950911 AS DOUBLE) WHEN 135 THEN CAST(4.90527477843843 AS DOUBLE) WHEN 136 THEN CAST(4.912654885736052 AS DOUBLE) WHEN 137 THEN CAST(4.919980925828125 AS DOUBLE) WHEN 138 THEN CAST(4.927253685157205 AS DOUBLE) WHEN 139 THEN CAST(4.9344739331306915 AS DOUBLE) WHEN 140 THEN CAST(4.941642422609304 AS DOUBLE) WHEN 141 THEN CAST(4.948759890378168 AS DOUBLE) WHEN 142 THEN CAST(4.955827057601261 AS DOUBLE) WHEN 143 THEN CAST(4.962844630259907 AS DOUBLE) WHEN 144 THEN CAST(4.969813299576001 AS DOUBLE) WHEN 145 THEN CAST(4.976733742420574 AS DOUBLE) WHEN 146 THEN CAST(4.983606621708336 AS DOUBLE) WHEN 147 THEN CAST(4.990432586778736 AS DOUBLE) WHEN 148 THEN CAST(4.997212273764115 AS DOUBLE) WHEN 149 THEN CAST(5.003946305945459 AS DOUBLE) WHEN 150 THEN CAST(5.0106352940962555 AS DOUBLE) WHEN 151 THEN CAST(5.017279836814924 AS DOUBLE) WHEN 152 THEN CAST(5.0238805208462765 AS DOUBLE) WHEN 153 THEN CAST(5.030437921392435 AS DOUBLE) WHEN 154 THEN CAST(5.0369526024136295 AS DOUBLE) WHEN 155 THEN CAST(5.043425116919247 AS DOUBLE) WHEN 156 THEN CAST(5.049856007249537 AS DOUBLE) WHEN 157 THEN CAST(5.056245805348308 AS DOUBLE) WHEN 158 THEN CAST(5.062595033026967 AS DOUBLE) WHEN 159 THEN CAST(5.0689042022202315 AS DOUBLE) WHEN 160 THEN CAST(5.075173815233827 AS DOUBLE) WHEN 161 THEN CAST(5.081404364984463 AS DOUBLE) WHEN 162 THEN CAST(5.087596335232384 AS DOUBLE) WHEN 163 THEN CAST(5.093750200806762 AS DOUBLE) WHEN 164 THEN CAST(5.099866427824199 AS DOUBLE) WHEN 165 THEN CAST(5.10594547390058 AS DOUBLE) WHEN 166 THEN CAST(5.111987788356544 AS DOUBLE) WHEN 167 THEN CAST(5.117993812416755 AS DOUBLE) WHEN 168 THEN CAST(5.123963979403259 AS DOUBLE) WHEN 169 THEN CAST(5.1298987149230735 AS DOUBLE) WHEN 170 THEN CAST(5.135798437050262 AS DOUBLE) WHEN 171 THEN CAST(5.14166355650266 AS DOUBLE) WHEN 172 THEN CAST(5.147494476813453 AS DOUBLE) WHEN 173 THEN CAST(5.153291594497779 AS DOUBLE) WHEN 174 THEN CAST(5.159055299214529 AS DOUBLE) WHEN 175 THEN CAST(5.1647859739235145 AS DOUBLE) WHEN 176 THEN CAST(5.170483995038151 AS DOUBLE) WHEN 177 THEN CAST(5.176149732573829 AS DOUBLE) WHEN 178 THEN CAST(5.181783550292085 AS DOUBLE) WHEN 179 THEN CAST(5.187385805840755 AS DOUBLE) WHEN 180 THEN CAST(5.19295685089021 AS DOUBLE) WHEN 181 THEN CAST(5.198497031265826 AS DOUBLE) WHEN 182 THEN CAST(5.204006687076795 AS DOUBLE) WHEN 183 THEN CAST(5.209486152841421 AS DOUBLE) WHEN 184 THEN CAST(5.214935757608986 AS DOUBLE) WHEN 185 THEN CAST(5.220355825078324 AS DOUBLE) WHEN 186 THEN CAST(5.225746673713202 AS DOUBLE) WHEN 187 THEN CAST(5.231108616854587 AS DOUBLE) WHEN 188 THEN CAST(5.236441962829949 AS DOUBLE) WHEN 189 THEN CAST(5.241747015059643 AS DOUBLE) WHEN 190 THEN CAST(5.247024072160486 AS DOUBLE) WHEN 191 THEN CAST(5.25227342804663 AS DOUBLE) WHEN 192 THEN CAST(5.2574953720277815 AS DOUBLE) WHEN 193 THEN CAST(5.262690188904886 AS DOUBLE) WHEN 194 THEN CAST(5.267858159063328 AS DOUBLE) WHEN 195 THEN CAST(5.272999558563747 AS DOUBLE) WHEN 196 THEN CAST(5.278114659230517 AS DOUBLE) WHEN 197 THEN CAST(5.2832037287379885 AS DOUBLE) WHEN 198 THEN CAST(5.288267030694535 AS DOUBLE) WHEN 199 THEN CAST(5.293304824724492 AS DOUBLE) WHEN 200 THEN CAST(5.298317366548036 AS DOUBLE) WHEN 201 THEN CAST(5.303304908059076 AS DOUBLE) WHEN 202 THEN CAST(5.308267697401205 AS DOUBLE) WHEN 203 THEN CAST(5.313205979041787 AS DOUBLE) WHEN 204 THEN CAST(5.318119993844216 AS DOUBLE) WHEN 205 THEN CAST(5.3230099791384085 AS DOUBLE) WHEN 206 THEN CAST(5.327876168789581 AS DOUBLE) WHEN 207 THEN CAST(5.332718793265369 AS DOUBLE) WHEN 208 THEN CAST(5.337538079701318 AS DOUBLE) WHEN 209 THEN CAST(5.342334251964811 AS DOUBLE) WHEN 210 THEN CAST(5.3471075307174685 AS DOUBLE) WHEN 211 THEN CAST(5.351858133476067 AS DOUBLE) WHEN 212 THEN CAST(5.356586274672012 AS DOUBLE) WHEN 213 THEN CAST(5.3612921657094255 AS DOUBLE) WHEN 214 THEN CAST(5.365976015021851 AS DOUBLE) WHEN 215 THEN CAST(5.3706380281276624 AS DOUBLE) WHEN 216 THEN CAST(5.375278407684165 AS DOUBLE) WHEN 217 THEN CAST(5.37989735354046 AS DOUBLE) WHEN 218 THEN CAST(5.384495062789089 AS DOUBLE) WHEN 219 THEN CAST(5.389071729816501 AS DOUBLE) WHEN 220 THEN CAST(5.393627546352362 AS DOUBLE) WHEN 221 THEN CAST(5.3981627015177525 AS DOUBLE) WHEN 222 THEN CAST(5.402677381872279 AS DOUBLE) WHEN 223 THEN CAST(5.407171771460119 AS DOUBLE) WHEN 224 THEN CAST(5.4116460518550396 AS DOUBLE) WHEN 225 THEN CAST(5.41610040220442 AS DOUBLE) WHEN 226 THEN CAST(5.420534999272286 AS DOUBLE) WHEN 227 THEN CAST(5.424950017481403 AS DOUBLE) WHEN 228 THEN CAST(5.429345628954441 AS DOUBLE) WHEN 229 THEN CAST(5.43372200355424 AS DOUBLE) WHEN 230 THEN CAST(5.438079308923196 AS DOUBLE) WHEN 231 THEN CAST(5.442417710521793 AS DOUBLE) WHEN 232 THEN CAST(5.44673737166631 AS DOUBLE) WHEN 233 THEN CAST(5.4510384535657 AS DOUBLE) WHEN 234 THEN CAST(5.455321115357702 AS DOUBLE) WHEN 235 THEN CAST(5.459585514144159 AS DOUBLE) WHEN 236 THEN CAST(5.4638318050256105 AS DOUBLE) WHEN 237 THEN CAST(5.4680601411351315 AS DOUBLE) WHEN 238 THEN CAST(5.472270673671475 AS DOUBLE) WHEN 239 THEN CAST(5.476463551931511 AS DOUBLE) WHEN 240 THEN CAST(5.480638923341991 AS DOUBLE) WHEN 241 THEN CAST(5.484796933490655 AS DOUBLE) WHEN 242 THEN CAST(5.488937726156687 AS DOUBLE) WHEN 243 THEN CAST(5.493061443340548 AS DOUBLE) WHEN 244 THEN CAST(5.497168225293202 AS DOUBLE) WHEN 245 THEN CAST(5.501258210544727 AS DOUBLE) WHEN 246 THEN CAST(5.5053315359323625 AS DOUBLE) WHEN 247 THEN CAST(5.5093883366279774 AS DOUBLE) WHEN 248 THEN CAST(5.5134287461649825 AS DOUBLE) WHEN 249 THEN CAST(5.517452896464707 AS DOUBLE) WHEN 250 THEN CAST(5.521460917862246 AS DOUBLE) WHEN 251 THEN CAST(5.5254529391317835 AS DOUBLE) WHEN 252 THEN CAST(5.529429087511423 AS DOUBLE) WHEN 253 THEN CAST(5.53338948872752 AS DOUBLE) WHEN 254 THEN CAST(5.537334267018537 AS DOUBLE) WHEN 255 THEN CAST(5.541263545158426 AS DOUBLE) END))
+              ELSE raw_est END AS est_distinct
+  FROM stage)
+SELECT est.seg AS c_mktsegment, n_fine_sketches, est_distinct, exact_distinct,
+       est_distinct / CAST(exact_distinct AS DOUBLE) - 1.0 AS rel_err,
+       v_empty
+FROM est JOIN ex ON ex.seg = est.seg JOIN ns ON ns.seg = est.seg
+"""
+
+
 ORACLE["order_value_ddsketch"] = """
 WITH o AS (
   SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders

@@ -1574,6 +1574,26 @@ def hll_distinct_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct_eval(orders, ["month"], "o_custkey")
 
 
+@query("hll_union_rollup_eval")
+def hll_union_rollup_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L37b: the mergeable-rollup companion of segment_distinct_union
+    with the exactness band — deterministic md5-HLL sketches persisted
+    at (segment, nation) grain, union-merged to segment grain by
+    register-wise MAX (no key rescan), estimate + exact + realized
+    error + merged-sketch count all hash-checked. Proves the L37
+    mergeability CONTRACT cross-engine instead of asserting it; the
+    native hll_sketch_agg/hll_union_agg query stays rows-only for the
+    engine-sketch surface."""
+    from dimagi_data_platform_spark.operators.sketches import (
+        hll_union_rollup_eval,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    return hll_union_rollup_eval(
+        cust, ["c_mktsegment", "c_nationkey"], ["c_mktsegment"], "c_custkey"
+    )
+
+
 @query("quantile_sample_eval")
 def quantile_sample_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L17d (VERDICT r12 item 4): exactness-banded companion of the

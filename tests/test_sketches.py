@@ -221,3 +221,30 @@ def test_quantile_sample_eval_sane(spark):
         assert 0.1 <= r.n_sample / r.n_total <= 0.3
         if r.q == 50:
             assert abs(r.rel_err) <= 0.15
+
+
+def test_hll_union_rollup_merge_identity(spark):
+    """L37b: the merged coarse registers must be IDENTICAL to direct
+    coarse-grain sketching (max is associative) — the mergeability
+    contract itself, plus the estimate's error bound at segment
+    grain."""
+    from dimagi_data_platform_spark.catalog import load_table
+    from dimagi_data_platform_spark.operators.sketches import (
+        hll_merge,
+        hll_registers,
+    )
+    from dimagi_data_platform_spark.plans.queries import QUERIES
+
+    cust = load_table(spark, "/root/testdata/sf0.01", "customer")
+    fine = hll_registers(cust, ["c_mktsegment", "c_nationkey"], "c_custkey")
+    merged = sorted(map(tuple, hll_merge(fine, ["c_mktsegment"]).collect()))
+    direct = sorted(map(tuple, hll_registers(
+        cust, ["c_mktsegment"], "c_custkey").collect()))
+    assert merged == direct
+    rows = QUERIES["hll_union_rollup_eval"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.n_fine_sketches > 1  # a real multi-sketch merge
+        assert abs(r.rel_err) <= 4 * 1.04 / 16
