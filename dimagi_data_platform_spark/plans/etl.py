@@ -12,6 +12,9 @@ equivalents that already exist as graded components:
   P1  latest event per user          (operators/dedup.latest_by_key)
   P2  visit sessionization           (operators/sessionize.sessionize)
   P3  monthly usage indicators
+  P4  domain-level DAU + day-over-day delta   (day grain)
+  P5  cohort retention matrix                 (cohort_day × offset grain)
+  P5b user lifetime / attrition               (user grain + horizon flips)
   P9  JDBC staging + server-side MERGE upsert (sources/jdbc.py)
 
 Crash-safety contract (the at-least-once discipline of P8): the
@@ -30,12 +33,39 @@ So `run(); crash; run()` converges to the byte-identical warehouse
 state of a never-crashed run — proven by tests/test_platform_etl.py,
 which kills the driver between stages and diffs final state.
 
-Scale posture: per-batch work is proportional to the TOUCHED USERS'
-history, not the corpus — indicators recompute only for users present
-in the incoming batch (one semi-join against the staged table; session
-boundaries and monthly aggregates of untouched users cannot change),
-and the versioned MERGE + JDBC MERGE update only those grains. The
+Scale posture: per-batch work is proportional to the TOUCHED grains'
+history, not the corpus —
+
+  - user-grain indicators (P1/P2/P3/P5b) recompute only for users
+    present in the incoming batch (one semi-join against the staged
+    table; session boundaries and monthly aggregates of untouched
+    users cannot change);
+  - the day-grain DAU table (P4) recomputes only the batch's days
+    (day-scoped semi-join of the staged table); the lag-based
+    ``dau_delta`` additionally rewrites each touched day's NEXT
+    existing day, with untouched days' counts read from the small
+    existing indicator table rather than rescanned;
+  - the cohort-grain retention matrix (P5) maintains a per-user
+    ``user_first_day`` helper (user grain, touched-users-only) and
+    recomputes only the AFFECTED cohort days — the touched users' old
+    and new cohorts — over those cohorts' members' history; cells a
+    recompute no longer produces are merged as ``n_users = 0``
+    tombstones (``serve_indicator`` filters them);
+  - P5b's ``churned`` flag depends on the global horizon (the staged
+    max ts == the batch watermark), so besides the touched users the
+    run flips exactly the stored rows whose idle gap first crossed the
+    horizon-minus-7-days line — an O(users-table) filter, never an
+    event rescan (churned is monotone: the horizon only advances).
+
+The versioned MERGE + JDBC MERGE then update only those grains. The
 staging merge is the standard key-shuffled copy-on-write cost.
+
+Resubmission contract (matches the reference's form-resubmission
+semantics): a resubmitted event (same event_id, later ts) may change
+its payload but keeps its user_id and day — the touched-grain scoping
+above keys off the incoming batch's users/days, so a resubmission
+that silently MOVED an event across users or days would leave the
+abandoned grain stale until its next organic touch.
 """
 
 from __future__ import annotations
@@ -79,6 +109,8 @@ class PlatformEtlConfig:
     warehouse: str
     jdbc_url: str | None = None
     jdbc_driver: str = "org.postgresql.Driver"
+    jdbc_user: str = ""
+    jdbc_password: str = ""
     publish: tuple[str, ...] = ("monthly_usage",)
     watermark_name: str = "events"
     fail_after: str | None = None
@@ -89,6 +121,10 @@ _INDICATOR_KEYS = {
     "latest_event": ["user_id"],
     "visits": ["user_id", "session_id"],
     "monthly_usage": ["user_id", "month"],
+    "user_lifetime": ["user_id"],
+    "user_first_day": ["user_id"],
+    "active_users_daily": ["day"],
+    "retention_cohorts": ["cohort_day", "day_offset"],
 }
 
 
@@ -129,11 +165,67 @@ def _monthly_usage(ev: DataFrame) -> DataFrame:
     )
 
 
+def _user_lifetime(ev: DataFrame, horizon_us: int) -> DataFrame:
+    """P5b — mirrors the registered `user_lifetime` query, with the
+    global horizon passed in as the batch watermark (== the staged
+    table's max ts, because the watermark filter is strict and every
+    merge is latest-wins on ts)."""
+    g = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.to_date("ts")).alias("active_days"),
+    )
+    life_us = F.unix_micros("last_ts") - F.unix_micros("first_ts")
+    idle_us = F.lit(int(horizon_us)) - F.unix_micros("last_ts")
+    return g.select(
+        "user_id",
+        "first_ts",
+        "last_ts",
+        "n_events",
+        "active_days",
+        F.floor(life_us.cast("double") / F.lit(86_400_000_000.0))
+        .cast("long")
+        .alias("lifetime_days"),
+        (idle_us > F.lit(7 * 86_400_000_000)).alias("churned"),
+    )
+
+
+def _user_first_day(ev: DataFrame) -> DataFrame:
+    """P5 helper — per-user cohort day (min ts truncated to day)."""
+    return ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+
+
 _INDICATORS = {
     "latest_event": _latest_event,
     "visits": _visits,
     "monthly_usage": _monthly_usage,
 }
+
+#: every versioned table the pipeline maintains, in build order —
+#: the convergence test diffs all of them
+INDICATOR_TABLES = (
+    "latest_event",
+    "visits",
+    "monthly_usage",
+    "user_lifetime",
+    "user_first_day",
+    "active_users_daily",
+    "retention_cohorts",
+)
+
+
+def serve_indicator(spark: SparkSession, warehouse: str, name: str) -> DataFrame:
+    """Read an indicator table for serving: drops the internal
+    watermark stamp and filters retention tombstones (cells whose
+    recompute emptied them are stored as ``n_users = 0`` because the
+    versioned MERGE has no delete clause)."""
+    df = read_version(spark, f"{warehouse}/{name}").drop("_etl_wm")
+    if name == "retention_cohorts":
+        df = df.filter(F.col("n_users") > 0)
+    return df
 
 
 def _merge_or_init(
@@ -166,16 +258,27 @@ def _publish_jdbc(
     uppercased (Derby/Postgres resolve unquoted MERGE references to
     upper/lower case respectively; Spark's writer quotes them as
     given, so uppercase round-trips on both)."""
+    from dimagi_data_platform_spark.sources.jdbc import _check_ident
+
     up = rows.select([F.col(c).alias(c.upper()) for c in rows.columns])
-    target = name.upper()
-    staging = f"{target}_STG"
+    target = _check_ident(name.upper(), "publish table name")
+    staging = _check_ident(f"{target}_STG", "publish staging name")
     jcfg = lambda table: JdbcConfig(  # noqa: E731
-        url=cfg.jdbc_url, table=table, driver=cfg.jdbc_driver
+        url=cfg.jdbc_url,
+        table=table,
+        driver=cfg.jdbc_driver,
+        user=cfg.jdbc_user,
+        password=cfg.jdbc_password,
     )
     write_jdbc(up, jcfg(staging), mode="overwrite")
     # first publish: create the target as an empty copy of staging
     jvm = spark._jvm
-    conn = jvm.java.sql.DriverManager.getConnection(cfg.jdbc_url)
+    if cfg.jdbc_user:
+        conn = jvm.java.sql.DriverManager.getConnection(
+            cfg.jdbc_url, cfg.jdbc_user, cfg.jdbc_password
+        )
+    else:
+        conn = jvm.java.sql.DriverManager.getConnection(cfg.jdbc_url)
     try:
         meta = conn.getMetaData()
         rs = meta.getTables(None, None, target, None)
@@ -255,8 +358,11 @@ def run_platform_etl(spark: SparkSession, cfg: PlatformEtlConfig) -> dict:
     staged = read_version(spark, staging_path)
     scoped = staged.join(F.broadcast(users), "user_id", "semi").localCheckpoint()
     wm_stamp = F.lit(int(new_wm)).cast("long").alias("_etl_wm")
-    for name, fn in _INDICATORS.items():
-        rows = fn(scoped).withColumn("_etl_wm", wm_stamp)
+    updates: dict[str, DataFrame] = {}
+
+    def _apply(name: str, rows: DataFrame) -> None:
+        rows = rows.withColumn("_etl_wm", wm_stamp).localCheckpoint()
+        updates[name] = rows
         iv = _merge_or_init(
             spark,
             f"{cfg.warehouse}/{name}",
@@ -266,15 +372,137 @@ def run_platform_etl(spark: SparkSession, cfg: PlatformEtlConfig) -> dict:
             commit_ts,
         )
         report["stages"].append((f"indicator:{name}", iv))
+
+    for name, fn in _INDICATORS.items():
+        _apply(name, fn(scoped))
+
+    # P5b user lifetime: touched users recomputed against the new
+    # horizon + the stored rows whose idle gap just crossed 7 days
+    # (churned is monotone under an advancing horizon)
+    life_path = f"{cfg.warehouse}/user_lifetime"
+    life_rows = _user_lifetime(scoped, int(new_wm))
+    if history(life_path):
+        flipped = (
+            read_version(spark, life_path)
+            .drop("_etl_wm")
+            .filter(~F.col("churned"))
+            .filter(
+                F.lit(int(new_wm)) - F.unix_micros("last_ts")
+                > F.lit(7 * 86_400_000_000)
+            )
+            .join(F.broadcast(users), "user_id", "anti")
+            .withColumn("churned", F.lit(True))
+        )
+        life_rows = life_rows.unionByName(flipped.select(*life_rows.columns))
+    _apply("user_lifetime", life_rows)
+
+    # P5 helper: per-user cohort day — capture the touched users' OLD
+    # cohorts before the merge rewrites them
+    ufd_path = f"{cfg.warehouse}/user_first_day"
+    if history(ufd_path):
+        old_cohorts = (
+            read_version(spark, ufd_path)
+            .join(F.broadcast(users), "user_id", "semi")
+            .select("cohort_day")
+            .distinct()
+        )
+    else:
+        old_cohorts = None
+    new_first = _user_first_day(scoped)
+    _apply("user_first_day", new_first)
+
+    # P4 DAU: recompute the batch's days from a day-scoped semi-join;
+    # the lag-based delta also rewrites each touched day's next
+    # existing day, with untouched days' counts read from the existing
+    # (small) indicator table
+    from pyspark.sql import Window
+
+    dau_path = f"{cfg.warehouse}/active_users_daily"
+    batch_days = batch.select(
+        F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    day_scoped = staged.join(
+        F.broadcast(batch_days),
+        F.date_trunc("day", staged["ts"]) == batch_days["day"],
+        "semi",
+    )
+    new_days = day_scoped.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.countDistinct("user_id").alias("dau"),
+        dsum("value").alias("total_value"),
+    )
+    spine = new_days.withColumn("_touched", F.lit(True))
+    if history(dau_path):
+        untouched = (
+            read_version(spark, dau_path)
+            .select("day", "dau", "total_value")
+            .join(F.broadcast(batch_days), "day", "anti")
+            .withColumn("_touched", F.lit(False))
+        )
+        spine = spine.unionByName(untouched)
+    wd = Window.orderBy("day")
+    dau_rows = (
+        spine.select(
+            "day",
+            "dau",
+            "total_value",
+            (F.col("dau") - F.lag("dau").over(wd)).alias("dau_delta"),
+            (
+                F.col("_touched")
+                | F.coalesce(F.lag("_touched").over(wd), F.lit(False))
+            ).alias("_rewrite"),
+        )
+        .filter(F.col("_rewrite"))
+        .drop("_rewrite")
+    )
+    _apply("active_users_daily", dau_rows)
+
+    # P5 retention matrix: recompute every cell of the AFFECTED cohort
+    # days (touched users' old + new cohorts) over those cohorts'
+    # members' full history; cells the recompute no longer produces
+    # become n_users = 0 tombstones (serve_indicator filters them)
+    ret_path = f"{cfg.warehouse}/retention_cohorts"
+    affected = new_first.select("cohort_day").distinct()
+    if old_cohorts is not None:
+        affected = affected.union(old_cohorts).distinct()
+    cohort_users = read_version(spark, ufd_path).join(
+        F.broadcast(affected), "cohort_day", "semi"
+    )
+    hist_ev = staged.join(
+        F.broadcast(cohort_users.select("user_id")), "user_id", "semi"
+    )
+    active = hist_ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    cells = (
+        cohort_users.join(active, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    if history(ret_path):
+        gone = (
+            read_version(spark, ret_path)
+            .select("cohort_day", "day_offset")
+            .join(F.broadcast(affected), "cohort_day", "semi")
+            .join(cells, ["cohort_day", "day_offset"], "anti")
+            .withColumn("n_users", F.lit(0).cast("long"))
+        )
+        cells = cells.unionByName(gone.select(*cells.columns))
+    _apply("retention_cohorts", cells)
     _maybe_fail(cfg, "indicators")
 
     if cfg.jdbc_url:
         for name in cfg.publish:
-            rows = read_version(spark, f"{cfg.warehouse}/{name}").join(
-                F.broadcast(users), "user_id", "semi"
-            )
             n = _publish_jdbc(
-                spark, cfg, name, rows.drop("_etl_wm"), _INDICATOR_KEYS[name]
+                spark,
+                cfg,
+                name,
+                updates[name].drop("_etl_wm"),
+                _INDICATOR_KEYS[name],
             )
             report["stages"].append((f"publish:{name}", n))
     _maybe_fail(cfg, "publish")

@@ -70,6 +70,18 @@ def _zigzag_encode(n: int) -> bytes:
             return bytes(out)
 
 
+def _read_exact(buf, n: int, what: str = "value") -> bytes:
+    """Checked read: short reads raise instead of silently decoding a
+    truncated file as False/empty (the varint path already raises; this
+    gives fixed-width and length-prefixed reads the same contract)."""
+    raw = buf.read(n)
+    if len(raw) != n:
+        raise EOFError(
+            f"truncated {what}: wanted {n} bytes, got {len(raw)}"
+        )
+    return raw
+
+
 def _zigzag_decode(buf: io.BytesIO) -> int:
     u, shift = 0, 0
     while True:
@@ -116,15 +128,15 @@ def _dec_value(typ, buf: io.BytesIO, field: str):
     if typ in ("long", "int"):
         return _zigzag_decode(buf)
     if typ == "double":
-        return struct.unpack("<d", buf.read(8))[0]
+        return struct.unpack("<d", _read_exact(buf, 8, f"double {field!r}"))[0]
     if typ == "boolean":
-        return buf.read(1) == b"\x01"
+        return _read_exact(buf, 1, f"boolean {field!r}") == b"\x01"
     if typ == "string":
         n = _zigzag_decode(buf)
-        return buf.read(n).decode("utf-8")
+        return _read_exact(buf, n, f"string {field!r}").decode("utf-8")
     if typ == "bytes":
         n = _zigzag_decode(buf)
-        return buf.read(n)
+        return _read_exact(buf, n, f"bytes {field!r}")
     raise ValueError(f"field {field!r}: unsupported Avro type {typ!r}")
 
 
@@ -180,9 +192,10 @@ def write_ocf(
         f.write(bytes(out))
 
 
-def decode_ocf_bytes(raw: bytes) -> tuple[str, list[dict]]:
-    """Decode an OCF byte string → (writer schema JSON, records)."""
-    buf = io.BytesIO(raw)
+def _parse_header(buf: io.BytesIO) -> tuple[str, list, bytes]:
+    """Parse an OCF header from the current position → (writer schema
+    JSON, field list, 16-byte sync marker); leaves ``buf`` positioned
+    at the first data block."""
     if buf.read(4) != MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
     meta: dict[str, bytes] = {}
@@ -195,15 +208,22 @@ def decode_ocf_bytes(raw: bytes) -> tuple[str, list[dict]]:
             _zigzag_decode(buf)
         for _ in range(n):
             klen = _zigzag_decode(buf)
-            k = buf.read(klen).decode("utf-8")
+            k = _read_exact(buf, klen, "metadata key").decode("utf-8")
             vlen = _zigzag_decode(buf)
-            meta[k] = buf.read(vlen)
+            meta[k] = _read_exact(buf, vlen, "metadata value")
     codec = meta.get("avro.codec", b"null")
     if codec != b"null":
         raise ValueError(f"unsupported Avro codec {codec!r} (null only)")
     schema_json = meta["avro.schema"].decode("utf-8")
     flds = _fields(json.loads(schema_json))
-    sync = buf.read(16)
+    sync = _read_exact(buf, 16, "header sync marker")
+    return schema_json, flds, sync
+
+
+def decode_ocf_bytes(raw: bytes) -> tuple[str, list[dict]]:
+    """Decode an OCF byte string → (writer schema JSON, records)."""
+    buf = io.BytesIO(raw)
+    schema_json, flds, sync = _parse_header(buf)
     records: list[dict] = []
     while True:
         head = buf.read(1)
@@ -216,7 +236,7 @@ def decode_ocf_bytes(raw: bytes) -> tuple[str, list[dict]]:
             records.append(
                 {name: _dec_value(typ, buf, name) for name, typ in flds}
             )
-        block_sync = buf.read(16)
+        block_sync = _read_exact(buf, 16, "block sync marker")
         if block_sync != sync:
             raise ValueError("sync marker mismatch — corrupt block framing")
     return schema_json, records
@@ -253,20 +273,149 @@ def spark_schema_for(schema_json: str) -> str:
     return ", ".join(parts)
 
 
+def _list_ocf_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if not f.startswith((".", "_")) and not f.endswith(".crc")
+        )
+    return [path]
+
+
+def plan_ocf_splits(
+    path: str, schema_json: str, split_size: int
+) -> list[tuple[str, int, int, str]]:
+    """Split plan for a no-connector parallel OCF read (VERDICT r13
+    item 3): per file, parse ONLY the header (buffered small read — the
+    same metadata-scale I/O a real InputFormat's planner does) to learn
+    the per-file sync marker + data start, validate the writer schema
+    against the declared reader schema, and cut the remaining byte
+    range into ``split_size`` spans → (path, start, end, sync_hex)
+    rows. Block ownership is the Hadoop sync-scan contract: a split
+    owns every block whose first byte lies in [start, end), located by
+    scanning for the sync marker from start-16 (so a block beginning
+    exactly at ``start`` — its preceding sync ends there — is owned)."""
+    expect_fields = json.loads(schema_json)["fields"]
+    splits: list[tuple[str, int, int, str]] = []
+    for fp in _list_ocf_files(path):
+        size = os.path.getsize(fp)
+        with open(fp, "rb") as f:
+            head = io.BytesIO(f.read(min(size, 1 << 20)))
+        got_schema, _flds, sync = _parse_header(head)
+        if json.loads(got_schema)["fields"] != expect_fields:
+            raise ValueError(
+                f"{fp}: writer schema differs from the declared "
+                "reader schema"
+            )
+        data_start = head.tell()
+        start = data_start
+        while start < size:
+            end = min(start + split_size, size)
+            splits.append((fp, start, end, sync.hex()))
+            start = end
+    return splits
+
+
+def _decode_split(
+    fp: str, start: int, end: int, sync: bytes, flds: list
+) -> list[dict]:
+    """Decode the blocks a split owns: scan for ``sync`` from
+    start-16, then decode [count][size][payload][sync] frames while the
+    block begins before ``end`` (payloads may run past ``end`` — the
+    last owned block is read to completion, exactly once, because the
+    next split's scan lands on a LATER sync). A 16-byte marker
+    colliding with payload bytes is the spec's own 2^-128 residual
+    risk; the connector carries it identically."""
+    records: list[dict] = []
+    with open(fp, "rb") as f:  # BufferedReader: logical tell()/peek()
+        base = max(0, start - 16)
+        f.seek(base)
+        window = b""
+        pos = -1
+        while True:
+            chunk = f.read(1 << 20)
+            if not chunk:
+                break  # no sync at/after start: nothing owned
+            window += chunk
+            hit = window.find(sync)
+            if hit >= 0:
+                pos = base + hit + 16
+                break
+            base += len(window) - 15
+            window = window[-15:]
+        if pos < 0 or pos >= end:
+            return records
+        f.seek(pos)
+        while f.tell() < end:
+            if not f.peek(1):
+                break
+            count = _zigzag_decode(f)
+            size = _zigzag_decode(f)
+            payload = io.BytesIO(_read_exact(f, size, "block payload"))
+            for _ in range(count):
+                records.append(
+                    {n: _dec_value(t, payload, n) for n, t in flds}
+                )
+            if _read_exact(f, 16, "block sync marker") != sync:
+                raise ValueError(
+                    f"{fp}: sync marker mismatch — corrupt block framing"
+                )
+    return records
+
+
 def read_avro_fallback(
-    spark: SparkSession, path: str, schema_json: str
+    spark: SparkSession,
+    path: str,
+    schema_json: str,
+    split_size: int | None = None,
 ) -> DataFrame:
-    """Distributed OCF read WITHOUT the spark-avro connector: the
-    ``binaryFile`` source lists and ships whole files to executors
-    (one task per file), and an Arrow-batched ``mapInPandas`` decodes
-    each with :func:`decode_ocf_bytes`. The embedded writer schema of
-    every file must match ``schema_json`` field-for-field — schema
-    drift raises with the file path rather than silently resolving."""
+    """Distributed OCF read WITHOUT the spark-avro connector.
+
+    Default (``split_size=None``): the ``binaryFile`` source lists and
+    ships whole files to executors (one task per file) and an
+    Arrow-batched ``mapInPandas`` decodes each with
+    :func:`decode_ocf_bytes` — works on any filesystem Spark can read,
+    but one 10 GB file is one task.
+
+    With ``split_size`` set, files are cut at sync-marker boundaries
+    into byte-range splits (:func:`plan_ocf_splits`) so ONE large file
+    parallelizes across tasks — the same contract the connector's
+    InputFormat honors. Each task opens the file directly, so this
+    path requires executor-visible paths (local mode, NFS, or a fuse
+    mount); the default path has no such requirement.
+
+    The embedded writer schema of every file must match
+    ``schema_json`` field-for-field — schema drift raises with the
+    file path rather than silently resolving."""
     import pandas as pd
 
     ddl = spark_schema_for(schema_json)
     want = [f["name"] for f in json.loads(schema_json)["fields"]]
     expect_fields = json.loads(schema_json)["fields"]
+    flds = _fields(json.loads(schema_json))
+
+    if split_size is not None:
+        splits = plan_ocf_splits(path, schema_json, split_size)
+
+        def decode_splits(batches):
+            for pdf in batches:
+                for fp, s, e, sync_hex in zip(
+                    pdf["path"], pdf["start"], pdf["end"], pdf["sync"]
+                ):
+                    recs = _decode_split(
+                        fp, int(s), int(e), bytes.fromhex(sync_hex), flds
+                    )
+                    yield pd.DataFrame(
+                        {n: [r[n] for r in recs] for n in want}
+                        if recs
+                        else {n: [] for n in want}
+                    )
+
+        plan_df = spark.createDataFrame(
+            splits, "path string, start bigint, end bigint, sync string"
+        ).repartition(max(1, min(len(splits), 64)))
+        return plan_df.mapInPandas(decode_splits, schema=ddl)
 
     def decode(batches):
         for pdf in batches:

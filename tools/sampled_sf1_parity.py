@@ -91,6 +91,84 @@ tri_p AS (
 )
 
 
+def _capped_sampled_sqls() -> tuple[str, str]:
+    """Sampled-oracle SQL for (embedding_near_dup_capped,
+    embedding_near_dup_recall_eval): reuse the full oracle's CTE chain
+    (fb/e/ranks — linear, the cheap part) but generate CANDIDATES only
+    around sampled ids: per ordering, sampled rows join their ±W rank
+    neighborhood, and a pair survives iff its LEAST id is sampled —
+    exactly the pairs the engine-side filter keeps, because a pair
+    (x,y) with min(x,y)=x sampled is within W of x in some ordering
+    and the ±W join from x emits it regardless of which side of x's
+    rank y sits on. The cosine verify then touches ~|sample|·2W·16
+    pairs instead of n·W·16, and the exact true-pair scan collapses
+    from n²/2 to |sample|·n."""
+    from dimagi_data_platform_spark.plans.oracle import (
+        _CAPPED_RANKS,
+        _CAPPED_T,
+        _COS_AB,
+        _FB,
+        _FB_CTE,
+        _PROBE_T,
+        _SNM_W,
+        _CAPPED_COLS,
+    )
+
+    sel = _md5_mod_sql("id", "#nd42", 199)
+    orders = [f"r{t}" for t in range(_CAPPED_T)] + [
+        f"pr{t}" for t in range(_PROBE_T)
+    ]
+    passes = "\nUNION\n".join(
+        f"""SELECT LEAST(a.id, b.id) AS id_a, GREATEST(a.id, b.id) AS id_b
+  FROM (SELECT r.id, r.rn FROM {o} r JOIN sid USING (id)) a
+  JOIN {o} b ON b.rn BETWEEN a.rn - {_SNM_W} AND a.rn + {_SNM_W}
+            AND b.rn <> a.rn"""
+        for o in orders
+    )
+    shared = f"""
+WITH {_FB_CTE},
+e AS MATERIALIZED (
+  SELECT vec_id AS id, embedding AS vec,
+         {_CAPPED_COLS}
+  FROM embeddings),
+{_CAPPED_RANKS},
+sid AS MATERIALIZED (SELECT id FROM e WHERE {sel} = 0),
+cand AS MATERIALIZED (
+  SELECT id_a, id_b FROM (
+  {passes})
+  WHERE id_a IN (SELECT id FROM sid)),
+p AS (
+  SELECT cand.id_a, cand.id_b, a.vec AS vec_a, b.vec AS vec_b
+  FROM cand JOIN e a ON a.id = cand.id_a JOIN e b ON b.id = cand.id_b),
+s AS (SELECT id_a, id_b, {_COS_AB} AS cos_sim FROM p)"""
+    capped_sql = (
+        shared
+        + "\nSELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.35"
+    )
+    recall_sql = (
+        shared
+        + f""",
+ex AS (
+  SELECT a.vec AS vec_a, b.vec AS vec_b
+  FROM (SELECT e.id, e.vec FROM e JOIN sid USING (id)) a
+  JOIN e b ON a.id < b.id),
+met AS (
+  SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_vectors,
+         CAST({_SNM_W} AS BIGINT) AS window_used,
+         CAST({_FB} AS BIGINT) AS probe_bits_used,
+         CAST((SELECT COUNT(*) FROM ex WHERE {_COS_AB} >= 0.35) AS BIGINT)
+           AS true_pairs,
+         CAST((SELECT COUNT(*) FROM s WHERE cos_sim >= 0.35) AS BIGINT)
+           AS found_pairs)
+SELECT n_vectors, window_used, probe_bits_used, true_pairs, found_pairs,
+       CASE WHEN true_pairs > 0
+            THEN CAST(found_pairs AS DOUBLE) / CAST(true_pairs AS DOUBLE)
+       END AS recall
+FROM met"""
+    )
+    return capped_sql, recall_sql
+
+
 def sampled_checks(spark, sf_dir: str) -> dict[str, tuple]:
     """{query: (spark_df_subset, oracle_sql_subset, sample_desc)}."""
     from dimagi_data_platform_spark.operators.packing import _portable_hash
@@ -147,6 +225,72 @@ def sampled_checks(spark, sf_dir: str) -> dict[str, tuple]:
 
     pack = _pack_prefix(QUERIES["pack_training_sequences"](spark, sf_dir))
     manifest = _pack_prefix(QUERIES["training_data_manifest"](spark, sf_dir))
+
+    # VERDICT r13 item 2: the two r13 sf1 oracle_timeout entries.
+    # The engine runs its NORMAL full plans; the comparison restricts
+    # pairs to sampled id_a (same '#nd42' selector as the exact
+    # sibling) and omits the compared_pairs/dropped_pairs scalar
+    # columns — their value requires the FULL 16-pass candidate-set
+    # dedup that (with the 64-dim verify payload) is exactly what
+    # spills DuckDB to death at sf1 (>70 GB, ENOSPC measured r14);
+    # both columns are driver-hash-checked at sf0.001/0.01/0.1.
+    from dimagi_data_platform_spark.operators.similarity import (
+        adaptive_bucket_bits,
+        adaptive_snm_window,
+        embedding_near_dup_capped,
+        embedding_near_dup_pairs,
+    )
+    from dimagi_data_platform_spark.plans.queries import (
+        EMBED_NEAR_DUP_THRESHOLD,
+        _t,
+    )
+
+    nd_sel = _md5_mod(F.col("id_a"), "#nd42", 199) == 0
+    capped_s = (
+        QUERIES["embedding_near_dup_capped"](spark, sf_dir)
+        .filter(nd_sel)
+        .drop("compared_pairs", "dropped_pairs")
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    w_used = adaptive_snm_window(n_corpus)
+    pb_used = adaptive_bucket_bits(n_corpus)
+    cap_pairs = embedding_near_dup_capped(
+        emb, EMBED_NEAR_DUP_THRESHOLD
+    ).filter(nd_sel)
+    ex_pairs = embedding_near_dup_pairs(
+        emb, EMBED_NEAR_DUP_THRESHOLD
+    ).filter(nd_sel)
+    recall_s = (
+        emb.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .crossJoin(
+            F.broadcast(
+                ex_pairs.agg(
+                    F.count(F.lit(1)).cast("long").alias("true_pairs")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                cap_pairs.agg(
+                    F.count(F.lit(1)).cast("long").alias("found_pairs")
+                )
+            )
+        )
+        .select(
+            "n_vectors",
+            F.lit(w_used).cast("long").alias("window_used"),
+            F.lit(pb_used).cast("long").alias("probe_bits_used"),
+            "true_pairs",
+            "found_pairs",
+            F.when(
+                F.col("true_pairs") > 0,
+                F.col("found_pairs").cast("double")
+                / F.col("true_pairs").cast("double"),
+            ).alias("recall"),
+        )
+    )
 
     from dimagi_data_platform_spark.plans.oracle import ORACLE
 
@@ -229,6 +373,20 @@ def sampled_checks(spark, sf_dir: str) -> dict[str, tuple]:
             .replace("WITH p AS", ", p AS")
             .lstrip(),
             "pairs whose id_a is md5-sampled (~0.5% of vectors)",
+        ),
+        "embedding_near_dup_capped": (
+            capped_s,
+            _capped_sampled_sqls()[0],
+            "pairs whose id_a is md5-sampled (~0.5%); mass columns "
+            "omitted (their full candidate-set dedup is the part that "
+            "spills DuckDB at sf1; both driver-hash-checked ≤ sf0.1)",
+        ),
+        "embedding_near_dup_recall_eval": (
+            recall_s,
+            _capped_sampled_sqls()[1],
+            "summary row on the sampled-id_a pair universe: exact scan "
+            "|sample|·n instead of n²/2; same engine plans, mass "
+            "columns omitted",
         ),
         "pack_training_sequences": (
             pack,
