@@ -32,6 +32,20 @@ Spark-first shape (mirrors operators/components.py):
   columnar parquet scan (measured at sf0.1: 1.5s vs 0.5s per pass);
 - driver state is scalar-only (the dangling-mass total), the same
   bounded-collect contract the connected-components loop uses.
+
+Delta-frontier rejection (VERDICT r13 item 4, measured r14 — see
+BASELINE.md "r14 pagerank delta-frontier"): restructuring the loop
+residually (carry per-vertex inflow, fan out only contribution DELTAS)
+is bit-exact — inflow telescopes as integer sums — and was implemented
+and hash-verified, but gains NOTHING here: with damping d the rank
+residual contracts by ~0.85/iter, so a contribution quantum of
+1 part in 1e15 keeps every vertex in the moving set until
+~ln(1e15)/ln(1/0.85) ≈ 212 iterations. Measured at sf1: the moving
+frontier was 100.0% of vertices for iterations 0-5 and 98.4% at
+iteration 8; sf10 wall 60.3 s delta vs 59.7 s full (noise). k-core's
+delta peel wins because its state is BOOLEAN (membership); an exact
+fixed-point rank churns its low-order digits every round by design.
+The full-fan-out loop below stays.
 """
 
 from __future__ import annotations

@@ -706,8 +706,17 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("lang_id")
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L8: marker-word language heuristic with deterministic argmax."""
-    docs = _t(spark, sf_dir, "documents")
+    """L8: marker-word language heuristic with deterministic argmax.
+
+    Scale (VERDICT r13 item 7): the marker-count chain is CPU-dense
+    per row and the documents parquet lands in ~2 file splits at sf1,
+    so the chain serialized on 2 of 32 cores (10.5x sweep ratio).
+    Repartition-before-regex (the pii_redaction/char_entropy
+    discipline) spreads it parallelism-wide: re-measured sf1 2.76 →
+    0.67 s, 8.8x → 1.9x per decade."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     scores = lang_scores("text")
     return docs.select(
         "doc_id",
