@@ -499,13 +499,20 @@ def sampled_quantile_eval(
     exact = rank_quantiles(base, "exact_value").withColumnRenamed(
         "n", "n_total"
     )
+    # LEFT join from the exact side: a group whose Bernoulli sample is
+    # empty stays visible (NULL est_value/n_sample) instead of being
+    # silently dropped; rel_err is NULL (not inf/undefined) when the
+    # exact quantile is zero or negative (ADVICE r13).
     return (
-        est.join(exact, group_cols + ["q"])
+        exact.join(est, group_cols + ["q"], "left")
         .withColumn(
             "rel_err",
-            F.col("est_value").cast("double")
-            / F.col("exact_value").cast("double")
-            - F.lit(1.0),
+            F.when(
+                F.col("exact_value") > 0,
+                F.col("est_value").cast("double")
+                / F.col("exact_value").cast("double")
+                - F.lit(1.0),
+            ),
         )
         .select(
             *group_cols, "q", "n_total", "n_sample", "est_value",

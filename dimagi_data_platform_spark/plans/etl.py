@@ -306,25 +306,38 @@ def _publish_jdbc(
     return int(n)
 
 
+def _normalize_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Same timestamp normalization as catalog.load_table: session tz
+    pinned UTC, NTZ columns cast to plain TIMESTAMP (unix_micros and
+    RANGE windows reject NTZ)."""
+    from pyspark.sql.types import TimestampNTZType
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return df
+
+
 def run_platform_etl(spark: SparkSession, cfg: PlatformEtlConfig) -> dict:
     """One incremental pipeline run; returns a report dict. Safe to
     re-run at any time: an empty batch is a no-op, a replayed batch
     converges (see module docstring)."""
     store = WatermarkStore(f"{cfg.warehouse}/watermark.json")
-    wm_before = store.get(cfg.watermark_name)
-    # same timestamp normalization as catalog.load_table: session tz
-    # pinned UTC, NTZ columns cast to plain TIMESTAMP (unix_micros and
-    # RANGE windows reject NTZ)
-    from pyspark.sql.types import TimestampNTZType
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    events = spark.read.parquet(cfg.source_events)
-    for field in events.schema.fields:
-        if isinstance(field.dataType, TimestampNTZType):
-            events = events.withColumn(
-                field.name, F.col(field.name).cast("timestamp")
-            )
+    events = _normalize_ts(spark, spark.read.parquet(cfg.source_events))
     batch = incremental_read(events, "ts", store, cfg.watermark_name)
+    return _process_batch(spark, cfg, batch)
+
+
+def _process_batch(
+    spark: SparkSession, cfg: PlatformEtlConfig, batch: DataFrame
+) -> dict:
+    """The shared convergent per-batch chain (batch driver and the
+    streaming twin's foreachBatch both land here). The watermark
+    advances to max(stored, batch max) so an out-of-order micro-batch
+    (a late-listed archive file) never walks the horizon backwards."""
+    store = WatermarkStore(f"{cfg.warehouse}/watermark.json")
+    wm_before = store.get(cfg.watermark_name)
     # the batch drives several stages — pin it once
     batch = batch.localCheckpoint()
     n_batch = batch.count()
@@ -336,9 +349,10 @@ def run_platform_etl(spark: SparkSession, cfg: PlatformEtlConfig) -> dict:
     if n_batch == 0:
         report["no_op"] = True
         return report
-    new_wm = batch.agg(
+    batch_max = batch.agg(
         F.max(F.unix_micros(F.col("ts"))).alias("wm")
     ).collect()[0].wm
+    new_wm = max(int(batch_max), int(wm_before or 0))
     commit_ts = (
         batch.agg(F.max("ts").cast("string").alias("m")).collect()[0].m
     )
@@ -511,3 +525,62 @@ def run_platform_etl(spark: SparkSession, cfg: PlatformEtlConfig) -> dict:
     store.set(cfg.watermark_name, int(new_wm))
     report["watermark_after"] = int(new_wm)
     return report
+
+
+def run_platform_etl_stream(
+    spark: SparkSession,
+    cfg: PlatformEtlConfig,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> list[dict]:
+    """Streaming twin of :func:`run_platform_etl` (VERDICT r13 item 6):
+    the SAME config and the SAME convergent per-batch chain, driven by
+    a Structured Streaming file source instead of the watermark read.
+    Each micro-batch lands in :func:`_process_batch` via
+    ``foreachBatch`` — the P63 pattern (per-micro-batch copy-on-write
+    merges into the versioned warehouse tables), composed over the
+    whole indicator set rather than one table.
+
+    Exactly-once posture: the streaming checkpoint provides
+    at-least-once file delivery and every write in the chain is
+    CONVERGENT under replay (module docstring), so a crash mid-batch
+    resumes to the same warehouse state — the same contract the batch
+    driver proves with its crash-injection test. No watermark filter
+    is applied to micro-batches (the checkpoint already dedups
+    delivery, and a late-listed file with older timestamps must not be
+    dropped); the stored watermark only ratchets the horizon via
+    max(stored, batch max).
+
+    Equivalence contract (tested): draining the same source directory
+    — in however many micro-batches, whatever their order — converges
+    to the batch driver's warehouse state on every business column.
+    The ``_etl_wm`` bookkeeping stamp is batching-dependent (each row
+    carries the watermark of the batch that last touched it) and is
+    excluded from the contract; ``serve_indicator`` drops it.
+
+    Runs with ``trigger(availableNow=True)``: processes everything
+    currently in the directory, then stops — the scheduled-job shape.
+    Returns the per-micro-batch report list.
+    """
+    schema = spark.read.parquet(cfg.source_events).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(cfg.source_events)
+    )
+    reports: list[dict] = []
+
+    def _sink(bdf: DataFrame, epoch_id: int) -> None:
+        batch = _normalize_ts(spark, bdf)
+        r = _process_batch(spark, cfg, batch)
+        r["epoch"] = int(epoch_id)
+        reports.append(r)
+
+    q = (
+        src.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return reports

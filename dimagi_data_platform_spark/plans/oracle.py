@@ -6378,10 +6378,12 @@ ex AS (
     ON pr.g = per.g)
   WHERE cum >= target
   GROUP BY g, q, n)
-SELECT est.g AS o_orderpriority, est.q, n_total, n_sample, est_value,
+SELECT ex.g AS o_orderpriority, ex.q, n_total, n_sample, est_value,
        exact_value,
-       CAST(est_value AS DOUBLE) / CAST(exact_value AS DOUBLE) - 1.0 AS rel_err
-FROM est JOIN ex ON ex.g = est.g AND ex.q = est.q
+       CASE WHEN exact_value > 0 THEN
+         CAST(est_value AS DOUBLE) / CAST(exact_value AS DOUBLE) - 1.0
+       END AS rel_err
+FROM ex LEFT JOIN est ON est.g = ex.g AND est.q = ex.q
 """
 
 

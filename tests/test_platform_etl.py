@@ -201,3 +201,69 @@ def test_platform_etl_incremental_matches_registered_queries(spark, tmp_path):
         ) == sorted(
             map(tuple, want.select(*cols).collect()), key=repr
         ), name
+
+
+def test_platform_etl_stream_twin_matches_batch(spark, tmp_path):
+    """VERDICT r13 item 6: draining the SAME source through the
+    Structured-Streaming twin (one archive file per micro-batch, four
+    micro-batches) converges to the batch driver's warehouse state on
+    every business column of every indicator table + staging — the
+    convergent per-batch chain is batching-invariant. The _etl_wm
+    bookkeeping stamp is batching-dependent by design and excluded
+    (serve_indicator drops it)."""
+    from dimagi_data_platform_spark.catalog import load_table
+    from dimagi_data_platform_spark.plans.etl import (
+        INDICATOR_TABLES,
+        run_platform_etl_stream,
+        serve_indicator,
+    )
+
+    ev = load_table(spark, SF, "events")
+
+    # batch reference: one full run over everything
+    src_b = str(tmp_path / "src_batch")
+    ev.write.parquet(src_b)
+    wh_b = str(tmp_path / "wh_batch")
+    run_platform_etl(
+        spark,
+        PlatformEtlConfig(source_events=src_b, warehouse=wh_b, jdbc_url=None),
+    )
+
+    # streaming input: the same events as four ts-sliced archive files
+    cuts = ev.agg(
+        F.expr("percentile(unix_micros(ts), array(0.25, 0.5, 0.75))")
+    ).collect()[0][0]
+    src_s = str(tmp_path / "src_stream")
+    bounds = [None] + [int(c) for c in cuts] + [None]
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        sl = ev
+        if a is not None:
+            sl = sl.filter(F.unix_micros("ts") > a)
+        if b is not None:
+            sl = sl.filter(F.unix_micros("ts") <= b)
+        sl.coalesce(1).write.mode("append").parquet(src_s)
+
+    wh_s = str(tmp_path / "wh_stream")
+    reports = run_platform_etl_stream(
+        spark,
+        PlatformEtlConfig(source_events=src_s, warehouse=wh_s, jdbc_url=None),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    assert len([r for r in reports if not r.get("no_op")]) >= 3
+
+    for name in INDICATOR_TABLES:
+        got = serve_indicator(spark, wh_s, name)
+        want = serve_indicator(spark, wh_b, name)
+        cols = sorted(want.columns)
+        assert sorted(
+            map(tuple, got.select(*cols).collect()), key=repr
+        ) == sorted(
+            map(tuple, want.select(*cols).collect()), key=repr
+        ), name
+    gs = read_version(spark, f"{wh_s}/staging_events")
+    bs = read_version(spark, f"{wh_b}/staging_events")
+    cols = sorted(bs.columns)
+    assert sorted(
+        map(tuple, gs.select(*cols).collect()), key=repr
+    ) == sorted(map(tuple, bs.select(*cols).collect()), key=repr)

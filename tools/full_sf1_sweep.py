@@ -93,11 +93,19 @@ def oracle_with_timeout(sf_dir: str, sql: str, timeout: float):
     # the cap the oracle spills (bounded by disk, cleaned on close) and
     # the timeout path gets its chance to record an honest
     # ``oracle_timeout``.
-    # 56 GB: large enough that attempt-1's in-RAM oracle speeds return
-    # (the 24 GB cap of the first fix spilled mid-size oracles and
-    # dropped parity throughput ~2.5x), small enough that python +
-    # the 24 GB JVM driver heap stay clear of the 125 GB host OOM line.
-    con.execute("SET memory_limit='56GB'")
+    # Cap ≈ 45% of physical RAM, 56 GB max (ADVICE r13: the hardcoded
+    # 56 GB was tuned to this 125 GB host; on a smaller machine it
+    # would exceed physical RAM and reintroduce the kernel-OOM failure
+    # mode the cap exists to prevent). On this host that resolves to
+    # the measured sweet spot: large enough that attempt-1's in-RAM
+    # oracle speeds return (a 24 GB cap spilled mid-size oracles and
+    # dropped parity throughput ~2.5x), small enough that python + the
+    # 24 GB JVM driver heap stay clear of the host OOM line.
+    ram_gb = (
+        os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30
+    )
+    cap_gb = max(4, min(56, int(ram_gb * 0.45)))
+    con.execute(f"SET memory_limit='{cap_gb}GB'")
     tmpdir = os.path.join(REPO, ".tmp")
     os.makedirs(tmpdir, exist_ok=True)
     con.execute(f"SET temp_directory='{tmpdir}'")
