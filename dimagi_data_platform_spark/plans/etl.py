@@ -114,6 +114,20 @@ class PlatformEtlConfig:
     publish: tuple[str, ...] = ("monthly_usage",)
     watermark_name: str = "events"
     fail_after: str | None = None
+    #: staging-table layout. ``versioned`` (default): snapshot-isolated
+    #: copy-on-write MERGE (P62) — time travel + CDF, but every batch
+    #: rewrites the WHOLE staged table (measured: a 1%-of-corpus batch
+    #: at sf1 cost 1.6x a full indicator rebuild, staging merge
+    #: dominating). ``partitioned``: the P18 path — event-date
+    #: partitions, a batch rewrites ONLY its touched days (dynamic
+    #: partition overwrite), the 100 TB posture. Results are
+    #: layout-identical (tested); convergence holds because a replay
+    #: re-overwrites the same touched partitions to the same content.
+    #: Equal-ts resubmissions are assumed content-identical delivery
+    #: retries (the documented resubmission contract carries a LATER
+    #: ts), so the partitioned window's ts-only ordering is
+    #: deterministic in effect.
+    staging_layout: str = "versioned"
 
 
 # indicator grain keys (also the MERGE keys, versioned and JDBC)
@@ -358,24 +372,50 @@ def _process_batch(
     )
     _maybe_fail(cfg, "ingest")
 
-    # P62 staging MERGE: latest-wins resubmission dedup on event_id
+    # staging MERGE: latest-wins resubmission dedup on event_id —
+    # P62 versioned copy-on-write or the P18 touched-days-only
+    # partitioned upsert, per cfg.staging_layout
     staging_path = f"{cfg.warehouse}/staging_events"
-    v = _merge_or_init(
-        spark, staging_path, batch, ["event_id"], "ts", commit_ts
-    )
+    if cfg.staging_layout == "partitioned":
+        from dimagi_data_platform_spark.sources.incremental import (
+            upsert_partitioned,
+        )
+
+        upsert_partitioned(
+            spark,
+            batch.withColumn("event_date", F.to_date("ts")),
+            staging_path,
+            keys=["event_id"],
+            order_col="ts",
+            partition_col="event_date",
+        )
+        v = 0
+    else:
+        v = _merge_or_init(
+            spark, staging_path, batch, ["event_id"], "ts", commit_ts
+        )
     report["stages"].append(("stage_merge", v))
     _maybe_fail(cfg, "stage_merge")
 
     # indicators recompute ONLY the touched users' grains, from the
     # full staged history of those users
     users = batch.select("user_id").distinct()
-    staged = read_version(spark, staging_path)
+    if cfg.staging_layout == "partitioned":
+        staged = spark.read.parquet(staging_path).drop("event_date")
+    else:
+        staged = read_version(spark, staging_path)
     scoped = staged.join(F.broadcast(users), "user_id", "semi").localCheckpoint()
     wm_stamp = F.lit(int(new_wm)).cast("long").alias("_etl_wm")
     updates: dict[str, DataFrame] = {}
 
     def _apply(name: str, rows: DataFrame) -> None:
-        rows = rows.withColumn("_etl_wm", wm_stamp).localCheckpoint()
+        rows = rows.withColumn("_etl_wm", wm_stamp)
+        # pin only what the publish stage will re-read — merge_version
+        # materializes its own result, so an extra checkpoint per
+        # indicator is one wasted eager job each (measured ~0.5-1.5 s
+        # of the per-batch floor at sf1)
+        if cfg.jdbc_url and name in cfg.publish:
+            rows = rows.localCheckpoint()
         updates[name] = rows
         iv = _merge_or_init(
             spark,

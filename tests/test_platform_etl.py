@@ -56,13 +56,19 @@ def _state(spark, wh, url, driver):
         out[name] = sorted(
             map(tuple, df.select(*cols).collect()), key=repr
         )
-    pub = (
-        spark.read.format("jdbc")
-        .options(url=url, dbtable="MONTHLY_USAGE", driver=driver)
-        .load()
-    )
-    out["jdbc"] = sorted(map(tuple, pub.select(*sorted(pub.columns)).collect()))
+    for table in ("MONTHLY_USAGE", "USER_LIFETIME", "ACTIVE_USERS_DAILY"):
+        pub = (
+            spark.read.format("jdbc")
+            .options(url=url, dbtable=table, driver=driver)
+            .load()
+        )
+        out[f"jdbc:{table}"] = sorted(
+            map(tuple, pub.select(*sorted(pub.columns)).collect()), key=repr
+        )
     return out
+
+
+_PUBLISH = ("monthly_usage", "user_lifetime", "active_users_daily")
 
 
 
@@ -80,6 +86,7 @@ def test_platform_etl_crash_convergence(spark, tmp_path):
             warehouse=wh,
             jdbc_url=url,
             jdbc_driver=driver,
+            publish=_PUBLISH,
             fail_after=fail_after,
         )
 
@@ -107,6 +114,7 @@ def test_platform_etl_crash_convergence(spark, tmp_path):
             warehouse=wh,
             jdbc_url=url,
             jdbc_driver=driver,
+            publish=_PUBLISH,
             fail_after=fail_after,
         )
 
@@ -267,3 +275,86 @@ def test_platform_etl_stream_twin_matches_batch(spark, tmp_path):
     assert sorted(
         map(tuple, gs.select(*cols).collect()), key=repr
     ) == sorted(map(tuple, bs.select(*cols).collect()), key=repr)
+
+
+def test_platform_etl_partitioned_staging_layout(spark, tmp_path):
+    """The P18 staging layout (event-date partitions, touched-days-only
+    rewrite) produces a warehouse IDENTICAL to the versioned layout on
+    every indicator table and on staging content, survives a crash
+    between stages, and provably leaves untouched date partitions'
+    files alone on the second batch (the 100 TB posture: batch cost
+    scales with touched days, not corpus)."""
+    import os as _os
+
+    from dimagi_data_platform_spark.plans.etl import (
+        INDICATOR_TABLES,
+        serve_indicator,
+    )
+
+    ev, cut, src = _split_events(spark, tmp_path)
+
+    # versioned-layout reference, two batches
+    wh_v = str(tmp_path / "wh_v")
+    cfg_v = PlatformEtlConfig(source_events=src, warehouse=wh_v, jdbc_url=None)
+    run_platform_etl(spark, cfg_v)
+    ev.filter(F.unix_micros("ts") > cut).write.mode("append").parquet(src)
+    run_platform_etl(spark, cfg_v)
+
+    # partitioned layout, same two batches + a crash between stages
+    src2 = str(tmp_path / "src_p")
+    ev.filter(F.unix_micros("ts") <= cut).write.parquet(src2)
+    wh_p = str(tmp_path / "wh_p")
+
+    def cfg_p(fail_after=None):
+        return PlatformEtlConfig(
+            source_events=src2,
+            warehouse=wh_p,
+            jdbc_url=None,
+            staging_layout="partitioned",
+            fail_after=fail_after,
+        )
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_platform_etl(spark, cfg_p("stage_merge"))
+    run_platform_etl(spark, cfg_p())
+    stag = f"{wh_p}/staging_events"
+    parts_before = {
+        d: _os.path.getmtime(_os.path.join(stag, d))
+        for d in _os.listdir(stag)
+        if d.startswith("event_date=")
+    }
+    ev.filter(F.unix_micros("ts") > cut).write.mode("append").parquet(src2)
+    run_platform_etl(spark, cfg_p())
+
+    # untouched partitions (strictly before the second batch's days)
+    # keep their files byte-untouched
+    batch2_min_day = (
+        ev.filter(F.unix_micros("ts") > cut)
+        .agg(F.min(F.to_date("ts")).cast("string"))
+        .collect()[0][0]
+    )
+    untouched = [
+        d
+        for d in parts_before
+        if d.split("=", 1)[1] < batch2_min_day
+    ]
+    assert untouched, "test premise: batch 1 must own some older days"
+    for d in untouched:
+        assert _os.path.getmtime(_os.path.join(stag, d)) == parts_before[d], d
+
+    # layout equivalence: staging + every indicator table
+    gs = spark.read.parquet(stag).drop("event_date")
+    bs = read_version(spark, f"{wh_v}/staging_events")
+    cols = sorted(bs.columns)
+    assert sorted(
+        map(tuple, gs.select(*cols).collect()), key=repr
+    ) == sorted(map(tuple, bs.select(*cols).collect()), key=repr)
+    for name in INDICATOR_TABLES:
+        got = serve_indicator(spark, wh_p, name)
+        want = serve_indicator(spark, wh_v, name)
+        cols = sorted(want.columns)
+        assert sorted(
+            map(tuple, got.select(*cols).collect()), key=repr
+        ) == sorted(
+            map(tuple, want.select(*cols).collect()), key=repr
+        ), name
