@@ -352,9 +352,16 @@ def _process_batch(
     (a late-listed archive file) never walks the horizon backwards."""
     store = WatermarkStore(f"{cfg.warehouse}/watermark.json")
     wm_before = store.get(cfg.watermark_name)
-    # the batch drives several stages — pin it once
+    # the batch drives several stages — pin it once, then ONE driver
+    # action for count + watermark + commit stamp (three separate
+    # collects were three jobs of the per-batch floor)
     batch = batch.localCheckpoint()
-    n_batch = batch.count()
+    stats = batch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.unix_micros(F.col("ts"))).alias("wm"),
+        F.max("ts").cast("string").alias("m"),
+    ).collect()[0]
+    n_batch = int(stats.n)
     report = {
         "watermark_before": wm_before,
         "rows_ingested": n_batch,
@@ -363,13 +370,8 @@ def _process_batch(
     if n_batch == 0:
         report["no_op"] = True
         return report
-    batch_max = batch.agg(
-        F.max(F.unix_micros(F.col("ts"))).alias("wm")
-    ).collect()[0].wm
-    new_wm = max(int(batch_max), int(wm_before or 0))
-    commit_ts = (
-        batch.agg(F.max("ts").cast("string").alias("m")).collect()[0].m
-    )
+    new_wm = max(int(stats.wm), int(wm_before or 0))
+    commit_ts = stats.m
     _maybe_fail(cfg, "ingest")
 
     # staging MERGE: latest-wins resubmission dedup on event_id —
