@@ -358,3 +358,69 @@ def test_platform_etl_partitioned_staging_layout(spark, tmp_path):
         ) == sorted(
             map(tuple, want.select(*cols).collect()), key=repr
         ), name
+
+
+def test_platform_etl_stream_crash_resume(spark, tmp_path):
+    """The stream twin's exactly-once claim: kill the stream INSIDE a
+    micro-batch (after the indicator merges, before the watermark
+    commit), restart with the same checkpoint — Structured Streaming
+    redelivers the failed epoch, the convergent writes absorb the
+    partial state, and the final warehouse equals an uncrashed batch
+    run."""
+    from dimagi_data_platform_spark.catalog import load_table
+    from dimagi_data_platform_spark.plans.etl import (
+        INDICATOR_TABLES,
+        run_platform_etl_stream,
+        serve_indicator,
+    )
+
+    ev = load_table(spark, SF, "events")
+    src_b = str(tmp_path / "src_batch")
+    ev.write.parquet(src_b)
+    wh_b = str(tmp_path / "wh_batch")
+    run_platform_etl(
+        spark,
+        PlatformEtlConfig(source_events=src_b, warehouse=wh_b, jdbc_url=None),
+    )
+
+    cut = ev.agg(
+        F.expr("percentile(unix_micros(ts), 0.5)").cast("long")
+    ).collect()[0][0]
+    src_s = str(tmp_path / "src_stream")
+    ev.filter(F.unix_micros("ts") <= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_s)
+    ev.filter(F.unix_micros("ts") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_s)
+
+    wh_s = str(tmp_path / "wh_stream")
+    ckpt = str(tmp_path / "ckpt")
+
+    def cfg(fail_after=None):
+        return PlatformEtlConfig(
+            source_events=src_s,
+            warehouse=wh_s,
+            jdbc_url=None,
+            fail_after=fail_after,
+        )
+
+    with pytest.raises(Exception, match="injected crash"):
+        run_platform_etl_stream(
+            spark, cfg("indicators"), checkpoint_dir=ckpt,
+            max_files_per_trigger=1,
+        )
+    reports = run_platform_etl_stream(
+        spark, cfg(), checkpoint_dir=ckpt, max_files_per_trigger=1
+    )
+    assert len([r for r in reports if not r.get("no_op")]) >= 1
+
+    for name in INDICATOR_TABLES:
+        got = serve_indicator(spark, wh_s, name)
+        want = serve_indicator(spark, wh_b, name)
+        cols = sorted(want.columns)
+        assert sorted(
+            map(tuple, got.select(*cols).collect()), key=repr
+        ) == sorted(
+            map(tuple, want.select(*cols).collect()), key=repr
+        ), name
