@@ -42,6 +42,16 @@ partitions. Parity is the load-bearing result: BOTH layouts equal the
 one-shot registered queries value-for-value on all four indicator
 families.
 
+At sf10 (10M events, ETL_SCALE_PROBE_SF10.json) the crossover
+arrives: incremental batch = 25.0 s (partitioned) / 26.0 s
+(versioned) vs full rebuild 29.7 s — ratio 0.84/0.88 — with parity
+still exact for both layouts. The rebuild scaled 2.6x for 10x data
+while the incremental batch scaled ~1.6x; the remaining per-batch
+growth is the touched-users semi-join's full-table scan, which a
+user-bucketed or date-partition-pruned staged layout removes in a
+real deployment (the indicators read only touched days' + touched
+users' slices).
+
     python tools/etl_scale_probe.py [--sf-dir .artifacts/sf1] \
         [--out ETL_SCALE_PROBE.json]
 """
