@@ -260,21 +260,40 @@ def test_platform_etl_stream_twin_matches_batch(spark, tmp_path):
     )
     assert len([r for r in reports if not r.get("no_op")]) >= 3
 
-    for name in INDICATOR_TABLES:
-        got = serve_indicator(spark, wh_s, name)
-        want = serve_indicator(spark, wh_b, name)
-        cols = sorted(want.columns)
-        assert sorted(
-            map(tuple, got.select(*cols).collect()), key=repr
-        ) == sorted(
-            map(tuple, want.select(*cols).collect()), key=repr
-        ), name
+    # stream twin x partitioned staging (the feature combination)
+    wh_sp = str(tmp_path / "wh_stream_part")
+    run_platform_etl_stream(
+        spark,
+        PlatformEtlConfig(
+            source_events=src_s,
+            warehouse=wh_sp,
+            jdbc_url=None,
+            staging_layout="partitioned",
+        ),
+        checkpoint_dir=str(tmp_path / "ckpt_part"),
+        max_files_per_trigger=1,
+    )
+
+    for wh in (wh_s, wh_sp):
+        for name in INDICATOR_TABLES:
+            got = serve_indicator(spark, wh, name)
+            want = serve_indicator(spark, wh_b, name)
+            cols = sorted(want.columns)
+            assert sorted(
+                map(tuple, got.select(*cols).collect()), key=repr
+            ) == sorted(
+                map(tuple, want.select(*cols).collect()), key=repr
+            ), (wh, name)
     gs = read_version(spark, f"{wh_s}/staging_events")
+    gp = spark.read.parquet(f"{wh_sp}/staging_events").drop("event_date")
     bs = read_version(spark, f"{wh_b}/staging_events")
     cols = sorted(bs.columns)
-    assert sorted(
-        map(tuple, gs.select(*cols).collect()), key=repr
-    ) == sorted(map(tuple, bs.select(*cols).collect()), key=repr)
+    want_rows = sorted(map(tuple, bs.select(*cols).collect()), key=repr)
+    for stag in (gs, gp):
+        assert (
+            sorted(map(tuple, stag.select(*cols).collect()), key=repr)
+            == want_rows
+        )
 
 
 def test_platform_etl_partitioned_staging_layout(spark, tmp_path):
