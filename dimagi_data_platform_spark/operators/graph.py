@@ -87,11 +87,20 @@ def pagerank(
     dnum, dden = damping
     ck = lambda df: loop_checkpoint(df, reliable)  # noqa: E731
     edges = edges.select("src", "dst")
-    if materialize_edges:
-        # the edge list is consumed every iteration — materialize it
-        # once when its upstream plan is expensive (joins/explodes);
-        # skip when it is already a cheap columnar scan
+    if reliable and materialize_edges:
+        # cluster-durable blocks that survive executor loss; the
+        # cache below then builds from the checkpointed copy
         edges = ck(edges)
+    # r14 (guide §2.4): ONE upfront hash repartition on dst, persisted
+    # WITH lineage — persist (columnar CachedBatches) keeps the
+    # outputPartitioning visible to Catalyst where a localCheckpoint
+    # (Scan ExistingRDD) loses it, so every iteration's contribution
+    # groupBy(dst) after the broadcast src-join needs NO Exchange:
+    # n_iter edge-stream shuffles collapse into this single one. The
+    # partition count follows spark.sql.shuffle.partitions (scale
+    # config), not a local constant. At cluster scale the same effect
+    # is durable via a dst-bucketed table (sources/bucketed.py).
+    edges = edges.repartition("dst").persist()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # ONE upfront checkpoint job: the per-vertex base table carries
     # outdeg so the loop never re-joins ranks ⋈ outdeg, and counting
@@ -201,8 +210,12 @@ def bfs_distances(
     """
     ck = lambda df: loop_checkpoint(df, reliable)  # noqa: E731
     edges = edges.select("src", "dst")
-    if materialize_edges:
+    if reliable and materialize_edges:
         edges = ck(edges)
+    # r14 (guide §2.4): with a broadcast frontier the relaxation's
+    # groupBy(id = dst) inherits this one-time dst partitioning from
+    # the persisted cache — no per-round Exchange (see pagerank)
+    edges = edges.repartition("dst").persist()
     hint = F.broadcast if broadcast_frontier else (lambda df: df)
     reached = ck(
         source.select("id", F.lit(0).cast("long").alias("dist"))
@@ -260,8 +273,12 @@ def personalized_pagerank(
     dnum, dden = damping
     ck = lambda df: loop_checkpoint(df, reliable)  # noqa: E731
     edges = edges.select("src", "dst")
-    if materialize_edges:
+    if reliable and materialize_edges:
         edges = ck(edges)
+    # same one-shuffle edge layout as pagerank (r14, guide §2.4): the
+    # per-iteration groupBy(dst) reads the dst-partitioned cache with
+    # no Exchange
+    edges = edges.repartition("dst").persist()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     base = (
         vertices.select(F.col(id_col).alias("id"))

@@ -65,6 +65,15 @@ def frozen_range_pid(
     # one wide sample themselves and pass per-ordering tuples via
     # ``sample`` — skipping the count+collect jobs here entirely.
     if sample is None:
+        # r14: materialize the input once before fanning out over it.
+        # Without this, the count job, the sample job, and every
+        # downstream branch of the caller (the ranked stream + the
+        # per-bucket offsets aggregate at minimum) each recompute the
+        # input subtree — for the usual caller (a grouped value-grain)
+        # that is 4+ repeats of its scan+shuffle. The checkpointed
+        # grain is bounded by the caller's grain size, and boundary
+        # FREEZING (the correctness mechanism) is unchanged.
+        df = df.localCheckpoint()
         n_target = sample_n or max(npart * 20, 200)
         proj = df.select(*order_cols)
         cnt = proj.count()

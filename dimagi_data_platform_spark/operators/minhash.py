@@ -324,12 +324,12 @@ def minhash_dedup_pairs(
     seed: int = 42,
 ) -> DataFrame:
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, seed)
-    # sigs feed three consumers (band entries + both sides of the pair
-    # join-back): materialize once instead of re-running the shingle +
-    # 64-hash pass three times. The signature table is the small
-    # artifact of this pipeline (num_hashes longs per doc) — exactly
-    # what production would persist/write anyway.
-    sigs = sigs.localCheckpoint()
+    # No materialization here (r14): since the distinct-signature
+    # collapse, `sigs` has exactly ONE consumer — the groupBy(sig)
+    # inside lsh_candidate_pairs, which localCheckpoints its own
+    # result for the three downstream consumers. Checkpointing sigs
+    # too only added a barrier and a block-manager copy of the
+    # signature pass.
     rows_per_band = num_hashes // bands
     pairs = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     return pairs.filter(F.col("est_jaccard") >= min_est_jaccard)

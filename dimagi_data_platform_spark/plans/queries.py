@@ -4289,11 +4289,11 @@ def _copurchase_tri(spark: SparkSession, sf_dir: str):
         F.col("dst").alias("b"),
         F.explode(F.array_intersect("n_src", "n_dst")).alias("c"),
     )
-    corners = (
-        tri.select(F.col("a").alias("p"))
-        .unionAll(tri.select(F.col("b").alias("p")))
-        .unionAll(tri.select(F.col("c").alias("p")))
-    )
+    # one corner row per triangle vertex, emitted in a SINGLE pass:
+    # the former 3-branch union re-ran the array_intersect explode (the
+    # Σ outdeg² kernel) once per branch — the whole tri subtree
+    # appeared 3x in the plan (r14 plan audit: 300-operator tree)
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("p"))
     return deg, corners
 
 
@@ -9591,6 +9591,12 @@ def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(e0.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    # r14 (guide §2.4): ONE upfront src-hash repartition, persisted
+    # WITH lineage, so each round's (src, nlbl) groupBy AND the
+    # per-vertex window (both clustered on src) inherit the cached
+    # partitioning — the 3 per-round label-stream Exchanges disappear
+    # (plans/r14/copurchase_communities_{before,after}.txt)
+    edges = edges.repartition("src").persist()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -11492,7 +11498,13 @@ def part_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each half-round is one edge join vs the vertex-sized
     frontier + a map-side-combined groupBy (R57's per-round cost);
-    normalization is a broadcast 1-row max.
+    normalization is a broadcast 1-row max. Each half-round frontier is
+    localCheckpointed (vertex-sized, like R57's per-round ranks): the
+    max-normalization references its frontier twice (the max aggregate
+    and the scaled projection), so an unmaterialized recurrence doubles
+    the subtree per half-round — 308 Exchanges / 60 SortMergeJoins of
+    recomputed history at 2 rounds (measured r14; truncating the
+    lineage per half-round leaves ~3 Exchanges per segment).
     """
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -11500,29 +11512,39 @@ def part_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
-        .localCheckpoint()
     )
+    # r14 (guide §2.4): the loop aggregates alternate between keys p
+    # and c, so persist TWO pre-partitioned copies of the edge set
+    # WITH lineage (e_c derives from the e_p cache — the join+distinct
+    # upstream runs once): each half-round's groupBy then inherits the
+    # cached clustering through the broadcast frontier join and needs
+    # no Exchange — 5 edge-stream shuffles become these 2.
+    e_p = e.repartition("p").persist()
+    e_c = e_p.repartition("c").persist()
     # h0 = 1 per customer: a1(p) = in-degree
-    a = e.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    a = e_p.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("a"))
     for _ in range(2):
+        a = a.localCheckpoint()
         amax = a.agg(F.max("a").alias("m"))
         a_n = a.crossJoin(F.broadcast(amax)).select(
             "p", F.expr("CAST((a * 1000000) DIV m AS LONG)").alias("an")
         )
         h = (
-            e.join(a_n, "p")
+            e_c.join(F.broadcast(a_n), "p")
             .groupBy("c")
             .agg(F.sum("an").cast("long").alias("h"))
+            .localCheckpoint()
         )
         hmax = h.agg(F.max("h").alias("m"))
         h_n = h.crossJoin(F.broadcast(hmax)).select(
             "c", F.expr("CAST((h * 1000000) DIV m AS LONG)").alias("hn")
         )
         a = (
-            e.join(h_n, "c")
+            e_p.join(F.broadcast(h_n), "c")
             .groupBy("p")
             .agg(F.sum("hn").cast("long").alias("a"))
         )
+    a = a.localCheckpoint()
     amax = a.agg(F.max("a").alias("m"))
     return (
         a.crossJoin(F.broadcast(amax))
@@ -12188,11 +12210,15 @@ def order_value_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = _t(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    # repartition-before-the-md5-explode (the lang_id/char_entropy
+    # discipline): the orders parquet is a single split at bench scale,
+    # so the 19x md5 explode otherwise runs on one core; exact integer
+    # sums make the result partitioning-invariant
     base = orders.select(
         F.col("o_orderkey").cast("string").alias("k"),
         (F.col("o_orderpriority") == "1-URGENT").alias("g_obs"),
         cents.alias("v"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     perms = spark.range(1, 20).select(F.col("id").cast("int").alias("perm"))
     ex = base.crossJoin(F.broadcast(perms))
     g_perm = (
@@ -12236,7 +12262,10 @@ def order_value_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = gap(base.withColumn("perm", F.lit(0)), F.col("g_obs")).select(
         F.col("gap").alias("gap_obs")
     )
-    null_gaps = gap(ex, g_perm)
+    # project the md5 group bit ONCE: inlining g_perm into the four
+    # aggregate expressions made the partial aggregate evaluate the
+    # md5+conv chain 4x per exploded row (plan audit r14)
+    null_gaps = gap(ex.withColumn("_g", g_perm), F.col("_g"))
     cmpd = null_gaps.crossJoin(F.broadcast(obs))
     agg = cmpd.agg(
         F.count(F.lit(1)).cast("long").alias("n_perms"),
