@@ -30,6 +30,11 @@ from pyspark.sql import functions as F
 
 from dimagi_data_platform_spark.operators.loop import loop_checkpoint
 
+# vertex-sized label frontiers are broadcast into the per-round edge
+# join below this row count (the pagerank/HITS guard, guide §3.1);
+# above it the round falls back to a shuffle join.
+_BROADCAST_MAX_LABELS = 4_000_000
+
 
 def connected_components(
     vertices: DataFrame,
@@ -71,10 +76,20 @@ def connected_components(
     one_way = ck(
         edges.select(F.col(src_col).alias("id"), F.col(dst_col).alias("nbr"))
     )
-    sym = ck(
+    # r15 (guide §2.4, the r14 pagerank layout): the symmetric edge set
+    # is persisted hash-repartitioned on ``nbr`` WITH lineage (cheap to
+    # rebuild from the checkpointed one_way), so each round's
+    # label-lookup join on nbr reads the cached clustering with no
+    # Exchange when the vertex-sized label frontier is broadcast — the
+    # per-round edge-stream shuffles drop from two (join + groupBy) to
+    # the one the groupBy(id) fundamentally needs. Released before
+    # returning (the final labels are checkpointed).
+    sym = (
         one_way.union(
             one_way.select(F.col("nbr").alias("id"), F.col("id").alias("nbr"))
         )
+        .repartition("nbr")
+        .persist()
     )
 
     # Only edge-incident vertices can ever change label; iterate over
@@ -83,7 +98,10 @@ def connected_components(
     # this bounds every round by the near-dup population, not the
     # corpus.
     base = vertices.select(F.col(id_col).alias("id"))
-    edge_ids = sym.select("id").distinct()
+    # vertex-sized, materialized once: it feeds BOTH the active-set
+    # semi-join and the singleton anti-join (the latter evaluates at
+    # action time, after the edge cache is released below)
+    edge_ids = ck(sym.select("id").distinct())
     labels = (
         base.join(edge_ids, "id", "left_semi")
         .select("id", F.col("id").alias("component"))
@@ -94,11 +112,21 @@ def connected_components(
     )
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
 
+    # the label frontier is vertex-sized; broadcast it into the edge
+    # join while provably small (the checkpointed frontier has no
+    # stats, so Catalyst alone would shuffle the cached edges), with a
+    # shuffle fallback past the guard (guide §3.1)
+    n_active = labels.count()
+    bc = F.broadcast if n_active <= _BROADCAST_MAX_LABELS else (lambda df: df)
+
     converged = False
     for _ in range(max_iter):
         nbr_labels = sym.join(
-            labels.select(
-                F.col("id").alias("nbr"), F.col("component").alias("nbr_comp")
+            bc(
+                labels.select(
+                    F.col("id").alias("nbr"),
+                    F.col("component").alias("nbr_comp"),
+                )
             ),
             "nbr",
         ).groupBy("id").agg(F.min("nbr_comp").alias("min_nbr"))
@@ -123,11 +151,15 @@ def connected_components(
         # silently wrong — linkage chains hit exactly this (a sorted
         # neighborhood is a path graph). Fail loudly and point at the
         # O(log n) algorithm instead of the O(diameter) one.
+        sym.unpersist()
         raise RuntimeError(
             f"min-label propagation did not converge in {max_iter} rounds; "
             "the graph's diameter exceeds the cap — use "
             "algorithm='star' (O(log n) rounds) or raise max_iter"
         )
+    # every round's labels are checkpointed, so the result no longer
+    # depends on the edge cache (ADVICE r14 discipline)
+    sym.unpersist()
     return labels.union(singletons)
 
 

@@ -25,11 +25,16 @@ Spark-first shape (mirrors operators/components.py):
 - the rank frontier is checkpointed on a bounded cadence to
   truncate lineage (10 iterations would otherwise nest 10 shuffles
   deep in one plan);
-- ``materialize_edges`` controls whether the edge list is
-  localCheckpointed: pass False when edges already come from a
-  persisted columnar source (parquet artifact) — a checkpoint copies
-  them into ROW-format blocks whose per-iteration rescan costs ~3x a
-  columnar parquet scan (measured at sf0.1: 1.5s vs 0.5s per pass);
+- the edge list is hash-repartitioned on ``dst`` and cached for the
+  loop (``partition_edges``), so each iteration's contribution
+  groupBy(dst) inherits the cached clustering through the broadcast
+  frontier join — and the cache is RELEASED before returning (the
+  final frontier is checkpointed, so the result no longer depends on
+  it; r14 left these caches pinned for the session, ADVICE r14).
+  ``materialize_edges`` now only gates the ``reliable`` durable edge
+  checkpoint: with ``reliable=True`` pass False when edges already
+  come from a durable columnar source (parquet artifact) that can be
+  rescanned after executor loss;
 - driver state is scalar-only (the dangling-mass total), the same
   bounded-collect contract the connected-components loop uses.
 
@@ -72,12 +77,16 @@ def pagerank(
     materialize_edges: bool = True,
     broadcast_max_vertices: int = BROADCAST_MAX_VERTICES,
     reliable: bool = False,
+    partition_edges: bool = True,
 ) -> DataFrame:
     """Ranks after ``n_iter`` power iterations; returns (id, r) with
     ``r`` the fixed-point rank (true rank ≈ r / scale).
 
     ``vertices`` must contain every edge endpoint; ``edges`` is the
     DIRECTED edge list (pass both directions for undirected graphs).
+    ``partition_edges=False`` opts out of the loop-lifetime
+    dst-partitioned edge cache — for callers whose edge list is
+    ALREADY clustered on dst (a bucketed table) or too large to cache.
     Recurrence (all integer):
 
         teleport  = ((den - num) * (scale DIV n)) DIV den
@@ -100,7 +109,13 @@ def pagerank(
     # partition count follows spark.sql.shuffle.partitions (scale
     # config), not a local constant. At cluster scale the same effect
     # is durable via a dst-bucketed table (sources/bucketed.py).
-    edges = edges.repartition("dst").persist()
+    # Released after the loop (the final checkpointed frontier no
+    # longer depends on it) so long-lived sessions don't accumulate
+    # edge-sized CacheManager entries (ADVICE r14).
+    edge_cache = None
+    if partition_edges:
+        edges = edges.repartition("dst").persist()
+        edge_cache = edges
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # ONE upfront checkpoint job: the per-vertex base table carries
     # outdeg so the loop never re-joins ranks ⋈ outdeg, and counting
@@ -114,6 +129,8 @@ def pagerank(
     )
     n = base.count()
     if n == 0:
+        if edge_cache is not None:
+            edge_cache.unpersist()
         return base.select("id", F.lit(0).cast("long").alias("r"))
     teleport = ((dden - dnum) * (scale // n)) // dden
     # a dangling vertex has no out-edges -> NULL outdeg in base; its
@@ -170,6 +187,8 @@ def pagerank(
         )
         if (it + 1) % ckpt_every == 0 or it == n_iter - 1:
             ranks = ck(ranks)
+    if edge_cache is not None:
+        edge_cache.unpersist()
     return ranks.select("id", "r")
 
 
@@ -198,9 +217,20 @@ def bfs_distances(
       set is provably bounded — e.g. a dimension-keyed graph); the
       checkpointed frontier has no stats, so Catalyst alone would
       shuffle the edge list every round;
-    - ``materialize_edges`` as in :func:`pagerank` — pass False for
-      parquet-artifact-backed edge lists (columnar rescans beat
-      row-format checkpoint blocks ~3x);
+    - with ``broadcast_frontier=True`` the edge list is additionally
+      dst-repartitioned and cached for the loop (each round's
+      groupBy(dst) then inherits the clustering through the broadcast
+      join — no per-round edge Exchange) and the cache is released
+      before returning; with a SHUFFLED frontier the per-round join on
+      ``src`` re-shuffles the edges regardless, so no cache is built
+      (r14 built it unconditionally — one wasted shuffle + a pinned
+      cache, ADVICE r14);
+    - ``materialize_edges`` — with ``reliable=True``, pass False for
+      parquet-artifact-backed edge lists (durable columnar rescans
+      make an extra durable checkpoint copy pointless); without
+      ``reliable`` it localCheckpoints the edges once in the shuffled-
+      frontier path so each round rescans blocks instead of re-running
+      the upstream edge derivation;
     - distances are exact integers — bitwise deterministic, so the
       oracle can unroll the identical min-relaxation recurrence.
 
@@ -210,12 +240,21 @@ def bfs_distances(
     """
     ck = lambda df: loop_checkpoint(df, reliable)  # noqa: E731
     edges = edges.select("src", "dst")
-    if reliable and materialize_edges:
+    edge_cache = None
+    if broadcast_frontier:
+        # r14 (guide §2.4): with a broadcast frontier the relaxation's
+        # groupBy(id = dst) inherits this one-time dst partitioning
+        # from the persisted cache — no per-round Exchange (see
+        # pagerank); released after the loop (ADVICE r14)
+        if reliable and materialize_edges:
+            edges = ck(edges)
+        edges = edges.repartition("dst").persist()
+        edge_cache = edges
+    elif materialize_edges:
+        # shuffled-frontier path: the per-round join on src re-shuffles
+        # the edges regardless, so a dst partitioning buys nothing —
+        # just truncate lineage once (pre-r14 contract)
         edges = ck(edges)
-    # r14 (guide §2.4): with a broadcast frontier the relaxation's
-    # groupBy(id = dst) inherits this one-time dst partitioning from
-    # the persisted cache — no per-round Exchange (see pagerank)
-    edges = edges.repartition("dst").persist()
     hint = F.broadcast if broadcast_frontier else (lambda df: df)
     reached = ck(
         source.select("id", F.lit(0).cast("long").alias("dist"))
@@ -239,6 +278,10 @@ def bfs_distances(
         # lineage is one union node per round, so materializing it
         # again would only add a job per round
         reached = reached.unionAll(frontier)
+    if edge_cache is not None:
+        # every per-round frontier is checkpointed, so `reached` no
+        # longer depends on the edge cache
+        edge_cache.unpersist()
     return reached
 
 
@@ -253,6 +296,7 @@ def personalized_pagerank(
     materialize_edges: bool = True,
     broadcast_max_vertices: int = BROADCAST_MAX_VERTICES,
     reliable: bool = False,
+    partition_edges: bool = True,
 ) -> DataFrame:
     """Personalized PageRank: teleport mass restarts at the SEED set
     instead of uniformly — the similarity-to-seeds measure behind
@@ -277,8 +321,11 @@ def personalized_pagerank(
         edges = ck(edges)
     # same one-shuffle edge layout as pagerank (r14, guide §2.4): the
     # per-iteration groupBy(dst) reads the dst-partitioned cache with
-    # no Exchange
-    edges = edges.repartition("dst").persist()
+    # no Exchange; released after the loop (ADVICE r14)
+    edge_cache = None
+    if partition_edges:
+        edges = edges.repartition("dst").persist()
+        edge_cache = edges
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     base = (
         vertices.select(F.col(id_col).alias("id"))
@@ -296,6 +343,8 @@ def personalized_pagerank(
     n = base.count()
     n_s = base.filter("is_seed").count()
     if n == 0 or n_s == 0:
+        if edge_cache is not None:
+            edge_cache.unpersist()
         return base.select("id", F.lit(0).cast("long").alias("r"))
     teleport = ((dden - dnum) * (scale // n_s)) // dden
     dangling_ids = base.filter(F.col("outdeg").isNull()).select("id")
@@ -343,6 +392,8 @@ def personalized_pagerank(
         )
         if (it + 1) % ckpt_every == 0 or it == n_iter - 1:
             ranks = ck(ranks)
+    if edge_cache is not None:
+        edge_cache.unpersist()
     return ranks.select("id", "r")
 
 

@@ -30,6 +30,7 @@ def frozen_range_pid(
     sample_n: int | None = None,
     pid_col: str = "__pid",
     sample: list[tuple] | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Append a deterministic range-bucket id ``pid_col`` that is
     monotone in (order_cols) order: every row in bucket p sorts before
@@ -73,7 +74,12 @@ def frozen_range_pid(
         # that is 4+ repeats of its scan+shuffle. The checkpointed
         # grain is bounded by the caller's grain size, and boundary
         # FREEZING (the correctness mechanism) is unchanged.
-        df = df.localCheckpoint()
+        # ``materialize=False`` opts out (ADVICE r14) for callers whose
+        # input is already materialized (parquet scan, checkpoint) or
+        # unbounded — pair the opt-out with operators/loop.py's
+        # disk_materialize when blocks would starve execution memory.
+        if materialize:
+            df = df.localCheckpoint()
         n_target = sample_n or max(npart * 20, 200)
         proj = df.select(*order_cols)
         cnt = proj.count()
@@ -156,8 +162,18 @@ def sorted_neighborhood_pairs(
     order_cols order) skips the boundary-sampling jobs — multi-pass
     SNM callers collect ONE wide sample and derive each pass's tuples
     locally (see frozen_range_pid)."""
-    ranked = global_row_number(df, order_cols, sample=sample).select(
-        F.col(id_col).alias("__id"), "rn"
+    # r15 (guide §2.3): only (id, rn) survive the rank — project the
+    # compare payload away BEFORE the range exchange + in-bucket window
+    # so the sort carries keys, not document/token columns; and
+    # localCheckpoint the (two-long) ranked table ONCE — it feeds both
+    # the anchor explode and the right side of the rank join, which
+    # otherwise each re-ran the whole rank subtree (scan + exchange +
+    # window + offsets join), guide §2.1.
+    keep = list(dict.fromkeys([*order_cols, id_col]))
+    ranked = (
+        global_row_number(df.select(*keep), order_cols, sample=sample)
+        .select(F.col(id_col).alias("__id"), "rn")
+        .localCheckpoint()
     )
     anchors = ranked.select(
         F.col("__id").alias("id_a"),

@@ -457,7 +457,14 @@ def embedding_near_dup_pairs(
     pairs = F.broadcast(
         spark.createDataFrame(pair_rows, "pair_id int, bi int, bj int")
     )
-    t = items.select(
+    # repartition first (guide §2.6, the r14 lang_id/permutation-test
+    # discipline): a small table arrives as ONE parquet split, so the
+    # B-way row replication + Arrow serialization feeding the pandas
+    # compare stage would run in a single task (driver-measured ~serial
+    # 8→32-core scaling at sf0.1, PERF_r14); at real scale the scan is
+    # already split and this round-robin is noise vs the O(n²/2) kernel
+    par = spark.sparkContext.defaultParallelism
+    t = items.repartition(par).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         (F.crc32(F.col(id_col).cast("string")) % n_blocks).cast("int").alias("blk"),
@@ -815,8 +822,18 @@ def _lsh_near_dup_candidates(
 ) -> DataFrame:
     """Distinct unordered candidate pairs (id_a < id_b, with vectors)
     that share a bucket in >= 1 of ``n_tables`` hyperplane tables —
-    the shared blocking stage of ``embedding_near_dup_lsh`` and
-    ``embedding_near_dup_capped``."""
+    the blocking stage of ``embedding_near_dup_lsh``.
+
+    r15 note (guide §1.1 — measure first): an id-only candidate stream
+    with vectors re-attached to the distinct pair set afterwards (the
+    §8 "shuffle keys, not payloads" shape, via broadcast gather or two
+    hash joins) was implemented and A/B-measured IN-SESSION at sf0.1:
+    2.56 s (this vec-carrying form) vs 4.7 s (gather) / 5.4 s (joins)
+    min-of-4 interleaved — the extra count/toPandas driver jobs and
+    re-attach stages cost more than the ~130 MB candidate payload
+    saves at this scale, so the payload-carrying form stays. The
+    r12-measured crossover where gather wins (~100M candidates) is
+    already served by ``embedding_near_dup_capped``'s gather kernel."""
     sides = []
     for t in range(n_tables):
         b = lsh_bucket(vec_col, dim, n_planes, seed + 101 * t)

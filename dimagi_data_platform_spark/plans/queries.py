@@ -2986,11 +2986,16 @@ def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the scan-local gram/md5 fan-out (the hot map-side work) would
     # run in a single task; at real scale the scan is already split
     par = spark.sparkContext.defaultParallelism
+    # r15 (guide §2.1): materialize the tokenized projection ONCE —
+    # four consumers (the gram stream twice via firsts+dups, the token
+    # stream, and the final doc join) each re-ran the scan + lower/
+    # split tokenize chain before
     docs = (
         _t(spark, sf_dir, "documents")
         .repartition(par)
         .select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("toks"))
         .withColumn("n_tokens", F.size("toks").cast("long"))
+        .localCheckpoint()
     )
     grams = docs.select(
         "doc_id",
@@ -9623,6 +9628,9 @@ def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("src").alias("id"), F.col("nlbl").alias("lbl"))
             .localCheckpoint()
         )
+    # every round's labels are checkpointed, so the result no longer
+    # depends on the edge cache — release it (ADVICE r14)
+    edges.unpersist()
     return (
         labels.groupBy("lbl")
         .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
@@ -10907,9 +10915,16 @@ def copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
     u_first = F.col("ku") < F.col("kv")
+    # r15 (guide §2.1): the packed orientation key already carries the
+    # center's undirected degree (k DIV 2^40) — ride it through the
+    # projection instead of re-joining the deg subtree a third time
     directed = e.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.expr(
+            f"CAST((CASE WHEN ku < kv THEN ku ELSE kv END) DIV {pack} "
+            "AS LONG)"
+        ).alias("cdeg"),
     )
     wsrc = F.floor(
         F.lit(1000000000000.0)
@@ -10917,9 +10932,11 @@ def copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     adj = (
         directed.groupBy("src")
-        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
-        .join(
-            F.broadcast(deg.select(F.col("p").alias("src"), "deg")), "src"
+        .agg(
+            F.sort_array(F.collect_list("dst")).alias("nbrs"),
+            # cdeg is constant per src; min() is the deterministic
+            # reduction of that constant
+            F.min("cdeg").alias("deg"),
         )
         # wedge centers have outdeg >= 2, so undirected deg >= 2 and
         # ln(deg) >= ln 2 — the integer division is always defined
@@ -11059,9 +11076,17 @@ def copurchase_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     e = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
     u_first = F.col("ku") < F.col("kv")
+    # r15 (guide §2.1): the chosen endpoint's packed key already CARRIES
+    # its undirected degree (k DIV 2^40), so the center degree rides the
+    # orientation projection — the third broadcast evaluation of the deg
+    # subtree (the post-groupBy deg join the r14 plan showed) disappears
     directed = e.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.expr(
+            f"CAST((CASE WHEN ku < kv THEN ku ELSE kv END) DIV {pack} "
+            "AS LONG)"
+        ).alias("cdeg"),
     )
     wsrc = F.floor(
         F.lit(1000000000000.0)
@@ -11071,42 +11096,54 @@ def copurchase_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame
 
     # ONE persisted adjacency: the collect_list shuffle over every
     # directed edge is this query's biggest fixed cost, and the
-    # dropped-mass aggregate, the budget aggregate, and the wedge
-    # stream all consume it — unpersisted they re-ran it three times
-    # (the r12 sf10 profile's missing 2/3)
+    # dropped/kept-mass aggregate and the wedge stream both consume it
+    # — unpersisted they re-ran it (the r12 sf10 profile's missing 2/3)
     adj = (
         directed.groupBy("src")
-        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
-        .join(
-            F.broadcast(deg.select(F.col("p").alias("src"), "deg")), "src"
+        .agg(
+            F.sort_array(F.collect_list("dst")).alias("nbrs"),
+            # cdeg is constant per src (it is src's undirected degree);
+            # min() is the deterministic reduction of that constant
+            F.min("cdeg").alias("deg"),
         )
         .withColumn("w_center", wsrc)
         .withColumn("outdeg", F.size("nbrs").cast("long"))
         .persist(StorageLevel.DISK_ONLY)
     )
-    # the cap: hub centers leave the wedge stream, their exact excluded
-    # mass (choose(outdeg, 2) wedges each) becomes a 1-row aggregate
-    # that rides every output row
-    dropped = adj.filter(F.col("outdeg") > MAX_WEDGE_OUTDEG).agg(
-        F.count(F.lit(1)).cast("long").alias("dropped_centers"),
-        F.coalesce(
-            F.sum(F.expr("outdeg * (outdeg - 1) DIV 2")), F.lit(0)
-        )
+    # r15 (guide §2.1): ONE stats pass instead of three driver jobs —
+    # the dropped-mass aggregate (previously a lazy 1-row subtree that
+    # duplicated the whole adjacency build in the final plan), the
+    # kept-mass budget aggregate, and the wedge-width inputs all come
+    # from a single aggregate over the persisted adjacency; the
+    # dropped-mass pair is then interpolated as LITERALS (exact same
+    # integers — the values are data-determined, not partitioning-
+    # dependent)
+    choose2 = F.expr("outdeg * (outdeg - 1) DIV 2")
+    hub = F.col("outdeg") > MAX_WEDGE_OUTDEG
+    stats = adj.agg(
+        F.coalesce(F.sum(F.when(hub, 1)), F.lit(0))
+        .cast("long")
+        .alias("dropped_centers"),
+        F.coalesce(F.sum(F.when(hub, choose2)), F.lit(0))
         .cast("long")
         .alias("dropped_wedges"),
-    )
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("outdeg") >= 2)
+                    & (F.col("outdeg") <= MAX_WEDGE_OUTDEG),
+                    choose2,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("kept_mass"),
+    ).first()
     kept = adj.filter(
         (F.col("outdeg") >= 2) & (F.col("outdeg") <= MAX_WEDGE_OUTDEG)
     )
-    kept_mass = (
-        kept.agg(
-            F.coalesce(
-                F.sum(F.expr("outdeg * (outdeg - 1) DIV 2")), F.lit(0)
-            )
-            .cast("long")
-            .alias("m")
-        ).first()["m"]
-    )
+    kept_mass = stats["kept_mass"]
     n_edges = edges.count()  # metadata-cheap on the persisted artifact
     budget = max(WEDGE_BUDGET_FLOOR, 2 * n_edges)
     thin_rate = _wedge_thin_rate(kept_mass, budget)
@@ -11166,7 +11203,12 @@ def copurchase_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy(F.desc("aa_fixed"), "part_a", "part_b")
         .limit(20)
-        .crossJoin(F.broadcast(dropped))  # 1-row scalar join idiom
+        .withColumn(
+            "dropped_centers", F.lit(stats["dropped_centers"]).cast("long")
+        )
+        .withColumn(
+            "dropped_wedges", F.lit(stats["dropped_wedges"]).cast("long")
+        )
         .withColumn("wedge_budget", F.lit(budget).cast("long"))
         .withColumn("thin_rate", F.lit(thin_rate).cast("long"))
     )
@@ -11518,33 +11560,61 @@ def part_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # WITH lineage (e_c derives from the e_p cache — the join+distinct
     # upstream runs once): each half-round's groupBy then inherits the
     # cached clustering through the broadcast frontier join and needs
-    # no Exchange — 5 edge-stream shuffles become these 2.
+    # no Exchange — 5 edge-stream shuffles become these 2. Released
+    # after the loop (the final frontier is checkpointed; ADVICE r14).
+    from dimagi_data_platform_spark.operators.graph import (
+        BROADCAST_MAX_VERTICES,
+    )
+
     e_p = e.repartition("p").persist()
     e_c = e_p.repartition("c").persist()
     # h0 = 1 per customer: a1(p) = in-degree
     a = e_p.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    # r15 (guide §3.1, VERDICT r14 item 5): the frontiers are
+    # vertex-sized (all parts / all customers) — broadcast them only
+    # while provably small, with a shuffle-join fallback past the same
+    # guard pagerank uses. The counts are constant across rounds (every
+    # round's frontier covers the same vertex set), so each is counted
+    # ONCE off its first checkpointed frontier.
+    n_parts = n_custs = None
     for _ in range(2):
         a = a.localCheckpoint()
+        if n_parts is None:
+            n_parts = a.count()
+        bc_a = (
+            F.broadcast
+            if n_parts <= BROADCAST_MAX_VERTICES
+            else (lambda df: df)
+        )
         amax = a.agg(F.max("a").alias("m"))
         a_n = a.crossJoin(F.broadcast(amax)).select(
             "p", F.expr("CAST((a * 1000000) DIV m AS LONG)").alias("an")
         )
         h = (
-            e_c.join(F.broadcast(a_n), "p")
+            e_c.join(bc_a(a_n), "p")
             .groupBy("c")
             .agg(F.sum("an").cast("long").alias("h"))
             .localCheckpoint()
+        )
+        if n_custs is None:
+            n_custs = h.count()
+        bc_h = (
+            F.broadcast
+            if n_custs <= BROADCAST_MAX_VERTICES
+            else (lambda df: df)
         )
         hmax = h.agg(F.max("h").alias("m"))
         h_n = h.crossJoin(F.broadcast(hmax)).select(
             "c", F.expr("CAST((h * 1000000) DIV m AS LONG)").alias("hn")
         )
         a = (
-            e_p.join(F.broadcast(h_n), "c")
+            e_p.join(bc_h(h_n), "c")
             .groupBy("p")
             .agg(F.sum("hn").cast("long").alias("a"))
         )
     a = a.localCheckpoint()
+    e_p.unpersist()
+    e_c.unpersist()
     amax = a.agg(F.max("a").alias("m"))
     return (
         a.crossJoin(F.broadcast(amax))
@@ -13425,7 +13495,14 @@ def customer_fuzzy_match_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
-    keyed = cust.withColumn("_rname", F.reverse(F.col("c_name")))
+    # r15 (guide §2.1): ONE materialization of the narrow keyed
+    # projection — the boundary-sample count+collect, both SNM passes,
+    # the two candidate join-back sides and the block-mass aggregate
+    # all consumed this subtree (6+ scans before)
+    keyed = cust.withColumn(
+        "_rname", F.reverse(F.col("c_name"))
+    ).localCheckpoint()
+    cust = keyed.select("c_custkey", "c_name", "c_nationkey")
     smp = _snm_boundary_sample(keyed, ["c_nationkey", "c_name", "c_custkey"])
     smp_rev = [(nk, nm[::-1], k) for nk, nm, k in smp]
     pa = sorted_neighborhood_pairs(
@@ -13546,10 +13623,17 @@ def part_catalog_near_dups_capped(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("t"),
     )
+    # r15 (guide §2.1): ONE materialization of the tokenized+canonical
+    # projection — the boundary sample, both SNM passes, both candidate
+    # join-back sides and the block-mass aggregate all re-ran the
+    # tokenize subtree before (8+ evaluations of the split/sort/
+    # distinct chain per query)
     keyed = (
         toks.withColumn("canon", F.array_join("t", " "))
         .withColumn("rcanon", F.reverse(F.col("canon")))
+        .localCheckpoint()
     )
+    toks = keyed.select("p_partkey", "p_type", "t")
     smp = _snm_boundary_sample(keyed, ["p_type", "canon", "p_partkey"])
     smp_rev = [(tp, cn[::-1], k) for tp, cn, k in smp]
     pa = sorted_neighborhood_pairs(
