@@ -113,7 +113,10 @@ def interval_concurrency(
     # + two groupBys for the visits case — measured ~4x the grain cost)
     grain = grain.withColumn("neg_sign", -F.col("sign")).localCheckpoint()
     par = spark.sparkContext.defaultParallelism
-    parted = frozen_range_pid(grain, ["ts", "neg_sign"], par)
+    # materialize=False (r15): grain is already checkpointed above —
+    # the default would checkpoint the SAME rows a second time (one
+    # extra eager job + a duplicate block-manager copy per call)
+    parted = frozen_range_pid(grain, ["ts", "neg_sign"], par, materialize=False)
     in_part = Window.partitionBy("__pid").orderBy("ts", F.desc("sign"))
     local = parted.withColumn("__run", F.sum("delta").over(in_part))
     offsets = (

@@ -192,6 +192,73 @@ def sorted_neighborhood_pairs(
     )
 
 
+def sorted_neighborhood_pairs_multi(
+    df: DataFrame,
+    passes: list[list[str]],
+    id_col: str,
+    window: int = 3,
+    samples: list[list[tuple]] | None = None,
+) -> DataFrame:
+    """Multi-pass SNM candidate pairs sharing ONE distributed rank.
+
+    Each entry of ``passes`` is an order_cols list (all passes must be
+    position-wise type-compatible — e.g. (block, name, key) and
+    (block, reversed_name, key)); the per-pass sort streams are melted
+    into a single (pass, key...) union and ranked ONCE, so P passes pay
+    one range exchange + one in-bucket window + one ranked checkpoint
+    instead of P of each (guide §2.4 — two operations keyed the same
+    way share one exchange). Within pass p the melted global rank is
+    (p·n + per-pass rank), so anchor joins on (pass, rank) reproduce
+    exactly the per-pass pair sets; ``rank_dist`` is the per-pass rank
+    distance, unchanged. ``samples[i]`` are boundary-sample tuples in
+    ``passes[i]`` order (see frozen_range_pid — callers collect one
+    wide sample and derive each pass's tuples locally); pass None to
+    let the rank sample the melted stream itself.
+
+    Returns the UNION of all passes' (id_a, id_b, rank_dist) — callers
+    dedup exactly as they did for unioned single-pass calls.
+    """
+    n_keys = len(passes[0])
+    assert all(len(p) == n_keys for p in passes), "ragged pass order_cols"
+    knames = [f"__k{i}" for i in range(n_keys)]
+    melted = None
+    for p_idx, cols in enumerate(passes):
+        part = df.select(
+            F.lit(p_idx).alias("__p"),
+            *[F.col(c).alias(k) for c, k in zip(cols, knames)],
+            F.col(id_col).alias("__id"),
+        )
+        melted = part if melted is None else melted.unionByName(part)
+    sample = None
+    if samples is not None:
+        sample = [
+            (p_idx, *t) for p_idx, ts in enumerate(samples) for t in ts
+        ]
+    ranked = (
+        global_row_number(melted, ["__p", *knames], sample=sample)
+        .select("__p", "__id", "rn")
+        .localCheckpoint()
+    )
+    anchors = ranked.select(
+        "__p",
+        F.col("__id").alias("id_a"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + window)
+        ).alias("rn_b"),
+        F.col("rn").alias("rn_a"),
+    )
+    return (
+        anchors.join(
+            ranked.select(
+                "__p", F.col("__id").alias("id_b"), F.col("rn").alias("rn_b")
+            ),
+            ["__p", "rn_b"],
+        )
+        .withColumn("rank_dist", (F.col("rn_b") - F.col("rn_a")).cast("long"))
+        .select("id_a", "id_b", "rank_dist")
+    )
+
+
 def global_prefix_sums(
     df: DataFrame,
     order_cols: list[str],

@@ -1085,7 +1085,14 @@ def _artifact_path(sf_dir: str, prefix: str, source_table: str = "embeddings") -
     name = f"{prefix}_{tag}_{key}"
     if os.path.isdir(base):
         for old in os.listdir(base):
-            if old.startswith(f"{prefix}_{tag}_") and old != name:
+            # never reap ".tmp-" dirs: they may be a LIVE in-flight
+            # build of a concurrent caller (r15 — the pooled test
+            # sweeps run queries from driver threads)
+            if (
+                old.startswith(f"{prefix}_{tag}_")
+                and old != name
+                and ".tmp-" not in old
+            ):
                 shutil.rmtree(os.path.join(base, old), ignore_errors=True)
     return os.path.join(base, name)
 
@@ -1095,10 +1102,38 @@ def _ensure_artifact(path: str, subdirs: tuple[str, ...], build_fn) -> None:
     build into a tmp sibling, then rename into place. A concurrent
     builder that loses the rename race just discards its tmp dir — the
     winner's artifact is complete (rename is atomic) so readers never
-    see a partial index."""
+    see a partial index.
+
+    Concurrency: cross-PROCESS builders are isolated by pid-unique tmp
+    dirs + the atomic rename; same-process THREADS (the pooled test
+    sweeps, any multi-threaded driver) additionally serialize on a
+    per-path lock — without it two threads share one pid-keyed tmp dir
+    and each rmtree/build corrupts the other's in-flight write (found
+    by the r15 pooled robustness sweep)."""
+    import os
+    import threading
+
+    if all(os.path.exists(os.path.join(path, s, "_SUCCESS")) for s in subdirs):
+        return
+    with _ARTIFACT_LOCKS_GUARD:
+        lock = _ARTIFACT_LOCKS.setdefault(path, threading.Lock())
+    with lock:
+        _ensure_artifact_locked(path, subdirs, build_fn)
+
+
+import threading as _threading
+
+_ARTIFACT_LOCKS: dict = {}
+_ARTIFACT_LOCKS_GUARD = _threading.Lock()
+
+
+def _ensure_artifact_locked(
+    path: str, subdirs: tuple[str, ...], build_fn
+) -> None:
     import os
     import shutil
 
+    # re-check under the lock: the thread that held it may have built
     if all(os.path.exists(os.path.join(path, s, "_SUCCESS")) for s in subdirs):
         return
     tmp = f"{path}.tmp-{os.getpid()}"
@@ -5103,8 +5138,10 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed frozen-boundary range rank (operators/linkage.py),
     never a single-task NTILE window; the bucket formula
     1 + (rank-1)*4 DIV n is mirrored verbatim in the oracle (NTILE's
-    remainder-to-front semantics differ). Three ranked passes over the
-    customer-grain aggregate, then a ≤64-key rollup.
+    remainder-to-front semantics differ). ONE melted ranked pass over
+    the customer-grain aggregate (r15 — the three metrics share a
+    single range exchange; see the in-body note), then a ≤64-key
+    rollup.
     """
     from dimagi_data_platform_spark.operators.linkage import global_row_number
 
@@ -5142,37 +5179,52 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(8 * n_target)
             .collect()
         )
-    r1 = global_row_number(
-        per.select("o_custkey", "recency_days"),
-        ["recency_days", "o_custkey"],
-        out_col="rr",
-        sample=[(r["recency_days"], r["o_custkey"]) for r in srows],
-    ).select("o_custkey", "rr")
-    r2 = global_row_number(
-        per.select("o_custkey", "n_orders"),
-        ["n_orders", "o_custkey"],
-        out_col="rf",
-        sample=[(r["n_orders"], r["o_custkey"]) for r in srows],
-    ).select("o_custkey", "rf")
-    r3 = global_row_number(
-        per.select("o_custkey", "cents"),
-        ["cents", "o_custkey"],
-        out_col="rm",
-        sample=[(r["cents"], r["o_custkey"]) for r in srows],
-    ).select("o_custkey", "rm")
-    tot = per.agg(F.count(F.lit(1)).alias("n_total"))
+    # r15 (guide §2.4): ONE melted rank instead of three — all three
+    # metrics are longs, so the grain melts to (metric, value, key)
+    # rows ordered with metric leading; within metric m the melted
+    # global rank is (m-1)·n + the per-metric rank (each metric block
+    # holds exactly n rows), so subtracting the literal offset
+    # reproduces the three per-metric ranks exactly. Three range
+    # exchanges + three windows + three offset joins collapse to one
+    # of each; the per-customer pivot is one n-row aggregate.
+    metrics = [("recency_days", 1), ("n_orders", 2), ("cents", 3)]
+    melted = per.select(
+        "o_custkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.col(c).cast("long").alias("val"),
+                    )
+                    for c, m in metrics
+                ]
+            )
+        ).alias("mv"),
+    ).select(F.col("mv.m").alias("m"), F.col("mv.val").alias("val"), "o_custkey")
+    ranked = global_row_number(
+        melted,
+        ["m", "val", "o_custkey"],
+        out_col="grn",
+        sample=[(m, r[c], r["o_custkey"]) for c, m in metrics for r in srows],
+    )
+    ranks = ranked.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("m") == 1, F.col("grn"))).alias("rr"),
+        (F.max(F.when(F.col("m") == 2, F.col("grn"))) - F.lit(cnt)).alias("rf"),
+        (F.max(F.when(F.col("m") == 3, F.col("grn"))) - F.lit(2 * cnt)).alias(
+            "rm"
+        ),
+    )
+    denom = max(cnt, 1)  # cnt==0 -> zero rows anyway; keep DIV well-formed
 
     def quart(rank_col: str):
         return (
-            F.lit(1) + F.expr(f"(({rank_col} - 1) * 4) DIV n_total")
+            F.lit(1) + F.expr(f"(({rank_col} - 1) * 4) DIV {denom}")
         ).cast("long")
 
     cells = (
         per.select("o_custkey", "cents")
-        .join(r1, "o_custkey")
-        .join(r2, "o_custkey")
-        .join(r3, "o_custkey")
-        .crossJoin(F.broadcast(tot))
+        .join(ranks, "o_custkey")
         .select(
             quart("rr").alias("r_q"),
             quart("rf").alias("f_q"),
@@ -13482,13 +13534,15 @@ def customer_fuzzy_match_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass (48M vs 45G pairs); the exact variant stays registered for
     parity and for consumers who need total recall.
 
-    Scale: two distributed ranks (range-partitioned, never a global
-    single-task window — operators/linkage.py), two n·W equi-joins on
-    the anchor rank, one distinct over the linear candidate set, one
-    broadcast scalar join for the mass columns.
+    Scale: ONE melted distributed rank for both passes (r15 —
+    operators/linkage.py:sorted_neighborhood_pairs_multi; range-
+    partitioned, never a global single-task window), one 2n·W
+    equi-join on the (pass, anchor-rank) key, one distinct over the
+    linear candidate set, one broadcast scalar join for the mass
+    columns.
     """
     from dimagi_data_platform_spark.operators.linkage import (
-        sorted_neighborhood_pairs,
+        sorted_neighborhood_pairs_multi,
     )
 
     w = SNM_CUSTOMER_WINDOW
@@ -13505,23 +13559,22 @@ def customer_fuzzy_match_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = keyed.select("c_custkey", "c_name", "c_nationkey")
     smp = _snm_boundary_sample(keyed, ["c_nationkey", "c_name", "c_custkey"])
     smp_rev = [(nk, nm[::-1], k) for nk, nm, k in smp]
-    pa = sorted_neighborhood_pairs(
+    # r15 (guide §2.4): both SNM passes share ONE melted rank — one
+    # range exchange + one window + one ranked checkpoint instead of
+    # two of each (sorted_neighborhood_pairs_multi; pair set identical
+    # to the former two-pass union by the rank-offset argument there)
+    pairs = sorted_neighborhood_pairs_multi(
         keyed,
-        ["c_nationkey", "c_name", "c_custkey"],
+        [
+            ["c_nationkey", "c_name", "c_custkey"],
+            ["c_nationkey", "_rname", "c_custkey"],
+        ],
         "c_custkey",
         window=w,
-        sample=smp,
-    )
-    pb = sorted_neighborhood_pairs(
-        keyed,
-        ["c_nationkey", "_rname", "c_custkey"],
-        "c_custkey",
-        window=w,
-        sample=smp_rev,
+        samples=[smp, smp_rev],
     )
     cand = (
-        pa.select("id_a", "id_b")
-        .union(pb.select("id_a", "id_b"))
+        pairs.select("id_a", "id_b")
         .select(
             F.least("id_a", "id_b").alias("ka"),
             F.greatest("id_a", "id_b").alias("kb"),
@@ -13602,7 +13655,7 @@ def part_catalog_near_dups_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     registered.
     """
     from dimagi_data_platform_spark.operators.linkage import (
-        sorted_neighborhood_pairs,
+        sorted_neighborhood_pairs_multi,
     )
 
     w = SNM_PART_WINDOW
@@ -13636,23 +13689,20 @@ def part_catalog_near_dups_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     toks = keyed.select("p_partkey", "p_type", "t")
     smp = _snm_boundary_sample(keyed, ["p_type", "canon", "p_partkey"])
     smp_rev = [(tp, cn[::-1], k) for tp, cn, k in smp]
-    pa = sorted_neighborhood_pairs(
+    # r15 (guide §2.4): one melted rank for both passes — see
+    # customer_fuzzy_match_capped / sorted_neighborhood_pairs_multi
+    pairs = sorted_neighborhood_pairs_multi(
         keyed,
-        ["p_type", "canon", "p_partkey"],
+        [
+            ["p_type", "canon", "p_partkey"],
+            ["p_type", "rcanon", "p_partkey"],
+        ],
         "p_partkey",
         window=w,
-        sample=smp,
-    )
-    pb = sorted_neighborhood_pairs(
-        keyed,
-        ["p_type", "rcanon", "p_partkey"],
-        "p_partkey",
-        window=w,
-        sample=smp_rev,
+        samples=[smp, smp_rev],
     )
     cand = (
-        pa.select("id_a", "id_b")
-        .union(pb.select("id_a", "id_b"))
+        pairs.select("id_a", "id_b")
         .select(
             F.least("id_a", "id_b").alias("ka"),
             F.greatest("id_a", "id_b").alias("kb"),
