@@ -44,16 +44,43 @@ def one_row_sf(tmp_path_factory):
     return _make_sf(tmp_path_factory, "sf_one", 1)
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_survives_empty_tables(spark, empty_sf, name):
+# r15: the two robustness sweeps run all registered queries through a
+# small driver thread pool instead of one pytest item per query —
+# identical coverage (every query still executes against both
+# degenerate inputs; failures are collected and reported by name), but
+# the independent tiny jobs overlap on the idle executor cores
+# (optimization guide §2.6) instead of serializing ~630 sub-second
+# Spark actions behind one another. Measured ~4x wall on the suite's
+# largest module; motivated by the driver's VERIFY window (r14
+# tests_ok=false was the suite outrunning the window, not a failure).
+_POOL = 8
+
+
+def _sweep(spark, sf: str) -> list[str]:
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(name: str) -> str | None:
+        try:
+            QUERIES[name](spark, sf).collect()
+            return None
+        except Exception as e:  # noqa: BLE001 - reported via assert
+            return f"{name}: {type(e).__name__}: {e}"
+
+    with ThreadPoolExecutor(max_workers=_POOL) as pool:
+        errs = [r for r in pool.map(one, sorted(QUERIES)) if r]
+    return errs
+
+
+def test_query_survives_empty_tables(spark, empty_sf):
     # result content is unspecified on empty input (usually no rows,
     # sometimes a single all-NULL/zero statistic row); the contract is
     # "executes without raising"
-    QUERIES[name](spark, empty_sf).collect()
+    errs = _sweep(spark, empty_sf)
+    assert not errs, f"{len(errs)} queries failed on empty input: {errs[:10]}"
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_survives_single_row_tables(spark, one_row_sf, name):
+def test_query_survives_single_row_tables(spark, one_row_sf):
     # n=1 exercises every (n-1)/variance/rank denominator; undefined
     # statistics must come back NULL, never raise
-    QUERIES[name](spark, one_row_sf).collect()
+    errs = _sweep(spark, one_row_sf)
+    assert not errs, f"{len(errs)} queries failed on 1-row input: {errs[:10]}"

@@ -25,16 +25,39 @@ def con():
     return duck_con(SF_SMALL)
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(spark, con, name):
-    fn = QUERIES[name]
-    if name not in ORACLES:
-        assert fn(spark, SF_SMALL).count() >= 0
-        return
-    sdf = fn(spark, SF_SMALL).toPandas()
-    odf = con.execute(ORACLES[name]).fetchdf()
-    errs = compare(sdf, odf)
-    assert not errs, f"{name}: {errs[:5]}"
+# r15: the 316-query gate mirror runs through a small driver thread
+# pool instead of one pytest item per query — identical coverage
+# (every registered query still compared against its oracle at
+# sf0.001; mismatches reported by name), but the independent sub-second
+# Spark jobs overlap on the idle cores (optimization guide §2.6).
+# DuckDB side: one cursor per worker thread off the shared module
+# connection (cursors are independent connections to the same
+# catalog). Motivated by the driver's VERIFY window — see
+# test_empty_inputs.py.
+_POOL = 8
+
+
+def test_query_matches_oracle(spark, con):
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(name: str) -> str | None:
+        try:
+            fn = QUERIES[name]
+            if name not in ORACLES:
+                assert fn(spark, SF_SMALL).count() >= 0
+                return None
+            sdf = fn(spark, SF_SMALL).toPandas()
+            odf = con.cursor().execute(ORACLES[name]).fetchdf()
+            errs = compare(sdf, odf)
+            return f"{name}: {errs[:5]}" if errs else None
+        except Exception as e:  # noqa: BLE001 - reported via assert
+            return f"{name}: {type(e).__name__}: {e}"
+
+    with ThreadPoolExecutor(max_workers=_POOL) as pool:
+        failures = [r for r in pool.map(one, sorted(QUERIES)) if r]
+    assert not failures, (
+        f"{len(failures)} queries diverged from the oracle: {failures[:10]}"
+    )
 
 
 def test_entry_smoke(spark):

@@ -279,22 +279,26 @@ def test_dv_long_chain_reads_iteratively_and_autocompacts(spark, tmp_path):
 
 
 def test_dv_chain_disabled_autocompact_resolves_deep_chain(spark, tmp_path):
-    """With auto-compaction OFF, a 40-link chain resolves through the
+    """With auto-compaction OFF, a deep chain resolves through the
     ITERATIVE walk (the recursive pre-r10 resolve is structurally gone
     — no self-call remains, so chain depth can never hit Python's
     recursion limit) and correctness does not depend on writers having
-    compacted."""
+    compacted. 12 links (r15: down from 40 — the walk is depth-uniform
+    code, so behavioral coverage is identical while the sequential
+    merge loop stops dominating the suite wall; recursion-freedom is
+    asserted structurally below, not by depth)."""
     p = str(tmp_path / "tbl")
     V.write_version(_mk(spark, [(1, 0, "v0")], SCHEMA), p, "2024-01-01")
-    for i in range(1, 41):
+    depth = 12
+    for i in range(1, depth + 1):
         V.merge_version_dv(
             spark, p, _mk(spark, [(1, i, f"v{i}")], SCHEMA),
             ["id"], "ver", f"2024-02-01T{i:02d}", auto_compact_depth=None,
         )
     hist = V.history(p)
-    assert hist[-1]["dv_depth"] == 40
+    assert hist[-1]["dv_depth"] == depth
     assert not any(h.get("compaction") for h in hist)
-    assert _content(spark, p) == {1: (40, "v40")}
+    assert _content(spark, p) == {1: (depth, f"v{depth}")}
     # the structural guarantee: _resolve_snapshot never calls itself
     import inspect
 
