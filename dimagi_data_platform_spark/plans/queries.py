@@ -13709,23 +13709,29 @@ def part_catalog_near_dups_capped(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .distinct()
     )
+    # r15 (guide §2.3/§8 — move keys, not payloads): the in-block
+    # filter and the compared_pairs count only need (key, type); the
+    # token arrays attach AFTER the checkpoint, on the output stream
+    # only. Before, every candidate pair carried BOTH token arrays
+    # through the join exchanges and into the checkpoint (~20x the
+    # bytes of the keyed rows — ~2 GB materialized at sf1 for 4M
+    # candidates); now the candidate pipeline shuffles/materializes
+    # 3 narrow columns and the payload is joined back exactly once.
     a = toks.select(
-        F.col("p_partkey").alias("ka"),
-        F.col("p_type").alias("type_a"),
-        F.col("t").alias("ta"),
+        F.col("p_partkey").alias("ka"), F.col("p_type").alias("type_a")
     )
     b = toks.select(
-        F.col("p_partkey").alias("kb"),
-        F.col("p_type").alias("type_b"),
-        F.col("t").alias("tb"),
+        F.col("p_partkey").alias("kb"), F.col("p_type").alias("type_b")
     )
     cand_blk = (
         cand.join(a, "ka")
         .join(b, "kb")
         .filter(F.col("type_a") == F.col("type_b"))
-        .select("ka", "kb", F.col("type_a").alias("p_type"), "ta", "tb")
+        .select("ka", "kb", F.col("type_a").alias("p_type"))
         .localCheckpoint()
     )
+    ta = toks.select(F.col("p_partkey").alias("ka"), F.col("t").alias("ta"))
+    tb = toks.select(F.col("p_partkey").alias("kb"), F.col("t").alias("tb"))
     block_pairs = (
         toks.groupBy("p_type")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -13745,7 +13751,9 @@ def part_catalog_near_dups_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     inter = F.size(F.array_intersect("ta", "tb"))
     return (
-        cand_blk.withColumn("_i", inter.cast("int"))
+        cand_blk.join(ta, "ka")
+        .join(tb, "kb")
+        .withColumn("_i", inter.cast("int"))
         .withColumn(
             "_u", (F.size("ta") + F.size("tb")).cast("int") - F.col("_i")
         )
